@@ -1,0 +1,273 @@
+"""Posting-list compression codecs + block-max skip metadata.
+
+The reference stores no postings (Elasticsearch does); this module is the
+native replacement for Lucene's postings format that the reference relies
+on (``/root/reference/README.md:3``). Two codecs:
+
+- ``varint``   — delta + LEB128 varint (vectorized numpy encode/decode).
+- ``blockpack``— delta + per-block fixed-width packing (1/2/4/8-byte
+  little-endian lanes per skip block), a PForDelta-simplified layout that
+  trades a little compression for frombuffer-speed decode.
+
+A posting list for one (term, chunk) is three parallel streams —
+docid-deltas, term frequencies, doc lengths — each encoded per *skip
+block* of ``block_size`` postings, so a block can be decoded (or skipped)
+independently. Per-block skip metadata ("block-max"):
+
+    last_docid  int64   — last docid in the block (skip pointer)
+    max_tf      int32   — max term frequency in the block
+    min_dl      int32   — min doc length in the block
+    off_d/tf/dl int32   — byte offsets of the block in each stream
+
+``max_tf`` with ``min_dl`` give an upper bound on the BM25 contribution of
+any posting in the block (BM25 is increasing in tf, decreasing in dl),
+which is what block-max WAND prunes with — valid without knowing avgdl at
+build time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCKMAX_DTYPE = np.dtype(
+    [
+        ("last_docid", "<i8"),
+        ("max_tf", "<i4"),
+        ("min_dl", "<i4"),
+        ("off_d", "<i4"),
+        ("off_tf", "<i4"),
+        ("off_dl", "<i4"),
+    ]
+)
+
+_PACK_WIDTHS = (1, 2, 4, 8)
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128), vectorized
+# ---------------------------------------------------------------------------
+
+def varint_encode(a: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a non-negative int array as LEB128. Returns (buf,
+    start_offsets) where start_offsets[i] is the byte offset of element i.
+    Fully vectorized (10 fixed passes over byte slots, no per-element loop).
+    """
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    lens = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        lens += (a >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = lens > j
+        if not mask.any():
+            break
+        vals = (a[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = vals.astype(np.uint8) | cont
+    return out.tobytes(), starts
+
+
+def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 stream → uint64 array. Vectorized over elements."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if len(data) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((data & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    if count is not None:
+        starts, ends = starts[:count], ends[:count]
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    max_len = int((ends - starts).max()) + 1 if len(starts) else 0
+    for j in range(max_len):
+        idx = starts + j
+        valid = idx <= ends
+        vals[valid] |= (data[idx[valid]] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# blockpack (fixed-width lanes per block)
+# ---------------------------------------------------------------------------
+
+def _pack_width(max_val: int) -> int:
+    for w in _PACK_WIDTHS:
+        if max_val < 1 << (8 * w):
+            return w
+    raise ValueError("value too large")
+
+
+def blockpack_encode(a: np.ndarray, block_size: int) -> tuple[bytes, np.ndarray]:
+    """Encode as per-block [width:u8][items × width bytes LE]. Returns
+    (buf, block_start_offsets)."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n = len(a)
+    pieces: list[bytes] = []
+    offsets = []
+    off = 0
+    for s in range(0, max(n, 1), block_size):
+        if s >= n:
+            break
+        blk = a[s : s + block_size]
+        w = _pack_width(int(blk.max())) if len(blk) else 1
+        piece = bytes([w]) + blk.astype(f"<u{w}").tobytes()
+        offsets.append(off)
+        pieces.append(piece)
+        off += len(piece)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    return b"".join(pieces), np.asarray(offsets, dtype=np.int64)
+
+
+def blockpack_decode(
+    buf: bytes | memoryview, n: int, block_size: int
+) -> np.ndarray:
+    """Decode a full blockpack stream → uint64 array of n elements."""
+    out = np.empty(n, dtype=np.uint64)
+    data = memoryview(buf)
+    off = 0
+    for s in range(0, n, block_size):
+        cnt = min(block_size, n - s)
+        w = data[off]
+        out[s : s + cnt] = np.frombuffer(data, dtype=f"<u{w}", count=cnt, offset=off + 1)
+        off += 1 + cnt * w
+    return out
+
+
+def blockpack_decode_range(buf: bytes | memoryview, off: int, count: int) -> np.ndarray:
+    """Decode one block that starts at byte offset `off`."""
+    data = memoryview(buf)
+    w = data[off]
+    return np.frombuffer(data, dtype=f"<u{w}", count=count, offset=off + 1).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# posting streams
+# ---------------------------------------------------------------------------
+
+def _encode_stream(a: np.ndarray, codec: str, block_size: int) -> tuple[bytes, np.ndarray]:
+    if codec == "varint":
+        buf, starts = varint_encode(a)
+        return buf, starts[::block_size].copy()
+    return blockpack_encode(a, block_size)
+
+
+def _decode_stream(buf, n: int, codec: str, block_size: int) -> np.ndarray:
+    if codec == "varint":
+        return varint_decode(buf, count=n)
+    return blockpack_decode(buf, n, block_size)
+
+
+def _decode_stream_range(buf, off: int, end: int, count: int, codec: str) -> np.ndarray:
+    if codec == "varint":
+        return varint_decode(memoryview(buf)[off:end], count=count)
+    return blockpack_decode_range(buf, off, count)
+
+
+def encode_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    codec: str = "varint",
+    block_size: int = 128,
+) -> tuple[bytes, bytes, int]:
+    """Encode one posting list (docids strictly ascending) →
+    (postings_bytes, blockmax_bytes, n_blocks).
+
+    Layout of postings_bytes:
+        [u32 n][u32 len_d][u32 len_tf][stream_d][stream_tf][stream_dl]
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    n = len(docids)
+    if n == 0:
+        raise ValueError("empty posting list")
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:], casting="unsafe")
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+
+    sd, off_d = _encode_stream(deltas, codec, block_size)
+    st, off_tf = _encode_stream(tfs, codec, block_size)
+    sl, off_dl = _encode_stream(dls, codec, block_size)
+
+    n_blocks = (n + block_size - 1) // block_size
+    bm = np.zeros(n_blocks, dtype=BLOCKMAX_DTYPE)
+    for i in range(n_blocks):
+        s, e = i * block_size, min((i + 1) * block_size, n)
+        bm[i]["last_docid"] = docids[e - 1]
+        bm[i]["max_tf"] = int(tfs[s:e].max())
+        bm[i]["min_dl"] = int(dls[s:e].min())
+    bm["off_d"], bm["off_tf"], bm["off_dl"] = off_d, off_tf, off_dl
+
+    header = np.array([n, len(sd), len(st)], dtype="<u4").tobytes()
+    return header + sd + st + sl, bm.tobytes(), n_blocks
+
+
+def decode_postings(
+    postings: bytes | memoryview, codec: str = "varint", block_size: int = 128
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting list → (docids int64 asc, tfs int32, dls int32)."""
+    mv = memoryview(postings)
+    n, len_d, len_tf = np.frombuffer(mv, dtype="<u4", count=3)
+    n, len_d, len_tf = int(n), int(len_d), int(len_tf)
+    p = 12
+    deltas = _decode_stream(mv[p : p + len_d], n, codec, block_size)
+    tfs = _decode_stream(mv[p + len_d : p + len_d + len_tf], n, codec, block_size)
+    dls = _decode_stream(mv[p + len_d + len_tf :], n, codec, block_size)
+    docids = np.cumsum(deltas.astype(np.int64))
+    return docids, tfs.astype(np.int32), dls.astype(np.int32)
+
+
+class PostingList:
+    """Random-access view over one encoded posting list + its block-max
+    metadata. Blocks decode lazily — the unit block-max WAND skips over."""
+
+    __slots__ = ("n", "n_blocks", "block_size", "codec", "bm", "_mv", "_p", "_len_d", "_len_tf")
+
+    def __init__(self, postings: bytes, blockmax: bytes, codec: str, block_size: int):
+        self._mv = memoryview(postings)
+        n, len_d, len_tf = np.frombuffer(self._mv, dtype="<u4", count=3)
+        self.n, self._len_d, self._len_tf = int(n), int(len_d), int(len_tf)
+        self._p = 12
+        self.codec = codec
+        self.block_size = block_size
+        self.bm = np.frombuffer(blockmax, dtype=BLOCKMAX_DTYPE)
+        self.n_blocks = len(self.bm)
+
+    def block_count(self, i: int) -> int:
+        return min(self.block_size, self.n - i * self.block_size)
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode block i → (docids, tfs, dls)."""
+        cnt = self.block_count(i)
+        bm = self.bm
+        p = self._p
+        end_d = int(bm[i + 1]["off_d"]) if i + 1 < self.n_blocks else self._len_d
+        end_tf = int(bm[i + 1]["off_tf"]) if i + 1 < self.n_blocks else self._len_tf
+        end_dl = (
+            int(bm[i + 1]["off_dl"])
+            if i + 1 < self.n_blocks
+            else len(self._mv) - p - self._len_d - self._len_tf
+        )
+        d0 = p
+        t0 = p + self._len_d
+        l0 = t0 + self._len_tf
+        deltas = _decode_stream_range(
+            self._mv, d0 + int(bm[i]["off_d"]), d0 + end_d, cnt, self.codec
+        )
+        tfs = _decode_stream_range(
+            self._mv, t0 + int(bm[i]["off_tf"]), t0 + end_tf, cnt, self.codec
+        )
+        dls = _decode_stream_range(
+            self._mv, l0 + int(bm[i]["off_dl"]), l0 + end_dl, cnt, self.codec
+        )
+        prev = int(bm[i - 1]["last_docid"]) if i > 0 else 0
+        docids = prev + np.cumsum(deltas.astype(np.int64))
+        return docids, tfs.astype(np.int32), dls.astype(np.int32)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return decode_postings(self._mv, self.codec, self.block_size)
