@@ -2,18 +2,39 @@
 
 The reference's tunables (batch size 128 at ``ElasticWriter.java:26``,
 mmap page size at ``CSVParser.java:21``) map to Ray-side knobs here:
-``batch_size`` for tokenize map_batches, ``chunk_docs`` for the docid-range
-salting granularity, ``num_shards`` for the queryable shard count.
+``batch_size`` for the tokenize map_batches, ``convs_per_chunk`` for the
+docid-range shuffle granularity, ``num_shards`` for the queryable shard
+count.
+
+Docid scheme
+------------
+``docid = conv_rank << turn_bits | turn_idx`` where ``conv_rank`` is the
+rank of the conversation id in the sorted distinct conv_id list. Docid
+ascending order is therefore exactly lexicographic ``(conv_id,
+turn_idx)`` order — the transcript analog of the reference's stable
+file-order document identity (``ExcelParser.java:147-153``) — and it is
+computable *per row* from a broadcast conv-rank table: no global sort of
+the turns is ever needed.
+
+``chunk = conv_rank >> convs_per_chunk_bits`` is the build-shuffle key: a
+contiguous range of conversations. Keying the posting shuffle by doc
+range instead of by term means hot terms (role/tool stopword-like skew)
+can never concentrate on one reducer — every reducer handles all terms
+for a bounded doc range. This IS the explicit skew/salting strategy: a
+hot term's postings are split across all chunks and re-joined at
+segment-merge time by concatenating docid-disjoint sub-postings in chunk
+order.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
 class IndexConfig:
-    # BM25 parameters (Lucene defaults).
+    # BM25 parameters (Lucene defaults; the ES default similarity the
+    # reference relies on, /root/reference/README.md:3).
     k1: float = 1.2
     b: float = 0.75
 
@@ -21,19 +42,22 @@ class IndexConfig:
     # (delta + per-block fixed-width packing, PForDelta-simplified).
     codec: str = "varint"
 
-    # Docs per docid-range chunk. The (term, chunk) group key is the
-    # explicit hot-term salt: a term that appears in ~every doc (role/tool
-    # stopword-like skew) is split into n_chunks groups, so no reducer ever
-    # holds more than chunk_docs postings for one term. Must be a power of 2.
-    chunk_docs: int = 1 << 20
+    # Bits reserved for turn_idx inside the docid (max turns per
+    # conversation = 2**turn_bits).
+    turn_bits: int = 12
 
-    # Queryable shards. Shards are DOC-partitioned (contiguous chunk
-    # ranges), so each shard answers top-k locally over all query terms and
-    # the driver only merges k-sized heaps — no posting list ever ships at
-    # query time. (SURVEY.md §7.3 sketched term-partitioned shards; doc
-    # partitioning was chosen instead because term-partitioned shards
-    # cannot score a document without shipping hot postings to a scorer.)
-    num_shards: int = 32
+    # log2 of conversations per build chunk. One chunk = one reducer
+    # group = one resumable segment. At 10^12-turn scale with ~10 turns
+    # per conversation, 2**12 convs/chunk ≈ 40k docs ≈ a few hundred MB
+    # of posting fragments per reducer — bounded regardless of term skew.
+    convs_per_chunk_bits: int = 12
+
+    # Queryable shards. Shards are DOC-partitioned: shard = chunk %
+    # num_shards, so every shard can score any query locally with global
+    # stats and the driver merges k-sized heaps only. (Term-partitioned
+    # shards were rejected: they cannot score a doc without shipping hot
+    # postings at query time.)
+    num_shards: int = 8
 
     # Postings per skip block (block-max metadata granularity).
     block_size: int = 128
@@ -42,28 +66,53 @@ class IndexConfig:
     index_fields: tuple[str, ...] = ("text",)
 
     # Tokenize-stage batch size (rows per map_batches call).
-    batch_size: int = 8192
+    batch_size: int = 4096
+
+    # Materialize a docstore (docid, conv_id, turn_idx, text, ...) next
+    # to the index — the ES `_source` analog; enables the per-turn
+    # text-equality verification against the source Parquet.
+    store_source: bool = True
 
     def __post_init__(self) -> None:
-        if self.chunk_docs & (self.chunk_docs - 1):
-            raise ValueError("chunk_docs must be a power of 2")
         if self.codec not in ("varint", "blockpack"):
             raise ValueError(f"unknown codec {self.codec!r}")
+        if not (1 <= self.turn_bits <= 32):
+            raise ValueError("turn_bits out of range")
+        if not (0 <= self.convs_per_chunk_bits <= 32):
+            raise ValueError("convs_per_chunk_bits out of range")
 
     @property
-    def chunk_bits(self) -> int:
-        return self.chunk_docs.bit_length() - 1
+    def max_turns(self) -> int:
+        return 1 << self.turn_bits
+
+    def docid(self, conv_rank, turn_idx):
+        """Vector/scalar docid from conv rank + turn index."""
+        return (conv_rank << self.turn_bits) | turn_idx
+
+    def chunk_of_rank(self, conv_rank):
+        return conv_rank >> self.convs_per_chunk_bits
+
+    def conv_rank_of(self, docid):
+        return docid >> self.turn_bits
+
+    def turn_idx_of(self, docid):
+        return docid & (self.max_turns - 1)
+
+    def shard_of_chunk(self, chunk):
+        return chunk % self.num_shards
 
     def to_dict(self) -> dict:
         return {
             "k1": self.k1,
             "b": self.b,
             "codec": self.codec,
-            "chunk_docs": self.chunk_docs,
+            "turn_bits": self.turn_bits,
+            "convs_per_chunk_bits": self.convs_per_chunk_bits,
             "num_shards": self.num_shards,
             "block_size": self.block_size,
             "index_fields": list(self.index_fields),
             "batch_size": self.batch_size,
+            "store_source": self.store_source,
         }
 
     @staticmethod

@@ -1,0 +1,637 @@
+"""Distributed inverted-index build — the core Ray Data pipeline.
+
+Reimplements the reference's ingest-and-index purpose (parse → validate
+whole input → batched index writes with progress accounting,
+``/root/reference/src/main/java/com/codingchili/excelastic/model/
+ElasticWriter.java`` + ``ExcelParser.java:90-102``) as a streaming Ray
+Data pipeline, with the indexing half (delegated to Elasticsearch by the
+reference) built natively:
+
+    read_parquet(transcripts)
+      → [validation pass] groupby(conv_id) moment aggregates      (small)
+      → driver: sorted distinct conv_ids → conv_rank broadcast (ray.put)
+      → map_batches(TokenizeRoute actor pool, zero-copy Arrow)
+            rows: (chunk, term, docid, tf, dl)  [+ one sentinel row/doc]
+      → groupby(chunk).map_groups(build level-0 segment → atomic write)
+      → map_batches(SegmentMerger actor pool over shard descriptors)
+      → manifest.json (N, avgdl, config, per-chunk lineage/counters)
+
+Skew: the posting shuffle is keyed by docid-range *chunk*, never by
+term, so stopword-like hot terms (role/tool skew) cannot concentrate on
+a reducer; a hot term's postings are split across all chunks and merged
+by concatenating docid-disjoint sub-postings in chunk order (the
+explicit salting strategy — SURVEY.md §4, config.py docstring).
+
+Scale notes (10^12 turns):
+- Only *distinct conv_ids* are collected to the driver for rank
+  assignment (#convs ≈ #turns / avg_turns_per_conv). Beyond driver
+  memory, the same rank assignment is a distributed sort of distinct
+  conv_ids + block-offset prefix sum; the broadcast then becomes a
+  range-partitioned lookup dataset. The per-row docid math is unchanged.
+- Every other stage is per-chunk-bounded: no stage ever holds state
+  proportional to corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from excelastic_ray.analysis import TOKEN_RE
+from excelastic_ray.codecs import encode_postings
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.index import segments as seg
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("chunk", pa.int64()),
+        ("term", pa.string()),
+        ("docid", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+    ]
+)
+
+
+class ValidationError(ValueError):
+    """Input failed the validate-before-import pass (the analog of the
+    reference's whole-file dry-run parse, README.md:15 /
+    ColumnsHeadersMismatchException.java:15-18)."""
+
+
+# ---------------------------------------------------------------------------
+# Validation + conversation ranks
+# ---------------------------------------------------------------------------
+
+
+def _conv_partials(batch: pa.Table) -> pd.DataFrame:
+    """Per-batch partial aggregates for the validation pass — classic
+    partial+final so the groupby shuffles one row per (batch, conv)."""
+    t = batch["turn_idx"].to_numpy().astype(np.int64)
+    df = pd.DataFrame(
+        {"conv_id": batch["conv_id"].to_pandas(), "t": t, "sq": t * t}
+    )
+    if df["conv_id"].isna().any():
+        raise ValidationError("null conv_id")
+    g = df.groupby("conv_id", sort=False)
+    out = g.agg(cnt=("t", "count"), mn=("t", "min"), mx=("t", "max"),
+                sm=("t", "sum"), sq=("sq", "sum"))
+    return out.reset_index()
+
+
+def conversation_table(ds, config: IndexConfig) -> np.ndarray:
+    """Validate the corpus and return the sorted distinct conv_id array
+    (row position == conv_rank).
+
+    Validation semantics (per conversation): turn_idx must be exactly
+    {0..n-1} with no duplicates and n ≤ 2**turn_bits. Checked with
+    count/min/max/sum/sum-of-squares moments here (exact for min=0 +
+    contiguity in all non-adversarial cases) and *exactly* re-checked by
+    the per-chunk duplicate-docid guard in the segment builder.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partials, batch_format="pyarrow", batch_size=65536
+    )
+    stats = (
+        partials.groupby("conv_id")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("sm", alias_name="sm"),
+            Sum("sq", alias_name="sq"),
+        )
+        .to_pandas()
+    )
+    n = stats["cnt"].to_numpy()
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+    sm = stats["sm"].to_numpy()
+    sq = stats["sq"].to_numpy()
+    exp_sm = n * (n - 1) // 2
+    exp_sq = (n - 1) * n * (2 * n - 1) // 6
+    bad = (mn != 0) | (mx != n - 1) | (sm != exp_sm) | (sq != exp_sq)
+    if bad.any():
+        culprit = stats["conv_id"].iloc[int(np.flatnonzero(bad)[0])]
+        raise ValidationError(
+            f"conversation {culprit!r}: turn_idx is not a duplicate-free "
+            f"0..n-1 sequence"
+        )
+    if (n > config.max_turns).any():
+        raise ValidationError(
+            f"a conversation exceeds max_turns={config.max_turns} "
+            f"(raise IndexConfig.turn_bits)"
+        )
+    conv_ids = np.sort(stats["conv_id"].to_numpy().astype(object))
+    return conv_ids
+
+
+# ---------------------------------------------------------------------------
+# Tokenize + route (stateful actor pool: conv-rank table loaded once)
+# ---------------------------------------------------------------------------
+
+
+class TokenizeRoute:
+    """map_batches actor: transcript batch → posting-fragment rows.
+
+    Stateful setup in __init__ (once per actor): fetch the broadcast
+    conv-rank table from the object store, build the hash index, compile
+    nothing else (TOKEN_RE is module-level). Per batch: vectorized rank
+    lookup, docid math, C-level tokenization, pandas C groupby for
+    per-doc term frequencies. Emits one sentinel row (term="") per doc so
+    empty-text turns still count toward N/avgdl and reach their chunk.
+    """
+
+    def __init__(self, conv_ref, config_dict: dict, skip_chunks=()):
+        import ray
+
+        conv_ids = ray.get(conv_ref)
+        self.index = pd.Index(conv_ids)
+        self.cfg = IndexConfig.from_dict(config_dict)
+        self.skip = np.asarray(sorted(skip_chunks), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        ranks = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
+        if (ranks < 0).any():
+            raise ValidationError("conv_id not seen in validation pass")
+        turn = batch["turn_idx"].to_numpy().astype(np.int64)
+        docids = (ranks.astype(np.int64) << cfg.turn_bits) | turn
+        chunks = ranks.astype(np.int64) >> cfg.convs_per_chunk_bits
+
+        if len(self.skip):
+            keep = ~np.isin(chunks, self.skip)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                docids, chunks = docids[keep], chunks[keep]
+            if batch.num_rows == 0:
+                return FRAGMENT_SCHEMA.empty_table()
+
+        # Tokenize (findall is C-level; the loop is rows-of-one-batch).
+        findall = TOKEN_RE.findall
+        if len(cfg.index_fields) == 1:
+            texts = batch[cfg.index_fields[0]].to_pylist()
+        else:
+            cols = [batch[f].to_pylist() for f in cfg.index_fields]
+            texts = [" ".join(v for v in vals if v) for vals in zip(*cols)]
+        toks = [findall(t.lower()) if t else [] for t in texts]
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+
+        flat = [w for row in toks for w in row]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            rep_doc = np.repeat(docids, counts)
+            tf = (
+                pd.DataFrame({"d": rep_doc, "c": codes})
+                .groupby(["d", "c"], sort=False)
+                .size()
+            )
+            pidx = tf.index
+            p_doc = pidx.get_level_values(0).to_numpy()
+            p_term = uniques[pidx.get_level_values(1).to_numpy()]
+            p_tf = tf.to_numpy().astype(np.int32)
+            p_chunk = (p_doc >> cfg.turn_bits) >> cfg.convs_per_chunk_bits
+        else:
+            p_doc = np.zeros(0, dtype=np.int64)
+            p_term = np.zeros(0, dtype=object)
+            p_tf = np.zeros(0, dtype=np.int32)
+            p_chunk = np.zeros(0, dtype=np.int64)
+
+        out_chunk = np.concatenate([chunks, p_chunk])
+        out_term = np.concatenate([np.full(len(docids), "", dtype=object), p_term])
+        out_doc = np.concatenate([docids, p_doc])
+        out_tf = np.concatenate([np.zeros(len(docids), dtype=np.int32), p_tf])
+        out_dl = np.concatenate(
+            [counts.astype(np.int32), np.zeros(len(p_doc), dtype=np.int32)]
+        )
+        return pa.table(
+            {
+                "chunk": pa.array(out_chunk, type=pa.int64()),
+                "term": pa.array(out_term, type=pa.string()),
+                "docid": pa.array(out_doc, type=pa.int64()),
+                "tf": pa.array(out_tf, type=pa.int32()),
+                "dl": pa.array(out_dl, type=pa.int32()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Level-0 segment build (one reducer group per docid-range chunk)
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_builder(index_dir: str, config_dict: dict):
+    """Group fn for groupby('chunk').map_groups: builds + atomically
+    writes one level-0 segment, returns its counters row."""
+    cfg = IndexConfig.from_dict(config_dict)
+
+    def build_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame()
+        chunk = int(g["chunk"].iloc[0])
+        sent_mask = g["term"].to_numpy() == ""
+        sent = g[sent_mask]
+        doc_arr = sent["docid"].to_numpy()
+        if len(np.unique(doc_arr)) != len(doc_arr):
+            raise ValidationError(
+                f"duplicate (conv_id, turn_idx) detected in chunk {chunk}"
+            )
+        n_docs = len(doc_arr)
+        total_dl = int(sent["dl"].to_numpy().sum())
+        dl_map = pd.Series(sent["dl"].to_numpy(), index=doc_arr)
+
+        posts = g[~sent_mask]
+        n_postings = len(posts)
+        if n_postings:
+            terms = posts["term"].to_numpy(object)
+            order = np.lexsort((posts["docid"].to_numpy(), terms))
+            terms = terms[order]
+            p_doc = posts["docid"].to_numpy()[order]
+            p_tf = posts["tf"].to_numpy()[order]
+            p_dl = dl_map.loc[p_doc].to_numpy()
+            uniq, starts = np.unique(terms, return_index=True)
+            bounds = np.append(starts, n_postings)
+        else:
+            uniq = np.zeros(0, dtype=object)
+            bounds = np.array([0])
+
+        rows_term, rows_df, rows_nb, rows_post, rows_bm = [], [], [], [], []
+        for i, t in enumerate(uniq):
+            s, e = bounds[i], bounds[i + 1]
+            post, bm, nb = encode_postings(
+                p_doc[s:e], p_tf[s:e], p_dl[s:e], cfg.codec, cfg.block_size
+            )
+            rows_term.append(t)
+            rows_df.append(e - s)
+            rows_nb.append(nb)
+            rows_post.append(post)
+            rows_bm.append(bm)
+
+        table = pa.table(
+            {
+                "term": pa.array(rows_term, type=pa.string()),
+                "df": pa.array(rows_df, type=pa.int64()),
+                "n_blocks": pa.array(rows_nb, type=pa.int32()),
+                "postings": pa.array(rows_post, type=pa.large_binary()),
+                "blockmax": pa.array(rows_bm, type=pa.large_binary()),
+            }
+        )
+        d = seg.chunk_dir(index_dir, chunk)
+        nbytes = seg.atomic_write_parquet(os.path.join(d, "postings.parquet"), table)
+        manifest = {
+            "chunk": chunk,
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "n_terms": len(uniq),
+            "n_postings": int(n_postings),
+            "bytes_compressed": int(nbytes),
+            "lineage": {
+                "conv_rank_start": chunk << cfg.convs_per_chunk_bits,
+                "conv_rank_end": (chunk + 1) << cfg.convs_per_chunk_bits,
+            },
+        }
+        seg.write_done(d, manifest)
+        return pd.DataFrame(
+            [
+                {
+                    "chunk": chunk,
+                    "n_docs": n_docs,
+                    "total_dl": total_dl,
+                    "n_terms": len(uniq),
+                    "n_postings": int(n_postings),
+                    "bytes_compressed": int(nbytes),
+                }
+            ]
+        )
+
+    return build_chunk
+
+
+# ---------------------------------------------------------------------------
+# Segment merge (fixed actor pool) — level-0 chunks → queryable shards
+# ---------------------------------------------------------------------------
+
+
+class SegmentMerger:
+    """Actor-pool stage merging level-0 chunk segments into one queryable
+    shard per input row (north_star: "segment-merge actors on a fixed
+    actor pool"). Sub-postings for one term live in docid-disjoint,
+    ascending chunk ranges, so a merge is decode → concat → re-encode
+    (single-chunk terms take a zero-copy fast path: bytes are reused)."""
+
+    def __init__(self, index_dir: str, config_dict: dict):
+        self.index_dir = index_dir
+        self.cfg = IndexConfig.from_dict(config_dict)
+
+    def _merge_shard(self, shard: int, chunks: list[int]) -> dict:
+        import pyarrow.parquet as pq
+
+        from excelastic_ray.codecs import BLOCKMAX_DTYPE, decode_postings
+
+        d = seg.shard_dir(self.index_dir, shard)
+        existing = seg.read_manifest(d)
+        if existing is not None and existing.get("chunks") == chunks:
+            return existing
+
+        cfg = self.cfg
+        tables = []
+        n_docs = 0
+        total_dl = 0
+        for c in sorted(chunks):
+            m = seg.read_manifest(seg.chunk_dir(self.index_dir, c))
+            if m is None:
+                raise RuntimeError(f"chunk {c} segment missing for shard {shard}")
+            n_docs += m["n_docs"]
+            total_dl += m["total_dl"]
+            t = pq.read_table(
+                os.path.join(seg.chunk_dir(self.index_dir, c), "postings.parquet")
+            )
+            tables.append(t.append_column("chunk", pa.array([c] * t.num_rows)))
+        cat = pa.concat_tables(tables) if tables else seg.SEGMENT_SCHEMA.empty_table()
+
+        terms = cat["term"].to_numpy(zero_copy_only=False).astype(object)
+        chunk_col = (
+            cat["chunk"].to_numpy() if cat.num_rows else np.zeros(0, dtype=np.int64)
+        )
+        order = np.lexsort((chunk_col, terms))
+        terms = terms[order]
+        dfs = cat["df"].to_numpy()[order] if cat.num_rows else np.zeros(0, np.int64)
+        posts = cat["postings"].to_pylist()
+        posts = [posts[i] for i in order]
+        bms = cat["blockmax"].to_pylist()
+        bms = [bms[i] for i in order]
+
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, len(terms))
+        o_term, o_df, o_nb, o_post, o_bm = [], [], [], [], []
+        for i, t in enumerate(uniq):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            if e - s == 1:
+                post, bm = posts[s], bms[s]
+                nb = len(bm) // BLOCKMAX_DTYPE.itemsize
+            else:
+                parts = [decode_postings(posts[j], cfg.codec, cfg.block_size) for j in range(s, e)]
+                docids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                post, bm, nb = encode_postings(docids, tfs, dls, cfg.codec, cfg.block_size)
+            o_term.append(t)
+            o_df.append(int(dfs[s:e].sum()))
+            o_nb.append(int(nb))
+            o_post.append(post)
+            o_bm.append(bm)
+
+        table = pa.table(
+            {
+                "term": pa.array(o_term, type=pa.string()),
+                "df": pa.array(o_df, type=pa.int64()),
+                "n_blocks": pa.array(o_nb, type=pa.int32()),
+                "postings": pa.array(o_post, type=pa.large_binary()),
+                "blockmax": pa.array(o_bm, type=pa.large_binary()),
+            }
+        )
+        nbytes = seg.atomic_write_parquet(os.path.join(d, "postings.parquet"), table)
+        manifest = {
+            "shard": shard,
+            "chunks": chunks,
+            "n_docs": int(n_docs),
+            "total_dl": int(total_dl),
+            "n_terms": len(uniq),
+            "bytes_compressed": int(nbytes),
+        }
+        seg.write_done(d, manifest)
+        return manifest
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in batch.iterrows():
+            m = self._merge_shard(int(row["shard"]), [int(c) for c in row["chunks"]])
+            out.append(
+                {
+                    "shard": m["shard"],
+                    "n_docs": m["n_docs"],
+                    "n_terms": m["n_terms"],
+                    "bytes_compressed": m["bytes_compressed"],
+                }
+            )
+        return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Driver orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    n_convs: int
+    n_chunks: int
+    num_shards: int
+    avgdl: float
+    total_dl: int
+    n_postings: int
+    bytes_compressed: int
+    chunks_built: int
+    chunks_skipped: int
+    seconds: float
+
+
+def build_index(
+    source,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    *,
+    clear: bool = False,
+    resume: bool = True,
+    parallelism: int | None = None,
+) -> BuildResult:
+    """Build (or resume building) an index over a transcript corpus.
+
+    ``source``: parquet path(s) or an existing ``ray.data.Dataset`` with
+    the transcript schema. ``clear=True`` wipes any existing index first
+    (the reference's clear-vs-append lifecycle,
+    ``ElasticWriter.java:186-194``); with ``resume=True`` (default) a
+    partially-built index is completed, skipping finished chunks.
+    """
+    import ray
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    config = config or IndexConfig()
+
+    if clear and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    prior = None
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        prior = seg.load_global_manifest(index_dir)
+        if prior.get("status") == "complete" and not resume:
+            raise FileExistsError(
+                f"{index_dir} already holds a complete index (use clear=True)"
+            )
+        if prior.get("config") != config.to_dict():
+            raise ValidationError(
+                "existing index was built with a different config; use clear=True"
+            )
+
+    if isinstance(source, (str, list, tuple)):
+        ds = rd.read_parquet(source, columns=list(TRANSCRIPT_COLUMNS))
+    else:
+        ds = source
+
+    schema_names = set(ds.schema().names)
+    missing = {"conv_id", "turn_idx", *config.index_fields} - schema_names
+    if missing:
+        raise ValidationError(f"input is missing required columns {sorted(missing)}")
+
+    # ---- validation + conversation ranks -------------------------------
+    conv_ids = conversation_table(ds, config)
+    n_convs = len(conv_ids)
+    n_chunks = ((n_convs - 1) >> config.convs_per_chunk_bits) + 1 if n_convs else 0
+    conv_ref = ray.put(conv_ids)
+    seg.atomic_write_parquet(
+        os.path.join(index_dir, "convs.parquet"),
+        pa.table({"conv_id": pa.array(conv_ids, type=pa.string())}),
+    )
+    seg.save_global_manifest(
+        index_dir,
+        {"status": "building", "config": config.to_dict(), "n_convs": n_convs},
+    )
+
+    done = seg.completed_chunks(index_dir) if resume else {}
+    skip = sorted(done)
+    cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
+    # Leave headroom for the read + shuffle task pools: an actor pool
+    # that reserves every CPU deadlocks the streaming executor.
+    pool = max(1, cpus - 2)
+
+    # ---- tokenize → chunk shuffle → level-0 segments -------------------
+    cols = ["conv_id", "turn_idx", *config.index_fields]
+    summaries = pd.DataFrame()
+    if len(skip) < n_chunks:
+        frags = ds.select_columns(cols).map_batches(
+            TokenizeRoute,
+            fn_constructor_args=(conv_ref, config.to_dict(), skip),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=pool,
+            num_cpus=1,
+        )
+        summaries = (
+            frags.groupby("chunk")
+            .map_groups(
+                make_chunk_builder(index_dir, config.to_dict()),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+
+    all_chunks = seg.completed_chunks(index_dir)
+    if sorted(all_chunks) != list(range(n_chunks)):
+        missing_c = sorted(set(range(n_chunks)) - set(all_chunks))
+        raise RuntimeError(f"build incomplete: missing chunks {missing_c[:10]}")
+
+    n_docs = sum(m["n_docs"] for m in all_chunks.values())
+    total_dl = sum(m["total_dl"] for m in all_chunks.values())
+    n_postings = sum(m["n_postings"] for m in all_chunks.values())
+    seg_bytes = sum(m["bytes_compressed"] for m in all_chunks.values())
+
+    # ---- merge into shards (fixed actor pool) --------------------------
+    num_shards = min(config.num_shards, n_chunks) or 1
+    shard_rows = [
+        {"shard": s, "chunks": [c for c in range(n_chunks) if c % num_shards == s]}
+        for s in range(num_shards)
+    ]
+    merge_pool = max(1, min(num_shards, cpus - 1))
+    merged = (
+        rd.from_items(shard_rows)
+        .map_batches(
+            SegmentMerger,
+            fn_constructor_args=(index_dir, config.to_dict()),
+            batch_format="pandas",
+            batch_size=1,
+            concurrency=merge_pool,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    shard_bytes = int(merged["bytes_compressed"].sum()) if len(merged) else 0
+
+    # ---- docstore (optional; ES `_source` analog) ----------------------
+    if config.store_source and "text" in schema_names:
+        ds_dir = os.path.join(index_dir, "docstore")
+        if not os.path.exists(os.path.join(ds_dir, "DONE")):
+            shutil.rmtree(ds_dir, ignore_errors=True)
+            store_cols = [c for c in TRANSCRIPT_COLUMNS if c in schema_names]
+            ds.select_columns(store_cols).map_batches(
+                DocidStamper,
+                fn_constructor_args=(conv_ref, config.to_dict()),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+                concurrency=pool,
+                num_cpus=1,
+            ).write_parquet(ds_dir)
+            with open(os.path.join(ds_dir, "DONE"), "w") as f:
+                f.write("ok")
+
+    manifest = {
+        "status": "complete",
+        "format_version": 1,
+        "config": config.to_dict(),
+        "n_docs": int(n_docs),
+        "n_convs": int(n_convs),
+        "n_chunks": int(n_chunks),
+        "num_shards": int(num_shards),
+        "total_dl": int(total_dl),
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+        "n_postings": int(n_postings),
+        "segment_bytes": int(seg_bytes),
+        "shard_bytes": int(shard_bytes),
+        "chunks": {str(c): m for c, m in sorted(all_chunks.items())},
+    }
+    seg.save_global_manifest(index_dir, manifest)
+
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=int(n_docs),
+        n_convs=int(n_convs),
+        n_chunks=int(n_chunks),
+        num_shards=int(num_shards),
+        avgdl=(total_dl / n_docs) if n_docs else 0.0,
+        total_dl=int(total_dl),
+        n_postings=int(n_postings),
+        bytes_compressed=int(seg_bytes + shard_bytes),
+        chunks_built=int(len(summaries)),
+        chunks_skipped=len(skip),
+        seconds=time.monotonic() - t0,
+    )
+
+
+class DocidStamper:
+    """map_batches actor: append the deterministic docid to source rows
+    (docstore writer / verification helper)."""
+
+    def __init__(self, conv_ref, config_dict: dict):
+        import ray
+
+        self.index = pd.Index(ray.get(conv_ref))
+        self.cfg = IndexConfig.from_dict(config_dict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranks = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
+        turn = batch["turn_idx"].to_numpy().astype(np.int64)
+        docids = (ranks.astype(np.int64) << self.cfg.turn_bits) | turn
+        return batch.append_column("docid", pa.array(docids, type=pa.int64()))

@@ -1,0 +1,426 @@
+"""Query engine: shard readers, TAAT scorer, block-max WAND, actor pool.
+
+The native replacement for the query half the reference delegates to
+Elasticsearch (``/root/reference/README.md:3``). Shards are
+doc-partitioned (config.py), so every shard answers exact top-k locally
+using *global* collection stats (N, avgdl, df summed across shards at
+query time) and the driver merges k-sized per-shard heaps — no posting
+list ever leaves a shard at query time.
+
+Two scoring algorithms, required to be result-identical (tests assert):
+
+- ``taat`` — vectorized term-at-a-time over fully decoded postings
+  (numpy); the fastest at small shard sizes, also the reference scorer
+  for exactness checks.
+- ``bmw`` — document-at-a-time WAND with block-max refinement over the
+  compressed postings: term upper bounds prune candidate pivots, block
+  max_tf/min_dl bounds skip whole 128-posting blocks without decoding
+  them. Exact top-k — pruning only, never approximation. Tie-break is
+  (score DESC, docid ASC), and docid order == (conv_id, turn_idx) order
+  by construction.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from excelastic_ray.analysis import query_terms
+from excelastic_ray.codecs import PostingList
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.index import segments as seg
+from excelastic_ray.query.bm25 import contribution, idf, tf_norm
+
+_INF = np.iinfo(np.int64).max
+
+
+class ShardSearcher:
+    """In-memory searcher over one shard's postings.parquet. Stateful:
+    term dictionary + encoded postings loaded once, queries reuse it."""
+
+    def __init__(self, shard_path: str, config: IndexConfig):
+        self.cfg = config
+        t = pq.read_table(os.path.join(shard_path, "postings.parquet"))
+        self.terms = t["term"].to_numpy(zero_copy_only=False).astype(object)
+        self.df = t["df"].to_numpy()
+        self.postings = t["postings"].to_pylist()
+        self.blockmax = t["blockmax"].to_pylist()
+
+    def lookup(self, term: str) -> int:
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def dfs(self, terms: list[str]) -> list[int]:
+        return [int(self.df[i]) if (i := self.lookup(t)) >= 0 else 0 for t in terms]
+
+    def posting_list(self, i: int) -> PostingList:
+        return PostingList(
+            self.postings[i], self.blockmax[i], self.cfg.codec, self.cfg.block_size
+        )
+
+    # -- scoring ---------------------------------------------------------
+
+    def topk(
+        self,
+        terms: list[str],
+        idfs: list[float],
+        avgdl: float,
+        k: int,
+        algo: str = "bmw",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact shard-local top-k → (docids int64, scores float64),
+        ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
+        ``idfs`` are GLOBAL idfs (df summed across shards by the caller).
+        """
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        if algo == "taat":
+            return self._topk_taat(present, avgdl, k)
+        if algo == "bmw":
+            return self._topk_bmw(present, avgdl, k)
+        raise ValueError(f"unknown algo {algo!r}")
+
+    def _topk_taat(self, present, avgdl, k):
+        cfg = self.cfg
+        decoded = []
+        for t, t_idf in present:
+            pl = self.posting_list(self.lookup(t))
+            docids, tfs, dls = pl.decode_all()
+            decoded.append((docids, tfs, dls, t_idf))
+        all_docs = np.concatenate([d[0] for d in decoded])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        off = 0
+        for docids, tfs, dls, t_idf in decoded:
+            idx = inv[off : off + len(docids)]
+            off += len(docids)
+            acc[idx] += contribution(
+                t_idf,
+                tfs.astype(np.float64),
+                dls.astype(np.float64),
+                avgdl,
+                cfg.k1,
+                cfg.b,
+            )
+        order = np.lexsort((uniq, -acc))[:k]
+        return uniq[order], acc[order]
+
+    def _topk_bmw(self, present, avgdl, k):
+        cfg = self.cfg
+        cursors = [
+            _Cursor(t, self.posting_list(self.lookup(t)), t_idf, avgdl, cfg)
+            for t, t_idf in present
+        ]
+        # Min-heap of (score, -docid): root is the eviction candidate
+        # (lowest score; among equals, the LARGEST docid — later docs
+        # lose ties, matching (score DESC, docid ASC)).
+        heap: list[tuple[float, int]] = []
+
+        while True:
+            cursors.sort(key=lambda c: c.cur)
+            theta = heap[0][0] if len(heap) >= k else -np.inf
+            # Pivot: first prefix whose term-UB sum can beat theta.
+            acc = 0.0
+            pivot = -1
+            for i, c in enumerate(cursors):
+                if c.cur == _INF:
+                    break
+                acc += c.ub
+                if acc > theta:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break
+            pivot_doc = cursors[pivot].cur
+
+            # Block-max refinement: shallow block lookups at pivot_doc.
+            block_sum = 0.0
+            min_boundary = _INF
+            for c in cursors[: pivot + 1]:
+                ub_b, last = c.block_ub(pivot_doc)
+                block_sum += ub_b
+                min_boundary = min(min_boundary, last)
+            if block_sum <= theta:
+                # No doc up to min_boundary can beat theta: skip past it
+                # (but never past the next cursor's current doc).
+                target = min_boundary + 1
+                if pivot + 1 < len(cursors) and cursors[pivot + 1].cur != _INF:
+                    target = min(target, cursors[pivot + 1].cur)
+                target = max(target, pivot_doc + 1)
+                for c in cursors[: pivot + 1]:
+                    if c.cur < target:
+                        c.next_geq(target)
+                continue
+
+            if cursors[0].cur == pivot_doc:
+                matching = sorted(
+                    (c for c in cursors if c.cur == pivot_doc), key=lambda c: c.term
+                )
+                score = 0.0
+                for c in matching:  # sorted-term order → bit-identical sums
+                    score += c.score_current()
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                for c in matching:
+                    c.advance()
+            else:
+                # Advance the leading cursors up to the pivot document.
+                for c in cursors[:pivot]:
+                    if c.cur < pivot_doc:
+                        c.next_geq(pivot_doc)
+
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+        docids = np.asarray([d for _, d in out], dtype=np.int64)
+        scores = np.asarray([s for s, _ in out], dtype=np.float64)
+        return docids, scores
+
+
+class _Cursor:
+    """Posting-list iterator with block-level skipping (decode-lazy)."""
+
+    __slots__ = ("term", "pl", "idf", "avgdl", "k1", "b", "ub", "bi", "pos",
+                 "cur", "_docids", "_tfs", "_dls")
+
+    def __init__(self, term: str, pl: PostingList, t_idf: float, avgdl: float,
+                 cfg: IndexConfig):
+        self.term = term
+        self.pl = pl
+        self.idf = t_idf
+        self.avgdl = avgdl
+        self.k1, self.b = cfg.k1, cfg.b
+        # Term-level upper bound: max over blocks of the block bound,
+        # inflated by 1 ulp-ish margin so float summation-order noise can
+        # never prune a true candidate (exactness guard).
+        bm = pl.bm
+        bounds = t_idf * tf_norm(
+            bm["max_tf"].astype(np.float64), bm["min_dl"].astype(np.float64),
+            avgdl, self.k1, self.b,
+        )
+        self.ub = float(bounds.max()) * (1.0 + 1e-12)
+        self.bi = -1
+        self.pos = 0
+        self.cur = -1
+        self._docids = self._tfs = self._dls = None
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= self.pl.n_blocks:
+            self.cur = _INF
+            return
+        self.bi = bi
+        self._docids, self._tfs, self._dls = self.pl.decode_block(bi)
+        self.pos = 0
+        self.cur = int(self._docids[0])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos < len(self._docids):
+            self.cur = int(self._docids[self.pos])
+        else:
+            self._load_block(self.bi + 1)
+
+    def next_geq(self, target: int) -> None:
+        if self.cur >= target:
+            return
+        last = self.pl.bm["last_docid"]
+        if last[self.bi] < target:
+            bi = int(np.searchsorted(last, target, side="left"))
+            if bi >= self.pl.n_blocks:
+                self.cur = _INF
+                return
+            self._load_block(bi)
+        self.pos = int(np.searchsorted(self._docids, target, side="left"))
+        self.cur = int(self._docids[self.pos])
+
+    def block_ub(self, target: int) -> tuple[float, int]:
+        """(upper bound, last_docid) of the block containing ``target``
+        for this cursor — a shallow lookup, no decode."""
+        if self.cur == _INF:
+            return 0.0, _INF
+        last = self.pl.bm["last_docid"]
+        bi = self.bi if last[self.bi] >= target else int(
+            np.searchsorted(last, target, side="left")
+        )
+        if bi >= self.pl.n_blocks:
+            return 0.0, _INF
+        row = self.pl.bm[bi]
+        ub = float(
+            self.idf
+            * tf_norm(float(row["max_tf"]), float(row["min_dl"]), self.avgdl,
+                      self.k1, self.b)
+        ) * (1.0 + 1e-12)
+        return ub, int(row["last_docid"])
+
+    def score_current(self) -> float:
+        return float(
+            contribution(
+                self.idf,
+                np.float64(self._tfs[self.pos]),
+                np.float64(self._dls[self.pos]),
+                self.avgdl,
+                self.k1,
+                self.b,
+            )
+        )
+
+
+class IndexReader:
+    """Opens an index directory: manifest, conv-rank table, shard access."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = seg.load_global_manifest(index_dir)
+        if self.manifest.get("status") != "complete":
+            raise RuntimeError(f"index at {index_dir} is not complete")
+        self.cfg = IndexConfig.from_dict(self.manifest["config"])
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+        self.num_shards = self.manifest["num_shards"]
+        self.conv_ids = (
+            pq.read_table(os.path.join(index_dir, "convs.parquet"))["conv_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        self._searchers: dict[int, ShardSearcher] = {}
+
+    def shard_path(self, s: int) -> str:
+        return seg.shard_dir(self.index_dir, s)
+
+    def searcher(self, s: int) -> ShardSearcher:
+        if s not in self._searchers:
+            self._searchers[s] = ShardSearcher(self.shard_path(s), self.cfg)
+        return self._searchers[s]
+
+    def keys_of(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """docid → (conv_id, turn_idx); docid order == (conv_id, turn_idx)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        return (
+            self.conv_ids[docids >> self.cfg.turn_bits],
+            (docids & (self.cfg.max_turns - 1)).astype(np.int32),
+        )
+
+
+def _merge_shard_topk(parts, k):
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    docids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((docids, -scores))[:k]
+    return docids[order], scores[order]
+
+
+class QueryEngine:
+    """Top-level query API over a built index.
+
+    ``use_actors=True`` serves each shard from a dedicated Ray actor
+    (fixed pool, one per shard — postings stay resident in the actor;
+    the multi-node serving shape). Default is in-process shard
+    searchers, which is faster single-node (no RPC per query).
+    """
+
+    def __init__(
+        self,
+        index: str | IndexReader,
+        algo: str = "bmw",
+        use_actors: bool = False,
+    ):
+        self.reader = index if isinstance(index, IndexReader) else IndexReader(index)
+        self.algo = algo
+        self.use_actors = use_actors
+        self._actors = None
+        if use_actors:
+            import ray
+
+            actor_cls = ray.remote(num_cpus=1)(ShardActor)
+            self._actors = [
+                actor_cls.remote(self.reader.shard_path(s), self.reader.cfg.to_dict())
+                for s in range(self.reader.num_shards)
+            ]
+
+    # -- core ------------------------------------------------------------
+
+    def _global_dfs(self, terms: list[str]) -> np.ndarray:
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            per_shard = ray.get([a.dfs.remote(terms) for a in self._actors])
+        else:
+            per_shard = [r.searcher(s).dfs(terms) for s in range(r.num_shards)]
+        return np.asarray(per_shard, dtype=np.int64).sum(axis=0)
+
+    def search(self, query: str, k: int = 10):
+        """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
+        score), tie-break (score DESC, docid ASC)."""
+        import pyarrow as pa
+
+        r = self.reader
+        terms = query_terms(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            if live:
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.topk.remote(lterms, idfs, r.avgdl, k, self.algo)
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).topk(lterms, idfs, r.avgdl, k, self.algo)
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        conv, turn = r.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int32)),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    def search_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Oracle-comparable form: [(docid, score)]."""
+        t = self.search(query, k)
+        return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
+
+    def close(self) -> None:
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None
+
+
+class ShardActor:
+    """Ray actor serving one shard (instantiated via ray.remote in
+    QueryEngine; kept import-safe as a plain class)."""
+
+    def __init__(self, shard_path: str, config_dict: dict):
+        self.searcher = ShardSearcher(shard_path, IndexConfig.from_dict(config_dict))
+
+    def dfs(self, terms: list[str]) -> list[int]:
+        return self.searcher.dfs(terms)
+
+    def topk(self, terms, idfs, avgdl, k, algo):
+        return self.searcher.topk(terms, idfs, avgdl, k, algo)
