@@ -573,7 +573,8 @@ def build_index(
     # ---- docstore (optional; ES `_source` analog) ----------------------
     if config.store_source and "text" in schema_names:
         ds_dir = os.path.join(index_dir, "docstore")
-        if not os.path.exists(os.path.join(ds_dir, "DONE")):
+        marker = os.path.join(index_dir, "docstore.DONE")
+        if not os.path.exists(marker):
             shutil.rmtree(ds_dir, ignore_errors=True)
             store_cols = [c for c in TRANSCRIPT_COLUMNS if c in schema_names]
             ds.select_columns(store_cols).map_batches(
@@ -584,7 +585,7 @@ def build_index(
                 concurrency=pool,
                 num_cpus=1,
             ).write_parquet(ds_dir)
-            with open(os.path.join(ds_dir, "DONE"), "w") as f:
+            with open(marker, "w") as f:
                 f.write("ok")
 
     manifest = {

@@ -1,0 +1,224 @@
+"""End-to-end: distributed build + query vs the pure-Python oracle.
+
+The distributed engine must be RANK-IDENTICAL — same docids AND same
+float64 scores, compared with ``==``, never approx — to the
+single-process oracle on the reference query set (SURVEY.md §5;
+north_star "rank-identical top-k docIDs and scores").
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from excelastic_ray.index.build import ValidationError, build_index
+from excelastic_ray.query.engine import IndexReader, QueryEngine
+
+
+@pytest.fixture(scope="module")
+def engines(tiny_index):
+    d, _ = tiny_index
+    reader = IndexReader(d)
+    return {
+        "bmw": QueryEngine(reader, algo="bmw"),
+        "taat": QueryEngine(reader, algo="taat"),
+    }
+
+
+def test_manifest_counts(tiny_index, tiny_table, tiny_oracle):
+    d, res = tiny_index
+    assert res.n_docs == tiny_table.num_rows
+    assert res.n_convs == 120
+    assert res.n_chunks == 8  # 120 convs / 16 per chunk
+    assert res.avgdl == pytest.approx(tiny_oracle.avgdl)
+    assert res.n_postings > 0 and res.bytes_compressed > 0
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_identical_vs_oracle(engines, tiny_oracle, query_set, k):
+    for q in query_set:
+        expect = tiny_oracle.search(q, k)
+        for algo, eng in engines.items():
+            got = eng.search_topk(q, k)
+            assert got == expect, (algo, q, got[:3], expect[:3])
+
+
+def test_bmw_equals_taat_everywhere(engines, query_set):
+    for q in query_set:
+        assert engines["bmw"].search_topk(q, 25) == engines["taat"].search_topk(q, 25)
+
+
+def test_actor_mode_matches_local(tiny_index, query_set):
+    d, _ = tiny_index
+    eng = QueryEngine(d, algo="bmw", use_actors=True)
+    local = QueryEngine(d, algo="bmw")
+    try:
+        for q in query_set[:5]:
+            assert eng.search_topk(q, 10) == local.search_topk(q, 10)
+    finally:
+        eng.close()
+
+
+def test_search_result_keys(engines, tiny_oracle, query_set):
+    t = engines["bmw"].search(query_set[5], 10)
+    assert t.column_names == ["rank", "docid", "conv_id", "turn_idx", "score"]
+    for docid, conv, turn in zip(
+        t["docid"].to_pylist(), t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()
+    ):
+        assert tiny_oracle.keys_of(docid) == (conv, turn)
+
+
+def test_df_and_global_stats(tiny_index, tiny_oracle, query_set):
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    r = eng.reader
+    assert r.n_docs == tiny_oracle.n_docs
+    assert r.avgdl == pytest.approx(tiny_oracle.avgdl)
+    from excelastic_ray.analysis import query_terms
+
+    terms = sorted({t for q in query_set for t in query_terms(q)})
+    dfs = eng._global_dfs(terms)
+    for t, df in zip(terms, dfs):
+        assert int(df) == tiny_oracle.df(t), t
+
+
+def test_docid_order_is_conv_turn_order(tiny_index):
+    """Docid ascending == (conv_id, turn_idx) lexicographic — the stable
+    turn ordering invariant (ExcelParser.java:147-153 analog)."""
+    d, _ = tiny_index
+    r = IndexReader(d)
+    store = pq.read_table(os.path.join(d, "docstore"))
+    docids = np.sort(store["docid"].to_numpy())
+    conv, turn = r.keys_of(docids)
+    order = np.lexsort((turn, conv.astype(str)))
+    assert (order == np.arange(len(order))).all()
+
+
+def test_docstore_text_equality(tiny_index, tiny_table):
+    """Per-turn text equality vs the source Parquet under stable turn
+    ordering (the input_hint per-row invariant)."""
+    d, _ = tiny_index
+    store = pq.read_table(os.path.join(d, "docstore")).to_pandas()
+    src = tiny_table.select(["conv_id", "turn_idx", "text"]).to_pandas()
+    store = store.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(store) == len(src)
+    assert (store["conv_id"] == src["conv_id"]).all()
+    assert (store["turn_idx"].to_numpy() == src["turn_idx"].to_numpy()).all()
+    assert (store["text"] == src["text"]).all()
+
+
+def test_resume_skips_completed_and_rebuilds_missing(
+    tmp_path, tiny_corpus_dir, tiny_config, tiny_index
+):
+    """Delete a chunk segment + a shard from a complete index; a resumed
+    build must rebuild exactly those, byte-identical to the original."""
+    import shutil
+
+    d0, _ = tiny_index
+    d = str(tmp_path / "idx_resume")
+    shutil.copytree(d0, d)
+
+    victim_chunk = os.path.join(d, "segments", "chunk=00000003")
+    victim_shard = os.path.join(d, "shards", "shard=00003")
+    orig_seg = open(os.path.join(victim_chunk, "postings.parquet"), "rb").read()
+    orig_shard = open(os.path.join(victim_shard, "postings.parquet"), "rb").read()
+    shutil.rmtree(victim_chunk)
+    shutil.rmtree(victim_shard)
+
+    res = build_index(tiny_corpus_dir, d, tiny_config, resume=True)
+    assert res.chunks_built == 1
+    assert res.chunks_skipped == 7
+    assert open(os.path.join(victim_chunk, "postings.parquet"), "rb").read() == orig_seg
+    assert (
+        open(os.path.join(victim_shard, "postings.parquet"), "rb").read() == orig_shard
+    )
+
+
+def test_build_is_deterministic_across_parallelism(
+    tmp_path, tiny_corpus_dir, tiny_config, tiny_index
+):
+    """Same input at a different parallelism/batch size → byte-identical
+    segments (the docid-determinism requirement, SURVEY.md §7.4)."""
+    from dataclasses import replace
+
+    d0, _ = tiny_index
+    d = str(tmp_path / "idx_par")
+    cfg = replace(tiny_config, batch_size=37)
+    build_index(tiny_corpus_dir, d, cfg, clear=True, parallelism=2)
+    for name in sorted(os.listdir(os.path.join(d0, "segments"))):
+        a = open(os.path.join(d0, "segments", name, "postings.parquet"), "rb").read()
+        b = open(os.path.join(d, "segments", name, "postings.parquet"), "rb").read()
+        assert a == b, name
+
+
+def test_validation_duplicate_turn(tmp_path, tiny_config):
+    import pyarrow as pa
+    import ray.data as rd
+
+    bad = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1"],
+            "turn_idx": pa.array([0, 1, 1], type=pa.int32()),
+            "text": ["a", "b", "c"],
+        }
+    )
+    with pytest.raises(ValidationError):
+        build_index(rd.from_arrow(bad), str(tmp_path / "i1"), tiny_config, clear=True)
+
+
+def test_validation_gapped_turns(tmp_path, tiny_config):
+    import pyarrow as pa
+    import ray.data as rd
+
+    bad = pa.table(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 2], type=pa.int32()),
+            "text": ["a", "b"],
+        }
+    )
+    with pytest.raises(ValidationError):
+        build_index(rd.from_arrow(bad), str(tmp_path / "i2"), tiny_config, clear=True)
+
+
+def test_validation_missing_column(tmp_path, tiny_config):
+    import pyarrow as pa
+    import ray.data as rd
+
+    bad = pa.table({"conv_id": ["c1"], "turn_idx": pa.array([0], type=pa.int32())})
+    with pytest.raises(ValidationError):
+        build_index(rd.from_arrow(bad), str(tmp_path / "i3"), tiny_config, clear=True)
+
+
+def test_config_mismatch_refuses(tmp_path, tiny_corpus_dir, tiny_config, tiny_index):
+    from dataclasses import replace
+
+    d0, _ = tiny_index
+    other = replace(tiny_config, num_shards=2)
+    with pytest.raises(ValidationError):
+        build_index(tiny_corpus_dir, d0, other, resume=True)
+
+
+def test_empty_text_counts_toward_stats(tmp_path, tiny_config):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.query.oracle import BM25Oracle
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+            "text": ["hello world", None, "hello"],
+        }
+    )
+    d = str(tmp_path / "i4")
+    res = build_index(rd.from_arrow(t), d, tiny_config, clear=True)
+    assert res.n_docs == 3
+    oracle = BM25Oracle(t, tiny_config)
+    eng = QueryEngine(d)
+    assert eng.search_topk("hello", 5) == oracle.search("hello", 5)
