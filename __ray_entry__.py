@@ -1,44 +1,511 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship pipeline (index build + BM25 top-k) on
+sf0.001. `queries()` exposes every implemented operator over an sf dir;
+`oracle_sql()` gives the DuckDB-equivalent SQL for each SQL-expressible
+one (same column names; floats rounded half-up to 6 decimals on both
+sides via floor(x*1e6 + 0.5)/1e6 so summation-order noise can't flip a digit).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript corpus for index queries is derived deterministically
+from `documents.parquet` — the Python derivation
+(`excelastic_ray.corpus.transcripts_from_documents`) and the SQL CTE
+(`TRANSCRIPTS_SQL`) are kept in exact lockstep.
+
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.corpus import TRANSCRIPTS_SQL, transcripts_from_documents
+
+# ---------------------------------------------------------------------------
+# Shared fixtures
+# ---------------------------------------------------------------------------
+
+ENTRY_CONFIG = IndexConfig(
+    turn_bits=12, convs_per_chunk_bits=4, num_shards=4, batch_size=2048
+)
+
+#: BM25 benchmark/oracle query set: (query_id, query string). Terms come
+#: from the documents vocabulary; includes a multi-term, an absent-term,
+#: and a duplicate-term query.
+BM25_QUERIES = [
+    ("q1", "table"),
+    ("q2", "spark sort merge"),
+    ("q3", "window value"),
+    ("q4", "zzz_absent_term"),
+    ("q5", "key value part hash"),
+    ("q6", "scan scan scan"),
+]
+
+_BUILT: dict[str, str] = {}
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the index over the derived
+    transcript corpus; reuse a completed on-disk index."""
+    from excelastic_ray.index.build import build_index
+
+    if sf_dir in _BUILT:
+        return _BUILT[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/excelastic_ray_cache/idx_{tag}"
+    try:
+        from excelastic_ray.index.segments import load_global_manifest
+
+        done = load_global_manifest(idx).get("status") == "complete"
+    except Exception:
+        done = False
+    if not done:
+        build_index(
+            transcripts_from_documents(sf_dir), idx, ENTRY_CONFIG, clear=True
+        )
+    _BUILT[sf_dir] = idx
+    return idx
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _bm25_table(sf_dir: str, k: int = 10):
+    import pyarrow as pa
+
+    from excelastic_ray.pipelines.textstats import trunc6
+    from excelastic_ray.query.engine import QueryEngine
+
+    eng = QueryEngine(_index_for(sf_dir), algo="bmw")
+    parts = []
+    for qid, q in BM25_QUERIES:
+        t = eng.search(q, k)
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                    "conv_id": t["conv_id"],
+                    "turn_idx": t["turn_idx"],
+                    "score": pa.array(
+                        trunc6(t["score"].to_numpy()), type=pa.float64()
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# Driver entry points
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over the sf0.001 transcript
+    corpus and answer the BM25 query set."""
+    return _bm25_table("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from excelastic_ray.pipelines import dedup, events, multimodal, similarity
+    from excelastic_ray.pipelines import textstats as ts
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_bm25_topk(sf_dir):
+        return _bm25_table(sf_dir)
+
+    def q_doc_keys(sf_dir):
+        import pyarrow.parquet as pq
+
+        store = pq.read_table(
+            os.path.join(_index_for(sf_dir), "docstore"),
+            columns=["conv_id", "turn_idx", "docid"],
+        )
+        return store.select(["conv_id", "turn_idx", "docid"])
+
+    def q_index_stats(sf_dir):
+        import pandas as pd
+
+        from excelastic_ray.index.segments import load_global_manifest
+
+        m = load_global_manifest(_index_for(sf_dir))
+        return pd.DataFrame(
+            [
+                {
+                    "n_docs": m["n_docs"],
+                    "n_convs": m["n_convs"],
+                    "avgdl": float(np.floor(m["avgdl"] * 1e6 + 0.5) / 1e6),
+                }
+            ]
+        )
+
+    def q_term_df(sf_dir):
+        return ts.term_df(_docs(sf_dir))
+
+    def q_token_stats(sf_dir):
+        return ts.token_stats(_docs(sf_dir))
+
+    def q_quality(sf_dir):
+        return ts.quality(_docs(sf_dir))
+
+    def q_langid(sf_dir):
+        return ts.langid(_docs(sf_dir))
+
+    def q_fingerprints(sf_dir):
+        return ts.fingerprints(_docs(sf_dir))
+
+    def q_exact_dedup(sf_dir):
+        return dedup.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+    def q_ngram_jaccard(sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.2)
+
+    def q_minhash_pairs(sf_dir):
+        import ray
+
+        docs = _docs(sf_dir)
+        cands = dedup.minhash_candidates(docs)
+        sets = dedup.collect_shingle_sets(docs)
+        return dedup.verify_jaccard(cands, ray.put(sets), threshold=0.5)
+
+    def q_simhash_pairs(sf_dir):
+        return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+    def q_embedding_dup_pairs(sf_dir):
+        import ray.data as rd
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return dedup.embedding_dup_pairs(emb, threshold=0.2)
+
+    def q_ann_cosine_topk(sf_dir):
+        import ray.data as rd
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids, mat = dedup.collect_embedding_matrix(emb)
+        qmask = ids < 5
+        return similarity.cosine_topk(
+            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10
+        )
+
+    def q_ann_lsh_topk(sf_dir):
+        import ray.data as rd
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids, mat = dedup.collect_embedding_matrix(emb)
+        qmask = ids < 5
+        return similarity.lsh_bucket_topk(
+            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10
+        )
+
+    def q_sessionize(sf_dir):
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return events.sessionize(ev, gap_minutes=30)
+
+    def q_tumbling(sf_dir):
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return events.tumbling_counts(ev, hours=1)
+
+    def q_media_decode(sf_dir):
+        media = _docs(sf_dir).map_batches(
+            multimodal.attach_fake_payloads, batch_format="pyarrow"
+        )
+        return multimodal.decode_media(media)
+
+    def q_media_features(sf_dir):
+        media = _docs(sf_dir).map_batches(
+            multimodal.attach_fake_payloads, batch_format="pyarrow"
+        )
+        feats = multimodal.extract_features(media, dim=16)
+
+        def flat(batch):
+            import pyarrow as pa
+
+            m = np.asarray(
+                batch["features"].to_numpy(zero_copy_only=False).tolist(),
+                dtype=np.float64,
+            )
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "feat_norm": pa.array(
+                        np.floor(np.linalg.norm(m, axis=1) * 1e4 + 0.5) / 1e4
+                    ),
+                }
+            )
+
+        return feats.map_batches(flat, batch_format="pyarrow")
+
+    return {
+        "bm25_topk": q_bm25_topk,
+        "doc_keys": q_doc_keys,
+        "index_stats": q_index_stats,
+        "term_df": q_term_df,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "sessionize": q_sessionize,
+        "tumbling": q_tumbling,
+        "media_decode": q_media_decode,
+        "media_features": q_media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; views pre-registered per table name)
+# ---------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
+_BASE = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (SELECT conv_id, turn_idx, {_TOK} AS toks FROM transcripts)
+"""
+
+_DOCTOK = f"WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents)"
+
+
+def _stop_list(lang: str) -> str:
+    from excelastic_ray.pipelines.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _bm25_sql() -> str:
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    turn_mult = 1 << ENTRY_CONFIG.turn_bits
+    en = _stop_list("en")
+    lang_hits = ",\n       ".join(
+        f"len(list_filter(toks, x -> list_contains({_stop_list(lang)}, x)))"
+        f" AS hits_{lang}"
+        for lang in ("de", "en", "es", "fr")
+    )
+    return {
+        "bm25_topk": _bm25_sql(),
+        "doc_keys": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       (dense_rank() OVER (ORDER BY conv_id) - 1) * {turn_mult}
+           + turn_idx AS docid
+FROM transcripts
+""",
+        "index_stats": _BASE
+        + """
+SELECT count(*) AS n_docs,
+       count(DISTINCT conv_id) AS n_convs,
+       floor((CAST(sum(len(toks)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000
+           AS avgdl
+FROM base
+""",
+        "term_df": _DOCTOK
+        + """
+SELECT term, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
+FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+GROUP BY term
+""",
+        "token_stats": _DOCTOK
+        + """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE floor((CAST(list_sum(list_transform(toks, x -> length(x)))
+                             AS DOUBLE) / len(toks)) * 1000000 + 0.5) / 1000000
+       END AS mean_tok_len
+FROM base JOIN documents USING (doc_id)
+""",
+        "quality": _DOCTOK
+        + f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> list_contains({en}, x))) AS stop_hits,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE floor((CAST(len(list_filter(toks, x -> list_contains({en}, x)))
+                             AS DOUBLE) / len(toks)) * 1000000 + 0.5) / 1000000
+       END AS stop_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                       * 1000000 + 0.5) / 1000000
+       END AS distinct_ratio
+FROM base
+""",
+        "langid": _DOCTOK
+        + f"""
+, h AS (
+  SELECT doc_id,
+       {lang_hits}
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       hits_de, hits_en, hits_es, hits_fr
+FROM h
+""",
+        "exact_dedup": """
+SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+""",
+        "ngram_jaccard": _DOCTOK
+        + """
+, sh AS (
+    SELECT DISTINCT b.doc_id,
+           b.toks[i.i] || ' ' || b.toks[i.i + 1] || ' ' || b.toks[i.i + 2] AS s
+    FROM base b, LATERAL unnest(range(1, greatest(len(b.toks) - 1, 1))) AS i(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ix
+    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b,
+       floor((CAST(ix AS DOUBLE) / (sa.n + sb.n - ix)) * 1000000 + 0.5) / 1000000
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.2
+""",
+        "embedding_dup_pairs": """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+-- float64 cosine spelled out: DuckDB's list_cosine_similarity computes
+-- in float32 regardless of input cast, which breaks 6-decimal parity.
+p AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_sum(list_transform(range(1, len(a.v) + 1),
+                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS raw
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT a, b, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p WHERE raw >= 0.2
+""",
+        "ann_cosine_topk": """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) AS raw
+    FROM n q JOIN n e ON q.vec_id < 5
+)
+SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
+        "sessionize": """
+WITH l AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS brk
+    FROM l
+),
+s AS (
+    SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx
+""",
+        "tumbling": """
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "media_decode": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 480 + 1 AS height,
+       octet_length(encode(text)) % 640 + 1 AS width,
+       3 AS n_channels
+FROM documents
+""",
+    }

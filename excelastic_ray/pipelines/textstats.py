@@ -1,0 +1,208 @@
+"""Text analysis: token stats, quality scoring, language id, fingerprints.
+
+Every metric here has an exact DuckDB-SQL twin (see __ray_entry__
+oracle_sql) built on the same tokenizer expression
+``regexp_extract_all(lower(text), '[a-z0-9_]+')``; ratios are
+TRUNCATED to 6 decimals (floor(x*1e6)/1e6) on both sides so IEEE
+float noise can't flip a digit.
+
+Vectorization: one ``map_batches`` pass; per-batch tokens are
+factorized once (pandas C code path) and every per-language /
+per-metric count is a numpy ``bincount`` over row indices — no Python
+loop over tokens in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from excelastic_ray.analysis import TOKEN_RE
+
+# Tiny per-language stopword lists (the langid heuristic). Keep in exact
+# lockstep with the SQL lists in __ray_entry__.py.
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+LANG_ORDER = sorted(STOPWORDS)  # alphabetical tie-break precedence
+
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def trunc6(x: np.ndarray) -> np.ndarray:
+    """floor(x * 1e6 + 0.5) / 1e6 — SQL-parity round-half-up to 6
+    decimals. Half-up (not banker's) because the identical expression is
+    used in the oracle SQL; the 0.5 offset keeps the decision boundary
+    away from exactly-representable values (e.g. a cosine of 1.0 vs
+    0.9999999999999998 must land on the same digit in both engines)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def _tokenize_batch(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (codes, uniques, row_idx): factorized tokens + row attribution."""
+    findall = TOKEN_RE.findall
+    toks = [findall(t.lower()) if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    flat = [w for row in toks for w in row]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    else:
+        codes, uniques = np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return codes, uniques, row_idx
+
+
+def token_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Per-doc token statistics (vectorized)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+    # distinct terms per row: dedup (row, code) pairs then count rows
+    if len(codes):
+        pair = pd.DataFrame({"r": row_idx, "c": codes}).drop_duplicates()
+        n_distinct = np.bincount(pair["r"].to_numpy(), minlength=n).astype(np.int64)
+        tok_lens = np.fromiter(
+            (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+        )[codes]
+        len_sum = np.bincount(row_idx, weights=tok_lens, minlength=n)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        len_sum = np.zeros(n, dtype=np.float64)
+    n_chars = np.fromiter(
+        (len(t) if t else 0 for t in texts), dtype=np.int64, count=n
+    )
+    mean_tok_len = trunc6(
+        np.divide(len_sum, n_tokens, out=np.zeros(n), where=n_tokens > 0)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "mean_tok_len": pa.array(mean_tok_len),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Quality signals: token count, EN-stopword ratio, distinct ratio."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+    if len(codes):
+        stop_u = np.isin(uniques.astype(str), STOPWORDS["en"])
+        mask = stop_u[codes]
+        stop_hits = np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+        pair = pd.DataFrame({"r": row_idx, "c": codes}).drop_duplicates()
+        n_distinct = np.bincount(pair["r"].to_numpy(), minlength=n).astype(np.int64)
+    else:
+        stop_hits = np.zeros(n, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+    safe = np.maximum(n_tokens, 1)
+    stop_ratio = trunc6(np.where(n_tokens > 0, stop_hits / safe, 0.0))
+    distinct_ratio = trunc6(np.where(n_tokens > 0, n_distinct / safe, 0.0))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "stop_hits": pa.array(stop_hits),
+            "stop_ratio": pa.array(stop_ratio),
+            "distinct_ratio": pa.array(distinct_ratio),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """N-gram-free language id: stopword-hit argmax with alphabetical
+    tie-break; 'und' when no list matches."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    hits = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
+    if len(codes):
+        u = uniques.astype(str)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = np.isin(u, STOPWORDS[lang])[codes]
+            hits[li] = np.bincount(row_idx[mask], minlength=n)
+    best = hits.argmax(axis=0)  # first max → alphabetical precedence
+    guess = np.asarray(LANG_ORDER, dtype=object)[best]
+    guess[hits.max(axis=0) == 0] = "und"
+    out = {id_col: batch[id_col], "lang_guess": pa.array(guess, type=pa.string())}
+    for li, lang in enumerate(LANG_ORDER):
+        out[f"hits_{lang}"] = pa.array(hits[li])
+    return pa.table(out)
+
+
+def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Order-sensitive document fingerprint: FNV-1a over the token
+    stream (rolling hash). Two docs share a fingerprint iff their token
+    sequences are identical — exact-dedup on analyzed content."""
+    findall = TOKEN_RE.findall
+    out = np.empty(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            h = FNV_OFFSET
+            for w in findall(t.lower()) if t else ():
+                for b in w.encode():
+                    h = (h ^ np.uint64(b)) * FNV_PRIME
+                h = (h ^ np.uint64(0x20)) * FNV_PRIME  # token separator
+            out[i] = h
+    return pa.table(
+        {id_col: batch[id_col], "fingerprint": pa.array(out.astype(np.int64))}
+    )
+
+
+def token_stats(ds, **kw):
+    return ds.map_batches(lambda b: token_stats_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=4096)
+
+
+def quality(ds, **kw):
+    return ds.map_batches(lambda b: quality_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=4096)
+
+
+def langid(ds, **kw):
+    return ds.map_batches(lambda b: langid_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprints(ds, **kw):
+    return ds.map_batches(lambda b: fingerprint_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=4096)
+
+
+def term_df(ds, text_col: str = "text"):
+    """Corpus-wide (term, df, cf): pre-aggregated per batch (one row per
+    distinct term per batch) before the small groupby — the partial+final
+    pattern, so the shuffle moves term partials, not tokens."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes, uniques, row_idx = _tokenize_batch(batch[text_col].to_pylist())
+        if not len(codes):
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "cf": pa.array([], type=pa.int64())})
+        cf = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        pair = pd.DataFrame({"r": row_idx, "c": codes}).drop_duplicates()
+        df = np.bincount(pair["c"].to_numpy(), minlength=len(uniques)).astype(np.int64)
+        return pa.table({"term": pa.array(uniques.astype(str)),
+                         "df": pa.array(df), "cf": pa.array(cf)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )

@@ -1,0 +1,235 @@
+"""Pipeline operators: dedup, similarity, textstats, events, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 1, 7], type=pa.int64()),
+            "text": ["dup", "dup", "uniq", "dup", "other"],
+        }
+    )
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 7, 9]
+
+
+def test_minhash_finds_real_dups(ray_session):
+    import ray
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import (
+        collect_shingle_sets,
+        connected_components,
+        minhash_candidates,
+        verify_jaccard,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("delta", "delt4", 1)
+    rows = [base, near, "completely different text about other things entirely x y z"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": rows})
+    ds = rd.from_arrow(t)
+    cands = minhash_candidates(ds)
+    sets = collect_shingle_sets(ds)
+    verified = verify_jaccard(cands, ray.put(sets), threshold=0.5).to_pandas()
+    assert set(zip(verified["a"], verified["b"])) == {(0, 1)}
+    comp = connected_components(verified)
+    assert dict(zip(comp["doc_id"], comp["rep"])) == {0: 0, 1: 0}
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(ray_session, docs_ds):
+    """Every verified MinHash pair must appear in the exact all-pairs
+    sweep at the same threshold (verification makes LSH precision 1)."""
+    import ray
+
+    from excelastic_ray.pipelines.dedup import (
+        collect_shingle_sets,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        verify_jaccard,
+    )
+
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    cands = minhash_candidates(docs_ds)
+    sets = collect_shingle_sets(docs_ds)
+    mh = verify_jaccard(cands, ray.put(sets), threshold=0.5).to_pandas()
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    mh_pairs = set(zip(mh["a"], mh["b"]))
+    assert mh_pairs <= exact_pairs
+
+
+def test_simhash_identical_docs_pair(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import simhash_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["same words here exactly", "same words here exactly", "nothing"],
+        }
+    )
+    out = simhash_pairs(rd.from_arrow(t)).to_pandas()
+    assert (0, 1, 0) in set(zip(out["a"], out["b"], out["hamming"]))
+
+
+def test_cosine_topk_matches_numpy(ray_session, emb_ds):
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import cosine_topk
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    q = mat[:3]
+    got = cosine_topk(emb_ds, q, query_ids=[100, 101, 102], k=5).to_pandas()
+    got = got.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    for j, qid in enumerate([100, 101, 102]):
+        sims = mat @ q[j]
+        order = np.lexsort((ids, -sims))[:5]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["vec_id"]) == list(ids[order])
+        assert list(sub["cos"]) == list(trunc6(sims[order]))
+
+
+def test_lsh_topk_is_subset_of_exact(ray_session, emb_ds):
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import cosine_topk, lsh_bucket_topk
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    q = mat[:2]
+    exact = cosine_topk(emb_ds, q, query_ids=[0, 1], k=50).to_pandas()
+    approx = lsh_bucket_topk(emb_ds, q, query_ids=[0, 1], k=5).to_pandas()
+    # approx hits are real vectors with correctly computed cosines
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_langid_and_quality(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import langid, quality, token_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "the cat and the dog in a house",
+                "el perro y la casa es un lugar",
+                "der hund und die katze ist ein tier",
+                "",
+            ],
+        }
+    )
+    ds = rd.from_arrow(t)
+    lg = langid(ds).to_pandas().sort_values("doc_id")
+    assert list(lg["lang_guess"]) == ["en", "es", "de", "und"]
+    q = quality(ds).to_pandas().sort_values("doc_id")
+    assert q["stop_ratio"].iloc[3] == 0.0
+    assert q["n_tokens"].iloc[0] == 8
+    st = token_stats(ds).to_pandas().sort_values("doc_id")
+    assert st["n_tokens"].iloc[0] == 8
+    assert st["n_distinct"].iloc[0] == 7  # "the" twice
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import fingerprints
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["a b c", "c b a", "a b c"],
+        }
+    )
+    fp = fingerprints(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].iloc[0] == fp["fingerprint"].iloc[2]
+    assert fp["fingerprint"].iloc[0] != fp["fingerprint"].iloc[1]
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+            "ts": pa.array([base, base + 10 * m, base + 50 * m, base + 81 * m]),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+        }
+    )
+    out = sessionize(rd.from_arrow(t), gap_minutes=30).to_pandas()
+    out = out.sort_values("session_idx").reset_index(drop=True)
+    # gaps: 10 (same), 40 (break), 31 (break) → 3 sessions
+    assert list(out["n_events"]) == [2, 1, 1]
+    assert list(out["sum_value"]) == [3.0, 4.0, 8.0]
+
+
+def test_multimodal_plumbing(ray_session, docs_ds):
+    from excelastic_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        decode_media,
+        extract_features,
+    )
+
+    media = docs_ds.map_batches(attach_fake_payloads, batch_format="pyarrow")
+    dec = decode_media(media).to_pandas()
+    assert set(dec.columns) == {
+        "media_id", "kind", "n_bytes", "height", "width", "n_channels",
+    }
+    assert (dec["height"] >= 1).all() and (dec["height"] <= 480).all()
+    feats = extract_features(media, dim=16)
+    row = feats.take(1)[0]
+    assert len(row["features"]) == 16
+
+
+def test_multimodal_real_decode_raises():
+    from excelastic_ray.pipelines.multimodal import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)
+
+
+def test_term_df_partial_final(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import term_df
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["a a b", "b c"],
+        }
+    )
+    out = term_df(rd.from_arrow(t)).to_pandas().set_index("term")
+    assert out.loc["a", "df"] == 1 and out.loc["a", "cf"] == 2
+    assert out.loc["b", "df"] == 2 and out.loc["b", "cf"] == 2
+    assert out.loc["c", "df"] == 1 and out.loc["c", "cf"] == 1
