@@ -84,7 +84,7 @@ def _bm25_table(sf_dir: str, k: int = 10):
     from excelastic_ray.pipelines.textstats import trunc6
     from excelastic_ray.query.engine import QueryEngine
 
-    eng = QueryEngine(_index_for(sf_dir), algo="bmw")
+    eng = QueryEngine(_index_for(sf_dir), algo="auto")
     parts = []
     for qid, q in BM25_QUERIES:
         t = eng.search(q, k)

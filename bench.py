@@ -1,0 +1,193 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Default run (env: GRAFT_SF_DIR=/root/testdata/sf0.1, RAY_GRAFT_CPUS=32):
+  headline = distributed inverted-index build over the deterministic
+  synthetic transcript corpus (cached in /tmp, generated once) +
+  BM25 query latency (p50/p99 over the query set), plus per-operator
+  timings for the pipeline suite over the sf dir.
+
+`python bench.py --scaling` runs the headline build in two FRESH
+processes at num_cpus=8 and num_cpus=32 on the same input (the sandbox
+stand-in for N vs 4N nodes) and reports both throughputs plus scaling
+efficiency = (tps_hi / tps_lo) / (cpus_hi / cpus_lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = "/tmp/excelastic_bench_corpus"
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+
+BM25_BENCH_QUERIES = [
+    "the w00001",
+    "w00042",
+    "w00777 w01234",
+    "the to a and of",
+    "w00100 w00500 call run",
+    "rare absent terms zz",
+]
+
+
+def ensure_corpus() -> str:
+    """Generate (once) the deterministic bench corpus: ~20k convs ≈ 420k
+    turns, zipf vocab + hot tokens (FIXTURES.md §F1)."""
+    from excelastic_ray.corpus import write_transcripts
+
+    marker = os.path.join(BENCH_CORPUS, f".done_{BENCH_CONVS}")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+        write_transcripts(BENCH_CORPUS, n_files=16, n_convs=BENCH_CONVS, seed=42)
+        open(marker, "w").write("ok")
+    return BENCH_CORPUS
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import numpy as np
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+
+    corpus = ensure_corpus()
+    timings: dict[str, float] = {}
+
+    # Warm the page cache so we measure compute+shuffle, not cold disk.
+    import ray.data as rd
+
+    rd.read_parquet(corpus).count()
+
+    cfg = IndexConfig(
+        turn_bits=8,
+        convs_per_chunk_bits=9,  # ~512 convs ≈ 10k turns per chunk
+        num_shards=16,
+        batch_size=4096,
+    )
+    idx_dir = f"/tmp/excelastic_bench_idx_{NUM_CPUS}"
+    t0 = time.monotonic()
+    res = build_index(corpus, idx_dir, cfg, clear=True)
+    build_s = time.monotonic() - t0
+    timings["index_build"] = round(build_s, 3)
+    turns_per_sec = res.n_docs / build_s
+
+    # Query latency (one actor per shard — the serving shape — with the
+    # adaptive exact scorer; p50/p99 across repetitions).
+    eng = QueryEngine(idx_dir, algo="auto", use_actors=True)
+    eng.search("warmup the", 10)
+    lat = []
+    for _ in range(30):
+        for q in BM25_BENCH_QUERIES:
+            s = time.perf_counter()
+            eng.search(q, 10)
+            lat.append(time.perf_counter() - s)
+    lat = np.asarray(lat)
+    timings["query_total"] = round(float(lat.sum()), 3)
+    eng.close()
+
+    # Pipeline operators over the sf dir.
+    if os.environ.get("GRAFT_BENCH_ONLY") != "build":
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in (
+            "term_df",
+            "token_stats",
+            "quality",
+            "langid",
+            "exact_dedup",
+            "minhash_pairs",
+            "simhash_pairs",
+            "ann_cosine_topk",
+            "sessionize",
+            "tumbling",
+            "media_decode",
+        ):
+            s = time.monotonic()
+            out = qs[name](SF_DIR)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            timings[name] = round(time.monotonic() - s, 3)
+
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_s, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": res.n_docs,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
+        "query_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same build, fresh processes, 8 vs 32 CPUs → scaling efficiency."""
+    ensure_corpus()
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="build",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "build_sec_8cpu": lo["value"],
+            "build_sec_32cpu": hi["value"],
+            "turns_per_sec_8cpu": lo["turns_per_sec"],
+            "turns_per_sec_32cpu": hi["turns_per_sec"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "n_turns": hi["n_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -9,15 +9,19 @@ on (``/root/reference/README.md:3``). Two codecs:
   little-endian lanes per skip block), a PForDelta-simplified layout that
   trades a little compression for frombuffer-speed decode.
 
-A posting list for one (term, chunk) is three parallel streams —
-docid-deltas, term frequencies, doc lengths — each encoded per *skip
-block* of ``block_size`` postings, so a block can be decoded (or skipped)
-independently. Per-block skip metadata ("block-max"):
+A posting list for one (term, segment) is two parallel streams —
+doc-ordinal deltas and term frequencies — each encoded per *skip block*
+of ``block_size`` postings, so a block can be decoded (or skipped)
+independently. Postings reference docs by their ORDINAL in the owning
+segment's sorted doc table (the Lucene per-segment-docid design): doc
+lengths live once in the doc table, not per posting, so the third
+stream disappears and scoring gathers dl by ordinal. Per-block skip
+metadata ("block-max"):
 
-    last_docid  int64   — last docid in the block (skip pointer)
-    max_tf      int32   — max term frequency in the block
-    min_dl      int32   — min doc length in the block
-    off_d/tf/dl int32   — byte offsets of the block in each stream
+    last_id   int64   — last doc ordinal in the block (skip pointer)
+    max_tf    int32   — max term frequency in the block
+    min_dl    int32   — min doc length in the block (for score bounds)
+    off_d/tf  int32   — byte offsets of the block in each stream
 
 ``max_tf`` with ``min_dl`` give an upper bound on the BM25 contribution of
 any posting in the block (BM25 is increasing in tf, decreasing in dl),
@@ -31,12 +35,11 @@ import numpy as np
 
 BLOCKMAX_DTYPE = np.dtype(
     [
-        ("last_docid", "<i8"),
+        ("last_id", "<i8"),
         ("max_tf", "<i4"),
         ("min_dl", "<i4"),
         ("off_d", "<i4"),
         ("off_tf", "<i4"),
-        ("off_dl", "<i4"),
     ]
 )
 
@@ -168,71 +171,71 @@ def _decode_stream_range(buf, off: int, end: int, count: int, codec: str) -> np.
 
 
 def encode_postings(
-    docids: np.ndarray,
+    ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     codec: str = "varint",
     block_size: int = 128,
 ) -> tuple[bytes, bytes, int]:
-    """Encode one posting list (docids strictly ascending) →
-    (postings_bytes, blockmax_bytes, n_blocks).
+    """Encode one posting list (doc ordinals strictly ascending) →
+    (postings_bytes, blockmax_bytes, n_blocks). ``dls`` (doc length per
+    posting) feeds ONLY the per-block min_dl score bound; it is not
+    stored as a stream — lengths live in the segment doc table.
 
     Layout of postings_bytes:
-        [u32 n][u32 len_d][u32 len_tf][stream_d][stream_tf][stream_dl]
+        [u32 n][u32 len_d][stream_d][stream_tf]
     """
-    docids = np.ascontiguousarray(docids, dtype=np.int64)
-    n = len(docids)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n = len(ids)
     if n == 0:
         raise ValueError("empty posting list")
     deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = docids[0]
-    np.subtract(docids[1:], docids[:-1], out=deltas[1:], casting="unsafe")
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
-    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
 
     sd, off_d = _encode_stream(deltas, codec, block_size)
     st, off_tf = _encode_stream(tfs, codec, block_size)
-    sl, off_dl = _encode_stream(dls, codec, block_size)
 
     n_blocks = (n + block_size - 1) // block_size
     bm = np.zeros(n_blocks, dtype=BLOCKMAX_DTYPE)
     for i in range(n_blocks):
         s, e = i * block_size, min((i + 1) * block_size, n)
-        bm[i]["last_docid"] = docids[e - 1]
+        bm[i]["last_id"] = ids[e - 1]
         bm[i]["max_tf"] = int(tfs[s:e].max())
         bm[i]["min_dl"] = int(dls[s:e].min())
-    bm["off_d"], bm["off_tf"], bm["off_dl"] = off_d, off_tf, off_dl
+    bm["off_d"], bm["off_tf"] = off_d, off_tf
 
-    header = np.array([n, len(sd), len(st)], dtype="<u4").tobytes()
-    return header + sd + st + sl, bm.tobytes(), n_blocks
+    header = np.array([n, len(sd)], dtype="<u4").tobytes()
+    return header + sd + st, bm.tobytes(), n_blocks
 
 
 def decode_postings(
     postings: bytes | memoryview, codec: str = "varint", block_size: int = 128
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a full posting list → (docids int64 asc, tfs int32, dls int32)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list → (ids int64 asc, tfs int32)."""
     mv = memoryview(postings)
-    n, len_d, len_tf = np.frombuffer(mv, dtype="<u4", count=3)
-    n, len_d, len_tf = int(n), int(len_d), int(len_tf)
-    p = 12
+    n, len_d = np.frombuffer(mv, dtype="<u4", count=2)
+    n, len_d = int(n), int(len_d)
+    p = 8
     deltas = _decode_stream(mv[p : p + len_d], n, codec, block_size)
-    tfs = _decode_stream(mv[p + len_d : p + len_d + len_tf], n, codec, block_size)
-    dls = _decode_stream(mv[p + len_d + len_tf :], n, codec, block_size)
-    docids = np.cumsum(deltas.astype(np.int64))
-    return docids, tfs.astype(np.int32), dls.astype(np.int32)
+    tfs = _decode_stream(mv[p + len_d :], n, codec, block_size)
+    ids = np.cumsum(deltas.astype(np.int64))
+    return ids, tfs.astype(np.int32)
 
 
 class PostingList:
     """Random-access view over one encoded posting list + its block-max
     metadata. Blocks decode lazily — the unit block-max WAND skips over."""
 
-    __slots__ = ("n", "n_blocks", "block_size", "codec", "bm", "_mv", "_p", "_len_d", "_len_tf")
+    __slots__ = ("n", "n_blocks", "block_size", "codec", "bm", "_mv", "_p", "_len_d")
 
     def __init__(self, postings: bytes, blockmax: bytes, codec: str, block_size: int):
         self._mv = memoryview(postings)
-        n, len_d, len_tf = np.frombuffer(self._mv, dtype="<u4", count=3)
-        self.n, self._len_d, self._len_tf = int(n), int(len_d), int(len_tf)
-        self._p = 12
+        n, len_d = np.frombuffer(self._mv, dtype="<u4", count=2)
+        self.n, self._len_d = int(n), int(len_d)
+        self._p = 8
         self.codec = codec
         self.block_size = block_size
         self.bm = np.frombuffer(blockmax, dtype=BLOCKMAX_DTYPE)
@@ -241,33 +244,28 @@ class PostingList:
     def block_count(self, i: int) -> int:
         return min(self.block_size, self.n - i * self.block_size)
 
-    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Decode block i → (docids, tfs, dls)."""
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode block i → (ids, tfs)."""
         cnt = self.block_count(i)
         bm = self.bm
         p = self._p
         end_d = int(bm[i + 1]["off_d"]) if i + 1 < self.n_blocks else self._len_d
-        end_tf = int(bm[i + 1]["off_tf"]) if i + 1 < self.n_blocks else self._len_tf
-        end_dl = (
-            int(bm[i + 1]["off_dl"])
+        end_tf = (
+            int(bm[i + 1]["off_tf"])
             if i + 1 < self.n_blocks
-            else len(self._mv) - p - self._len_d - self._len_tf
+            else len(self._mv) - p - self._len_d
         )
         d0 = p
         t0 = p + self._len_d
-        l0 = t0 + self._len_tf
         deltas = _decode_stream_range(
             self._mv, d0 + int(bm[i]["off_d"]), d0 + end_d, cnt, self.codec
         )
         tfs = _decode_stream_range(
             self._mv, t0 + int(bm[i]["off_tf"]), t0 + end_tf, cnt, self.codec
         )
-        dls = _decode_stream_range(
-            self._mv, l0 + int(bm[i]["off_dl"]), l0 + end_dl, cnt, self.codec
-        )
-        prev = int(bm[i - 1]["last_docid"]) if i > 0 else 0
-        docids = prev + np.cumsum(deltas.astype(np.int64))
-        return docids, tfs.astype(np.int32), dls.astype(np.int32)
+        prev = int(bm[i - 1]["last_id"]) if i > 0 else 0
+        ids = prev + np.cumsum(deltas.astype(np.int64))
+        return ids, tfs.astype(np.int32)
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         return decode_postings(self._mv, self.codec, self.block_size)

@@ -97,21 +97,27 @@ def conversation_table(ds, config: IndexConfig) -> np.ndarray:
     contiguity in all non-adversarial cases) and *exactly* re-checked by
     the per-chunk duplicate-docid guard in the segment builder.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partials, batch_format="pyarrow", batch_size=65536
     )
+    # Final combine on the driver: the partial stream has one row per
+    # (batch, conv) — far smaller than the corpus — and a pandas C
+    # groupby beats a distributed string-keyed aggregate by orders of
+    # magnitude at this cardinality. (At 10^12-turn scale, where the
+    # conv census outgrows the driver, this final combine becomes a
+    # groupby over the partials dataset + a distributed rank sort; the
+    # per-row docid math downstream is unchanged.)
     stats = (
-        partials.groupby("conv_id")
-        .aggregate(
-            Sum("cnt", alias_name="cnt"),
-            Min("mn", alias_name="mn"),
-            Max("mx", alias_name="mx"),
-            Sum("sm", alias_name="sm"),
-            Sum("sq", alias_name="sq"),
+        partials.to_pandas()
+        .groupby("conv_id", sort=False)
+        .agg(
+            cnt=("cnt", "sum"),
+            mn=("mn", "min"),
+            mx=("mx", "max"),
+            sm=("sm", "sum"),
+            sq=("sq", "sum"),
         )
-        .to_pandas()
+        .reset_index()
     )
     n = stats["cnt"].to_numpy()
     mn = stats["mn"].to_numpy()
@@ -241,14 +247,15 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
         chunk = int(g["chunk"].iloc[0])
         sent_mask = g["term"].to_numpy() == ""
         sent = g[sent_mask]
-        doc_arr = sent["docid"].to_numpy()
-        if len(np.unique(doc_arr)) != len(doc_arr):
+        order_d = np.argsort(sent["docid"].to_numpy())
+        doc_arr = sent["docid"].to_numpy()[order_d]  # sorted: ordinal space
+        dl_arr = sent["dl"].to_numpy()[order_d].astype(np.int64)
+        if len(doc_arr) > 1 and (doc_arr[1:] == doc_arr[:-1]).any():
             raise ValidationError(
                 f"duplicate (conv_id, turn_idx) detected in chunk {chunk}"
             )
         n_docs = len(doc_arr)
-        total_dl = int(sent["dl"].to_numpy().sum())
-        dl_map = pd.Series(sent["dl"].to_numpy(), index=doc_arr)
+        total_dl = int(dl_arr.sum())
 
         posts = g[~sent_mask]
         n_postings = len(posts)
@@ -256,9 +263,10 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
             terms = posts["term"].to_numpy(object)
             order = np.lexsort((posts["docid"].to_numpy(), terms))
             terms = terms[order]
-            p_doc = posts["docid"].to_numpy()[order]
+            # chunk-local doc ordinals (Lucene per-segment docids)
+            p_ord = np.searchsorted(doc_arr, posts["docid"].to_numpy()[order])
             p_tf = posts["tf"].to_numpy()[order]
-            p_dl = dl_map.loc[p_doc].to_numpy()
+            p_dl = dl_arr[p_ord]
             uniq, starts = np.unique(terms, return_index=True)
             bounds = np.append(starts, n_postings)
         else:
@@ -269,7 +277,7 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
         for i, t in enumerate(uniq):
             s, e = bounds[i], bounds[i + 1]
             post, bm, nb = encode_postings(
-                p_doc[s:e], p_tf[s:e], p_dl[s:e], cfg.codec, cfg.block_size
+                p_ord[s:e], p_tf[s:e], p_dl[s:e], cfg.codec, cfg.block_size
             )
             rows_term.append(t)
             rows_df.append(e - s)
@@ -288,6 +296,15 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
         )
         d = seg.chunk_dir(index_dir, chunk)
         nbytes = seg.atomic_write_parquet(os.path.join(d, "postings.parquet"), table)
+        nbytes += seg.atomic_write_parquet(
+            os.path.join(d, "docs.parquet"),
+            pa.table(
+                {
+                    "docid": pa.array(doc_arr, type=pa.int64()),
+                    "dl": pa.array(dl_arr, type=pa.int64()),
+                }
+            ),
+        )
         manifest = {
             "chunk": chunk,
             "n_docs": n_docs,
@@ -345,19 +362,29 @@ class SegmentMerger:
 
         cfg = self.cfg
         tables = []
+        doc_parts = []
+        offsets: dict[int, int] = {}
         n_docs = 0
         total_dl = 0
         for c in sorted(chunks):
             m = seg.read_manifest(seg.chunk_dir(self.index_dir, c))
             if m is None:
                 raise RuntimeError(f"chunk {c} segment missing for shard {shard}")
+            offsets[c] = n_docs  # ordinal offset of this chunk in the shard
             n_docs += m["n_docs"]
             total_dl += m["total_dl"]
-            t = pq.read_table(
-                os.path.join(seg.chunk_dir(self.index_dir, c), "postings.parquet")
-            )
+            cdir = seg.chunk_dir(self.index_dir, c)
+            t = pq.read_table(os.path.join(cdir, "postings.parquet"))
             tables.append(t.append_column("chunk", pa.array([c] * t.num_rows)))
+            doc_parts.append(pq.read_table(os.path.join(cdir, "docs.parquet")))
         cat = pa.concat_tables(tables) if tables else seg.SEGMENT_SCHEMA.empty_table()
+        docs = (
+            pa.concat_tables(doc_parts)
+            if doc_parts
+            else pa.table({"docid": pa.array([], pa.int64()),
+                           "dl": pa.array([], pa.int64())})
+        )
+        shard_dl = docs["dl"].to_numpy()
 
         terms = cat["term"].to_numpy(zero_copy_only=False).astype(object)
         chunk_col = (
@@ -365,6 +392,7 @@ class SegmentMerger:
         )
         order = np.lexsort((chunk_col, terms))
         terms = terms[order]
+        chunk_col = chunk_col[order]
         dfs = cat["df"].to_numpy()[order] if cat.num_rows else np.zeros(0, np.int64)
         posts = cat["postings"].to_pylist()
         posts = [posts[i] for i in order]
@@ -376,15 +404,24 @@ class SegmentMerger:
         o_term, o_df, o_nb, o_post, o_bm = [], [], [], [], []
         for i, t in enumerate(uniq):
             s, e = int(bounds[i]), int(bounds[i + 1])
-            if e - s == 1:
+            if e - s == 1 and offsets[int(chunk_col[s])] == 0:
+                # zero-copy fast path: ordinals need no rebasing
                 post, bm = posts[s], bms[s]
                 nb = len(bm) // BLOCKMAX_DTYPE.itemsize
             else:
-                parts = [decode_postings(posts[j], cfg.codec, cfg.block_size) for j in range(s, e)]
-                docids = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                dls = np.concatenate([p[2] for p in parts])
-                post, bm, nb = encode_postings(docids, tfs, dls, cfg.codec, cfg.block_size)
+                # sub-postings cover docid-disjoint ascending chunk
+                # ranges: rebase chunk ordinals by the shard offset and
+                # concatenate in chunk order
+                ids_parts, tf_parts = [], []
+                for j in range(s, e):
+                    ids_j, tfs_j = decode_postings(posts[j], cfg.codec, cfg.block_size)
+                    ids_parts.append(ids_j + offsets[int(chunk_col[j])])
+                    tf_parts.append(tfs_j)
+                ids = np.concatenate(ids_parts)
+                tfs = np.concatenate(tf_parts)
+                post, bm, nb = encode_postings(
+                    ids, tfs, shard_dl[ids], cfg.codec, cfg.block_size
+                )
             o_term.append(t)
             o_df.append(int(dfs[s:e].sum()))
             o_nb.append(int(nb))
@@ -401,6 +438,7 @@ class SegmentMerger:
             }
         )
         nbytes = seg.atomic_write_parquet(os.path.join(d, "postings.parquet"), table)
+        nbytes += seg.atomic_write_parquet(os.path.join(d, "docs.parquet"), docs)
         manifest = {
             "shard": shard,
             "chunks": chunks,

@@ -48,6 +48,10 @@ class ShardSearcher:
         self.df = t["df"].to_numpy()
         self.postings = t["postings"].to_pylist()
         self.blockmax = t["blockmax"].to_pylist()
+        docs = pq.read_table(os.path.join(shard_path, "docs.parquet"))
+        # Ordinal → global docid / doc length (postings store ordinals).
+        self.docids = docs["docid"].to_numpy()
+        self.dls = docs["dl"].to_numpy().astype(np.float64)
 
     def lookup(self, term: str) -> int:
         i = int(np.searchsorted(self.terms, term))
@@ -71,15 +75,28 @@ class ShardSearcher:
         idfs: list[float],
         avgdl: float,
         k: int,
-        algo: str = "bmw",
+        algo: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k → (docids int64, scores float64),
         ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
         ``idfs`` are GLOBAL idfs (df summed across shards by the caller).
+
+        ``algo="auto"`` picks per shard: block-max WAND when a selective
+        pivot term exists (its skips then bypass most of the hot lists);
+        vectorized TAAT otherwise (a doc-at-a-time Python loop can never
+        beat numpy over full decode when every candidate must be scored
+        anyway). Both are exact and return identical results.
         """
         present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
         if not present:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        if algo == "auto":
+            dfs = np.asarray([self.df[self.lookup(t)] for t, _ in present])
+            total = int(dfs.sum())
+            selective = total > 65536 and len(present) > 1 and (
+                dfs.min() * 20 < dfs.max()
+            )
+            algo = "bmw" if selective else "taat"
         if algo == "taat":
             return self._topk_taat(present, avgdl, k)
         if algo == "bmw":
@@ -87,34 +104,29 @@ class ShardSearcher:
         raise ValueError(f"unknown algo {algo!r}")
 
     def _topk_taat(self, present, avgdl, k):
+        """Dense term-at-a-time: accumulate into a float64 array over the
+        shard's ordinal space (bounded by shard doc count). Per-doc
+        contributions sum in sorted-term order — bit-identical to the
+        oracle. A doc's score is never exactly 0 (idf > 0, tfnorm > 0),
+        so nonzero slots == matched docs."""
         cfg = self.cfg
-        decoded = []
+        acc = np.zeros(len(self.docids), dtype=np.float64)
         for t, t_idf in present:
-            pl = self.posting_list(self.lookup(t))
-            docids, tfs, dls = pl.decode_all()
-            decoded.append((docids, tfs, dls, t_idf))
-        all_docs = np.concatenate([d[0] for d in decoded])
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        off = 0
-        for docids, tfs, dls, t_idf in decoded:
-            idx = inv[off : off + len(docids)]
-            off += len(docids)
-            acc[idx] += contribution(
-                t_idf,
-                tfs.astype(np.float64),
-                dls.astype(np.float64),
-                avgdl,
-                cfg.k1,
-                cfg.b,
+            ids, tfs = self.posting_list(self.lookup(t)).decode_all()
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl, cfg.k1, cfg.b
             )
-        order = np.lexsort((uniq, -acc))[:k]
-        return uniq[order], acc[order]
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
 
     def _topk_bmw(self, present, avgdl, k):
         cfg = self.cfg
         cursors = [
-            _Cursor(t, self.posting_list(self.lookup(t)), t_idf, avgdl, cfg)
+            _Cursor(t, self.posting_list(self.lookup(t)), t_idf, avgdl, cfg,
+                    self.dls)
             for t, t_idf in present
         ]
         # Min-heap of (score, -docid): root is the eviction candidate
@@ -178,24 +190,25 @@ class ShardSearcher:
                         c.next_geq(pivot_doc)
 
         out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-        docids = np.asarray([d for _, d in out], dtype=np.int64)
+        ords = np.asarray([d for _, d in out], dtype=np.int64)
         scores = np.asarray([s for s, _ in out], dtype=np.float64)
-        return docids, scores
+        return self.docids[ords] if len(ords) else ords, scores
 
 
 class _Cursor:
     """Posting-list iterator with block-level skipping (decode-lazy)."""
 
     __slots__ = ("term", "pl", "idf", "avgdl", "k1", "b", "ub", "bi", "pos",
-                 "cur", "_docids", "_tfs", "_dls")
+                 "cur", "_ids", "_tfs", "_dls_arr")
 
     def __init__(self, term: str, pl: PostingList, t_idf: float, avgdl: float,
-                 cfg: IndexConfig):
+                 cfg: IndexConfig, dls_arr: np.ndarray):
         self.term = term
         self.pl = pl
         self.idf = t_idf
         self.avgdl = avgdl
         self.k1, self.b = cfg.k1, cfg.b
+        self._dls_arr = dls_arr
         # Term-level upper bound: max over blocks of the block bound,
         # inflated by 1 ulp-ish margin so float summation-order noise can
         # never prune a true candidate (exactness guard).
@@ -208,7 +221,7 @@ class _Cursor:
         self.bi = -1
         self.pos = 0
         self.cur = -1
-        self._docids = self._tfs = self._dls = None
+        self._ids = self._tfs = None
         self._load_block(0)
 
     def _load_block(self, bi: int) -> None:
@@ -216,36 +229,36 @@ class _Cursor:
             self.cur = _INF
             return
         self.bi = bi
-        self._docids, self._tfs, self._dls = self.pl.decode_block(bi)
+        self._ids, self._tfs = self.pl.decode_block(bi)
         self.pos = 0
-        self.cur = int(self._docids[0])
+        self.cur = int(self._ids[0])
 
     def advance(self) -> None:
         self.pos += 1
-        if self.pos < len(self._docids):
-            self.cur = int(self._docids[self.pos])
+        if self.pos < len(self._ids):
+            self.cur = int(self._ids[self.pos])
         else:
             self._load_block(self.bi + 1)
 
     def next_geq(self, target: int) -> None:
         if self.cur >= target:
             return
-        last = self.pl.bm["last_docid"]
+        last = self.pl.bm["last_id"]
         if last[self.bi] < target:
             bi = int(np.searchsorted(last, target, side="left"))
             if bi >= self.pl.n_blocks:
                 self.cur = _INF
                 return
             self._load_block(bi)
-        self.pos = int(np.searchsorted(self._docids, target, side="left"))
-        self.cur = int(self._docids[self.pos])
+        self.pos = int(np.searchsorted(self._ids, target, side="left"))
+        self.cur = int(self._ids[self.pos])
 
     def block_ub(self, target: int) -> tuple[float, int]:
         """(upper bound, last_docid) of the block containing ``target``
         for this cursor — a shallow lookup, no decode."""
         if self.cur == _INF:
             return 0.0, _INF
-        last = self.pl.bm["last_docid"]
+        last = self.pl.bm["last_id"]
         bi = self.bi if last[self.bi] >= target else int(
             np.searchsorted(last, target, side="left")
         )
@@ -257,14 +270,14 @@ class _Cursor:
             * tf_norm(float(row["max_tf"]), float(row["min_dl"]), self.avgdl,
                       self.k1, self.b)
         ) * (1.0 + 1e-12)
-        return ub, int(row["last_docid"])
+        return ub, int(row["last_id"])
 
     def score_current(self) -> float:
         return float(
             contribution(
                 self.idf,
                 np.float64(self._tfs[self.pos]),
-                np.float64(self._dls[self.pos]),
+                np.float64(self._dls_arr[self._ids[self.pos]]),
                 self.avgdl,
                 self.k1,
                 self.b,
@@ -329,7 +342,7 @@ class QueryEngine:
     def __init__(
         self,
         index: str | IndexReader,
-        algo: str = "bmw",
+        algo: str = "auto",
         use_actors: bool = False,
     ):
         self.reader = index if isinstance(index, IndexReader) else IndexReader(index)

@@ -53,10 +53,9 @@ def test_postings_roundtrip(codec, n):
     rng = np.random.default_rng(n)
     docids, tfs, dls = _rand_postings(rng, n)
     postings, blockmax, n_blocks = encode_postings(docids, tfs, dls, codec=codec)
-    d2, t2, l2 = decode_postings(postings, codec=codec)
+    d2, t2 = decode_postings(postings, codec=codec)
     assert (d2 == docids).all()
     assert (t2 == tfs).all()
-    assert (l2 == dls).all()
     assert n_blocks == (n + 127) // 128
 
 
@@ -68,17 +67,16 @@ def test_posting_list_block_access(codec):
     postings, blockmax, n_blocks = encode_postings(docids, tfs, dls, codec=codec)
     pl = PostingList(postings, blockmax, codec, 128)
     assert pl.n == n and pl.n_blocks == n_blocks
-    got_d, got_t, got_l = [], [], []
+    got_d, got_t = [], []
     for i in range(pl.n_blocks):
-        d, t, l = pl.decode_block(i)
-        got_d.append(d); got_t.append(t); got_l.append(l)
+        d, t = pl.decode_block(i)
+        got_d.append(d); got_t.append(t)
         s, e = i * 128, min((i + 1) * 128, n)
-        assert pl.bm[i]["last_docid"] == docids[e - 1]
+        assert pl.bm[i]["last_id"] == docids[e - 1]
         assert pl.bm[i]["max_tf"] == tfs[s:e].max()
         assert pl.bm[i]["min_dl"] == dls[s:e].min()
     assert (np.concatenate(got_d) == docids).all()
     assert (np.concatenate(got_t) == tfs).all()
-    assert (np.concatenate(got_l) == dls).all()
 
 
 def test_encode_postings_rejects_empty():
