@@ -40,6 +40,7 @@ BLOCKMAX_DTYPE = np.dtype(
         ("min_dl", "<i4"),
         ("off_d", "<i4"),
         ("off_tf", "<i4"),
+        ("count", "<i4"),
     ]
 )
 
@@ -170,6 +171,15 @@ def _decode_stream_range(buf, off: int, end: int, count: int, codec: str) -> np.
     return blockpack_decode_range(buf, off, count)
 
 
+def _blockmax_fill(bm, ids, tfs, dls, starts: np.ndarray, n: int) -> None:
+    """Vectorized block-max stats: per-block last id, max tf, min dl."""
+    ends = np.append(starts[1:], n)
+    bm["last_id"] = ids[ends - 1]
+    bm["max_tf"] = np.maximum.reduceat(tfs, starts)
+    bm["min_dl"] = np.minimum.reduceat(dls, starts)
+    bm["count"] = ends - starts
+
+
 def encode_postings(
     ids: np.ndarray,
     tfs: np.ndarray,
@@ -192,42 +202,220 @@ def encode_postings(
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = ids[0]
     np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
-    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
 
     sd, off_d = _encode_stream(deltas, codec, block_size)
-    st, off_tf = _encode_stream(tfs, codec, block_size)
+    st, off_tf = _encode_stream(tfs.astype(np.uint64), codec, block_size)
 
     n_blocks = (n + block_size - 1) // block_size
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
     bm = np.zeros(n_blocks, dtype=BLOCKMAX_DTYPE)
-    for i in range(n_blocks):
-        s, e = i * block_size, min((i + 1) * block_size, n)
-        bm[i]["last_id"] = ids[e - 1]
-        bm[i]["max_tf"] = int(tfs[s:e].max())
-        bm[i]["min_dl"] = int(dls[s:e].min())
+    _blockmax_fill(bm, ids, tfs, dls, starts, n)
     bm["off_d"], bm["off_tf"] = off_d, off_tf
 
     header = np.array([n, len(sd)], dtype="<u4").tobytes()
     return header + sd + st, bm.tobytes(), n_blocks
 
 
+def encode_postings_many(
+    bounds: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    codec: str = "varint",
+    block_size: int = 128,
+) -> tuple[list[bytes], list[bytes], list[int]]:
+    """Batch-encode many posting lists in ONE vectorized pass.
+
+    ``bounds`` (len = n_lists + 1) delimits each list's slice of the
+    flat ``ids/tfs/dls`` arrays (each list's ids strictly ascending).
+    Semantically identical to calling :func:`encode_postings` per list,
+    but the delta computation, varint encode, and block-max reduceat run
+    once over the concatenation — the per-list Python work is byte
+    slicing only. This is what makes the segment builder's per-term loop
+    cheap at ~10-token average postings. blockpack falls back to
+    per-list encoding (its stream is per-block framed).
+    """
+    n_total = len(ids)
+    n_lists = len(bounds) - 1
+    if codec != "varint":
+        out_p, out_b, out_n = [], [], []
+        for i in range(n_lists):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            p, b, nb = encode_postings(ids[s:e], tfs[s:e], dls[s:e], codec, block_size)
+            out_p.append(p)
+            out_b.append(b)
+            out_n.append(nb)
+        return out_p, out_b, out_n
+
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    tfs_i = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    deltas = np.empty(n_total, dtype=np.uint64)
+    if n_total:
+        deltas[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
+        deltas[bounds[:-1][bounds[:-1] < n_total]] = ids[
+            bounds[:-1][bounds[:-1] < n_total]
+        ].astype(np.uint64)
+
+    d_buf, d_starts = varint_encode(deltas)
+    t_buf, t_starts = varint_encode(tfs_i.astype(np.uint64))
+    d_starts = np.append(d_starts, len(d_buf))
+    t_starts = np.append(t_starts, len(t_buf))
+
+    # global block starts: per list, every block_size elements
+    counts = np.diff(bounds)
+    nblocks_per = (counts + block_size - 1) // block_size
+    total_blocks = int(nblocks_per.sum())
+    # start index of each block in the flat arrays
+    rep_bounds = np.repeat(bounds[:-1], nblocks_per)
+    within = np.concatenate([np.arange(k, dtype=np.int64) for k in nblocks_per]) \
+        if total_blocks else np.zeros(0, dtype=np.int64)
+    blk_starts = rep_bounds + within * block_size
+
+    bm_all = np.zeros(total_blocks, dtype=BLOCKMAX_DTYPE)
+    if total_blocks:
+        ends = np.empty(total_blocks, dtype=np.int64)
+        ends[:-1] = blk_starts[1:]
+        ends[-1] = n_total
+        # block end never crosses its list end
+        list_ends = np.repeat(bounds[1:], nblocks_per)
+        np.minimum(ends, list_ends, out=ends)
+        bm_all["last_id"] = ids[ends - 1]
+        bm_all["max_tf"] = np.maximum.reduceat(tfs_i, blk_starts)
+        bm_all["min_dl"] = np.minimum.reduceat(dls, blk_starts)
+        bm_all["count"] = ends - blk_starts
+        bm_all["off_d"] = d_starts[blk_starts] - d_starts[rep_bounds]
+        bm_all["off_tf"] = t_starts[blk_starts] - t_starts[rep_bounds]
+
+    out_p, out_b, out_n = [], [], []
+    blk_bounds = np.concatenate(([0], np.cumsum(nblocks_per)))
+    for i in range(n_lists):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        ds_, de_ = int(d_starts[s]), int(d_starts[e])
+        ts_, te_ = int(t_starts[s]), int(t_starts[e])
+        header = np.array([e - s, de_ - ds_], dtype="<u4").tobytes()
+        out_p.append(header + d_buf[ds_:de_] + t_buf[ts_:te_])
+        out_b.append(bm_all[int(blk_bounds[i]) : int(blk_bounds[i + 1])].tobytes())
+        out_n.append(int(nblocks_per[i]))
+    return out_p, out_b, out_n
+
+
+def _first_varint(buf: bytes) -> tuple[int, int]:
+    """(value, encoded_length) of the first varint in buf."""
+    val = 0
+    shift = 0
+    for i, byte in enumerate(buf):
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, i + 1
+        shift += 7
+    raise ValueError("truncated varint")
+
+
+def _one_varint(val: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        if val:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def merge_encoded_postings(
+    subs: list[tuple[bytes, bytes]],
+    offsets: list[int],
+    codec: str = "varint",
+    block_size: int = 128,
+) -> tuple[bytes, bytes, int]:
+    """Merge encoded sub-postings whose id ranges are disjoint and
+    ascending (sub j's ids, after adding ``offsets[j]``, all exceed sub
+    j-1's). For the varint codec this is an O(bytes) splice: only the
+    FIRST delta of each sub changes (it must encode the jump from the
+    previous sub's last id), the rest of both streams is copied
+    verbatim, and block-max rows are rebased. Blocks stay as encoded, so
+    merged lists have ragged block sizes at splice seams — the ``count``
+    field in BLOCKMAX_DTYPE carries per-block sizes. blockpack falls
+    back to decode + re-encode.
+    """
+    if len(subs) == 1 and offsets[0] == 0:
+        p, b = subs[0]
+        return p, b, len(b) // BLOCKMAX_DTYPE.itemsize
+
+    if codec != "varint":
+        # blockpack streams are per-block framed; the caller re-encodes
+        # with real doc lengths instead (SegmentMerger blockpack path).
+        raise NotImplementedError("splice merge is varint-only")
+
+    d_parts: list[bytes] = []
+    t_parts: list[bytes] = []
+    bm_parts: list[np.ndarray] = []
+    n_total = 0
+    d_len = 0
+    t_len = 0
+    prev_last = 0
+    for (p, b), off in zip(subs, offsets):
+        mv = memoryview(p)
+        n_j, len_d_j = (int(x) for x in np.frombuffer(mv, dtype="<u4", count=2))
+        d_j = bytes(mv[8 : 8 + len_d_j])
+        t_j = bytes(mv[8 + len_d_j :])
+        first_val, first_len = _first_varint(d_j)
+        new_first = _one_varint(first_val + off - prev_last)
+        shift = len(new_first) - first_len
+
+        bm_j = np.frombuffer(b, dtype=BLOCKMAX_DTYPE).copy()
+        bm_j["last_id"] += off
+        bm_j["off_d"][1:] += shift
+        bm_j["off_d"] += d_len
+        bm_j["off_tf"] += t_len
+
+        d_parts.append(new_first)
+        d_parts.append(d_j[first_len:])
+        t_parts.append(t_j)
+        bm_parts.append(bm_j)
+        d_len += len_d_j + shift
+        t_len += len(t_j)
+        n_total += n_j
+        prev_last = int(bm_j["last_id"][-1])
+
+    d_buf = b"".join(d_parts)
+    t_buf = b"".join(t_parts)
+    bm = np.concatenate(bm_parts)
+    header = np.array([n_total, len(d_buf)], dtype="<u4").tobytes()
+    return header + d_buf + t_buf, bm.tobytes(), len(bm)
+
+
 def decode_postings(
-    postings: bytes | memoryview, codec: str = "varint", block_size: int = 128
+    postings: bytes | memoryview,
+    codec: str = "varint",
+    block_size: int = 128,
+    bm: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list → (ids int64 asc, tfs int32)."""
+    """Decode a full posting list → (ids int64 asc, tfs int32). For
+    blockpack, ``bm`` supplies per-block counts (required if ragged)."""
     mv = memoryview(postings)
     n, len_d = np.frombuffer(mv, dtype="<u4", count=2)
     n, len_d = int(n), int(len_d)
     p = 8
-    deltas = _decode_stream(mv[p : p + len_d], n, codec, block_size)
-    tfs = _decode_stream(mv[p + len_d :], n, codec, block_size)
+    if codec == "varint":
+        deltas = varint_decode(mv[p : p + len_d], count=n)
+        tfs = varint_decode(mv[p + len_d :], count=n)
+    else:
+        deltas = blockpack_decode(mv[p : p + len_d], n, block_size)
+        tfs = blockpack_decode(mv[p + len_d :], n, block_size)
     ids = np.cumsum(deltas.astype(np.int64))
     return ids, tfs.astype(np.int32)
 
 
 class PostingList:
     """Random-access view over one encoded posting list + its block-max
-    metadata. Blocks decode lazily — the unit block-max WAND skips over."""
+    metadata. Blocks decode lazily — the unit block-max WAND skips over.
+    Block sizes come from bm["count"] (ragged at merge splice seams)."""
 
     __slots__ = ("n", "n_blocks", "block_size", "codec", "bm", "_mv", "_p", "_len_d")
 
@@ -242,7 +430,7 @@ class PostingList:
         self.n_blocks = len(self.bm)
 
     def block_count(self, i: int) -> int:
-        return min(self.block_size, self.n - i * self.block_size)
+        return int(self.bm[i]["count"])
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode block i → (ids, tfs)."""
@@ -268,4 +456,4 @@ class PostingList:
         return ids, tfs.astype(np.int32)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        return decode_postings(self._mv, self.codec, self.block_size)
+        return decode_postings(self._mv, self.codec, self.block_size, self.bm)

@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 
 from excelastic_ray.analysis import TOKEN_RE
-from excelastic_ray.codecs import encode_postings
+from excelastic_ray.codecs import encode_postings, encode_postings_many
 from excelastic_ray.config import IndexConfig
 from excelastic_ray.index import segments as seg
 
@@ -273,21 +273,18 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
             uniq = np.zeros(0, dtype=object)
             bounds = np.array([0])
 
-        rows_term, rows_df, rows_nb, rows_post, rows_bm = [], [], [], [], []
-        for i, t in enumerate(uniq):
-            s, e = bounds[i], bounds[i + 1]
-            post, bm, nb = encode_postings(
-                p_ord[s:e], p_tf[s:e], p_dl[s:e], cfg.codec, cfg.block_size
+        if n_postings:
+            rows_post, rows_bm, rows_nb = encode_postings_many(
+                bounds, p_ord, p_tf, p_dl, cfg.codec, cfg.block_size
             )
-            rows_term.append(t)
-            rows_df.append(e - s)
-            rows_nb.append(nb)
-            rows_post.append(post)
-            rows_bm.append(bm)
+            rows_df = np.diff(bounds)
+        else:
+            rows_post, rows_bm, rows_nb = [], [], []
+            rows_df = np.zeros(0, dtype=np.int64)
 
         table = pa.table(
             {
-                "term": pa.array(rows_term, type=pa.string()),
+                "term": pa.array(uniq, type=pa.string()),
                 "df": pa.array(rows_df, type=pa.int64()),
                 "n_blocks": pa.array(rows_nb, type=pa.int32()),
                 "postings": pa.array(rows_post, type=pa.large_binary()),
@@ -353,7 +350,11 @@ class SegmentMerger:
     def _merge_shard(self, shard: int, chunks: list[int]) -> dict:
         import pyarrow.parquet as pq
 
-        from excelastic_ray.codecs import BLOCKMAX_DTYPE, decode_postings
+        from excelastic_ray.codecs import (
+            BLOCKMAX_DTYPE,
+            decode_postings,
+            merge_encoded_postings,
+        )
 
         d = seg.shard_dir(self.index_dir, shard)
         existing = seg.read_manifest(d)
@@ -404,14 +405,20 @@ class SegmentMerger:
         o_term, o_df, o_nb, o_post, o_bm = [], [], [], [], []
         for i, t in enumerate(uniq):
             s, e = int(bounds[i]), int(bounds[i + 1])
-            if e - s == 1 and offsets[int(chunk_col[s])] == 0:
-                # zero-copy fast path: ordinals need no rebasing
+            if cfg.codec == "varint":
+                # sub-postings cover docid-disjoint ascending chunk
+                # ranges: O(bytes) splice — only each sub's first delta
+                # re-encodes; streams and block-max rows are rebased.
+                post, bm, nb = merge_encoded_postings(
+                    [(posts[j], bms[j]) for j in range(s, e)],
+                    [offsets[int(chunk_col[j])] for j in range(s, e)],
+                    cfg.codec,
+                    cfg.block_size,
+                )
+            elif e - s == 1 and offsets[int(chunk_col[s])] == 0:
                 post, bm = posts[s], bms[s]
                 nb = len(bm) // BLOCKMAX_DTYPE.itemsize
             else:
-                # sub-postings cover docid-disjoint ascending chunk
-                # ranges: rebase chunk ordinals by the shard offset and
-                # concatenate in chunk order
                 ids_parts, tf_parts = [], []
                 for j in range(s, e):
                     ids_j, tfs_j = decode_postings(posts[j], cfg.codec, cfg.block_size)

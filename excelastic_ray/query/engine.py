@@ -150,6 +150,12 @@ class ShardSearcher:
             if pivot < 0:
                 break
             pivot_doc = cursors[pivot].cur
+            # Extend the pivot over every cursor parked at pivot_doc:
+            # their contributions belong to pivot_doc's score, so the
+            # block-max skip below must account for them (otherwise a
+            # winning doc can be skipped un-scored).
+            while pivot + 1 < len(cursors) and cursors[pivot + 1].cur == pivot_doc:
+                pivot += 1
 
             # Block-max refinement: shallow block lookups at pivot_doc.
             block_sum = 0.0

@@ -51,6 +51,31 @@ def test_bmw_equals_taat_everywhere(engines, query_set):
         assert engines["bmw"].search_topk(q, 25) == engines["taat"].search_topk(q, 25)
 
 
+def test_bmw_equals_taat_randomized(engines, tiny_table):
+    """Stress the WAND pruning paths: random multi-term queries mixing
+    frequency classes at small k (k=1 exposed the shared-pivot-doc skip
+    bug; keep it pinned)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    vocab = [t for t, _ in counts.most_common()]
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        n_terms = int(rng.integers(1, 6))
+        picks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n_terms)]
+        q = " ".join(picks)
+        for k in (1, 3, 17):
+            assert (
+                engines["bmw"].search_topk(q, k) == engines["taat"].search_topk(q, k)
+            ), (q, k)
+
+
 def test_actor_mode_matches_local(tiny_index, query_set):
     d, _ = tiny_index
     eng = QueryEngine(d, algo="bmw", use_actors=True)
