@@ -122,11 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _bm25_table(sf_dir)
 
     def q_doc_keys(sf_dir):
-        import pyarrow.parquet as pq
+        from excelastic_ray.index.segments import read_docstore
 
-        store = pq.read_table(
-            os.path.join(_index_for(sf_dir), "docstore"),
-            columns=["conv_id", "turn_idx", "docid"],
+        store = read_docstore(
+            _index_for(sf_dir), columns=["conv_id", "turn_idx", "docid"]
         )
         return store.select(["conv_id", "turn_idx", "docid"])
 

@@ -8,19 +8,25 @@ Data pipeline, with the indexing half (delegated to Elasticsearch by the
 reference) built natively:
 
     read_parquet(transcripts)
-      → [validation pass] groupby(conv_id) moment aggregates      (small)
+      → [validation pass] per-batch conv partials → driver combine (small)
       → driver: sorted distinct conv_ids → conv_rank broadcast (ray.put)
-      → map_batches(TokenizeRoute actor pool, zero-copy Arrow)
-            rows: (chunk, term, docid, tf, dl)  [+ one sentinel row/doc]
-      → groupby(chunk).map_groups(build level-0 segment → atomic write)
+      → map_batches(StampChunk actor pool): + (docid, chunk) columns
+      → groupby(chunk).map_groups(fused tokenize + level-0 segment build
+            + docstore slice, atomic writes + per-chunk manifest)
       → map_batches(SegmentMerger actor pool over shard descriptors)
       → manifest.json (N, avgdl, config, per-chunk lineage/counters)
 
-Skew: the posting shuffle is keyed by docid-range *chunk*, never by
-term, so stopword-like hot terms (role/tool skew) cannot concentrate on
-a reducer; a hot term's postings are split across all chunks and merged
-by concatenating docid-disjoint sub-postings in chunk order (the
-explicit salting strategy — SURVEY.md §4, config.py docstring).
+ONE shuffle moves the raw rows, keyed by docid-range *chunk*, never by
+term: stopword-like hot terms (role/tool skew) cannot concentrate on a
+reducer because every reducer owns a bounded doc range and builds ALL
+terms' postings for it; a hot term's postings are split across all
+chunks and re-joined at merge time by splicing docid-disjoint
+sub-postings in chunk order (the explicit salting strategy — SURVEY.md
+§4, config.py docstring). Tokenization happens INSIDE the chunk group
+(after the shuffle), so the bytes shuffled are the raw text — smaller
+than any exploded token representation — and the per-chunk segment +
+docstore slice are written in the same task (single pass, per-chunk
+resumable).
 
 Scale notes (10^12 turns):
 - Only *distinct conv_ids* are collected to the driver for rank
@@ -50,16 +56,6 @@ from excelastic_ray.index import segments as seg
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
-FRAGMENT_SCHEMA = pa.schema(
-    [
-        ("chunk", pa.int64()),
-        ("term", pa.string()),
-        ("docid", pa.int64()),
-        ("tf", pa.int32()),
-        ("dl", pa.int32()),
-    ]
-)
-
 
 class ValidationError(ValueError):
     """Input failed the validate-before-import pass (the analog of the
@@ -74,7 +70,7 @@ class ValidationError(ValueError):
 
 def _conv_partials(batch: pa.Table) -> pd.DataFrame:
     """Per-batch partial aggregates for the validation pass — classic
-    partial+final so the groupby shuffles one row per (batch, conv)."""
+    partial+final so only one row per (batch, conv) leaves the task."""
     t = batch["turn_idx"].to_numpy().astype(np.int64)
     df = pd.DataFrame(
         {"conv_id": batch["conv_id"].to_pandas(), "t": t, "sq": t * t}
@@ -138,31 +134,26 @@ def conversation_table(ds, config: IndexConfig) -> np.ndarray:
             f"a conversation exceeds max_turns={config.max_turns} "
             f"(raise IndexConfig.turn_bits)"
         )
-    conv_ids = np.sort(stats["conv_id"].to_numpy().astype(object))
-    return conv_ids
+    return np.sort(stats["conv_id"].to_numpy().astype(object))
 
 
 # ---------------------------------------------------------------------------
-# Tokenize + route (stateful actor pool: conv-rank table loaded once)
+# Docid stamping (stateful actor pool: conv-rank table loaded once)
 # ---------------------------------------------------------------------------
 
 
-class TokenizeRoute:
-    """map_batches actor: transcript batch → posting-fragment rows.
-
-    Stateful setup in __init__ (once per actor): fetch the broadcast
-    conv-rank table from the object store, build the hash index, compile
-    nothing else (TOKEN_RE is module-level). Per batch: vectorized rank
-    lookup, docid math, C-level tokenization, pandas C groupby for
-    per-doc term frequencies. Emits one sentinel row (term="") per doc so
-    empty-text turns still count toward N/avgdl and reach their chunk.
-    """
+class StampChunk:
+    """map_batches actor: append (docid, chunk) to raw transcript rows.
+    __init__ (once per actor) fetches the broadcast conv-rank table and
+    builds the hash index; per batch it's one vectorized lookup + shift
+    math. With ``skip_chunks`` (resume), rows of completed chunks are
+    dropped here, BEFORE the shuffle, so finished partitions cost
+    nothing on a resumed build."""
 
     def __init__(self, conv_ref, config_dict: dict, skip_chunks=()):
         import ray
 
-        conv_ids = ray.get(conv_ref)
-        self.index = pd.Index(conv_ids)
+        self.index = pd.Index(ray.get(conv_ref))
         self.cfg = IndexConfig.from_dict(config_dict)
         self.skip = np.asarray(sorted(skip_chunks), dtype=np.int64)
 
@@ -174,104 +165,80 @@ class TokenizeRoute:
         turn = batch["turn_idx"].to_numpy().astype(np.int64)
         docids = (ranks.astype(np.int64) << cfg.turn_bits) | turn
         chunks = ranks.astype(np.int64) >> cfg.convs_per_chunk_bits
-
         if len(self.skip):
             keep = ~np.isin(chunks, self.skip)
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
                 docids, chunks = docids[keep], chunks[keep]
-            if batch.num_rows == 0:
-                return FRAGMENT_SCHEMA.empty_table()
+        return batch.append_column(
+            "docid", pa.array(docids, type=pa.int64())
+        ).append_column("chunk", pa.array(chunks, type=pa.int64()))
 
-        # Tokenize (findall is C-level; the loop is rows-of-one-batch).
-        findall = TOKEN_RE.findall
-        if len(cfg.index_fields) == 1:
-            texts = batch[cfg.index_fields[0]].to_pylist()
-        else:
-            cols = [batch[f].to_pylist() for f in cfg.index_fields]
-            texts = [" ".join(v for v in vals if v) for vals in zip(*cols)]
-        toks = [findall(t.lower()) if t else [] for t in texts]
-        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
 
-        flat = [w for row in toks for w in row]
-        if flat:
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-            rep_doc = np.repeat(docids, counts)
-            tf = (
-                pd.DataFrame({"d": rep_doc, "c": codes})
-                .groupby(["d", "c"], sort=False)
-                .size()
-            )
-            pidx = tf.index
-            p_doc = pidx.get_level_values(0).to_numpy()
-            p_term = uniques[pidx.get_level_values(1).to_numpy()]
-            p_tf = tf.to_numpy().astype(np.int32)
-            p_chunk = (p_doc >> cfg.turn_bits) >> cfg.convs_per_chunk_bits
-        else:
-            p_doc = np.zeros(0, dtype=np.int64)
-            p_term = np.zeros(0, dtype=object)
-            p_tf = np.zeros(0, dtype=np.int32)
-            p_chunk = np.zeros(0, dtype=np.int64)
-
-        out_chunk = np.concatenate([chunks, p_chunk])
-        out_term = np.concatenate([np.full(len(docids), "", dtype=object), p_term])
-        out_doc = np.concatenate([docids, p_doc])
-        out_tf = np.concatenate([np.zeros(len(docids), dtype=np.int32), p_tf])
-        out_dl = np.concatenate(
-            [counts.astype(np.int32), np.zeros(len(p_doc), dtype=np.int32)]
-        )
-        return pa.table(
-            {
-                "chunk": pa.array(out_chunk, type=pa.int64()),
-                "term": pa.array(out_term, type=pa.string()),
-                "docid": pa.array(out_doc, type=pa.int64()),
-                "tf": pa.array(out_tf, type=pa.int32()),
-                "dl": pa.array(out_dl, type=pa.int32()),
-            }
-        )
+# DocidStamper is the docstore/verification alias of StampChunk minus the
+# chunk column; kept for external tooling.
+class DocidStamper(StampChunk):
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        out = StampChunk.__call__(self, batch)
+        return out.drop_columns(["chunk"])
 
 
 # ---------------------------------------------------------------------------
-# Level-0 segment build (one reducer group per docid-range chunk)
+# Fused per-chunk build: tokenize + postings + docstore slice
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_builder(index_dir: str, config_dict: dict):
-    """Group fn for groupby('chunk').map_groups: builds + atomically
-    writes one level-0 segment, returns its counters row."""
+def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str]):
+    """Group fn for groupby('chunk').map_groups: tokenizes the chunk's
+    rows, builds + atomically writes its level-0 segment (postings +
+    doc table + optional docstore slice), returns a counters row."""
     cfg = IndexConfig.from_dict(config_dict)
 
     def build_chunk(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame()
         chunk = int(g["chunk"].iloc[0])
-        sent_mask = g["term"].to_numpy() == ""
-        sent = g[sent_mask]
-        order_d = np.argsort(sent["docid"].to_numpy())
-        doc_arr = sent["docid"].to_numpy()[order_d]  # sorted: ordinal space
-        dl_arr = sent["dl"].to_numpy()[order_d].astype(np.int64)
+        g = g.sort_values("docid", kind="mergesort")
+        doc_arr = g["docid"].to_numpy()
         if len(doc_arr) > 1 and (doc_arr[1:] == doc_arr[:-1]).any():
             raise ValidationError(
                 f"duplicate (conv_id, turn_idx) detected in chunk {chunk}"
             )
         n_docs = len(doc_arr)
+
+        # ---- tokenize (C-level findall; loop is rows-of-one-chunk) ----
+        findall = TOKEN_RE.findall
+        if len(cfg.index_fields) == 1:
+            texts = g[cfg.index_fields[0]].tolist()
+        else:
+            cols = [g[f].tolist() for f in cfg.index_fields]
+            texts = [" ".join(v for v in vals if v) for vals in zip(*cols)]
+        toks = [findall(t.lower()) if t else [] for t in texts]
+        dl_arr = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
         total_dl = int(dl_arr.sum())
 
-        posts = g[~sent_mask]
-        n_postings = len(posts)
-        if n_postings:
-            terms = posts["term"].to_numpy(object)
-            order = np.lexsort((posts["docid"].to_numpy(), terms))
-            terms = terms[order]
-            # chunk-local doc ordinals (Lucene per-segment docids)
-            p_ord = np.searchsorted(doc_arr, posts["docid"].to_numpy()[order])
-            p_tf = posts["tf"].to_numpy()[order]
+        flat = [w for row in toks for w in row]
+        if flat:
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+            rep_ord = np.repeat(np.arange(n_docs, dtype=np.int64), dl_arr)
+            order = np.lexsort((rep_ord, codes))
+            c_s, o_s = codes[order], rep_ord[order]
+            new_grp = np.empty(len(c_s), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (c_s[1:] != c_s[:-1]) | (o_s[1:] != o_s[:-1])
+            starts = np.flatnonzero(new_grp)
+            p_ord = o_s[starts]
+            p_tf = np.diff(np.append(starts, len(c_s)))
             p_dl = dl_arr[p_ord]
-            uniq, starts = np.unique(terms, return_index=True)
-            bounds = np.append(starts, n_postings)
+            n_postings = len(p_ord)
+            t_new = np.empty(n_postings, dtype=bool)
+            t_new[0] = True
+            t_new[1:] = c_s[starts[1:]] != c_s[starts[:-1]]
+            bounds = np.append(np.flatnonzero(t_new), n_postings)
         else:
             uniq = np.zeros(0, dtype=object)
             bounds = np.array([0])
+            n_postings = 0
 
         if n_postings:
             rows_post, rows_bm, rows_nb = encode_postings_many(
@@ -284,7 +251,7 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
 
         table = pa.table(
             {
-                "term": pa.array(uniq, type=pa.string()),
+                "term": pa.array(np.asarray(uniq, dtype=object), type=pa.string()),
                 "df": pa.array(rows_df, type=pa.int64()),
                 "n_blocks": pa.array(rows_nb, type=pa.int32()),
                 "postings": pa.array(rows_post, type=pa.large_binary()),
@@ -302,6 +269,14 @@ def make_chunk_builder(index_dir: str, config_dict: dict):
                 }
             ),
         )
+        if store_cols:
+            # docstore slice (ES `_source` analog), docid-ordered
+            store = pa.Table.from_pandas(
+                g[["docid", *store_cols]], preserve_index=False
+            )
+            nbytes += seg.atomic_write_parquet(
+                os.path.join(d, "store.parquet"), store
+            )
         manifest = {
             "chunk": chunk,
             "n_docs": n_docs,
@@ -340,8 +315,9 @@ class SegmentMerger:
     """Actor-pool stage merging level-0 chunk segments into one queryable
     shard per input row (north_star: "segment-merge actors on a fixed
     actor pool"). Sub-postings for one term live in docid-disjoint,
-    ascending chunk ranges, so a merge is decode → concat → re-encode
-    (single-chunk terms take a zero-copy fast path: bytes are reused)."""
+    ascending chunk ranges, so for the varint codec the merge is an
+    O(bytes) splice (codecs.merge_encoded_postings); blockpack
+    re-encodes."""
 
     def __init__(self, index_dir: str, config_dict: dict):
         self.index_dir = index_dir
@@ -406,9 +382,6 @@ class SegmentMerger:
         for i, t in enumerate(uniq):
             s, e = int(bounds[i]), int(bounds[i + 1])
             if cfg.codec == "varint":
-                # sub-postings cover docid-disjoint ascending chunk
-                # ranges: O(bytes) splice — only each sub's first delta
-                # re-encodes; streams and block-max rows are rebased.
                 post, bm, nb = merge_encoded_postings(
                     [(posts[j], bms[j]) for j in range(s, e)],
                     [offsets[int(chunk_col[j])] for j in range(s, e)],
@@ -510,6 +483,32 @@ def build_index(
     ``ElasticWriter.java:186-194``); with ``resume=True`` (default) a
     partially-built index is completed, skipping finished chunks.
     """
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    # Push-based sort shuffle pipelines the map/merge phases of the
+    # chunk exchange; measured ~1.6x faster than pull-based here.
+    ctx = rd.DataContext.get_current()
+    prior_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        return _build_index_impl(
+            source, index_dir, config, clear=clear, resume=resume,
+            parallelism=parallelism,
+        )
+    finally:
+        ctx.shuffle_strategy = prior_strategy
+
+
+def _build_index_impl(
+    source,
+    index_dir: str,
+    config: IndexConfig | None,
+    *,
+    clear: bool,
+    resume: bool,
+    parallelism: int | None,
+) -> BuildResult:
     import ray
     import ray.data as rd
 
@@ -520,7 +519,6 @@ def build_index(
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
-    prior = None
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         prior = seg.load_global_manifest(index_dir)
         if prior.get("status") == "complete" and not resume:
@@ -532,8 +530,17 @@ def build_index(
                 "existing index was built with a different config; use clear=True"
             )
 
+    cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
     if isinstance(source, (str, list, tuple)):
-        ds = rd.read_parquet(source, columns=list(TRANSCRIPT_COLUMNS))
+        # ~2 blocks per CPU: enough that every stage can use the whole
+        # cluster even when the corpus arrives as a handful of files,
+        # few enough that shuffle orchestration stays cheap (block-count
+        # sweeps: 2x cpus beat both 4x and 16x by a wide margin).
+        ds = rd.read_parquet(
+            source,
+            columns=list(TRANSCRIPT_COLUMNS),
+            override_num_blocks=max(2 * cpus, 32),
+        )
     else:
         ds = source
 
@@ -558,17 +565,23 @@ def build_index(
 
     done = seg.completed_chunks(index_dir) if resume else {}
     skip = sorted(done)
-    cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
     # Leave headroom for the read + shuffle task pools: an actor pool
     # that reserves every CPU deadlocks the streaming executor.
     pool = max(1, cpus - 2)
 
-    # ---- tokenize → chunk shuffle → level-0 segments -------------------
-    cols = ["conv_id", "turn_idx", *config.index_fields]
+    # ---- stamp → chunk shuffle → fused tokenize + level-0 segments ----
+    store_cols = (
+        [c for c in TRANSCRIPT_COLUMNS if c in schema_names and c != "docid"]
+        if config.store_source
+        else []
+    )
+    carry_cols = sorted(
+        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
+    )
     summaries = pd.DataFrame()
     if len(skip) < n_chunks:
-        frags = ds.select_columns(cols).map_batches(
-            TokenizeRoute,
+        stamped = ds.select_columns(carry_cols).map_batches(
+            StampChunk,
             fn_constructor_args=(conv_ref, config.to_dict(), skip),
             batch_format="pyarrow",
             batch_size=config.batch_size,
@@ -576,9 +589,9 @@ def build_index(
             num_cpus=1,
         )
         summaries = (
-            frags.groupby("chunk")
+            stamped.groupby("chunk")
             .map_groups(
-                make_chunk_builder(index_dir, config.to_dict()),
+                make_chunk_builder(index_dir, config.to_dict(), store_cols),
                 batch_format="pandas",
             )
             .to_pandas()
@@ -615,27 +628,9 @@ def build_index(
     )
     shard_bytes = int(merged["bytes_compressed"].sum()) if len(merged) else 0
 
-    # ---- docstore (optional; ES `_source` analog) ----------------------
-    if config.store_source and "text" in schema_names:
-        ds_dir = os.path.join(index_dir, "docstore")
-        marker = os.path.join(index_dir, "docstore.DONE")
-        if not os.path.exists(marker):
-            shutil.rmtree(ds_dir, ignore_errors=True)
-            store_cols = [c for c in TRANSCRIPT_COLUMNS if c in schema_names]
-            ds.select_columns(store_cols).map_batches(
-                DocidStamper,
-                fn_constructor_args=(conv_ref, config.to_dict()),
-                batch_format="pyarrow",
-                batch_size=config.batch_size,
-                concurrency=pool,
-                num_cpus=1,
-            ).write_parquet(ds_dir)
-            with open(marker, "w") as f:
-                f.write("ok")
-
     manifest = {
         "status": "complete",
-        "format_version": 1,
+        "format_version": 2,
         "config": config.to_dict(),
         "n_docs": int(n_docs),
         "n_convs": int(n_convs),
@@ -646,6 +641,7 @@ def build_index(
         "n_postings": int(n_postings),
         "segment_bytes": int(seg_bytes),
         "shard_bytes": int(shard_bytes),
+        "store_source": bool(store_cols),
         "chunks": {str(c): m for c, m in sorted(all_chunks.items())},
     }
     seg.save_global_manifest(index_dir, manifest)
@@ -664,20 +660,3 @@ def build_index(
         chunks_skipped=len(skip),
         seconds=time.monotonic() - t0,
     )
-
-
-class DocidStamper:
-    """map_batches actor: append the deterministic docid to source rows
-    (docstore writer / verification helper)."""
-
-    def __init__(self, conv_ref, config_dict: dict):
-        import ray
-
-        self.index = pd.Index(ray.get(conv_ref))
-        self.cfg = IndexConfig.from_dict(config_dict)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ranks = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
-        turn = batch["turn_idx"].to_numpy().astype(np.int64)
-        docids = (ranks.astype(np.int64) << self.cfg.turn_bits) | turn
-        return batch.append_column("docid", pa.array(docids, type=pa.int64()))

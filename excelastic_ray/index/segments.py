@@ -111,6 +111,27 @@ def completed_shards(index_dir: str) -> dict[int, dict]:
     return out
 
 
+def docstore_files(index_dir: str) -> list[str]:
+    """Chunk-ordered docstore slices (segments/chunk=*/store.parquet)."""
+    seg_root = os.path.join(index_dir, "segments")
+    out = []
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            p = os.path.join(seg_root, name, "store.parquet")
+            if name.startswith("chunk=") and os.path.exists(p):
+                out.append(p)
+    return out
+
+
+def read_docstore(index_dir: str, columns: list[str] | None = None) -> pa.Table:
+    """Materialize the docstore (ES `_source` analog) — test/tooling
+    scale; at corpus scale read the per-chunk files as a Dataset."""
+    files = docstore_files(index_dir)
+    if not files:
+        raise FileNotFoundError(f"no docstore slices under {index_dir}")
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
 def load_global_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)

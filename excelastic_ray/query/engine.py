@@ -358,10 +358,19 @@ class QueryEngine:
         if use_actors:
             import ray
 
+            # Fixed pool sized to the cluster: each actor serves a
+            # contiguous group of shards and merges locally, so the pool
+            # never demands more CPUs than exist (16 shards on an 8-CPU
+            # node = 8 actors x 2 shards).
+            cpus = max(1, int(ray.cluster_resources().get("CPU", 1)) - 1)
+            n_actors = max(1, min(self.reader.num_shards, cpus))
+            groups: list[list[str]] = [[] for _ in range(n_actors)]
+            for s in range(self.reader.num_shards):
+                groups[s % n_actors].append(self.reader.shard_path(s))
             actor_cls = ray.remote(num_cpus=1)(ShardActor)
             self._actors = [
-                actor_cls.remote(self.reader.shard_path(s), self.reader.cfg.to_dict())
-                for s in range(self.reader.num_shards)
+                actor_cls.remote(paths, self.reader.cfg.to_dict())
+                for paths in groups
             ]
 
     # -- core ------------------------------------------------------------
@@ -432,14 +441,21 @@ class QueryEngine:
 
 
 class ShardActor:
-    """Ray actor serving one shard (instantiated via ray.remote in
-    QueryEngine; kept import-safe as a plain class)."""
+    """Ray actor serving a group of shards (instantiated via ray.remote
+    in QueryEngine; kept import-safe as a plain class). df sums and
+    top-k merge over its group happen locally, so the driver always
+    merges exactly pool-size results."""
 
-    def __init__(self, shard_path: str, config_dict: dict):
-        self.searcher = ShardSearcher(shard_path, IndexConfig.from_dict(config_dict))
+    def __init__(self, shard_paths: list[str], config_dict: dict):
+        cfg = IndexConfig.from_dict(config_dict)
+        self.searchers = [ShardSearcher(p, cfg) for p in shard_paths]
 
     def dfs(self, terms: list[str]) -> list[int]:
-        return self.searcher.dfs(terms)
+        totals = np.zeros(len(terms), dtype=np.int64)
+        for s in self.searchers:
+            totals += np.asarray(s.dfs(terms), dtype=np.int64)
+        return totals.tolist()
 
     def topk(self, terms, idfs, avgdl, k, algo):
-        return self.searcher.topk(terms, idfs, avgdl, k, algo)
+        parts = [s.topk(terms, idfs, avgdl, k, algo) for s in self.searchers]
+        return _merge_shard_topk(parts, k)

@@ -113,9 +113,11 @@ def test_df_and_global_stats(tiny_index, tiny_oracle, query_set):
 def test_docid_order_is_conv_turn_order(tiny_index):
     """Docid ascending == (conv_id, turn_idx) lexicographic — the stable
     turn ordering invariant (ExcelParser.java:147-153 analog)."""
+    from excelastic_ray.index.segments import read_docstore
+
     d, _ = tiny_index
     r = IndexReader(d)
-    store = pq.read_table(os.path.join(d, "docstore"))
+    store = read_docstore(d)
     docids = np.sort(store["docid"].to_numpy())
     conv, turn = r.keys_of(docids)
     order = np.lexsort((turn, conv.astype(str)))
@@ -125,8 +127,10 @@ def test_docid_order_is_conv_turn_order(tiny_index):
 def test_docstore_text_equality(tiny_index, tiny_table):
     """Per-turn text equality vs the source Parquet under stable turn
     ordering (the input_hint per-row invariant)."""
+    from excelastic_ray.index.segments import read_docstore
+
     d, _ = tiny_index
-    store = pq.read_table(os.path.join(d, "docstore")).to_pandas()
+    store = read_docstore(d).to_pandas()
     src = tiny_table.select(["conv_id", "turn_idx", "text"]).to_pandas()
     store = store.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
