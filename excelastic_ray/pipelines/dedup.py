@@ -60,21 +60,30 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(vals))
 
 
+N_BUCKETS = 64  # coarse shuffle buckets: a Ray groupby over millions of
+# tiny key groups pays per-group overhead; bucket by hash(key) % 64 and
+# run the fine-grained grouping vectorized in pandas inside each bucket.
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the min-id representative per identical text → Dataset of
     (id, content_hash) survivors. Reference note: the reference
     *appends* duplicates on re-import (ElasticWriter.java:186-194 only
     branches on clear) — dedup is the training-data extension."""
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select([id_col, "content_hash"]),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, text_col).select([id_col, "content_hash"])
+        bucket = t["content_hash"].to_numpy().view(np.uint64) % N_BUCKETS
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow",
+                            batch_size=8192)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+        g = g.sort_values(id_col, kind="mergesort")
+        return g.drop_duplicates("content_hash")[[id_col, "content_hash"]]
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(keep_first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -167,12 +176,56 @@ def _band_rows(batch: pa.Table, id_col: str, bands: int, rows_per_band: int) -> 
     )
 
 
-def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 512) -> pd.DataFrame:
-    ids = np.sort(g[id_col].to_numpy())
-    if len(ids) < 2 or len(ids) > max_group:
-        return pd.DataFrame({"a": [], "b": []})
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+def _pairs_within(df: pd.DataFrame, key_cols: list[str], id_col: str,
+                  extra_col: str | None = None,
+                  max_group: int = 512) -> pd.DataFrame:
+    """All (a < b) pairs within each fine-grained key group of ``df``
+    (vectorized pandas path; groups larger than max_group are dropped —
+    degenerate buckets, logged by size in the caller's counters)."""
+    out_a, out_b, out_x = [], [], []
+    for _, g in df.groupby(key_cols, sort=False):
+        if len(g) < 2 or len(g) > max_group:
+            continue
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        ai, bi = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bi])
+        if extra_col is not None:
+            x = g[extra_col].to_numpy()
+            out_x.append((x[ai], x[bi]))
+    if not out_a:
+        cols = {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
+        if extra_col is not None:
+            cols[f"{extra_col}_a"] = np.zeros(0, np.int64)
+            cols[f"{extra_col}_b"] = np.zeros(0, np.int64)
+        return pd.DataFrame(cols)
+    cols = {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    if extra_col is not None:
+        cols[f"{extra_col}_a"] = np.concatenate([x[0] for x in out_x])
+        cols[f"{extra_col}_b"] = np.concatenate([x[1] for x in out_x])
+    return pd.DataFrame(cols)
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) rows via coarse pair-hash buckets + pandas."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                b["a"].to_numpy().view(np.uint64) * _C1
+                ^ b["b"].to_numpy().view(np.uint64) * _C2
+            ) % N_BUCKETS
+        return b.append_column("pb", pa.array(h.astype(np.int64)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        pairs_ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("pb")
+        .map_groups(uniq, batch_format="pandas")
+    )
 
 
 def minhash_candidates(
@@ -196,14 +249,12 @@ def minhash_candidates(
         batch_format="pyarrow",
         batch_size=4096,
     )
-    pairs = band_rows.groupby(["band", "bh"]).map_groups(
-        lambda g: _pairs_from_groups(g, id_col), batch_format="pandas"
+    # one Ray group per band (16 coarse groups); the fine (band_hash)
+    # grouping runs vectorized in pandas inside each
+    pairs = band_rows.groupby("band").map_groups(
+        lambda g: _pairs_within(g, ["bh"], id_col), batch_format="pandas"
     )
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
+    return _dedup_pairs(pairs)
 
 
 def verify_jaccard(
@@ -324,29 +375,45 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2 or len(ids) > 512:
+    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cand = _pairs_within(g, ["segval"], id_col, extra_col="simhash")
+        if not len(cand):
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        ham = np.asarray(
-            [bin(int(hs[x] ^ hs[y])).count("1") for x, y in zip(ai, bi)],
-            dtype=np.int64,
-        )
+        xor = cand["simhash_a"].to_numpy().view(np.uint64) ^ cand[
+            "simhash_b"
+        ].to_numpy().view(np.uint64)
+        ham = np.asarray([bin(int(x)).count("1") for x in xor], dtype=np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
-            {"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]}
+            {
+                "a": cand["a"].to_numpy()[keep],
+                "b": cand["b"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
         )
 
+    # one Ray group per 16-bit segment (4 coarse groups)
     pairs = (
         sigs.map_batches(seg_rows, batch_format="pyarrow", batch_size=4096)
-        .groupby(["seg", "segval"])
-        .map_groups(group_pairs, batch_format="pandas")
+        .groupby("seg")
+        .map_groups(seg_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                b["a"].to_numpy().view(np.uint64) * _C1
+                ^ b["b"].to_numpy().view(np.uint64) * _C2
+            ) % N_BUCKETS
+        return b.append_column("pb", pa.array(h.astype(np.int64)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
+    return (
+        pairs.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("pb")
+        .map_groups(uniq, batch_format="pandas")
     )
 
 
