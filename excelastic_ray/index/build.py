@@ -150,18 +150,21 @@ class StampChunk:
     dropped here, BEFORE the shuffle, so finished partitions cost
     nothing on a resumed build."""
 
-    def __init__(self, conv_ref, config_dict: dict, skip_chunks=()):
+    def __init__(self, conv_ref, config_dict: dict, skip_chunks=(),
+                 rank_offset: int = 0):
         import ray
 
         self.index = pd.Index(ray.get(conv_ref))
         self.cfg = IndexConfig.from_dict(config_dict)
         self.skip = np.asarray(sorted(skip_chunks), dtype=np.int64)
+        self.rank_offset = int(rank_offset)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         ranks = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
         if (ranks < 0).any():
             raise ValidationError("conv_id not seen in validation pass")
+        ranks = ranks + self.rank_offset
         turn = batch["turn_idx"].to_numpy().astype(np.int64)
         docids = (ranks.astype(np.int64) << cfg.turn_bits) | turn
         chunks = ranks.astype(np.int64) >> cfg.convs_per_chunk_bits
@@ -450,6 +453,78 @@ class SegmentMerger:
 # ---------------------------------------------------------------------------
 
 
+def _store_cols(config: IndexConfig, schema_names: set[str]) -> list[str]:
+    return (
+        [c for c in TRANSCRIPT_COLUMNS if c in schema_names and c != "docid"]
+        if config.store_source
+        else []
+    )
+
+
+def _chunk_phase(
+    ds,
+    conv_ref,
+    config: IndexConfig,
+    index_dir: str,
+    skip: list[int],
+    cpus: int,
+    store_cols: list[str],
+    rank_offset: int = 0,
+) -> pd.DataFrame:
+    """stamp → chunk shuffle → fused tokenize + level-0 segment writes."""
+    carry_cols = sorted({"conv_id", "turn_idx", *config.index_fields, *store_cols})
+    # Leave headroom for the read + shuffle task pools: an actor pool
+    # that reserves every CPU deadlocks the streaming executor.
+    pool = max(1, cpus - 2)
+    stamped = ds.select_columns(carry_cols).map_batches(
+        StampChunk,
+        fn_constructor_args=(conv_ref, config.to_dict(), skip, rank_offset),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=pool,
+        num_cpus=1,
+    )
+    return (
+        stamped.groupby("chunk")
+        .map_groups(
+            make_chunk_builder(index_dir, config.to_dict(), store_cols),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+
+
+def _merge_phase(
+    index_dir: str,
+    config: IndexConfig,
+    chunk_ids: list[int],
+    num_shards: int,
+    cpus: int,
+) -> int:
+    """Merge level-0 chunk segments into shards; returns shard bytes.
+    Mergers skip shards whose chunk set is unchanged (manifest check)."""
+    import ray.data as rd
+
+    shard_rows = [
+        {"shard": s, "chunks": [c for c in chunk_ids if c % num_shards == s]}
+        for s in range(num_shards)
+    ]
+    merge_pool = max(1, min(num_shards, cpus - 1))
+    merged = (
+        rd.from_items(shard_rows)
+        .map_batches(
+            SegmentMerger,
+            fn_constructor_args=(index_dir, config.to_dict()),
+            batch_format="pandas",
+            batch_size=1,
+            concurrency=merge_pool,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return int(merged["bytes_compressed"].sum()) if len(merged) else 0
+
+
 @dataclass
 class BuildResult:
     index_dir: str
@@ -556,7 +631,12 @@ def _build_index_impl(
     conv_ref = ray.put(conv_ids)
     seg.atomic_write_parquet(
         os.path.join(index_dir, "convs.parquet"),
-        pa.table({"conv_id": pa.array(conv_ids, type=pa.string())}),
+        pa.table(
+            {
+                "rank": pa.array(np.arange(n_convs, dtype=np.int64)),
+                "conv_id": pa.array(conv_ids, type=pa.string()),
+            }
+        ),
     )
     seg.save_global_manifest(
         index_dir,
@@ -565,36 +645,12 @@ def _build_index_impl(
 
     done = seg.completed_chunks(index_dir) if resume else {}
     skip = sorted(done)
-    # Leave headroom for the read + shuffle task pools: an actor pool
-    # that reserves every CPU deadlocks the streaming executor.
-    pool = max(1, cpus - 2)
 
-    # ---- stamp → chunk shuffle → fused tokenize + level-0 segments ----
-    store_cols = (
-        [c for c in TRANSCRIPT_COLUMNS if c in schema_names and c != "docid"]
-        if config.store_source
-        else []
-    )
-    carry_cols = sorted(
-        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
-    )
+    store_cols = _store_cols(config, schema_names)
     summaries = pd.DataFrame()
     if len(skip) < n_chunks:
-        stamped = ds.select_columns(carry_cols).map_batches(
-            StampChunk,
-            fn_constructor_args=(conv_ref, config.to_dict(), skip),
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-            concurrency=pool,
-            num_cpus=1,
-        )
-        summaries = (
-            stamped.groupby("chunk")
-            .map_groups(
-                make_chunk_builder(index_dir, config.to_dict(), store_cols),
-                batch_format="pandas",
-            )
-            .to_pandas()
+        summaries = _chunk_phase(
+            ds, conv_ref, config, index_dir, skip, cpus, store_cols
         )
 
     all_chunks = seg.completed_chunks(index_dir)
@@ -609,24 +665,9 @@ def _build_index_impl(
 
     # ---- merge into shards (fixed actor pool) --------------------------
     num_shards = min(config.num_shards, n_chunks) or 1
-    shard_rows = [
-        {"shard": s, "chunks": [c for c in range(n_chunks) if c % num_shards == s]}
-        for s in range(num_shards)
-    ]
-    merge_pool = max(1, min(num_shards, cpus - 1))
-    merged = (
-        rd.from_items(shard_rows)
-        .map_batches(
-            SegmentMerger,
-            fn_constructor_args=(index_dir, config.to_dict()),
-            batch_format="pandas",
-            batch_size=1,
-            concurrency=merge_pool,
-            num_cpus=1,
-        )
-        .to_pandas()
+    shard_bytes = _merge_phase(
+        index_dir, config, sorted(all_chunks), num_shards, cpus
     )
-    shard_bytes = int(merged["bytes_compressed"].sum()) if len(merged) else 0
 
     manifest = {
         "status": "complete",
@@ -660,3 +701,184 @@ def _build_index_impl(
         chunks_skipped=len(skip),
         seconds=time.monotonic() - t0,
     )
+
+
+def append_index(
+    source,
+    index_dir: str,
+    *,
+    parallelism: int | None = None,
+) -> BuildResult:
+    """Append NEW conversations to a complete index — the "add to
+    existing index" half of the reference's clear-vs-append lifecycle
+    (``ElasticWriter.java:186-194``; the form's "Add to existing"
+    option, ``ImportEvent.java:45,62``).
+
+    New conversations are ranked after the existing corpus, starting at
+    the next chunk boundary, so every closed chunk segment is immutable
+    and only the shards receiving new chunks re-merge. Re-importing a
+    conv_id that already exists raises ``ValidationError`` (the docid
+    space cannot hold two copies of one turn; the reference would
+    silently double-index — we refuse instead). Docid order remains
+    stable *within* each import batch; across batches it is import
+    order, like ES's append semantics.
+
+    A crashed append resumes: completed new chunks are skipped by
+    manifest scan, and the in-progress append is pinned by a fingerprint
+    of its conversation set (appending *different* data over a broken
+    append is rejected).
+    """
+    import ray
+    import ray.data as rd
+    import zlib
+
+    from ray.data.context import ShuffleStrategy
+
+    t0 = time.monotonic()
+    manifest = seg.load_global_manifest(index_dir)
+    config = IndexConfig.from_dict(manifest["config"])
+    if manifest.get("status") not in ("complete", "appending"):
+        raise ValidationError(
+            f"index at {index_dir} is not complete (status="
+            f"{manifest.get('status')!r}); append needs a finished base"
+        )
+
+    ctx = rd.DataContext.get_current()
+    prior_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
+        if isinstance(source, (str, list, tuple)):
+            ds = rd.read_parquet(
+                source,
+                columns=list(TRANSCRIPT_COLUMNS),
+                override_num_blocks=max(2 * cpus, 32),
+            )
+        else:
+            ds = source
+        schema_names = set(ds.schema().names)
+        missing = {"conv_id", "turn_idx", *config.index_fields} - schema_names
+        if missing:
+            raise ValidationError(
+                f"input is missing required columns {sorted(missing)}"
+            )
+
+        new_convs = conversation_table(ds, config)
+        import pyarrow.parquet as pq
+
+        old = pq.read_table(os.path.join(index_dir, "convs.parquet"))
+        old_ids = old["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        overlap = np.intersect1d(old_ids.astype(str), new_convs.astype(str))
+        if len(overlap):
+            raise ValidationError(
+                f"conv_ids already indexed (append would duplicate turns): "
+                f"{overlap[:5].tolist()}"
+            )
+
+        fingerprint = zlib.crc32("\x00".join(map(str, new_convs)).encode())
+        base_chunks = int(manifest["n_chunks"])
+        if manifest.get("status") == "appending":
+            if manifest.get("append_fingerprint") != fingerprint:
+                raise ValidationError(
+                    "a different append is in progress; finish it with the "
+                    "same data or rebuild with clear=True"
+                )
+            base_chunks = int(manifest["append_base_chunks"])
+        else:
+            manifest = {
+                **manifest,
+                "status": "appending",
+                "append_fingerprint": fingerprint,
+                "append_base_chunks": base_chunks,
+            }
+            seg.save_global_manifest(index_dir, manifest)
+
+        base_rank = base_chunks << config.convs_per_chunk_bits
+        conv_ref = ray.put(new_convs)
+        done = seg.completed_chunks(index_dir)
+        skip = sorted(done)
+
+        store_cols = _store_cols(config, schema_names)
+        summaries = _chunk_phase(
+            ds, conv_ref, config, index_dir, skip, cpus, store_cols,
+            rank_offset=base_rank,
+        )
+
+        all_chunks = seg.completed_chunks(index_dir)
+        n_new_chunks = ((len(new_convs) - 1) >> config.convs_per_chunk_bits) + 1
+        expected = sorted(
+            set(range(base_chunks))
+            | {base_chunks + c for c in range(n_new_chunks)}
+        )
+        if sorted(all_chunks) != expected:
+            missing_c = sorted(set(expected) - set(all_chunks))
+            raise RuntimeError(f"append incomplete: missing chunks {missing_c[:10]}")
+
+        num_shards = int(manifest["num_shards"])
+        shard_bytes = _merge_phase(
+            index_dir, config, sorted(all_chunks), num_shards, cpus
+        )
+
+        # extended conv-rank table (explicit ranks: gap before base_rank)
+        new_rank = base_rank + np.arange(len(new_convs), dtype=np.int64)
+        seg.atomic_write_parquet(
+            os.path.join(index_dir, "convs.parquet"),
+            pa.table(
+                {
+                    "rank": pa.array(
+                        np.concatenate(
+                            [old["rank"].to_numpy()
+                             if "rank" in old.column_names
+                             else np.arange(len(old_ids), dtype=np.int64),
+                             new_rank]
+                        )
+                    ),
+                    "conv_id": pa.array(
+                        np.concatenate([old_ids, new_convs]), type=pa.string()
+                    ),
+                }
+            ),
+        )
+
+        n_docs = sum(m["n_docs"] for m in all_chunks.values())
+        total_dl = sum(m["total_dl"] for m in all_chunks.values())
+        n_postings = sum(m["n_postings"] for m in all_chunks.values())
+        seg_bytes = sum(m["bytes_compressed"] for m in all_chunks.values())
+        n_convs = len(old_ids) + len(new_convs)
+        out_manifest = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("append_fingerprint", "append_base_chunks")
+        }
+        out_manifest.update(
+            {
+                "status": "complete",
+                "n_docs": int(n_docs),
+                "n_convs": int(n_convs),
+                "n_chunks": int(base_chunks + n_new_chunks),
+                "total_dl": int(total_dl),
+                "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+                "n_postings": int(n_postings),
+                "segment_bytes": int(seg_bytes),
+                "shard_bytes": int(shard_bytes),
+                "chunks": {str(c): m for c, m in sorted(all_chunks.items())},
+            }
+        )
+        seg.save_global_manifest(index_dir, out_manifest)
+
+        return BuildResult(
+            index_dir=index_dir,
+            n_docs=int(n_docs),
+            n_convs=int(n_convs),
+            n_chunks=int(base_chunks + n_new_chunks),
+            num_shards=num_shards,
+            avgdl=(total_dl / n_docs) if n_docs else 0.0,
+            total_dl=int(total_dl),
+            n_postings=int(n_postings),
+            bytes_compressed=int(seg_bytes + shard_bytes),
+            chunks_built=int(len(summaries)),
+            chunks_skipped=len(skip),
+            seconds=time.monotonic() - t0,
+        )
+    finally:
+        ctx.shuffle_strategy = prior_strategy

@@ -303,11 +303,18 @@ class IndexReader:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.num_shards = self.manifest["num_shards"]
-        self.conv_ids = (
-            pq.read_table(os.path.join(index_dir, "convs.parquet"))["conv_id"]
-            .to_numpy(zero_copy_only=False)
-            .astype(object)
-        )
+        convs = pq.read_table(os.path.join(index_dir, "convs.parquet"))
+        ids = convs["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        if "rank" in convs.column_names:
+            # explicit ranks (appends leave gaps before each batch's
+            # chunk-aligned base rank) → dense rank→conv_id array
+            ranks = convs["rank"].to_numpy()
+            dense = np.empty(int(ranks.max()) + 1 if len(ranks) else 0,
+                             dtype=object)
+            dense[ranks] = ids
+            self.conv_ids = dense
+        else:
+            self.conv_ids = ids
         self._searchers: dict[int, ShardSearcher] = {}
 
     def shard_path(self, s: int) -> str:

@@ -1,0 +1,87 @@
+"""Append lifecycle: add new conversations to a complete index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from excelastic_ray.index.build import ValidationError, append_index, build_index
+from excelastic_ray.query.engine import QueryEngine
+from excelastic_ray.query.oracle import BM25Oracle
+
+
+def _split_corpus(tiny_table):
+    convs = sorted(set(tiny_table["conv_id"].to_pylist()))
+    cut = set(convs[: len(convs) // 2])
+    mask = pa.array([c in cut for c in tiny_table["conv_id"].to_pylist()])
+    return tiny_table.filter(mask), tiny_table.filter(pa.compute.invert(mask))
+
+
+@pytest.fixture(scope="module")
+def appended_index(tmp_path_factory, tiny_table, tiny_config):
+    import ray.data as rd
+
+    base_t, new_t = _split_corpus(tiny_table)
+    d = str(tmp_path_factory.mktemp("append") / "idx")
+    build_index(rd.from_arrow(base_t), d, tiny_config, clear=True)
+    res = append_index(rd.from_arrow(new_t), d)
+    return d, res, base_t, new_t
+
+
+def test_append_counts_and_stats(appended_index, tiny_table, tiny_oracle):
+    d, res, base_t, new_t = appended_index
+    assert res.n_docs == tiny_table.num_rows
+    assert res.n_convs == 120
+    assert res.avgdl == pytest.approx(tiny_oracle.avgdl)
+
+
+def test_append_scores_match_combined_oracle(appended_index, tiny_oracle, query_set):
+    """Global stats (N, avgdl, df) after append equal a from-scratch
+    build; scores are docid-independent, so the full (conv, turn, score)
+    result set must match the combined-corpus oracle exactly (k large
+    enough to capture every match, so tie ordering is irrelevant)."""
+    d, *_ = appended_index
+    eng = QueryEngine(d)
+    for q in query_set:
+        expect = {
+            (tiny_oracle.keys_of(docid), round(score, 12))
+            for docid, score in tiny_oracle.search(q, 10_000)
+        }
+        t = eng.search(q, 10_000)
+        got = {
+            ((c, ti), round(s, 12))
+            for c, ti, s in zip(
+                t["conv_id"].to_pylist(),
+                t["turn_idx"].to_pylist(),
+                t["score"].to_pylist(),
+            )
+        }
+        assert got == expect, q
+
+
+def test_append_rejects_duplicate_convs(appended_index):
+    import ray.data as rd
+
+    d, _, base_t, _ = appended_index
+    with pytest.raises(ValidationError):
+        append_index(rd.from_arrow(base_t.slice(0, 20)), d)
+
+
+def test_append_docstore_complete(appended_index, tiny_table):
+    from excelastic_ray.index.segments import read_docstore
+
+    d, *_ = appended_index
+    store = read_docstore(d, columns=["conv_id", "turn_idx"]).to_pandas()
+    src = tiny_table.select(["conv_id", "turn_idx"]).to_pandas()
+    got = set(zip(store["conv_id"], store["turn_idx"]))
+    want = set(zip(src["conv_id"], src["turn_idx"]))
+    assert got == want
+
+
+def test_append_requires_complete_base(tmp_path, tiny_table, tiny_config):
+    import ray.data as rd
+
+    d = str(tmp_path / "noidx")
+    with pytest.raises((ValidationError, FileNotFoundError)):
+        append_index(rd.from_arrow(tiny_table.slice(0, 10)), d)
