@@ -549,6 +549,7 @@ def build_index(
     clear: bool = False,
     resume: bool = True,
     parallelism: int | None = None,
+    transforms: list | None = None,
 ) -> BuildResult:
     """Build (or resume building) an index over a transcript corpus.
 
@@ -557,6 +558,11 @@ def build_index(
     (the reference's clear-vs-append lifecycle,
     ``ElasticWriter.java:186-194``); with ``resume=True`` (default) a
     partially-built index is completed, skipping finished chunks.
+
+    ``transforms``: optional list of batch UDFs (Arrow table → Arrow
+    table) applied between read and validation — the ES ingest-pipeline
+    knob (``ImportEvent.java:44,61``; README.md:16) re-expressed as
+    ``map_batches`` stages. Each must preserve the transcript schema.
     """
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
@@ -569,7 +575,7 @@ def build_index(
     try:
         return _build_index_impl(
             source, index_dir, config, clear=clear, resume=resume,
-            parallelism=parallelism,
+            parallelism=parallelism, transforms=transforms,
         )
     finally:
         ctx.shuffle_strategy = prior_strategy
@@ -583,6 +589,7 @@ def _build_index_impl(
     clear: bool,
     resume: bool,
     parallelism: int | None,
+    transforms: list | None = None,
 ) -> BuildResult:
     import ray
     import ray.data as rd
@@ -618,6 +625,9 @@ def _build_index_impl(
         )
     else:
         ds = source
+
+    for t in transforms or ():
+        ds = ds.map_batches(t, batch_format="pyarrow")
 
     schema_names = set(ds.schema().names)
     missing = {"conv_id", "turn_idx", *config.index_fields} - schema_names
@@ -882,3 +892,32 @@ def append_index(
         )
     finally:
         ctx.shuffle_strategy = prior_strategy
+
+
+def build_status(index_dir: str) -> dict:
+    """Progress accounting for a (possibly in-flight) build — the analog
+    of the reference's per-import progress percent published over the
+    event bus (``ElasticWriter.java:147-156``): percent = finished
+    chunks / expected chunks, plus the per-partition counters (turns
+    tokenized, postings emitted, bytes compressed) from the chunk
+    manifests."""
+    try:
+        manifest = seg.load_global_manifest(index_dir)
+    except FileNotFoundError:
+        return {"status": "absent", "percent": 0.0}
+    done = seg.completed_chunks(index_dir)
+    n_convs = manifest.get("n_convs", 0)
+    cfg = IndexConfig.from_dict(manifest["config"])
+    expected = manifest.get(
+        "n_chunks",
+        ((n_convs - 1) >> cfg.convs_per_chunk_bits) + 1 if n_convs else 0,
+    )
+    return {
+        "status": manifest.get("status"),
+        "chunks_done": len(done),
+        "chunks_expected": int(expected),
+        "percent": round(100.0 * len(done) / expected, 2) if expected else 0.0,
+        "turns_tokenized": sum(m["n_docs"] for m in done.values()),
+        "postings_emitted": sum(m["n_postings"] for m in done.values()),
+        "bytes_compressed": sum(m["bytes_compressed"] for m in done.values()),
+    }

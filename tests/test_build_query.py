@@ -251,3 +251,43 @@ def test_empty_text_counts_toward_stats(tmp_path, tiny_config):
     oracle = BM25Oracle(t, tiny_config)
     eng = QueryEngine(d)
     assert eng.search_topk("hello", 5) == oracle.search("hello", 5)
+
+
+def test_ingest_transforms_and_build_status(tmp_path, tiny_config):
+    """ES ingest-pipeline knob (ImportEvent.java:44,61) + progress
+    accounting (ElasticWriter.java:147-156 analogs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from excelastic_ray.index.build import build_status
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+            "text": ["Hello WORLD", "MiXeD Case", "UPPER"],
+        }
+    )
+
+    def lower_text(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pc.utf8_lower(batch["text"]),
+        )
+
+    d = str(tmp_path / "i_tr")
+    build_index(rd.from_arrow(t), d, tiny_config, clear=True,
+                transforms=[lower_text])
+    from excelastic_ray.index.segments import read_docstore
+
+    store = read_docstore(d, columns=["text"])
+    assert set(store["text"].to_pylist()) == {"hello world", "mixed case", "upper"}
+
+    st = build_status(d)
+    assert st["status"] == "complete"
+    assert st["percent"] == 100.0
+    assert st["turns_tokenized"] == 3
+    assert st["postings_emitted"] > 0
+    assert build_status(str(tmp_path / "nope"))["status"] == "absent"
