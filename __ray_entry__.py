@@ -203,6 +203,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10
         )
 
+    def q_ann_ivf_topk(sf_dir):
+        import ray.data as rd
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids, mat = dedup.collect_embedding_matrix(emb)
+        qmask = ids < 5
+        return similarity.ivf_topk(
+            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10,
+            n_centroids=16, nprobe=4,
+        )
+
     def q_sessionize(sf_dir):
         import ray.data as rd
 
@@ -261,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
         "media_decode": q_media_decode,

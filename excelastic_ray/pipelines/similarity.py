@@ -6,10 +6,16 @@
   k-sized merge per query runs in a tiny groupby. At 100 TB this is
   the baseline scan: O(n·q·d) flops streamed with no shuffle of the
   embedding data itself.
-- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH
+- :func:`lsh_bucket_topk` — scale path A: random-hyperplane LSH
   buckets (signed projections → bucket id) built per batch; queries
   probe only their own bucket (plus optional neighbor probes).
   Approximate — recall depends on bucket bits/probes.
+- :func:`ivf_topk` — scale path B: IVF (inverted-file) index.
+  Deterministic k-means centroids (seeded init + fixed Lloyd
+  iterations, each iteration = one map_batches partial-sum pass +
+  driver combine), vectors assigned to their nearest centroid, queries
+  scored only against the ``nprobe`` nearest cells. Approximate;
+  recall grows with nprobe (nprobe == n_centroids → exact).
 """
 
 from __future__ import annotations
@@ -162,6 +168,141 @@ def lsh_bucket_topk(
 
     partials = ds.map_batches(
         BucketScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        batch_size=4096, concurrency=2, num_cpus=1,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        cos = g["cos"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy()[order],
+                id_col: ids[order],
+                "cos": trunc6(cos[order]),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def kmeans_centroids(
+    ds,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> np.ndarray:
+    """Deterministic distributed k-means over normalized vectors.
+
+    Init: seeded gaussian directions (data-independent → deterministic
+    regardless of partitioning). Each Lloyd iteration is one
+    ``map_batches`` pass emitting per-batch (sum, count) partials per
+    centroid and a driver-side combine — the partial+final pattern, so
+    the shuffle moves n_centroids×dim floats per batch, never vectors.
+    """
+    import ray
+
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first[vec_col][0])
+    rng = np.random.default_rng(seed)
+    cents = _normalize(rng.standard_normal((n_centroids, dim)))
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        class Partial:
+            def __init__(self, ref):
+                self.cents = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                mat = _normalize(_as_matrix(batch[vec_col]))
+                assign = (mat @ self.cents.T).argmax(axis=1)
+                k, d = self.cents.shape
+                sums = np.zeros((k, d))
+                np.add.at(sums, assign, mat)
+                counts = np.bincount(assign, minlength=k)
+                return pd.DataFrame(
+                    {
+                        "cid": np.arange(k, dtype=np.int64),
+                        "n": counts,
+                        "vsum": [sums[i].tobytes() for i in range(k)],
+                    }
+                )
+
+        parts = ds.map_batches(
+            Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
+            batch_size=4096, concurrency=2, num_cpus=1,
+        ).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[int(row["cid"])] += np.frombuffer(row["vsum"], dtype=np.float64)
+            counts[int(row["cid"])] += int(row["n"])
+        nonzero = counts > 0
+        cents = cents.copy()
+        cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+):
+    """Approximate cosine top-k via an IVF coarse quantizer: each query
+    scores only the vectors assigned to its ``nprobe`` nearest centroid
+    cells. Same output schema as :func:`cosine_topk`; with nprobe ==
+    n_centroids this is exactly the brute-force result."""
+    import ray
+
+    cents = kmeans_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)), dtype=np.int64
+    )
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (q × nprobe)
+    ref = ray.put((qids, q, cents, probes))
+
+    class CellScore:
+        def __init__(self, ref, k):
+            self.qids, self.q, self.cents, self.probes = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            mat = _normalize(_as_matrix(batch[vec_col]))
+            assign = (mat @ self.cents.T).argmax(axis=1)
+            frames = []
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.probes[j])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                col = mat[mask] @ self.q[j]
+                kk = min(self.k, len(sub_ids))
+                order = np.lexsort((sub_ids, -col))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qid),
+                            id_col: sub_ids[order],
+                            "cos": col[order],
+                        }
+                    )
+                )
+            if not frames:
+                return pd.DataFrame({"query_id": [], id_col: [], "cos": []})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(
+        CellScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
         batch_size=4096, concurrency=2, num_cpus=1,
     )
 

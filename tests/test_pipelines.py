@@ -233,3 +233,36 @@ def test_term_df_partial_final(ray_session):
     assert out.loc["a", "df"] == 1 and out.loc["a", "cf"] == 2
     assert out.loc["b", "df"] == 2 and out.loc["b", "cf"] == 2
     assert out.loc["c", "df"] == 1 and out.loc["c", "cf"] == 1
+
+
+def test_ivf_full_probe_equals_exact(ray_session, emb_ds):
+    """nprobe == n_centroids makes IVF exhaustive → identical to the
+    brute-force exact result."""
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import cosine_topk, ivf_topk
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    q = mat[:3]
+    exact = cosine_topk(emb_ds, q, query_ids=[0, 1, 2], k=7).to_pandas()
+    full = ivf_topk(
+        emb_ds, q, query_ids=[0, 1, 2], k=7, n_centroids=8, nprobe=8
+    ).to_pandas()
+    key = ["query_id", "vec_id", "cos"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+
+
+def test_ivf_partial_probe_subset(ray_session, emb_ds):
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import cosine_topk, ivf_topk
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    q = mat[:2]
+    exact = cosine_topk(emb_ds, q, query_ids=[0, 1], k=100).to_pandas()
+    approx = ivf_topk(
+        emb_ds, q, query_ids=[0, 1], k=5, n_centroids=8, nprobe=2
+    ).to_pandas()
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    # every IVF hit is a real vector with a correctly computed cosine
+    assert (merged["cos_a"] == merged["cos_e"]).all()
