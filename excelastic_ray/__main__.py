@@ -1,0 +1,122 @@
+"""CLI — the ``java -jar excelastic.jar <file> <index> [--clear] ...``
+analog (``/root/reference/src/main/java/com/codingchili/excelastic/
+CommandLine.java:32-64`` + ``ApplicationLauncher.java:46-48``).
+
+    python -m excelastic_ray build  <src.parquet|dir> <index_dir> [--clear]
+                                    [--shards N] [--turn-bits N] [--no-store]
+    python -m excelastic_ray append <src> <index_dir>
+    python -m excelastic_ray search <index_dir> "query terms" [-k N]
+                                    [--filter role=user] [--actors]
+    python -m excelastic_ray status <index_dir>
+
+Owns the Ray session (library code never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="excelastic_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("src")
+    b.add_argument("index_dir")
+    b.add_argument("--clear", action="store_true")
+    b.add_argument("--shards", type=int, default=None)
+    b.add_argument("--turn-bits", type=int, default=None)
+    b.add_argument("--no-store", action="store_true")
+
+    a = sub.add_parser("append")
+    a.add_argument("src")
+    a.add_argument("index_dir")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--filter", action="append", default=[],
+                   help="attr=value (repeatable)")
+    s.add_argument("--actors", action="store_true")
+    s.add_argument("--algo", default="auto", choices=["auto", "taat", "bmw"])
+
+    st = sub.add_parser("status")
+    st.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "status":
+        from excelastic_ray.index.build import build_status
+
+        print(json.dumps(build_status(args.index_dir), indent=1))
+        return 0
+
+    import ray
+
+    _ray_up(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from excelastic_ray.config import IndexConfig
+            from excelastic_ray.index.build import build_index
+
+            overrides = {}
+            if args.shards is not None:
+                overrides["num_shards"] = args.shards
+            if args.turn_bits is not None:
+                overrides["turn_bits"] = args.turn_bits
+            if args.no_store:
+                overrides["store_source"] = False
+            res = build_index(
+                args.src, args.index_dir, IndexConfig(**overrides),
+                clear=args.clear,
+            )
+            print(json.dumps({
+                "n_docs": res.n_docs, "n_convs": res.n_convs,
+                "n_chunks": res.n_chunks, "num_shards": res.num_shards,
+                "seconds": round(res.seconds, 2),
+                "turns_per_sec": round(res.n_docs / max(res.seconds, 1e-9), 1),
+            }))
+        elif args.cmd == "append":
+            from excelastic_ray.index.build import append_index
+
+            res = append_index(args.src, args.index_dir)
+            print(json.dumps({"n_docs": res.n_docs, "n_convs": res.n_convs,
+                              "chunks_built": res.chunks_built,
+                              "seconds": round(res.seconds, 2)}))
+        elif args.cmd == "search":
+            from excelastic_ray.query.engine import QueryEngine
+
+            filters = {}
+            for f in args.filter:
+                key, _, val = f.partition("=")
+                filters.setdefault(key, []).append(val)
+            eng = QueryEngine(args.index_dir, algo=args.algo,
+                              use_actors=args.actors)
+            t = eng.search(args.query, args.k, filters=filters or None)
+            print(t.to_pandas().to_string(index=False))
+            eng.close()
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

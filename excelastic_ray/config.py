@@ -65,6 +65,12 @@ class IndexConfig:
     # Which columns get tokenized into the index.
     index_fields: tuple[str, ...] = ("text",)
 
+    # Low-cardinality attribute columns stored per doc in the shard doc
+    # tables for filtered search (the ES filter-context analog: filters
+    # restrict results without changing BM25 stats). Absent columns are
+    # skipped.
+    attr_fields: tuple[str, ...] = ("role", "tool")
+
     # Tokenize-stage batch size (rows per map_batches call).
     batch_size: int = 4096
 
@@ -111,6 +117,7 @@ class IndexConfig:
             "num_shards": self.num_shards,
             "block_size": self.block_size,
             "index_fields": list(self.index_fields),
+            "attr_fields": list(self.attr_fields),
             "batch_size": self.batch_size,
             "store_source": self.store_source,
         }
@@ -119,4 +126,5 @@ class IndexConfig:
     def from_dict(d: dict) -> "IndexConfig":
         d = dict(d)
         d["index_fields"] = tuple(d.get("index_fields", ("text",)))
+        d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool")))
         return IndexConfig(**d)

@@ -263,14 +263,18 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
         )
         d = seg.chunk_dir(index_dir, chunk)
         nbytes = seg.atomic_write_parquet(os.path.join(d, "postings.parquet"), table)
+        doc_cols = {
+            "docid": pa.array(doc_arr, type=pa.int64()),
+            "dl": pa.array(dl_arr, type=pa.int64()),
+        }
+        for attr in cfg.attr_fields:
+            if attr in g.columns:
+                # filterable doc attribute (ES filter-context analog)
+                doc_cols[attr] = pa.array(
+                    g[attr].to_numpy(object), type=pa.string()
+                )
         nbytes += seg.atomic_write_parquet(
-            os.path.join(d, "docs.parquet"),
-            pa.table(
-                {
-                    "docid": pa.array(doc_arr, type=pa.int64()),
-                    "dl": pa.array(dl_arr, type=pa.int64()),
-                }
-            ),
+            os.path.join(d, "docs.parquet"), pa.table(doc_cols)
         )
         if store_cols:
             # docstore slice (ES `_source` analog), docid-ordered
@@ -472,7 +476,11 @@ def _chunk_phase(
     rank_offset: int = 0,
 ) -> pd.DataFrame:
     """stamp → chunk shuffle → fused tokenize + level-0 segment writes."""
-    carry_cols = sorted({"conv_id", "turn_idx", *config.index_fields, *store_cols})
+    schema_names = set(ds.schema().names)
+    carry_cols = sorted(
+        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
+        | {a for a in config.attr_fields if a in schema_names}
+    )
     # Leave headroom for the read + shuffle task pools: an actor pool
     # that reserves every CPU deadlocks the streaming executor.
     pool = max(1, cpus - 2)

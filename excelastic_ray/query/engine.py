@@ -52,6 +52,28 @@ class ShardSearcher:
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
         self.dls = docs["dl"].to_numpy().astype(np.float64)
+        # Filterable doc attributes (ES filter-context analog).
+        self.attrs = {
+            name: docs[name].to_numpy(zero_copy_only=False).astype(object)
+            for name in docs.column_names
+            if name not in ("docid", "dl")
+        }
+
+    def filter_mask(self, filters: dict | None) -> np.ndarray | None:
+        """Ordinal-space bool mask for {attr: value-or-list} filters."""
+        if not filters:
+            return None
+        mask = np.ones(len(self.docids), dtype=bool)
+        for name, want in filters.items():
+            col = self.attrs.get(name)
+            if col is None:
+                raise KeyError(
+                    f"attribute {name!r} not stored in this index "
+                    f"(have {sorted(self.attrs)})"
+                )
+            vals = [want] if isinstance(want, str) else list(want)
+            mask &= np.isin(col.astype(str), vals)
+        return mask
 
     def lookup(self, term: str) -> int:
         i = int(np.searchsorted(self.terms, term))
@@ -76,6 +98,7 @@ class ShardSearcher:
         avgdl: float,
         k: int,
         algo: str = "auto",
+        filters: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k → (docids int64, scores float64),
         ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
@@ -86,10 +109,14 @@ class ShardSearcher:
         vectorized TAAT otherwise (a doc-at-a-time Python loop can never
         beat numpy over full decode when every candidate must be scored
         anyway). Both are exact and return identical results.
+
+        ``filters``: {attr: value or list} restricts results to matching
+        docs WITHOUT changing BM25 stats (ES filter context).
         """
         present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
         if not present:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        mask = self.filter_mask(filters)
         if algo == "auto":
             dfs = np.asarray([self.df[self.lookup(t)] for t, _ in present])
             total = int(dfs.sum())
@@ -98,12 +125,12 @@ class ShardSearcher:
             )
             algo = "bmw" if selective else "taat"
         if algo == "taat":
-            return self._topk_taat(present, avgdl, k)
+            return self._topk_taat(present, avgdl, k, mask)
         if algo == "bmw":
-            return self._topk_bmw(present, avgdl, k)
+            return self._topk_bmw(present, avgdl, k, mask)
         raise ValueError(f"unknown algo {algo!r}")
 
-    def _topk_taat(self, present, avgdl, k):
+    def _topk_taat(self, present, avgdl, k, mask=None):
         """Dense term-at-a-time: accumulate into a float64 array over the
         shard's ordinal space (bounded by shard doc count). Per-doc
         contributions sum in sorted-term order — bit-identical to the
@@ -116,13 +143,15 @@ class ShardSearcher:
             acc[ids] += contribution(
                 t_idf, tfs.astype(np.float64), self.dls[ids], avgdl, cfg.k1, cfg.b
             )
+        if mask is not None:
+            acc[~mask] = 0.0
         nz = np.flatnonzero(acc)
         scores = acc[nz]
         docids = self.docids[nz]
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
-    def _topk_bmw(self, present, avgdl, k):
+    def _topk_bmw(self, present, avgdl, k, mask=None):
         cfg = self.cfg
         cursors = [
             _Cursor(t, self.posting_list(self.lookup(t)), t_idf, avgdl, cfg,
@@ -180,13 +209,14 @@ class ShardSearcher:
                 matching = sorted(
                     (c for c in cursors if c.cur == pivot_doc), key=lambda c: c.term
                 )
-                score = 0.0
-                for c in matching:  # sorted-term order → bit-identical sums
-                    score += c.score_current()
-                if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif score > heap[0][0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
+                if mask is None or mask[pivot_doc]:
+                    score = 0.0
+                    for c in matching:  # sorted-term order → bit-identical sums
+                        score += c.score_current()
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                    elif score > heap[0][0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
                 for c in matching:
                     c.advance()
             else:
@@ -392,9 +422,11 @@ class QueryEngine:
             per_shard = [r.searcher(s).dfs(terms) for s in range(r.num_shards)]
         return np.asarray(per_shard, dtype=np.int64).sum(axis=0)
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10, filters: dict | None = None):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
-        score), tie-break (score DESC, docid ASC)."""
+        score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
+        value or list}, e.g. {"role": "user"}) restricts results without
+        changing BM25 stats — the ES filter-context analog."""
         import pyarrow as pa
 
         r = self.reader
@@ -412,13 +444,17 @@ class QueryEngine:
 
                     parts = ray.get(
                         [
-                            a.topk.remote(lterms, idfs, r.avgdl, k, self.algo)
+                            a.topk.remote(
+                                lterms, idfs, r.avgdl, k, self.algo, filters
+                            )
                             for a in self._actors
                         ]
                     )
                 else:
                     parts = [
-                        r.searcher(s).topk(lterms, idfs, r.avgdl, k, self.algo)
+                        r.searcher(s).topk(
+                            lterms, idfs, r.avgdl, k, self.algo, filters
+                        )
                         for s in range(r.num_shards)
                     ]
                 docids, scores = _merge_shard_topk(parts, k)
@@ -463,6 +499,8 @@ class ShardActor:
             totals += np.asarray(s.dfs(terms), dtype=np.int64)
         return totals.tolist()
 
-    def topk(self, terms, idfs, avgdl, k, algo):
-        parts = [s.topk(terms, idfs, avgdl, k, algo) for s in self.searchers]
+    def topk(self, terms, idfs, avgdl, k, algo, filters=None):
+        parts = [
+            s.topk(terms, idfs, avgdl, k, algo, filters) for s in self.searchers
+        ]
         return _merge_shard_topk(parts, k)

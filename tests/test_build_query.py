@@ -291,3 +291,46 @@ def test_ingest_transforms_and_build_status(tmp_path, tiny_config):
     assert st["turns_tokenized"] == 3
     assert st["postings_emitted"] > 0
     assert build_status(str(tmp_path / "nope"))["status"] == "absent"
+
+
+def test_filtered_search_matches_clientside_filter(tiny_index, tiny_table):
+    """ES filter-context parity: filters restrict results WITHOUT
+    changing BM25 stats; equal to filtering an exhaustive unfiltered
+    result client-side."""
+    import pandas as pd
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    role_of = {
+        (c, t): r
+        for c, t, r in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["role"].to_pylist(),
+        )
+    }
+    for q in ("the w00001", "w00042 the to"):
+        full = eng.search(q, 10_000).to_pandas()
+        expect = full[
+            [
+                role_of[(c, t)] == "assistant"
+                for c, t in zip(full["conv_id"], full["turn_idx"])
+            ]
+        ]
+        got = eng.search(q, 10_000, filters={"role": "assistant"}).to_pandas()
+        assert list(got["docid"]) == list(expect["docid"])
+        assert list(got["score"]) == list(expect["score"])
+        # list-valued filter and both algos agree
+        got2 = eng.search(q, 10_000, filters={"role": ["assistant"]}).to_pandas()
+        assert got2["docid"].tolist() == got["docid"].tolist()
+        for algo in ("taat", "bmw"):
+            e2 = QueryEngine(d, algo=algo)
+            g = e2.search(q, 10_000, filters={"role": "assistant"}).to_pandas()
+            assert g["docid"].tolist() == got["docid"].tolist()
+
+
+def test_filtered_search_unknown_attr_raises(tiny_index):
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    with pytest.raises(KeyError):
+        eng.search("the", 5, filters={"nosuch": "x"})
