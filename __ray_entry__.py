@@ -78,7 +78,7 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
-def _bm25_table(sf_dir: str, k: int = 10):
+def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or"):
     import pyarrow as pa
 
     from excelastic_ray.pipelines.textstats import trunc6
@@ -87,7 +87,7 @@ def _bm25_table(sf_dir: str, k: int = 10):
     eng = QueryEngine(_index_for(sf_dir), algo="auto")
     parts = []
     for qid, q in BM25_QUERIES:
-        t = eng.search(q, k)
+        t = eng.search(q, k, mode=mode)
         parts.append(
             pa.table(
                 {
@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_bm25_topk(sf_dir):
         return _bm25_table(sf_dir)
+
+    def q_bm25_and_topk(sf_dir):
+        return _bm25_table(sf_dir, mode="and")
 
     def q_doc_keys(sf_dir):
         from excelastic_ray.index.segments import read_docstore
@@ -258,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_and_topk": q_bm25_and_topk,
         "doc_keys": q_doc_keys,
         "index_stats": q_index_stats,
         "term_df": q_term_df,
@@ -300,11 +304,16 @@ def _stop_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
         for t in sorted(set(q.lower().split()))
+    )
+    and_clause = (
+        "JOIN qn ON qn.query_id = scored.query_id AND scored.nmatch = qn.nt"
+        if conjunctive
+        else ""
     )
     return (
         _BASE
@@ -320,8 +329,10 @@ tf AS (
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 q(query_id, term) AS (VALUES
         {vals}),
+qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
 scored AS (
     SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           count(*) AS nmatch,
            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
                 * tf.tf * 2.2
                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
@@ -332,10 +343,11 @@ scored AS (
     CROSS JOIN stats s
     GROUP BY q.query_id, tf.conv_id, tf.turn_idx
 )
-SELECT query_id, conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
-FROM scored
+SELECT scored.query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored {and_clause}
 QUALIFY row_number() OVER (
-    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+    PARTITION BY scored.query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """
     )
 
@@ -350,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_and_topk": _bm25_sql(conjunctive=True),
         "doc_keys": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT conv_id, turn_idx,

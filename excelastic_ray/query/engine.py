@@ -99,6 +99,7 @@ class ShardSearcher:
         k: int,
         algo: str = "auto",
         filters: dict | None = None,
+        n_required: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k → (docids int64, scores float64),
         ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
@@ -112,9 +113,17 @@ class ShardSearcher:
 
         ``filters``: {attr: value or list} restricts results to matching
         docs WITHOUT changing BM25 stats (ES filter context).
+
+        ``n_required`` > 0 keeps only docs matching at least that many
+        GLOBAL query terms (== len(global live terms) → conjunctive AND,
+        the ES ``operator=and`` analog; scores unchanged, OR-identical).
         """
         present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
         if not present:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        if n_required > len(present):
+            # a required term has no postings in this shard → no doc here
+            # can match all required terms
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         mask = self.filter_mask(filters)
         if algo == "auto":
@@ -123,14 +132,14 @@ class ShardSearcher:
             selective = total > 65536 and len(present) > 1 and (
                 dfs.min() * 20 < dfs.max()
             )
-            algo = "bmw" if selective else "taat"
+            algo = "bmw" if (selective and not n_required) else "taat"
         if algo == "taat":
-            return self._topk_taat(present, avgdl, k, mask)
+            return self._topk_taat(present, avgdl, k, mask, n_required)
         if algo == "bmw":
-            return self._topk_bmw(present, avgdl, k, mask)
+            return self._topk_bmw(present, avgdl, k, mask, n_required)
         raise ValueError(f"unknown algo {algo!r}")
 
-    def _topk_taat(self, present, avgdl, k, mask=None):
+    def _topk_taat(self, present, avgdl, k, mask=None, n_required=0):
         """Dense term-at-a-time: accumulate into a float64 array over the
         shard's ordinal space (bounded by shard doc count). Per-doc
         contributions sum in sorted-term order — bit-identical to the
@@ -138,11 +147,18 @@ class ShardSearcher:
         so nonzero slots == matched docs."""
         cfg = self.cfg
         acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
         for t, t_idf in present:
             ids, tfs = self.posting_list(self.lookup(t)).decode_all()
             acc[ids] += contribution(
                 t_idf, tfs.astype(np.float64), self.dls[ids], avgdl, cfg.k1, cfg.b
             )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
         if mask is not None:
             acc[~mask] = 0.0
         nz = np.flatnonzero(acc)
@@ -151,7 +167,7 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
-    def _topk_bmw(self, present, avgdl, k, mask=None):
+    def _topk_bmw(self, present, avgdl, k, mask=None, n_required=0):
         cfg = self.cfg
         cursors = [
             _Cursor(t, self.posting_list(self.lookup(t)), t_idf, avgdl, cfg,
@@ -209,7 +225,9 @@ class ShardSearcher:
                 matching = sorted(
                     (c for c in cursors if c.cur == pivot_doc), key=lambda c: c.term
                 )
-                if mask is None or mask[pivot_doc]:
+                if (mask is None or mask[pivot_doc]) and (
+                    len(matching) >= n_required
+                ):
                     score = 0.0
                     for c in matching:  # sorted-term order → bit-identical sums
                         score += c.score_current()
@@ -422,13 +440,18 @@ class QueryEngine:
             per_shard = [r.searcher(s).dfs(terms) for s in range(r.num_shards)]
         return np.asarray(per_shard, dtype=np.int64).sum(axis=0)
 
-    def search(self, query: str, k: int = 10, filters: dict | None = None):
+    def search(self, query: str, k: int = 10, filters: dict | None = None,
+               mode: str = "or"):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
-        changing BM25 stats — the ES filter-context analog."""
+        changing BM25 stats — the ES filter-context analog. ``mode``:
+        "or" (default ES match behavior) or "and" (operator=and — every
+        query term must match; scores identical to "or")."""
         import pyarrow as pa
 
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
         r = self.reader
         terms = query_terms(query)
         docids = np.zeros(0, dtype=np.int64)
@@ -436,7 +459,9 @@ class QueryEngine:
         if terms and r.n_docs:
             dfs = self._global_dfs(terms)
             live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
-            if live:
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
                 lterms = [t for t, _ in live]
                 idfs = [idf(r.n_docs, d) for _, d in live]
                 if self._actors is not None:
@@ -445,7 +470,8 @@ class QueryEngine:
                     parts = ray.get(
                         [
                             a.topk.remote(
-                                lterms, idfs, r.avgdl, k, self.algo, filters
+                                lterms, idfs, r.avgdl, k, self.algo, filters,
+                                n_required,
                             )
                             for a in self._actors
                         ]
@@ -453,7 +479,8 @@ class QueryEngine:
                 else:
                     parts = [
                         r.searcher(s).topk(
-                            lterms, idfs, r.avgdl, k, self.algo, filters
+                            lterms, idfs, r.avgdl, k, self.algo, filters,
+                            n_required,
                         )
                         for s in range(r.num_shards)
                     ]
@@ -499,8 +526,9 @@ class ShardActor:
             totals += np.asarray(s.dfs(terms), dtype=np.int64)
         return totals.tolist()
 
-    def topk(self, terms, idfs, avgdl, k, algo, filters=None):
+    def topk(self, terms, idfs, avgdl, k, algo, filters=None, n_required=0):
         parts = [
-            s.topk(terms, idfs, avgdl, k, algo, filters) for s in self.searchers
+            s.topk(terms, idfs, avgdl, k, algo, filters, n_required)
+            for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

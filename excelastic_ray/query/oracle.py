@@ -46,13 +46,19 @@ class BM25Oracle:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, ()))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact top-k [(docid, score)] — score DESC, docid ASC ties."""
+    def search(self, query: str, k: int = 10,
+               mode: str = "or") -> list[tuple[int, float]]:
+        """Exact top-k [(docid, score)] — score DESC, docid ASC ties.
+        ``mode="and"``: every query term must match (ES operator=and)."""
+        terms = query_terms(query)
         scores: dict[int, float] = {}
-        for t in query_terms(query):
+        hits: dict[int, int] = {}
+        n_live = 0
+        for t in terms:
             plist = self.postings.get(t)
             if not plist:
                 continue
+            n_live += 1
             t_idf = idf(self.n_docs, len(plist))
             for docid in sorted(plist):
                 scores[docid] = scores.get(docid, 0.0) + float(
@@ -65,6 +71,11 @@ class BM25Oracle:
                         self.cfg.b,
                     )
                 )
+                hits[docid] = hits.get(docid, 0) + 1
+        if mode == "and":
+            if n_live < len(terms):
+                return []
+            scores = {d: s for d, s in scores.items() if hits[d] == n_live}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

@@ -334,3 +334,27 @@ def test_filtered_search_unknown_attr_raises(tiny_index):
     eng = QueryEngine(d)
     with pytest.raises(KeyError):
         eng.search("the", 5, filters={"nosuch": "x"})
+
+
+def test_and_mode_matches_oracle(engines, tiny_index, tiny_oracle, query_set):
+    """ES operator=and parity: every query term must match; scores are
+    identical to OR mode; rank identity vs the oracle holds."""
+    d, _ = tiny_index
+    for algo in ("taat", "bmw", "auto"):
+        eng = QueryEngine(d, algo=algo)
+        for q in query_set:
+            expect = tiny_oracle.search(q, 25, mode="and")
+            t = eng.search(q, 25, mode="and")
+            got = list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
+            assert got == expect, (algo, q)
+            # AND results are a subset of OR results with equal scores
+            or_scores = dict(tiny_oracle.search(q, 100_000))
+            for docid, score in got:
+                assert or_scores[docid] == score
+
+
+def test_and_mode_absent_term_empty(tiny_index):
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    assert eng.search("the zz_never_seen", 10, mode="and").num_rows == 0
+    assert eng.search("the", 10, mode="or").num_rows > 0
