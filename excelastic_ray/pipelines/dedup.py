@@ -1,5 +1,7 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+"""Deduplication operators: exact, MinHash+LSH (Broder, SEQUENCES 1997;
+banding per Leskovec/Rajaraman/Ullman "Mining of Massive Datasets"
+ch. 3), SimHash (Charikar, STOC 2002), n-gram Jaccard, embedding-cosine
+near-dup.
 
 Scale shapes (10^12-doc reasoning, exercised at test scale):
 

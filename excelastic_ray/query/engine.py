@@ -12,10 +12,11 @@ Two scoring algorithms, required to be result-identical (tests assert):
 - ``taat`` — vectorized term-at-a-time over fully decoded postings
   (numpy); the fastest at small shard sizes, also the reference scorer
   for exactness checks.
-- ``bmw`` — document-at-a-time WAND with block-max refinement over the
-  compressed postings: term upper bounds prune candidate pivots, block
-  max_tf/min_dl bounds skip whole 128-posting blocks without decoding
-  them. Exact top-k — pruning only, never approximation. Tie-break is
+- ``bmw`` — document-at-a-time WAND (Broder et al., CIKM 2003) with
+  block-max refinement (Ding & Suel, SIGIR 2011) over the compressed
+  postings: term upper bounds prune candidate pivots, block
+  max_tf/min_dl bounds skip whole skip-blocks without decoding them.
+  Exact top-k — pruning only, never approximation. Tie-break is
   (score DESC, docid ASC), and docid order == (conv_id, turn_idx) order
   by construction.
 """

@@ -85,3 +85,68 @@ def test_append_requires_complete_base(tmp_path, tiny_table, tiny_config):
     d = str(tmp_path / "noidx")
     with pytest.raises((ValidationError, FileNotFoundError)):
         append_index(rd.from_arrow(tiny_table.slice(0, 10)), d)
+
+
+def test_kill_mid_build_then_resume(tmp_path, tiny_corpus_dir, tiny_config):
+    """Literal kill-and-resume: SIGKILL a build subprocess once its first
+    chunk manifests land, then resume in-process — the index completes
+    and matches a clean build byte-for-byte."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from excelastic_ray.index.build import build_index
+
+    d = str(tmp_path / "killed_idx")
+    d_clean = str(tmp_path / "clean_idx")
+    code = f"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.index.build import build_index
+cfg = IndexConfig(**{tiny_config.to_dict()!r})
+build_index({tiny_corpus_dir!r}, {d!r}, cfg, clear=True)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    # wait for the first chunk manifest, then kill hard
+    seg_root = os.path.join(d, "segments")
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — resume is then a no-op
+        done = (
+            [n for n in os.listdir(seg_root) if n.startswith("chunk=")]
+            if os.path.isdir(seg_root)
+            else []
+        )
+        if any(
+            os.path.exists(os.path.join(seg_root, n, "MANIFEST.json"))
+            for n in done
+        ):
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.2)
+    proc.wait(timeout=60)
+
+    res = build_index(tiny_corpus_dir, d, tiny_config, resume=True)
+    assert res.n_docs > 0
+    build_index(tiny_corpus_dir, d_clean, tiny_config, clear=True)
+    for name in sorted(os.listdir(os.path.join(d_clean, "segments"))):
+        a = open(os.path.join(d, "segments", name, "postings.parquet"), "rb").read()
+        b = open(
+            os.path.join(d_clean, "segments", name, "postings.parquet"), "rb"
+        ).read()
+        assert a == b, name
+    assert killed or res.chunks_skipped > 0
