@@ -24,15 +24,22 @@ Nothing here calls ``ray.init()``; callers own the Ray session.
 
 from excelastic_ray.config import IndexConfig
 
-__all__ = ["IndexConfig", "build_index", "IndexReader", "QueryEngine"]
+__all__ = [
+    "IndexConfig",
+    "build_index",
+    "append_index",
+    "build_status",
+    "IndexReader",
+    "QueryEngine",
+]
 __version__ = "0.1.0"
 
 
 def __getattr__(name):  # lazy: keep `import excelastic_ray` Ray-free
-    if name == "build_index":
-        from excelastic_ray.index.build import build_index
+    if name in ("build_index", "append_index", "build_status"):
+        from excelastic_ray.index import build
 
-        return build_index
+        return getattr(build, name)
     if name in ("IndexReader", "QueryEngine"):
         from excelastic_ray.query import engine
 

@@ -502,6 +502,68 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    def search_many(self, queries: list[str], k: int = 10,
+                    filters: dict | None = None, mode: str = "or"):
+        """Batch search (the ES _msearch analog) → pyarrow.Table with a
+        leading query_id column (position in ``queries``). In actor mode
+        all shard RPCs for all queries are submitted before any result is
+        awaited, so latency ≈ one query's, not the sum."""
+        import pyarrow as pa
+
+        if self._actors is None:
+            tables = [self.search(q, k, filters, mode) for q in queries]
+        else:
+            import ray
+
+            r = self.reader
+            per_query = []
+            for q in queries:
+                terms = query_terms(q)
+                dfs = self._global_dfs(terms) if terms else []
+                live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+                dead = len(live) < len(terms)
+                if not live or (mode == "and" and dead):
+                    per_query.append(None)
+                    continue
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                per_query.append(
+                    [
+                        a.topk.remote(lterms, idfs, r.avgdl, k, self.algo,
+                                      filters, n_required)
+                        for a in self._actors
+                    ]
+                )
+            tables = []
+            for refs in per_query:
+                if refs is None:
+                    docids = np.zeros(0, dtype=np.int64)
+                    scores = np.zeros(0, dtype=np.float64)
+                else:
+                    docids, scores = _merge_shard_topk(ray.get(refs), k)
+                conv, turn = r.keys_of(docids)
+                tables.append(
+                    pa.table(
+                        {
+                            "rank": pa.array(
+                                np.arange(1, len(docids) + 1, dtype=np.int32)
+                            ),
+                            "docid": pa.array(docids, type=pa.int64()),
+                            "conv_id": pa.array(conv, type=pa.string()),
+                            "turn_idx": pa.array(turn, type=pa.int32()),
+                            "score": pa.array(scores, type=pa.float64()),
+                        }
+                    )
+                )
+        out = []
+        for i, t in enumerate(tables):
+            out.append(
+                t.add_column(0, "query_id",
+                             pa.array([i] * t.num_rows, type=pa.int32()))
+            )
+        return pa.concat_tables(out)
+
     def close(self) -> None:
         if self._actors:
             import ray

@@ -358,3 +358,49 @@ def test_and_mode_absent_term_empty(tiny_index):
     eng = QueryEngine(d)
     assert eng.search("the zz_never_seen", 10, mode="and").num_rows == 0
     assert eng.search("the", 10, mode="or").num_rows > 0
+
+
+def test_search_many_matches_single(tiny_index, query_set):
+    d, _ = tiny_index
+    local = QueryEngine(d)
+    eng = QueryEngine(d, use_actors=True)
+    try:
+        batch = eng.search_many(query_set, 10)
+        for i, q in enumerate(query_set):
+            single = local.search(q, 10)
+            sub = batch.filter(
+                __import__("pyarrow").compute.equal(batch["query_id"], i)
+            )
+            assert sub["docid"].to_pylist() == single["docid"].to_pylist()
+            assert sub["score"].to_pylist() == single["score"].to_pylist()
+    finally:
+        eng.close()
+
+
+def test_unicode_punctuation_analyzer_parity(tmp_path, tiny_config):
+    """Analyzer contract on messy text: unicode letters fall outside
+    [a-z0-9_] (documented deviation from ES standard analyzer, shared
+    identically by engine/oracle/SQL), punctuation splits tokens."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.query.oracle import BM25Oracle
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+            "text": [
+                "Café-au-lait, naïve RÉSUMÉ!",
+                "snake_case and CamelCase 42x",
+                "emoji 🙂 and\ttabs\nnewlines",
+            ],
+        }
+    )
+    d = str(tmp_path / "uni")
+    build_index(rd.from_arrow(t), d, tiny_config, clear=True)
+    oracle = BM25Oracle(t, tiny_config)
+    eng = QueryEngine(d)
+    for q in ("caf", "au lait", "snake_case", "camelcase", "42x", "emoji",
+              "tabs newlines", "résumé"):
+        assert eng.search_topk(q, 10) == oracle.search(q, 10), q
