@@ -229,6 +229,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet")
         return events.tumbling_counts(ev, hours=1)
 
+    def q_sample(sf_dir):
+        from excelastic_ray.pipelines.sampling import deterministic_sample
+
+        return deterministic_sample(_docs(sf_dir), rate=0.35).select_columns(
+            ["doc_id"]
+        )
+
+    def q_stratified_sample(sf_dir):
+        from excelastic_ray.pipelines.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(sf_dir), {"en": 0.8, "zh": 0.2}, strata_col="lang",
+            default_rate=0.5,
+        ).select_columns(["doc_id", "lang"])
+
+    def q_sliding(sf_dir):
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return events.sliding_counts(ev, size_hours=2, step_hours=1)
+
     def q_media_decode(sf_dir):
         media = _docs(sf_dir).map_batches(
             multimodal.attach_fake_payloads, batch_format="pyarrow"
@@ -279,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
+        "sliding": q_sliding,
+        "sample": q_sample,
+        "stratified_sample": q_stratified_sample,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
     }
@@ -515,6 +539,26 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY user_id, session_idx
+""",
+        "sample": """
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < CAST(floor(0.35 * 4294967296) AS BIGINT)
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < CAST(floor(CASE lang WHEN 'en' THEN 0.8 WHEN 'zh' THEN 0.2
+                             ELSE 0.5 END * 4294967296) AS BIGINT)
+""",
+        "sliding": """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                      - i.i * 3600000000) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
+FROM events, LATERAL unnest(range(0, 2)) AS i(i)
+GROUP BY 1, 2
 """,
         "tumbling": """
 SELECT event_type,

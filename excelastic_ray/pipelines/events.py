@@ -56,6 +56,57 @@ def sessionize(ds, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):
+    """Sliding-window counts: each event lands in size/step consecutive
+    windows; window_start identifies the window's left edge. Implemented
+    as a vectorized per-batch explode (np.repeat over offsets) + the
+    same partial+final aggregation as tumbling."""
+    from ray.data.aggregate import Sum
+
+    step_us = step_hours * 3_600_000_000
+    n_win = size_hours // step_hours
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        last = (ts // step_us) * step_us  # newest window containing event
+        offs = np.arange(n_win, dtype=np.int64) * step_us
+        win = np.repeat(last, n_win) - np.tile(offs, len(ts))
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(
+                    batch["event_type"].to_numpy(zero_copy_only=False), n_win
+                ),
+                "window_start": win,
+                "n": 1,
+                "sum_value": np.repeat(batch["value"].to_numpy(), n_win),
+            }
+        )
+        return (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_start"]
+                .to_numpy()
+                .astype("datetime64[us]"),
+                "n": batch["n"],
+                "sum_value": pa.array(trunc6(batch["sum_value"].to_numpy())),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def tumbling_counts(ds, hours: int = 1):
     """Tumbling-window counts: (event_type, window_start) → n, sum_value.
     Pre-aggregated per batch (partial) before the small groupby (final):

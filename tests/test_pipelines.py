@@ -266,3 +266,35 @@ def test_ivf_partial_probe_subset(ray_session, emb_ds):
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     # every IVF hit is a real vector with a correctly computed cosine
     assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_deterministic_sampling_parallelism_invariant(ray_session, docs_ds):
+    """Sampling decisions are per-row hashes, so the kept set is
+    identical at any partitioning."""
+    from excelastic_ray.pipelines.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    a = sorted(deterministic_sample(docs_ds, 0.35).to_pandas()["doc_id"])
+    b = sorted(
+        deterministic_sample(docs_ds.repartition(13), 0.35).to_pandas()["doc_id"]
+    )
+    assert a == b and 0 < len(a) < 500
+    s1 = stratified_sample(docs_ds, {"en": 1.0}, default_rate=0.0).to_pandas()
+    assert set(s1["lang"]) == {"en"}
+
+
+def test_sliding_windows_cover_tumbling(ray_session):
+    """Every tumbling count appears in the corresponding sliding window
+    (offset 0); sliding n sums events of `size` consecutive steps."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import sliding_counts, tumbling_counts
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    tm = tumbling_counts(ev, hours=1).to_pandas()
+    sl = sliding_counts(ev, size_hours=2, step_hours=1).to_pandas()
+    m = tm.merge(sl, on=["event_type", "window_start"], suffixes=("_t", "_s"))
+    assert (m["n_s"] >= m["n_t"]).all()
+    assert sl["n"].sum() == 2 * tm["n"].sum()
