@@ -410,6 +410,7 @@ class QueryEngine:
         self.reader = index if isinstance(index, IndexReader) else IndexReader(index)
         self.algo = algo
         self.use_actors = use_actors
+        self._df_cache: dict[str, int] = {}
         self._actors = None
         if use_actors:
             import ray
@@ -432,14 +433,23 @@ class QueryEngine:
     # -- core ------------------------------------------------------------
 
     def _global_dfs(self, terms: list[str]) -> np.ndarray:
-        r = self.reader
-        if self._actors is not None:
-            import ray
+        """Global df per term. Cached: the index is immutable while open
+        (append builds a new reader), so term stats never change — a
+        repeated term costs zero RPC rounds."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            r = self.reader
+            if self._actors is not None:
+                import ray
 
-            per_shard = ray.get([a.dfs.remote(terms) for a in self._actors])
-        else:
-            per_shard = [r.searcher(s).dfs(terms) for s in range(r.num_shards)]
-        return np.asarray(per_shard, dtype=np.int64).sum(axis=0)
+                per_shard = ray.get([a.dfs.remote(missing) for a in self._actors])
+            else:
+                per_shard = [
+                    r.searcher(s).dfs(missing) for s in range(r.num_shards)
+                ]
+            totals = np.asarray(per_shard, dtype=np.int64).sum(axis=0)
+            self._df_cache.update(zip(missing, totals.tolist()))
+        return np.asarray([self._df_cache[t] for t in terms], dtype=np.int64)
 
     def search(self, query: str, k: int = 10, filters: dict | None = None,
                mode: str = "or"):
