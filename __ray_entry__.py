@@ -124,6 +124,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25_and_topk(sf_dir):
         return _bm25_table(sf_dir, mode="and")
 
+    def q_bm25_count(sf_dir):
+        import pandas as pd
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return pd.DataFrame(
+            [
+                {"query_id": qid, "n": eng.count(q)}
+                for qid, q in BM25_QUERIES
+            ]
+        )
+
+    def q_bm25_facets(sf_dir):
+        import pandas as pd
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        rows = []
+        for qid, q in BM25_QUERIES:
+            for role, n in eng.facets(q, "role").items():
+                rows.append({"query_id": qid, "role": role, "n": n})
+        return pd.DataFrame(rows, columns=["query_id", "role", "n"])
+
     def q_doc_keys(sf_dir):
         from excelastic_ray.index.segments import read_docstore
 
@@ -283,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_count": q_bm25_count,
+        "bm25_facets": q_bm25_facets,
         "doc_keys": q_doc_keys,
         "index_stats": q_index_stats,
         "term_df": q_term_df,
@@ -326,6 +353,14 @@ def _stop_list(lang: str) -> str:
     from excelastic_ray.pipelines.textstats import STOPWORDS
 
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _bm25_terms_values() -> str:
+    return ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
 
 
 def _bm25_sql(conjunctive: bool = False) -> str:
@@ -386,6 +421,42 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_count": _BASE
+        + f""",
+tf AS (
+    SELECT DISTINCT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+matched AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx
+    FROM q JOIN tf ON tf.term = q.term
+    GROUP BY 1, 2, 3
+)
+SELECT qq.query_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT query_id FROM q) qq
+LEFT JOIN (SELECT query_id, count(*) AS n FROM matched GROUP BY 1) m
+       USING (query_id)
+""",
+        "bm25_facets": _BASE
+        + f""",
+tf AS (
+    SELECT DISTINCT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+matched AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx
+    FROM q JOIN tf ON tf.term = q.term
+    GROUP BY 1, 2, 3
+)
+SELECT m.query_id, t.role, CAST(count(*) AS BIGINT) AS n
+FROM matched m JOIN transcripts t
+     ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+GROUP BY 1, 2
+""",
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "doc_keys": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})

@@ -140,6 +140,35 @@ class ShardSearcher:
             return self._topk_bmw(present, avgdl, k, mask, n_required)
         raise ValueError(f"unknown algo {algo!r}")
 
+    def matching_mask(self, terms: list[str], n_required: int = 0,
+                      filters: dict | None = None) -> np.ndarray:
+        """Ordinal-space bool mask of docs matching the query (OR, or
+        ≥ n_required terms) under optional attribute filters — the
+        scoreless machinery behind count and facet endpoints."""
+        hits = np.zeros(len(self.docids), dtype=np.int32)
+        for t in terms:
+            i = self.lookup(t)
+            if i < 0:
+                continue
+            ids, _ = self.posting_list(i).decode_all()
+            hits[ids] += 1
+        out = hits >= max(n_required, 1)
+        fmask = self.filter_mask(filters)
+        if fmask is not None:
+            out &= fmask
+        return out
+
+    def count(self, terms, n_required=0, filters=None) -> int:
+        return int(self.matching_mask(terms, n_required, filters).sum())
+
+    def facet(self, terms, attr: str, n_required=0, filters=None) -> dict:
+        m = self.matching_mask(terms, n_required, filters)
+        col = self.attrs.get(attr)
+        if col is None:
+            raise KeyError(f"attribute {attr!r} not stored in this index")
+        vals, counts = np.unique(col[m].astype(str), return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist()))
+
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0):
         """Dense term-at-a-time: accumulate into a float64 array over the
         shard's ordinal space (bounded by shard doc count). Per-doc
@@ -512,6 +541,64 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    def _query_shape(self, query: str, mode: str):
+        """→ (live terms, n_required, dead) for count/facet endpoints."""
+        terms = query_terms(query)
+        if not terms:
+            return [], 0, False
+        dfs = self._global_dfs(terms)
+        live = [t for t, d in zip(terms, dfs) if d > 0]
+        dead = len(live) < len(terms)
+        n_required = len(live) if mode == "and" else 0
+        return live, n_required, dead
+
+    def count(self, query: str, filters: dict | None = None,
+              mode: str = "or") -> int:
+        """Matching-doc count (the ES _count endpoint analog)."""
+        live, n_required, dead = self._query_shape(query, mode)
+        if not live or (mode == "and" and dead):
+            return 0
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            return sum(
+                ray.get(
+                    [a.count.remote(live, n_required, filters)
+                     for a in self._actors]
+                )
+            )
+        return sum(
+            r.searcher(s).count(live, n_required, filters)
+            for s in range(r.num_shards)
+        )
+
+    def facets(self, query: str, attr: str, filters: dict | None = None,
+               mode: str = "or") -> dict:
+        """Matching-doc counts per attribute value (the ES terms-agg
+        analog in filter context). → {value: n} sorted by value."""
+        live, n_required, dead = self._query_shape(query, mode)
+        if not live or (mode == "and" and dead):
+            return {}
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.facet.remote(live, attr, n_required, filters)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).facet(live, attr, n_required, filters)
+                for s in range(r.num_shards)
+            ]
+        out: dict = {}
+        for p in parts:
+            for v, n in p.items():
+                out[v] = out.get(v, 0) + n
+        return dict(sorted(out.items()))
+
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):
         """Batch search (the ES _msearch analog) → pyarrow.Table with a
@@ -605,3 +692,13 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
+
+    def count(self, terms, n_required=0, filters=None) -> int:
+        return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def facet(self, terms, attr, n_required=0, filters=None) -> dict:
+        out: dict = {}
+        for s in self.searchers:
+            for v, n in s.facet(terms, attr, n_required, filters).items():
+                out[v] = out.get(v, 0) + n
+        return out

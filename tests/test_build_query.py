@@ -404,3 +404,31 @@ def test_unicode_punctuation_analyzer_parity(tmp_path, tiny_config):
     for q in ("caf", "au lait", "snake_case", "camelcase", "42x", "emoji",
               "tabs newlines", "résumé"):
         assert eng.search_topk(q, 10) == oracle.search(q, 10), q
+
+
+def test_count_and_facets(tiny_index, tiny_oracle, query_set, tiny_table):
+    """ES _count + terms-agg analogs vs brute-force oracle counts."""
+    d, _ = tiny_index
+    role_of = {
+        (c, t): r
+        for c, t, r in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["role"].to_pylist(),
+        )
+    }
+    for use_actors in (False, True):
+        eng = QueryEngine(d, use_actors=use_actors)
+        try:
+            for q in query_set[:6]:
+                full = tiny_oracle.search(q, 100_000)
+                assert eng.count(q) == len(full), q
+                expect: dict = {}
+                for docid, _ in full:
+                    r = role_of[tiny_oracle.keys_of(docid)]
+                    expect[r] = expect.get(r, 0) + 1
+                assert eng.facets(q, "role") == dict(sorted(expect.items())), q
+            and_full = tiny_oracle.search(query_set[-2], 100_000, mode="and")
+            assert eng.count(query_set[-2], mode="and") == len(and_full)
+        finally:
+            eng.close()
