@@ -403,6 +403,36 @@ class IndexReader:
             self._searchers[s] = ShardSearcher(self.shard_path(s), self.cfg)
         return self._searchers[s]
 
+    def fetch_docs(self, docids, columns: list[str] | None = None):
+        """Fetch stored source rows for specific docids (the ES _source
+        fetch phase): docid → chunk is pure arithmetic, so only the
+        owning chunks' docstore slices are read (chunk-pruned point
+        lookups; k-sized, never a scan)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from excelastic_ray.index import segments as segmod
+
+        docids = np.asarray(docids, dtype=np.int64)
+        chunks = (docids >> self.cfg.turn_bits) >> self.cfg.convs_per_chunk_bits
+        tables = []
+        for c in sorted(set(chunks.tolist())):
+            path = os.path.join(
+                segmod.chunk_dir(self.index_dir, int(c)), "store.parquet"
+            )
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    "index was built with store_source=False; no docstore"
+                )
+            t = pq.read_table(path, columns=columns and ["docid", *columns])
+            want = docids[chunks == c]
+            tables.append(t.filter(pc.is_in(t["docid"], pa.array(want))))
+        cat = pa.concat_tables(tables)
+        # return in the requested docid order
+        order = np.argsort(cat["docid"].to_numpy())
+        pos = np.searchsorted(cat["docid"].to_numpy()[order], docids)
+        return cat.take(pa.array(order[pos]))
+
     def keys_of(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """docid → (conv_id, turn_idx); docid order == (conv_id, turn_idx)."""
         docids = np.asarray(docids, dtype=np.int64)
@@ -481,7 +511,7 @@ class QueryEngine:
         return np.asarray([self._df_cache[t] for t in terms], dtype=np.int64)
 
     def search(self, query: str, k: int = 10, filters: dict | None = None,
-               mode: str = "or"):
+               mode: str = "or", include_source: bool = False):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
@@ -526,7 +556,7 @@ class QueryEngine:
                     ]
                 docids, scores = _merge_shard_topk(parts, k)
         conv, turn = r.keys_of(docids)
-        return pa.table(
+        out = pa.table(
             {
                 "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int32)),
                 "docid": pa.array(docids, type=pa.int64()),
@@ -535,6 +565,12 @@ class QueryEngine:
                 "score": pa.array(scores, type=pa.float64()),
             }
         )
+        if include_source and len(docids):
+            src = r.fetch_docs(docids)
+            for name in src.column_names:
+                if name not in out.column_names:
+                    out = out.append_column(name, src[name])
+        return out
 
     def search_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle-comparable form: [(docid, score)]."""

@@ -432,3 +432,24 @@ def test_count_and_facets(tiny_index, tiny_oracle, query_set, tiny_table):
             assert eng.count(query_set[-2], mode="and") == len(and_full)
         finally:
             eng.close()
+
+
+def test_search_include_source(tiny_index, tiny_table):
+    """ES _source fetch phase: hits carry the stored turn columns,
+    fetched by chunk-pruned point lookups."""
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    t = eng.search("the w00001", 10, include_source=True)
+    assert "text" in t.column_names and "role" in t.column_names
+    text_of = {
+        (c, ti): x
+        for c, ti, x in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    for c, ti, x in zip(
+        t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
+    ):
+        assert text_of[(c, ti)] == x
