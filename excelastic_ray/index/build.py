@@ -103,8 +103,11 @@ def conversation_table(ds, config: IndexConfig) -> np.ndarray:
     # conv census outgrows the driver, this final combine becomes a
     # groupby over the partials dataset + a distributed rank sort; the
     # per-row docid math downstream is unchanged.)
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        return np.zeros(0, dtype=object)
     stats = (
-        partials.to_pandas()
+        pdf
         .groupby("conv_id", sort=False)
         .agg(
             cnt=("cnt", "sum"),

@@ -453,3 +453,35 @@ def test_search_include_source(tiny_index, tiny_table):
         t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
     ):
         assert text_of[(c, ti)] == x
+
+
+def test_empty_corpus_and_empty_query(tmp_path, tiny_config):
+    """Degenerate inputs: an empty corpus builds an empty-but-valid
+    index; empty/whitespace queries return empty results."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], type=pa.string()),
+            "turn_idx": pa.array([], type=pa.int32()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    d = str(tmp_path / "empty_idx")
+    res = build_index(rd.from_arrow(empty), d, tiny_config, clear=True)
+    assert res.n_docs == 0 and res.n_convs == 0
+    eng = QueryEngine(d)
+    assert eng.search("anything", 10).num_rows == 0
+    assert eng.count("anything") == 0
+
+    d2, _ = None, None  # noqa: F841 (clarity)
+
+
+def test_blank_query_on_real_index(tiny_index):
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    assert eng.search("", 10).num_rows == 0
+    assert eng.search("   ,,, !!", 10).num_rows == 0
+    assert eng.count("") == 0
+    assert eng.facets("", "role") == {}
