@@ -275,6 +275,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet")
         return events.sliding_counts(ev, size_hours=2, step_hours=1)
 
+    def q_csv_ingest(sf_dir):
+        # reference-fixture ingest parity (sf_dir unused: the golden
+        # input IS the reference's own test.csv)
+        from excelastic_ray.sources.csv import read_csv_table
+
+        return read_csv_table(
+            "/root/reference/src/test/resources/test.csv"
+        )
+
+    def q_xlsx_ingest(sf_dir):
+        from excelastic_ray.sources.xlsx import read_xlsx_table
+
+        return read_xlsx_table(
+            "/root/reference/src/test/resources/test.xlsx", offset=5
+        )
+
     def q_media_decode(sf_dir):
         media = _docs(sf_dir).map_batches(
             multimodal.attach_fake_payloads, batch_format="pyarrow"
@@ -330,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding": q_sliding,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
+        "csv_ingest": q_csv_ingest,
+        "xlsx_ingest": q_xlsx_ingest,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
     }
@@ -637,6 +655,14 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "csv_ingest": """
+SELECT name,
+       CAST(flag AS BOOLEAN) AS flag,
+       CAST("integer" AS BIGINT) AS "integer",
+       CAST("float" AS DOUBLE) AS "float"
+FROM read_csv('/root/reference/src/test/resources/test.csv',
+              header=true, all_varchar=true)
 """,
         "media_decode": """
 SELECT doc_id AS media_id,
