@@ -56,7 +56,15 @@ def _index_for(sf_dir: str) -> str:
 
     if sf_dir in _BUILT:
         return _BUILT[sf_dir]
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    import hashlib
+
+    # key the cache by the absolute path (not the basename) so two
+    # corpora whose dirs share a basename can't alias each other
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (
+        f"{os.path.basename(ap) or 'sf'}_"
+        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}"
+    )
     idx = f"/tmp/excelastic_ray_cache/idx_{tag}"
     try:
         from excelastic_ray.index.segments import load_global_manifest
@@ -195,15 +203,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.2)
 
     def q_minhash_pairs(sf_dir):
-        import ray
-
-        docs = _docs(sf_dir)
-        cands = dedup.minhash_candidates(docs)
-        sets = dedup.collect_shingle_sets(docs)
-        return dedup.verify_jaccard(cands, ray.put(sets), threshold=0.5)
+        # LSH candidates + two-sided partitioned-join verify — no
+        # corpus-sized broadcast or driver collect anywhere in the path
+        return dedup.minhash_pairs(_docs(sf_dir), threshold=0.5)
 
     def q_simhash_pairs(sf_dir):
-        return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+        import pyarrow.compute as pc
+
+        pairs = dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+        # drop the drop-counter sentinel rows (a < 0) from the surface;
+        # pytest asserts they are zero on the fixture corpus
+        return pairs.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["a"], 0)),
+            batch_format="pyarrow",
+        )
 
     def q_embedding_dup_pairs(sf_dir):
         import ray.data as rd
@@ -211,35 +224,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         return dedup.embedding_dup_pairs(emb, threshold=0.2)
 
-    def q_ann_cosine_topk(sf_dir):
+    def _query_vecs(sf_dir, n=5):
+        """Fetch ONLY the query vectors (vec_id < n) — a pruned filter
+        scan, not a whole-corpus driver collect."""
+        import pyarrow.compute as pc
         import ray.data as rd
 
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        ids, mat = dedup.collect_embedding_matrix(emb)
-        qmask = ids < 5
-        return similarity.cosine_topk(
-            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10
-        )
+        sub = emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], n)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        ids = sub["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        mat = np.asarray(sub["embedding"].tolist(), dtype=np.float64)[order]
+        return emb, ids[order].tolist(), mat
+
+    def q_ann_cosine_topk(sf_dir):
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.cosine_topk(emb, qmat, query_ids=qids, k=10)
 
     def q_ann_lsh_topk(sf_dir):
-        import ray.data as rd
-
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        ids, mat = dedup.collect_embedding_matrix(emb)
-        qmask = ids < 5
-        return similarity.lsh_bucket_topk(
-            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10
-        )
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.lsh_bucket_topk(emb, qmat, query_ids=qids, k=10)
 
     def q_ann_ivf_topk(sf_dir):
-        import ray.data as rd
-
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        ids, mat = dedup.collect_embedding_matrix(emb)
-        qmask = ids < 5
+        emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.ivf_topk(
-            emb, mat[qmask], query_ids=ids[qmask].tolist(), k=10,
-            n_centroids=16, nprobe=4,
+            emb, qmat, query_ids=qids, k=10, n_centroids=16, nprobe=4
         )
 
     def q_sessionize(sf_dir):

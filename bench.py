@@ -62,6 +62,10 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
+    # NOTE: push-based sort shuffle is set by build_index for the chunk
+    # exchange (1.6x there) but NOT globally: it measurably slows the
+    # small partial+final groupbys in the pipeline suite (tumbling
+    # 2.9 s -> 6.7 s when forced global).
     DataContext.get_current().enable_progress_bars = False
     import logging
 

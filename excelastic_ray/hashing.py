@@ -1,0 +1,84 @@
+"""Shared hash kernels (FNV-1a) — scalar reference + vectorized batch form.
+
+``fnv1a_bytes`` is the scalar reference implementation (one Python loop
+per byte — test/oracle use only). ``fnv1a_rows`` computes the identical
+hash for a whole batch of byte strings with a column-wise fold: rows are
+sorted by length descending, their bytes concatenated once, and each
+fold step is one vectorized gather+xor+multiply over every row still
+active at that byte position. Work is O(total bytes) vector ops instead
+of O(total bytes) Python iterations — the round-1 per-byte loops were
+the slowest code in the repo (VERDICT.md "What's wrong" #1).
+
+FNV-1a is sequential per row by construction (h = (h ^ b) * p), so the
+vectorization axis is *rows*, which is exactly the batch shape
+map_batches hands us.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_bytes(data: bytes) -> np.uint64:
+    """Scalar FNV-1a 64 (reference implementation)."""
+    h = FNV_OFFSET
+    with np.errstate(over="ignore"):
+        for byte in data:
+            h = (h ^ np.uint64(byte)) * FNV_PRIME
+    return h
+
+
+def fnv1a_rows(data: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a 64 per row; identical to ``fnv1a_bytes`` on
+    each element. Empty input → empty array; empty rows hash to the
+    FNV offset basis (same as the scalar form)."""
+    n = len(data)
+    out = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    # Descending-length order makes the active rows at byte position c a
+    # prefix [0:k), so the per-column gather is a slice of `starts`.
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    flat = np.frombuffer(b"".join(data[int(i)] for i in order), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(slens[:-1], out=starts[1:])
+    # active[c] = number of rows with length >= c
+    counts = np.bincount(slens, minlength=maxlen + 1)
+    active = np.cumsum(counts[::-1])[::-1]
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(maxlen):
+            k = int(active[c + 1]) if c + 1 <= maxlen else 0
+            if k == 0:
+                break
+            col = flat[starts[:k] + c].astype(np.uint64)
+            h[:k] = (h[:k] ^ col) * FNV_PRIME
+    out[order] = h
+    return out
+
+
+def fnv1a_str_rows(strings) -> np.ndarray:
+    """``fnv1a_rows`` over UTF-8 encodings of ``strings`` (None → b"")."""
+    return fnv1a_rows([(s or "").encode() if not isinstance(s, bytes) else s
+                       for s in strings])
+
+
+def default_pool(headroom: int = 2, floor: int = 2) -> int:
+    """Actor-pool size for pipeline stages: cluster CPUs minus headroom
+    for the read/shuffle task pools (an actor pool that reserves every
+    CPU deadlocks the streaming executor — measured in round 1)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(floor, cpus - headroom)

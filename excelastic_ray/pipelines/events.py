@@ -15,45 +15,80 @@ import pyarrow as pa
 from excelastic_ray.pipelines.textstats import trunc6
 
 
+N_USER_BUCKETS = 64
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Session windows per user: a new session starts when the gap since
     the previous event exceeds ``gap_minutes``. → one row per session:
     (user_id, session_idx, n_events, sum_value, start_ts, end_ts).
 
-    Ordering assumption: events within one user fit one group and are
-    sorted by (ts, event_id) inside the group — the per-key ordered-log
-    contract. session_idx is 0-based in start order.
+    Shuffle shape: users are bucketed by ``hash(user_id) % 64`` so the
+    Ray groupby sees 64 coarse groups instead of one tiny group per user
+    (millions of users = the per-group overhead pitfall measured in
+    round 1). Inside each bucket the whole frame is sorted once by
+    (user_id, ts, event_id) and the session-break scan plus the
+    per-session aggregation run vectorized over the bucket — no
+    per-user Python loop. A pathologically hot user still lands in one
+    bucket, but costs O(rows log rows) of vectorized work there, not an
+    unbounded per-group pandas session.
     """
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new) - 1
-        out = (
-            pd.DataFrame(
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            ubk = (
+                (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(N_USER_BUCKETS)
+        return b.append_column("ubk", pa.array(ubk.astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
                 {
-                    "session_idx": sid,
-                    "value": g["value"].to_numpy(),
-                    "ts": ts,
+                    "user_id": np.zeros(0, np.int64),
+                    "session_idx": np.zeros(0, np.int64),
+                    "n_events": np.zeros(0, np.int64),
+                    "sum_value": np.zeros(0, np.float64),
+                    "start_ts": np.zeros(0, "datetime64[us]"),
+                    "end_ts": np.zeros(0, "datetime64[us]"),
                 }
             )
-            .groupby("session_idx")
-            .agg(
-                n_events=("value", "size"),
-                sum_value=("value", "sum"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max"),
-            )
-            .reset_index()
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap
+        s = np.cumsum(brk) - 1  # global session ordinal in this bucket
+        # session_idx within user = s - s at the user's first row
+        ustarts = np.flatnonzero(new_user)
+        per_user_base = np.repeat(
+            s[ustarts], np.diff(np.append(ustarts, n))
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["sum_value"] = trunc6(out["sum_value"].to_numpy())
-        return out
+        bounds = np.flatnonzero(brk)  # first row of each session
+        ends = np.append(bounds[1:], n) - 1  # last row of each session
+        return pd.DataFrame(
+            {
+                "user_id": uid[bounds],
+                "session_idx": (s - per_user_base)[bounds],
+                "n_events": np.diff(np.append(bounds, n)).astype(np.int64),
+                "sum_value": trunc6(np.add.reduceat(val, bounds)),
+                "start_ts": ts[bounds],
+                "end_ts": ts[ends],
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=16384)
+        .groupby("ubk")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):

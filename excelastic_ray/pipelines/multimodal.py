@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from excelastic_ray.hashing import default_pool
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -112,16 +114,18 @@ class ExtractFeatures:
         )
 
 
-def decode_media(ds, concurrency: int = 2, batch_size: int = 256, fake: bool = True):
+def decode_media(ds, concurrency=None, batch_size: int = 256, fake: bool = True):
     return ds.map_batches(
         DecodeMedia, fn_constructor_args=(fake,), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, num_cpus=1,
+        concurrency=concurrency if concurrency is not None else (1, default_pool()),
     )
 
 
-def extract_features(ds, dim: int = 16, concurrency: int = 2,
+def extract_features(ds, dim: int = 16, concurrency=None,
                      batch_size: int = 256, fake: bool = True):
     return ds.map_batches(
         ExtractFeatures, fn_constructor_args=(dim, fake), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, num_cpus=1,
+        concurrency=concurrency if concurrency is not None else (1, default_pool()),
     )

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from excelastic_ray.hashing import default_pool
 from excelastic_ray.pipelines.textstats import trunc6
 
 
@@ -84,7 +85,7 @@ def cosine_topk(
 
     partials = ds.map_batches(
         Partial, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2, num_cpus=1,
+        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -168,7 +169,7 @@ def lsh_bucket_topk(
 
     partials = ds.map_batches(
         BucketScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2, num_cpus=1,
+        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -232,7 +233,7 @@ def kmeans_centroids(
 
         parts = ds.map_batches(
             Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
-            batch_size=4096, concurrency=2, num_cpus=1,
+            batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
         ).to_pandas()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
@@ -303,7 +304,7 @@ def ivf_topk(
 
     partials = ds.map_batches(
         CellScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2, num_cpus=1,
+        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -2,9 +2,9 @@
 
 Every metric here has an exact DuckDB-SQL twin (see __ray_entry__
 oracle_sql) built on the same tokenizer expression
-``regexp_extract_all(lower(text), '[a-z0-9_]+')``; ratios are
-TRUNCATED to 6 decimals (floor(x*1e6)/1e6) on both sides so IEEE
-float noise can't flip a digit.
+``regexp_extract_all(lower(text), '[a-z0-9_]+')``; ratios are rounded
+HALF-UP to 6 decimals (floor(x*1e6 + 0.5)/1e6) on both sides so IEEE
+float noise can't flip a digit (see :func:`trunc6`).
 
 Vectorization: one ``map_batches`` pass; per-batch tokens are
 factorized once (pandas C code path) and every per-language /
@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from excelastic_ray.analysis import TOKEN_RE
+from excelastic_ray.hashing import fnv1a_rows
 
 # Tiny per-language stopword lists (the langid heuristic). Keep in exact
 # lockstep with the SQL lists in __ray_entry__.py.
@@ -149,16 +150,16 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id",
     """Order-sensitive document fingerprint: FNV-1a over the token
     stream (rolling hash). Two docs share a fingerprint iff their token
     sequences are identical — exact-dedup on analyzed content."""
+    # The fingerprint is FNV-1a over the byte stream
+    # token1 + 0x20 + token2 + 0x20 + ... (trailing separator included),
+    # which equals hashing b" ".join(tokens) + b" " — so the whole batch
+    # folds through the vectorized row hasher at once.
     findall = TOKEN_RE.findall
-    out = np.empty(batch.num_rows, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            h = FNV_OFFSET
-            for w in findall(t.lower()) if t else ():
-                for b in w.encode():
-                    h = (h ^ np.uint64(b)) * FNV_PRIME
-                h = (h ^ np.uint64(0x20)) * FNV_PRIME  # token separator
-            out[i] = h
+    streams = []
+    for t in batch[text_col].to_pylist():
+        ws = findall(t.lower()) if t else []
+        streams.append((" ".join(ws) + " ").encode() if ws else b"")
+    out = fnv1a_rows(streams)
     return pa.table(
         {id_col: batch[id_col], "fingerprint": pa.array(out.astype(np.int64))}
     )

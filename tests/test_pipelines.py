@@ -38,48 +38,73 @@ def test_exact_dedup_keeps_min_id(ray_session):
 
 
 def test_minhash_finds_real_dups(ray_session):
-    import ray
     import ray.data as rd
 
-    from excelastic_ray.pipelines.dedup import (
-        collect_shingle_sets,
-        connected_components,
-        minhash_candidates,
-        verify_jaccard,
-    )
+    from excelastic_ray.pipelines.dedup import connected_components, minhash_pairs
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     near = base.replace("delta", "delt4", 1)
     rows = [base, near, "completely different text about other things entirely x y z"]
     t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": rows})
     ds = rd.from_arrow(t)
-    cands = minhash_candidates(ds)
-    sets = collect_shingle_sets(ds)
-    verified = verify_jaccard(cands, ray.put(sets), threshold=0.5).to_pandas()
+    verified, stats = minhash_pairs(ds, threshold=0.5, return_stats=True)
+    verified = verified.to_pandas()
     assert set(zip(verified["a"], verified["b"])) == {(0, 1)}
+    assert stats == {"dropped_groups": 0, "dropped_pairs": 0}
     comp = connected_components(verified)
     assert dict(zip(comp["doc_id"], comp["rep"])) == {0: 0, 1: 0}
 
 
 def test_minhash_pairs_subset_of_exact_jaccard(ray_session, docs_ds):
     """Every verified MinHash pair must appear in the exact all-pairs
-    sweep at the same threshold (verification makes LSH precision 1)."""
-    import ray
+    sweep at the same threshold (verification makes LSH precision 1),
+    with the identical jaccard value — the partitioned join must agree
+    with the broadcast oracle. No buckets may be dropped (no-silent-caps)."""
+    from excelastic_ray.pipelines.dedup import minhash_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    mh, stats = minhash_pairs(docs_ds, threshold=0.5, return_stats=True)
+    mh = mh.to_pandas()
+    assert stats == {"dropped_groups": 0, "dropped_pairs": 0}
+    exact_map = {(a, b): j for a, b, j in
+                 zip(exact["a"], exact["b"], exact["jaccard"])}
+    assert len(mh)
+    for a, b, j in zip(mh["a"], mh["b"], mh["jaccard"]):
+        assert exact_map[(a, b)] == j
+
+
+def test_verify_jaccard_matches_driver_oracle(ray_session, docs_ds):
+    """The two-sided partitioned join computes the same jaccard as a
+    pure driver-side computation over collect_shingle_sets."""
+    import ray.data as rd
 
     from excelastic_ray.pipelines.dedup import (
         collect_shingle_sets,
-        minhash_candidates,
-        ngram_jaccard_pairs,
         verify_jaccard,
     )
+    from excelastic_ray.pipelines.textstats import trunc6
 
-    exact = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
-    cands = minhash_candidates(docs_ds)
     sets = collect_shingle_sets(docs_ds)
-    mh = verify_jaccard(cands, ray.put(sets), threshold=0.5).to_pandas()
-    exact_pairs = set(zip(exact["a"], exact["b"]))
-    mh_pairs = set(zip(mh["a"], mh["b"]))
-    assert mh_pairs <= exact_pairs
+    ids = sorted(sets)[:40]
+    cand = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:][:3]]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in cand], type=pa.int64()),
+                "b": pa.array([p[1] for p in cand], type=pa.int64()),
+            }
+        )
+    )
+    got = verify_jaccard(pairs, docs_ds, threshold=0.0).to_pandas()
+    exp = {}
+    for a, b in cand:
+        sa, sb = sets[a], sets[b]
+        if not len(sa) or not len(sb):
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        exp[(a, b)] = float(trunc6(inter / (len(sa) + len(sb) - inter)))
+    assert {(a, b): j for a, b, j in
+            zip(got["a"], got["b"], got["jaccard"])} == exp
 
 
 def test_simhash_identical_docs_pair(ray_session):
@@ -298,3 +323,40 @@ def test_sliding_windows_cover_tumbling(ray_session):
     m = tm.merge(sl, on=["event_type", "window_start"], suffixes=("_t", "_s"))
     assert (m["n_s"] >= m["n_t"]).all()
     assert sl["n"].sum() == 2 * tm["n"].sum()
+
+
+def test_fnv1a_rows_matches_scalar():
+    import random
+
+    from excelastic_ray.hashing import fnv1a_bytes, fnv1a_rows
+
+    random.seed(3)
+    data = [bytes(random.randrange(256) for _ in range(random.randrange(0, 80)))
+            for _ in range(257)] + [b"", b"x"]
+    exp = np.array([fnv1a_bytes(d) for d in data], dtype=np.uint64)
+    assert (fnv1a_rows(data) == exp).all()
+
+
+def test_embedding_dup_pairs_blocked_matches_oracle(ray_session, emb_ds):
+    """The blocked two-sided sweep (object-store block refs, no driver
+    matrix) produces exactly the pairs of the driver-side oracle."""
+    from excelastic_ray.pipelines.dedup import (
+        collect_embedding_matrix,
+        embedding_dup_pairs,
+    )
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= 0.3
+    exp = {
+        (int(ids[i]), int(ids[j])): float(trunc6(sims[i, j]))
+        for i, j in zip(iu[keep], ju[keep])
+    }
+    # force multiple blocks so cross-block and same-block paths both run
+    got = embedding_dup_pairs(
+        emb_ds, threshold=0.3, rows_per_block=97
+    ).to_pandas()
+    assert {(int(a), int(b)): float(c)
+            for a, b, c in zip(got["a"], got["b"], got["cos"])} == exp
