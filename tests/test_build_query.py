@@ -485,3 +485,40 @@ def test_blank_query_on_real_index(tiny_index):
     assert eng.search("   ,,, !!", 10).num_rows == 0
     assert eng.count("") == 0
     assert eng.facets("", "role") == {}
+
+
+def test_streaming_merge_flush_size_invariant(
+    ray_session, tiny_config, tiny_index, tmp_path
+):
+    """Shard postings are byte-identical whether the streaming merger
+    flushes every 2 terms or holds everything — the row-group size is a
+    memory knob, not a semantic one (the merge never needs the whole
+    shard in memory). Re-merges the built chunk segments locally with a
+    tiny flush threshold and compares against the pooled-merge shards."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from excelastic_ray.index.build import SegmentMerger
+
+    base_dir, _ = tiny_index
+    d2 = str(tmp_path / "idx_smallflush")
+    os.makedirs(d2)
+    shutil.copytree(os.path.join(base_dir, "segments"),
+                    os.path.join(d2, "segments"))
+    merger = SegmentMerger(d2, tiny_config.to_dict(), flush_bytes=1,
+                           flush_terms=2)
+    shards = sorted(os.listdir(os.path.join(base_dir, "shards")))
+    for shard in shards:
+        with open(os.path.join(base_dir, "shards", shard, "MANIFEST.json")) as f:
+            chunks = json.load(f)["chunks"]
+        merger._merge_shard(int(shard.split("=")[1]), chunks)
+        a = pq.read_table(os.path.join(base_dir, "shards", shard, "postings.parquet"))
+        b = pq.read_table(os.path.join(d2, "shards", shard, "postings.parquet"))
+        assert a.equals(b), shard
+        # the tiny flush threshold really did produce many row groups
+        meta = pq.ParquetFile(
+            os.path.join(d2, "shards", shard, "postings.parquet")
+        ).metadata
+        assert meta.num_row_groups >= meta.num_rows // 2
