@@ -429,8 +429,19 @@ class IndexReader:
             tables.append(t.filter(pc.is_in(t["docid"], pa.array(want))))
         cat = pa.concat_tables(tables)
         # return in the requested docid order
-        order = np.argsort(cat["docid"].to_numpy())
-        pos = np.searchsorted(cat["docid"].to_numpy()[order], docids)
+        found = cat["docid"].to_numpy()
+        order = np.argsort(found)
+        pos = np.searchsorted(found[order], docids)
+        # searchsorted returns a neighbor position for absent keys —
+        # verify the gathered ids actually equal the requested ones
+        bad = (pos >= len(found)) | (
+            found[order[np.minimum(pos, max(len(found) - 1, 0))]] != docids
+        ) if len(found) else np.ones(len(docids), dtype=bool)
+        if bad.any():
+            raise KeyError(
+                f"docids not present in docstore: "
+                f"{docids[bad][:5].tolist()}"
+            )
         return cat.take(pa.array(order[pos]))
 
     def keys_of(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -43,6 +43,7 @@ _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _DATE_FMT_IDS = set(range(14, 23)) | set(range(45, 48))
 _DATE_FMT_RE = re.compile(r"[dmyhs]", re.IGNORECASE)
 _EXCEL_EPOCH = datetime(1899, 12, 30)
+_EXCEL_EPOCH_PRE61 = datetime(1899, 12, 31)  # 1900-leap-bug range (serial < 61)
 _COL_RE = re.compile(r"([A-Z]+)([0-9]+)")
 
 
@@ -123,8 +124,12 @@ def _cell_value(c, shared: list[str], date_styles: set[int]):
     num = float(raw)
     style = int(c.get("s", "-1"))
     if style in date_styles:
-        # POI: serial → java.util.Date → Instant.toString (ISO-8601)
-        dt = _EXCEL_EPOCH + timedelta(days=num)
+        # POI: serial → java.util.Date → Instant.toString (ISO-8601).
+        # POI's DateUtil applies dayAdjust=-1 only for serials >= 61:
+        # Excel pretends 1900-02-29 exists (serial 60), so serials below
+        # 61 sit one day later relative to the 1899-12-30 epoch.
+        epoch = _EXCEL_EPOCH if num >= 61 else _EXCEL_EPOCH_PRE61
+        dt = epoch + timedelta(days=num)
         return dt.isoformat(timespec="seconds") + "Z"
     if num == int(num):
         return int(num)
@@ -166,14 +171,17 @@ def read_xlsx_rows(path: str, offset: int = 1) -> tuple[list[str], list[list]]:
     if not names:
         raise ParserError(f"no column titles at row offset {offset}")
 
+    # The reference's getItemCount walks rows from offset+1 and STOPS at
+    # the first MISSING row (sheet.getRow == null, ExcelParser.java
+    # getItemCount) — rows after a gap are never imported. A row element
+    # that exists but has only empty cells is non-null in POI and IS
+    # counted (it imports as an all-null doc, dropped keys).
     rows = []
-    for r in sorted(raw_rows):
-        if r <= offset:
-            continue
+    r = offset + 1
+    while r in raw_rows:
         cells = raw_rows[r]
-        if not any(v is not None for v in cells.values()):
-            continue  # blank row (reference stops at first null row)
         rows.append([cells.get(ci) for ci in range(len(names))])
+        r += 1
     return names, rows
 
 

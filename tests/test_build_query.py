@@ -522,3 +522,20 @@ def test_streaming_merge_flush_size_invariant(
             os.path.join(d2, "shards", shard, "postings.parquet")
         ).metadata
         assert meta.num_row_groups >= meta.num_rows // 2
+
+
+def test_fetch_docs_missing_docid_raises(ray_session, tiny_index):
+    """fetch_docs must KeyError on a docid absent from the docstore, not
+    silently return a neighboring row (searchsorted guard)."""
+    import pytest as _pytest
+
+    idx_dir, result = tiny_index
+    reader = IndexReader(idx_dir)
+    store = reader.fetch_docs([0])  # docid 0 exists (first conv, turn 0)
+    assert store["docid"].to_pylist() == [0]
+    absent = (1 << 40) | 63  # far outside any built chunk... but same chunk math
+    with _pytest.raises((KeyError, FileNotFoundError)):
+        reader.fetch_docs([absent])
+    # absent docid inside an EXISTING chunk must also raise
+    with _pytest.raises(KeyError):
+        reader.fetch_docs([63])  # turn 63 of conv 0 doesn't exist

@@ -40,3 +40,60 @@ def test_registry_dispatch():
     assert "xls" in registry.registered_extensions()
     with pytest.raises(NotImplementedError):
         registry.get_by_filename("legacy.xls")("legacy.xls")
+
+
+def _write_min_xlsx(path, sheet_rows, styles_xml=None):
+    """Minimal handwritten OOXML workbook: one sheet, inline numbers."""
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        + sheet_rows
+        + "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if styles_xml:
+            z.writestr("xl/styles.xml", styles_xml)
+
+
+def test_row_gap_stops_import(tmp_path):
+    """getItemCount (ExcelParser.java) walks rows from offset+1 and
+    stops at the first MISSING row — data after a gap never imports."""
+    p = str(tmp_path / "gap.xlsx")
+    _write_min_xlsx(
+        p,
+        '<row r="1"><c r="A1" t="str"><v>h</v></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c></row>'
+        # row 4 missing entirely -> stop; row 5 must not import
+        '<row r="5"><c r="A5"><v>9</v></c></row>',
+    )
+    t = read_xlsx_table(p, offset=1)
+    assert t.to_pydict()["h"] == [1, 2]
+
+
+def test_date_serial_1900_leap_quirk(tmp_path):
+    """POI's DateUtil dayAdjust: serials < 61 (before Excel's fake
+    1900-02-29) sit one day later vs the 1899-12-30 epoch. Serial 1 →
+    1900-01-01; serial 61 → 1900-03-01."""
+    styles = (
+        '<?xml version="1.0"?><styleSheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><cellXfs>'
+        '<xf numFmtId="14"/></cellXfs></styleSheet>'
+    )
+    p = str(tmp_path / "dates.xlsx")
+    _write_min_xlsx(
+        p,
+        '<row r="1"><c r="A1" t="str"><v>d</v></c>'
+        '<c r="B1" t="str"><v>e</v></c></row>'
+        '<row r="2"><c r="A2" s="0"><v>1</v></c>'
+        '<c r="B2" s="0"><v>61</v></c></row>',
+        styles_xml=styles,
+    )
+    t = read_xlsx_table(p, offset=1)
+    d = t.to_pydict()
+    assert d["d"] == ["1900-01-01T00:00:00Z"]
+    assert d["e"] == ["1900-03-01T00:00:00Z"]
