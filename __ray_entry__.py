@@ -303,6 +303,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "/root/reference/src/test/resources/test.xlsx", offset=5
         )
 
+    def q_xls_ingest(sf_dir):
+        from excelastic_ray.sources.xls import read_xls_table
+
+        return read_xls_table(
+            "/root/reference/src/test/resources/test.xls", offset=5
+        )
+
     def q_media_decode(sf_dir):
         media = _docs(sf_dir).map_batches(
             multimodal.attach_fake_payloads, batch_format="pyarrow"
@@ -360,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
+        "xls_ingest": q_xls_ingest,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
     }

@@ -66,15 +66,9 @@ def _register_defaults() -> None:
 
     register_reader("xlsx", read_xlsx)
 
-    def _read_xls(path: str, **options: Any):
-        # POI's binary BIFF support has no stdlib equivalent in this
-        # environment; the extension is registered (ParserFactory parity,
-        # /root/reference/.../ParserFactory.java:25-29) but unsupported.
-        raise NotImplementedError(
-            "legacy .xls (BIFF) is not supported here; save as .xlsx or .csv"
-        )
+    from excelastic_ray.sources.xls import read_xls
 
-    register_reader("xls", _read_xls)
+    register_reader("xls", read_xls)
 
 
 _register_defaults()

@@ -35,11 +35,10 @@ def test_invalid_xlsx_raises_parser_error():
 
 def test_registry_dispatch():
     from excelastic_ray.sources import registry
+    from excelastic_ray.sources.xls import read_xls
 
     assert "xlsx" in registry.registered_extensions()
-    assert "xls" in registry.registered_extensions()
-    with pytest.raises(NotImplementedError):
-        registry.get_by_filename("legacy.xls")("legacy.xls")
+    assert registry.get_by_filename("legacy.xls") is read_xls
 
 
 def _write_min_xlsx(path, sheet_rows, styles_xml=None):
