@@ -46,6 +46,16 @@ BM25_QUERIES = [
     ("q6", "scan scan scan"),
 ]
 
+#: match_phrase query set: common bigram, trigram, absent phrase,
+#: single-term phrase (== tf-scored term query).
+PHRASE_QUERIES = [
+    ("p1", "table hash"),
+    ("p2", "slow hash batch"),
+    ("p3", "part filter scan"),
+    ("p4", "zzz absent phrase"),
+    ("p5", "value"),
+]
+
 _BUILT: dict[str, str] = {}
 
 
@@ -69,7 +79,13 @@ def _index_for(sf_dir: str) -> str:
     try:
         from excelastic_ray.index.segments import load_global_manifest
 
-        done = load_global_manifest(idx).get("status") == "complete"
+        m = load_global_manifest(idx)
+        # a cached index from an older code version (different config
+        # surface, e.g. no positions) must be rebuilt, not reused
+        done = (
+            m.get("status") == "complete"
+            and m.get("config") == ENTRY_CONFIG.to_dict()
+        )
     except Exception:
         done = False
     if not done:
@@ -131,6 +147,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_bm25_and_topk(sf_dir):
         return _bm25_table(sf_dir, mode="and")
+
+    def q_bm25_phrase_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in PHRASE_QUERIES:
+            t = eng.search_phrase(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def q_bm25_count(sf_dir):
         import pandas as pd
@@ -343,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
         "doc_keys": q_doc_keys,
@@ -449,6 +490,56 @@ QUALIFY row_number() OVER (
     )
 
 
+def _phrase_sql() -> str:
+    """match_phrase twin: per phrase, ptf = count of list positions where
+    all terms match consecutively; df = docs with ptf > 0; score =
+    single-pseudo-term BM25 (the engine's PhraseQuery shape)."""
+    ctes, selects = [], []
+    for qid, q in PHRASE_QUERIES:
+        terms = q.lower().split()
+        k = len(terms)
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        ctes.append(
+            f"""m_{qid} AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= {k}
+                    THEN len(list_filter(range(1, len(toks) - {k} + 2),
+                                         i -> {cond}))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+)"""
+        )
+        selects.append(
+            f"""SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM (
+    SELECT '{qid}' AS query_id, m.conv_id, m.turn_idx,
+           ln(1 + (s.n - CAST(d.d AS DOUBLE) + 0.5)
+                  / (CAST(d.d AS DOUBLE) + 0.5))
+           * m.ptf * 2.2
+           / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) AS raw
+    FROM m_{qid} m
+    CROSS JOIN stats s
+    CROSS JOIN (SELECT count(*) AS d FROM m_{qid}) d
+)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10"""
+        )
+    return (
+        _BASE
+        + ",\ndl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),\n"
+        + "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n"
+        + "                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     turn_mult = 1 << ENTRY_CONFIG.turn_bits
     en = _stop_list("en")
@@ -496,6 +587,7 @@ FROM matched m JOIN transcripts t
 GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25_phrase_topk": _phrase_sql(),
         "doc_keys": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT conv_id, turn_idx,

@@ -79,6 +79,11 @@ class IndexConfig:
     # text-equality verification against the source Parquet.
     store_source: bool = True
 
+    # Store a third posting stream of delta-varint token positions
+    # (enables match_phrase). Positions are doc-internal, so the merge
+    # splice is a plain byte concat in chunk order.
+    store_positions: bool = True
+
     def __post_init__(self) -> None:
         if self.codec not in ("varint", "blockpack"):
             raise ValueError(f"unknown codec {self.codec!r}")
@@ -120,6 +125,7 @@ class IndexConfig:
             "attr_fields": list(self.attr_fields),
             "batch_size": self.batch_size,
             "store_source": self.store_source,
+            "store_positions": self.store_positions,
         }
 
     @staticmethod
@@ -127,4 +133,5 @@ class IndexConfig:
         d = dict(d)
         d["index_fields"] = tuple(d.get("index_fields", ("text",)))
         d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool")))
+        d.setdefault("store_positions", False)  # pre-positions indexes
         return IndexConfig(**d)

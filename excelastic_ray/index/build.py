@@ -255,6 +255,32 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             rows_post, rows_bm, rows_nb = [], [], []
             rows_df = np.zeros(0, dtype=np.int64)
 
+        if cfg.store_positions and n_postings:
+            # token position within its doc, in the SAME (term, doc)
+            # sorted order as the postings (lexsort is stable →
+            # positions ascend within each posting); delta-encode per
+            # posting and slice the one varint stream per TERM
+            from excelastic_ray.codecs import varint_encode
+
+            tot = len(c_s)
+            row_starts = np.cumsum(dl_arr) - dl_arr
+            pos_flat = np.arange(tot, dtype=np.int64) - np.repeat(
+                row_starts, dl_arr
+            )
+            pos_s = pos_flat[order]
+            deltas = np.empty(tot, dtype=np.uint64)
+            np.subtract(pos_s[1:], pos_s[:-1], out=deltas[1:], casting="unsafe")
+            deltas[starts] = pos_s[starts].astype(np.uint64)
+            p_buf, p_starts = varint_encode(deltas)
+            p_starts = np.append(p_starts, len(p_buf))
+            term_tok = np.append(starts[bounds[:-1]], tot)
+            rows_pos = [
+                p_buf[p_starts[term_tok[i]] : p_starts[term_tok[i + 1]]]
+                for i in range(len(uniq))
+            ]
+        else:
+            rows_pos = [b""] * len(uniq)
+
         table = pa.table(
             {
                 "term": pa.array(np.asarray(uniq, dtype=object), type=pa.string()),
@@ -262,6 +288,7 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
                 "n_blocks": pa.array(rows_nb, type=pa.int32()),
                 "postings": pa.array(rows_post, type=pa.large_binary()),
                 "blockmax": pa.array(rows_bm, type=pa.large_binary()),
+                "positions": pa.array(rows_pos, type=pa.large_binary()),
             }
         )
         d = seg.chunk_dir(index_dir, chunk)
@@ -341,10 +368,12 @@ class _TermCursor:
         for b in self._batches:
             if b.num_rows:
                 self._terms = b["term"].to_pylist()
+                has_pos = "positions" in b.schema.names
                 self._cols = (
                     b["df"].to_numpy(),
                     b["postings"],
                     b["blockmax"],
+                    b["positions"] if has_pos else None,
                 )
                 self._i = 0
                 return
@@ -354,10 +383,15 @@ class _TermCursor:
     def term(self) -> str | None:
         return self._terms[self._i] if self._terms else None
 
-    def pop(self) -> tuple[int, bytes, bytes]:
+    def pop(self) -> tuple[int, bytes, bytes, bytes]:
         i = self._i
-        df, posts, bms = self._cols
-        row = (int(df[i]), posts[i].as_py(), bms[i].as_py())
+        df, posts, bms, poss = self._cols
+        row = (
+            int(df[i]),
+            posts[i].as_py(),
+            bms[i].as_py(),
+            poss[i].as_py() if poss is not None else b"",
+        )
         self._i += 1
         if self._i >= len(self._terms):
             self._advance_batch()
@@ -450,6 +484,7 @@ class SegmentMerger:
         buf_nb: list[int] = []
         buf_post: list[bytes] = []
         buf_bm: list[bytes] = []
+        buf_pos: list[bytes] = []
         buf_bytes = 0
         n_terms = 0
 
@@ -465,6 +500,7 @@ class SegmentMerger:
                         "n_blocks": pa.array(buf_nb, type=pa.int32()),
                         "postings": pa.array(buf_post, type=pa.large_binary()),
                         "blockmax": pa.array(buf_bm, type=pa.large_binary()),
+                        "positions": pa.array(buf_pos, type=pa.large_binary()),
                     }
                 )
             )
@@ -473,6 +509,7 @@ class SegmentMerger:
             buf_nb.clear()
             buf_post.clear()
             buf_bm.clear()
+            buf_pos.clear()
             buf_bytes = 0
 
         while True:
@@ -483,13 +520,15 @@ class SegmentMerger:
             t = min(x[0] for x in live)
             subs: list[tuple[bytes, bytes]] = []
             sub_offsets: list[int] = []
+            sub_pos: list[bytes] = []
             df_sum = 0
             for term_j, j in live:  # cursor order == ascending chunk order
                 if term_j != t:
                     continue
-                df_j, post_j, bm_j = cursors[j].pop()
+                df_j, post_j, bm_j, pos_j = cursors[j].pop()
                 subs.append((post_j, bm_j))
                 sub_offsets.append(offsets[j])
+                sub_pos.append(pos_j)
                 df_sum += df_j
             if cfg.codec == "varint":
                 post, bm, nb = merge_encoded_postings(
@@ -514,7 +553,11 @@ class SegmentMerger:
             buf_nb.append(int(nb))
             buf_post.append(post)
             buf_bm.append(bm)
-            buf_bytes += len(post) + len(bm)
+            # positions are doc-internal → merged stream = byte concat
+            # in chunk order (posting order after merge is chunk order)
+            pos = b"".join(sub_pos)
+            buf_pos.append(pos)
+            buf_bytes += len(post) + len(bm) + len(pos)
             n_terms += 1
             if buf_bytes >= self.flush_bytes or len(buf_term) >= self.flush_terms:
                 flush()

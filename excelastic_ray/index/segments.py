@@ -39,6 +39,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("n_blocks", pa.int32()),
         ("postings", pa.large_binary()),
         ("blockmax", pa.large_binary()),
+        # delta-varint token positions per posting (empty when the index
+        # was built with store_positions=False)
+        ("positions", pa.large_binary()),
     ]
 )
 

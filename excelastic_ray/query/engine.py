@@ -29,7 +29,7 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from excelastic_ray.analysis import query_terms
+from excelastic_ray.analysis import TOKEN_RE, query_terms
 from excelastic_ray.codecs import PostingList
 from excelastic_ray.config import IndexConfig
 from excelastic_ray.index import segments as seg
@@ -49,6 +49,11 @@ class ShardSearcher:
         self.df = t["df"].to_numpy()
         self.postings = t["postings"].to_pylist()
         self.blockmax = t["blockmax"].to_pylist()
+        self.positions = (
+            t["positions"].to_pylist()
+            if "positions" in t.schema.names and config.store_positions
+            else None
+        )
         docs = pq.read_table(os.path.join(shard_path, "docs.parquet"))
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
@@ -88,6 +93,58 @@ class ShardSearcher:
     def posting_list(self, i: int) -> PostingList:
         return PostingList(
             self.postings[i], self.blockmax[i], self.cfg.codec, self.cfg.block_size
+        )
+
+    def positions_of(self, i: int, tfs: np.ndarray) -> np.ndarray:
+        """Decoded token positions for term slot ``i``, flat-aligned to
+        ``np.repeat(ids, tfs)`` (grouped cumsum of the delta stream)."""
+        from excelastic_ray.codecs import varint_decode
+
+        if self.positions is None:
+            raise RuntimeError(
+                "index was built with store_positions=False; phrase "
+                "queries need a rebuild"
+            )
+        vals = varint_decode(self.positions[i]).astype(np.int64)
+        cum = np.cumsum(vals)
+        starts = np.cumsum(tfs.astype(np.int64))[:-1]
+        base = np.concatenate(([0], cum[starts - 1]))
+        return cum - np.repeat(base, tfs.astype(np.int64))
+
+    def phrase_matches(self, terms: list[str]) -> tuple[np.ndarray, ...]:
+        """Docs containing ``terms`` consecutively → (docids, ptf, dl)
+        where ptf = number of phrase occurrences. Encoding trick: every
+        (doc, position) occurrence of query-position j becomes the key
+        ord*M + (pos - j + L); a phrase start survives the intersection
+        of all terms' key sets (M bounds positions so keys can't collide
+        across docs)."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.float64))
+        idxs = []
+        for t in terms:
+            i = self.lookup(t)
+            if i < 0:
+                return empty
+            idxs.append(i)
+        L = len(terms)
+        max_dl = int(self.dls.max()) if len(self.dls) else 0
+        M = np.int64(max_dl + L + 2)
+        inter = None
+        for j, i in enumerate(idxs):
+            ids, tfs = self.posting_list(i).decode_all()
+            pos = self.positions_of(i, tfs)
+            keys = np.repeat(ids, tfs) * M + (pos - j + L)
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True
+            )
+            if not len(inter):
+                return empty
+        ords = (inter // M).astype(np.int64)
+        uniq, counts = np.unique(ords, return_counts=True)
+        return (
+            self.docids[uniq],
+            counts.astype(np.int64),
+            self.dls[uniq],
         )
 
     # -- scoring ---------------------------------------------------------
@@ -588,6 +645,57 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    def search_phrase(self, query: str, k: int = 10):
+        """match_phrase: docs where the query terms appear consecutively,
+        scored like a single pseudo-term whose tf is the phrase-occurrence
+        count and whose df is the phrase's doc count (the Lucene
+        PhraseQuery shape). Two-phase: shards return their phrase
+        matches (phrase df is query-dependent, so idf can only be
+        computed after the match phase); the driver scores and ranks
+        (score DESC, docid ASC). Phrase matches are typically rare, so
+        the match sets are small; a stopword-only phrase is the worst
+        case and still bounded by the rarest term's df."""
+        import pyarrow as pa
+
+        r = self.reader
+        terms = TOKEN_RE.findall(query.lower())  # IN ORDER, duplicates kept
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [a.phrase_matches.remote(terms) for a in self._actors]
+                )
+            else:
+                parts = [
+                    r.searcher(s).phrase_matches(terms)
+                    for s in range(r.num_shards)
+                ]
+            all_ids = np.concatenate([p[0] for p in parts])
+            ptfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            df_phrase = len(all_ids)
+            if df_phrase:
+                p_idf = idf(r.n_docs, df_phrase)
+                sc = contribution(
+                    p_idf, ptfs.astype(np.float64), dls, r.avgdl,
+                    r.cfg.k1, r.cfg.b,
+                )
+                order = np.lexsort((all_ids, -sc))[:k]
+                docids, scores = all_ids[order], sc[order]
+        conv, turn = r.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int32)),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
     def _query_shape(self, query: str, mode: str):
         """→ (live terms, n_required, dead) for count/facet endpoints."""
         terms = query_terms(query)
@@ -742,6 +850,14 @@ class ShardActor:
 
     def count(self, terms, n_required=0, filters=None) -> int:
         return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def phrase_matches(self, terms: list[str]):
+        parts = [s.phrase_matches(terms) for s in self.searchers]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
 
     def facet(self, terms, attr, n_required=0, filters=None) -> dict:
         out: dict = {}

@@ -32,14 +32,16 @@ class BM25Oracle:
         self.conv_ids = sorted(ranks)
 
         self.postings: dict[str, dict[int, int]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.dl: dict[int, int] = {}
         for c, t, x in zip(conv, turn, text):
             docid = (ranks[c] << cfg.turn_bits) | t
             toks = tokenize(x)
             self.dl[docid] = len(toks)
-            for w in toks:
+            for p, w in enumerate(toks):
                 d = self.postings.setdefault(w, {})
                 d[docid] = d.get(docid, 0) + 1
+                self.positions.setdefault(w, {}).setdefault(docid, []).append(p)
         self.n_docs = len(self.dl)
         self.avgdl = (sum(self.dl.values()) / self.n_docs) if self.n_docs else 0.0
 
@@ -78,6 +80,46 @@ class BM25Oracle:
             scores = {d: s for d, s in scores.items() if hits[d] == n_live}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def phrase_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """match_phrase oracle: ptf = consecutive-occurrence count, df =
+        docs with ptf > 0, score = idf(N, df) * tfnorm(ptf, dl) — the
+        single-pseudo-term PhraseQuery shape the engine mirrors."""
+        terms = tokenize(query)  # ordered, duplicates kept
+        if not terms:
+            return []
+        maps = [self.positions.get(t) for t in terms]
+        if any(m is None for m in maps):
+            return []
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        ptf: dict[int, int] = {}
+        for d in common:
+            sets = [set(m[d]) for m in maps]
+            n = sum(
+                1 for p in maps[0][d] if all(p + j in sets[j]
+                                             for j in range(1, len(terms)))
+            )
+            if n:
+                ptf[d] = n
+        if not ptf:
+            return []
+        p_idf = idf(self.n_docs, len(ptf))
+        scored = [
+            (
+                d,
+                float(
+                    contribution(
+                        p_idf, np.float64(n), np.float64(self.dl[d]),
+                        self.avgdl, self.cfg.k1, self.cfg.b,
+                    )
+                ),
+            )
+            for d, n in ptf.items()
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]
 
     def keys_of(self, docid: int) -> tuple[str, int]:
         cfg = self.cfg

@@ -539,3 +539,68 @@ def test_fetch_docs_missing_docid_raises(ray_session, tiny_index):
     # absent docid inside an EXISTING chunk must also raise
     with _pytest.raises(KeyError):
         reader.fetch_docs([63])  # turn 63 of conv 0 doesn't exist
+
+
+def test_phrase_rank_identity_vs_oracle(
+    ray_session, tiny_index, tiny_table, tiny_config, tiny_oracle
+):
+    """match_phrase engine (local + actor-served) is bit-identical to
+    the pure-Python phrase oracle: bigram, trigram, absent phrase,
+    duplicate-term phrase, single-term phrase."""
+    from excelastic_ray.analysis import tokenize
+
+    idx_dir, _ = tiny_index
+    texts = tiny_table["text"].to_pylist()
+    t0 = tokenize(texts[0])
+    t7 = tokenize(texts[7])
+    phrases = [
+        " ".join(t0[:2]),
+        " ".join(t0[1:4]),
+        " ".join(t7[2:4]),
+        "zzz absent phrase",
+        t0[0],
+        f"{t0[0]} {t0[0]}",  # duplicate-term phrase
+    ]
+    eng = QueryEngine(idx_dir)
+    eng_actors = QueryEngine(idx_dir, use_actors=True)
+    try:
+        for q in phrases:
+            exp = tiny_oracle.phrase_search(q, 10)
+            for e in (eng, eng_actors):
+                t = e.search_phrase(q, 10)
+                got = list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
+                assert got == exp, q
+    finally:
+        eng_actors.close()
+
+
+def test_positions_survive_merge(ray_session, tiny_index, tiny_table,
+                                 tiny_config, tiny_oracle):
+    """Decoded shard positions equal the oracle's token positions for a
+    sample of terms (the merge concat preserved every position list)."""
+    from excelastic_ray.query.engine import IndexReader
+
+    idx_dir, _ = tiny_index
+    r = IndexReader(idx_dir)
+    import numpy as np
+
+    checked = 0
+    for s in range(r.num_shards):
+        sr = r.searcher(s)
+        for i in range(0, len(sr.terms), max(1, len(sr.terms) // 7)):
+            term = str(sr.terms[i])
+            ids, tfs = sr.posting_list(i).decode_all()
+            pos = sr.positions_of(i, tfs)
+            flat_docs = np.repeat(sr.docids[ids], tfs)
+            shard_docs = set(sr.docids.tolist())
+            exp = {
+                d: p
+                for d, p in tiny_oracle.positions.get(term, {}).items()
+                if d in shard_docs  # shards are doc-partitioned
+            }
+            got: dict[int, list[int]] = {}
+            for d, p in zip(flat_docs, pos):
+                got.setdefault(int(d), []).append(int(p))
+            assert got == exp, term
+            checked += 1
+    assert checked > 10
