@@ -84,6 +84,14 @@ class IndexConfig:
     # splice is a plain byte concat in chunk order.
     store_positions: bool = True
 
+    # Row-count threshold above which conversation-rank assignment runs
+    # fully distributed (groupby partials → distributed validate →
+    # distributed sort → range-file rank offsets → bucket-join stamping)
+    # instead of the driver-side census + broadcast. The driver then
+    # never holds the conversation table. Set to 0 to force the
+    # distributed path (tests do).
+    driver_conv_budget: int = 50_000_000
+
     def __post_init__(self) -> None:
         if self.codec not in ("varint", "blockpack"):
             raise ValueError(f"unknown codec {self.codec!r}")
@@ -126,6 +134,7 @@ class IndexConfig:
             "batch_size": self.batch_size,
             "store_source": self.store_source,
             "store_positions": self.store_positions,
+            "driver_conv_budget": self.driver_conv_budget,
         }
 
     @staticmethod
@@ -134,4 +143,5 @@ class IndexConfig:
         d["index_fields"] = tuple(d.get("index_fields", ("text",)))
         d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool")))
         d.setdefault("store_positions", False)  # pre-positions indexes
+        d.setdefault("driver_conv_budget", 50_000_000)
         return IndexConfig(**d)

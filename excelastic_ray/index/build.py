@@ -140,6 +140,220 @@ def conversation_table(ds, config: IndexConfig) -> np.ndarray:
     return np.sort(stats["conv_id"].to_numpy().astype(object))
 
 
+def _validate_moments(cnt, mn, mx, sm, sq, max_turns, sample_ids) -> None:
+    """Shared turn-sequence validity check over moment arrays: each
+    conversation's turn_idx must be exactly {0..n-1} (min=0, max=n-1,
+    sum and sum-of-squares match — exact for non-adversarial inputs and
+    exactly re-checked by the per-chunk duplicate-docid guard)."""
+    n = cnt.astype(np.int64)
+    exp_sm = n * (n - 1) // 2
+    exp_sq = (n - 1) * n * (2 * n - 1) // 6
+    bad = (mn != 0) | (mx != n - 1) | (sm != exp_sm) | (sq != exp_sq)
+    if bad.any():
+        culprit = sample_ids[int(np.flatnonzero(bad)[0])]
+        raise ValidationError(
+            f"conversation {culprit!r}: turn_idx is not a duplicate-free "
+            f"0..n-1 sequence"
+        )
+    if (n > max_turns).any():
+        raise ValidationError(
+            f"a conversation exceeds max_turns={max_turns} "
+            f"(raise IndexConfig.turn_bits)"
+        )
+
+
+def distributed_conversation_ranks(ds, config: IndexConfig,
+                                   index_dir: str) -> int:
+    """Beyond-driver-budget rank assignment: the driver NEVER holds the
+    conversation table. Returns n_convs; writes ``convs.parquet`` as a
+    DIRECTORY of (rank, conv_id) files.
+
+    Shape: per-batch conv partials → distributed groupby(conv_id)
+    moment aggregate → per-batch validation → distributed sort by
+    conv_id → one parquet file per sorted block. Ranks are then
+    file-offset + row-offset: sorted blocks hold DISJOINT conv_id
+    ranges (ids are distinct post-groupby), so ordering files by their
+    first conv_id and exclusive-scanning their row counts reproduces
+    exactly the broadcast path's sorted-position ranks. The driver
+    touches only per-file footers (count + first id) — O(files).
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partials, batch_format="pyarrow", batch_size=65536
+    )
+    stats = partials.groupby("conv_id").aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Min("mn", alias_name="mn"),
+        Max("mx", alias_name="mx"),
+        Sum("sm", alias_name="sm"),
+        Sum("sq", alias_name="sq"),
+    )
+
+    def validate(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        _validate_moments(
+            batch["cnt"].to_numpy(), batch["mn"].to_numpy(),
+            batch["mx"].to_numpy(), batch["sm"].to_numpy(),
+            batch["sq"].to_numpy(), config.max_turns, ids,
+        )
+        return pa.table({"conv_id": pa.array(ids, type=pa.string())})
+
+    ranked = stats.map_batches(validate, batch_format="pyarrow").sort("conv_id")
+
+    convs_dir = os.path.join(index_dir, "convs.parquet")
+    if os.path.exists(convs_dir):
+        (shutil.rmtree if os.path.isdir(convs_dir) else os.remove)(convs_dir)
+    tmp_dir = convs_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        ranked.write_parquet(tmp_dir)
+    except Exception as e:  # unwrap ValidationError from Ray's task error
+        cause = e
+        while cause is not None:
+            if isinstance(cause, ValidationError):
+                raise ValidationError(str(cause)) from e
+            msg = str(cause)
+            if "ValidationError" in msg and "turn_idx" in msg:
+                raise ValidationError(msg.split("ValidationError:")[-1].strip()) from e
+            cause = cause.__cause__
+        raise
+
+    # order files by their first conv_id (ranges are disjoint) and
+    # rewrite each with its explicit rank range — distributed, one task
+    # per file; the driver sees only (path, count, first_id) triples
+    files = []
+    for name in sorted(os.listdir(tmp_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(tmp_dir, name)
+        f = pq.ParquetFile(path)
+        if f.metadata.num_rows == 0:
+            continue
+        first = next(f.iter_batches(batch_size=1, columns=["conv_id"]))
+        files.append((str(first["conv_id"][0]), path, f.metadata.num_rows))
+    files.sort()
+
+    @ray.remote
+    def stamp_ranks(path: str, out_path: str, base: int) -> int:
+        t = pq.read_table(path)
+        out = pa.table(
+            {
+                "rank": pa.array(
+                    base + np.arange(t.num_rows, dtype=np.int64)
+                ),
+                "conv_id": t["conv_id"],
+            }
+        )
+        pq.write_table(out, out_path, compression="zstd")
+        return t.num_rows
+
+    os.makedirs(convs_dir, exist_ok=True)
+    base = 0
+    tasks = []
+    for i, (_, path, n) in enumerate(files):
+        out_path = os.path.join(convs_dir, f"part-{i:06d}.parquet")
+        tasks.append(stamp_ranks.remote(path, out_path, base))
+        base += n
+    ray.get(tasks)
+    shutil.rmtree(tmp_dir)
+    return base
+
+
+def _chunk_phase_joined(
+    ds,
+    config: IndexConfig,
+    index_dir: str,
+    skip: list[int],
+    cpus: int,
+    store_cols: list[str],
+    rank_offset: int = 0,
+) -> pd.DataFrame:
+    """Stamping via a bucket-partitioned join against the rank files
+    (the distributed-ranks sibling of :func:`_chunk_phase`): transcript
+    rows and (rank, conv_id) rows are both keyed by a conv_id hash
+    bucket, a pandas merge inside each bucket attaches the rank, and the
+    stamped rows flow into the same groupby(chunk) fused builder. Two
+    exchanges instead of one — the cost of never broadcasting the
+    conversation table."""
+    import ray.data as rd
+
+    from excelastic_ray.hashing import fnv1a_str_rows
+
+    n_buckets = max(64, 2 * cpus)
+    schema = ds.schema()
+    schema_names = set(schema.names)
+    col_types = dict(zip(schema.names, schema.types))  # pyarrow types
+    carry_cols = sorted(
+        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
+        | {a for a in config.attr_fields if a in schema_names}
+    )
+    cfg_dict = config.to_dict()
+    skip_arr = sorted(skip)
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        b = b.select(carry_cols)
+        bucket = fnv1a_str_rows(b["conv_id"].to_pylist()) % np.uint64(n_buckets)
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        ).append_column(
+            "rank", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+        )
+
+    def key_ranks(b: pa.Table) -> pa.Table:
+        bucket = fnv1a_str_rows(b["conv_id"].to_pylist()) % np.uint64(n_buckets)
+        cols = {}
+        for c in carry_cols:
+            if c == "conv_id":
+                cols[c] = b["conv_id"]
+            else:
+                cols[c] = pa.nulls(b.num_rows, col_types[c])
+        t = pa.table(cols)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        ).append_column("rank", b["rank"])
+
+    ranks_ds = rd.read_parquet(os.path.join(index_dir, "convs.parquet"))
+    keyed_rows = ds.map_batches(
+        key_rows, batch_format="pyarrow", batch_size=config.batch_size
+    )
+    keyed_ranks = ranks_ds.map_batches(key_ranks, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cfg = IndexConfig.from_dict(cfg_dict)
+        ranks = g[g["rank"] >= 0][["conv_id", "rank"]]
+        rows = g[g["rank"] < 0].drop(columns=["rank", "bucket"])
+        out = rows.merge(ranks, on="conv_id", how="left")
+        if out["rank"].isna().any():
+            raise ValidationError("conv_id not seen in validation pass")
+        rank = out["rank"].to_numpy().astype(np.int64) + rank_offset
+        turn = out["turn_idx"].to_numpy().astype(np.int64)
+        out = out.drop(columns=["rank"])
+        out["docid"] = (rank << cfg.turn_bits) | turn
+        out["chunk"] = rank >> cfg.convs_per_chunk_bits
+        if skip_arr:
+            out = out[~out["chunk"].isin(skip_arr)]
+        return out
+
+    stamped = (
+        keyed_rows.union(keyed_ranks)
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+    return (
+        stamped.groupby("chunk")
+        .map_groups(
+            make_chunk_builder(index_dir, cfg_dict, store_cols),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Docid stamping (stateful actor pool: conv-rank table loaded once)
 # ---------------------------------------------------------------------------
@@ -784,19 +998,36 @@ def _build_index_impl(
         raise ValidationError(f"input is missing required columns {sorted(missing)}")
 
     # ---- validation + conversation ranks -------------------------------
-    conv_ids = conversation_table(ds, config)
-    n_convs = len(conv_ids)
+    # Distributed rank path when the corpus exceeds the driver budget
+    # (or the budget is 0 — the test forcing knob). The row count is a
+    # conservative upper bound on the conv census and is free for
+    # parquet sources; transformed/Dataset inputs stay on the broadcast
+    # path unless forced (count() would re-execute their pipeline).
+    if config.driver_conv_budget == 0:
+        use_dist = True
+    elif isinstance(source, (str, list, tuple)) and not transforms:
+        use_dist = ds.count() > config.driver_conv_budget
+    else:
+        use_dist = False
+
+    if use_dist:
+        n_convs = distributed_conversation_ranks(ds, config, index_dir)
+    else:
+        conv_ids = conversation_table(ds, config)
+        n_convs = len(conv_ids)
+        cp = os.path.join(index_dir, "convs.parquet")
+        if os.path.isdir(cp):  # prior distributed build left a directory
+            shutil.rmtree(cp)
+        seg.atomic_write_parquet(
+            os.path.join(index_dir, "convs.parquet"),
+            pa.table(
+                {
+                    "rank": pa.array(np.arange(n_convs, dtype=np.int64)),
+                    "conv_id": pa.array(conv_ids, type=pa.string()),
+                }
+            ),
+        )
     n_chunks = ((n_convs - 1) >> config.convs_per_chunk_bits) + 1 if n_convs else 0
-    conv_ref = ray.put(conv_ids)
-    seg.atomic_write_parquet(
-        os.path.join(index_dir, "convs.parquet"),
-        pa.table(
-            {
-                "rank": pa.array(np.arange(n_convs, dtype=np.int64)),
-                "conv_id": pa.array(conv_ids, type=pa.string()),
-            }
-        ),
-    )
     seg.save_global_manifest(
         index_dir,
         {"status": "building", "config": config.to_dict(), "n_convs": n_convs},
@@ -808,9 +1039,15 @@ def _build_index_impl(
     store_cols = _store_cols(config, schema_names)
     summaries = pd.DataFrame()
     if len(skip) < n_chunks:
-        summaries = _chunk_phase(
-            ds, conv_ref, config, index_dir, skip, cpus, store_cols
-        )
+        if use_dist:
+            summaries = _chunk_phase_joined(
+                ds, config, index_dir, skip, cpus, store_cols
+            )
+        else:
+            conv_ref = ray.put(conv_ids)
+            summaries = _chunk_phase(
+                ds, conv_ref, config, index_dir, skip, cpus, store_cols
+            )
 
     all_chunks = seg.completed_chunks(index_dir)
     if sorted(all_chunks) != list(range(n_chunks)):
@@ -980,6 +1217,9 @@ def append_index(
 
         # extended conv-rank table (explicit ranks: gap before base_rank)
         new_rank = base_rank + np.arange(len(new_convs), dtype=np.int64)
+        cp = os.path.join(index_dir, "convs.parquet")
+        if os.path.isdir(cp):  # base was built with distributed ranks
+            shutil.rmtree(cp)
         seg.atomic_write_parquet(
             os.path.join(index_dir, "convs.parquet"),
             pa.table(

@@ -510,6 +510,26 @@ class IndexReader:
         )
 
 
+def highlight_text(text: str | None, terms) -> str:
+    """Wrap every analyzer-token occurrence of ``terms`` in <em></em>
+    (ES highlighter default tags). Token boundaries come from the SAME
+    TOKEN_RE as indexing, so highlights match exactly what scored."""
+    if not text:
+        return ""
+    want = set(terms)
+    out = []
+    last = 0
+    for m in TOKEN_RE.finditer(text.lower()):
+        if m.group(0) in want:
+            out.append(text[last : m.start()])
+            out.append("<em>")
+            out.append(text[m.start() : m.end()])
+            out.append("</em>")
+            last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _merge_shard_topk(parts, k):
     if not parts:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -579,17 +599,28 @@ class QueryEngine:
         return np.asarray([self._df_cache[t] for t in terms], dtype=np.int64)
 
     def search(self, query: str, k: int = 10, filters: dict | None = None,
-               mode: str = "or", include_source: bool = False):
+               mode: str = "or", include_source: bool = False,
+               offset: int = 0, highlight: bool = False):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
         changing BM25 stats — the ES filter-context analog. ``mode``:
         "or" (default ES match behavior) or "and" (operator=and — every
-        query term must match; scores identical to "or")."""
+        query term must match; scores identical to "or").
+
+        ``offset`` is the ES ``from`` parameter: each shard returns its
+        top (offset + k), the merged ranking is sliced [offset, offset+k)
+        and ``rank`` numbers from offset + 1 — identical to slicing the
+        full ranking client-side. ``highlight=True`` adds a ``highlight``
+        column: the stored text with every query-term occurrence wrapped
+        in <em></em> (the ES highlighter default), produced by the SAME
+        analyzer that built the index (needs store_source)."""
         import pyarrow as pa
 
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
         r = self.reader
         terms = query_terms(query)
         docids = np.zeros(0, dtype=np.int64)
@@ -602,14 +633,15 @@ class QueryEngine:
                 n_required = len(live) if mode == "and" else 0
                 lterms = [t for t, _ in live]
                 idfs = [idf(r.n_docs, d) for _, d in live]
+                depth = offset + k
                 if self._actors is not None:
                     import ray
 
                     parts = ray.get(
                         [
                             a.topk.remote(
-                                lterms, idfs, r.avgdl, k, self.algo, filters,
-                                n_required,
+                                lterms, idfs, r.avgdl, depth, self.algo,
+                                filters, n_required,
                             )
                             for a in self._actors
                         ]
@@ -617,16 +649,21 @@ class QueryEngine:
                 else:
                     parts = [
                         r.searcher(s).topk(
-                            lterms, idfs, r.avgdl, k, self.algo, filters,
+                            lterms, idfs, r.avgdl, depth, self.algo, filters,
                             n_required,
                         )
                         for s in range(r.num_shards)
                     ]
-                docids, scores = _merge_shard_topk(parts, k)
+                docids, scores = _merge_shard_topk(parts, depth)
+                docids = docids[offset:]
+                scores = scores[offset:]
         conv, turn = r.keys_of(docids)
         out = pa.table(
             {
-                "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int32)),
+                "rank": pa.array(
+                    np.arange(offset + 1, offset + len(docids) + 1,
+                              dtype=np.int32)
+                ),
                 "docid": pa.array(docids, type=pa.int64()),
                 "conv_id": pa.array(conv, type=pa.string()),
                 "turn_idx": pa.array(turn, type=pa.int32()),
@@ -638,6 +675,15 @@ class QueryEngine:
             for name in src.column_names:
                 if name not in out.column_names:
                     out = out.append_column(name, src[name])
+        if highlight:
+            if len(docids):
+                texts = r.fetch_docs(docids, columns=["text"])["text"].to_pylist()
+                snips = [highlight_text(t, terms) for t in texts]
+            else:
+                snips = []
+            out = out.append_column(
+                "highlight", pa.array(snips, type=pa.string())
+            )
         return out
 
     def search_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:

@@ -604,3 +604,77 @@ def test_positions_survive_merge(ray_session, tiny_index, tiny_table,
             assert got == exp, term
             checked += 1
     assert checked > 10
+
+
+def test_pagination_equals_client_side_slice(ray_session, tiny_index):
+    """search(offset=f) == full ranking sliced [f:f+k], ranks f+1.."""
+    idx_dir, _ = tiny_index
+    eng = QueryEngine(idx_dir)
+    full = eng.search("w00005 w00004 the", 500)
+    for f, k in ((0, 5), (3, 4), (10, 10), (25, 10), (100, 5)):
+        page = eng.search("w00005 w00004 the", k, offset=f)
+        exp_ids = full["docid"].to_pylist()[f : f + k]
+        assert page["docid"].to_pylist() == exp_ids, (f, k)
+        assert page["score"].to_pylist() == full["score"].to_pylist()[f : f + k]
+        assert page["rank"].to_pylist() == list(range(f + 1, f + 1 + len(exp_ids)))
+
+
+def test_highlight_wraps_query_terms(ray_session, tiny_index):
+    from excelastic_ray.query.engine import highlight_text
+
+    assert highlight_text("The cat AND the dog", ["the", "dog"]) == (
+        "<em>The</em> cat AND <em>the</em> <em>dog</em>"
+    )
+    assert highlight_text("", ["x"]) == ""
+    assert highlight_text("no match here", ["zzz"]) == "no match here"
+
+    idx_dir, _ = tiny_index
+    eng = QueryEngine(idx_dir)
+    t = eng.search("w00005", 5, highlight=True)
+    assert "highlight" in t.column_names
+    for snip in t["highlight"].to_pylist():
+        assert "<em>w00005</em>" in snip.lower()
+
+
+def test_distributed_ranks_byte_identical(
+    ray_session, tmp_path, tiny_corpus_dir, tiny_config, tiny_index, query_set,
+    tiny_oracle,
+):
+    """driver_conv_budget=0 forces the fully-distributed rank path
+    (groupby partials -> distributed sort -> range-file offsets ->
+    bucket-join stamping). The resulting segments must be byte-identical
+    to the broadcast build, and queries rank-identical to the oracle."""
+    from dataclasses import replace
+
+    d0, _ = tiny_index
+    d = str(tmp_path / "idx_dist")
+    cfg = replace(tiny_config, driver_conv_budget=0)
+    res = build_index(tiny_corpus_dir, d, cfg, clear=True)
+    assert res.n_convs == 120
+    assert os.path.isdir(os.path.join(d, "convs.parquet"))
+    for name in sorted(os.listdir(os.path.join(d0, "segments"))):
+        a = open(os.path.join(d0, "segments", name, "postings.parquet"), "rb").read()
+        b = open(os.path.join(d, "segments", name, "postings.parquet"), "rb").read()
+        assert a == b, name
+    eng = QueryEngine(d)
+    for q in query_set[:6]:
+        assert eng.search_topk(q, 10) == tiny_oracle.search(q, 10), q
+
+
+def test_distributed_ranks_validation_still_fires(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+
+    cfg = IndexConfig(turn_bits=6, convs_per_chunk_bits=4, num_shards=2,
+                      driver_conv_budget=0)
+    bad = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1"],
+            "turn_idx": pa.array([0, 1, 1], type=pa.int32()),
+            "text": ["a", "b", "c"],
+        }
+    )
+    with pytest.raises(ValidationError):
+        build_index(rd.from_arrow(bad), str(tmp_path / "i1"), cfg, clear=True)
