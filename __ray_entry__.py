@@ -97,9 +97,9 @@ def _index_for(sf_dir: str) -> str:
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from excelastic_ray.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or"):
@@ -259,18 +259,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_embedding_dup_pairs(sf_dir):
-        import ray.data as rd
+        from excelastic_ray.io import read_parquet_clean
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
         return dedup.embedding_dup_pairs(emb, threshold=0.2)
 
     def _query_vecs(sf_dir, n=5):
         """Fetch ONLY the query vectors (vec_id < n) — a pruned filter
         scan, not a whole-corpus driver collect."""
         import pyarrow.compute as pc
-        import ray.data as rd
+        from excelastic_ray.io import read_parquet_clean
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
         sub = emb.map_batches(
             lambda b: b.filter(pc.less(b["vec_id"], n)),
             batch_format="pyarrow",
@@ -295,15 +295,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_sessionize(sf_dir):
-        import ray.data as rd
+        from excelastic_ray.io import read_parquet_clean
 
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.sessionize(ev, gap_minutes=30)
 
     def q_tumbling(sf_dir):
-        import ray.data as rd
+        from excelastic_ray.io import read_parquet_clean
 
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.tumbling_counts(ev, hours=1)
 
     def q_sample(sf_dir):
@@ -322,9 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_id", "lang"])
 
     def q_sliding(sf_dir):
-        import ray.data as rd
+        from excelastic_ray.io import read_parquet_clean
 
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.sliding_counts(ev, size_hours=2, step_hours=1)
 
     def q_csv_ingest(sf_dir):

@@ -390,6 +390,19 @@ class StampChunk:
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
                 docids, chunks = docids[keep], chunks[keep]
+        # Dictionary-encode the low-cardinality string columns so the
+        # chunk exchange ships indices + a small dictionary per block
+        # instead of repeated strings (conv_id repeats ~turns-per-conv
+        # times; role/tool are near-constant). The chunk builder decodes
+        # after the shuffle.
+        import pyarrow.compute as pc
+
+        for name in ("conv_id", "role", "tool"):
+            i = batch.schema.get_field_index(name)
+            if i >= 0 and not pa.types.is_dictionary(batch.schema.field(i).type):
+                batch = batch.set_column(
+                    i, name, pc.dictionary_encode(batch[name].combine_chunks())
+                )
         return batch.append_column(
             "docid", pa.array(docids, type=pa.int64())
         ).append_column("chunk", pa.array(chunks, type=pa.int64()))
@@ -417,6 +430,12 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
     def build_chunk(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame()
+        # decode the shuffle's dictionary-encoded columns (arrive as
+        # pandas Categorical) back to plain objects
+        for c in g.columns:
+            if isinstance(g[c].dtype, pd.CategoricalDtype):
+                col = g[c].astype(object)
+                g[c] = col.where(col.notna(), None)  # NaN → None for Arrow
         chunk = int(g["chunk"].iloc[0])
         g = g.sort_values("docid", kind="mergesort")
         doc_arr = g["docid"].to_numpy()
@@ -581,13 +600,16 @@ class _TermCursor:
     def _advance_batch(self) -> None:
         for b in self._batches:
             if b.num_rows:
+                # bulk-convert the whole batch once (to_pylist is a
+                # C-level pass; per-row .as_py() was the merge hot spot)
                 self._terms = b["term"].to_pylist()
                 has_pos = "positions" in b.schema.names
                 self._cols = (
-                    b["df"].to_numpy(),
-                    b["postings"],
-                    b["blockmax"],
-                    b["positions"] if has_pos else None,
+                    b["df"].to_pylist(),
+                    b["postings"].to_pylist(),
+                    b["blockmax"].to_pylist(),
+                    b["positions"].to_pylist() if has_pos
+                    else [b""] * b.num_rows,
                 )
                 self._i = 0
                 return
@@ -600,12 +622,7 @@ class _TermCursor:
     def pop(self) -> tuple[int, bytes, bytes, bytes]:
         i = self._i
         df, posts, bms, poss = self._cols
-        row = (
-            int(df[i]),
-            posts[i].as_py(),
-            bms[i].as_py(),
-            poss[i].as_py() if poss is not None else b"",
-        )
+        row = (df[i], posts[i], bms[i], poss[i])
         self._i += 1
         if self._i >= len(self._terms):
             self._advance_batch()
@@ -981,7 +998,9 @@ def _build_index_impl(
         # cluster even when the corpus arrives as a handful of files,
         # few enough that shuffle orchestration stays cheap (block-count
         # sweeps: 2x cpus beat both 4x and 16x by a wide margin).
-        ds = rd.read_parquet(
+        from excelastic_ray.io import read_parquet_clean
+
+        ds = read_parquet_clean(
             source,
             columns=list(TRANSCRIPT_COLUMNS),
             override_num_blocks=max(2 * cpus, 32),
