@@ -1,0 +1,258 @@
+"""HTTP upload + progress surface — the ``Website`` verticle analog.
+
+The reference serves a browser upload form, accepts multipart file
+uploads, runs the import on a worker thread, and fans progress out over
+a WebSocket (``/root/reference/src/main/java/com/codingchili/excelastic/
+controller/Website.java:50-151`` + ``webroot/js/application.js``). The
+stdlib re-expression:
+
+- ``GET  /``                     minimal upload form (index.jade analog)
+- ``POST /api/upload``           multipart upload → temp file → registry
+                                 parser → ``build_index`` on a worker
+                                 thread (``vertx.executeBlocking`` analog)
+- ``GET  /api/status?id=...``    import progress — percent + the
+                                 per-partition counters from
+                                 ``build_status`` (the WebSocket progress
+                                 fan-out re-expressed as polling; no
+                                 websocket implementation in the stdlib)
+- ``GET  /api/search?index=...&q=...&k=...``  BM25 top-k over a built
+                                 index (the half the reference delegates
+                                 to Elasticsearch/Kibana)
+
+Upload params mirror ``ImportEvent.fromParams`` (ImportEvent.java:40-48):
+``index`` (required unless the server was started with ``index_lock``,
+Configuration.java:130-132), ``offset`` (1-based title row, default 1),
+``options`` = ``clear`` | ``add``. The whole-file validation-before-
+import guarantee holds: ``build_index`` validates before any segment is
+written, and a failed import reports ``error`` status without touching
+a complete index.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import tempfile
+import threading
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_FORM = """<!doctype html><title>excelastic_ray</title>
+<h2>excelastic_ray import</h2>
+<form method="post" action="/api/upload" enctype="multipart/form-data">
+  <p>file: <input type="file" name="file"></p>
+  <p>index: <input type="text" name="index"></p>
+  <p>offset: <input type="text" name="offset" value="1"></p>
+  <p><label><input type="radio" name="options" value="clear" checked>
+     Clear existing index</label>
+     <label><input type="radio" name="options" value="add">
+     Add to existing</label></p>
+  <p><input type="submit" value="import"></p>
+</form>"""
+
+
+def _parse_multipart(body: bytes, content_type: str) -> dict[str, tuple[str, bytes]]:
+    """Tiny multipart/form-data parser → {field: (filename, payload)}."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without boundary")
+    boundary = b"--" + m.group(1).encode()
+    out: dict[str, tuple[str, bytes]] = {}
+    for part in body.split(boundary)[1:]:
+        part = part.strip(b"\r\n")
+        if part in (b"", b"--"):
+            continue
+        head, _, payload = part.partition(b"\r\n\r\n")
+        head_s = head.decode("utf-8", "replace")
+        name_m = re.search(r'name="([^"]+)"', head_s)
+        if not name_m:
+            continue
+        fn_m = re.search(r'filename="([^"]*)"', head_s)
+        out[name_m.group(1)] = (
+            fn_m.group(1) if fn_m else "",
+            payload.rstrip(b"\r\n"),
+        )
+    return out
+
+
+class ImportServer:
+    """Embeddable HTTP server over an index root directory.
+
+    Imports run on daemon worker threads; their state lives in
+    ``self.imports`` ({id: {status, index, rows, error}}) and on-disk
+    progress comes from ``build_status`` — both surfaced by
+    ``/api/status``.
+    """
+
+    def __init__(self, index_root: str, port: int = 0,
+                 index_lock: str | None = None, config=None):
+        from excelastic_ray.config import IndexConfig
+
+        self.index_root = index_root
+        self.index_lock = index_lock
+        self.config = config or IndexConfig()
+        self.imports: dict[str, dict] = {}
+        os.makedirs(index_root, exist_ok=True)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                try:
+                    if u.path == "/":
+                        body = _FORM.encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif u.path == "/api/status":
+                        self._json(200, server.status(q.get("id", "")))
+                    elif u.path == "/api/search":
+                        self._json(
+                            200,
+                            server.search(
+                                q["index"], q["q"], int(q.get("k", "10"))
+                            ),
+                        )
+                    else:
+                        self._json(404, {"error": "not found"})
+                except Exception as e:  # surface, never crash the server
+                    self._json(500, {"error": str(e)})
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/api/upload":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(length)
+                    fields = _parse_multipart(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                    if "file" not in fields or not fields["file"][0]:
+                        # the reference renders the error page for an
+                        # upload without a file (TestWebsite.java:70-81)
+                        self._json(400, {"error": "no file uploaded"})
+                        return
+                    params = {
+                        k: v[1].decode("utf-8", "replace")
+                        for k, v in fields.items()
+                        if k != "file"
+                    }
+                    imp = server.start_import(
+                        fields["file"][0], fields["file"][1], params
+                    )
+                    self._json(200, imp)
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> "ImportServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    # -- operations ------------------------------------------------------
+
+    def index_dir(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid index name {name!r}")
+        return os.path.join(self.index_root, name)
+
+    def start_import(self, filename: str, payload: bytes,
+                     params: dict) -> dict:
+        """Save the upload to a temp file, parse + index on a worker
+        thread, return the import id immediately (the reference replies
+        after completion for the CLI but streams progress for the web —
+        we return at once and let /api/status poll)."""
+        index = self.index_lock or params.get("index") or "imports"
+        offset = int(params.get("offset", "1") or "1")
+        clear = params.get("options", "clear") != "add"
+        imp_id = uuid.uuid4().hex[:12]
+        ext = os.path.splitext(filename)[1] or ".bin"
+        fd, tmp = tempfile.mkstemp(suffix=ext)
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        rec = {
+            "id": imp_id,
+            "index": index,
+            "file": filename,
+            "status": "importing",
+            "rows": None,
+            "error": None,
+        }
+        self.imports[imp_id] = rec
+
+        def run() -> None:
+            try:
+                rec["rows"] = self.import_file(tmp, index, offset, clear)
+                rec["status"] = "complete"
+            except Exception as e:
+                rec["status"] = "error"
+                rec["error"] = f"{type(e).__name__}: {e}"
+                traceback.print_exc(file=io.StringIO())
+            finally:
+                os.unlink(tmp)
+
+        threading.Thread(target=run, daemon=True).start()
+        return {"id": imp_id, "index": index}
+
+    def import_file(self, path: str, index: str, offset: int,
+                    clear: bool) -> int:
+        from excelastic_ray.index.build import build_index
+        from excelastic_ray.sources import registry
+        from excelastic_ray.sources.adapt import dataset_as_transcripts
+
+        reader = registry.get_by_filename(path)
+        try:
+            ds = reader(path, offset=offset)
+        except TypeError:
+            ds = reader(path)
+        ds, n_rows = dataset_as_transcripts(ds, conv_prefix=index)
+        build_index(ds, self.index_dir(index), self.config, clear=clear)
+        return n_rows
+
+    def status(self, imp_id: str) -> dict:
+        from excelastic_ray.index.build import build_status
+
+        rec = self.imports.get(imp_id)
+        if rec is None:
+            return {"error": f"unknown import id {imp_id!r}"}
+        out = dict(rec)
+        out["progress"] = build_status(self.index_dir(rec["index"]))
+        return out
+
+    def search(self, index: str, query: str, k: int = 10) -> dict:
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(self.index_dir(index))
+        t = eng.search(query, k, include_source=True)
+        return {"hits": t.to_pylist()}

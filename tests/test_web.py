@@ -1,0 +1,114 @@
+"""HTTP upload + progress surface (Website.java analog) end-to-end."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+
+def _post_multipart(url: str, fields: dict[str, bytes],
+                    file_field: tuple[str, str, bytes] | None = None):
+    boundary = "testboundary123"
+    parts = []
+    for name, val in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="{name}"\r\n\r\n'.encode() + val + b"\r\n"
+        )
+    if file_field:
+        fname, filename, payload = file_field
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="{fname}"; filename="{filename}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode()
+            + payload + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read()
+
+
+def test_upload_import_status_search(ray_session, tmp_path):
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        # upload form renders (TestWebsite.java:39-47 start-page analog)
+        status, html = _get(base + "/")
+        assert status == 200 and b"excelastic_ray" in html
+
+        payload = open("/root/reference/src/test/resources/test.csv", "rb").read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"csvtest", "options": b"clear", "offset": b"1"},
+            ("file", "test.csv", payload),
+        )
+        assert status == 200, resp
+        imp_id = resp["id"]
+
+        for _ in range(300):
+            status, out = _get(base + f"/api/status?id={imp_id}")
+            rec = json.loads(out)
+            if rec["status"] in ("complete", "error"):
+                break
+            time.sleep(0.2)
+        assert rec["status"] == "complete", rec
+        assert rec["rows"] == 2  # the golden fixture's 2 data rows
+        assert rec["progress"]["status"] == "complete"
+        assert rec["progress"]["percent"] == 100.0
+
+        # the indexed docs are searchable (name=test_0 / name=test_1)
+        status, resp = _get(base + "/api/search?index=csvtest&q=test_1&k=5")
+        hits = json.loads(resp)["hits"]
+        assert len(hits) == 1
+        assert "test_1" in hits[0]["text"]
+    finally:
+        srv.stop()
+
+
+def test_upload_without_file_is_error(ray_session, tmp_path):
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes2")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        status, resp = _post_multipart(
+            base + "/api/upload", {"index": b"x"}, None
+        )
+        assert status == 400
+        assert "no file" in resp["error"]
+    finally:
+        srv.stop()
+
+
+def test_index_lock_forces_default_index(ray_session, tmp_path):
+    """index_lock (Configuration.java:130-132): uploads land in the
+    locked index regardless of the form's index field."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes3"), index_lock="locked").start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open("/root/reference/src/test/resources/test.csv", "rb").read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"evil", "options": b"clear"},
+            ("file", "test.csv", payload),
+        )
+        assert status == 200 and resp["index"] == "locked"
+    finally:
+        srv.stop()
