@@ -7,7 +7,9 @@ CommandLine.java:32-64`` + ``ApplicationLauncher.java:46-48``).
     python -m excelastic_ray append <src> <index_dir>
     python -m excelastic_ray search <index_dir> "query terms" [-k N]
                                     [--filter role=user] [--actors]
+                                    [--phrase] [--from N] [--highlight]
     python -m excelastic_ray status <index_dir>
+    python -m excelastic_ray serve  <index_root> [--port P] [--index-lock X]
 
 Owns the Ray session (library code never calls ray.init)."""
 
@@ -57,9 +59,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="attr=value (repeatable)")
     s.add_argument("--actors", action="store_true")
     s.add_argument("--algo", default="auto", choices=["auto", "taat", "bmw"])
+    s.add_argument("--phrase", action="store_true",
+                   help="match_phrase: terms must appear consecutively")
+    s.add_argument("--from", dest="offset", type=int, default=0,
+                   help="pagination offset (ES from)")
+    s.add_argument("--highlight", action="store_true")
 
     st = sub.add_parser("status")
     st.add_argument("index_dir")
+
+    sv = sub.add_parser("serve", help="HTTP upload/status/search server")
+    sv.add_argument("index_root")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--index-lock", default=None)
 
     args = p.parse_args(argv)
 
@@ -110,9 +122,26 @@ def main(argv: list[str] | None = None) -> int:
                 filters.setdefault(key, []).append(val)
             eng = QueryEngine(args.index_dir, algo=args.algo,
                               use_actors=args.actors)
-            t = eng.search(args.query, args.k, filters=filters or None)
+            if args.phrase:
+                t = eng.search_phrase(args.query, args.k)
+            else:
+                t = eng.search(args.query, args.k, filters=filters or None,
+                               offset=args.offset, highlight=args.highlight)
             print(t.to_pandas().to_string(index=False))
             eng.close()
+        elif args.cmd == "serve":
+            import time
+
+            from excelastic_ray.web import ImportServer
+
+            srv = ImportServer(args.index_root, port=args.port,
+                               index_lock=args.index_lock).start()
+            print(f"listening on http://127.0.0.1:{srv.port}", flush=True)
+            try:
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                srv.stop()
     finally:
         ray.shutdown()
     return 0
