@@ -47,10 +47,14 @@ class ShardSearcher:
         t = pq.read_table(os.path.join(shard_path, "postings.parquet"))
         self.terms = t["term"].to_numpy(zero_copy_only=False).astype(object)
         self.df = t["df"].to_numpy()
-        self.postings = t["postings"].to_pylist()
-        self.blockmax = t["blockmax"].to_pylist()
+        # Keep the binary columns as Arrow arrays (buffer views over the
+        # decoded table) instead of to_pylist()-ing every posting into
+        # Python bytes — halves resident serving memory; a query copies
+        # only the terms it touches (.as_py() per lookup).
+        self.postings = t["postings"].combine_chunks()
+        self.blockmax = t["blockmax"].combine_chunks()
         self.positions = (
-            t["positions"].to_pylist()
+            t["positions"].combine_chunks()
             if "positions" in t.schema.names and config.store_positions
             else None
         )
@@ -92,7 +96,8 @@ class ShardSearcher:
 
     def posting_list(self, i: int) -> PostingList:
         return PostingList(
-            self.postings[i], self.blockmax[i], self.cfg.codec, self.cfg.block_size
+            self.postings[i].as_py(), self.blockmax[i].as_py(),
+            self.cfg.codec, self.cfg.block_size,
         )
 
     def positions_of(self, i: int, tfs: np.ndarray) -> np.ndarray:
@@ -105,7 +110,7 @@ class ShardSearcher:
                 "index was built with store_positions=False; phrase "
                 "queries need a rebuild"
             )
-        vals = varint_decode(self.positions[i]).astype(np.int64)
+        vals = varint_decode(self.positions[i].as_py()).astype(np.int64)
         cum = np.cumsum(vals)
         starts = np.cumsum(tfs.astype(np.int64))[:-1]
         base = np.concatenate(([0], cum[starts - 1]))
