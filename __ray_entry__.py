@@ -356,6 +356,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return multimodal.decode_media(media)
 
+    def q_media_resize(sf_dir):
+        media = _docs(sf_dir).map_batches(
+            multimodal.attach_fake_payloads, batch_format="pyarrow"
+        )
+        return multimodal.resize_media(
+            multimodal.decode_media(media), max_side=224
+        )
+
+    def q_media_frames(sf_dir):
+        media = _docs(sf_dir).map_batches(
+            multimodal.attach_fake_payloads, batch_format="pyarrow"
+        )
+        return multimodal.sample_frames(media, n_frames=4)
+
     def q_media_features(sf_dir):
         media = _docs(sf_dir).map_batches(
             multimodal.attach_fake_payloads, batch_format="pyarrow"
@@ -410,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xlsx_ingest": q_xlsx_ingest,
         "xls_ingest": q_xls_ingest,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "media_features": q_media_features,
     }
 
@@ -784,5 +800,31 @@ SELECT doc_id AS media_id,
        octet_length(encode(text)) % 640 + 1 AS width,
        3 AS n_channels
 FROM documents
+""",
+        "media_resize": """
+WITH d AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(octet_length(encode(text)) % 480 + 1 AS DOUBLE) AS h,
+           CAST(octet_length(encode(text)) % 640 + 1 AS DOUBLE) AS w
+    FROM documents
+),
+s AS (SELECT *, least(1.0, 224.0 / greatest(h, w)) AS scale FROM d)
+SELECT media_id, kind,
+       CAST(greatest(1, floor(h * scale + 0.5)) AS BIGINT) AS out_height,
+       CAST(greatest(1, floor(w * scale + 0.5)) AS BIGINT) AS out_width
+FROM s
+""",
+        "media_frames": """
+WITH d AS (
+    SELECT doc_id AS media_id,
+           greatest(octet_length(encode(text)) // 64, 1) AS total
+    FROM documents
+),
+t AS (SELECT *, least(total, 4) AS take FROM d)
+SELECT media_id,
+       CAST(j.j * total // take AS BIGINT) AS frame_idx,
+       CAST(total AS BIGINT) AS n_frames_total
+FROM t, LATERAL unnest(range(0, take)) AS j(j)
 """,
     }

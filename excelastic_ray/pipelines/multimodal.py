@@ -114,6 +114,89 @@ class ExtractFeatures:
         )
 
 
+class ResizeMedia:
+    """Actor-pool resize stage: (height, width) → bounded (h', w')
+    preserving aspect ratio (the standard image-pipeline letterbox
+    computation — REAL math over the decoded metadata; only the pixel
+    resample itself would need PIL and is stubbed)."""
+
+    def __init__(self, max_side: int = 224, fake: bool = True):
+        self.max_side = max_side
+        if not fake:  # pragma: no cover
+            raise NotImplementedError("real pixel resample needs PIL")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["height"].to_numpy().astype(np.float64)
+        w = batch["width"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(h, w))
+        out_h = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int64)
+        out_w = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "out_height": pa.array(out_h),
+                "out_width": pa.array(out_w),
+            }
+        )
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage for video/audio payloads: emits
+    ``n_frames`` evenly spaced frame indices per media row (flat_map
+    shape: one output row per sampled frame). Frame count derives from
+    payload length (the deterministic fake for a real container parse);
+    the frame-index math is the real kernel."""
+
+    def __init__(self, n_frames: int = 4, bytes_per_frame: int = 64,
+                 fake: bool = True):
+        self.n_frames = n_frames
+        self.bytes_per_frame = bytes_per_frame
+        if not fake:  # pragma: no cover
+            raise NotImplementedError("real frame decode needs pyav")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sizes = np.fromiter(
+            (len(p) for p in batch["payload"].to_pylist()), dtype=np.int64,
+            count=batch.num_rows,
+        )
+        total = np.maximum(sizes // self.bytes_per_frame, 1)
+        take = np.minimum(total, self.n_frames)
+        ids = batch["media_id"].to_numpy()
+        out_id, out_frame, out_total = [], [], []
+        for i in range(batch.num_rows):
+            # evenly spaced: floor(j * total / take), j = 0..take-1
+            j = np.arange(take[i], dtype=np.int64)
+            out_frame.append(j * total[i] // take[i])
+            out_id.append(np.full(take[i], ids[i], dtype=np.int64))
+            out_total.append(np.full(take[i], total[i], dtype=np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id)),
+                "frame_idx": pa.array(np.concatenate(out_frame)),
+                "n_frames_total": pa.array(np.concatenate(out_total)),
+            }
+        )
+
+
+def resize_media(ds, max_side: int = 224, concurrency=None,
+                 batch_size: int = 256, fake: bool = True):
+    return ds.map_batches(
+        ResizeMedia, fn_constructor_args=(max_side, fake),
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
+        concurrency=concurrency if concurrency is not None else (1, default_pool()),
+    )
+
+
+def sample_frames(ds, n_frames: int = 4, concurrency=None,
+                  batch_size: int = 256, fake: bool = True):
+    return ds.map_batches(
+        SampleFrames, fn_constructor_args=(n_frames, 64, fake),
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
+        concurrency=concurrency if concurrency is not None else (1, default_pool()),
+    )
+
+
 def decode_media(ds, concurrency=None, batch_size: int = 256, fake: bool = True):
     return ds.map_batches(
         DecodeMedia, fn_constructor_args=(fake,), batch_format="pyarrow",

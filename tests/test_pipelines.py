@@ -360,3 +360,23 @@ def test_embedding_dup_pairs_blocked_matches_oracle(ray_session, emb_ds):
     ).to_pandas()
     assert {(int(a), int(b)): float(c)
             for a, b, c in zip(got["a"], got["b"], got["cos"])} == exp
+
+
+def test_media_resize_and_frames(ray_session, docs_ds):
+    from excelastic_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    media = docs_ds.map_batches(attach_fake_payloads, batch_format="pyarrow")
+    rs = resize_media(decode_media(media), max_side=224).to_pandas()
+    assert (rs["out_height"] <= 224).all() and (rs["out_width"] <= 224).all()
+    assert (rs["out_height"] >= 1).all()
+    fr = sample_frames(media, n_frames=4).to_pandas()
+    g = fr.groupby("media_id")
+    assert (g["frame_idx"].count() <= 4).all()
+    # indices are in-range, unique, and ascending per media
+    assert (fr["frame_idx"] < fr["n_frames_total"]).all()
+    assert (g["frame_idx"].apply(lambda s: s.is_monotonic_increasing)).all()
