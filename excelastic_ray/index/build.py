@@ -1098,8 +1098,10 @@ def _build_index_impl(
         "segment_bytes": int(seg_bytes),
         "shard_bytes": int(shard_bytes),
         "store_source": bool(store_cols),
-        "chunks": {str(c): m for c, m in sorted(all_chunks.items())},
     }
+    # per-chunk counters + lineage live in chunks.parquet (O(1) global
+    # manifest even at 10^6 chunks; SCALE.md chunk-census note)
+    seg.write_chunk_census(index_dir, all_chunks)
     seg.save_global_manifest(index_dir, manifest)
 
     return BuildResult(
@@ -1279,9 +1281,9 @@ def append_index(
                 "n_postings": int(n_postings),
                 "segment_bytes": int(seg_bytes),
                 "shard_bytes": int(shard_bytes),
-                "chunks": {str(c): m for c, m in sorted(all_chunks.items())},
             }
         )
+        seg.write_chunk_census(index_dir, all_chunks)
         seg.save_global_manifest(index_dir, out_manifest)
 
         return BuildResult(

@@ -135,6 +135,32 @@ def read_docstore(index_dir: str, columns: list[str] | None = None) -> pa.Table:
     return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
 
 
+def write_chunk_census(index_dir: str, all_chunks: dict[int, dict]) -> None:
+    """Per-chunk counters + lineage as a parquet table (the global
+    manifest stays O(1): at 10^6 chunks an embedded-JSON census is
+    ~200 MB; a parquet census is a few MB and scans columnar)."""
+    rows = sorted(all_chunks.items())
+    cols: dict[str, list] = {
+        "chunk": [c for c, _ in rows],
+        "n_docs": [m["n_docs"] for _, m in rows],
+        "total_dl": [m["total_dl"] for _, m in rows],
+        "n_terms": [m["n_terms"] for _, m in rows],
+        "n_postings": [m["n_postings"] for _, m in rows],
+        "bytes_compressed": [m["bytes_compressed"] for _, m in rows],
+        "conv_rank_start": [m.get("lineage", {}).get("conv_rank_start", -1)
+                            for _, m in rows],
+        "conv_rank_end": [m.get("lineage", {}).get("conv_rank_end", -1)
+                          for _, m in rows],
+    }
+    atomic_write_parquet(
+        os.path.join(index_dir, "chunks.parquet"), pa.table(cols)
+    )
+
+
+def read_chunk_census(index_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(index_dir, "chunks.parquet"))
+
+
 def load_global_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)
