@@ -113,6 +113,12 @@ def run_bench() -> dict:
                 lat.append(time.perf_counter() - s)
         lat = np.asarray(lat)
         timings["query_total"] = round(float(lat.sum()), 3)
+        # match_phrase latency (positions stream; round-2 feature)
+        s = time.monotonic()
+        for q in ("the w00001", "w00042 w00100", "absent phrase here"):
+            for _ in range(10):
+                eng.search_phrase(q, 10)
+        timings["phrase_30q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.

@@ -223,6 +223,7 @@ def distributed_conversation_ranks(ds, config: IndexConfig,
             cause = cause.__cause__
         raise
 
+    os.makedirs(tmp_dir, exist_ok=True)  # empty corpus writes no files
     # order files by their first conv_id (ranges are disjoint) and
     # rewrite each with its explicit rank range — distributed, one task
     # per file; the driver sees only (path, count, first_id) triples
@@ -260,6 +261,16 @@ def distributed_conversation_ranks(ds, config: IndexConfig,
         tasks.append(stamp_ranks.remote(path, out_path, base))
         base += n
     ray.get(tasks)
+    if not files:  # degenerate empty corpus: keep convs.parquet readable
+        pq.write_table(
+            pa.table(
+                {
+                    "rank": pa.array([], type=pa.int64()),
+                    "conv_id": pa.array([], type=pa.string()),
+                }
+            ),
+            os.path.join(convs_dir, "part-000000.parquet"),
+        )
     shutil.rmtree(tmp_dir)
     return base
 

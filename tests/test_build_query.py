@@ -678,3 +678,27 @@ def test_distributed_ranks_validation_still_fires(ray_session, tmp_path):
     )
     with pytest.raises(ValidationError):
         build_index(rd.from_arrow(bad), str(tmp_path / "i1"), cfg, clear=True)
+
+
+def test_empty_corpus_distributed_path(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataclasses import replace
+
+    from excelastic_ray.config import IndexConfig
+
+    cfg = IndexConfig(turn_bits=6, convs_per_chunk_bits=4, num_shards=2,
+                      driver_conv_budget=0)
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], type=pa.string()),
+            "turn_idx": pa.array([], type=pa.int32()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    d = str(tmp_path / "empty_dist")
+    res = build_index(rd.from_arrow(empty), d, cfg, clear=True)
+    assert res.n_docs == 0 and res.n_convs == 0
+    eng = QueryEngine(d)
+    assert eng.search("anything", 5).num_rows == 0
