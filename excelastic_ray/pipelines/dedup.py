@@ -345,10 +345,35 @@ def _id_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _shingle_table(batch: pa.Table, id_col: str, text_col: str,
-                   shingle_k: int, n_buckets: int) -> pa.Table:
+                   shingle_k: int, n_buckets: int,
+                   cand_ref=None) -> pa.Table:
     """Doc-side rows for the partitioned join: (bucket, is_doc=1,
-    a=doc_id, b=0, sh=list<int64>)."""
+    a=doc_id, b=0, sh=list<int64>). With ``cand_ref`` (a broadcast
+    sorted array of candidate doc ids — the semi-join reduction), rows
+    for non-candidate docs are dropped BEFORE shingling, so the join
+    shuffles candidate-sized data instead of the corpus."""
     ids = batch[id_col].to_numpy()
+    if cand_ref is not None:
+        import ray
+
+        cand = ray.get(cand_ref)
+        if len(cand):
+            pos_c = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
+            keep = cand[pos_c] == ids
+        else:
+            keep = np.zeros(len(ids), dtype=bool)
+        if not np.any(keep):
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "is_doc": pa.array([], type=pa.int64()),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        batch = batch.filter(pa.array(keep))
+        ids = batch[id_col].to_numpy()
     sets = shingle_sets(batch[text_col].to_pylist(), shingle_k)
     return pa.table(
         {
@@ -385,31 +410,46 @@ def verify_jaccard(
     Sentinel drop rows (a < 0) from candidate generation pass through
     untouched so drop counters survive to the caller.
 
-    The shingle table is computed ONCE and materialized to the object
-    store (block refs, spillable — never driver memory); both join
+    Semi-join reduction: the candidate id set (pair endpoints — OUTPUT-
+    sized, never corpus-sized) is collected once and broadcast; the
+    shingle pass drops non-candidate rows before shingling, so both
+    bucket exchanges move candidate-sized data while the corpus is only
+    ever READ (one pruned scan). The shingle table is computed ONCE and
+    materialized to the object store (block refs, spillable); both join
     passes reuse it, since the doc-side bucket key is hash(doc_id) in
     each.
     """
+    import ray
+    import ray.data as rd
 
-    def pair_rows_a(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy()
-        return pa.table(
+    # collect the (output-sized) candidate pairs once: their ids drive
+    # the semi-join filter and the pair side re-enters as a Dataset
+    pairs_df = pairs_ds.to_pandas()
+    a_arr = pairs_df["a"].to_numpy().astype(np.int64)
+    b_arr = pairs_df["b"].to_numpy().astype(np.int64)
+    cand_ids = np.unique(np.concatenate([a_arr, b_arr])) if len(a_arr) else \
+        np.zeros(0, dtype=np.int64)
+    cand_ref = ray.put(cand_ids)
+
+    keyed_pairs = rd.from_arrow(
+        pa.table(
             {
-                "bucket": pa.array(_id_bucket(a, n_buckets).astype(np.int64)),
-                "is_doc": pa.array(np.zeros(len(a), dtype=np.int64)),
-                "a": pa.array(a.astype(np.int64)),
-                "b": pa.array(b["b"].to_numpy().astype(np.int64)),
-                "sh": pa.array([None] * len(a), type=pa.list_(pa.int64())),
+                "bucket": pa.array(
+                    _id_bucket(a_arr, n_buckets).astype(np.int64)
+                ),
+                "is_doc": pa.array(np.zeros(len(a_arr), dtype=np.int64)),
+                "a": pa.array(a_arr),
+                "b": pa.array(b_arr),
+                "sh": pa.array([None] * len(a_arr), type=pa.list_(pa.int64())),
             }
         )
-
+    )
     sh = docs_ds.map_batches(
-        lambda t: _shingle_table(t, id_col, text_col, shingle_k, n_buckets),
+        lambda t: _shingle_table(
+            t, id_col, text_col, shingle_k, n_buckets, cand_ref
+        ),
         batch_format="pyarrow", batch_size=4096,
     ).materialize()
-    keyed_pairs = pairs_ds.map_batches(
-        pair_rows_a, batch_format="pyarrow", batch_size=65536
-    )
 
     def attach_a(g: pd.DataFrame) -> pa.Table:
         docs = g[g["is_doc"] == 1]
