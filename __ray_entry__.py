@@ -46,6 +46,17 @@ BM25_QUERIES = [
     ("q6", "scan scan scan"),
 ]
 
+#: prefix query set (ES prefix / scoring_boolean rewrite): a narrow
+#: prefix, a broad one exercising the max_expansions=3 cap, an absent
+#: one, and a single-char prefix.
+PREFIX_QUERIES = [
+    ("r1", "tab"),
+    ("r2", "s"),
+    ("r3", "zzzq"),
+    ("r4", "va"),
+]
+PREFIX_MAX_EXPANSIONS = 3
+
 #: match_phrase query set: common bigram, trigram, absent phrase,
 #: single-term phrase (== tf-scored term query).
 PHRASE_QUERIES = [
@@ -158,6 +169,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = []
         for qid, q in PHRASE_QUERIES:
             t = eng.search_phrase(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_prefix_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, p in PREFIX_QUERIES:
+            t = eng.search_prefix(p, 10, max_expansions=PREFIX_MAX_EXPANSIONS)
             parts.append(
                 pa.table(
                     {
@@ -398,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
         "doc_keys": q_doc_keys,
@@ -556,6 +592,57 @@ QUALIFY row_number() OVER (
     )
 
 
+def _prefix_sql() -> str:
+    """ES-prefix twin: per query, expand to the lexicographically first
+    ``PREFIX_MAX_EXPANSIONS`` dictionary terms with the prefix, then
+    score as a bool-of-terms OR query (identical CTE to bm25_topk)."""
+    cap = PREFIX_MAX_EXPANSIONS
+    exps = ",\n".join(
+        f"""exp_{qid} AS (
+    SELECT DISTINCT term FROM (SELECT unnest(toks) AS term FROM base)
+    WHERE term LIKE '{p}%' ORDER BY term LIMIT {cap}
+)"""
+        for qid, p in PREFIX_QUERIES
+    )
+    q_union = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, term FROM exp_{qid}"
+        for qid, _ in PREFIX_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+{exps},
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS ({q_union}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     turn_mult = 1 << ENTRY_CONFIG.turn_bits
     en = _stop_list("en")
@@ -604,6 +691,7 @@ GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_prefix_topk": _prefix_sql(),
         "doc_keys": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT conv_id, turn_idx,

@@ -94,6 +94,14 @@ class ShardSearcher:
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(self.df[i]) if (i := self.lookup(t)) >= 0 else 0 for t in terms]
 
+    def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
+        """First ``cap`` dictionary terms starting with ``prefix`` —
+        a contiguous range of the sorted term dictionary (two binary
+        searches), the Lucene TermEnum seek the ES prefix query uses."""
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
+
     def posting_list(self, i: int) -> PostingList:
         return PostingList(
             self.postings[i].as_py(), self.blockmax[i].as_py(),
@@ -696,6 +704,54 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Global prefix expansion: union of per-shard dictionary ranges,
+        sorted, capped at ``max_expansions`` (the ES prefix-query
+        expansion rule). Deterministic: the cap keeps the
+        lexicographically FIRST terms."""
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.terms_with_prefix.remote(prefix, max_expansions)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).terms_with_prefix(prefix, max_expansions)
+                for s in range(r.num_shards)
+            ]
+        out: set[str] = set()
+        for p in parts:
+            out.update(p)
+        return sorted(out)[:max_expansions]
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 50, filters: dict | None = None):
+        """ES prefix query: expand the prefix to the first
+        ``max_expansions`` matching dictionary terms and score them as
+        an OR query (constant-score is ES's default for prefix; we keep
+        BM25 like a rewritten bool-of-terms, which is the
+        ``rewrite=scoring_boolean`` mode — fully specified, so the SQL
+        twin matches exactly)."""
+        import pyarrow as pa
+
+        terms = self.expand_prefix(
+            "".join(TOKEN_RE.findall(prefix.lower())), max_expansions
+        )
+        if terms:
+            return self.search(" ".join(terms), k, filters=filters)
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "docid": pa.array([], type=pa.int64()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
     def search_phrase(self, query: str, k: int = 10):
         """match_phrase: docs where the query terms appear consecutively,
         scored like a single pseudo-term whose tf is the phrase-occurrence
@@ -901,6 +957,12 @@ class ShardActor:
 
     def count(self, terms, n_required=0, filters=None) -> int:
         return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
+        out: set[str] = set()
+        for s in self.searchers:
+            out.update(s.terms_with_prefix(prefix, cap))
+        return sorted(out)[:cap]
 
     def phrase_matches(self, terms: list[str]):
         parts = [s.phrase_matches(terms) for s in self.searchers]

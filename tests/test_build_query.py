@@ -702,3 +702,26 @@ def test_empty_corpus_distributed_path(ray_session, tmp_path):
     assert res.n_docs == 0 and res.n_convs == 0
     eng = QueryEngine(d)
     assert eng.search("anything", 5).num_rows == 0
+
+
+def test_prefix_search_matches_expansion(ray_session, tiny_index, tiny_oracle):
+    """search_prefix == search over the client-computed expansion set
+    (lexicographically first max_expansions dictionary terms), incl.
+    the cap and an absent prefix; actor mode agrees."""
+    idx_dir, _ = tiny_index
+    eng = QueryEngine(idx_dir)
+    eng_a = QueryEngine(idx_dir, use_actors=True)
+    vocab = sorted(tiny_oracle.postings)
+    try:
+        for prefix, cap in (("w0000", 3), ("w", 5), ("zzzq", 10), ("w00051", 50)):
+            exp_terms = [t for t in vocab if t.startswith(prefix)][:cap]
+            got = eng.search_prefix(prefix, 10, max_expansions=cap)
+            if exp_terms:
+                want = eng.search(" ".join(exp_terms), 10)
+                assert got.equals(want), prefix
+            else:
+                assert got.num_rows == 0
+            got_a = eng_a.search_prefix(prefix, 10, max_expansions=cap)
+            assert got_a.equals(got), prefix
+    finally:
+        eng_a.close()
