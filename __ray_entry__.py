@@ -113,7 +113,13 @@ def _docs(sf_dir: str):
     return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
-def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or"):
+#: ts range for the range-filtered search entry (ES range in filter
+#: context); the derived corpus stamps ts = 2026-01-01 + doc_id minutes.
+TS_RANGE = ("2026-01-01 02:00:00", "2026-01-01 06:00:00")
+
+
+def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or",
+                filters: dict | None = None):
     import pyarrow as pa
 
     from excelastic_ray.pipelines.textstats import trunc6
@@ -122,7 +128,7 @@ def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or"):
     eng = QueryEngine(_index_for(sf_dir), algo="auto")
     parts = []
     for qid, q in BM25_QUERIES:
-        t = eng.search(q, k, mode=mode)
+        t = eng.search(q, k, mode=mode, filters=filters)
         parts.append(
             pa.table(
                 {
@@ -182,6 +188,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
             )
         return pa.concat_tables(parts)
+
+    def q_bm25_range_topk(sf_dir):
+        return _bm25_table(
+            sf_dir,
+            filters={"ts": {"gte": TS_RANGE[0], "lt": TS_RANGE[1]}},
+        )
+
+    def q_bm25_date_histogram(sf_dir):
+        import pandas as pd
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        rows = []
+        for qid, q in BM25_QUERIES:
+            for bucket_us, n in eng.date_histogram(
+                q, "ts", interval_hours=1
+            ).items():
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "window_start": np.int64(bucket_us).astype(
+                            "datetime64[us]"
+                        ),
+                        "n": n,
+                    }
+                )
+        return pd.DataFrame(rows, columns=["query_id", "window_start", "n"])
 
     def q_bm25_prefix_topk(sf_dir):
         import pyarrow as pa
@@ -434,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
+        "bm25_range_topk": q_bm25_range_topk,
+        "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
         "doc_keys": q_doc_keys,
@@ -494,7 +530,8 @@ def _bm25_terms_values() -> str:
     )
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False,
+              ts_range: tuple[str, str] | None = None) -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
@@ -503,6 +540,16 @@ def _bm25_sql(conjunctive: bool = False) -> str:
     and_clause = (
         "JOIN qn ON qn.query_id = scored.query_id AND scored.nmatch = qn.nt"
         if conjunctive
+        else ""
+    )
+    # ES filter context: restrict the ranked RESULTS without touching
+    # the BM25 stats — the filter joins AFTER scoring
+    ts_clause = (
+        f"""JOIN transcripts tt
+     ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx
+    AND tt.ts >= TIMESTAMP '{ts_range[0]}'
+    AND tt.ts <  TIMESTAMP '{ts_range[1]}'"""
+        if ts_range
         else ""
     )
     return (
@@ -533,11 +580,13 @@ scored AS (
     CROSS JOIN stats s
     GROUP BY q.query_id, tf.conv_id, tf.turn_idx
 )
-SELECT scored.query_id, conv_id, turn_idx,
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
        floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM scored {and_clause}
+{ts_clause}
 QUALIFY row_number() OVER (
-    PARTITION BY scored.query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+    PARTITION BY scored.query_id
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= 10
 """
     )
 
@@ -692,6 +741,27 @@ GROUP BY 1, 2
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_prefix_topk": _prefix_sql(),
+        "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
+        "bm25_date_histogram": _BASE
+        + f""",
+tf AS (
+    SELECT DISTINCT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+matched AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx
+    FROM q JOIN tf ON tf.term = q.term
+    GROUP BY 1, 2, 3
+)
+SELECT m.query_id,
+       time_bucket(INTERVAL 1 HOUR, t.ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM matched m JOIN transcripts t
+     ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+GROUP BY 1, 2
+""",
         "doc_keys": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT conv_id, turn_idx,

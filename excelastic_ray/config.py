@@ -65,11 +65,12 @@ class IndexConfig:
     # Which columns get tokenized into the index.
     index_fields: tuple[str, ...] = ("text",)
 
-    # Low-cardinality attribute columns stored per doc in the shard doc
-    # tables for filtered search (the ES filter-context analog: filters
-    # restrict results without changing BM25 stats). Absent columns are
-    # skipped.
-    attr_fields: tuple[str, ...] = ("role", "tool")
+    # Attribute columns stored per doc in the shard doc tables for
+    # filtered search (the ES filter-context analog: filters restrict
+    # results without changing BM25 stats). Strings filter by equality;
+    # datetime columns additionally support range filters and the
+    # query-scoped date_histogram aggregation. Absent columns skipped.
+    attr_fields: tuple[str, ...] = ("role", "tool", "ts")
 
     # Tokenize-stage batch size (rows per map_batches call).
     batch_size: int = 4096
@@ -141,7 +142,7 @@ class IndexConfig:
     def from_dict(d: dict) -> "IndexConfig":
         d = dict(d)
         d["index_fields"] = tuple(d.get("index_fields", ("text",)))
-        d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool")))
+        d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool", "ts")))
         d.setdefault("store_positions", False)  # pre-positions indexes
         d.setdefault("driver_conv_budget", 50_000_000)
         return IndexConfig(**d)

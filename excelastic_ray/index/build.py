@@ -543,10 +543,18 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
         }
         for attr in cfg.attr_fields:
             if attr in g.columns:
-                # filterable doc attribute (ES filter-context analog)
-                doc_cols[attr] = pa.array(
-                    g[attr].to_numpy(object), type=pa.string()
-                )
+                # filterable doc attribute (ES filter-context analog);
+                # datetime columns keep their type (range filters +
+                # date_histogram), everything else stores as string
+                col = g[attr]
+                if np.issubdtype(col.dtype, np.datetime64):
+                    doc_cols[attr] = pa.array(
+                        col.to_numpy().astype("datetime64[us]")
+                    )
+                else:
+                    doc_cols[attr] = pa.array(
+                        col.to_numpy(object), type=pa.string()
+                    )
         nbytes += seg.atomic_write_parquet(
             os.path.join(d, "docs.parquet"), pa.table(doc_cols)
         )

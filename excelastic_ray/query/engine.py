@@ -62,19 +62,62 @@ class ShardSearcher:
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
         self.dls = docs["dl"].to_numpy().astype(np.float64)
-        # Filterable doc attributes (ES filter-context analog).
-        self.attrs = {
-            name: docs[name].to_numpy(zero_copy_only=False).astype(object)
-            for name in docs.column_names
-            if name not in ("docid", "dl")
-        }
+        # Filterable doc attributes (ES filter-context analog): strings
+        # filter by equality; timestamp columns (kept as int64 µs) also
+        # support range filters + date_histogram.
+        self.attrs = {}
+        self.time_attrs: dict[str, np.ndarray] = {}
+        import pyarrow.types as pt
+
+        for name in docs.column_names:
+            if name in ("docid", "dl"):
+                continue
+            f = docs.schema.field(name)
+            if pt.is_timestamp(f.type):
+                self.time_attrs[name] = (
+                    docs[name].to_numpy().astype("datetime64[us]").astype(np.int64)
+                )
+            else:
+                self.attrs[name] = (
+                    docs[name].to_numpy(zero_copy_only=False).astype(object)
+                )
+
+    @staticmethod
+    def _as_us(v) -> int:
+        """ISO string / datetime64 / int → µs since epoch."""
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return int(np.datetime64(v, "us").astype(np.int64))
 
     def filter_mask(self, filters: dict | None) -> np.ndarray | None:
-        """Ordinal-space bool mask for {attr: value-or-list} filters."""
+        """Ordinal-space bool mask. String attrs: value or value list
+        (equality / IN). Timestamp attrs: {"gte"/"gt"/"lte"/"lt": bound}
+        dicts with ISO-8601, datetime64 or µs-int bounds — the ES range
+        query in filter context."""
         if not filters:
             return None
         mask = np.ones(len(self.docids), dtype=bool)
         for name, want in filters.items():
+            if isinstance(want, dict):
+                col = self.time_attrs.get(name)
+                if col is None:
+                    raise KeyError(
+                        f"no timestamp attribute {name!r} in this index "
+                        f"(have {sorted(self.time_attrs)})"
+                    )
+                for op, bound in want.items():
+                    b = self._as_us(bound)
+                    if op == "gte":
+                        mask &= col >= b
+                    elif op == "gt":
+                        mask &= col > b
+                    elif op == "lte":
+                        mask &= col <= b
+                    elif op == "lt":
+                        mask &= col < b
+                    else:
+                        raise ValueError(f"unknown range op {op!r}")
+                continue
             col = self.attrs.get(name)
             if col is None:
                 raise KeyError(
@@ -84,6 +127,20 @@ class ShardSearcher:
             vals = [want] if isinstance(want, str) else list(want)
             mask &= np.isin(col.astype(str), vals)
         return mask
+
+    def date_histogram(self, terms: list[str], attr: str, interval_us: int,
+                       n_required: int = 0,
+                       filters: dict | None = None) -> dict[int, int]:
+        """Matching-doc counts per time bucket (floor(ts / interval) *
+        interval, µs) — the ES date_histogram agg over the query's
+        filter context."""
+        col = self.time_attrs.get(attr)
+        if col is None:
+            raise KeyError(f"no timestamp attribute {attr!r} in this index")
+        m = self.matching_mask(terms, n_required, filters)
+        buckets = (col[m] // interval_us) * interval_us
+        vals, counts = np.unique(buckets, return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist()))
 
     def lookup(self, term: str) -> int:
         i = int(np.searchsorted(self.terms, term))
@@ -861,6 +918,37 @@ class QueryEngine:
                 out[v] = out.get(v, 0) + n
         return dict(sorted(out.items()))
 
+    def date_histogram(self, query: str, attr: str = "ts",
+                       interval_hours: int = 24,
+                       filters: dict | None = None,
+                       mode: str = "or") -> dict:
+        """ES date_histogram over the query's matching docs →
+        {µs-bucket-start: count}, sorted by bucket."""
+        live, n_required, dead = self._query_shape(query, mode)
+        if not live or (mode == "and" and dead):
+            return {}
+        interval_us = interval_hours * 3_600_000_000
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.date_histogram.remote(live, attr, interval_us,
+                                         n_required, filters)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).date_histogram(live, attr, interval_us,
+                                             n_required, filters)
+                for s in range(r.num_shards)
+            ]
+        out: dict[int, int] = {}
+        for p in parts:
+            for b, n in p.items():
+                out[b] = out.get(b, 0) + n
+        return dict(sorted(out.items()))
+
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):
         """Batch search (the ES _msearch analog) → pyarrow.Table with a
@@ -963,6 +1051,16 @@ class ShardActor:
         for s in self.searchers:
             out.update(s.terms_with_prefix(prefix, cap))
         return sorted(out)[:cap]
+
+    def date_histogram(self, terms, attr, interval_us, n_required=0,
+                       filters=None) -> dict:
+        out: dict[int, int] = {}
+        for s in self.searchers:
+            for b, n in s.date_histogram(
+                terms, attr, interval_us, n_required, filters
+            ).items():
+                out[b] = out.get(b, 0) + n
+        return out
 
     def phrase_matches(self, terms: list[str]):
         parts = [s.phrase_matches(terms) for s in self.searchers]

@@ -725,3 +725,53 @@ def test_prefix_search_matches_expansion(ray_session, tiny_index, tiny_oracle):
             assert got_a.equals(got), prefix
     finally:
         eng_a.close()
+
+
+def test_range_filter_and_date_histogram(ray_session, tiny_index, tiny_table):
+    """ts range filters (ES range in filter context) restrict results
+    to the window without changing scores; date_histogram counts
+    matching docs per bucket — both checked against client-side
+    computation over the source table."""
+    import numpy as np
+    import pandas as pd
+
+    idx_dir, _ = tiny_index
+    eng = QueryEngine(idx_dir)
+    src = tiny_table.to_pandas()
+    ts_by_key = {
+        (c, t): v
+        for c, t, v in zip(src["conv_id"], src["turn_idx"], src["ts"])
+    }
+    lo = src["ts"].quantile(0.3).to_datetime64()
+    hi = src["ts"].quantile(0.7).to_datetime64()
+
+    full = eng.search("w00005 the", 5000)
+    filt = eng.search(
+        "w00005 the", 5000, filters={"ts": {"gte": lo, "lt": hi}}
+    )
+    # filtered = full ranking restricted to the window, scores unchanged
+    keep = [
+        (c, t)
+        for c, t in zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist())
+        if lo <= ts_by_key[(c, t)].to_datetime64() < hi
+    ]
+    got = list(zip(filt["conv_id"].to_pylist(), filt["turn_idx"].to_pylist()))
+    assert got == keep[: len(got)]
+    fscore = dict(zip(got, filt["score"].to_pylist()))
+    full_score = dict(
+        zip(
+            zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()),
+            full["score"].to_pylist(),
+        )
+    )
+    for key, sc in fscore.items():
+        assert sc == full_score[key]
+
+    hist = eng.date_histogram("w00005 the", "ts", interval_hours=1)
+    us = 3_600_000_000
+    exp: dict[int, int] = {}
+    for c, t in zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()):
+        b = int(ts_by_key[(c, t)].to_datetime64().astype(np.int64)) // us * us
+        exp[b] = exp.get(b, 0) + 1
+    # full ranking at k=5000 covers all matches on the tiny corpus
+    assert hist == dict(sorted(exp.items()))
