@@ -16,6 +16,11 @@
   driver combine), vectors assigned to their nearest centroid, queries
   scored only against the ``nprobe`` nearest cells. Approximate;
   recall grows with nprobe (nprobe == n_centroids → exact).
+
+Execution shape: every stage's only state is a broadcast ObjectRef, so
+the stages run as plain Ray TASKS (one per block — full parallelism
+with zero actor-pool startup); ``ray.get`` of a numpy payload inside a
+task is a zero-copy plasma read.
 """
 
 from __future__ import annotations
@@ -24,7 +29,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from excelastic_ray.hashing import default_pool
 from excelastic_ray.pipelines.textstats import trunc6
 
 
@@ -36,6 +40,22 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def _final_topk_fn(k: int, id_col: str):
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        cos = g["cos"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy()[order],
+                id_col: ids[order],
+                "cos": trunc6(cos[order]),
+            }
+        )
+
+    return final_topk
 
 
 def cosine_topk(
@@ -57,50 +77,32 @@ def cosine_topk(
     )
     ref = ray.put((qids, q))
 
-    class Partial:
-        def __init__(self, ref, k):
-            self.qids, self.q = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy()
-            mat = _normalize(_as_matrix(batch[vec_col]))
-            sims = mat @ self.q.T  # (batch × queries)
-            out_q, out_v, out_s = [], [], []
-            kk = min(self.k, len(ids))
-            for j, qid in enumerate(self.qids):
-                col = sims[:, j]
-                # per-batch partial top-k with (cos DESC, id ASC) ties
-                order = np.lexsort((ids, -col))[:kk]
-                out_q.append(np.full(kk, qid, dtype=np.int64))
-                out_v.append(ids[order])
-                out_s.append(col[order])
-            return pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    id_col: np.concatenate(out_v),
-                    "cos": np.concatenate(out_s),
-                }
-            )
-
-    partials = ds.map_batches(
-        Partial, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
-    )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        cos = g["cos"].to_numpy()
-        order = np.lexsort((ids, -cos))[:k]
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b_qids, b_q = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        sims = mat @ b_q.T  # (batch × queries)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for j, qid in enumerate(b_qids):
+            col = sims[:, j]
+            # per-batch partial top-k with (cos DESC, id ASC) ties
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(col[order])
         return pd.DataFrame(
             {
-                "query_id": g["query_id"].to_numpy()[order],
-                id_col: ids[order],
-                "cos": trunc6(cos[order]),
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_v),
+                "cos": np.concatenate(out_s),
             }
         )
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k, id_col), batch_format="pandas"
+    )
 
 
 def lsh_bucket_topk(
@@ -135,56 +137,39 @@ def lsh_bucket_topk(
         by_bucket.setdefault(int(qb), []).append(j)
     ref = ray.put((qids, q, planes, by_bucket))
 
-    class BucketScore:
-        def __init__(self, ref, k):
-            self.qids, self.q, self.planes, self.by_bucket = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy()
-            mat = _normalize(_as_matrix(batch[vec_col]))
-            buckets = (mat @ self.planes > 0) @ (1 << np.arange(self.planes.shape[1]))
-            frames = []
-            for qb, qjs in self.by_bucket.items():
-                mask = buckets == qb
-                if not mask.any():
-                    continue
-                sub_ids = ids[mask]
-                sims = mat[mask] @ self.q[qjs].T
-                kk = min(self.k, len(sub_ids))
-                for col, j in zip(sims.T, qjs):
-                    order = np.lexsort((sub_ids, -col))[:kk]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(kk, self.qids[j]),
-                                id_col: sub_ids[order],
-                                "cos": col[order],
-                            }
-                        )
+    def bucket_score(batch: pa.Table) -> pd.DataFrame:
+        b_qids, b_q, b_planes, b_by_bucket = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        buckets = (mat @ b_planes > 0) @ (1 << np.arange(b_planes.shape[1]))
+        frames = []
+        for qb, qjs in b_by_bucket.items():
+            mask = buckets == qb
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = mat[mask] @ b_q[qjs].T
+            kk = min(k, len(sub_ids))
+            for col, j in zip(sims.T, qjs):
+                order = np.lexsort((sub_ids, -col))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, b_qids[j]),
+                            id_col: sub_ids[order],
+                            "cos": col[order],
+                        }
                     )
-            if not frames:
-                return pd.DataFrame({"query_id": [], id_col: [], "cos": []})
-            return pd.concat(frames, ignore_index=True)
+                )
+        if not frames:
+            return pd.DataFrame({"query_id": [], id_col: [], "cos": []})
+        return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(
-        BucketScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
+    partials = ds.map_batches(bucket_score, batch_format="pyarrow",
+                              batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k, id_col), batch_format="pandas"
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        cos = g["cos"].to_numpy()
-        order = np.lexsort((ids, -cos))[:k]
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy()[order],
-                id_col: ids[order],
-                "cos": trunc6(cos[order]),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def kmeans_centroids(
@@ -212,34 +197,30 @@ def kmeans_centroids(
     for _ in range(n_iter):
         ref = ray.put(cents)
 
-        class Partial:
-            def __init__(self, ref):
-                self.cents = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pd.DataFrame:
-                mat = _normalize(_as_matrix(batch[vec_col]))
-                assign = (mat @ self.cents.T).argmax(axis=1)
-                k, d = self.cents.shape
-                sums = np.zeros((k, d))
-                np.add.at(sums, assign, mat)
-                counts = np.bincount(assign, minlength=k)
-                return pd.DataFrame(
-                    {
-                        "cid": np.arange(k, dtype=np.int64),
-                        "n": counts,
-                        "vsum": [sums[i].tobytes() for i in range(k)],
-                    }
-                )
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            b_cents = ray.get(ref)
+            mat = _normalize(_as_matrix(batch[vec_col]))
+            assign = (mat @ b_cents.T).argmax(axis=1)
+            kc, d = b_cents.shape
+            sums = np.zeros((kc, d))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kc)
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(kc, dtype=np.int64),
+                    "n": counts,
+                    "vsum": [sums[i].tobytes() for i in range(kc)],
+                }
+            )
 
         parts = ds.map_batches(
-            Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
-            batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
+            partial, batch_format="pyarrow", batch_size=4096
         ).to_pandas()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
-        for _, row in parts.iterrows():
-            sums[int(row["cid"])] += np.frombuffer(row["vsum"], dtype=np.float64)
-            counts[int(row["cid"])] += int(row["n"])
+        for row in parts.itertuples(index=False):
+            sums[int(row.cid)] += np.frombuffer(row.vsum, dtype=np.float64)
+            counts[int(row.cid)] += int(row.n)
         nonzero = counts > 0
         cents = cents.copy()
         cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
@@ -271,52 +252,35 @@ def ivf_topk(
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (q × nprobe)
     ref = ray.put((qids, q, cents, probes))
 
-    class CellScore:
-        def __init__(self, ref, k):
-            self.qids, self.q, self.cents, self.probes = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy()
-            mat = _normalize(_as_matrix(batch[vec_col]))
-            assign = (mat @ self.cents.T).argmax(axis=1)
-            frames = []
-            for j, qid in enumerate(self.qids):
-                mask = np.isin(assign, self.probes[j])
-                if not mask.any():
-                    continue
-                sub_ids = ids[mask]
-                col = mat[mask] @ self.q[j]
-                kk = min(self.k, len(sub_ids))
-                order = np.lexsort((sub_ids, -col))[:kk]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(kk, qid),
-                            id_col: sub_ids[order],
-                            "cos": col[order],
-                        }
-                    )
+    def cell_score(batch: pa.Table) -> pd.DataFrame:
+        b_qids, b_q, b_cents, b_probes = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        assign = (mat @ b_cents.T).argmax(axis=1)
+        frames = []
+        for j, qid in enumerate(b_qids):
+            mask = np.isin(assign, b_probes[j])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = mat[mask] @ b_q[j]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, -col))[:kk]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qid),
+                        id_col: sub_ids[order],
+                        "cos": col[order],
+                    }
                 )
-            if not frames:
-                return pd.DataFrame({"query_id": [], id_col: [], "cos": []})
-            return pd.concat(frames, ignore_index=True)
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], id_col: [], "cos": []})
+        return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(
-        CellScore, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, default_pool()), num_cpus=1,
+    partials = ds.map_batches(cell_score, batch_format="pyarrow",
+                              batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k, id_col), batch_format="pandas"
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        cos = g["cos"].to_numpy()
-        order = np.lexsort((ids, -cos))[:k]
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy()[order],
-                id_col: ids[order],
-                "cos": trunc6(cos[order]),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
