@@ -58,6 +58,14 @@ class ShardSearcher:
             if "positions" in t.schema.names and config.store_positions
             else None
         )
+        # Decoded-postings LRU (hot query terms decode once per
+        # searcher, like Lucene's term-state reuse): bounded by total
+        # cached postings so worst-case memory is ~12 B x budget.
+        from collections import OrderedDict
+
+        self._decode_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cache_budget = 4_000_000  # postings
+        self._cache_size = 0
         docs = pq.read_table(os.path.join(shard_path, "docs.parquet"))
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
@@ -164,6 +172,24 @@ class ShardSearcher:
             self.postings[i].as_py(), self.blockmax[i].as_py(),
             self.cfg.codec, self.cfg.block_size,
         )
+
+    def decoded(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Fully decoded (ids, tfs) for term slot ``i``, LRU-cached.
+        Callers must treat the arrays as read-only."""
+        c = self._decode_cache.get(i)
+        if c is not None:
+            self._decode_cache.move_to_end(i)
+            return c
+        ids, tfs = self.posting_list(i).decode_all()
+        n = len(ids)
+        if n <= self._cache_budget:
+            while (self._cache_size + n > self._cache_budget
+                   and self._decode_cache):
+                _, (old_ids, _) = self._decode_cache.popitem(last=False)
+                self._cache_size -= len(old_ids)
+            self._decode_cache[i] = (ids, tfs)
+            self._cache_size += n
+        return ids, tfs
 
     def positions_of(self, i: int, tfs: np.ndarray) -> np.ndarray:
         """Decoded token positions for term slot ``i``, flat-aligned to
@@ -277,7 +303,7 @@ class ShardSearcher:
             i = self.lookup(t)
             if i < 0:
                 continue
-            ids, _ = self.posting_list(i).decode_all()
+            ids, _ = self.decoded(i)
             hits[ids] += 1
         out = hits >= max(n_required, 1)
         fmask = self.filter_mask(filters)
@@ -308,7 +334,7 @@ class ShardSearcher:
             np.zeros(len(self.docids), dtype=np.int32) if n_required else None
         )
         for t, t_idf in present:
-            ids, tfs = self.posting_list(self.lookup(t)).decode_all()
+            ids, tfs = self.decoded(self.lookup(t))
             acc[ids] += contribution(
                 t_idf, tfs.astype(np.float64), self.dls[ids], avgdl, cfg.k1, cfg.b
             )
