@@ -269,10 +269,17 @@ def encode_postings_many(
     counts = np.diff(bounds)
     nblocks_per = (counts + block_size - 1) // block_size
     total_blocks = int(nblocks_per.sum())
-    # start index of each block in the flat arrays
+    # start index of each block in the flat arrays; grouped arange is
+    # global arange minus each group's exclusive-scan offset (one
+    # vector op — a per-list np.arange loop costs more than the encode)
     rep_bounds = np.repeat(bounds[:-1], nblocks_per)
-    within = np.concatenate([np.arange(k, dtype=np.int64) for k in nblocks_per]) \
-        if total_blocks else np.zeros(0, dtype=np.int64)
+    if total_blocks:
+        grp_starts = np.cumsum(nblocks_per) - nblocks_per
+        within = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+            grp_starts, nblocks_per
+        )
+    else:
+        within = np.zeros(0, dtype=np.int64)
     blk_starts = rep_bounds + within * block_size
 
     bm_all = np.zeros(total_blocks, dtype=BLOCKMAX_DTYPE)
