@@ -650,22 +650,23 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
     def seg_rows(batch: pa.Table) -> pa.Table:
+        """One row per (doc, 16-bit segment), keyed by the coarse bucket
+        sbk = seg*_FINE + segval%_FINE. Only (sbk, id, simhash) ship —
+        seg and segval are recomputed from them after the shuffle, which
+        cuts the exchanged payload by 40%."""
         ids = batch[id_col].to_numpy()
         h = batch["simhash"].to_numpy().view(np.uint64)
-        segs, seg_vals, hh, ii = [], [], [], []
-        for s in range(4):
-            segs.append(np.full(len(ids), s, dtype=np.int64))
-            seg_vals.append(((h >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int64))
-            hh.append(h.astype(np.int64))
-            ii.append(ids)
-        seg = np.concatenate(segs)
-        segval = np.concatenate(seg_vals)
+        n = len(ids)
+        seg = np.repeat(np.arange(4, dtype=np.int64), n)
+        hh = np.tile(h, 4)
+        segval = (
+            (hh >> (np.uint64(16) * seg.astype(np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)
         return pa.table(
             {
-                "seg": pa.array(seg),
-                "segval": pa.array(segval),
-                id_col: pa.array(np.concatenate(ii)),
-                "simhash": pa.array(np.concatenate(hh)),
+                id_col: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(hh.astype(np.int64)),
                 # 4 × _FINE coarse Ray groups (fine segval grouping is
                 # vectorized pandas inside each) — round 1 used only 4
                 "sbk": pa.array(seg * _FINE + segval % _FINE),
@@ -673,6 +674,13 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        seg = int(g["sbk"].iloc[0]) // _FINE if len(g) else 0
+        h = g["simhash"].to_numpy().view(np.uint64)
+        g = g.assign(
+            segval=((h >> np.uint64(16 * seg)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        )
         cand = _pairs_within(g, ["segval"], id_col, extra_col="simhash")
         drops = cand[cand["a"] < 0]
         cand = cand[cand["a"] >= 0]

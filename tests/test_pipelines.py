@@ -380,3 +380,38 @@ def test_media_resize_and_frames(ray_session, docs_ds):
     # indices are in-range, unique, and ascending per media
     assert (fr["frame_idx"] < fr["n_frames_total"]).all()
     assert (g["frame_idx"].apply(lambda s: s.is_monotonic_increasing)).all()
+
+
+def test_simhash_pairs_equal_bruteforce_hamming(ray_session, docs_ds):
+    """The pigeonhole band recall is EXACT for r <= 3: the distributed
+    pair set must equal brute-force all-pairs Hamming<=3 over the
+    signatures (with zero dropped buckets on this corpus)."""
+    import pyarrow as pa
+
+    from excelastic_ray.pipelines.dedup import simhash_batch, simhash_pairs
+
+    tbl = pa.concat_tables(
+        [b for b in docs_ds.iter_batches(batch_size=4096,
+                                         batch_format="pyarrow")]
+    )
+    sig_t = simhash_batch(tbl)
+    ids = sig_t["doc_id"].to_numpy()
+    sigs = sig_t["simhash"].to_numpy().view(np.uint64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    xor = sigs[iu] ^ sigs[ju]
+    ham = np.zeros(len(xor), dtype=np.int64)
+    x = xor.copy()
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    keep = ham <= 3
+    exp = {
+        (int(min(a, b)), int(max(a, b)), int(h))
+        for a, b, h in zip(ids[iu[keep]], ids[ju[keep]], ham[keep])
+    }
+    got_df = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    got_df = got_df[got_df["a"] >= 0]  # no sentinel drops expected
+    got = {(int(a), int(b), int(h))
+           for a, b, h in zip(got_df["a"], got_df["b"], got_df["hamming"])}
+    assert got == exp
+    assert len(got_df) == len(got)  # deduped across segments
