@@ -96,6 +96,12 @@ class ImportServer:
         self.index_lock = index_lock
         self.config = config or IndexConfig()
         self.imports: dict[str, dict] = {}
+        # one import at a time per index dir (concurrent builds into the
+        # same directory would race on clear + manifests); different
+        # indexes import concurrently like the reference's per-upload
+        # worker threads
+        self._index_locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
         os.makedirs(index_root, exist_ok=True)
         server = self
 
@@ -211,9 +217,13 @@ class ImportServer:
         }
         self.imports[imp_id] = rec
 
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+
         def run() -> None:
             try:
-                rec["rows"] = self.import_file(tmp, index, offset, clear)
+                with lock:
+                    rec["rows"] = self.import_file(tmp, index, offset, clear)
                 rec["status"] = "complete"
             except Exception as e:
                 rec["status"] = "error"
