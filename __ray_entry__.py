@@ -425,6 +425,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return multimodal.decode_media(media)
 
+    def q_redact(sf_dir):
+        from excelastic_ray.pipelines.scrub import redact
+
+        # default PII rules plus a term mask so the fixture corpus
+        # (plain lowercase words) actually exercises replacements
+        rules = (
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+            (r"\b\d{6,}\b", "<num>"),
+            (r"\b(spark|window)\b", "<masked>"),
+        )
+        return redact(_docs(sf_dir), rules=rules)
+
     def q_media_resize(sf_dir):
         media = _docs(sf_dir).map_batches(
             multimodal.attach_fake_payloads, batch_format="pyarrow"
@@ -495,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
         "xls_ingest": q_xls_ingest,
+        "redact": q_redact,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -949,6 +962,27 @@ SELECT name,
        CAST("float" AS DOUBLE) AS "float"
 FROM read_csv('/root/reference/src/test/resources/test.csv',
               header=true, all_varchar=true)
+""",
+        "redact": r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+           '\b\d{6,}\b', '<num>', 'g'),
+           '\b(spark|window)\b', '<masked>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(
+                regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<email>', 'g'),
+                '\b\d{6,}\b'))
+          + len(regexp_extract_all(
+                regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<email>', 'g'),
+                    '\b\d{6,}\b', '<num>', 'g'),
+                '\b(spark|window)\b')) AS BIGINT) AS n_redactions
+FROM documents
 """,
         "media_decode": """
 SELECT doc_id AS media_id,

@@ -415,3 +415,27 @@ def test_simhash_pairs_equal_bruteforce_hamming(ray_session, docs_ds):
            for a, b, h in zip(got_df["a"], got_df["b"], got_df["hamming"])}
     assert got == exp
     assert len(got_df) == len(got)  # deduped across segments
+
+
+def test_redact_rules(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.scrub import redact
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "contact bob@example.com or 1234567 now",
+                "ip 10.0.0.1 and mail a.b+c@x.io",
+                "nothing to hide",
+            ],
+        }
+    )
+    out = redact(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["clean_text"]) == [
+        "contact <email> or <num> now",
+        "ip <ip> and mail <email>",
+        "nothing to hide",
+    ]
+    assert list(out["n_redactions"]) == [2, 2, 0]
