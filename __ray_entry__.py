@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_bpe_tokens(sf_dir):
+        return ts.bpe_token_count(_docs(sf_dir))
+
     def q_fingerprints(sf_dir):
         return ts.fingerprints(_docs(sf_dir))
 
@@ -490,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
+        "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -838,6 +842,13 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_guess,
        hits_de, hits_en, hits_es, hits_fr
 FROM h
+""",
+        "bpe_tokens": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT)
+           AS bpe_tokens
+FROM documents
 """,
         "exact_dedup": """
 SELECT doc_id FROM (

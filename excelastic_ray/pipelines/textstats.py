@@ -185,6 +185,33 @@ def fingerprints(ds, **kw):
                           batch_format="pyarrow", batch_size=4096)
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style split into letter runs,
+#: digit runs, punctuation runs and whitespace — lookahead-free so the
+#: SAME RE2 pattern runs in Arrow and DuckDB). Counting its matches
+#: estimates LLM token counts without a vocab.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Per-doc BPE-ish token estimate: one count_substring_regex pass
+    (C-level RE2 over the Arrow string buffer — no Python tokens)."""
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(batch[text_col], pattern=BPE_SPLIT_RE)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "bpe_tokens": n.cast(pa.int64()),
+        }
+    )
+
+
+def bpe_token_count(ds, **kw):
+    return ds.map_batches(lambda b: bpe_token_count_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=8192)
+
+
 def term_df(ds, text_col: str = "text"):
     """Corpus-wide (term, df, cf): pre-aggregated per batch (one row per
     distinct term per batch) before the small groupby — the partial+final

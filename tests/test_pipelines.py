@@ -439,3 +439,19 @@ def test_redact_rules(ray_session):
         "nothing to hide",
     ]
     assert list(out["n_redactions"]) == [2, 2, 0]
+
+
+def test_bpe_token_count(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import bpe_token_count
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["hello world 123!", "", "a-b c"],
+        }
+    )
+    out = bpe_token_count(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    # "hello", " world", " 123", "!" -> 4 ; "" -> 0 ; "a","-","b"," c" -> 4
+    assert list(out["bpe_tokens"]) == [4, 0, 4]
