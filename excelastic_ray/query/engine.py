@@ -207,6 +207,35 @@ class ShardSearcher:
         base = np.concatenate(([0], cum[starts - 1]))
         return cum - np.repeat(base, tfs.astype(np.int64))
 
+    def phrase_count(self, terms: list[str]) -> int:
+        """Phase 1 of phrase scoring: compute + cache this shard's
+        phrase matches, return only their count (the phrase-df partial).
+        The match set stays shard-local so the driver never receives
+        more than counts + k-sized results."""
+        key = tuple(terms)
+        m = self.phrase_matches(terms)
+        self._phrase_cache = (key, m)
+        return len(m[0])
+
+    def phrase_topk(self, terms: list[str], p_idf: float, avgdl: float,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Phase 2: score the cached matches with the now-known global
+        phrase idf, return this shard's top-k only."""
+        key = tuple(terms)
+        cached = getattr(self, "_phrase_cache", None)
+        if cached is not None and cached[0] == key:
+            docids, ptfs, dls = cached[1]
+        else:
+            docids, ptfs, dls = self.phrase_matches(terms)
+        if not len(docids):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sc = contribution(
+            p_idf, ptfs.astype(np.float64), dls, avgdl,
+            self.cfg.k1, self.cfg.b,
+        )
+        order = np.lexsort((docids, -sc))[:k]
+        return docids[order], sc[order]
+
     def phrase_matches(self, terms: list[str]) -> tuple[np.ndarray, ...]:
         """Docs containing ``terms`` consecutively → (docids, ptf, dl)
         where ptf = number of phrase occurrences. Encoding trick: every
@@ -839,12 +868,12 @@ class QueryEngine:
         """match_phrase: docs where the query terms appear consecutively,
         scored like a single pseudo-term whose tf is the phrase-occurrence
         count and whose df is the phrase's doc count (the Lucene
-        PhraseQuery shape). Two-phase: shards return their phrase
-        matches (phrase df is query-dependent, so idf can only be
-        computed after the match phase); the driver scores and ranks
-        (score DESC, docid ASC). Phrase matches are typically rare, so
-        the match sets are small; a stopword-only phrase is the worst
-        case and still bounded by the rarest term's df."""
+        PhraseQuery shape). Two-phase because phrase df is
+        query-dependent: phase 1 asks every shard for its match COUNT
+        (matches stay cached shard-local); phase 2 ships the global idf
+        back and each shard returns only its k best — the driver never
+        receives a match set, just counts + k-sized heaps
+        (score DESC, docid ASC)."""
         import pyarrow as pa
 
         r = self.reader
@@ -855,26 +884,29 @@ class QueryEngine:
             if self._actors is not None:
                 import ray
 
-                parts = ray.get(
-                    [a.phrase_matches.remote(terms) for a in self._actors]
+                counts = ray.get(
+                    [a.phrase_count.remote(terms) for a in self._actors]
                 )
+                df_phrase = int(sum(counts))
+                if df_phrase:
+                    p_idf = idf(r.n_docs, df_phrase)
+                    parts = ray.get(
+                        [
+                            a.phrase_topk.remote(terms, p_idf, r.avgdl, k)
+                            for a in self._actors
+                        ]
+                    )
+                    docids, scores = _merge_shard_topk(parts, k)
             else:
-                parts = [
-                    r.searcher(s).phrase_matches(terms)
-                    for s in range(r.num_shards)
-                ]
-            all_ids = np.concatenate([p[0] for p in parts])
-            ptfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
-            df_phrase = len(all_ids)
-            if df_phrase:
-                p_idf = idf(r.n_docs, df_phrase)
-                sc = contribution(
-                    p_idf, ptfs.astype(np.float64), dls, r.avgdl,
-                    r.cfg.k1, r.cfg.b,
-                )
-                order = np.lexsort((all_ids, -sc))[:k]
-                docids, scores = all_ids[order], sc[order]
+                searchers = [r.searcher(s) for s in range(r.num_shards)]
+                df_phrase = sum(s.phrase_count(terms) for s in searchers)
+                if df_phrase:
+                    p_idf = idf(r.n_docs, df_phrase)
+                    parts = [
+                        s.phrase_topk(terms, p_idf, r.avgdl, k)
+                        for s in searchers
+                    ]
+                    docids, scores = _merge_shard_topk(parts, k)
         conv, turn = r.keys_of(docids)
         return pa.table(
             {
@@ -1095,6 +1127,14 @@ class ShardActor:
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
+
+    def phrase_count(self, terms: list[str]) -> int:
+        return sum(s.phrase_count(terms) for s in self.searchers)
+
+    def phrase_topk(self, terms, p_idf, avgdl, k):
+        parts = [s.phrase_topk(terms, p_idf, avgdl, k)
+                 for s in self.searchers]
+        return _merge_shard_topk(parts, k)
 
     def facet(self, terms, attr, n_required=0, filters=None) -> dict:
         out: dict = {}
