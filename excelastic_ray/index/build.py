@@ -283,6 +283,7 @@ def _chunk_phase_joined(
     cpus: int,
     store_cols: list[str],
     rank_offset: int = 0,
+    n_rows: int | None = None,
 ) -> pd.DataFrame:
     """Stamping via a bucket-partitioned join against the rank files
     (the distributed-ranks sibling of :func:`_chunk_phase`): transcript
@@ -295,7 +296,10 @@ def _chunk_phase_joined(
 
     from excelastic_ray.hashing import fnv1a_str_rows
 
-    n_buckets = max(64, 2 * cpus)
+    # one bucket == one reducer frame: scale the join width with the
+    # corpus (~200 B/row of carried text) so a bucket stays ~256 MB
+    n_buckets = max(64, 2 * cpus,
+                    (n_rows or 0) * 200 // (256 << 20) + 1)
     schema = ds.schema()
     schema_names = set(schema.names)
     col_types = dict(zip(schema.names, schema.types))  # pyarrow types
@@ -1041,10 +1045,12 @@ def _build_index_impl(
     # conservative upper bound on the conv census and is free for
     # parquet sources; transformed/Dataset inputs stay on the broadcast
     # path unless forced (count() would re-execute their pipeline).
+    n_rows_hint = None
     if config.driver_conv_budget == 0:
         use_dist = True
     elif isinstance(source, (str, list, tuple)) and not transforms:
-        use_dist = ds.count() > config.driver_conv_budget
+        n_rows_hint = ds.count()
+        use_dist = n_rows_hint > config.driver_conv_budget
     else:
         use_dist = False
 
@@ -1079,7 +1085,8 @@ def _build_index_impl(
     if len(skip) < n_chunks:
         if use_dist:
             summaries = _chunk_phase_joined(
-                ds, config, index_dir, skip, cpus, store_cols
+                ds, config, index_dir, skip, cpus, store_cols,
+                n_rows=n_rows_hint,
             )
         else:
             conv_ref = ray.put(conv_ids)

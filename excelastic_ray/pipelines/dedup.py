@@ -84,20 +84,45 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(vals))
 
 
-N_BUCKETS = 64  # coarse shuffle buckets: a Ray groupby over millions of
-# tiny key groups pays per-group overhead; bucket by hash(key) % 64 and
-# run the fine-grained grouping vectorized in pandas inside each bucket.
+N_BUCKETS = 64  # default coarse shuffle buckets: a Ray groupby over
+# millions of tiny key groups pays per-group overhead; bucket by
+# hash(key) % K and run the fine-grained grouping vectorized in pandas
+# inside each bucket. SIZING RULE (SCALE.md): one bucket materializes
+# as one reducer frame, so K must grow with the corpus —
+# K ≈ max(64, 2×cluster cores, shuffled_bytes / 256 MB). Every bucketed
+# operator takes n_buckets for exactly this knob; 64 fits the test
+# corpora.
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def scaled_buckets(ds, bytes_per_row: int,
+                   target_bytes: int = 256 << 20) -> int:
+    """Bucket count for the sizing rule above. ``ds.count()`` is
+    metadata-only for parquet-backed datasets; for derived datasets
+    (where count would execute the pipeline) callers pass n_buckets
+    explicitly instead."""
+    from excelastic_ray.hashing import default_pool
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = 0
+    return max(64, 2 * (default_pool() + 2),
+               (n * bytes_per_row) // target_bytes + 1 if n else 64)
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = N_BUCKETS):
     """Keep the min-id representative per identical text → Dataset of
     (id, content_hash) survivors. Reference note: the reference
     *appends* duplicates on re-import (ElasticWriter.java:186-194 only
-    branches on clear) — dedup is the training-data extension."""
+    branches on clear) — dedup is the training-data extension.
+
+    ``n_buckets``: shuffle width; one bucket = one reducer frame of
+    ~16 B × rows / n_buckets — size per the N_BUCKETS rule at scale."""
 
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         t = add_content_hash(b, text_col).select([id_col, "content_hash"])
-        bucket = t["content_hash"].to_numpy().view(np.uint64) % N_BUCKETS
+        bucket = t["content_hash"].to_numpy().view(np.uint64) % n_buckets
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow",

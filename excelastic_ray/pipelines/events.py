@@ -15,16 +15,17 @@ import pyarrow as pa
 from excelastic_ray.pipelines.textstats import trunc6
 
 
-N_USER_BUCKETS = 64
+N_USER_BUCKETS = 64  # default; size per the dedup.N_BUCKETS rule —
+# one bucket is one reducer frame (~48 B × rows / n_buckets)
 
 
-def sessionize(ds, gap_minutes: int = 30):
+def sessionize(ds, gap_minutes: int = 30, n_buckets: int = N_USER_BUCKETS):
     """Session windows per user: a new session starts when the gap since
     the previous event exceeds ``gap_minutes``. → one row per session:
     (user_id, session_idx, n_events, sum_value, start_ts, end_ts).
 
-    Shuffle shape: users are bucketed by ``hash(user_id) % 64`` so the
-    Ray groupby sees 64 coarse groups instead of one tiny group per user
+    Shuffle shape: users are bucketed by ``hash(user_id) % n_buckets``
+    so the Ray groupby sees coarse groups instead of one tiny group per user
     (millions of users = the per-group overhead pitfall measured in
     round 1). Inside each bucket the whole frame is sorted once by
     (user_id, ts, event_id) and the session-break scan plus the
@@ -41,7 +42,7 @@ def sessionize(ds, gap_minutes: int = 30):
             ubk = (
                 (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                 >> np.uint64(32)
-            ) % np.uint64(N_USER_BUCKETS)
+            ) % np.uint64(n_buckets)
         return b.append_column("ubk", pa.array(ubk.astype(np.int64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
