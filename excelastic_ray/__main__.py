@@ -83,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
+    owns_session = not ray.is_initialized()
     _ray_up(args.num_cpus)
     try:
         if args.cmd == "build":
@@ -143,7 +144,8 @@ def main(argv: list[str] | None = None) -> int:
             except KeyboardInterrupt:
                 srv.stop()
     finally:
-        ray.shutdown()
+        if owns_session:  # embedded callers (tests) keep their session
+            ray.shutdown()
     return 0
 
 

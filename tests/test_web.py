@@ -112,3 +112,32 @@ def test_index_lock_forces_default_index(ray_session, tmp_path):
         assert status == 200 and resp["index"] == "locked"
     finally:
         srv.stop()
+
+
+def test_cli_search_flags(ray_session, tmp_path):
+    """CLI smoke: build then search with --phrase / --from / --highlight."""
+    import contextlib
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from excelastic_ray.__main__ import main
+    from excelastic_ray.corpus import generate_transcripts
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(n_convs=40, seed=1),
+                   os.path.join(src, "p.parquet"))
+    idx = str(tmp_path / "idx")
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["build", src, idx, "--clear", "--shards", "2"]) == 0
+        assert main(["search", idx, "the", "-k", "3", "--from", "2",
+                     "--highlight"]) == 0
+        assert main(["search", idx, "the", "-k", "3", "--phrase"]) == 0
+        assert main(["status", idx]) == 0
+    text = out.getvalue()
+    assert "<em>" in text and "docid" in text and '"percent": 100.0' in text
