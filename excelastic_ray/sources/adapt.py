@@ -60,9 +60,6 @@ def dataset_as_transcripts(ds, conv_prefix: str = "imports",
     if isinstance(ds, pa.Table):
         tbl = ds
     else:
-        import pandas as pd
-
-        obj = ds.to_pandas()
-        tbl = pa.Table.from_pandas(obj, preserve_index=False)
+        tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     out = table_as_transcripts(tbl, conv_prefix, max_turns)
     return rd.from_arrow(out), out.num_rows
