@@ -141,3 +141,34 @@ def test_cli_search_flags(ray_session, tmp_path):
         assert main(["status", idx]) == 0
     text = out.getvalue()
     assert "<em>" in text and "docid" in text and '"percent": 100.0' in text
+
+
+def test_upload_xls_via_http(ray_session, tmp_path):
+    """Legacy .xls upload end-to-end through the HTTP surface: BIFF8
+    parse -> transcript adapter -> index -> search."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes_xls")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open("/root/reference/src/test/resources/test.xls", "rb").read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"xlstest", "options": b"clear", "offset": b"5"},
+            ("file", "test.xls", payload),
+        )
+        assert status == 200, resp
+        imp_id = resp["id"]
+        for _ in range(300):
+            status, out = _get(base + f"/api/status?id={imp_id}")
+            rec = json.loads(out)
+            if rec["status"] in ("complete", "error"):
+                break
+            time.sleep(0.2)
+        assert rec["status"] == "complete", rec
+        assert rec["rows"] == 2
+        status, resp = _get(base + "/api/search?index=xlstest&q=7&k=5")
+        hits = json.loads(resp)["hits"]
+        assert len(hits) == 1 and "cell 7" in hits[0]["text"]
+    finally:
+        srv.stop()
