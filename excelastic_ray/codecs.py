@@ -149,6 +149,100 @@ def blockpack_decode_range(buf: bytes | memoryview, off: int, count: int) -> np.
 
 
 # ---------------------------------------------------------------------------
+# PForDelta (patched frame-of-reference): per block, pack every value in
+# the small width that covers ~90% of them; the outliers ("exceptions")
+# store their positions and full values after the packed lanes. Layout
+# per block:
+#     [u8 width_b][u8 n_exceptions]
+#     [ceil(count*b/8) bytes packed little-endian b-bit lanes]
+#     [n_exc × u8 position][n_exc × u64 value]
+# (Zukowski et al., "Super-Scalar RAM-CPU Cache Compression", ICDE 2006.)
+# ---------------------------------------------------------------------------
+
+
+def _pfor_choose_width(blk: np.ndarray) -> int:
+    """Smallest width covering the 90th-percentile value (≥1 bit)."""
+    q = np.quantile(blk, 0.9) if len(blk) else 0
+    return max(1, int(q).bit_length())
+
+
+def _pack_lanes(vals: np.ndarray, b: int) -> bytes:
+    """Pack uint64 values (< 2^b) as little-endian b-bit lanes."""
+    bits = (
+        (vals[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_lanes(buf: bytes | memoryview, n: int, b: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * b, bitorder="little"
+    )
+    return (
+        bits.reshape(n, b).astype(np.uint64)
+        << np.arange(b, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+
+
+def pfor_encode(a: np.ndarray, block_size: int) -> tuple[bytes, np.ndarray]:
+    """Encode as per-block PForDelta. Returns (buf, block_start_offsets).
+    Block size must stay ≤ 256 (positions are u8)."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    pieces: list[bytes] = []
+    offsets = []
+    off = 0
+    for s in range(0, n, block_size):
+        blk = a[s : s + block_size]
+        b = _pfor_choose_width(blk)
+        mask = np.uint64((1 << b) - 1)
+        exc_pos = np.flatnonzero(blk > mask)
+        low = blk & mask
+        piece = (
+            bytes([b, len(exc_pos)])
+            + _pack_lanes(low, b)
+            + exc_pos.astype(np.uint8).tobytes()
+            + blk[exc_pos].astype("<u8").tobytes()
+        )
+        offsets.append(off)
+        pieces.append(piece)
+        off += len(piece)
+    return b"".join(pieces), np.asarray(offsets, dtype=np.int64)
+
+
+def pfor_decode_range(buf: bytes | memoryview, off: int, count: int) -> np.ndarray:
+    """Decode one PFor block starting at byte offset ``off``."""
+    mv = memoryview(buf)
+    b = mv[off]
+    n_exc = mv[off + 1]
+    lane_bytes = (count * b + 7) // 8
+    p = off + 2
+    vals = _unpack_lanes(mv[p : p + lane_bytes], count, b)
+    p += lane_bytes
+    if n_exc:
+        pos = np.frombuffer(mv, dtype=np.uint8, count=n_exc, offset=p)
+        p += n_exc
+        full = np.frombuffer(mv, dtype="<u8", count=n_exc, offset=p)
+        vals[pos] = full
+    return vals
+
+
+def pfor_decode(buf: bytes | memoryview, n: int, block_size: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    mv = memoryview(buf)
+    off = 0
+    for s in range(0, n, block_size):
+        cnt = min(block_size, n - s)
+        out[s : s + cnt] = pfor_decode_range(mv, off, cnt)
+        b = mv[off]
+        n_exc = mv[off + 1]
+        off += 2 + (cnt * b + 7) // 8 + n_exc * 9
+    return out
+
+
+# ---------------------------------------------------------------------------
 # posting streams
 # ---------------------------------------------------------------------------
 
@@ -156,18 +250,24 @@ def _encode_stream(a: np.ndarray, codec: str, block_size: int) -> tuple[bytes, n
     if codec == "varint":
         buf, starts = varint_encode(a)
         return buf, starts[::block_size].copy()
+    if codec == "pfor":
+        return pfor_encode(a, block_size)
     return blockpack_encode(a, block_size)
 
 
 def _decode_stream(buf, n: int, codec: str, block_size: int) -> np.ndarray:
     if codec == "varint":
         return varint_decode(buf, count=n)
+    if codec == "pfor":
+        return pfor_decode(buf, n, block_size)
     return blockpack_decode(buf, n, block_size)
 
 
 def _decode_stream_range(buf, off: int, end: int, count: int, codec: str) -> np.ndarray:
     if codec == "varint":
         return varint_decode(memoryview(buf)[off:end], count=count)
+    if codec == "pfor":
+        return pfor_decode_range(buf, off, count)
     return blockpack_decode_range(buf, off, count)
 
 
@@ -409,12 +509,8 @@ def decode_postings(
     n, len_d = np.frombuffer(mv, dtype="<u4", count=2)
     n, len_d = int(n), int(len_d)
     p = 8
-    if codec == "varint":
-        deltas = varint_decode(mv[p : p + len_d], count=n)
-        tfs = varint_decode(mv[p + len_d :], count=n)
-    else:
-        deltas = blockpack_decode(mv[p : p + len_d], n, block_size)
-        tfs = blockpack_decode(mv[p + len_d :], n, block_size)
+    deltas = _decode_stream(mv[p : p + len_d], n, codec, block_size)
+    tfs = _decode_stream(mv[p + len_d :], n, codec, block_size)
     ids = np.cumsum(deltas.astype(np.int64))
     return ids, tfs.astype(np.int32)
 

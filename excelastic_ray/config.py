@@ -38,8 +38,10 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
 
-    # Posting compression codec: "varint" (delta + LEB128) or "blockpack"
-    # (delta + per-block fixed-width packing, PForDelta-simplified).
+    # Posting compression codec: "varint" (delta + LEB128), "blockpack"
+    # (delta + per-block fixed-width byte lanes, PForDelta-simplified) or
+    # "pfor" (true patched frame-of-reference: b-bit lanes sized for the
+    # 90th percentile + exception patches, Zukowski et al. ICDE 2006).
     codec: str = "varint"
 
     # Bits reserved for turn_idx inside the docid (max turns per
@@ -94,8 +96,11 @@ class IndexConfig:
     driver_conv_budget: int = 50_000_000
 
     def __post_init__(self) -> None:
-        if self.codec not in ("varint", "blockpack"):
+        if self.codec not in ("varint", "blockpack", "pfor"):
             raise ValueError(f"unknown codec {self.codec!r}")
+        if self.codec == "pfor" and self.block_size > 256:
+            raise ValueError("pfor blocks are limited to 256 postings "
+                             "(exception positions are u8)")
         if not (1 <= self.turn_bits <= 32):
             raise ValueError("turn_bits out of range")
         if not (0 <= self.convs_per_chunk_bits <= 32):

@@ -775,3 +775,22 @@ def test_range_filter_and_date_histogram(ray_session, tiny_index, tiny_table):
         exp[b] = exp.get(b, 0) + 1
     # full ranking at k=5000 covers all matches on the tiny corpus
     assert hist == dict(sorted(exp.items()))
+
+
+def test_pfor_codec_end_to_end(ray_session, tmp_path, tiny_corpus_dir,
+                               tiny_config, tiny_oracle, query_set):
+    """Full build + query with the true PForDelta codec: rank-identical
+    to the oracle (both scorers), phrase queries still work (positions
+    are varint regardless of the postings codec)."""
+    from dataclasses import replace
+
+    d = str(tmp_path / "idx_pfor")
+    cfg = replace(tiny_config, codec="pfor")
+    build_index(tiny_corpus_dir, d, cfg, clear=True)
+    for algo in ("taat", "bmw"):
+        eng = QueryEngine(d, algo=algo)
+        for q in query_set[:6]:
+            assert eng.search_topk(q, 10) == tiny_oracle.search(q, 10), (algo, q)
+    eng = QueryEngine(d)
+    t = eng.search_phrase("w00005", 5)
+    assert t.num_rows > 0

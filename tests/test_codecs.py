@@ -47,7 +47,7 @@ def test_blockpack_roundtrip():
         assert len(offs) == (n + 127) // 128
 
 
-@pytest.mark.parametrize("codec", ["varint", "blockpack"])
+@pytest.mark.parametrize("codec", ["varint", "blockpack", "pfor"])
 @pytest.mark.parametrize("n", [1, 127, 128, 129, 5000])
 def test_postings_roundtrip(codec, n):
     rng = np.random.default_rng(n)
@@ -59,7 +59,7 @@ def test_postings_roundtrip(codec, n):
     assert n_blocks == (n + 127) // 128
 
 
-@pytest.mark.parametrize("codec", ["varint", "blockpack"])
+@pytest.mark.parametrize("codec", ["varint", "blockpack", "pfor"])
 def test_posting_list_block_access(codec):
     rng = np.random.default_rng(3)
     n = 1000
@@ -82,3 +82,27 @@ def test_posting_list_block_access(codec):
 def test_encode_postings_rejects_empty():
     with pytest.raises(ValueError):
         encode_postings(np.array([], dtype=np.int64), np.array([]), np.array([]))
+
+
+def test_pfor_roundtrip_with_exceptions():
+    from excelastic_ray.codecs import pfor_decode, pfor_encode
+
+    rng = np.random.default_rng(9)
+    # mostly-small deltas with rare huge outliers -> exercises patching
+    a = rng.integers(0, 30, size=1000, dtype=np.uint64)
+    a[rng.choice(1000, 37, replace=False)] = rng.integers(
+        1 << 30, 1 << 45, size=37, dtype=np.uint64
+    )
+    for bs in (32, 128, 256):
+        buf, offs = pfor_encode(a, bs)
+        assert (pfor_decode(buf, len(a), bs) == a).all()
+    # exception-heavy beats naive wide packing on size for this shape
+    wide = len(a) * 8
+    assert len(buf) < wide
+
+
+def test_pfor_block_size_cap():
+    from excelastic_ray.config import IndexConfig
+
+    with pytest.raises(ValueError):
+        IndexConfig(codec="pfor", block_size=512)

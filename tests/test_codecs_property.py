@@ -47,7 +47,7 @@ posting_lists = _posting_strategy(400)
 small_posting_lists = _posting_strategy(60)
 
 
-@given(posting_lists, st.sampled_from(["varint", "blockpack"]),
+@given(posting_lists, st.sampled_from(["varint", "blockpack", "pfor"]),
        st.sampled_from([4, 128]))
 @settings(max_examples=100, deadline=None)
 def test_postings_roundtrip_property(data, codec, block_size):
@@ -103,7 +103,7 @@ def test_splice_merge_equals_reencode(parts, block_size):
 
 @given(
     st.lists(small_posting_lists, min_size=1, max_size=8),
-    st.sampled_from(["varint", "blockpack"]),
+    st.sampled_from(["varint", "blockpack", "pfor"]),
 )
 @settings(max_examples=40, deadline=None)
 def test_encode_many_equals_per_list(parts, codec):
