@@ -311,6 +311,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
+    def q_contamination(sf_dir):
+        import pyarrow as pa
+
+        docs = _docs(sf_dir)
+
+        def eval_split(b):
+            # synthetic eval set: every 7th doc
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 7 == 0))
+
+        ev = docs.map_batches(eval_split, batch_format="pyarrow")
+        return dedup.contamination(docs, ev)
+
     def q_ngram_jaccard(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.2)
 
@@ -496,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
+        "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -856,6 +869,11 @@ SELECT doc_id FROM (
            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM documents
 ) WHERE rn = 1
+""",
+        "contamination": """
+SELECT a.doc_id
+FROM documents a
+WHERE a.text IN (SELECT text FROM documents WHERE doc_id % 7 = 0)
 """,
         "ngram_jaccard": _DOCTOK
         + """

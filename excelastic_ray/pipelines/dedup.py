@@ -604,6 +604,56 @@ def minhash_pairs(
     return (verified, stats) if return_stats else verified
 
 
+def contamination(
+    train_ds,
+    eval_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+):
+    """Train/eval decontamination: ids of TRAIN docs whose exact text
+    also appears in the EVAL set → Dataset (doc_id). Both sides hash
+    their text (vectorized FNV-1a) and meet in a hash-bucket groupby —
+    the standard two-sided join shape; each reducer holds 1/n_buckets
+    of both hash sets, never the texts. Equality is by 64-bit content
+    hash (the usual decontamination trade-off; collisions are ~n²/2⁶⁴).
+    """
+
+    def side(is_eval: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = fnv1a_str_rows(b[text_col].to_pylist())
+            return pa.table(
+                {
+                    "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+                    "is_eval": pa.array(
+                        np.full(b.num_rows, is_eval, dtype=np.int64)
+                    ),
+                    id_col: pa.array(
+                        b[id_col].to_numpy().astype(np.int64)
+                    ),
+                    "h": pa.array(h.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    keyed = train_ds.map_batches(
+        side(0), batch_format="pyarrow", batch_size=8192
+    ).union(
+        eval_ds.map_batches(side(1), batch_format="pyarrow", batch_size=8192)
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        eval_hashes = np.unique(g.loc[g["is_eval"] == 1, "h"].to_numpy())
+        train = g[g["is_eval"] == 0]
+        hit = np.isin(train["h"].to_numpy(), eval_hashes)
+        return pd.DataFrame(
+            {id_col: np.sort(train[id_col].to_numpy()[hit]).astype(np.int64)}
+        )
+
+    return keyed.groupby("bucket").map_groups(match, batch_format="pandas")
+
+
 def collect_shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text",
                          shingle_k: int = 3) -> dict[int, np.ndarray]:
     """Driver-side {id: shingle set} — TEST-SCALE ONLY (used by pytest

@@ -455,3 +455,25 @@ def test_bpe_token_count(ray_session):
     out = bpe_token_count(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
     # "hello", " world", " 123", "!" -> 4 ; "" -> 0 ; "a","-","b"," c" -> 4
     assert list(out["bpe_tokens"]) == [4, 0, 4]
+
+
+def test_contamination_detects_exact_overlap(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import contamination
+
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["leaked sample", "clean one", "another clean",
+                     "leaked sample"],
+        }
+    )
+    ev = pa.table(
+        {
+            "doc_id": pa.array([100], type=pa.int64()),
+            "text": ["leaked sample"],
+        }
+    )
+    out = contamination(rd.from_arrow(train), rd.from_arrow(ev)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 3]
