@@ -302,6 +302,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_quality_filter(sf_dir):
+        return ts.quality_filter(
+            _docs(sf_dir), min_tokens=5, max_stop_ratio=0.6,
+            langs=("en", "de", "es", "fr"),
+        )
+
     def q_bpe_tokens(sf_dir):
         return ts.bpe_token_count(_docs(sf_dir))
 
@@ -505,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
+        "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -862,6 +869,30 @@ SELECT doc_id,
             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT)
            AS bpe_tokens
 FROM documents
+""",
+        "quality_filter": _DOCTOK
+        + f"""
+, h AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+       {lang_hits}
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_tokens,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE floor((CAST(hits_en AS DOUBLE) / n_tokens)
+                       * 1000000 + 0.5) / 1000000
+       END AS stop_ratio
+  FROM h
+)
+SELECT doc_id FROM m
+WHERE n_tokens >= 5 AND stop_ratio <= 0.6
+  AND lang_guess IN ('en', 'de', 'es', 'fr')
 """,
         "exact_dedup": """
 SELECT doc_id FROM (

@@ -185,6 +185,44 @@ def fingerprints(ds, **kw):
                           batch_format="pyarrow", batch_size=4096)
 
 
+def quality_filter_batch(batch: pa.Table, id_col: str = "doc_id",
+                         text_col: str = "text", min_tokens: int = 5,
+                         max_stop_ratio: float = 0.6,
+                         langs: tuple = ("de", "en", "es", "fr")) -> pa.Table:
+    """Fused pretraining-corpus filter: token count, EN-stopword ratio
+    and language gate computed in ONE pass; emits only surviving ids.
+    (Chaining quality() + langid() + a filter would scan the text twice;
+    this fuses the metrics over one factorize.)"""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+    hits = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        u = uniques.astype(str)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = np.isin(u, STOPWORDS[lang])[codes]
+            hits[li] = np.bincount(row_idx[mask], minlength=n)
+        stop_hits = hits[LANG_ORDER.index("en")]
+    best = hits.argmax(axis=0)
+    guess = np.asarray(LANG_ORDER, dtype=object)[best]
+    guess[hits.max(axis=0) == 0] = "und"
+    safe = np.maximum(n_tokens, 1)
+    stop_ratio = trunc6(np.where(n_tokens > 0, stop_hits / safe, 0.0))
+    keep = (
+        (n_tokens >= min_tokens)
+        & (stop_ratio <= max_stop_ratio)
+        & np.isin(guess.astype(str), list(langs))
+    )
+    return pa.table({id_col: batch[id_col].filter(pa.array(keep))})
+
+
+def quality_filter(ds, **kw):
+    return ds.map_batches(lambda b: quality_filter_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=4096)
+
+
 #: BPE-ish pre-tokenizer pattern (GPT-2-style split into letter runs,
 #: digit runs, punctuation runs and whitespace — lookahead-free so the
 #: SAME RE2 pattern runs in Arrow and DuckDB). Counting its matches

@@ -477,3 +477,24 @@ def test_contamination_detects_exact_overlap(ray_session):
     )
     out = contamination(rd.from_arrow(train), rd.from_arrow(ev)).to_pandas()
     assert sorted(out["doc_id"]) == [0, 3]
+
+
+def test_quality_filter_gates(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import quality_filter
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "the cat and the dog went to a house today",  # keeps (en)
+                "too short",                                   # < 5 tokens
+                "the the the the the the",                     # stop ratio 1.0
+                "zz qq ww ee rr tt yy",                        # lang 'und'
+            ],
+        }
+    )
+    out = quality_filter(rd.from_arrow(t), min_tokens=5,
+                         max_stop_ratio=0.6).to_pandas()
+    assert sorted(out["doc_id"]) == [0]
