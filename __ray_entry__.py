@@ -293,6 +293,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_term_df(sf_dir):
         return ts.term_df(_docs(sf_dir))
 
+    def q_top_terms(sf_dir):
+        # partial+final df aggregate → distributed sort → limit: the
+        # top-k frequent-terms query (ties broken by term asc)
+        return (
+            ts.term_df(_docs(sf_dir))
+            .sort(["df", "term"], descending=[True, False])
+            .limit(20)
+        )
+
     def q_token_stats(sf_dir):
         return ts.token_stats(_docs(sf_dir))
 
@@ -508,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keys": q_doc_keys,
         "index_stats": q_index_stats,
         "term_df": q_term_df,
+        "top_terms": q_top_terms,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -819,6 +829,14 @@ FROM base
 SELECT term, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
 FROM (SELECT doc_id, unnest(toks) AS term FROM base)
 GROUP BY term
+""",
+        "top_terms": _DOCTOK
+        + """
+SELECT term, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
+FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
 """,
         "token_stats": _DOCTOK
         + """
