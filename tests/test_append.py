@@ -150,3 +150,37 @@ build_index({tiny_corpus_dir!r}, {d!r}, cfg, clear=True)
         ).read()
         assert a == b, name
     assert killed or res.chunks_skipped > 0
+
+
+def test_append_onto_distributed_built_base(ray_session, tmp_path, tiny_table,
+                                            tiny_config, tiny_oracle,
+                                            query_set):
+    """Appending onto a base built via the DISTRIBUTED rank path (dir-
+    shaped convs.parquet) works: the extended conv table collapses to a
+    file and queries match the combined-corpus oracle."""
+    import os
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    base_t, new_t = _split_corpus(tiny_table)
+    d = str(tmp_path / "idx_dist_append")
+    cfg = replace(tiny_config, driver_conv_budget=0)
+    build_index(rd.from_arrow(base_t), d, cfg, clear=True)
+    assert os.path.isdir(os.path.join(d, "convs.parquet"))
+    res = append_index(rd.from_arrow(new_t), d)
+    assert res.n_convs == 120
+    assert os.path.isfile(os.path.join(d, "convs.parquet"))
+    eng = QueryEngine(d)
+    full_oracle = BM25Oracle(tiny_table, cfg)
+    for q in query_set[:4]:
+        got = eng.search_topk(q, 10)
+        exp = full_oracle.search(q, 10)
+        # append reorders conv ranks (appended convs rank AFTER the
+        # base), so compare (conv_id, turn_idx, score) not docids
+        g = [(eng.reader.keys_of(np.array([d_]))[0][0],
+              int(eng.reader.keys_of(np.array([d_]))[1][0]), s)
+             for d_, s in got]
+        e = [(full_oracle.keys_of(d_)[0], full_oracle.keys_of(d_)[1], s)
+             for d_, s in exp]
+        assert sorted(g) == sorted(e), q
