@@ -794,3 +794,22 @@ def test_pfor_codec_end_to_end(ray_session, tmp_path, tiny_corpus_dir,
     eng = QueryEngine(d)
     t = eng.search_phrase("w00005", 5)
     assert t.num_rows > 0
+
+
+def test_distributed_path_resume(ray_session, tmp_path, tiny_corpus_dir,
+                                 tiny_config):
+    """Resume semantics hold on the distributed-rank path: delete one
+    chunk segment from a complete distributed build; the resumed build
+    rebuilds exactly that chunk, byte-identical."""
+    import shutil
+    from dataclasses import replace
+
+    cfg = replace(tiny_config, driver_conv_budget=0)
+    d = str(tmp_path / "idx_dist_resume")
+    build_index(tiny_corpus_dir, d, cfg, clear=True)
+    victim = os.path.join(d, "segments", "chunk=00000002")
+    orig = open(os.path.join(victim, "postings.parquet"), "rb").read()
+    shutil.rmtree(victim)
+    res = build_index(tiny_corpus_dir, d, cfg, resume=True)
+    assert res.chunks_built == 1 and res.chunks_skipped == 7
+    assert open(os.path.join(victim, "postings.parquet"), "rb").read() == orig
