@@ -134,7 +134,9 @@ class ImportServer:
                         self._json(
                             200,
                             server.search(
-                                q["index"], q["q"], int(q.get("k", "10"))
+                                q["index"], q["q"], int(q.get("k", "10")),
+                                phrase=q.get("phrase") == "1",
+                                offset=int(q.get("from", "0")),
                             ),
                         )
                     else:
@@ -260,9 +262,13 @@ class ImportServer:
         out["progress"] = build_status(self.index_dir(rec["index"]))
         return out
 
-    def search(self, index: str, query: str, k: int = 10) -> dict:
+    def search(self, index: str, query: str, k: int = 10,
+               phrase: bool = False, offset: int = 0) -> dict:
         from excelastic_ray.query.engine import QueryEngine
 
         eng = QueryEngine(self.index_dir(index))
-        t = eng.search(query, k, include_source=True)
+        if phrase:
+            t = eng.search_phrase(query, k)
+        else:
+            t = eng.search(query, k, include_source=True, offset=offset)
         return {"hits": t.to_pylist()}
