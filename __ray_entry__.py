@@ -442,6 +442,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "/root/reference/src/test/resources/test.xlsx", offset=5
         )
 
+    def q_json_ingest(sf_dir):
+        # NDJSON parity: the same rows as the reference's test.csv,
+        # round-tripped through the ES-bulk-shaped line-JSON reader —
+        # must type identically (the oracle is the csv_ingest SQL)
+        import csv as _csv
+        import json as _json
+
+        path = "/tmp/excelastic_ray_json_fixture.ndjson"
+        with open("/root/reference/src/test/resources/test.csv") as f:
+            rows = list(_csv.DictReader(f))
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        from excelastic_ray.sources.jsonl import read_jsonl_table
+
+        return read_jsonl_table(path)
+
     def q_xls_ingest(sf_dir):
         from excelastic_ray.sources.xls import read_xls_table
 
@@ -541,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
         "xls_ingest": q_xls_ingest,
+        "json_ingest": q_json_ingest,
         "redact": q_redact,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
@@ -1032,6 +1050,14 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "json_ingest": """
+SELECT name,
+       CAST(flag AS BOOLEAN) AS flag,
+       CAST("integer" AS BIGINT) AS "integer",
+       CAST("float" AS DOUBLE) AS "float"
+FROM read_csv('/root/reference/src/test/resources/test.csv',
+              header=true, all_varchar=true)
 """,
         "csv_ingest": """
 SELECT name,

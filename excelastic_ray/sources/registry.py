@@ -70,5 +70,11 @@ def _register_defaults() -> None:
 
     register_reader("xls", read_xls)
 
+    from excelastic_ray.sources.jsonl import read_jsonl
+
+    register_reader("ndjson", read_jsonl)
+    register_reader("jsonl", read_jsonl)
+    register_reader("json", read_jsonl)
+
 
 _register_defaults()

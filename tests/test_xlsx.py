@@ -96,3 +96,41 @@ def test_date_serial_1900_leap_quirk(tmp_path):
     d = t.to_pydict()
     assert d["d"] == ["1900-01-01T00:00:00Z"]
     assert d["e"] == ["1900-03-01T00:00:00Z"]
+
+
+def test_ndjson_ingest_types_like_csv(tmp_path):
+    """NDJSON reader types the reference fixture identically to the CSV
+    reader (string values through the DataTypes regexes; native JSON
+    scalars narrowed)."""
+    import csv
+    import json
+
+    from excelastic_ray.sources.csv import read_csv_table
+    from excelastic_ray.sources.jsonl import read_jsonl_table
+
+    rows = list(csv.DictReader(open(f"{FIXTURES}/test.csv")))
+    p = str(tmp_path / "t.ndjson")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    a = read_jsonl_table(p)
+    b = read_csv_table(f"{FIXTURES}/test.csv")
+    assert a.equals(b)
+
+    # native JSON scalars: bool passes through, whole floats narrow
+    p2 = str(tmp_path / "n.ndjson")
+    with open(p2, "w") as f:
+        f.write('{"x": 3.0, "y": 2.5, "ok": true}\n')
+        f.write('{"x": 4.0, "y": 1.5, "ok": false}\n')
+    t = read_jsonl_table(p2)
+    assert t.schema.field("x").type == pa.int64()
+    assert t.schema.field("y").type == pa.float64()
+    assert t.schema.field("ok").type == pa.bool_()
+
+
+def test_registry_dispatches_ndjson():
+    from excelastic_ray.sources import registry
+    from excelastic_ray.sources.jsonl import read_jsonl
+
+    for ext in ("ndjson", "jsonl", "json"):
+        assert registry.get_by_filename(f"x.{ext}") is read_jsonl
