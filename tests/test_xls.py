@@ -175,3 +175,45 @@ def test_handwritten_biff8_types(tmp_path):
     assert d["flag"] == [False, True]   # BOOLERR
     # date-formatted numerics -> ISO instants incl. the pre-61 quirk
     assert d["when"] == ["1900-03-01T00:00:00Z", "1900-01-01T00:00:00Z"]
+
+
+def test_xls_corruption_fuzz():
+    """Random corruptions of the golden workbook either still parse or
+    raise ParserError — never any other exception type (the reference's
+    ParserException contract for invalid bytes, TestParser.java:33-38)."""
+    import random
+
+    base = open(f"{FIXTURES}/test.xls", "rb").read()
+    rng = random.Random(7)
+    for trial in range(60):
+        data = bytearray(base)
+        mode = trial % 3
+        if mode == 0:  # flip random bytes
+            for _ in range(rng.randrange(1, 20)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        elif mode == 1:  # truncate
+            data = data[: rng.randrange(8, len(data))]
+        else:  # corrupt the header/FAT region specifically
+            for _ in range(rng.randrange(1, 8)):
+                data[rng.randrange(0, 1024)] = rng.randrange(256)
+        try:
+            read_xls_table(bytes_path(data), offset=5)
+        except ParserError:
+            pass  # expected failure mode
+        # any other exception type fails the test
+
+
+_tmpdir = None
+
+
+def bytes_path(data: bytes) -> str:
+    import os
+    import tempfile
+
+    global _tmpdir
+    if _tmpdir is None:
+        _tmpdir = tempfile.mkdtemp()
+    p = os.path.join(_tmpdir, "fuzz.xls")
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
