@@ -837,47 +837,76 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.2,
+    rows_per_block: int = 4096,
 ):
     """Exact all-pairs token-k-gram Jaccard ≥ threshold.
 
-    The full shingle-set dict is broadcast (ray.put) and each batch
-    compares its docs against all ids > its own — an O(n²/P) blocked
-    pairwise sweep. This is the exact ORACLE BASELINE the MinHash-LSH
-    path approximates; at corpus scale you run ``minhash_pairs``
-    (candidates + partitioned verify) instead — same output schema.
+    Blocked two-sided sweep (same shape as ``embedding_dup_pairs``):
+    shingle-set blocks are materialized to the object store (the driver
+    holds REFS only) and each of the B(B+1)/2 block pairs is one Ray
+    task comparing exactly two blocks. O(n²) pair comparisons are
+    inherent to the exact metric — this is the ORACLE BASELINE the
+    MinHash-LSH path approximates; at corpus scale run
+    ``minhash_pairs`` (candidates + partitioned verify) instead — same
+    output schema. Worker memory = 2 blocks regardless of corpus size.
     """
     import ray
+    import ray.data as rd
 
-    sets = collect_shingle_sets(ds, id_col, text_col, shingle_k)
-    ref = ray.put(sets)
-
-    class PairSweep:
-        def __init__(self, ref):
-            self.sets = ray.get(ref)
-            self.all_ids = np.asarray(sorted(self.sets), dtype=np.int64)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            out = []
-            for a in batch[id_col].to_pylist():
-                sa = self.sets[int(a)]
-                if not len(sa):
-                    continue
-                for b_id in self.all_ids[self.all_ids > a]:
-                    sb = self.sets[int(b_id)]
-                    if not len(sb):
-                        continue
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    if not inter:
-                        continue
-                    j = inter / (len(sa) + len(sb) - inter)
-                    if j >= threshold:
-                        out.append((int(a), int(b_id), float(trunc6(j))))
-            return pd.DataFrame(out, columns=["a", "b", "jaccard"])
-
-    return ds.select_columns([id_col]).map_batches(
-        PairSweep, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=256, concurrency=(1, default_pool()), num_cpus=1,
+    n = ds.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    sh = (
+        ds.select_columns([id_col, text_col])
+        .repartition(n_blocks)
+        .map_batches(
+            lambda t: _shingle_table(t, id_col, text_col, shingle_k, 1),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     )
+    refs = sh.materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a = ta["a"].to_numpy()
+        ids_b = tb["a"].to_numpy()
+        sets_a = ta["sh"].to_pylist()
+        sets_b = tb["sh"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i, (a, sa) in enumerate(zip(ids_a, sets_a)):
+            if not sa:
+                continue
+            saa = np.asarray(sa, dtype=np.int64)
+            for jj, (b, sb) in enumerate(zip(ids_b, sets_b)):
+                if same and b <= a:
+                    continue
+                if not same and b == a:
+                    continue
+                if not sb:
+                    continue
+                sbb = np.asarray(sb, dtype=np.int64)
+                inter = len(np.intersect1d(saa, sbb, assume_unique=True))
+                if not inter:
+                    continue
+                j = inter / (len(saa) + len(sbb) - inter)
+                if j >= threshold:
+                    lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(float(trunc6(j)))
+        return pa.table(
+            {
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(block_pair.remote(refs[i], refs[j], i == j))
+    return rd.from_arrow_refs(tasks)
 
 
 # ---------------------------------------------------------------------------
