@@ -1051,6 +1051,22 @@ SELECT event_type,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        # The spreadsheet golden fixtures are the reference's own 2-row
+        # files (TestParser.java:117-166); their expected typed rows are
+        # small enough to pin as VALUES literals, turning the parsers
+        # from rows-only checks into full rows+schema+hash oracles.
+        "xlsx_ingest": """
+SELECT * FROM (VALUES
+    ('test_0', false, CAST(2 AS BIGINT), CAST(0.5 AS DOUBLE)),
+    ('test_1', true,  CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE))
+) AS t(name, flag, "integer", "float")
+""",
+        "xls_ingest": """
+SELECT * FROM (VALUES
+    ('cell 6.1', 'cell 6.2', 'cell 6.3'),
+    ('cell 7.1', 'cell 7.2', 'cell 7.3')
+) AS t("Column 1", "Column 2", "Column 3")
+""",
         "json_ingest": """
 SELECT name,
        CAST(flag AS BOOLEAN) AS flag,

@@ -376,27 +376,43 @@ def _chunk_phase_joined(
 
 class StampChunk:
     """map_batches actor: append (docid, chunk) to raw transcript rows.
-    __init__ (once per actor) fetches the broadcast conv-rank table and
-    builds the hash index; per batch it's one vectorized lookup + shift
-    math. With ``skip_chunks`` (resume), rows of completed chunks are
-    dropped here, BEFORE the shuffle, so finished partitions cost
-    nothing on a resumed build."""
+    __init__ (once per actor) loads the conv-rank table from its parquet
+    path and builds the hash index; per batch it's one vectorized lookup
+    + shift math. With ``skip_chunks`` (resume), rows of completed
+    chunks are dropped here, BEFORE the shuffle, so finished partitions
+    cost nothing on a resumed build.
 
-    def __init__(self, conv_ref, config_dict: dict, skip_chunks=(),
+    The rank table arrives as a PATH, not an ObjectRef: constructor args
+    in the object store make actor restarts fail once the ref goes out
+    of scope (ray#53727) — a file path is re-fetchable forever."""
+
+    def __init__(self, conv_path, config_dict: dict, skip_chunks=(),
                  rank_offset: int = 0):
-        import ray
+        import pyarrow.parquet as pq
 
-        self.index = pd.Index(ray.get(conv_ref))
+        if isinstance(conv_path, str):
+            t = pq.read_table(conv_path)
+            ids = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+            ranks = (
+                t["rank"].to_numpy()
+                if "rank" in t.column_names
+                else np.arange(len(ids), dtype=np.int64)
+            )
+        else:  # in-memory array (tests / tooling): row position == rank
+            ids = np.asarray(conv_path, dtype=object)
+            ranks = np.arange(len(ids), dtype=np.int64)
+        self.index = pd.Index(ids)
+        self.ranks = ranks.astype(np.int64)
         self.cfg = IndexConfig.from_dict(config_dict)
         self.skip = np.asarray(sorted(skip_chunks), dtype=np.int64)
         self.rank_offset = int(rank_offset)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        ranks = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
-        if (ranks < 0).any():
+        pos = self.index.get_indexer(batch["conv_id"].to_pandas().to_numpy(object))
+        if (pos < 0).any():
             raise ValidationError("conv_id not seen in validation pass")
-        ranks = ranks + self.rank_offset
+        ranks = self.ranks[pos] + self.rank_offset
         turn = batch["turn_idx"].to_numpy().astype(np.int64)
         docids = (ranks.astype(np.int64) << cfg.turn_bits) | turn
         chunks = ranks.astype(np.int64) >> cfg.convs_per_chunk_bits
@@ -862,7 +878,7 @@ def _store_cols(config: IndexConfig, schema_names: set[str]) -> list[str]:
 
 def _chunk_phase(
     ds,
-    conv_ref,
+    conv_path,
     config: IndexConfig,
     index_dir: str,
     skip: list[int],
@@ -870,7 +886,9 @@ def _chunk_phase(
     store_cols: list[str],
     rank_offset: int = 0,
 ) -> pd.DataFrame:
-    """stamp → chunk shuffle → fused tokenize + level-0 segment writes."""
+    """stamp → chunk shuffle → fused tokenize + level-0 segment writes.
+    ``conv_path`` is the conv-rank parquet path each stamp actor loads in
+    __init__ (re-fetchable on actor restart, unlike an ObjectRef)."""
     schema_names = set(ds.schema().names)
     carry_cols = sorted(
         {"conv_id", "turn_idx", *config.index_fields, *store_cols}
@@ -881,7 +899,7 @@ def _chunk_phase(
     pool = max(1, cpus - 2)
     stamped = ds.select_columns(carry_cols).map_batches(
         StampChunk,
-        fn_constructor_args=(conv_ref, config.to_dict(), skip, rank_offset),
+        fn_constructor_args=(conv_path, config.to_dict(), skip, rank_offset),
         batch_format="pyarrow",
         batch_size=config.batch_size,
         concurrency=pool,
@@ -1089,9 +1107,9 @@ def _build_index_impl(
                 n_rows=n_rows_hint,
             )
         else:
-            conv_ref = ray.put(conv_ids)
             summaries = _chunk_phase(
-                ds, conv_ref, config, index_dir, skip, cpus, store_cols
+                ds, os.path.join(index_dir, "convs.parquet"), config,
+                index_dir, skip, cpus, store_cols,
             )
 
     all_chunks = seg.completed_chunks(index_dir)
@@ -1237,15 +1255,30 @@ def append_index(
             seg.save_global_manifest(index_dir, manifest)
 
         base_rank = base_chunks << config.convs_per_chunk_bits
-        conv_ref = ray.put(new_convs)
+        # stamp actors load ranks from a parquet path (re-fetchable on
+        # actor restart, ray#53727); the pending file holds the NEW
+        # convs at ranks 0..n-1, offset by base_rank per batch
+        pending = os.path.join(index_dir, "convs.append.parquet")
+        seg.atomic_write_parquet(
+            pending,
+            pa.table(
+                {
+                    "rank": pa.array(
+                        np.arange(len(new_convs), dtype=np.int64)
+                    ),
+                    "conv_id": pa.array(new_convs, type=pa.string()),
+                }
+            ),
+        )
         done = seg.completed_chunks(index_dir)
         skip = sorted(done)
 
         store_cols = _store_cols(config, schema_names)
         summaries = _chunk_phase(
-            ds, conv_ref, config, index_dir, skip, cpus, store_cols,
+            ds, pending, config, index_dir, skip, cpus, store_cols,
             rank_offset=base_rank,
         )
+        os.remove(pending)
 
         all_chunks = seg.completed_chunks(index_dir)
         n_new_chunks = ((len(new_convs) - 1) >> config.convs_per_chunk_bits) + 1

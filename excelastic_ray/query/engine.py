@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import heapq
 import os
+import re
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -66,6 +67,12 @@ class ShardSearcher:
         self._decode_cache: "OrderedDict[int, tuple]" = OrderedDict()
         self._cache_budget = 4_000_000  # postings
         self._cache_size = 0
+        # Decoded-positions LRU (slot → flat position array): a stopword
+        # inside a phrase otherwise re-decodes a shard-sized positional
+        # stream per query (phrase p50 was ~2x term p50).
+        self._pos_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._pos_budget = 8_000_000  # position entries
+        self._pos_size = 0
         docs = pq.read_table(os.path.join(shard_path, "docs.parquet"))
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
@@ -193,7 +200,10 @@ class ShardSearcher:
 
     def positions_of(self, i: int, tfs: np.ndarray) -> np.ndarray:
         """Decoded token positions for term slot ``i``, flat-aligned to
-        ``np.repeat(ids, tfs)`` (grouped cumsum of the delta stream)."""
+        ``np.repeat(ids, tfs)`` (grouped cumsum of the delta stream).
+        LRU-cached beside the ids/tfs cache: a stopword inside a phrase
+        otherwise re-decodes its whole positional stream every query.
+        Callers must treat the array as read-only."""
         from excelastic_ray.codecs import varint_decode
 
         if self.positions is None:
@@ -201,11 +211,23 @@ class ShardSearcher:
                 "index was built with store_positions=False; phrase "
                 "queries need a rebuild"
             )
+        c = self._pos_cache.get(i)
+        if c is not None:
+            self._pos_cache.move_to_end(i)
+            return c
         vals = varint_decode(self.positions[i].as_py()).astype(np.int64)
         cum = np.cumsum(vals)
         starts = np.cumsum(tfs.astype(np.int64))[:-1]
         base = np.concatenate(([0], cum[starts - 1]))
-        return cum - np.repeat(base, tfs.astype(np.int64))
+        out = cum - np.repeat(base, tfs.astype(np.int64))
+        n = len(out)
+        if n <= self._pos_budget:
+            while self._pos_size + n > self._pos_budget and self._pos_cache:
+                _, old = self._pos_cache.popitem(last=False)
+                self._pos_size -= len(old)
+            self._pos_cache[i] = out
+            self._pos_size += n
+        return out
 
     def phrase_count(self, terms: list[str]) -> int:
         """Phase 1 of phrase scoring: compute + cache this shard's
@@ -256,7 +278,7 @@ class ShardSearcher:
         M = np.int64(max_dl + L + 2)
         inter = None
         for j, i in enumerate(idxs):
-            ids, tfs = self.posting_list(i).decode_all()
+            ids, tfs = self.decoded(i)  # LRU-cached, read-only
             pos = self.positions_of(i, tfs)
             keys = np.repeat(ids, tfs) * M + (pos - j + L)
             inter = keys if inter is None else np.intersect1d(
@@ -635,17 +657,25 @@ class IndexReader:
         )
 
 
+#: TOKEN_RE matched case-insensitively over the ORIGINAL text: offsets
+#: stay valid even for characters whose lowercase form changes length
+#: ('İ' → 'i̇', ligatures), which text.lower()-based offsets would shift.
+_TOKEN_RE_CI = re.compile(TOKEN_RE.pattern, re.IGNORECASE)
+
+
 def highlight_text(text: str | None, terms) -> str:
     """Wrap every analyzer-token occurrence of ``terms`` in <em></em>
     (ES highlighter default tags). Token boundaries come from the SAME
-    TOKEN_RE as indexing, so highlights match exactly what scored."""
+    TOKEN_RE pattern as indexing (matched case-insensitively in place,
+    comparing each match lowercased), so highlights match exactly what
+    scored and slice offsets always refer to the original string."""
     if not text:
         return ""
     want = set(terms)
     out = []
     last = 0
-    for m in TOKEN_RE.finditer(text.lower()):
-        if m.group(0) in want:
+    for m in _TOKEN_RE_CI.finditer(text):
+        if m.group(0).lower() in want:
             out.append(text[last : m.start()])
             out.append("<em>")
             out.append(text[m.start() : m.end()])

@@ -90,17 +90,19 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
             continue
         fat.extend(struct.unpack(f"<{per}i", sector(fs)))
 
-    def chain(start: int, limit: int = 1 << 24) -> list[int]:
+    def chain(start: int) -> list[int]:
+        # A valid chain can never be longer than the FAT entry count, so
+        # bound the walk by len(fat): a cyclic/corrupt chain fails after
+        # at most one pass over the FAT instead of 1<<24 hops (a tiny
+        # malicious upload must not pin a worker or build a GB list).
         out = []
         s = start
-        seen = 0
         while s >= 0 and s != _ENDOFCHAIN - (1 << 32) and s not in (-1, -2):
             out.append(s)
             if s >= len(fat):
                 raise ParserError("FAT chain out of range")
             s = fat[s]
-            seen += 1
-            if seen > limit:
+            if len(out) > len(fat):
                 raise ParserError("cyclic FAT chain")
         return out
 
@@ -147,7 +149,7 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
             raise ParserError("mini-FAT chain out of range")
         s = minifat[s]
         hops += 1
-        if hops > 1 << 22:
+        if hops > len(minifat):  # a valid chain never exceeds the entry count
             raise ParserError("cyclic mini-FAT chain")
     return b"".join(out)[:size]
 

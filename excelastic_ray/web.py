@@ -102,6 +102,11 @@ class ImportServer:
         # worker threads
         self._index_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        # one cached QueryEngine per index (postings stay resident
+        # across requests); invalidated when an import into that index
+        # completes so searches never serve a stale reader
+        self._engines: dict[str, object] = {}
+        self._engines_guard = threading.Lock()
         os.makedirs(index_root, exist_ok=True)
         server = self
 
@@ -250,6 +255,8 @@ class ImportServer:
             ds = reader(path)
         ds, n_rows = dataset_as_transcripts(ds, conv_prefix=index)
         build_index(ds, self.index_dir(index), self.config, clear=clear)
+        with self._engines_guard:  # a new import invalidates the cache
+            self._engines.pop(index, None)
         return n_rows
 
     def status(self, imp_id: str) -> dict:
@@ -264,9 +271,24 @@ class ImportServer:
 
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0) -> dict:
+        from excelastic_ray.index.segments import load_global_manifest
         from excelastic_ray.query.engine import QueryEngine
 
-        eng = QueryEngine(self.index_dir(index))
+        with self._engines_guard:
+            eng = self._engines.get(index)
+            if eng is None:
+                # read-gate: only serve a complete index — a concurrent
+                # import into the same dir may be mid-clear/rebuild
+                # (imports hold the per-index lock; reads check status)
+                m = load_global_manifest(self.index_dir(index))
+                if m.get("status") != "complete":
+                    raise RuntimeError(
+                        f"index {index!r} is not complete "
+                        f"(status={m.get('status')!r}); retry when the "
+                        f"import finishes"
+                    )
+                eng = QueryEngine(self.index_dir(index))
+                self._engines[index] = eng
         if phrase:
             t = eng.search_phrase(query, k)
         else:
