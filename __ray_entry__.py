@@ -31,7 +31,8 @@ from excelastic_ray.corpus import TRANSCRIPTS_SQL, transcripts_from_documents
 # ---------------------------------------------------------------------------
 
 ENTRY_CONFIG = IndexConfig(
-    turn_bits=12, convs_per_chunk_bits=4, num_shards=4, batch_size=2048
+    turn_bits=12, convs_per_chunk_bits=4, num_shards=4, batch_size=2048,
+    field_index_fields=("role", "tool"),
 )
 
 #: BM25 benchmark/oracle query set: (query_id, query string). Terms come
@@ -56,6 +57,17 @@ PREFIX_QUERIES = [
     ("r4", "va"),
 ]
 PREFIX_MAX_EXPANSIONS = 3
+
+#: field-qualified query set (ES dynamic-mapping / multi_match
+#: most_fields): (query_id, fields, query). "tool" is both a role VALUE
+#: and a text token, so f2/f3 exercise field-scoped scoring divergence;
+#: f4 mixes the catch-all text stream with a per-field stream.
+FIELD_QUERIES = [
+    ("f1", ["tool"], "search code"),
+    ("f2", ["role"], "user tool"),
+    ("f3", ["role", "text"], "tool table"),
+    ("f4", ["text", "tool"], "code window search"),
+]
 
 #: match_phrase query set: common bigram, trigram, absent phrase,
 #: single-term phrase (== tf-scored term query).
@@ -175,6 +187,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = []
         for qid, q in PHRASE_QUERIES:
             t = eng.search_phrase(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_field_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, fields, q in FIELD_QUERIES:
+            t = eng.search_fields(q, fields, k=10)
             parts.append(
                 pa.table(
                     {
@@ -526,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_field_topk": q_bm25_field_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
@@ -706,6 +743,66 @@ QUALIFY row_number() OVER (
     )
 
 
+def _field_sql() -> str:
+    """Field-qualified BM25 twin (multi_match most_fields): each column
+    is its own token stream with its own df / dl / avgdl; a doc's score
+    is the sum of its per-(field, term) contributions. N per field is
+    the total doc count (every doc has every column; empty → dl 0),
+    matching the engine's per-field stats definition."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{f}', '{t}')"
+        for qid, fields, q in FIELD_QUERIES
+        for f in fields
+        for t in sorted(set(q.lower().split()))
+    )
+
+    def tok(col: str) -> str:
+        return f"regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+ft AS (
+    SELECT conv_id, turn_idx, 'text' AS field, {tok('text')} AS toks
+    FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role', {tok('role')} FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'tool', {tok('tool')} FROM transcripts
+),
+dl AS (SELECT conv_id, turn_idx, field, len(toks) AS dl FROM ft),
+stats AS (SELECT field, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl GROUP BY field),
+tf AS (
+    SELECT conv_id, turn_idx, field, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, field, unnest(toks) AS term FROM ft)
+    GROUP BY 1, 2, 3, 4
+),
+df AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df
+       FROM tf GROUP BY 1, 2),
+q(query_id, field, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.field = q.field AND tf.term = q.term
+    JOIN df ON df.field = q.field AND df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+           AND dl.field = q.field
+    JOIN stats s ON s.field = q.field
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+
+
 def _prefix_sql() -> str:
     """ES-prefix twin: per query, expand to the lexicographically first
     ``PREFIX_MAX_EXPANSIONS`` dictionary terms with the prefix, then
@@ -805,6 +902,7 @@ GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_field_topk": _field_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
         "bm25_date_histogram": _BASE

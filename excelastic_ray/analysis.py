@@ -43,3 +43,43 @@ def query_terms(query: str) -> list[str]:
     ES/Lucene BooleanQuery-over-TermQuery dedup behavior).
     """
     return sorted(set(tokenize(query)))
+
+
+# ---------------------------------------------------------------------------
+# Per-field term keys (ES dynamic-mapping analog)
+# ---------------------------------------------------------------------------
+
+#: Field-qualified dictionary keys: "\x01" + field + "\x1f" + term. The
+#: leading \x01 sorts BEFORE every analyzer token char ([a-z0-9_]), so
+#: all field-prefixed terms occupy one contiguous region at the head of
+#: the sorted dictionary — unqualified prefix expansion
+#: (terms_with_prefix) and term scans can never collide with them.
+FIELD_MARK = "\x01"
+FIELD_SEP = "\x1f"
+
+
+def field_key(field: str, term: str) -> str:
+    """Dictionary key of ``term`` indexed under ``field``'s own posting
+    stream (the ES `column:value` / dynamic-mapping analog; every column
+    of a row is its own searchable field per ExcelParser.java:222-261 +
+    ES dynamic mapping)."""
+    return FIELD_MARK + field + FIELD_SEP + term
+
+
+def parse_query_string(query: str) -> list[tuple[str | None, str]]:
+    """Kibana-style query_string parsing: whitespace-separated clauses,
+    ``field:terms`` scopes the clause's terms to that field, bare terms
+    go to the default field. Returns [(field | None, term)] with
+    analyzer-normalized terms, duplicates removed, sorted by
+    (field, term) — the deterministic scoring order."""
+    seen: set[tuple[str | None, str]] = set()
+    for clause in query.split():
+        field: str | None = None
+        body = clause
+        if ":" in clause:
+            head, _, rest = clause.partition(":")
+            if head and rest:
+                field, body = head, rest
+        for term in tokenize(body):
+            seen.add((field, term))
+    return sorted(seen, key=lambda p: (p[0] or "", p[1]))

@@ -64,8 +64,20 @@ class IndexConfig:
     # Postings per skip block (block-max metadata granularity).
     block_size: int = 128
 
-    # Which columns get tokenized into the index.
+    # Which columns get tokenized into the index (concatenated into the
+    # catch-all stream — the default/unqualified search field).
     index_fields: tuple[str, ...] = ("text",)
+
+    # Columns additionally indexed as their OWN posting streams with
+    # per-field doc lengths and avgdl — the ES dynamic-mapping analog
+    # (the reference indexes every row column as its own ES field,
+    # ExcelParser.java:222-261; Kibana queries `column:value`). Stream
+    # terms are keyed FIELD_MARK + field + FIELD_SEP + term and live in
+    # the SAME dictionary + merge path as the catch-all stream. When
+    # index_fields is a single column, a field query on that column is
+    # served from the catch-all stream itself (identical by definition),
+    # so don't list it here — listing a column twice doubles its index.
+    field_index_fields: tuple[str, ...] = ()
 
     # Attribute columns stored per doc in the shard doc tables for
     # filtered search (the ES filter-context analog: filters restrict
@@ -136,6 +148,7 @@ class IndexConfig:
             "num_shards": self.num_shards,
             "block_size": self.block_size,
             "index_fields": list(self.index_fields),
+            "field_index_fields": list(self.field_index_fields),
             "attr_fields": list(self.attr_fields),
             "batch_size": self.batch_size,
             "store_source": self.store_source,
@@ -147,6 +160,7 @@ class IndexConfig:
     def from_dict(d: dict) -> "IndexConfig":
         d = dict(d)
         d["index_fields"] = tuple(d.get("index_fields", ("text",)))
+        d["field_index_fields"] = tuple(d.get("field_index_fields", ()))
         d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool", "ts")))
         d.setdefault("store_positions", False)  # pre-positions indexes
         d.setdefault("driver_conv_budget", 50_000_000)

@@ -304,7 +304,8 @@ def _chunk_phase_joined(
     schema_names = set(schema.names)
     col_types = dict(zip(schema.names, schema.types))  # pyarrow types
     carry_cols = sorted(
-        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
+        {"conv_id", "turn_idx", *config.index_fields,
+         *config.field_index_fields, *store_cols}
         | {a for a in config.attr_fields if a in schema_names}
     )
     cfg_dict = config.to_dict()
@@ -452,6 +453,81 @@ class DocidStamper(StampChunk):
 # ---------------------------------------------------------------------------
 
 
+def _posting_columns(toks: list[list[str]], cfg: IndexConfig):
+    """Posting columns for ONE token stream over a chunk's docs (ordinal
+    = row position): term-sorted (uniq, df, n_blocks, postings, blockmax,
+    positions) plus the per-doc length array and its total. The hot path
+    of the build — factorize + lexsort + run-length, no Python loop over
+    tokens."""
+    n_docs = len(toks)
+    dl_arr = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    total_dl = int(dl_arr.sum())
+
+    flat = [w for row in toks for w in row]
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+        rep_ord = np.repeat(np.arange(n_docs, dtype=np.int64), dl_arr)
+        order = np.lexsort((rep_ord, codes))
+        c_s, o_s = codes[order], rep_ord[order]
+        new_grp = np.empty(len(c_s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (c_s[1:] != c_s[:-1]) | (o_s[1:] != o_s[:-1])
+        starts = np.flatnonzero(new_grp)
+        p_ord = o_s[starts]
+        p_tf = np.diff(np.append(starts, len(c_s)))
+        p_dl = dl_arr[p_ord]
+        n_postings = len(p_ord)
+        t_new = np.empty(n_postings, dtype=bool)
+        t_new[0] = True
+        t_new[1:] = c_s[starts[1:]] != c_s[starts[:-1]]
+        bounds = np.append(np.flatnonzero(t_new), n_postings)
+    else:
+        uniq = np.zeros(0, dtype=object)
+        bounds = np.array([0])
+        n_postings = 0
+
+    if n_postings:
+        rows_post, rows_bm, rows_nb = encode_postings_many(
+            bounds, p_ord, p_tf, p_dl, cfg.codec, cfg.block_size
+        )
+        rows_df = np.diff(bounds)
+    else:
+        rows_post, rows_bm, rows_nb = [], [], []
+        rows_df = np.zeros(0, dtype=np.int64)
+
+    if cfg.store_positions and n_postings:
+        # token position within its doc, in the SAME (term, doc)
+        # sorted order as the postings (lexsort is stable →
+        # positions ascend within each posting); delta-encode per
+        # posting and slice the one varint stream per TERM
+        from excelastic_ray.codecs import varint_encode
+
+        tot = len(c_s)
+        row_starts = np.cumsum(dl_arr) - dl_arr
+        pos_flat = np.arange(tot, dtype=np.int64) - np.repeat(
+            row_starts, dl_arr
+        )
+        pos_s = pos_flat[order]
+        deltas = np.empty(tot, dtype=np.uint64)
+        np.subtract(pos_s[1:], pos_s[:-1], out=deltas[1:], casting="unsafe")
+        deltas[starts] = pos_s[starts].astype(np.uint64)
+        p_buf, p_starts = varint_encode(deltas)
+        p_starts = np.append(p_starts, len(p_buf))
+        term_tok = np.append(starts[bounds[:-1]], tot)
+        rows_pos = [
+            p_buf[p_starts[term_tok[i]] : p_starts[term_tok[i + 1]]]
+            for i in range(len(uniq))
+        ]
+    else:
+        rows_pos = [b""] * len(uniq)
+
+    return (
+        np.asarray(uniq, dtype=object), rows_df, list(rows_nb),
+        list(rows_post), list(rows_bm), rows_pos, dl_arr, total_dl,
+        int(n_postings),
+    )
+
+
 def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str]):
     """Group fn for groupby('chunk').map_groups: tokenizes the chunk's
     rows, builds + atomically writes its level-0 segment (postings +
@@ -484,70 +560,60 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             cols = [g[f].tolist() for f in cfg.index_fields]
             texts = [" ".join(v for v in vals if v) for vals in zip(*cols)]
         toks = [findall(t.lower()) if t else [] for t in texts]
-        dl_arr = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
-        total_dl = int(dl_arr.sum())
+        (uniq, rows_df, rows_nb, rows_post, rows_bm, rows_pos,
+         dl_arr, total_dl, n_postings) = _posting_columns(toks, cfg)
 
-        flat = [w for row in toks for w in row]
-        if flat:
-            codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=True)
-            rep_ord = np.repeat(np.arange(n_docs, dtype=np.int64), dl_arr)
-            order = np.lexsort((rep_ord, codes))
-            c_s, o_s = codes[order], rep_ord[order]
-            new_grp = np.empty(len(c_s), dtype=bool)
-            new_grp[0] = True
-            new_grp[1:] = (c_s[1:] != c_s[:-1]) | (o_s[1:] != o_s[:-1])
-            starts = np.flatnonzero(new_grp)
-            p_ord = o_s[starts]
-            p_tf = np.diff(np.append(starts, len(c_s)))
-            p_dl = dl_arr[p_ord]
-            n_postings = len(p_ord)
-            t_new = np.empty(n_postings, dtype=bool)
-            t_new[0] = True
-            t_new[1:] = c_s[starts[1:]] != c_s[starts[:-1]]
-            bounds = np.append(np.flatnonzero(t_new), n_postings)
-        else:
-            uniq = np.zeros(0, dtype=object)
-            bounds = np.array([0])
-            n_postings = 0
+        # ---- per-field streams (ES dynamic-mapping analog) ----------
+        # each configured field is tokenized on its own, keyed
+        # field_key(field, term) in the SAME dictionary, with its own
+        # per-doc length column + length total (per-field BM25 stats)
+        field_dl_arrs: dict[str, np.ndarray] = {}
+        field_dl_totals: dict[str, int] = {}
+        if cfg.field_index_fields:
+            from excelastic_ray.analysis import field_key
 
-        if n_postings:
-            rows_post, rows_bm, rows_nb = encode_postings_many(
-                bounds, p_ord, p_tf, p_dl, cfg.codec, cfg.block_size
-            )
-            rows_df = np.diff(bounds)
-        else:
-            rows_post, rows_bm, rows_nb = [], [], []
-            rows_df = np.zeros(0, dtype=np.int64)
-
-        if cfg.store_positions and n_postings:
-            # token position within its doc, in the SAME (term, doc)
-            # sorted order as the postings (lexsort is stable →
-            # positions ascend within each posting); delta-encode per
-            # posting and slice the one varint stream per TERM
-            from excelastic_ray.codecs import varint_encode
-
-            tot = len(c_s)
-            row_starts = np.cumsum(dl_arr) - dl_arr
-            pos_flat = np.arange(tot, dtype=np.int64) - np.repeat(
-                row_starts, dl_arr
-            )
-            pos_s = pos_flat[order]
-            deltas = np.empty(tot, dtype=np.uint64)
-            np.subtract(pos_s[1:], pos_s[:-1], out=deltas[1:], casting="unsafe")
-            deltas[starts] = pos_s[starts].astype(np.uint64)
-            p_buf, p_starts = varint_encode(deltas)
-            p_starts = np.append(p_starts, len(p_buf))
-            term_tok = np.append(starts[bounds[:-1]], tot)
-            rows_pos = [
-                p_buf[p_starts[term_tok[i]] : p_starts[term_tok[i + 1]]]
-                for i in range(len(uniq))
-            ]
-        else:
-            rows_pos = [b""] * len(uniq)
+            parts_t = [uniq]
+            parts_df = [rows_df]
+            parts_nb, parts_post = [rows_nb], [rows_post]
+            parts_bm, parts_pos = [rows_bm], [rows_pos]
+            for f in cfg.field_index_fields:
+                vals = g[f].tolist() if f in g.columns else [None] * n_docs
+                ftoks = [
+                    findall(v.lower()) if isinstance(v, str) and v
+                    else (findall(str(v).lower()) if v not in (None, "")
+                          else [])
+                    for v in vals
+                ]
+                (fu, fdf, fnb, fpost, fbm, fpos, fdl, ftot,
+                 fnp) = _posting_columns(ftoks, cfg)
+                parts_t.append(
+                    np.asarray([field_key(f, t) for t in fu], dtype=object)
+                )
+                parts_df.append(fdf)
+                parts_nb.append(fnb)
+                parts_post.append(fpost)
+                parts_bm.append(fbm)
+                parts_pos.append(fpos)
+                field_dl_arrs[f] = fdl
+                field_dl_totals[f] = ftot
+                n_postings += fnp
+            terms_all = np.concatenate(parts_t) if parts_t else uniq
+            # one chunk-dictionary sort: field-prefixed regions splice
+            # into the term order the merge cursors require
+            order_t = np.argsort(terms_all, kind="mergesort")
+            uniq = terms_all[order_t]
+            rows_df = np.concatenate(parts_df)[order_t]
+            cat = lambda ps: np.asarray(  # noqa: E731
+                [x for p in ps for x in p], dtype=object
+            )[order_t].tolist()
+            rows_nb = cat(parts_nb)
+            rows_post = cat(parts_post)
+            rows_bm = cat(parts_bm)
+            rows_pos = cat(parts_pos)
 
         table = pa.table(
             {
-                "term": pa.array(np.asarray(uniq, dtype=object), type=pa.string()),
+                "term": pa.array(uniq, type=pa.string()),
                 "df": pa.array(rows_df, type=pa.int64()),
                 "n_blocks": pa.array(rows_nb, type=pa.int32()),
                 "postings": pa.array(rows_post, type=pa.large_binary()),
@@ -561,6 +627,10 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             "docid": pa.array(doc_arr, type=pa.int64()),
             "dl": pa.array(dl_arr, type=pa.int64()),
         }
+        # per-field doc lengths ("dl@<field>"): the BM25 length norm of
+        # each field's own stream
+        for f, arr in field_dl_arrs.items():
+            doc_cols[f"dl@{f}"] = pa.array(arr, type=pa.int64())
         for attr in cfg.attr_fields:
             if attr in g.columns:
                 # filterable doc attribute (ES filter-context analog);
@@ -590,6 +660,7 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             "chunk": chunk,
             "n_docs": n_docs,
             "total_dl": total_dl,
+            "field_dl": {f: int(v) for f, v in field_dl_totals.items()},
             "n_terms": len(uniq),
             "n_postings": int(n_postings),
             "bytes_compressed": int(nbytes),
@@ -891,7 +962,8 @@ def _chunk_phase(
     __init__ (re-fetchable on actor restart, unlike an ObjectRef)."""
     schema_names = set(ds.schema().names)
     carry_cols = sorted(
-        {"conv_id", "turn_idx", *config.index_fields, *store_cols}
+        {"conv_id", "turn_idx", *config.index_fields,
+         *config.field_index_fields, *store_cols}
         | {a for a in config.attr_fields if a in schema_names}
     )
     # Leave headroom for the read + shuffle task pools: an actor pool
@@ -904,6 +976,11 @@ def _chunk_phase(
         batch_size=config.batch_size,
         concurrency=pool,
         num_cpus=1,
+        # no in-place actor restarts: Ray Data's pool replaces dead
+        # actors and retries their tasks, and the ctor args it stores in
+        # the object store make in-place restarts unreliable anyway
+        # (ray#53727) — lineage re-execution is the recovery path
+        max_restarts=0,
     )
     return (
         stamped.groupby("chunk")
@@ -913,6 +990,16 @@ def _chunk_phase(
         )
         .to_pandas()
     )
+
+
+def _sum_field_dl(all_chunks: dict[int, dict]) -> dict[str, int]:
+    """Per-field total token counts summed over chunk manifests (the
+    numerators of the per-field avgdl stats)."""
+    out: dict[str, int] = {}
+    for m in all_chunks.values():
+        for f, v in m.get("field_dl", {}).items():
+            out[f] = out.get(f, 0) + int(v)
+    return out
 
 
 def _merge_phase(
@@ -1053,7 +1140,8 @@ def _build_index_impl(
         ds = ds.map_batches(t, batch_format="pyarrow")
 
     schema_names = set(ds.schema().names)
-    missing = {"conv_id", "turn_idx", *config.index_fields} - schema_names
+    missing = {"conv_id", "turn_idx", *config.index_fields,
+               *config.field_index_fields} - schema_names
     if missing:
         raise ValidationError(f"input is missing required columns {sorted(missing)}")
 
@@ -1121,6 +1209,7 @@ def _build_index_impl(
     total_dl = sum(m["total_dl"] for m in all_chunks.values())
     n_postings = sum(m["n_postings"] for m in all_chunks.values())
     seg_bytes = sum(m["bytes_compressed"] for m in all_chunks.values())
+    field_totals = _sum_field_dl(all_chunks)
 
     # ---- merge into shards (fixed actor pool) --------------------------
     num_shards = min(config.num_shards, n_chunks) or 1
@@ -1138,6 +1227,10 @@ def _build_index_impl(
         "num_shards": int(num_shards),
         "total_dl": int(total_dl),
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+        "field_avgdl": {
+            f: (v / n_docs) if n_docs else 0.0
+            for f, v in field_totals.items()
+        },
         "n_postings": int(n_postings),
         "segment_bytes": int(seg_bytes),
         "shard_bytes": int(shard_bytes),
@@ -1218,7 +1311,8 @@ def append_index(
         else:
             ds = source
         schema_names = set(ds.schema().names)
-        missing = {"conv_id", "turn_idx", *config.index_fields} - schema_names
+        missing = {"conv_id", "turn_idx", *config.index_fields,
+               *config.field_index_fields} - schema_names
         if missing:
             raise ValidationError(
                 f"input is missing required columns {sorted(missing)}"
@@ -1321,6 +1415,7 @@ def append_index(
 
         n_docs = sum(m["n_docs"] for m in all_chunks.values())
         total_dl = sum(m["total_dl"] for m in all_chunks.values())
+        field_totals = _sum_field_dl(all_chunks)
         n_postings = sum(m["n_postings"] for m in all_chunks.values())
         seg_bytes = sum(m["bytes_compressed"] for m in all_chunks.values())
         n_convs = len(old_ids) + len(new_convs)
@@ -1337,6 +1432,10 @@ def append_index(
                 "n_chunks": int(base_chunks + n_new_chunks),
                 "total_dl": int(total_dl),
                 "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+                "field_avgdl": {
+                    f: (v / n_docs) if n_docs else 0.0
+                    for f, v in field_totals.items()
+                },
                 "n_postings": int(n_postings),
                 "segment_bytes": int(seg_bytes),
                 "shard_bytes": int(shard_bytes),

@@ -82,10 +82,18 @@ class ShardSearcher:
         # support range filters + date_histogram.
         self.attrs = {}
         self.time_attrs: dict[str, np.ndarray] = {}
+        # per-field BM25 doc lengths ("dl@<field>" columns) for the
+        # field-qualified posting streams (ES dynamic-mapping analog)
+        self.field_dls: dict[str, np.ndarray] = {}
         import pyarrow.types as pt
 
         for name in docs.column_names:
             if name in ("docid", "dl"):
+                continue
+            if name.startswith("dl@"):
+                self.field_dls[name[3:]] = (
+                    docs[name].to_numpy().astype(np.float64)
+                )
                 continue
             f = docs.schema.field(name)
             if pt.is_timestamp(f.type):
@@ -169,8 +177,12 @@ class ShardSearcher:
     def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
         """First ``cap`` dictionary terms starting with ``prefix`` —
         a contiguous range of the sorted term dictionary (two binary
-        searches), the Lucene TermEnum seek the ES prefix query uses."""
-        lo = int(np.searchsorted(self.terms, prefix))
+        searches), the Lucene TermEnum seek the ES prefix query uses.
+        The field-qualified key region (keys starting FIELD_MARK =
+        "\\x01") sits contiguously at the dictionary head; clamping lo
+        past it keeps field streams invisible to unqualified expansion
+        (any non-empty analyzer prefix already lands past it)."""
+        lo = int(np.searchsorted(self.terms, max(prefix, "\x02")))
         hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
         return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
 
@@ -343,6 +355,46 @@ class ShardSearcher:
         if algo == "bmw":
             return self._topk_bmw(present, avgdl, k, mask, n_required)
         raise ValueError(f"unknown algo {algo!r}")
+
+    def topk_fields(self, entries, avgdls: dict, k: int,
+                    filters: dict | None = None):
+        """Field-qualified exact top-k (TAAT; exact like _topk_taat).
+        ``entries`` = [(key, idf, field)] sorted by key, where ``key``
+        is the dictionary key (field_key(field, term), or the bare term
+        for the catch-all stream with field=None) and ``field`` selects
+        which per-doc length array normalizes that clause. ``avgdls``
+        maps field (incl. None) → its global avgdl. Per-doc score =
+        sum of per-(field, term) BM25 contributions (ES multi_match
+        most_fields semantics)."""
+        cfg = self.cfg
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hit = False
+        for key, t_idf, field in entries:
+            i = self.lookup(key)
+            if i < 0:
+                continue
+            dls = self.dls if field is None else self.field_dls.get(field)
+            if dls is None:
+                raise KeyError(
+                    f"field {field!r} has no per-field stream in this "
+                    f"index (have {sorted(self.field_dls)})"
+                )
+            hit = True
+            ids, tfs = self.decoded(i)
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), dls[ids], avgdls[field],
+                cfg.k1, cfg.b,
+            )
+        if not hit:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
 
     def matching_mask(self, terms: list[str], n_required: int = 0,
                       filters: dict | None = None) -> np.ndarray:
@@ -846,6 +898,126 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    # -- field-qualified search (ES dynamic-mapping / multi_match) -------
+
+    def _result_table(self, docids, scores, offset: int = 0):
+        import pyarrow as pa
+
+        conv, turn = self.reader.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(offset + 1, offset + len(docids) + 1,
+                              dtype=np.int32)
+                ),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    def _field_key_of(self, field: str | None, term: str):
+        """→ (dictionary key, normalized field). The catch-all stream
+        (field None, or the single configured index_field — identical by
+        definition, so it is served from the main stream rather than
+        duplicated) uses the bare term; everything else must have its
+        own stream in config.field_index_fields."""
+        from excelastic_ray.analysis import field_key
+
+        cfg = self.reader.cfg
+        if field is None or (
+            len(cfg.index_fields) == 1 and field == cfg.index_fields[0]
+        ):
+            return term, None
+        if field not in cfg.field_index_fields:
+            raise KeyError(
+                f"field {field!r} is not indexed per-field "
+                f"(field_index_fields={list(cfg.field_index_fields)})"
+            )
+        return field_key(field, term), field
+
+    def _field_avgdls(self) -> dict:
+        avg = {None: self.reader.avgdl}
+        avg.update(self.reader.manifest.get("field_avgdl", {}))
+        return avg
+
+    def _search_field_pairs(self, pairs, k: int, filters: dict | None,
+                            offset: int):
+        """Score a set of (field | None, term) clauses as one query
+        (most_fields sum), exact top-k across shards."""
+        r = self.reader
+        seen: dict[str, str | None] = {}
+        for field, term in pairs:
+            key, fnorm = self._field_key_of(field, term)
+            seen.setdefault(key, fnorm)
+        keys = sorted(seen)  # deterministic scoring order
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if keys and r.n_docs:
+            dfs = self._global_dfs(keys)
+            entries = [
+                (kk, idf(r.n_docs, int(d)), seen[kk])
+                for kk, d in zip(keys, dfs)
+                if d > 0
+            ]
+            if entries:
+                avgdls = self._field_avgdls()
+                depth = offset + k
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.topk_fields.remote(entries, avgdls, depth,
+                                                 filters)
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).topk_fields(entries, avgdls, depth,
+                                                  filters)
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, depth)
+                docids, scores = docids[offset:], scores[offset:]
+        return self._result_table(docids, scores, offset)
+
+    def search_fields(self, query: str, fields: list[str], k: int = 10,
+                      filters: dict | None = None, offset: int = 0):
+        """ES multi_match (type=most_fields): every analyzer term of
+        ``query`` is scored in every listed field with that field's own
+        df / doc-length / avgdl stats, and a doc's score is the SUM of
+        its per-(field, term) BM25 contributions. Field-scoped scoring
+        is the per-field-indexing parity gap vs the reference's ES
+        dynamic mapping (ExcelParser.java:222-261): `text:error` and
+        `tool:error` now score differently."""
+        from excelastic_ray.analysis import query_terms as qt
+
+        terms = qt(query)
+        return self._search_field_pairs(
+            [(f, t) for f in fields for t in terms], k, filters, offset
+        )
+
+    def search_qs(self, query: str, default_fields: list[str] | None = None,
+                  k: int = 10, filters: dict | None = None,
+                  offset: int = 0):
+        """Kibana-style query_string search: ``field:term`` clauses are
+        scored in that field's stream, bare terms in ``default_fields``
+        (the catch-all stream when None) — e.g.
+        ``search_qs("tool:search table")``."""
+        from excelastic_ray.analysis import parse_query_string
+
+        pairs: list[tuple[str | None, str]] = []
+        for field, term in parse_query_string(query):
+            if field is None:
+                for f in default_fields or [None]:
+                    pairs.append((f, term))
+            else:
+                pairs.append((field, term))
+        return self._search_field_pairs(pairs, k, filters, offset)
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Global prefix expansion: union of per-shard dictionary ranges,
         sorted, capped at ``max_expansions`` (the ES prefix-query
@@ -1127,6 +1299,13 @@ class ShardActor:
     def topk(self, terms, idfs, avgdl, k, algo, filters=None, n_required=0):
         parts = [
             s.topk(terms, idfs, avgdl, k, algo, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def topk_fields(self, entries, avgdls, k, filters=None):
+        parts = [
+            s.topk_fields(entries, avgdls, k, filters)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -1,0 +1,168 @@
+"""Per-field indexing + field-qualified BM25 (ES dynamic-mapping parity).
+
+The reference indexes EVERY row column as its own ES field
+(``ExcelParser.java:222-261`` + ES dynamic mapping) and Kibana users
+query ``column:value``. These tests pin the engine's per-field streams:
+field-prefixed dictionary keys, per-field dl/avgdl stats, most_fields
+scoring, query_string parsing, and isolation from the catch-all stream.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from excelastic_ray.analysis import FIELD_MARK, FIELD_SEP, parse_query_string
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.corpus import generate_transcripts
+from excelastic_ray.index.build import build_index
+from excelastic_ray.query.engine import QueryEngine
+
+CFG = IndexConfig(
+    turn_bits=8, convs_per_chunk_bits=3, num_shards=4,
+    field_index_fields=("role", "tool"),
+)
+
+
+@pytest.fixture(scope="module")
+def field_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    table = generate_transcripts(n_convs=40, seed=7)
+    idx = str(tmp_path_factory.mktemp("fieldidx") / "idx")
+    build_index(rd.from_arrow(table), idx, CFG, clear=True)
+    return idx, table
+
+
+def _field_bm25_oracle(table, field, term, k):
+    """Brute-force per-field BM25 over the raw table (None → no tokens;
+    single-token fields still normalize by their own dl/avgdl)."""
+    from excelastic_ray.analysis import tokenize
+
+    vals = table[field].to_pylist()
+    conv = table["conv_id"].to_pylist()
+    turn = table["turn_idx"].to_pylist()
+    toks = [tokenize(v) if v else [] for v in vals]
+    N = len(toks)
+    dls = [float(len(t)) for t in toks]
+    avgdl = sum(dls) / N
+    df = sum(1 for t in toks if term in t)
+    t_idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    scored = []
+    for c, ti, tk, dl in zip(conv, turn, toks, dls):
+        tf = float(tk.count(term))
+        if tf:
+            s = t_idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+            scored.append(((c, int(ti)), s))
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    return scored[:k]
+
+
+def test_field_search_matches_bruteforce(field_index):
+    idx, table = field_index
+    eng = QueryEngine(idx)
+    for field, term in (("role", "user"), ("role", "tool"), ("tool", "code")):
+        got = eng.search_fields(term, [field], k=8)
+        exp = _field_bm25_oracle(table, field, term, 8)
+        assert (
+            list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+            == [key for key, _ in exp]
+        )
+        for g, (_, e) in zip(got["score"].to_pylist(), exp):
+            assert g == pytest.approx(e, abs=1e-12)
+
+
+def test_catchall_field_uses_main_stream(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    a = eng.search_fields("the call run", ["text"], k=10)
+    b = eng.search("the call run", k=10)
+    assert a["docid"].to_pylist() == b["docid"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_most_fields_sums_per_field_scores(field_index):
+    idx, table = field_index
+    eng = QueryEngine(idx)
+    # "tool" is both a role VALUE and an English word: scoring it in
+    # role vs text must differ, and most_fields must sum both clauses
+    role_only = eng.search_fields("tool", ["role"], k=1000)
+    text_only = eng.search_fields("tool", ["text"], k=1000)
+    both = eng.search_fields("tool", ["role", "text"], k=1000)
+    sum_map: dict[int, float] = {}
+    for t in (role_only, text_only):
+        for d, s in zip(t["docid"].to_pylist(), t["score"].to_pylist()):
+            sum_map[d] = sum_map.get(d, 0.0) + s
+    got = dict(zip(both["docid"].to_pylist(), both["score"].to_pylist()))
+    assert set(got) == set(sum_map)
+    for d in got:
+        assert got[d] == pytest.approx(sum_map[d], rel=1e-12)
+
+
+def test_query_string_parsing():
+    assert parse_query_string("tool:code table role:user") == [
+        (None, "table"), ("role", "user"), ("tool", "code"),
+    ]
+    # analyzer applies inside clauses; bad shapes degrade to bare terms
+    assert parse_query_string("Role:USER") == [("Role", "user")]
+    assert parse_query_string(":x y:") == [(None, "x"), (None, "y")]
+
+
+def test_search_qs_mixes_default_and_qualified(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    qs = eng.search_qs("role:user the", k=15)
+    manual = eng._search_field_pairs(
+        [("role", "user"), (None, "the")], 15, None, 0
+    )
+    assert qs.equals(manual)
+
+
+def test_unknown_field_raises(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    with pytest.raises(KeyError):
+        eng.search_fields("x", ["ts"], k=5)
+
+
+def test_field_keys_invisible_to_unqualified_queries(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    # dictionary hygiene: prefix expansion and the term dictionary's
+    # unprefixed region never contain field-prefixed keys
+    for p in ("u", "c", "t", ""):
+        for t in eng.expand_prefix(p, 200):
+            assert FIELD_MARK not in t and FIELD_SEP not in t
+    # an unqualified search for a role value scores only text occurrences
+    r = eng.reader
+    s = r.searcher(0)
+    lo = int(np.searchsorted(s.terms, FIELD_MARK))
+    hi = int(np.searchsorted(s.terms, "\x02"))
+    assert hi >= lo  # prefixed region is contiguous at the head
+    assert all(str(t).startswith(FIELD_MARK) for t in s.terms[lo:hi])
+    assert not any(FIELD_MARK in str(t) for t in s.terms[hi:])
+
+
+def test_field_dls_not_leaked_as_attrs(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    s = eng.reader.searcher(0)
+    assert set(s.field_dls) == {"role", "tool"}
+    assert not any(a.startswith("dl@") for a in s.attrs)
+
+
+def test_field_search_via_actors(field_index, ray_session):
+    idx, _ = field_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        a = actors.search_fields("user", ["role"], k=7)
+        b = local.search_fields("user", ["role"], k=7)
+        assert a.equals(b)
+        qa = actors.search_qs("tool:search the", k=7)
+        qb = local.search_qs("tool:search the", k=7)
+        assert qa.equals(qb)
+    finally:
+        actors.close()
