@@ -277,6 +277,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_sort_ts(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_sorted(q, k=10, sort="ts", order="desc")
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "ts": t["ts"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_count(sf_dir):
         import pandas as pd
 
@@ -566,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
+        "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
         "doc_keys": q_doc_keys,
@@ -905,6 +927,28 @@ GROUP BY 1, 2
         "bm25_field_topk": _field_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
+        # ES sort-by-field: matching docs time-ordered (Kibana Discover
+        # default), newest first, (conv_id, turn_idx) == docid tie-break
+        "bm25_sort_ts": _BASE
+        + f""",
+tf AS (
+    SELECT DISTINCT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+matched AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx
+    FROM q JOIN tf ON tf.term = q.term
+    GROUP BY 1, 2, 3
+)
+SELECT m.query_id, m.conv_id, m.turn_idx, t.ts
+FROM matched m JOIN transcripts t
+     ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY m.query_id
+    ORDER BY t.ts DESC, m.conv_id, m.turn_idx) <= 10
+""",
         "bm25_date_histogram": _BASE
         + f""",
 tf AS (

@@ -417,6 +417,37 @@ class ShardSearcher:
     def count(self, terms, n_required=0, filters=None) -> int:
         return int(self.matching_mask(terms, n_required, filters).sum())
 
+    def sorted_matches(self, terms, attr: str, k: int, order: str = "desc",
+                       search_after: tuple[int, int] | None = None,
+                       n_required: int = 0, filters: dict | None = None):
+        """This shard's first ``k`` query matches ordered by a timestamp
+        attribute — the ES sort-by-field result mode (Kibana Discover's
+        default time-ordered view). Sort key is (ts, docid) with docid
+        ASC as the deterministic tie-break; ``search_after`` = (ts_us,
+        docid) of the last row already served resumes strictly after
+        that cursor (ES search_after deep pagination — O(k) per page at
+        any depth, unlike offset's O(depth))."""
+        col = self.time_attrs.get(attr)
+        if col is None:
+            raise KeyError(f"no timestamp attribute {attr!r} in this index")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"unknown order {order!r}")
+        m = self.matching_mask(terms, n_required, filters)
+        ts = col[m]
+        ids = self.docids[m]
+        if search_after is not None:
+            a_ts, a_id = int(search_after[0]), int(search_after[1])
+            if order == "asc":
+                keep = (ts > a_ts) | ((ts == a_ts) & (ids > a_id))
+            else:
+                keep = (ts < a_ts) | ((ts == a_ts) & (ids > a_id))
+            ts, ids = ts[keep], ids[keep]
+        pos = (
+            np.lexsort((ids, ts)) if order == "asc"
+            else np.lexsort((ids, -ts))
+        )[:k]
+        return ids[pos], ts[pos]
+
     def facet(self, terms, attr: str, n_required=0, filters=None) -> dict:
         m = self.matching_mask(terms, n_required, filters)
         col = self.attrs.get(attr)
@@ -1209,6 +1240,68 @@ class QueryEngine:
                 out[b] = out.get(b, 0) + n
         return dict(sorted(out.items()))
 
+    def search_sorted(self, query: str, k: int = 10, sort: str = "ts",
+                      order: str = "desc",
+                      search_after: tuple | None = None,
+                      filters: dict | None = None, mode: str = "or"):
+        """Query matches ordered by a timestamp attribute instead of
+        relevance — ES sort-by-field + ``search_after`` (Kibana
+        Discover's default time-sorted view). Each shard returns its
+        first k matches past the cursor, the driver merges k-sized
+        lists; paging with ``search_after=(last_ts, last_docid)`` is
+        exact deep pagination (identical to slicing the full ordering).
+
+        → pyarrow.Table (rank, docid, conv_id, turn_idx, ts). ``ts``
+        values are the sort cursor: pass the last row's (ts, docid) to
+        resume. ``search_after`` accepts µs ints, ISO strings or
+        datetime64 for the ts part."""
+        import pyarrow as pa
+
+        live, n_required, dead = self._query_shape(query, mode)
+        docids = np.zeros(0, dtype=np.int64)
+        tss = np.zeros(0, dtype=np.int64)
+        if live and not (mode == "and" and dead):
+            after = None
+            if search_after is not None:
+                after = (
+                    ShardSearcher._as_us(search_after[0]),
+                    int(search_after[1]),
+                )
+            r = self.reader
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [
+                        a.sorted_matches.remote(live, sort, k, order, after,
+                                                n_required, filters)
+                        for a in self._actors
+                    ]
+                )
+            else:
+                parts = [
+                    r.searcher(s).sorted_matches(live, sort, k, order, after,
+                                                 n_required, filters)
+                    for s in range(r.num_shards)
+                ]
+            docids = np.concatenate([p[0] for p in parts])
+            tss = np.concatenate([p[1] for p in parts])
+            pos = (
+                np.lexsort((docids, tss)) if order == "asc"
+                else np.lexsort((docids, -tss))
+            )[:k]
+            docids, tss = docids[pos], tss[pos]
+        conv, turn = self.reader.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int32)),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "ts": pa.array(tss.astype("datetime64[us]")),
+            }
+        )
+
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):
         """Batch search (the ES _msearch analog) → pyarrow.Table with a
@@ -1312,6 +1405,21 @@ class ShardActor:
 
     def count(self, terms, n_required=0, filters=None) -> int:
         return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def sorted_matches(self, terms, attr, k, order="desc",
+                       search_after=None, n_required=0, filters=None):
+        parts = [
+            s.sorted_matches(terms, attr, k, order, search_after,
+                             n_required, filters)
+            for s in self.searchers
+        ]
+        ids = np.concatenate([p[0] for p in parts])
+        tss = np.concatenate([p[1] for p in parts])
+        pos = (
+            np.lexsort((ids, tss)) if order == "asc"
+            else np.lexsort((ids, -tss))
+        )[:k]
+        return ids[pos], tss[pos]
 
     def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
         out: set[str] = set()

@@ -1,0 +1,118 @@
+"""Sort-by-field results + search_after deep pagination (ES
+sort/search_after; Kibana Discover's default time-ordered view)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from excelastic_ray.analysis import tokenize
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.corpus import generate_transcripts
+from excelastic_ray.index.build import build_index
+from excelastic_ray.query.engine import QueryEngine
+
+CFG = IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=4)
+
+
+@pytest.fixture(scope="module")
+def ts_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    table = generate_transcripts(n_convs=40, seed=11)
+    idx = str(tmp_path_factory.mktemp("tsidx") / "idx")
+    build_index(rd.from_arrow(table), idx, CFG, clear=True)
+    return idx, table
+
+
+def _client_side(table, terms, order, role=None):
+    """Full expected ordering: matching docs sorted by (ts, docid)."""
+    rows = []
+    for c, ti, tx, r, ts in zip(
+        table["conv_id"].to_pylist(), table["turn_idx"].to_pylist(),
+        table["text"].to_pylist(), table["role"].to_pylist(),
+        table["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+    ):
+        if role is not None and r != role:
+            continue
+        toks = set(tokenize(tx))
+        if any(t in toks for t in terms):
+            rows.append((int(ts), c, int(ti)))
+    # docid order == (conv_id, turn_idx) order, so it is the tie-break
+    rows.sort(key=lambda x: ((x[0] if order == "asc" else -x[0]), x[1], x[2]))
+    return rows
+
+
+def test_sorted_matches_full_ordering(ts_index):
+    idx, table = ts_index
+    eng = QueryEngine(idx)
+    for order in ("asc", "desc"):
+        exp = _client_side(table, ["the", "call"], order)
+        got = eng.search_sorted("the call", k=len(exp) + 10, order=order)
+        assert got.num_rows == len(exp)
+        assert (
+            list(
+                zip(
+                    got["ts"].to_numpy().astype(np.int64).tolist(),
+                    got["conv_id"].to_pylist(),
+                    got["turn_idx"].to_pylist(),
+                )
+            )
+            == exp
+        )
+
+
+def test_search_after_paging_equals_slice(ts_index):
+    idx, table = ts_index
+    eng = QueryEngine(idx)
+    for order in ("asc", "desc"):
+        full = eng.search_sorted("the", k=60, order=order)
+        pages = []
+        cursor = None
+        while True:
+            page = eng.search_sorted("the", k=7, order=order,
+                                     search_after=cursor)
+            if page.num_rows == 0:
+                break
+            pages.append(page)
+            cursor = (
+                page["ts"][page.num_rows - 1].as_py(),
+                page["docid"][page.num_rows - 1].as_py(),
+            )
+            if sum(p.num_rows for p in pages) >= 60:
+                break
+        paged = pa.concat_tables(pages).slice(0, full.num_rows)
+        assert paged["docid"].to_pylist() == full["docid"].to_pylist()
+        assert paged["ts"].to_pylist() == full["ts"].to_pylist()
+
+
+def test_sorted_with_filters(ts_index):
+    idx, table = ts_index
+    eng = QueryEngine(idx)
+    exp = _client_side(table, ["the"], "desc", role="user")
+    got = eng.search_sorted("the", k=len(exp) + 5, order="desc",
+                            filters={"role": "user"})
+    assert got.num_rows == len(exp)
+    assert got["conv_id"].to_pylist() == [c for _, c, _ in exp]
+
+
+def test_sorted_actor_parity(ts_index, ray_session):
+    idx, _ = ts_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        a = actors.search_sorted("the call", k=13, order="desc")
+        b = local.search_sorted("the call", k=13, order="desc")
+        assert a.equals(b)
+    finally:
+        actors.close()
+
+
+def test_sorted_bad_args(ts_index):
+    idx, _ = ts_index
+    eng = QueryEngine(idx)
+    with pytest.raises(Exception):
+        eng.search_sorted("the", order="sideways")
+    with pytest.raises(KeyError):
+        eng.search_sorted("the", sort="nope")
