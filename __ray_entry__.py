@@ -69,6 +69,17 @@ FIELD_QUERIES = [
     ("f4", ["text", "tool"], "code window search"),
 ]
 
+#: fuzzy query set (ES fuzziness, transpositions:false): one-edit
+#: misspellings of corpus terms, an absent shape, and a multi-term mix.
+FUZZY_QUERIES = [
+    ("z1", "tablf"),
+    ("z2", "scon"),
+    ("z3", "zzzzzq"),
+    ("z4", "hash windox"),
+]
+FUZZY_MAX_EDITS = 1
+FUZZY_MAX_EXPANSIONS = 5
+
 #: match_phrase query set: common bigram, trigram, absent phrase,
 #: single-term phrase (== tf-scored term query).
 PHRASE_QUERIES = [
@@ -263,6 +274,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = []
         for qid, p in PREFIX_QUERIES:
             t = eng.search_prefix(p, 10, max_expansions=PREFIX_MAX_EXPANSIONS)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_fuzzy_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in FUZZY_QUERIES:
+            t = eng.search_fuzzy(
+                q, 10, fuzziness=FUZZY_MAX_EDITS,
+                max_expansions=FUZZY_MAX_EXPANSIONS,
+            )
             parts.append(
                 pa.table(
                     {
@@ -587,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
+        "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
@@ -825,6 +864,65 @@ QUALIFY row_number() OVER (
 """
 
 
+def _fuzzy_sql() -> str:
+    """ES-fuzzy twin: per query TERM, expand to the
+    ``FUZZY_MAX_EXPANSIONS`` dictionary terms within
+    ``FUZZY_MAX_EDITS`` Levenshtein edits ordered (distance, term) —
+    DuckDB's levenshtein() is the same classic metric as the engine's
+    vectorized DP (transpositions count 2) — then score the DISTINCT
+    union per query as a bool-of-terms OR (identical CTE to prefix)."""
+    d, cap = FUZZY_MAX_EDITS, FUZZY_MAX_EXPANSIONS
+    exp_ctes, unions = [], []
+    for qid, q in FUZZY_QUERIES:
+        for i, t in enumerate(sorted(set(q.lower().split()))):
+            exp_ctes.append(
+                f"""e_{qid}_{i} AS (
+    SELECT term FROM (
+        SELECT term, levenshtein(term, '{t}') AS d FROM dict
+    ) WHERE d <= {d} ORDER BY d, term LIMIT {cap}
+)"""
+            )
+            unions.append(
+                f"SELECT '{qid}' AS query_id, term FROM e_{qid}_{i}"
+            )
+    exp_sql = ",\n".join(exp_ctes)
+    union_sql = "\nUNION ALL\n".join(unions)
+    return (
+        _BASE
+        + f""",
+dict AS (SELECT DISTINCT unnest(toks) AS term FROM base),
+{exp_sql},
+q AS (SELECT DISTINCT query_id, term FROM ({union_sql})),
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
+
+
 def _prefix_sql() -> str:
     """ES-prefix twin: per query, expand to the lexicographically first
     ``PREFIX_MAX_EXPANSIONS`` dictionary terms with the prefix, then
@@ -925,6 +1023,7 @@ GROUP BY 1, 2
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_field_topk": _field_sql(),
+        "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover

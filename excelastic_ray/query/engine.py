@@ -186,6 +186,50 @@ class ShardSearcher:
         hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
         return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
 
+    def fuzzy_candidates(self, term: str, max_edits: int,
+                         prefix_length: int = 0) -> list[tuple[str, int]]:
+        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        ``term`` (the ES fuzziness expansion; Lucene walks a Levenshtein
+        automaton against the term dict — the dense-dictionary analog is
+        a vectorized banded DP over the candidate block). Candidates are
+        pre-pruned by the sorted dictionary itself: ``prefix_length``
+        exact leading chars (two binary searches) and a ±max_edits
+        length window; the DP then runs len(term)×maxlen numpy ops over
+        the surviving rows, no Python loop over terms."""
+        lo, hi = self._unprefixed_region()
+        if prefix_length > 0:
+            p = term[:prefix_length]
+            lo = max(lo, int(np.searchsorted(self.terms, p)))
+            hi = min(hi, int(np.searchsorted(self.terms, p + "\U0010ffff")))
+        if hi <= lo:
+            return []
+        cands = self.terms[lo:hi]
+        lens = self._term_lengths()[lo:hi]
+        m = len(term)
+        sel = np.abs(lens - m) <= max_edits
+        cands = cands[sel]
+        if not len(cands):
+            return []
+        dists = _levenshtein_all(term, cands, lens[sel])
+        ok = dists <= max_edits
+        return list(zip((str(t) for t in cands[ok]), dists[ok].tolist()))
+
+    def _unprefixed_region(self) -> tuple[int, int]:
+        """[lo, hi) of the catch-all (non-field-qualified) dictionary
+        region — field keys start with FIELD_MARK = '\\x01' < '\\x02'."""
+        return int(np.searchsorted(self.terms, "\x02")), len(self.terms)
+
+    def _term_lengths(self) -> np.ndarray:
+        """Per-slot term lengths, computed once per searcher (lazy: only
+        fuzzy queries need it)."""
+        lens = getattr(self, "_term_lens", None)
+        if lens is None:
+            lens = np.fromiter(
+                (len(t) for t in self.terms), np.int64, len(self.terms)
+            )
+            self._term_lens = lens
+        return lens
+
     def posting_list(self, i: int) -> PostingList:
         return PostingList(
             self.postings[i].as_py(), self.blockmax[i].as_py(),
@@ -656,6 +700,32 @@ class _Cursor:
         )
 
 
+def _levenshtein_all(query: str, cands: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Levenshtein distance from ``query`` to every candidate term —
+    Wagner-Fischer vectorized ACROSS candidates: the O(m×L) cell loops
+    stay, each cell update is one numpy op over all rows. numpy's
+    unicode dtype is UCS4, so the char matrix is a zero-copy view."""
+    n = len(cands)
+    m = len(query)
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.full(n, m, dtype=np.int64)
+    arr = np.asarray(cands, dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        sub = arr != q[i - 1]  # n × L substitution costs for query char i
+        for j in range(1, L + 1):
+            np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + sub[:, j - 1],
+                       out=cur[:, j])
+        prev, cur = cur, prev
+    return prev[np.arange(n), lens]
+
+
 class IndexReader:
     """Opens an index directory: manifest, conv-rank table, shard access."""
 
@@ -1097,6 +1167,71 @@ class QueryEngine:
             }
         )
 
+    @staticmethod
+    def auto_fuzziness(term: str) -> int:
+        """ES ``fuzziness: AUTO``: 0 edits below 3 chars, 1 for 3-5,
+        2 from 6 up."""
+        n = len(term)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
+    def expand_fuzzy(self, term: str, max_edits: int,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50) -> list[str]:
+        """Global fuzzy expansion of one term: union of per-shard
+        dictionary candidates within ``max_edits`` Levenshtein distance,
+        ordered (distance ASC, term ASC) — closest matches win the
+        ``max_expansions`` cap deterministically (the exact-term match,
+        distance 0, always survives)."""
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.fuzzy_candidates.remote(term, max_edits, prefix_length)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).fuzzy_candidates(term, max_edits, prefix_length)
+                for s in range(r.num_shards)
+            ]
+        best: dict[str, int] = {}
+        for p in parts:
+            for t, d in p:
+                if t not in best or d < best[t]:
+                    best[t] = d
+        ranked = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))
+        return [t for t, _ in ranked[:max_expansions]]
+
+    def search_fuzzy(self, query: str, k: int = 10,
+                     fuzziness: int | str = "AUTO",
+                     prefix_length: int = 0, max_expansions: int = 50,
+                     filters: dict | None = None):
+        """ES fuzzy match: every query term expands to its
+        ``max_expansions`` closest dictionary terms within ``fuzziness``
+        edits (AUTO = ES's length-scaled default), and the union is
+        scored as a bool-of-terms OR query — the ``scoring_boolean``
+        rewrite, same fully-specified scoring shape as search_prefix, so
+        results twin a SQL ``levenshtein()`` expansion exactly."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        expanded: set[str] = set()
+        for t in tokenize(query):
+            d = self.auto_fuzziness(t) if fuzziness == "AUTO" else int(fuzziness)
+            if d == 0:
+                expanded.add(t)
+            else:
+                expanded.update(
+                    self.expand_fuzzy(t, d, prefix_length, max_expansions)
+                )
+        if expanded:
+            return self.search(" ".join(sorted(expanded)), k, filters=filters)
+        return self._result_table(
+            np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        )
+
     def search_phrase(self, query: str, k: int = 10):
         """match_phrase: docs where the query terms appear consecutively,
         scored like a single pseudo-term whose tf is the phrase-occurrence
@@ -1426,6 +1561,14 @@ class ShardActor:
         for s in self.searchers:
             out.update(s.terms_with_prefix(prefix, cap))
         return sorted(out)[:cap]
+
+    def fuzzy_candidates(self, term, max_edits, prefix_length=0):
+        best: dict[str, int] = {}
+        for s in self.searchers:
+            for t, d in s.fuzzy_candidates(term, max_edits, prefix_length):
+                if t not in best or d < best[t]:
+                    best[t] = d
+        return list(best.items())
 
     def date_histogram(self, terms, attr, interval_us, n_required=0,
                        filters=None) -> dict:
