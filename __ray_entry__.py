@@ -288,6 +288,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_slop_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in PHRASE_QUERIES:
+            t = eng.search_phrase(q, 10, slop=1)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_fuzzy_topk(sf_dir):
         import pyarrow as pa
 
@@ -625,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
+        "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
@@ -754,23 +779,40 @@ QUALIFY row_number() OVER (
     )
 
 
-def _phrase_sql() -> str:
-    """match_phrase twin: per phrase, ptf = count of list positions where
-    all terms match consecutively; df = docs with ptf > 0; score =
-    single-pseudo-term BM25 (the engine's PhraseQuery shape)."""
+def _phrase_sql(slop: int = 0) -> str:
+    """match_phrase twin: per phrase, ptf = count of match anchors; df =
+    docs with ptf > 0; score = single-pseudo-term BM25 (the engine's
+    PhraseQuery shape). ``slop=0`` counts exact-adjacency starts;
+    ``slop>0`` counts windowed in-order anchors (term j anywhere in
+    [a+j, a+j+slop]) — the engine's documented sloppy semantics —
+    via a nested list_filter existence check per term."""
     ctes, selects = [], []
     for qid, q in PHRASE_QUERIES:
         terms = q.lower().split()
         k = len(terms)
-        cond = " AND ".join(
-            f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
-        )
+        if slop == 0:
+            cond = " AND ".join(
+                f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            rng = f"range(1, len(toks) - {k} + 2)"
+            guard = k
+        else:
+            conds = [f"toks[i] = '{terms[0]}'"]
+            for j, t in enumerate(terms[1:], start=1):
+                conds.append(
+                    f"len(list_filter(range(0, {slop + 1}), "
+                    f"d -> i + {j} + d <= len(toks) "
+                    f"AND toks[i + {j} + d] = '{t}')) > 0"
+                )
+            cond = " AND ".join(conds)
+            rng = "range(1, len(toks) + 1)"
+            guard = 1
         ctes.append(
             f"""m_{qid} AS (
     SELECT * FROM (
         SELECT conv_id, turn_idx, len(toks) AS dl,
-               CASE WHEN len(toks) >= {k}
-                    THEN len(list_filter(range(1, len(toks) - {k} + 2),
+               CASE WHEN len(toks) >= {guard}
+                    THEN len(list_filter({rng},
                                          i -> {cond}))
                     ELSE 0 END AS ptf
         FROM base
@@ -1022,6 +1064,7 @@ GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_slop_topk": _phrase_sql(slop=1),
         "bm25_field_topk": _field_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_prefix_topk": _prefix_sql(),

@@ -285,26 +285,26 @@ class ShardSearcher:
             self._pos_size += n
         return out
 
-    def phrase_count(self, terms: list[str]) -> int:
+    def phrase_count(self, terms: list[str], slop: int = 0) -> int:
         """Phase 1 of phrase scoring: compute + cache this shard's
         phrase matches, return only their count (the phrase-df partial).
         The match set stays shard-local so the driver never receives
         more than counts + k-sized results."""
-        key = tuple(terms)
-        m = self.phrase_matches(terms)
+        key = (tuple(terms), slop)
+        m = self.phrase_matches(terms, slop)
         self._phrase_cache = (key, m)
         return len(m[0])
 
     def phrase_topk(self, terms: list[str], p_idf: float, avgdl: float,
-                    k: int) -> tuple[np.ndarray, np.ndarray]:
+                    k: int, slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Phase 2: score the cached matches with the now-known global
         phrase idf, return this shard's top-k only."""
-        key = tuple(terms)
+        key = (tuple(terms), slop)
         cached = getattr(self, "_phrase_cache", None)
         if cached is not None and cached[0] == key:
             docids, ptfs, dls = cached[1]
         else:
-            docids, ptfs, dls = self.phrase_matches(terms)
+            docids, ptfs, dls = self.phrase_matches(terms, slop)
         if not len(docids):
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         sc = contribution(
@@ -314,13 +314,24 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
-    def phrase_matches(self, terms: list[str]) -> tuple[np.ndarray, ...]:
-        """Docs containing ``terms`` consecutively → (docids, ptf, dl)
-        where ptf = number of phrase occurrences. Encoding trick: every
-        (doc, position) occurrence of query-position j becomes the key
-        ord*M + (pos - j + L); a phrase start survives the intersection
-        of all terms' key sets (M bounds positions so keys can't collide
-        across docs)."""
+    def phrase_matches(self, terms: list[str],
+                       slop: int = 0) -> tuple[np.ndarray, ...]:
+        """Docs matching the phrase → (docids, ptf, dl) where ptf =
+        number of distinct match anchors. ``slop=0`` is exact adjacency
+        (match_phrase); ``slop=s`` is the windowed in-order relaxation:
+        an anchor a (a position of the FIRST term) matches when every
+        later term j occurs somewhere in [a+j, a+j+s] — each term may
+        trail its exact slot by at most s positions. (Documented
+        deviation from Lucene's SloppyPhraseScorer, whose slop is a
+        move-budget shared across terms with transpositions; this
+        windowed form is deterministic and SQL-twinnable.)
+
+        Encoding trick, generalized: term j's occurrence at position p
+        emits candidate-anchor keys ord*M + (p - j - d + L + s) for
+        d in 0..s (the first term emits its own position only); a match
+        anchor survives the intersection of all terms' key sets (M
+        bounds the shifted positions so keys can't collide across
+        docs)."""
         empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                  np.zeros(0, np.float64))
         idxs = []
@@ -331,12 +342,21 @@ class ShardSearcher:
             idxs.append(i)
         L = len(terms)
         max_dl = int(self.dls.max()) if len(self.dls) else 0
-        M = np.int64(max_dl + L + 2)
+        M = np.int64(max_dl + L + slop + 2)
         inter = None
         for j, i in enumerate(idxs):
             ids, tfs = self.decoded(i)  # LRU-cached, read-only
             pos = self.positions_of(i, tfs)
-            keys = np.repeat(ids, tfs) * M + (pos - j + L)
+            base = np.repeat(ids, tfs) * M
+            if j == 0 or slop == 0:
+                keys = base + (pos - j + L + slop)
+            else:
+                keys = np.unique(
+                    np.concatenate(
+                        [base + (pos - j - d + L + slop)
+                         for d in range(slop + 1)]
+                    )
+                )
             inter = keys if inter is None else np.intersect1d(
                 inter, keys, assume_unique=True
             )
@@ -1232,8 +1252,11 @@ class QueryEngine:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         )
 
-    def search_phrase(self, query: str, k: int = 10):
-        """match_phrase: docs where the query terms appear consecutively,
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+        """match_phrase: docs where the query terms appear consecutively
+        (``slop`` relaxes each later term's slot by up to ``slop``
+        positions — the windowed in-order sloppy-phrase semantics, see
+        ShardSearcher.phrase_matches),
         scored like a single pseudo-term whose tf is the phrase-occurrence
         count and whose df is the phrase's doc count (the Lucene
         PhraseQuery shape). Two-phase because phrase df is
@@ -1253,25 +1276,26 @@ class QueryEngine:
                 import ray
 
                 counts = ray.get(
-                    [a.phrase_count.remote(terms) for a in self._actors]
+                    [a.phrase_count.remote(terms, slop) for a in self._actors]
                 )
                 df_phrase = int(sum(counts))
                 if df_phrase:
                     p_idf = idf(r.n_docs, df_phrase)
                     parts = ray.get(
                         [
-                            a.phrase_topk.remote(terms, p_idf, r.avgdl, k)
+                            a.phrase_topk.remote(terms, p_idf, r.avgdl, k,
+                                                 slop)
                             for a in self._actors
                         ]
                     )
                     docids, scores = _merge_shard_topk(parts, k)
             else:
                 searchers = [r.searcher(s) for s in range(r.num_shards)]
-                df_phrase = sum(s.phrase_count(terms) for s in searchers)
+                df_phrase = sum(s.phrase_count(terms, slop) for s in searchers)
                 if df_phrase:
                     p_idf = idf(r.n_docs, df_phrase)
                     parts = [
-                        s.phrase_topk(terms, p_idf, r.avgdl, k)
+                        s.phrase_topk(terms, p_idf, r.avgdl, k, slop)
                         for s in searchers
                     ]
                     docids, scores = _merge_shard_topk(parts, k)
@@ -1580,19 +1604,19 @@ class ShardActor:
                 out[b] = out.get(b, 0) + n
         return out
 
-    def phrase_matches(self, terms: list[str]):
-        parts = [s.phrase_matches(terms) for s in self.searchers]
+    def phrase_matches(self, terms: list[str], slop: int = 0):
+        parts = [s.phrase_matches(terms, slop) for s in self.searchers]
         return (
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
 
-    def phrase_count(self, terms: list[str]) -> int:
-        return sum(s.phrase_count(terms) for s in self.searchers)
+    def phrase_count(self, terms: list[str], slop: int = 0) -> int:
+        return sum(s.phrase_count(terms, slop) for s in self.searchers)
 
-    def phrase_topk(self, terms, p_idf, avgdl, k):
-        parts = [s.phrase_topk(terms, p_idf, avgdl, k)
+    def phrase_topk(self, terms, p_idf, avgdl, k, slop: int = 0):
+        parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop)
                  for s in self.searchers]
         return _merge_shard_topk(parts, k)
 
