@@ -92,13 +92,42 @@ def sessionize(ds, gap_minutes: int = 30, n_buckets: int = N_USER_BUCKETS):
     )
 
 
+def _bucketed_sum_combine(partials, key_cols: list[str],
+                          n_buckets: int = 32):
+    """Final combine of partial (n, sum_value) rows via a COARSE hash
+    bucket instead of a fine distributed groupby: a Ray groupby over
+    thousands of tiny (type, window) groups costs seconds of per-group
+    machinery (the round-1 tiny-group pitfall — it regressed tumbling
+    2.4→4 s in round 2's bench); hashing the keys into ~32 reducer
+    frames and doing the fine grouping vectorized in pandas inside each
+    makes the exchange shape independent of group cardinality."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby(key_cols, sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):
     """Sliding-window counts: each event lands in size/step consecutive
     windows; window_start identifies the window's left edge. Implemented
     as a vectorized per-batch explode (np.repeat over offsets) + the
-    same partial+final aggregation as tumbling."""
-    from ray.data.aggregate import Sum
-
+    same partial + bucketed-final aggregation as tumbling."""
     step_us = step_hours * 3_600_000_000
     n_win = size_hours // step_hours
 
@@ -124,9 +153,7 @@ def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
-    out = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
-    )
+    out = _bucketed_sum_combine(partials, ["event_type", "window_start"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -145,10 +172,9 @@ def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):
 
 def tumbling_counts(ds, hours: int = 1):
     """Tumbling-window counts: (event_type, window_start) → n, sum_value.
-    Pre-aggregated per batch (partial) before the small groupby (final):
-    the shuffle moves one row per (batch, type, window)."""
-    from ray.data.aggregate import Sum
-
+    Pre-aggregated per batch (partial) before the coarse-bucketed final
+    combine: the shuffle moves one row per (batch, type, window) into
+    ~32 reducer frames."""
     us = hours * 3_600_000_000
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -169,9 +195,7 @@ def tumbling_counts(ds, hours: int = 1):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
-    out = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
-    )
+    out = _bucketed_sum_combine(partials, ["event_type", "window_start"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
