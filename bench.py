@@ -90,6 +90,10 @@ def run_bench() -> dict:
         convs_per_chunk_bits=9,  # ~512 convs ≈ 10k turns per chunk
         num_shards=32,
         batch_size=4096,
+        # round 3: per-field posting streams (role/tool) are part of the
+        # headline build — ES dynamic-mapping parity costs ~2 extra
+        # single-token streams per turn beside the ~30-token text stream
+        field_index_fields=("role", "tool"),
     )
     idx_dir = f"/tmp/excelastic_bench_idx_{NUM_CPUS}"
     t0 = time.monotonic()
@@ -119,6 +123,27 @@ def run_bench() -> dict:
             for _ in range(10):
                 eng.search_phrase(q, 10)
         timings["phrase_30q"] = round(time.monotonic() - s, 3)
+        # round-3 query surfaces
+        s = time.monotonic()
+        for q in ("the w00001", "w00042 w00100", "absent phrase here"):
+            for _ in range(10):
+                eng.search_phrase(q, 10, slop=2)
+        timings["slop_30q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.search_fields("user the", ["role", "text"], k=10)
+            eng.search_qs("tool:code w00042", k=10)
+            eng.search_fields("tool", ["role", "tool", "text"], k=10)
+        timings["field_30q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.search_fuzzy("w0004 cal", k=10, fuzziness=1)
+        timings["fuzzy_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for q in BM25_BENCH_QUERIES:
+            for _ in range(5):
+                eng.search_sorted(q, k=10, order="desc")
+        timings["sorted_30q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.

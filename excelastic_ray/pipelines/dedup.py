@@ -631,7 +631,12 @@ def minhash_pairs(
             "dropped_pairs": int(ddf["dropped"].sum()) if len(ddf) else 0,
         }
     pairs = raw.map_batches(
-        lambda b: b.filter(pa.compute.greater_equal(b["a"], 0)).select(["a", "b"]),
+        # replace_schema_metadata(None): the upstream pandas map_groups
+        # stamps b'pandas' metadata that breaks hash(pa.Schema) on
+        # pyarrow 16 (warning spam + disabled concat fast path)
+        lambda b: b.filter(pa.compute.greater_equal(b["a"], 0))
+        .select(["a", "b"])
+        .replace_schema_metadata(None),
         batch_format="pyarrow",
     )
     verified = verify_jaccard(
