@@ -122,10 +122,91 @@ class ImportServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            # -- minimal RFC6455 server push (Website.java:94-119) -----
+
+            def _ws_send(self, text: str) -> None:
+                data = text.encode()
+                n = len(data)
+                if n < 126:
+                    head = bytes([0x81, n])
+                elif n < 65536:
+                    head = bytes([0x81, 126]) + n.to_bytes(2, "big")
+                else:
+                    head = bytes([0x81, 127]) + n.to_bytes(8, "big")
+                self.wfile.write(head + data)
+                self.wfile.flush()
+
+            def _ws_read(self) -> tuple[int | None, bytes]:
+                h = self.rfile.read(2)
+                if len(h) < 2:
+                    return None, b""
+                op = h[0] & 0x0F
+                masked = h[1] & 0x80
+                n = h[1] & 0x7F
+                if n == 126:
+                    n = int.from_bytes(self.rfile.read(2), "big")
+                elif n == 127:
+                    n = int.from_bytes(self.rfile.read(8), "big")
+                mask = self.rfile.read(4) if masked else b"\x00\x00\x00\x00"
+                data = bytearray(self.rfile.read(n))
+                for i in range(len(data)):
+                    data[i] ^= mask[i % 4]
+                return op, bytes(data)
+
+            def _websocket(self, imp_id: str) -> None:
+                """``GET /ws[?id=...]`` upgrade: pushes one JSON progress
+                frame per tick until the import completes — the
+                reference's per-socket progress fan-out
+                (``Website.java:94-119`` + ``application.js:1-32``),
+                with ``/api/status`` polling kept as the fallback. The
+                import id comes from the query string or, like the
+                reference's JS, from the client's first text frame."""
+                import base64
+                import hashlib
+                import time as _time
+
+                key = self.headers.get("Sec-WebSocket-Key")
+                if not key or "websocket" not in (
+                    self.headers.get("Upgrade", "").lower()
+                ):
+                    self._json(400, {"error": "not a websocket request"})
+                    return
+                accept = base64.b64encode(
+                    hashlib.sha1(
+                        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+                    ).digest()
+                ).decode()
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", accept)
+                self.end_headers()
+                self.close_connection = True
+                if not imp_id:
+                    op, payload = self._ws_read()
+                    if op == 1:  # text frame carrying the uploadId
+                        imp_id = payload.decode("utf-8", "replace").strip()
+                try:
+                    while True:
+                        st = server.status(imp_id)
+                        self._ws_send(json.dumps(st, default=str))
+                        if st.get("error") or st.get("status") in (
+                            "complete", "error",
+                        ):
+                            break
+                        _time.sleep(0.05)
+                    self.wfile.write(bytes([0x88, 0]))  # close frame
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-import
+
             def do_GET(self):
                 u = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 try:
+                    if u.path == "/ws":
+                        self._websocket(q.get("id", ""))
+                        return
                     if u.path == "/":
                         body = _FORM.encode()
                         self.send_response(200)

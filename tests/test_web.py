@@ -172,3 +172,118 @@ def test_upload_xls_via_http(ray_session, tmp_path):
         assert len(hits) == 1 and "cell 7" in hits[0]["text"]
     finally:
         srv.stop()
+
+
+def _ws_handshake(sock, port: int, path: str) -> None:
+    import base64
+    import os as _os
+
+    key = base64.b64encode(_os.urandom(16)).decode()
+    sock.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+            f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    head = b""
+    while b"\r\n\r\n" not in head:
+        chunk = sock.recv(4096)
+        assert chunk, "connection closed during handshake"
+        head += chunk
+    assert b"101" in head.split(b"\r\n", 1)[0], head
+
+
+def _ws_frames(sock, deadline: float):
+    """Yield (opcode, payload) server frames until close/timeout."""
+    import time as _time
+
+    buf = b""
+
+    def need(n: int) -> bool:
+        nonlocal buf
+        while len(buf) < n:
+            if _time.time() > deadline:
+                return False
+            chunk = sock.recv(4096)
+            if not chunk:
+                return False
+            buf += chunk
+        return True
+
+    while need(2):
+        op = buf[0] & 0x0F
+        n = buf[1] & 0x7F
+        off = 2
+        if n == 126:
+            if not need(4):
+                return
+            n = int.from_bytes(buf[2:4], "big")
+            off = 4
+        if not need(off + n):
+            return
+        payload = buf[off : off + n]
+        buf = buf[off + n :]
+        yield op, payload
+        if op == 0x8:
+            return
+
+
+def test_websocket_progress_push(ray_session, tmp_path):
+    """Website.java:94-119 parity: a /ws client receives ≥2 progress
+    frames during an import and a final complete frame."""
+    import socket
+
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "wsidx")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open("/root/reference/src/test/resources/test.csv", "rb").read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"wstest", "options": b"clear", "offset": b"1"},
+            ("file", "test.csv", payload),
+        )
+        assert status == 200, resp
+        imp_id = resp["id"]
+
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        _ws_handshake(sock, srv.port, f"/ws?id={imp_id}")
+        frames = []
+        for op, payload in _ws_frames(sock, time.time() + 60):
+            if op == 1:
+                frames.append(json.loads(payload))
+        sock.close()
+        assert len(frames) >= 2, frames
+        assert frames[-1]["status"] == "complete"
+        assert frames[-1]["progress"]["percent"] == 100.0
+    finally:
+        srv.stop()
+
+
+def test_websocket_id_via_first_frame(ray_session, tmp_path):
+    """Like the reference's application.js: the client sends its
+    uploadId as the first text frame after the upgrade."""
+    import socket
+
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "wsidx2")).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        _ws_handshake(sock, srv.port, "/ws")
+        # send masked text frame "nope" (clients MUST mask)
+        mask = b"\x01\x02\x03\x04"
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(b"nope"))
+        sock.sendall(bytes([0x81, 0x80 | len(data)]) + mask + data)
+        frames = [
+            json.loads(p)
+            for op, p in _ws_frames(sock, time.time() + 10)
+            if op == 1
+        ]
+        sock.close()
+        # unknown id → one error frame, then close
+        assert len(frames) == 1 and "error" in frames[0]
+    finally:
+        srv.stop()
