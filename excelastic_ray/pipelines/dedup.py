@@ -478,7 +478,11 @@ def verify_jaccard(
         )
         return pa.table({"id": pa.array(u)})
 
-    id_blocks = pairs_ds.map_batches(block_ids, batch_format="pyarrow")
+    # materialized: count() is then O(1) block metadata and the collect
+    # below reads the same blocks instead of re-running the map
+    id_blocks = pairs_ds.map_batches(
+        block_ids, batch_format="pyarrow"
+    ).materialize()
     semi_join_budget = 20_000_000  # ids; ~160 MB broadcast ceiling
     if id_blocks.count() <= semi_join_budget:
         cand_ids = np.unique(
