@@ -445,6 +445,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
+    def q_dedup_groups(sf_dir):
+        return dedup.dedup_groups(_docs(sf_dir))
+
+    def q_token_quantiles(sf_dir):
+        return ts.token_quantiles(_docs(sf_dir), qs=(0.5, 0.9, 0.99))
+
+    def q_keywords(sf_dir):
+        return ts.keywords(_docs(sf_dir), k=3)
+
     def q_contamination(sf_dir):
         import pyarrow as pa
 
@@ -665,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
+        "dedup_groups": q_dedup_groups,
+        "token_quantiles": q_token_quantiles,
+        "keywords": q_keywords,
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -1220,6 +1232,37 @@ SELECT doc_id FROM (
            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM documents
 ) WHERE rn = 1
+""",
+        "dedup_groups": """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+FROM documents
+""",
+        "token_quantiles": _DOCTOK
+        + """
+, l AS (SELECT len(toks) AS n FROM base)
+SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(n, 0.5) AS n_tokens FROM l
+UNION ALL
+SELECT 0.9, quantile_disc(n, 0.9) FROM l
+UNION ALL
+SELECT 0.99, quantile_disc(n, 0.99) FROM l
+""",
+        # keyword extraction: top-3 per doc by (tf DESC, df ASC, term) —
+        # a purely integer ordering, so engine and SQL rank identically
+        "keywords": _DOCTOK
+        + """
+, tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+    GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+    FROM tf JOIN df USING (term)
+) WHERE rank <= 3
 """,
         "contamination": """
 SELECT a.doc_id

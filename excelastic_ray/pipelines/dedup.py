@@ -56,6 +56,7 @@ _C3 = np.uint64(0x165667B19E3779F9)
 __all__ = [
     "add_content_hash",
     "exact_dedup",
+    "dedup_groups",
     "shingle_sets",
     "minhash_signatures_batch",
     "minhash_candidates",
@@ -133,6 +134,35 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return g.drop_duplicates("content_hash")[[id_col, "content_hash"]]
 
     return hashed.groupby("bucket").map_groups(keep_first, batch_format="pandas")
+
+
+def dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = N_BUCKETS):
+    """Exact-duplicate GROUP labels: every doc mapped to the min id of
+    its identical-text group → Dataset of (id, rep). The grouping
+    complement of :func:`exact_dedup` (which keeps only survivors) —
+    useful when the pipeline must audit / weight duplicates rather than
+    drop them. Same shuffle shape: content-hash bucket, per-bucket
+    vectorized min-per-hash."""
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, text_col).select([id_col, "content_hash"])
+        bucket = t["content_hash"].to_numpy().view(np.uint64) % n_buckets
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("content_hash")[id_col].transform("min")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy().astype(np.int64),
+                "rep": rep.to_numpy().astype(np.int64),
+            }
+        )
+
+    return hashed.groupby("bucket").map_groups(label, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -272,3 +272,130 @@ def term_df(ds, text_col: str = "text"):
     return partials.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
     )
+
+
+def token_quantiles(ds, qs=(0.5, 0.9, 0.99), id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """EXACT token-length quantiles over the corpus — no sort, no
+    sampling: token counts are small integers, so each batch emits a
+    (n_tokens, count) partial HISTOGRAM and the final combine merges
+    histograms (bounded by distinct lengths × batches, never by rows).
+    Quantile definition matches DuckDB ``quantile_disc``: the smallest
+    value v with cumulative_count(v) >= ceil(q * n).
+
+    → pa.Table (q float64, n_tokens int64), one row per requested q.
+    At 10^12 docs the partial stream stays tiny (distinct lengths are
+    a few thousand); the driver combine is histogram-sized."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch[text_col].to_pylist()
+        counts = np.fromiter(
+            (len(TOKEN_RE.findall(t.lower())) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        vals, cnt = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"v": vals, "c": cnt})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .groupby("v")["c"].sum().sort_index()
+    )
+    n = int(hist.sum())
+    cum = hist.cumsum().to_numpy()
+    vals = hist.index.to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        target = int(np.ceil(q * n)) if n else 0
+        i = int(np.searchsorted(cum, max(target, 1)))
+        out_q.append(float(q))
+        out_v.append(int(vals[min(i, len(vals) - 1)]) if n else 0)
+    return pa.table(
+        {"q": pa.array(out_q, type=pa.float64()),
+         "n_tokens": pa.array(out_v, type=pa.int64())}
+    )
+
+
+def keywords(ds, k: int = 3, id_col: str = "doc_id",
+             text_col: str = "text", df_budget: int = 50_000_000):
+    """Per-doc top-k salient terms ordered by (tf DESC, df ASC, term
+    ASC) — "frequent here, rare everywhere" keyword extraction with a
+    PURELY INTEGER ordering (no float tf-idf ties to diverge from the
+    SQL twin). Two passes: the global df table (partial+final, same as
+    term_df) is collected and broadcast via ``ray.put`` (vocabulary-
+    sized — bounded by distinct analyzer tokens; beyond ``df_budget``
+    terms this must become a term-keyed bucket join, documented not
+    built), then one vectorized map ranks each doc's terms against it.
+
+    → Dataset (doc_id, rank, term, tf, df)."""
+    import ray
+
+    from excelastic_ray.pipelines.textstats import term_df as _term_df
+
+    df_pdf = _term_df(ds, text_col=text_col).to_pandas()
+    if len(df_pdf) > df_budget:
+        raise ValueError(
+            f"vocabulary {len(df_pdf)} exceeds df_budget={df_budget}; "
+            "use a term-keyed bucket join for this corpus"
+        )
+    # sorted term array + df array: term ranks double as the ASC
+    # tie-break key (codes from factorize(sort=True) are in term order)
+    df_terms = df_pdf["term"].to_numpy().astype(object)
+    order = np.argsort(df_terms)
+    df_terms = df_terms[order]
+    df_vals = df_pdf["df"].to_numpy().astype(np.int64)[order]
+    df_ref = ray.put((df_terms, df_vals))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        terms_sorted, dfs_sorted = ray.get(df_ref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        if not len(codes):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int32()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        # per-(row, term) tf via sort + run-length
+        key_order = np.lexsort((codes, row_idx))
+        r_s, c_s = row_idx[key_order], codes[key_order]
+        new = np.empty(len(r_s), dtype=bool)
+        new[0] = True
+        new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        g_row = r_s[starts]
+        g_code = c_s[starts]
+        g_tf = np.diff(np.append(starts, len(r_s)))
+        # df + global term order per local code (searchsorted into the
+        # broadcast dictionary; every corpus term is present)
+        u_pos = np.searchsorted(terms_sorted, uniques.astype(object))
+        g_pos = u_pos[g_code]           # global term rank (ASC tie-break)
+        g_df = dfs_sorted[g_pos]
+        sel = np.lexsort((g_pos, g_df, -g_tf, g_row))
+        rr = g_row[sel]
+        first = np.empty(len(rr), dtype=bool)
+        first[0] = True
+        first[1:] = rr[1:] != rr[:-1]
+        pos_in_row = np.arange(len(rr)) - np.repeat(
+            np.flatnonzero(first), np.diff(np.append(np.flatnonzero(first), len(rr)))
+        )
+        keep = pos_in_row < k
+        sel = sel[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[g_row[sel]]),
+                "rank": pa.array((pos_in_row[keep] + 1).astype(np.int32)),
+                "term": pa.array(
+                    terms_sorted[g_pos[sel]].astype(object), type=pa.string()
+                ),
+                "tf": pa.array(g_tf[sel].astype(np.int64)),
+                "df": pa.array(g_df[sel].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=4096)

@@ -498,3 +498,59 @@ def test_quality_filter_gates(ray_session):
     out = quality_filter(rd.from_arrow(t), min_tokens=5,
                          max_stop_ratio=0.6).to_pandas()
     assert sorted(out["doc_id"]) == [0]
+
+
+def test_dedup_groups_labels(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import dedup_groups
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 9, 3], type=pa.int64()),
+            "text": ["x", "x", "y", "x", "y"],
+        }
+    )
+    out = dedup_groups(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["doc_id"], out["rep"]))
+    assert got == {5: 1, 1: 1, 9: 1, 2: 2, 3: 2}
+
+
+def test_token_quantiles_exact(ray_session, docs_ds):
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import token_quantiles
+
+    texts = []
+    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.extend(b["text"].to_pylist())
+    lens = np.sort(np.asarray([len(tokenize(t)) for t in texts]))
+    got = token_quantiles(docs_ds, qs=(0.25, 0.5, 0.75, 0.99))
+    for q, v in zip(got["q"].to_pylist(), got["n_tokens"].to_pylist()):
+        # quantile_disc: element at 1-based position ceil(q*n)
+        assert v == int(lens[int(np.ceil(q * len(lens))) - 1])
+
+
+def test_keywords_bruteforce(ray_session, docs_ds):
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import keywords
+
+    rows = {}
+    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            rows[int(i)] = tokenize(t)
+    df = Counter()
+    for toks in rows.values():
+        df.update(set(toks))
+    got = keywords(docs_ds, k=3).to_pandas()
+    by_doc = {
+        int(d): list(zip(g["rank"], g["term"], g["tf"], g["df"]))
+        for d, g in got.sort_values(["doc_id", "rank"]).groupby("doc_id")
+    }
+    for i, toks in rows.items():
+        tf = Counter(toks)
+        exp = sorted(tf, key=lambda t: (-tf[t], df[t], t))[:3]
+        assert [t for _, t, _, _ in by_doc.get(i, [])] == exp
+        for rank, term, tfv, dfv in by_doc.get(i, []):
+            assert tfv == tf[term] and dfv == df[term]
