@@ -174,14 +174,28 @@ class ShardSearcher:
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(self.df[i]) if (i := self.lookup(t)) >= 0 else 0 for t in terms]
 
-    def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
+    def terms_with_prefix(self, prefix: str, cap: int,
+                          field: str | None = None) -> list[str]:
         """First ``cap`` dictionary terms starting with ``prefix`` —
         a contiguous range of the sorted term dictionary (two binary
         searches), the Lucene TermEnum seek the ES prefix query uses.
+        With ``field``, the seek happens inside that field's key region
+        and the bare terms are returned (field-scoped prefix query).
         The field-qualified key region (keys starting FIELD_MARK =
         "\\x01") sits contiguously at the dictionary head; clamping lo
         past it keeps field streams invisible to unqualified expansion
         (any non-empty analyzer prefix already lands past it)."""
+        if field is not None:
+            from excelastic_ray.analysis import field_key
+
+            base = field_key(field, prefix)
+            lo = int(np.searchsorted(self.terms, base))
+            hi = int(np.searchsorted(self.terms, base + "\U0010ffff"))
+            strip = len(base) - len(prefix)
+            return [
+                str(t)[strip:]
+                for t in self.terms[lo : min(hi, lo + cap)]
+            ]
         lo = int(np.searchsorted(self.terms, max(prefix, "\x02")))
         hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
         return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
@@ -285,26 +299,28 @@ class ShardSearcher:
             self._pos_size += n
         return out
 
-    def phrase_count(self, terms: list[str], slop: int = 0) -> int:
+    def phrase_count(self, terms: list[str], slop: int = 0,
+                     field: str | None = None) -> int:
         """Phase 1 of phrase scoring: compute + cache this shard's
         phrase matches, return only their count (the phrase-df partial).
         The match set stays shard-local so the driver never receives
         more than counts + k-sized results."""
-        key = (tuple(terms), slop)
-        m = self.phrase_matches(terms, slop)
+        key = (tuple(terms), slop, field)
+        m = self.phrase_matches(terms, slop, field)
         self._phrase_cache = (key, m)
         return len(m[0])
 
     def phrase_topk(self, terms: list[str], p_idf: float, avgdl: float,
-                    k: int, slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+                    k: int, slop: int = 0,
+                    field: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Phase 2: score the cached matches with the now-known global
         phrase idf, return this shard's top-k only."""
-        key = (tuple(terms), slop)
+        key = (tuple(terms), slop, field)
         cached = getattr(self, "_phrase_cache", None)
         if cached is not None and cached[0] == key:
             docids, ptfs, dls = cached[1]
         else:
-            docids, ptfs, dls = self.phrase_matches(terms, slop)
+            docids, ptfs, dls = self.phrase_matches(terms, slop, field)
         if not len(docids):
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         sc = contribution(
@@ -314,8 +330,8 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
-    def phrase_matches(self, terms: list[str],
-                       slop: int = 0) -> tuple[np.ndarray, ...]:
+    def phrase_matches(self, terms: list[str], slop: int = 0,
+                       field: str | None = None) -> tuple[np.ndarray, ...]:
         """Docs matching the phrase → (docids, ptf, dl) where ptf =
         number of distinct match anchors. ``slop=0`` is exact adjacency
         (match_phrase); ``slop=s`` is the windowed in-order relaxation:
@@ -334,14 +350,27 @@ class ShardSearcher:
         docs)."""
         empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                  np.zeros(0, np.float64))
+        if field is None:
+            dls = self.dls
+            keys_of = terms
+        else:  # field-scoped phrase: prefixed keys + that field's dl
+            from excelastic_ray.analysis import field_key
+
+            fdl = self.field_dls.get(field)
+            if fdl is None:
+                raise KeyError(
+                    f"field {field!r} has no per-field stream in this index"
+                )
+            dls = fdl
+            keys_of = [field_key(field, t) for t in terms]
         idxs = []
-        for t in terms:
+        for t in keys_of:
             i = self.lookup(t)
             if i < 0:
                 return empty
             idxs.append(i)
         L = len(terms)
-        max_dl = int(self.dls.max()) if len(self.dls) else 0
+        max_dl = int(dls.max()) if len(dls) else 0
         M = np.int64(max_dl + L + slop + 2)
         inter = None
         for j, i in enumerate(idxs):
@@ -367,7 +396,7 @@ class ShardSearcher:
         return (
             self.docids[uniq],
             counts.astype(np.int64),
-            self.dls[uniq],
+            dls[uniq],
         )
 
     # -- scoring ---------------------------------------------------------
@@ -1139,22 +1168,24 @@ class QueryEngine:
                 pairs.append((field, term))
         return self._search_field_pairs(pairs, k, filters, offset)
 
-    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+    def expand_prefix(self, prefix: str, max_expansions: int = 50,
+                      field: str | None = None) -> list[str]:
         """Global prefix expansion: union of per-shard dictionary ranges,
         sorted, capped at ``max_expansions`` (the ES prefix-query
         expansion rule). Deterministic: the cap keeps the
-        lexicographically FIRST terms."""
+        lexicographically FIRST terms. ``field`` scopes the expansion to
+        that field's own dictionary region."""
         r = self.reader
         if self._actors is not None:
             import ray
 
             parts = ray.get(
-                [a.terms_with_prefix.remote(prefix, max_expansions)
+                [a.terms_with_prefix.remote(prefix, max_expansions, field)
                  for a in self._actors]
             )
         else:
             parts = [
-                r.searcher(s).terms_with_prefix(prefix, max_expansions)
+                r.searcher(s).terms_with_prefix(prefix, max_expansions, field)
                 for s in range(r.num_shards)
             ]
         out: set[str] = set()
@@ -1163,7 +1194,8 @@ class QueryEngine:
         return sorted(out)[:max_expansions]
 
     def search_prefix(self, prefix: str, k: int = 10,
-                      max_expansions: int = 50, filters: dict | None = None):
+                      max_expansions: int = 50, filters: dict | None = None,
+                      field: str | None = None):
         """ES prefix query: expand the prefix to the first
         ``max_expansions`` matching dictionary terms and score them as
         an OR query (constant-score is ES's default for prefix; we keep
@@ -1172,11 +1204,17 @@ class QueryEngine:
         twin matches exactly)."""
         import pyarrow as pa
 
-        terms = self.expand_prefix(
-            "".join(TOKEN_RE.findall(prefix.lower())), max_expansions
-        )
-        if terms:
-            return self.search(" ".join(terms), k, filters=filters)
+        norm = "".join(TOKEN_RE.findall(prefix.lower()))
+        if field is not None:
+            terms = self.expand_prefix(norm, max_expansions, field=field)
+            if terms:
+                return self._search_field_pairs(
+                    [(field, t) for t in terms], k, filters, 0
+                )
+        else:
+            terms = self.expand_prefix(norm, max_expansions)
+            if terms:
+                return self.search(" ".join(terms), k, filters=filters)
         return pa.table(
             {
                 "rank": pa.array([], type=pa.int32()),
@@ -1252,11 +1290,15 @@ class QueryEngine:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         )
 
-    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0,
+                      field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
         (``slop`` relaxes each later term's slot by up to ``slop``
         positions — the windowed in-order sloppy-phrase semantics, see
-        ShardSearcher.phrase_matches),
+        ShardSearcher.phrase_matches). ``field`` scopes the phrase to a
+        per-field stream (Kibana ``field:"exact phrase"``) with that
+        field's own positions, dl and avgdl; None = the catch-all
+        stream,
         scored like a single pseudo-term whose tf is the phrase-occurrence
         count and whose df is the phrase's doc count (the Lucene
         PhraseQuery shape). Two-phase because phrase df is
@@ -1268,6 +1310,14 @@ class QueryEngine:
         import pyarrow as pa
 
         r = self.reader
+        if field is not None and (
+            len(r.cfg.index_fields) == 1 and field == r.cfg.index_fields[0]
+        ):
+            field = None  # the catch-all stream IS that field's stream
+        avgdl = (
+            r.avgdl if field is None
+            else r.manifest.get("field_avgdl", {})[field]
+        )
         terms = TOKEN_RE.findall(query.lower())  # IN ORDER, duplicates kept
         docids = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
@@ -1276,26 +1326,29 @@ class QueryEngine:
                 import ray
 
                 counts = ray.get(
-                    [a.phrase_count.remote(terms, slop) for a in self._actors]
+                    [a.phrase_count.remote(terms, slop, field)
+                     for a in self._actors]
                 )
                 df_phrase = int(sum(counts))
                 if df_phrase:
                     p_idf = idf(r.n_docs, df_phrase)
                     parts = ray.get(
                         [
-                            a.phrase_topk.remote(terms, p_idf, r.avgdl, k,
-                                                 slop)
+                            a.phrase_topk.remote(terms, p_idf, avgdl, k,
+                                                 slop, field)
                             for a in self._actors
                         ]
                     )
                     docids, scores = _merge_shard_topk(parts, k)
             else:
                 searchers = [r.searcher(s) for s in range(r.num_shards)]
-                df_phrase = sum(s.phrase_count(terms, slop) for s in searchers)
+                df_phrase = sum(
+                    s.phrase_count(terms, slop, field) for s in searchers
+                )
                 if df_phrase:
                     p_idf = idf(r.n_docs, df_phrase)
                     parts = [
-                        s.phrase_topk(terms, p_idf, r.avgdl, k, slop)
+                        s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
                         for s in searchers
                     ]
                     docids, scores = _merge_shard_topk(parts, k)
@@ -1580,10 +1633,11 @@ class ShardActor:
         )[:k]
         return ids[pos], tss[pos]
 
-    def terms_with_prefix(self, prefix: str, cap: int) -> list[str]:
+    def terms_with_prefix(self, prefix: str, cap: int,
+                          field: str | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.searchers:
-            out.update(s.terms_with_prefix(prefix, cap))
+            out.update(s.terms_with_prefix(prefix, cap, field))
         return sorted(out)[:cap]
 
     def fuzzy_candidates(self, term, max_edits, prefix_length=0):
@@ -1604,19 +1658,24 @@ class ShardActor:
                 out[b] = out.get(b, 0) + n
         return out
 
-    def phrase_matches(self, terms: list[str], slop: int = 0):
-        parts = [s.phrase_matches(terms, slop) for s in self.searchers]
+    def phrase_matches(self, terms: list[str], slop: int = 0,
+                       field: str | None = None):
+        parts = [s.phrase_matches(terms, slop, field)
+                 for s in self.searchers]
         return (
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
 
-    def phrase_count(self, terms: list[str], slop: int = 0) -> int:
-        return sum(s.phrase_count(terms, slop) for s in self.searchers)
+    def phrase_count(self, terms: list[str], slop: int = 0,
+                     field: str | None = None) -> int:
+        return sum(s.phrase_count(terms, slop, field)
+                   for s in self.searchers)
 
-    def phrase_topk(self, terms, p_idf, avgdl, k, slop: int = 0):
-        parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop)
+    def phrase_topk(self, terms, p_idf, avgdl, k, slop: int = 0,
+                    field: str | None = None):
+        parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
                  for s in self.searchers]
         return _merge_shard_topk(parts, k)
 

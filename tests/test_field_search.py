@@ -166,3 +166,102 @@ def test_field_search_via_actors(field_index, ray_session):
         assert qa.equals(qb)
     finally:
         actors.close()
+
+
+@pytest.fixture(scope="module")
+def multi_tok_field_index(tmp_path_factory, ray_session):
+    """Corpus whose `tool` field holds multi-token values — exercises
+    field-scoped phrase/prefix against a real per-field stream."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    tools = [
+        "search api v2", "code run fast", "search index api",
+        "api search", "run code", None, "search api", "browser page load",
+    ]
+    n = len(tools)
+    table = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:03d}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"text body {i} search" for i in range(n)]),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(
+                np.arange(n).astype("datetime64[s]").astype("datetime64[us]")
+            ),
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("mtfidx") / "idx")
+    build_index(
+        __import__("ray").data.from_arrow(table), idx,
+        IndexConfig(turn_bits=4, convs_per_chunk_bits=1, num_shards=2,
+                    field_index_fields=("tool",)),
+        clear=True,
+    )
+    return idx, tools
+
+
+def test_field_phrase_matches(multi_tok_field_index):
+    idx, tools = multi_tok_field_index
+    eng = QueryEngine(idx)
+    got = eng.search_phrase("search api", k=10, field="tool")
+    exp_rows = sorted(
+        i for i, t in enumerate(tools)
+        if t and "search api" in " ".join(t.split())
+    )
+    assert sorted(got["turn_idx"].to_pylist()) == [0] * len(exp_rows)
+    assert sorted(int(c[1:]) for c in got["conv_id"].to_pylist()) == exp_rows
+    # scored with the FIELD's stats: brute-force the pseudo-term BM25
+    N = len(tools)
+    dls = [len(t.split()) if t else 0 for t in tools]
+    avgdl = sum(dls) / N
+    df = len(exp_rows)
+    p_idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    exp_scores = {}
+    for i in exp_rows:
+        ptf = 1.0
+        dl = dls[i]
+        exp_scores[f"c{i:03d}"] = (
+            p_idf * (ptf * 2.2)
+            / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        )
+    for c, s in zip(got["conv_id"].to_pylist(), got["score"].to_pylist()):
+        assert s == pytest.approx(exp_scores[c], abs=1e-12)
+
+
+def test_field_phrase_vs_text_phrase_differ(multi_tok_field_index):
+    idx, _ = multi_tok_field_index
+    eng = QueryEngine(idx)
+    in_tool = eng.search_phrase("search api", k=10, field="tool")
+    in_text = eng.search_phrase("search api", k=10)
+    assert in_tool.num_rows > 0
+    assert in_text.num_rows == 0  # "search api" is never adjacent in text
+
+
+def test_field_prefix(multi_tok_field_index):
+    idx, tools = multi_tok_field_index
+    eng = QueryEngine(idx)
+    assert eng.expand_prefix("se", 10, field="tool") == ["search"]
+    assert eng.expand_prefix("a", 10, field="tool") == ["api"]
+    got = eng.search_prefix("ap", k=10, field="tool")
+    exp = sorted(
+        i for i, t in enumerate(tools) if t and any(
+            w.startswith("ap") for w in t.split())
+    )
+    assert sorted(int(c[1:]) for c in got["conv_id"].to_pylist()) == exp
+
+
+def test_field_phrase_actor_parity(multi_tok_field_index, ray_session):
+    idx, _ = multi_tok_field_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        a = actors.search_phrase("search api", k=5, field="tool")
+        b = local.search_phrase("search api", k=5, field="tool")
+        assert a.equals(b)
+        ap = actors.search_prefix("se", k=5, field="tool")
+        bp = local.search_prefix("se", k=5, field="tool")
+        assert ap.equals(bp)
+    finally:
+        actors.close()
