@@ -265,3 +265,47 @@ def test_field_phrase_actor_parity(multi_tok_field_index, ray_session):
         assert ap.equals(bp)
     finally:
         actors.close()
+
+
+def test_append_extends_field_streams(tmp_path, ray_session):
+    """append_index must extend per-field streams and keep per-field
+    avgdl consistent with a from-scratch build of the union corpus."""
+    import ray.data as rd
+
+    from excelastic_ray.index.build import append_index
+
+    full = generate_transcripts(n_convs=30, seed=23)
+    convs = sorted(set(full["conv_id"].to_pylist()))
+    first = set(convs[:20])
+    mask = [c in first for c in full["conv_id"].to_pylist()]
+    import pyarrow as pa
+
+    base_t = full.filter(pa.array(mask))
+    add_t = full.filter(pa.array([not m for m in mask]))
+
+    idx = str(tmp_path / "fidx")
+    build_index(rd.from_arrow(base_t), idx, CFG, clear=True)
+    append_index(rd.from_arrow(add_t), idx)
+
+    ref_idx = str(tmp_path / "ref")
+    build_index(rd.from_arrow(full), ref_idx, CFG, clear=True)
+
+    import json
+
+    m_a = json.load(open(f"{idx}/manifest.json"))
+    m_r = json.load(open(f"{ref_idx}/manifest.json"))
+    assert m_a["field_avgdl"] == m_r["field_avgdl"]
+    assert m_a["n_docs"] == m_r["n_docs"]
+
+    ea, er = QueryEngine(idx), QueryEngine(ref_idx)
+    for q, fields in (("user", ["role"]), ("code", ["tool"]),
+                      ("tool the", ["role", "text"])):
+        a = ea.search_fields(q, fields, k=20)
+        r = er.search_fields(q, fields, k=20)
+        # docids differ across the two builds (append ranks after the
+        # base) — compare by (conv_id, turn_idx, score)
+        ka = list(zip(a["conv_id"].to_pylist(), a["turn_idx"].to_pylist(),
+                      a["score"].to_pylist()))
+        kr = list(zip(r["conv_id"].to_pylist(), r["turn_idx"].to_pylist(),
+                      r["score"].to_pylist()))
+        assert ka == kr
