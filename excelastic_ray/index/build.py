@@ -576,14 +576,19 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             parts_df = [rows_df]
             parts_nb, parts_post = [rows_nb], [rows_post]
             parts_bm, parts_pos = [rows_bm], [rows_pos]
+            def tok_cell(v):
+                # strings tokenize; None/''/NaN are EMPTY (matching the
+                # SQL twin's regexp_extract_all(lower(NULL)) → no
+                # tokens); other scalars (ints etc.) tokenize via str()
+                if isinstance(v, str):
+                    return findall(v.lower()) if v else []
+                if v is None or (isinstance(v, float) and v != v):
+                    return []
+                return findall(str(v).lower())
+
             for f in cfg.field_index_fields:
                 vals = g[f].tolist() if f in g.columns else [None] * n_docs
-                ftoks = [
-                    findall(v.lower()) if isinstance(v, str) and v
-                    else (findall(str(v).lower()) if v not in (None, "")
-                          else [])
-                    for v in vals
-                ]
+                ftoks = [tok_cell(v) for v in vals]
                 (fu, fdf, fnb, fpost, fbm, fpos, fdl, ftot,
                  fnp) = _posting_columns(ftoks, cfg)
                 parts_t.append(
@@ -808,6 +813,20 @@ class SegmentMerger:
                            "dl": pa.array([], pa.int64())})
         )
         shard_dl = docs["dl"].to_numpy()
+        # per-field dl arrays: block-max metadata of a field-qualified
+        # term must be computed with THAT field's lengths, or future
+        # pruning over field keys would use wrong bounds
+        field_dl = {
+            name[3:]: docs[name].to_numpy()
+            for name in docs.column_names
+            if name.startswith("dl@")
+        }
+
+        def dl_for_term(term: str):
+            if term and term[0] == "\x01":
+                fname = term[1:].split("\x1f", 1)[0]
+                return field_dl.get(fname, shard_dl)
+            return shard_dl
 
         cursors = [
             _TermCursor(
@@ -886,8 +905,9 @@ class SegmentMerger:
                     tf_parts.append(tfs_j)
                 ids = np.concatenate(ids_parts)
                 tfs = np.concatenate(tf_parts)
+                dls_t = dl_for_term(t)
                 post, bm, nb = encode_postings(
-                    ids, tfs, shard_dl[ids], cfg.codec, cfg.block_size
+                    ids, tfs, dls_t[ids], cfg.codec, cfg.block_size
                 )
             buf_term.append(t)
             buf_df.append(df_sum)

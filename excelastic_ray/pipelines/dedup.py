@@ -799,14 +799,49 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_group: int = 512):
     """Near-dup pairs by SimHash Hamming distance ≤ r via the pigeonhole
     band trick (r+1 = 4 segments of 16 bits → exact recall for r ≤ 3).
-    Drop-counter sentinel rows (a = -1) survive to the output."""
+    Drop-counter sentinel rows (a = -1) survive to the output.
+
+    Single-exchange dedup: each pair is emitted only from its FIRST
+    matching NON-DROPPED segment. "Non-dropped" needs the global group
+    sizes — the (seg, segval) key space is only 4 × 2¹⁶, so an exact
+    census is one sparse (key, count) partial per batch summed on the
+    driver (bounded by 256 Ki keys, never rows) and the oversized-group
+    bitmap is broadcast. Without the census a pair whose lowest
+    agreeing segment sits in a dropped group would be lost from EVERY
+    segment (round-3 review finding)."""
+    import ray
+
     sigs = ds.map_batches(
         lambda t: simhash_batch(t, id_col, text_col),
         batch_format="pyarrow", batch_size=4096,
+    ).materialize()  # reused: census pass + pair pass
+
+    def census(b: pa.Table) -> pa.Table:
+        h = b["simhash"].to_numpy().view(np.uint64)
+        keys = np.concatenate(
+            [
+                np.int64(s) * 65536
+                + ((h >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(
+                    np.int64
+                )
+                for s in range(4)
+            ]
+        )
+        vals, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"k": pa.array(vals), "c": pa.array(cnt)})
+
+    cdf = (
+        sigs.map_batches(census, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .groupby("k")["c"].sum()
     )
+    dropped_map = np.zeros(4 * 65536, dtype=bool)
+    big = cdf[cdf > max_group].index.to_numpy()
+    dropped_map[big] = True
+    dropped_ref = ray.put(dropped_map)
 
     def seg_rows(batch: pa.Table) -> pa.Table:
         """One row per (doc, 16-bit segment), keyed by the coarse bucket
@@ -840,7 +875,8 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 np.int64
             )
         )
-        cand = _pairs_within(g, ["segval"], id_col, extra_col="simhash")
+        cand = _pairs_within(g, ["segval"], id_col, extra_col="simhash",
+                             max_group=max_group)
         drops = cand[cand["a"] < 0]
         cand = cand[cand["a"] >= 0]
         if len(cand):
@@ -848,16 +884,27 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 "simhash_b"
             ].to_numpy().view(np.uint64)
             ham = np.asarray([bin(int(x)).count("1") for x in xor], dtype=np.int64)
-            # FIRST-matching-segment rule: a close pair collides in every
-            # segment whose 16 bits agree; emitting it only from the
-            # lowest such segment makes the global pair set exactly
-            # deduplicated WITHOUT a second cross-segment exchange (the
-            # round-2 seg_pairs → bucket → uniq shuffle, VERDICT #3) —
-            # both docs' full simhashes are already in this group, so
-            # the check is three vectorized mask ops
+            # FIRST-matching-NON-DROPPED-segment rule: a close pair
+            # collides in every segment whose 16 bits agree; emitting it
+            # only from the lowest such segment whose global group was
+            # NOT dropped makes the pair set exactly deduplicated
+            # WITHOUT a second cross-segment exchange (the round-2
+            # seg_pairs → bucket → uniq shuffle) AND keeps the pair when
+            # an earlier agreeing segment's group was oversized (both
+            # docs' full simhashes are in this group; the dropped bitmap
+            # is the broadcast census)
+            import ray as _ray
+
+            dropped = _ray.get(dropped_ref)
+            ha = cand["simhash_a"].to_numpy().view(np.uint64)
             first = np.full(len(xor), 4, dtype=np.int64)
             for s in range(3, -1, -1):
-                m = ((xor >> np.uint64(16 * s)) & np.uint64(0xFFFF)) == 0
+                segval = (
+                    (ha >> np.uint64(16 * s)) & np.uint64(0xFFFF)
+                ).astype(np.int64)
+                m = (
+                    ((xor >> np.uint64(16 * s)) & np.uint64(0xFFFF)) == 0
+                ) & ~dropped[s * 65536 + segval]
                 first[m] = s
             keep = (ham <= max_hamming) & (first == seg)
             out = pd.DataFrame(

@@ -332,19 +332,28 @@ def keywords(ds, k: int = 3, id_col: str = "doc_id",
 
     from excelastic_ray.pipelines.textstats import term_df as _term_df
 
-    df_pdf = _term_df(ds, text_col=text_col).to_pandas()
-    if len(df_pdf) > df_budget:
+    # budget gate BEFORE the collect: count the materialized term
+    # Dataset (O(1) block metadata) so an over-budget vocabulary never
+    # lands on the driver in the first place
+    df_ds = _term_df(ds, text_col=text_col).materialize()
+    n_terms = df_ds.count()
+    if n_terms > df_budget:
         raise ValueError(
-            f"vocabulary {len(df_pdf)} exceeds df_budget={df_budget}; "
+            f"vocabulary {n_terms} exceeds df_budget={df_budget}; "
             "use a term-keyed bucket join for this corpus"
         )
+    df_pdf = df_ds.to_pandas()
     # sorted term array + df array: term ranks double as the ASC
-    # tie-break key (codes from factorize(sort=True) are in term order)
+    # tie-break key. Broadcast as fixed-width numpy (U dtype + int64),
+    # NOT object arrays — numeric/unicode buffers come out of the
+    # object store zero-copy, object arrays re-unpickle per task.
     df_terms = df_pdf["term"].to_numpy().astype(object)
     order = np.argsort(df_terms)
-    df_terms = df_terms[order]
-    df_vals = df_pdf["df"].to_numpy().astype(np.int64)[order]
-    df_ref = ray.put((df_terms, df_vals))
+    df_terms_u = df_terms[order].astype("U")
+    df_vals = np.ascontiguousarray(
+        df_pdf["df"].to_numpy().astype(np.int64)[order]
+    )
+    df_ref = ray.put((df_terms_u, df_vals))
 
     def topk(batch: pa.Table) -> pa.Table:
         terms_sorted, dfs_sorted = ray.get(df_ref)
@@ -373,7 +382,7 @@ def keywords(ds, k: int = 3, id_col: str = "doc_id",
         g_tf = np.diff(np.append(starts, len(r_s)))
         # df + global term order per local code (searchsorted into the
         # broadcast dictionary; every corpus term is present)
-        u_pos = np.searchsorted(terms_sorted, uniques.astype(object))
+        u_pos = np.searchsorted(terms_sorted, uniques.astype(str))
         g_pos = u_pos[g_code]           # global term rank (ASC tie-break)
         g_df = dfs_sorted[g_pos]
         sel = np.lexsort((g_pos, g_df, -g_tf, g_row))
@@ -391,7 +400,8 @@ def keywords(ds, k: int = 3, id_col: str = "doc_id",
                 id_col: pa.array(ids[g_row[sel]]),
                 "rank": pa.array((pos_in_row[keep] + 1).astype(np.int32)),
                 "term": pa.array(
-                    terms_sorted[g_pos[sel]].astype(object), type=pa.string()
+                    terms_sorted[g_pos[sel]].astype(object),
+                    type=pa.string(),
                 ),
                 "tf": pa.array(g_tf[sel].astype(np.int64)),
                 "df": pa.array(g_df[sel].astype(np.int64)),

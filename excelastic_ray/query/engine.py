@@ -282,7 +282,9 @@ class ShardSearcher:
                 "queries need a rebuild"
             )
         c = self._pos_cache.get(i)
-        if c is not None:
+        if c is not None and len(c) == int(tfs.sum()):
+            # the cached array is a function of the FULL tf stream; a
+            # caller passing filtered tfs must not hit it (length guard)
             self._pos_cache.move_to_end(i)
             return c
         vals = varint_decode(self.positions[i].as_py()).astype(np.int64)

@@ -147,6 +147,11 @@ class ImportServer:
                     n = int.from_bytes(self.rfile.read(2), "big")
                 elif n == 127:
                     n = int.from_bytes(self.rfile.read(8), "big")
+                if n > 4096:
+                    # the only expected client frame is a short upload
+                    # id — never buffer an attacker-chosen length (the
+                    # same pin-a-worker class bounded in xls.py)
+                    return None, b""
                 mask = self.rfile.read(4) if masked else b"\x00\x00\x00\x00"
                 data = bytearray(self.rfile.read(n))
                 for i in range(len(data)):
@@ -335,8 +340,13 @@ class ImportServer:
         except TypeError:
             ds = reader(path)
         ds, n_rows = dataset_as_transcripts(ds, conv_prefix=index)
+        # invalidate BEFORE the build can clear/rewrite shard files: a
+        # cached engine opens shards lazily, so serving it during the
+        # rebuild window would read deleted/partial files
+        with self._engines_guard:
+            self._engines.pop(index, None)
         build_index(ds, self.index_dir(index), self.config, clear=clear)
-        with self._engines_guard:  # a new import invalidates the cache
+        with self._engines_guard:  # and after: force a fresh reader
             self._engines.pop(index, None)
         return n_rows
 
@@ -357,6 +367,14 @@ class ImportServer:
 
         with self._engines_guard:
             eng = self._engines.get(index)
+            if eng is not None:
+                # re-check on every hit: an import may have started
+                # since this engine was cached (manifest flips away
+                # from "complete" before any destructive write)
+                m = load_global_manifest(self.index_dir(index))
+                if m.get("status") != "complete":
+                    self._engines.pop(index, None)
+                    eng = None
             if eng is None:
                 # read-gate: only serve a complete index — a concurrent
                 # import into the same dir may be mid-clear/rebuild

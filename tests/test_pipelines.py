@@ -554,3 +554,60 @@ def test_keywords_bruteforce(ray_session, docs_ds):
         assert [t for _, t, _, _ in by_doc.get(i, [])] == exp
         for rank, term, tfv, dfv in by_doc.get(i, []):
             assert tfv == tf[term] and dfv == df[term]
+
+
+def test_simhash_dropped_segment_recovery(ray_session):
+    """A pair whose lowest agreeing segment sits in an oversized
+    (dropped) group must still be emitted from a later non-dropped
+    segment. Expected set: all Hamming<=3 pairs with >=1 agreeing
+    segment whose GLOBAL (seg, segval) group is within max_group."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import simhash_batch, simhash_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 9)))
+        for _ in range(120)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(120, dtype=np.int64)), "text": texts}
+    )
+    max_group = 4
+
+    sig_t = simhash_batch(t)
+    sigs = sig_t["simhash"].to_numpy().view(np.uint64)
+    seg_of = lambda h, s: int((h >> np.uint64(16 * s)) & np.uint64(0xFFFF))  # noqa: E731
+    from collections import Counter
+
+    counts = Counter(
+        (s, seg_of(h, s)) for h in sigs for s in range(4)
+    )
+    exp = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            ham = bin(int(sigs[i] ^ sigs[j])).count("1")
+            if ham > 3:
+                continue
+            for s in range(4):
+                if seg_of(sigs[i], s) == seg_of(sigs[j], s) and counts[
+                    (s, seg_of(sigs[i], s))
+                ] <= max_group:
+                    exp.add((i, j, ham))
+                    break
+    assert exp  # the fixture must actually exercise recovery/drops
+    dropped_exists = any(
+        c > max_group for c in counts.values()
+    )
+    assert dropped_exists  # and at least one oversized group
+
+    out = simhash_pairs(
+        rd.from_arrow(t), max_hamming=3, max_group=max_group
+    ).to_pandas()
+    got = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(out["a"], out["b"], out["hamming"])
+        if a >= 0
+    }
+    assert got == exp
