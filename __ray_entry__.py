@@ -521,6 +521,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, qmat, query_ids=qids, k=10, n_centroids=16, nprobe=4
         )
 
+    def q_ann_ivf_exact(sf_dir):
+        # nprobe == n_centroids probes every cell → the IVF machinery
+        # (distributed k-means + cell routing + probe scoring) must
+        # reproduce exact brute-force cosine — giving the whole IVF
+        # path a full-match SQL oracle (the pruned-nprobe entry above
+        # stays as the scale-shaped variant)
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.ivf_topk(
+            emb, qmat, query_ids=qids, k=10, n_centroids=16, nprobe=16
+        )
+
     def q_sessionize(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
         "sliding": q_sliding,
@@ -1310,6 +1322,25 @@ SELECT a, b, floor(raw * 1000000 + 0.5) / 1000000 AS cos
 FROM p WHERE raw >= 0.2
 """,
         "ann_cosine_topk": """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) AS raw
+    FROM n q JOIN n e ON q.vec_id < 5
+)
+SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
+        "ann_ivf_exact": """
 WITH n AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -250,27 +250,44 @@ def bpe_token_count(ds, **kw):
                           batch_format="pyarrow", batch_size=8192)
 
 
-def term_df(ds, text_col: str = "text"):
+def term_df(ds, text_col: str = "text", n_buckets: int = 32):
     """Corpus-wide (term, df, cf): pre-aggregated per batch (one row per
-    distinct term per batch) before the small groupby — the partial+final
-    pattern, so the shuffle moves term partials, not tokens."""
-    from ray.data.aggregate import Sum
+    distinct term per batch), then a COARSE hash-bucketed final combine
+    — the fine distributed groupby over a vocabulary of tiny term groups
+    paid seconds of per-group machinery (the same pitfall as the window
+    combines); bucketing keys into ~32 reducer frames with a vectorized
+    pandas groupby inside each is cardinality-independent. At a larger
+    vocabulary raise ``n_buckets`` by the usual K rule."""
 
     def partial(batch: pa.Table) -> pa.Table:
         codes, uniques, row_idx = _tokenize_batch(batch[text_col].to_pylist())
         if not len(codes):
             return pa.table({"term": pa.array([], type=pa.string()),
                              "df": pa.array([], type=pa.int64()),
-                             "cf": pa.array([], type=pa.int64())})
+                             "cf": pa.array([], type=pa.int64()),
+                             "__bucket": pa.array([], type=pa.int64())})
         cf = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
         pair = pd.DataFrame({"r": row_idx, "c": codes}).drop_duplicates()
         df = np.bincount(pair["c"].to_numpy(), minlength=len(uniques)).astype(np.int64)
+        bucket = (
+            fnv1a_rows([str(u).encode() for u in uniques])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return pa.table({"term": pa.array(uniques.astype(str)),
-                         "df": pa.array(df), "cf": pa.array(cf)})
+                         "df": pa.array(df), "cf": pa.array(cf),
+                         "__bucket": pa.array(bucket)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("term", sort=False)
+            .agg(df=("df", "sum"), cf=("cf", "sum"))
+            .reset_index()
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    return partials.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    return partials.groupby("__bucket").map_groups(
+        combine, batch_format="pandas"
     )
 
 
