@@ -339,6 +339,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_best_fields(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, fields, q in FIELD_QUERIES:
+            t = eng.search_fields(q, fields, k=10,
+                                  match_type="best_fields",
+                                  tie_breaker=0.3)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_sort_ts(sf_dir):
         import pyarrow as pa
 
@@ -671,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "bm25_best_fields": q_bm25_best_fields,
         "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
@@ -989,6 +1016,70 @@ QUALIFY row_number() OVER (
     )
 
 
+def _best_fields_sql(tie_breaker: float = 0.3) -> str:
+    """best_fields (DisMax) twin: per-field clause sums, then
+    max + tie_breaker * (sum - max) per doc."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{f}', '{t}')"
+        for qid, fields, q in FIELD_QUERIES
+        for f in fields
+        for t in sorted(set(q.lower().split()))
+    )
+
+    def tok(col: str) -> str:
+        return f"regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+ft AS (
+    SELECT conv_id, turn_idx, 'text' AS field, {tok('text')} AS toks
+    FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role', {tok('role')} FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'tool', {tok('tool')} FROM transcripts
+),
+dl AS (SELECT conv_id, turn_idx, field, len(toks) AS dl FROM ft),
+stats AS (SELECT field, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl GROUP BY field),
+tf AS (
+    SELECT conv_id, turn_idx, field, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, field, unnest(toks) AS term FROM ft)
+    GROUP BY 1, 2, 3, 4
+),
+df AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df
+       FROM tf GROUP BY 1, 2),
+q(query_id, field, term) AS (VALUES
+        {vals}),
+per_field AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx, q.field,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS fs
+    FROM q
+    JOIN tf ON tf.field = q.field AND tf.term = q.term
+    JOIN df ON df.field = q.field AND df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+           AND dl.field = q.field
+    JOIN stats s ON s.field = q.field
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx, q.field
+),
+agg AS (
+    SELECT query_id, conv_id, turn_idx,
+           max(fs) AS mx, sum(fs) AS sm
+    FROM per_field GROUP BY 1, 2, 3
+)
+SELECT query_id, conv_id, turn_idx,
+       floor((mx + {tie_breaker} * (sm - mx)) * 1000000 + 0.5) / 1000000
+           AS score
+FROM agg
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY mx + {tie_breaker} * (sm - mx) DESC, conv_id, turn_idx) <= 10
+"""
+
+
 def _prefix_sql() -> str:
     """ES-prefix twin: per query, expand to the lexicographically first
     ``PREFIX_MAX_EXPANSIONS`` dictionary terms with the prefix, then
@@ -1090,6 +1181,7 @@ GROUP BY 1, 2
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),
         "bm25_field_topk": _field_sql(),
+        "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),

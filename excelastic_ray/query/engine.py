@@ -452,18 +452,22 @@ class ShardSearcher:
         raise ValueError(f"unknown algo {algo!r}")
 
     def topk_fields(self, entries, avgdls: dict, k: int,
-                    filters: dict | None = None):
+                    filters: dict | None = None, combine: str = "sum",
+                    tie_breaker: float = 0.0):
         """Field-qualified exact top-k (TAAT; exact like _topk_taat).
         ``entries`` = [(key, idf, field)] sorted by key, where ``key``
         is the dictionary key (field_key(field, term), or the bare term
         for the catch-all stream with field=None) and ``field`` selects
         which per-doc length array normalizes that clause. ``avgdls``
-        maps field (incl. None) → its global avgdl. Per-doc score =
-        sum of per-(field, term) BM25 contributions (ES multi_match
-        most_fields semantics)."""
+        maps field (incl. None) → its global avgdl.
+
+        ``combine="sum"`` → per-doc score = Σ per-(field, term)
+        contributions (ES multi_match most_fields). ``combine="max"`` →
+        best_fields: the best FIELD's clause-sum wins, plus
+        ``tie_breaker`` × the other fields' sums (DisMax)."""
         cfg = self.cfg
-        acc = np.zeros(len(self.docids), dtype=np.float64)
-        hit = False
+        n = len(self.docids)
+        accs: dict = {}
         for key, t_idf, field in entries:
             i = self.lookup(key)
             if i < 0:
@@ -474,14 +478,26 @@ class ShardSearcher:
                     f"field {field!r} has no per-field stream in this "
                     f"index (have {sorted(self.field_dls)})"
                 )
-            hit = True
+            acc = accs.get(field)
+            if acc is None:
+                acc = accs[field] = np.zeros(n, dtype=np.float64)
             ids, tfs = self.decoded(i)
             acc[ids] += contribution(
                 t_idf, tfs.astype(np.float64), dls[ids], avgdls[field],
                 cfg.k1, cfg.b,
             )
-        if not hit:
+        if not accs:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        stack = list(accs.values())
+        if combine == "sum" or len(stack) == 1:
+            acc = stack[0] if len(stack) == 1 else np.sum(stack, axis=0)
+            if combine == "max" and len(stack) == 1:
+                pass  # max of one field == that field's sum
+        elif combine == "max":
+            m = np.maximum.reduce(stack)
+            acc = m + tie_breaker * (np.sum(stack, axis=0) - m)
+        else:
+            raise ValueError(f"unknown combine {combine!r}")
         mask = self.filter_mask(filters)
         if mask is not None:
             acc[~mask] = 0.0
@@ -1095,9 +1111,11 @@ class QueryEngine:
         return avg
 
     def _search_field_pairs(self, pairs, k: int, filters: dict | None,
-                            offset: int):
+                            offset: int, combine: str = "sum",
+                            tie_breaker: float = 0.0):
         """Score a set of (field | None, term) clauses as one query
-        (most_fields sum), exact top-k across shards."""
+        (most_fields sum, or best_fields max + tie_breaker), exact
+        top-k across shards."""
         r = self.reader
         seen: dict[str, str | None] = {}
         for field, term in pairs:
@@ -1122,14 +1140,16 @@ class QueryEngine:
                     parts = ray.get(
                         [
                             a.topk_fields.remote(entries, avgdls, depth,
-                                                 filters)
+                                                 filters, combine,
+                                                 tie_breaker)
                             for a in self._actors
                         ]
                     )
                 else:
                     parts = [
                         r.searcher(s).topk_fields(entries, avgdls, depth,
-                                                  filters)
+                                                  filters, combine,
+                                                  tie_breaker)
                         for s in range(r.num_shards)
                     ]
                 docids, scores = _merge_shard_topk(parts, depth)
@@ -1137,19 +1157,27 @@ class QueryEngine:
         return self._result_table(docids, scores, offset)
 
     def search_fields(self, query: str, fields: list[str], k: int = 10,
-                      filters: dict | None = None, offset: int = 0):
-        """ES multi_match (type=most_fields): every analyzer term of
-        ``query`` is scored in every listed field with that field's own
-        df / doc-length / avgdl stats, and a doc's score is the SUM of
-        its per-(field, term) BM25 contributions. Field-scoped scoring
-        is the per-field-indexing parity gap vs the reference's ES
-        dynamic mapping (ExcelParser.java:222-261): `text:error` and
+                      filters: dict | None = None, offset: int = 0,
+                      match_type: str = "most_fields",
+                      tie_breaker: float = 0.0):
+        """ES multi_match: every analyzer term of ``query`` is scored in
+        every listed field with that field's own df / doc-length /
+        avgdl stats. ``match_type="most_fields"`` sums every
+        (field, term) contribution per doc; ``"best_fields"`` (the ES
+        default) takes the best field's clause-sum plus ``tie_breaker``
+        × the rest (DisMax). Field-scoped scoring is the
+        per-field-indexing parity gap vs the reference's ES dynamic
+        mapping (ExcelParser.java:222-261): `text:error` and
         `tool:error` now score differently."""
         from excelastic_ray.analysis import query_terms as qt
 
+        if match_type not in ("most_fields", "best_fields"):
+            raise ValueError(f"unknown match_type {match_type!r}")
+        combine = "sum" if match_type == "most_fields" else "max"
         terms = qt(query)
         return self._search_field_pairs(
-            [(f, t) for f in fields for t in terms], k, filters, offset
+            [(f, t) for f in fields for t in terms], k, filters, offset,
+            combine, tie_breaker,
         )
 
     def search_qs(self, query: str, default_fields: list[str] | None = None,
@@ -1610,9 +1638,10 @@ class ShardActor:
         ]
         return _merge_shard_topk(parts, k)
 
-    def topk_fields(self, entries, avgdls, k, filters=None):
+    def topk_fields(self, entries, avgdls, k, filters=None,
+                    combine="sum", tie_breaker=0.0):
         parts = [
-            s.topk_fields(entries, avgdls, k, filters)
+            s.topk_fields(entries, avgdls, k, filters, combine, tie_breaker)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -309,3 +309,30 @@ def test_append_extends_field_streams(tmp_path, ray_session):
         kr = list(zip(r["conv_id"].to_pylist(), r["turn_idx"].to_pylist(),
                       r["score"].to_pylist()))
         assert ka == kr
+
+
+def test_best_fields_dismax(field_index):
+    """best_fields = max per-field clause-sum + tie_breaker * rest,
+    reconstructable from the single-field runs."""
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    per_field = {}
+    for f in ("role", "text"):
+        t = eng.search_fields("tool user", [f], k=10_000)
+        per_field[f] = dict(zip(t["docid"].to_pylist(),
+                                t["score"].to_pylist()))
+    for tb in (0.0, 0.3):
+        got = eng.search_fields("tool user", ["role", "text"], k=10_000,
+                                match_type="best_fields", tie_breaker=tb)
+        gmap = dict(zip(got["docid"].to_pylist(), got["score"].to_pylist()))
+        docs = set(per_field["role"]) | set(per_field["text"])
+        assert set(gmap) == docs
+        for d in docs:
+            a = per_field["role"].get(d, 0.0)
+            b = per_field["text"].get(d, 0.0)
+            exp = max(a, b) + tb * (a + b - max(a, b))
+            assert gmap[d] == pytest.approx(exp, rel=1e-12)
+    # single-listed-field best_fields == most_fields
+    a = eng.search_fields("user", ["role"], k=50, match_type="best_fields")
+    b = eng.search_fields("user", ["role"], k=50)
+    assert a.equals(b)
