@@ -7,7 +7,9 @@ CommandLine.java:32-64`` + ``ApplicationLauncher.java:46-48``).
     python -m excelastic_ray append <src> <index_dir>
     python -m excelastic_ray search <index_dir> "query terms" [-k N]
                                     [--filter role=user] [--actors]
-                                    [--phrase] [--from N] [--highlight]
+                                    [--phrase [--slop N]] [--fields a,b]
+                                    [--qs] [--fuzzy AUTO|N] [--sort-ts]
+                                    [--from N] [--highlight]
     python -m excelastic_ray status <index_dir>
     python -m excelastic_ray serve  <index_root> [--port P] [--index-lock X]
 
@@ -61,6 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--algo", default="auto", choices=["auto", "taat", "bmw"])
     s.add_argument("--phrase", action="store_true",
                    help="match_phrase: terms must appear consecutively")
+    s.add_argument("--slop", type=int, default=0,
+                   help="sloppy-phrase window (with --phrase)")
+    s.add_argument("--fields", default=None,
+                   help="comma-separated fields for multi_match "
+                        "(per-field BM25; most_fields)")
+    s.add_argument("--qs", action="store_true",
+                   help="query_string mode: field:term clauses allowed")
+    s.add_argument("--fuzzy", default=None, metavar="EDITS",
+                   help="fuzzy match: AUTO or max edit distance")
+    s.add_argument("--sort-ts", action="store_true",
+                   help="time-ordered results (newest first) instead "
+                        "of relevance")
     s.add_argument("--from", dest="offset", type=int, default=0,
                    help="pagination offset (ES from)")
     s.add_argument("--highlight", action="store_true")
@@ -124,7 +138,23 @@ def main(argv: list[str] | None = None) -> int:
             eng = QueryEngine(args.index_dir, algo=args.algo,
                               use_actors=args.actors)
             if args.phrase:
-                t = eng.search_phrase(args.query, args.k)
+                t = eng.search_phrase(args.query, args.k, slop=args.slop)
+            elif args.fuzzy is not None:
+                fz = args.fuzzy if args.fuzzy == "AUTO" else int(args.fuzzy)
+                t = eng.search_fuzzy(args.query, args.k, fuzziness=fz,
+                                     filters=filters or None)
+            elif args.sort_ts:
+                t = eng.search_sorted(args.query, args.k, order="desc",
+                                      filters=filters or None)
+            elif args.fields:
+                t = eng.search_fields(args.query,
+                                      args.fields.split(","), args.k,
+                                      filters=filters or None,
+                                      offset=args.offset)
+            elif args.qs:
+                t = eng.search_qs(args.query, k=args.k,
+                                  filters=filters or None,
+                                  offset=args.offset)
             else:
                 t = eng.search(args.query, args.k, filters=filters or None,
                                offset=args.offset, highlight=args.highlight)

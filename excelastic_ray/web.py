@@ -228,6 +228,8 @@ class ImportServer:
                                 q["index"], q["q"], int(q.get("k", "10")),
                                 phrase=q.get("phrase") == "1",
                                 offset=int(q.get("from", "0")),
+                                slop=int(q.get("slop", "0")),
+                                qs=q.get("qs") == "1",
                             ),
                         )
                     else:
@@ -361,7 +363,8 @@ class ImportServer:
         return out
 
     def search(self, index: str, query: str, k: int = 10,
-               phrase: bool = False, offset: int = 0) -> dict:
+               phrase: bool = False, offset: int = 0, slop: int = 0,
+               qs: bool = False) -> dict:
         from excelastic_ray.index.segments import load_global_manifest
         from excelastic_ray.query.engine import QueryEngine
 
@@ -389,7 +392,9 @@ class ImportServer:
                 eng = QueryEngine(self.index_dir(index))
                 self._engines[index] = eng
         if phrase:
-            t = eng.search_phrase(query, k)
+            t = eng.search_phrase(query, k, slop=slop)
+        elif qs:  # Kibana-style field:term query strings
+            t = eng.search_qs(query, k=k, offset=offset)
         else:
             t = eng.search(query, k, include_source=True, offset=offset)
         return {"hits": t.to_pylist()}
