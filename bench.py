@@ -100,6 +100,8 @@ def run_bench() -> dict:
     res = build_index(corpus, idx_dir, cfg, clear=True)
     build_s = time.monotonic() - t0
     timings["index_build"] = round(build_s, 3)
+    for name, secs in (res.phase_seconds or {}).items():
+        timings[f"build_{name}"] = secs
     turns_per_sec = res.n_docs / build_s
 
     # Query latency (one actor per shard — the serving shape — with the

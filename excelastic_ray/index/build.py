@@ -788,6 +788,36 @@ class SegmentMerger:
         if existing is not None and existing.get("chunks") == chunks:
             return existing
 
+        if len(chunks) == 1:
+            # single-chunk shard: the chunk segment IS the shard
+            # verbatim (ordinal offset 0, one term stream) — copy the
+            # files instead of re-encoding them through the cursor merge
+            import shutil as _shutil
+
+            c = chunks[0]
+            cd = seg.chunk_dir(self.index_dir, c)
+            cm = seg.read_manifest(cd)
+            if cm is None:
+                raise RuntimeError(f"chunk {c} segment missing for shard {shard}")
+            os.makedirs(d, exist_ok=True)
+            nbytes = 0
+            for fname in ("postings.parquet", "docs.parquet"):
+                src = os.path.join(cd, fname)
+                tmp = os.path.join(d, fname + ".tmp")
+                _shutil.copyfile(src, tmp)
+                os.replace(tmp, os.path.join(d, fname))
+                nbytes += os.path.getsize(os.path.join(d, fname))
+            manifest = {
+                "shard": shard,
+                "chunks": chunks,
+                "n_docs": int(cm["n_docs"]),
+                "total_dl": int(cm["total_dl"]),
+                "n_terms": int(cm["n_terms"]),
+                "bytes_compressed": int(nbytes),
+            }
+            seg.write_done(d, manifest)
+            return manifest
+
         cfg = self.cfg
         doc_parts = []
         offsets: list[int] = []
@@ -1047,6 +1077,10 @@ def _merge_phase(
             batch_size=1,
             concurrency=merge_pool,
             num_cpus=1,
+            # same rationale as the stamp pool: pool replacement +
+            # idempotent per-shard manifests are the recovery path
+            # (ray#53727)
+            max_restarts=0,
         )
         .to_pandas()
     )
@@ -1067,6 +1101,9 @@ class BuildResult:
     chunks_built: int
     chunks_skipped: int
     seconds: float
+    #: wall time per phase: validate (conv census), chunks (stamp +
+    #: shuffle + fused tokenize/segment build), merge (shard merge)
+    phase_seconds: dict | None = None
 
 
 def build_index(
@@ -1171,6 +1208,8 @@ def _build_index_impl(
     # conservative upper bound on the conv census and is free for
     # parquet sources; transformed/Dataset inputs stay on the broadcast
     # path unless forced (count() would re-execute their pipeline).
+    phases: dict[str, float] = {}
+    t_phase = time.monotonic()
     n_rows_hint = None
     if config.driver_conv_budget == 0:
         use_dist = True
@@ -1197,6 +1236,7 @@ def _build_index_impl(
                 }
             ),
         )
+    phases["validate"] = round(time.monotonic() - t_phase, 3)
     n_chunks = ((n_convs - 1) >> config.convs_per_chunk_bits) + 1 if n_convs else 0
     seg.save_global_manifest(
         index_dir,
@@ -1220,6 +1260,8 @@ def _build_index_impl(
                 index_dir, skip, cpus, store_cols,
             )
 
+    phases["chunks"] = round(time.monotonic() - t_phase - phases["validate"],
+                             3)
     all_chunks = seg.completed_chunks(index_dir)
     if sorted(all_chunks) != list(range(n_chunks)):
         missing_c = sorted(set(range(n_chunks)) - set(all_chunks))
@@ -1233,9 +1275,11 @@ def _build_index_impl(
 
     # ---- merge into shards (fixed actor pool) --------------------------
     num_shards = min(config.num_shards, n_chunks) or 1
+    t_merge = time.monotonic()
     shard_bytes = _merge_phase(
         index_dir, config, sorted(all_chunks), num_shards, cpus
     )
+    phases["merge"] = round(time.monotonic() - t_merge, 3)
 
     manifest = {
         "status": "complete",
@@ -1255,6 +1299,7 @@ def _build_index_impl(
         "segment_bytes": int(seg_bytes),
         "shard_bytes": int(shard_bytes),
         "store_source": bool(store_cols),
+        "phase_seconds": phases,
     }
     # per-chunk counters + lineage live in chunks.parquet (O(1) global
     # manifest even at 10^6 chunks; SCALE.md chunk-census note)
@@ -1274,6 +1319,7 @@ def _build_index_impl(
         chunks_built=int(len(summaries)),
         chunks_skipped=len(skip),
         seconds=time.monotonic() - t0,
+        phase_seconds=phases,
     )
 
 
