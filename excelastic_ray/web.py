@@ -219,6 +219,8 @@ class ImportServer:
                         self.send_header("Content-Length", str(len(body)))
                         self.end_headers()
                         self.wfile.write(body)
+                    elif u.path == "/api/indices":
+                        self._json(200, server.list_indices())
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
                     elif u.path == "/api/search":
@@ -351,6 +353,33 @@ class ImportServer:
         with self._engines_guard:  # and after: force a fresh reader
             self._engines.pop(index, None)
         return n_rows
+
+    def list_indices(self) -> dict:
+        """ES ``_cat/indices`` analog: every index under the root with
+        its status and headline stats from the global manifest."""
+        from excelastic_ray.index.segments import load_global_manifest
+
+        out = []
+        for name in sorted(os.listdir(self.index_root)):
+            d = os.path.join(self.index_root, name)
+            if not os.path.isdir(d):
+                continue
+            try:
+                m = load_global_manifest(d)
+            except FileNotFoundError:
+                continue
+            out.append(
+                {
+                    "index": name,
+                    "status": m.get("status"),
+                    "n_docs": m.get("n_docs"),
+                    "n_convs": m.get("n_convs"),
+                    "num_shards": m.get("num_shards"),
+                    "bytes": (m.get("segment_bytes") or 0)
+                    + (m.get("shard_bytes") or 0),
+                }
+            )
+        return {"indices": out}
 
     def status(self, imp_id: str) -> dict:
         from excelastic_ray.index.build import build_status

@@ -336,3 +336,20 @@ def test_best_fields_dismax(field_index):
     a = eng.search_fields("user", ["role"], k=50, match_type="best_fields")
     b = eng.search_fields("user", ["role"], k=50)
     assert a.equals(b)
+
+
+def test_field_phrase_with_slop(multi_tok_field_index):
+    idx, tools = multi_tok_field_index
+    eng = QueryEngine(idx)
+    # "search ... api" within one gap: matches "search index api" too
+    exact = eng.search_phrase("search api", k=10, field="tool")
+    sloppy = eng.search_phrase("search api", k=10, field="tool", slop=1)
+    exp_sloppy = sorted(
+        i for i, t in enumerate(tools)
+        if t and any(
+            w == "search" and "api" in t.split()[j + 1 : j + 3]
+            for j, w in enumerate(t.split())
+        )
+    )
+    assert sorted(int(c[1:]) for c in sloppy["conv_id"].to_pylist()) == exp_sloppy
+    assert set(exact["conv_id"].to_pylist()) <= set(sloppy["conv_id"].to_pylist())

@@ -287,3 +287,33 @@ def test_websocket_id_via_first_frame(ray_session, tmp_path):
         assert len(frames) == 1 and "error" in frames[0]
     finally:
         srv.stop()
+
+
+def test_list_indices(ray_session, tmp_path):
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "multi")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open("/root/reference/src/test/resources/test.csv", "rb").read()
+        for name in (b"alpha", b"beta"):
+            status, resp = _post_multipart(
+                base + "/api/upload",
+                {"index": name, "options": b"clear", "offset": b"1"},
+                ("file", "test.csv", payload),
+            )
+            assert status == 200
+            imp_id = resp["id"]
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                _, body = _get(base + f"/api/status?id={imp_id}")
+                if json.loads(body)["status"] in ("complete", "error"):
+                    break
+                time.sleep(0.2)
+        status, body = _get(base + "/api/indices")
+        got = json.loads(body)["indices"]
+        assert [i["index"] for i in got] == ["alpha", "beta"]
+        assert all(i["status"] == "complete" and i["n_docs"] == 2
+                   for i in got)
+    finally:
+        srv.stop()
