@@ -474,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_groups(sf_dir):
         return dedup.dedup_groups(_docs(sf_dir))
 
+    def q_doc_signals(sf_dir):
+        return ts.doc_signals(_docs(sf_dir))
+
     def q_token_quantiles(sf_dir):
         return ts.token_quantiles(_docs(sf_dir), qs=(0.5, 0.9, 0.99))
 
@@ -714,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
         "token_quantiles": q_token_quantiles,
+        "doc_signals": q_doc_signals,
         "keywords": q_keywords,
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1340,6 +1344,28 @@ SELECT doc_id FROM (
         "dedup_groups": """
 SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
 FROM documents
+""",
+        "doc_signals": _DOCTOK
+        + """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       floor((CAST(length(text) AS DOUBLE)
+              / (length(text) - length(replace(text, chr(10), '')) + 1))
+             * 1000000 + 0.5) / 1000000 AS mean_line_len,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                / length(text)) * 1000000 + 0.5) / 1000000 END AS alpha_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         floor((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                / length(text)) * 1000000 + 0.5) / 1000000 END AS digit_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         floor((CAST(length(text) - length(replace(text, ' ', ''))
+                     AS DOUBLE)
+                / length(text)) * 1000000 + 0.5) / 1000000 END AS space_frac,
+       coalesce(list_max(list_transform(toks, x -> length(x))), 0)
+           AS max_token_len
+FROM base JOIN documents USING (doc_id)
 """,
         "token_quantiles": _DOCTOK
         + """

@@ -426,3 +426,68 @@ def keywords(ds, k: int = 3, id_col: str = "doc_id",
         )
 
     return ds.map_batches(topk, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-doc quality SIGNALS (beyond the stopword/lang
+    gates): line structure, character-class fractions, extreme token
+    length — the standard pre-training filter inputs. Fully vectorized:
+    character-class counts are RE2 ``count_substring_regex`` kernels
+    over the Arrow buffers (shared semantics with the DuckDB twin's
+    regexp_extract_all counts); token extremes ride the factorized
+    token stream.
+
+    → Dataset (doc_id, n_chars, n_lines, mean_line_len, alpha_frac,
+    digit_frac, space_frac, max_token_len), ratios trunc6'd."""
+    import pyarrow.compute as pc
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        n = batch.num_rows
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        n_chars = np.where(np.isnan(n_chars.astype(np.float64)), 0,
+                           n_chars).astype(np.int64)
+        nl = pc.count_substring(col, "\n").to_numpy(zero_copy_only=False)
+        nl = np.where(np.isnan(nl.astype(np.float64)), 0, nl).astype(np.int64)
+        n_lines = nl + 1
+        alpha = pc.count_substring_regex(col, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        alpha = np.where(np.isnan(alpha.astype(np.float64)), 0,
+                         alpha).astype(np.int64)
+        digit = pc.count_substring_regex(col, "[0-9]").to_numpy(
+            zero_copy_only=False
+        )
+        digit = np.where(np.isnan(digit.astype(np.float64)), 0,
+                         digit).astype(np.int64)
+        space = pc.count_substring(col, " ").to_numpy(zero_copy_only=False)
+        space = np.where(np.isnan(space.astype(np.float64)), 0,
+                         space).astype(np.int64)
+        codes, uniques, row_idx = _tokenize_batch(col.to_pylist())
+        max_tok = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            tok_lens = np.fromiter(
+                (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+            )[codes]
+            np.maximum.at(max_tok, row_idx, tok_lens)
+        safe = np.maximum(n_chars, 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(n_chars),
+                "n_lines": pa.array(n_lines),
+                "mean_line_len": pa.array(trunc6(n_chars / n_lines)),
+                "alpha_frac": pa.array(
+                    trunc6(np.where(n_chars > 0, alpha / safe, 0.0))
+                ),
+                "digit_frac": pa.array(
+                    trunc6(np.where(n_chars > 0, digit / safe, 0.0))
+                ),
+                "space_frac": pa.array(
+                    trunc6(np.where(n_chars > 0, space / safe, 0.0))
+                ),
+                "max_token_len": pa.array(max_tok),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=8192)

@@ -611,3 +611,29 @@ def test_simhash_dropped_segment_recovery(ray_session):
         if a >= 0
     }
     assert got == exp
+
+
+def test_doc_signals_bruteforce(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import doc_signals, trunc6
+
+    texts = ["Hello World 42\nsecond line", "", "a" * 10, "1 2 3\n\nx",
+             "UPPER lower_123 mix"]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": texts})
+    got = doc_signals(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    for i, tx in enumerate(texts):
+        r = got.loc[i]
+        assert r["n_chars"] == len(tx)
+        assert r["n_lines"] == tx.count("\n") + 1
+        if len(tx):
+            assert r["alpha_frac"] == trunc6(
+                np.array([sum(c.isascii() and c.isalpha() for c in tx) / len(tx)])
+            )[0]
+            assert r["digit_frac"] == trunc6(
+                np.array([sum(c.isdigit() for c in tx) / len(tx)])
+            )[0]
+        toks = tokenize(tx)
+        assert r["max_token_len"] == (max((len(w) for w in toks), default=0))
