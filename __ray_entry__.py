@@ -465,6 +465,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bpe_tokens(sf_dir):
         return ts.bpe_token_count(_docs(sf_dir))
 
+    def q_winnow(sf_dir):
+        # MOSS winnowing fingerprints (rows-only: FNV mixing has no SQL
+        # twin; semantics pinned by the coverage-guarantee pytest)
+        return dedup.winnow_fingerprints(_docs(sf_dir), k=5, w=4)
+
     def q_fingerprints(sf_dir):
         return ts.fingerprints(_docs(sf_dir))
 
@@ -714,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
+        "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
         "token_quantiles": q_token_quantiles,

@@ -67,6 +67,7 @@ __all__ = [
     "simhash_batch",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "winnow_fingerprints",
     "embedding_dup_pairs",
     "collect_embedding_matrix",
     "fnv1a_bytes",
@@ -1159,3 +1160,62 @@ def collect_embedding_matrix(ds, id_col: str = "vec_id", vec_col: str = "embeddi
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, mat / norms
+
+
+def winnow_fingerprints(ds, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): per doc,
+    hash every ORDERED token k-gram, slide a window of ``w`` consecutive
+    k-gram hashes and select the RIGHTMOST minimal hash per window; the
+    distinct selected hashes are the document's fingerprints. Guarantee:
+    any shared substring of at least w + k - 1 tokens produces at least
+    one shared fingerprint — the standard scalable local-similarity /
+    plagiarism primitive (fingerprint density ≈ 2/(w+1), tunable,
+    position-robust unlike whole-doc hashes).
+
+    Pure map (no shuffle): each batch task selects its rows'
+    fingerprints with a vectorized sliding-window argmin; downstream
+    matching is a fingerprint-keyed bucket join exactly like
+    contamination(). → Dataset (doc_id, fingerprint) distinct rows.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        th = _token_hashes(codes, uniques, row_idx)
+        bounds = np.searchsorted(row_idx, np.arange(len(texts) + 1))
+        out_id: list[int] = []
+        out_fp: list[int] = []
+        with np.errstate(over="ignore"):
+            for i in range(len(texts)):
+                h = th[bounds[i] : bounds[i + 1]]
+                m = len(h) - k + 1
+                if m <= 0:
+                    continue
+                # ordered k-gram hashes (same mix as shingle_sets,
+                # WITHOUT the unique)
+                s = h[:m] * _C1
+                for j in range(1, k):
+                    s = s ^ (h[j : m + j] * (_C2 if j == 1 else _C3))
+                if m <= w:
+                    sel = np.asarray([int(np.flatnonzero(s == s.min())[-1])])
+                else:
+                    win = sliding_window_view(s, w)
+                    # rightmost minimum: argmin over the reversed window
+                    right_arg = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+                    sel = np.unique(
+                        np.arange(len(win), dtype=np.int64) + right_arg
+                    )
+                fps = np.unique(s[sel]).astype(np.int64)
+                out_id.extend([int(ids[i])] * len(fps))
+                out_fp.extend(fps.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "fingerprint": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)

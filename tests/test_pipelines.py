@@ -637,3 +637,72 @@ def test_doc_signals_bruteforce(ray_session):
             )[0]
         toks = tokenize(tx)
         assert r["max_token_len"] == (max((len(w) for w in toks), default=0))
+
+
+def test_winnowing_invariants(ray_session, docs_ds):
+    """Winnowing pins: selected ⊆ k-gram hashes; every window of w
+    consecutive k-grams contributes ≥1 selected position (the coverage
+    guarantee); identical docs fingerprint identically; matches a
+    scalar reference implementation."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import (
+        _token_hashes,
+        winnow_fingerprints,
+    )
+    from excelastic_ray.pipelines.textstats import _tokenize_batch
+
+    k, w = 5, 4
+    got = winnow_fingerprints(docs_ds, k=k, w=w).to_pandas()
+    by_doc = {
+        int(d): set(g["fingerprint"])
+        for d, g in got.groupby("doc_id")
+    }
+
+    texts = {}
+    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            texts[int(i)] = t
+
+    import numpy as np_
+
+    C1 = np_.uint64(0x9E3779B97F4A7C15)
+    C2 = np_.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np_.uint64(0x165667B19E3779F9)
+    checked = 0
+    for i, tx in sorted(texts.items())[:50]:
+        codes, uniques, row_idx = _tokenize_batch([tx])
+        h = _token_hashes(codes, uniques, row_idx)
+        m = len(h) - k + 1
+        if m <= 0:
+            assert i not in by_doc
+            continue
+        with np_.errstate(over="ignore"):
+            s = h[:m] * C1
+            for j in range(1, k):
+                s = s ^ (h[j : m + j] * (C2 if j == 1 else C3))
+        # scalar reference: rightmost min per window
+        sel = set()
+        if m <= w:
+            sel.add(int(np_.flatnonzero(s == s.min())[-1]))
+        else:
+            for a in range(m - w + 1):
+                window = s[a : a + w]
+                mn = window.min()
+                sel.add(a + int(np_.flatnonzero(window == mn)[-1]))
+        exp = {int(np_.int64(np_.uint64(s[p]).astype(np_.int64)))
+               for p in sel}
+        assert by_doc[i] == exp
+        # coverage guarantee over selected POSITIONS
+        if m > w:
+            for a in range(m - w + 1):
+                assert any(a <= p < a + w for p in sel)
+        checked += 1
+    assert checked > 10
+
+    # identical docs → identical fingerprints
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": [texts[0], texts[0]]})
+    same = winnow_fingerprints(rd.from_arrow(t), k=k, w=w).to_pandas()
+    g = {int(d): set(x["fingerprint"]) for d, x in same.groupby("doc_id")}
+    assert g[0] == g[1]
