@@ -549,6 +549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.lsh_bucket_topk(emb, qmat, query_ids=qids, k=10)
 
+    def q_ann_sq8_topk(sf_dir):
+        # int8-quantized scan + exact float64 rerank — must reproduce
+        # exact cosine top-k (the SQL twin IS the exact-cosine oracle)
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.sq8_topk(emb, qmat, query_ids=qids, k=10)
+
     def q_ann_ivf_topk(sf_dir):
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.ivf_topk(
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "sessionize": q_sessionize,
@@ -1465,6 +1472,25 @@ QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
 """,
         "ann_ivf_exact": """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) AS raw
+    FROM n q JOIN n e ON q.vec_id < 5
+)
+SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
+        "ann_sq8_topk": """
 WITH n AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -284,3 +284,69 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         _final_topk_fn(k, id_col), batch_format="pandas"
     )
+
+
+def sq8_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Scale path C: scalar-quantized (int8) scan + exact rerank.
+
+    Each batch quantizes its normalized vectors to int8 with a per-batch
+    scale (max |component|), scores queries against the int8 matrix (an
+    int32 matmul — 4× less memory traffic than float64, the reason SQ8
+    is the default memory-bound scan in FAISS-class systems), keeps the
+    top ``rerank × k`` candidates per query, and rescores ONLY those in
+    float64. The final merge is the same tiny per-query groupby as
+    cosine_topk. Exact-top-k whenever the true k-th neighbor survives
+    the candidate cut — rerank is the recall knob (pytest pins
+    recall == 1.0 on the fixture corpus; the default 4× is generous for
+    normalized embeddings where int8 error is ≤ 1/127 per component).
+
+    → Dataset (query_id, vec_id, cos) — same schema/ties as cosine_topk.
+    """
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)), dtype=np.int64
+    )
+    ref = ray.put((qids, q))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b_qids, b_q = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        scale = np.abs(mat).max() or 1.0
+        q8 = np.clip(np.rint(mat / scale * 127.0), -127, 127).astype(np.int8)
+        approx = q8.astype(np.int32) @ np.clip(
+            np.rint(b_q / scale * 127.0), -127, 127
+        ).astype(np.int32).T  # (batch × queries), int32 scores
+        kk = min(rerank * k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(b_qids):
+            cand = np.argpartition(-approx[:, j], kk - 1)[:kk]
+            # exact float64 rescore of the survivors only
+            cos = mat[cand] @ b_q[j]
+            order = np.lexsort((ids[cand], -cos))[: min(k, kk)]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(cos[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_v),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k, id_col), batch_format="pandas"
+    )

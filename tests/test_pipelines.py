@@ -706,3 +706,20 @@ def test_winnowing_invariants(ray_session, docs_ds):
     same = winnow_fingerprints(rd.from_arrow(t), k=k, w=w).to_pandas()
     g = {int(d): set(x["fingerprint"]) for d, x in same.groupby("doc_id")}
     assert g[0] == g[1]
+
+
+def test_sq8_topk_exact_recall(ray_session, emb_ds):
+    """SQ8 scan + rerank must reproduce exact cosine top-k on the
+    fixture (the rerank cut keeps every true neighbor here)."""
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import cosine_topk, sq8_topk
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    qmat = mat[:4]
+    qids = list(ids[:4])
+    exact = cosine_topk(emb_ds, qmat, query_ids=qids, k=10).to_pandas()
+    sq8 = sq8_topk(emb_ds, qmat, query_ids=qids, k=10).to_pandas()
+    key = ["query_id", "vec_id", "cos"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = sq8.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
