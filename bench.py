@@ -158,10 +158,16 @@ def run_bench() -> dict:
             "token_stats",
             "quality",
             "langid",
+            "doc_signals",
+            "token_quantiles",
+            "keywords",
             "exact_dedup",
+            "dedup_groups",
             "minhash_pairs",
             "simhash_pairs",
+            "winnow",
             "ann_cosine_topk",
+            "ann_sq8_topk",
             "sessionize",
             "tumbling",
             "media_decode",
