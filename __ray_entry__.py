@@ -572,6 +572,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, qmat, query_ids=qids, k=10, n_centroids=16, nprobe=16
         )
 
+    def q_heavy_hitters(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.sketch import heavy_hitters
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        # k=16 exceeds event_type cardinality → the MG summary is EXACT
+        # here, so the full-match twin is plain GROUP BY; the sketch's
+        # approximate regime (k below cardinality) is pinned by pytest
+        return heavy_hitters(ev, "event_type", k=16)
+
     def q_sessionize(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -741,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
+        "heavy_hitters": q_heavy_hitters,
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
         "sliding": q_sliding,
@@ -1508,6 +1519,17 @@ SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
 FROM p
 QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
+        "heavy_hitters": """
+WITH c AS (
+    SELECT CAST(event_type AS VARCHAR) AS value,
+           CAST(count(*) AS BIGINT) AS est
+    FROM events GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+SELECT c.value, c.est, t.n AS n_rows,
+       CAST(t.n // 17 AS BIGINT) AS max_err
+FROM c CROSS JOIN t
 """,
         "sessionize": """
 WITH l AS (

@@ -723,3 +723,40 @@ def test_sq8_topk_exact_recall(ray_session, emb_ds):
     a = exact.sort_values(key).reset_index(drop=True)
     b = sq8.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key])
+
+
+def test_heavy_hitters_mg_guarantees(ray_session):
+    """Misra-Gries bound: est <= true <= est + N//(k+1), and every value
+    with true > N//(k+1) is present — checked against exact counts on a
+    skewed synthetic column, across several k."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.sketch import heavy_hitters
+
+    rng = np.random.default_rng(4)
+    vals = np.concatenate(
+        [
+            np.repeat("alpha", 5000), np.repeat("beta", 2500),
+            np.repeat("gamma", 900),
+            rng.integers(0, 400, size=2000).astype(str),
+        ]
+    )
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals.astype(object), type=pa.string())})
+    true = {v: int(c) for v, c in
+            zip(*np.unique(vals, return_counts=True))}
+    N = len(vals)
+    for k in (4, 16, 64):
+        out = heavy_hitters(rd.from_arrow(t), "v", k=k).to_pandas()
+        assert (out["n_rows"] == N).all()
+        bound = N // (k + 1)
+        assert (out["max_err"] == bound).all()
+        est = dict(zip(out["value"], out["est"]))
+        for v, e in est.items():
+            assert e <= true[v] <= e + bound, (k, v, e, true[v])
+        for v, tcount in true.items():
+            if tcount > bound:
+                assert v in est, (k, v, tcount, bound)
+    # exact when k exceeds the cardinality
+    out = heavy_hitters(rd.from_arrow(t), "v", k=10_000).to_pandas()
+    assert dict(zip(out["value"], out["est"])) == true
