@@ -1066,6 +1066,57 @@ class QueryEngine:
         t = self.search(query, k)
         return list(zip(t["docid"].to_pylist(), t["score"].to_pylist()))
 
+    def explain(self, query: str, docid: int) -> dict:
+        """ES ``_explain`` analog: the per-term BM25 breakdown of one
+        doc's score for ``query`` → {matched, score, terms: [{term, tf,
+        df, idf, dl, contribution}]}. The owning shard is pure docid
+        arithmetic (chunk % num_shards); each term costs one dictionary
+        seek + one ordinal bisect — no scan."""
+        from excelastic_ray.query.bm25 import contribution as _contrib
+
+        r = self.reader
+        cfg = r.cfg
+        chunk = (int(docid) >> cfg.turn_bits) >> cfg.convs_per_chunk_bits
+        s = r.searcher(chunk % r.num_shards)
+        ordi = int(np.searchsorted(s.docids, docid))
+        if ordi >= len(s.docids) or s.docids[ordi] != docid:
+            raise KeyError(f"docid {docid} not in the index")
+        dl = float(s.dls[ordi])
+        terms = query_terms(query)
+        dfs = self._global_dfs(terms)
+        rows = []
+        total = 0.0
+        for t, d in zip(terms, dfs):
+            if d == 0:
+                continue
+            i = s.lookup(t)
+            tf = 0.0
+            if i >= 0:
+                ids, tfs = s.decoded(i)
+                p = int(np.searchsorted(ids, ordi))
+                if p < len(ids) and ids[p] == ordi:
+                    tf = float(tfs[p])
+            t_idf = idf(r.n_docs, int(d))
+            c = (
+                float(_contrib(t_idf, np.float64(tf), np.float64(dl),
+                               r.avgdl, cfg.k1, cfg.b))
+                if tf
+                else 0.0
+            )
+            total += c
+            rows.append(
+                {
+                    "term": t, "tf": tf, "df": int(d),
+                    "idf": t_idf, "dl": dl, "contribution": c,
+                }
+            )
+        return {
+            "docid": int(docid),
+            "matched": any(x["tf"] > 0 for x in rows),
+            "score": total,
+            "terms": rows,
+        }
+
     # -- field-qualified search (ES dynamic-mapping / multi_match) -------
 
     def _result_table(self, docids, scores, offset: int = 0):

@@ -813,3 +813,25 @@ def test_distributed_path_resume(ray_session, tmp_path, tiny_corpus_dir,
     res = build_index(tiny_corpus_dir, d, cfg, resume=True)
     assert res.chunks_built == 1 and res.chunks_skipped == 7
     assert open(os.path.join(victim, "postings.parquet"), "rb").read() == orig
+
+
+def test_explain_reconstructs_scores(tiny_index, ray_session):
+    """_explain parity: the per-term contributions of every top-k hit
+    must sum to exactly the search score (same float math, sorted-term
+    order)."""
+    from excelastic_ray.query.engine import QueryEngine
+
+    idx_dir, _ = tiny_index
+    eng = QueryEngine(idx_dir)
+    for q in ("the call", "w00001", "the a of call run"):
+        t = eng.search(q, 10)
+        assert t.num_rows
+        for docid, score in zip(t["docid"].to_pylist(),
+                                t["score"].to_pylist()):
+            ex = eng.explain(q, docid)
+            assert ex["matched"]
+            assert ex["score"] == score  # bit-identical summation
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        eng.explain("the", 1 << 60)
