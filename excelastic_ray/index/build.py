@@ -1024,7 +1024,13 @@ def _chunk_phase(
         fn_constructor_args=(conv_path, config.to_dict(), skip, rank_offset),
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=pool,
+        # AUTOSCALING pool (min 1): a fixed pool of cpus-2 actors is
+        # safe alone, but TWO concurrent builds sharing one small
+        # cluster (e.g. a web server import racing a CLI build) would
+        # park every CPU in stamp actors and starve the read/shuffle
+        # tasks — a deadlock observed in the test suite at 4 CPUs.
+        # min=1 guarantees forward progress at any concurrency.
+        concurrency=(1, pool),
         num_cpus=1,
         # no in-place actor restarts: Ray Data's pool replaces dead
         # actors and retries their tasks, and the ctor args it stores in
@@ -1075,7 +1081,7 @@ def _merge_phase(
             fn_constructor_args=(index_dir, config.to_dict()),
             batch_format="pandas",
             batch_size=1,
-            concurrency=merge_pool,
+            concurrency=(1, merge_pool),  # see the stamp pool note
             num_cpus=1,
             # same rationale as the stamp pool: pool replacement +
             # idempotent per-shard manifests are the recovery path

@@ -110,6 +110,16 @@ def test_index_lock_forces_default_index(ray_session, tmp_path):
             ("file", "test.csv", payload),
         )
         assert status == 200 and resp["index"] == "locked"
+        # wait for the import thread: a build leaking past the test
+        # would race the NEXT test's build for the tiny test cluster
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            _, body = _get(base + f"/api/status?id={resp['id']}")
+            if json.loads(body)["status"] in ("complete", "error"):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("import did not finish")
     finally:
         srv.stop()
 
