@@ -988,7 +988,12 @@ def ngram_jaccard_pairs(
     Blocked two-sided sweep (same shape as ``embedding_dup_pairs``):
     shingle-set blocks are materialized to the object store (the driver
     holds REFS only) and each of the B(B+1)/2 block pairs is one Ray
-    task comparing exactly two blocks. O(n²) pair comparisons are
+    task comparing exactly two blocks. The per-task kernel is a
+    vectorized shingle hash join (flatten both blocks' shingle lists,
+    C-level ``pd.merge`` on the hash, ``np.unique`` over packed pair
+    keys = intersection counts) — no Python loop over row pairs; work
+    is O(co-occurring shingle pairs), the true overlap size, not
+    O(rows²) Python iterations. O(n²/B²) block pairs are still
     inherent to the exact metric — this is the ORACLE BASELINE the
     MinHash-LSH path approximates; at corpus scale run
     ``minhash_pairs`` (candidates + partitioned verify) instead — same
@@ -1012,37 +1017,53 @@ def ngram_jaccard_pairs(
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
-        ids_a = ta["a"].to_numpy()
-        ids_b = tb["a"].to_numpy()
-        sets_a = ta["sh"].to_pylist()
-        sets_b = tb["sh"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for i, (a, sa) in enumerate(zip(ids_a, sets_a)):
-            if not sa:
-                continue
-            saa = np.asarray(sa, dtype=np.int64)
-            for jj, (b, sb) in enumerate(zip(ids_b, sets_b)):
-                if same and b <= a:
-                    continue
-                if not same and b == a:
-                    continue
-                if not sb:
-                    continue
-                sbb = np.asarray(sb, dtype=np.int64)
-                inter = len(np.intersect1d(saa, sbb, assume_unique=True))
-                if not inter:
-                    continue
-                j = inter / (len(saa) + len(sbb) - inter)
-                if j >= threshold:
-                    lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
-                    out_a.append(lo)
-                    out_b.append(hi)
-                    out_j.append(float(trunc6(j)))
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        def flat(t):
+            ids = t["a"].to_numpy().astype(np.int64)
+            sizes = pc.list_value_length(t["sh"]).to_numpy().astype(np.int64)
+            vals = pc.list_flatten(t["sh"]).to_numpy().astype(np.int64)
+            return ids, sizes, vals, np.repeat(
+                np.arange(len(ids), dtype=np.int64), sizes
+            )
+
+        ids_a, sz_a, va, ra = flat(ta)
+        ids_b, sz_b, vb, rb = flat(tb)
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if not len(va) or not len(vb):
+            return empty
+        # hash join on the shingle hash: one output row per co-occurring
+        # (docA, docB, shingle) triple; shingles are unique per doc, so
+        # counting packed (ia, ib) keys yields |A ∩ B| exactly
+        m = pd.merge(
+            pd.DataFrame({"sh": va, "ia": ra}),
+            pd.DataFrame({"sh": vb, "ib": rb}),
+            on="sh",
+        )
+        if not len(m):
+            return empty
+        key = m["ia"].to_numpy() * len(ids_b) + m["ib"].to_numpy()
+        pk, inter = np.unique(key, return_counts=True)
+        ia = pk // len(ids_b)
+        ib = pk % len(ids_b)
+        jac = inter / (sz_a[ia] + sz_b[ib] - inter)
+        a = ids_a[ia]
+        b = ids_b[ib]
+        keep = (jac >= threshold) & ((b > a) if same else (b != a))
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "a": pa.array(lo, type=pa.int64()),
+                "b": pa.array(hi, type=pa.int64()),
+                "jaccard": pa.array(trunc6(jac[keep]), type=pa.float64()),
             }
         )
 
