@@ -615,6 +615,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.sliding_counts(ev, size_hours=2, step_hours=1)
 
+    def q_event_stats(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.stats_by_type(ev)
+
+    def q_distinct_users(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.distinct_users(ev)
+
+    def q_hll_users(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.hll_cardinality(ev)
+
     def q_csv_ingest(sf_dir):
         # reference-fixture ingest parity (sf_dir unused: the golden
         # input IS the reference's own test.csv)
@@ -755,6 +773,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
         "sliding": q_sliding,
+        "event_stats": q_event_stats,
+        "distinct_users": q_distinct_users,
+        "hll_users": q_hll_users,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
         "csv_ingest": q_csv_ingest,
@@ -1580,6 +1601,23 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # ES stats aggregation (count/min/max/sum/avg of a numeric
+        # field per bucket); avg derives from the rounded-once sums
+        "event_stats": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value,
+       floor(min(value) * 1000000 + 0.5) / 1000000 AS min_value,
+       floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value,
+       floor(sum(value) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events GROUP BY 1
+""",
+        # ES cardinality aggregation, exact twin (the HLL estimate
+        # variant is the no-oracle hll_users entry)
+        "distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
         # The spreadsheet golden fixtures are the reference's own 2-row
         # files (TestParser.java:117-166); their expected typed rows are

@@ -71,6 +71,32 @@ def fnv1a_str_rows(strings) -> np.ndarray:
                        for s in strings])
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer (Steele et al., the JDK
+    ``SplittableRandom`` mixer): a full-avalanche 64-bit mix used where
+    integer keys feed sketches (HLL register selection) — FNV is for
+    byte strings; for int64 keys this is one constant-time mix instead
+    of an encode + fold."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` for uint64 arrays (6 shift/compare
+    steps — exact for all 64-bit values, unlike float log2 which
+    misrounds near powers of two above 2^53)."""
+    v = x.astype(np.uint64).copy()
+    bl = np.zeros(len(v), dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        bl[m] += np.uint64(s)
+        v[m] >>= np.uint64(s)
+    return (bl + (v > 0)).astype(np.int64)
+
+
 def default_pool(headroom: int = 2, floor: int = 2) -> int:
     """Actor-pool size for pipeline stages: cluster CPUs minus headroom
     for the read/shuffle task pools (an actor pool that reserves every

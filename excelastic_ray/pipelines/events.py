@@ -170,6 +170,190 @@ def sliding_counts(ds, size_hours: int = 2, step_hours: int = 1):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def stats_by_type(ds, n_buckets: int = 8):
+    """ES ``stats`` aggregation analog: per event_type → count, min,
+    max, sum, avg of ``value`` (Elasticsearch's stats agg over a
+    numeric field, the Kibana metric-panel staple).
+
+    Shape: per-batch partial (count/min/max/sum per type, one row per
+    (batch, type)), then a coarse-bucket final combine — the shuffle
+    moves O(batches × types) tiny partial rows, never events. avg is
+    computed once at the end from the combined sum/count (not averaged
+    across partials, which would weight batches wrongly)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        return (
+            df.groupby("event_type", sort=False)["value"]
+            .agg(n="size", sum_value="sum", min_value="min", max_value="max")
+            .reset_index()
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["event_type"], index=False
+        ).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop(columns="__bucket")
+            .groupby("event_type", sort=False)
+            .agg(
+                n=("n", "sum"),
+                sum_value=("sum_value", "sum"),
+                min_value=("min_value", "min"),
+                max_value=("max_value", "max"),
+            )
+            .reset_index()
+        )
+        out["avg_value"] = trunc6(
+            out["sum_value"].to_numpy() / out["n"].to_numpy()
+        )
+        out["sum_value"] = trunc6(out["sum_value"].to_numpy())
+        out["min_value"] = trunc6(out["min_value"].to_numpy())
+        out["max_value"] = trunc6(out["max_value"].to_numpy())
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def distinct_users(ds, n_buckets: int = N_USER_BUCKETS):
+    """ES ``cardinality`` aggregation, exact: distinct user_id per
+    event_type.
+
+    Shape: per-batch dedup of (event_type, user_id) pairs (the partial
+    — shrinks the exchange to unique-pairs-per-batch), shuffle keyed by
+    ``hash(user_id) % n_buckets``. Distinct users split DISJOINTLY
+    across buckets (bucket is a function of user_id alone), so each
+    bucket counts its unique pairs independently and the final per-type
+    count is a small sum of n_buckets partial rows — no global distinct
+    structure anywhere. Reducer memory is O(unique pairs / n_buckets);
+    size n_buckets up per the dedup.scaled_buckets rule at corpus
+    scale."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy().astype(np.int64),
+            }
+        ).drop_duplicates()
+        uid = df["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            ubk = (
+                (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(n_buckets)
+        df["ubk"] = ubk.astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("event_type", sort=False)["n_users"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("ubk")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # n_buckets × n_types tiny rows remain; one small final groupby
+    return counts.groupby("event_type").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+#: HLL registers-per-sketch exponent: m = 2^12 = 4096 registers → ~1.6%
+#: standard error (1.04/sqrt(m)), 4 KiB per (batch, type) partial.
+HLL_P = 12
+
+
+def hll_cardinality(ds, p: int = HLL_P):
+    """ES ``cardinality`` aggregation as Elasticsearch actually runs it:
+    a HyperLogLog ESTIMATE of distinct user_id per event_type
+    (Flajolet et al. 2007, with the linear-counting small-range
+    correction ES/Lucene also applies).
+
+    Shape: each batch folds its user_ids into one m-register uint8
+    sketch per type (``np.maximum.at`` over splitmix64 hashes — fully
+    deterministic, so the result is parallelism-invariant); partials
+    are (event_type, 4 KiB register blob) rows and the merge is an
+    elementwise max per type. The exchange is O(batches × types × m)
+    bytes — independent of event count, the whole point of the sketch
+    vs ``distinct_users``. No SQL twin exists for the estimate; the
+    pytest pin bounds it against the exact count (±5 σ) and checks
+    merge associativity."""
+    from excelastic_ray.hashing import bit_length_u64, splitmix64
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        h = splitmix64(batch["user_id"].to_numpy().astype(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)  # remaining 64-p bits, top-aligned
+        # rho = leading zeros of w + 1, capped at 64-p+1 when w == 0
+        rho = np.where(
+            w > 0, 64 - bit_length_u64(w) + 1, 64 - p + 1
+        ).astype(np.uint8)
+        types, inv = np.unique(et, return_inverse=True)
+        regs = np.zeros((len(types), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rho)
+        return pd.DataFrame(
+            {
+                "event_type": types,
+                "regs": [r.tobytes() for r in regs],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]
+        )
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "est_users": trunc6(np.asarray([est])),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def tumbling_counts(ds, hours: int = 1):
     """Tumbling-window counts: (event_type, window_start) → n, sum_value.
     Pre-aggregated per batch (partial) before the coarse-bucketed final

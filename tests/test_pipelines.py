@@ -804,3 +804,94 @@ def test_export_partitioned_resume(ray_session, docs_ds, tmp_path):
     assert before == after  # finished partitions untouched
     got2 = read_export(out)
     assert set(got2["doc_id"].to_pylist()) == src_ids
+
+
+def test_event_stats_matches_pandas(ray_session):
+    """stats_by_type == a single-frame pandas groupby (trunc6 both)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import stats_by_type
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        stats_by_type(ev)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    want = (
+        raw.groupby("event_type")["value"]
+        .agg(n="size", sum_value="sum", min_value="min", max_value="max")
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n"]) == list(want["n"])
+    assert np.allclose(got["sum_value"], trunc6(want["sum_value"].to_numpy()),
+                       atol=2e-6)
+    assert np.array_equal(got["min_value"], trunc6(want["min_value"].to_numpy()))
+    assert np.array_equal(got["max_value"], trunc6(want["max_value"].to_numpy()))
+    assert np.allclose(
+        got["avg_value"],
+        trunc6(want["sum_value"].to_numpy() / want["n"].to_numpy()),
+        atol=2e-6,
+    )
+
+
+def test_distinct_users_exact_and_parallelism_invariant(ray_session):
+    """distinct_users == pandas nunique, at two parallelism levels (the
+    bucketed partial-dedup must be invariant to block layout)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import distinct_users
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    want = (
+        raw.groupby("event_type")["user_id"].nunique().sort_index()
+    )
+    for nparts in (1, 7):
+        ev = rd.read_parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).repartition(nparts)
+        got = (
+            distinct_users(ev)
+            .to_pandas()
+            .set_index("event_type")["n_users"]
+            .sort_index()
+        )
+        assert got.astype(int).to_dict() == want.astype(int).to_dict()
+
+
+def test_hll_estimate_within_error_and_merge_invariant(ray_session):
+    """HLL estimate is within 5 standard errors of the exact count
+    (sigma = 1.04/sqrt(m)) and identical across block layouts (register
+    max-merge is associative + commutative)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import HLL_P, hll_cardinality
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    exact = raw.groupby("event_type")["user_id"].nunique()
+    sigma = 1.04 / np.sqrt(1 << HLL_P)
+    outs = []
+    for nparts in (1, 5):
+        ev = rd.read_parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).repartition(nparts)
+        got = (
+            hll_cardinality(ev)
+            .to_pandas()
+            .set_index("event_type")["est_users"]
+            .sort_index()
+        )
+        outs.append(got)
+        for et, est in got.items():
+            rel = abs(est - exact[et]) / exact[et]
+            assert rel <= 5 * sigma, (et, est, exact[et])
+    assert outs[0].to_dict() == outs[1].to_dict()
