@@ -80,6 +80,34 @@ FUZZY_QUERIES = [
 FUZZY_MAX_EDITS = 1
 FUZZY_MAX_EXPANSIONS = 5
 
+#: wildcard query set (ES wildcard / scoring_boolean rewrite): infix
+#: ``*``, single-char ``?``, a leading-wildcard scan, an absent shape,
+#: and a broad pattern exercising the max_expansions cap.
+WILDCARD_QUERIES = [
+    ("w1", "ta*e"),
+    ("w2", "s?an"),
+    ("w3", "*dow"),
+    ("w4", "zz*q"),
+    ("w5", "s*"),
+]
+WILDCARD_MAX_EXPANSIONS = 3
+
+#: term-suggester input ("did you mean"): misspellings of corpus terms
+#: plus an unsalvageable token; 2-edit budget, top 3 per term.
+SUGGEST_TEXT = "tabel windo scann zzzzzzzz valu"
+SUGGEST_MAX_EDITS = 2
+SUGGEST_N = 3
+
+#: more_like_this sources: (query_id, conv_id, turn_idx) of stored docs
+#: (doc_ids 1, 42, 137 under the documents-derived corpus — all present
+#: from sf0.001 up), with the top-10 characteristic terms per source.
+MLT_SOURCES = [
+    ("m1", "conv_000000", 1),
+    ("m2", "conv_000005", 2),
+    ("m3", "conv_000017", 1),
+]
+MLT_MAX_TERMS = 10
+
 #: match_phrase query set: common bigram, trigram, absent phrase,
 #: single-term phrase (== tf-scored term query).
 PHRASE_QUERIES = [
@@ -329,6 +357,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.table(
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_wildcard_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, p in WILDCARD_QUERIES:
+            t = eng.search_wildcard(
+                p, 10, max_expansions=WILDCARD_MAX_EXPANSIONS
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_suggest_terms(sf_dir):
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.suggest(
+            SUGGEST_TEXT, max_edits=SUGGEST_MAX_EDITS,
+            max_suggestions=SUGGEST_N,
+        )
+
+    def q_more_like_this(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, conv, turn in MLT_SOURCES:
+            t = eng.more_like_this(
+                conv, turn, k=10, max_query_terms=MLT_MAX_TERMS
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_collapse(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_collapse(q, "role", k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "role": t["role"],
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -739,6 +853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "bm25_wildcard_topk": q_bm25_wildcard_topk,
+        "suggest_terms": q_suggest_terms,
+        "more_like_this": q_more_like_this,
+        "bm25_collapse": q_bm25_collapse,
         "bm25_best_fields": q_bm25_best_fields,
         "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
@@ -1180,6 +1298,212 @@ QUALIFY row_number() OVER (
     )
 
 
+def _wildcard_sql() -> str:
+    """ES-wildcard twin: per query, expand to the lexicographically
+    first ``WILDCARD_MAX_EXPANSIONS`` dictionary terms matching the
+    pattern (DuckDB GLOB has exactly the ES wildcard semantics:
+    ``*`` = any run, ``?`` = one char), then score as a bool-of-terms
+    OR query (identical CTE to bm25_topk)."""
+    cap = WILDCARD_MAX_EXPANSIONS
+    exps = ",\n".join(
+        f"""exp_{qid} AS (
+    SELECT DISTINCT term FROM (SELECT unnest(toks) AS term FROM base)
+    WHERE term GLOB '{p}' ORDER BY term LIMIT {cap}
+)"""
+        for qid, p in WILDCARD_QUERIES
+    )
+    q_union = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, term FROM exp_{qid}"
+        for qid, _ in WILDCARD_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+{exps},
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS ({q_union}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
+
+
+def _suggest_sql() -> str:
+    """Term-suggester twin: per input token, the ``SUGGEST_N`` closest
+    dictionary terms within ``SUGGEST_MAX_EDITS`` Levenshtein edits
+    (distance > 0 — the input term itself is never suggested), ranked
+    (distance ASC, df DESC, suggestion ASC) exactly like the engine's
+    deterministic integer ordering."""
+    toks = sorted(set(SUGGEST_TEXT.lower().split()))
+    per_term = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+    SELECT '{t}' AS term,
+           CAST(row_number() OVER (
+               ORDER BY d, df DESC, cand) AS INTEGER) AS rank,
+           cand AS suggestion, CAST(d AS INTEGER) AS distance, df
+    FROM (
+        SELECT df.term AS cand, levenshtein(df.term, '{t}') AS d,
+               CAST(df.df AS BIGINT) AS df
+        FROM df
+    )
+    WHERE d BETWEEN 1 AND {SUGGEST_MAX_EDITS}
+    QUALIFY row_number() OVER (ORDER BY d, df DESC, cand) <= {SUGGEST_N}
+)"""
+        for t in toks
+    )
+    return (
+        _BASE
+        + f""",
+tf AS (
+    SELECT conv_id, turn_idx, term, count(*) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+{per_term}
+"""
+    )
+
+
+def _mlt_sql() -> str:
+    """more_like_this twin: per source doc, tokenize it, select its
+    ``MLT_MAX_TERMS`` most characteristic terms by the engine's
+    deterministic integer ordering (tf DESC, global df ASC, term ASC),
+    score the selection as a bool-of-terms OR query, exclude the
+    source doc BEFORE ranking (the engine fetches depth k+1 and drops
+    the source — identical semantics), and keep each query's top 10."""
+    src_ctes, sel_unions, excl_vals = [], [], []
+    for qid, conv, turn in MLT_SOURCES:
+        src_ctes.append(
+            f"""stf_{qid} AS (
+    SELECT term, count(*) AS tf
+    FROM (SELECT unnest(toks) AS term FROM base
+          WHERE conv_id = '{conv}' AND turn_idx = {turn})
+    GROUP BY term
+)"""
+        )
+        sel_unions.append(
+            f"""SELECT '{qid}' AS query_id, term FROM (
+    SELECT stf.term
+    FROM stf_{qid} stf JOIN df ON df.term = stf.term
+    ORDER BY stf.tf DESC, df.df ASC, stf.term LIMIT {MLT_MAX_TERMS}
+)"""
+        )
+        excl_vals.append(f"('{qid}', '{conv}', {turn})")
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+{",".join(src_ctes)},
+q AS ({" UNION ALL ".join(sel_unions)}),
+excl(query_id, conv_id, turn_idx) AS (VALUES
+        {", ".join(excl_vals)}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+WHERE NOT EXISTS (
+    SELECT 1 FROM excl e
+    WHERE e.query_id = scored.query_id
+      AND e.conv_id = scored.conv_id AND e.turn_idx = scored.turn_idx
+)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
+
+
+def _collapse_sql() -> str:
+    """Field-collapse twin: the bm25 scored CTE joined back to the
+    transcript's role, one best hit per (query, role) group, groups
+    ranked by their best hit — row_number twice."""
+    vals = _bm25_terms_values()
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+best AS (
+    SELECT scored.query_id, t.role, scored.conv_id, scored.turn_idx, raw
+    FROM scored
+    JOIN transcripts t
+      ON t.conv_id = scored.conv_id AND t.turn_idx = scored.turn_idx
+    QUALIFY row_number() OVER (
+        PARTITION BY scored.query_id, t.role
+        ORDER BY raw DESC, scored.conv_id, scored.turn_idx) = 1
+)
+SELECT query_id, role, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM best
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     turn_mult = 1 << ENTRY_CONFIG.turn_bits
     en = _stop_list("en")
@@ -1232,6 +1556,10 @@ GROUP BY 1, 2
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "bm25_wildcard_topk": _wildcard_sql(),
+        "suggest_terms": _suggest_sql(),
+        "more_like_this": _mlt_sql(),
+        "bm25_collapse": _collapse_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover

@@ -146,6 +146,24 @@ def run_bench() -> dict:
             for _ in range(5):
                 eng.search_sorted(q, k=10, order="desc")
         timings["sorted_30q"] = round(time.monotonic() - s, 3)
+        # wildcard / suggester / MLT / collapse surfaces
+        s = time.monotonic()
+        for _ in range(10):
+            eng.search_wildcard("w0004*", k=10)
+        timings["wildcard_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.suggest("w0004 cal teh", max_edits=2)
+        timings["suggest_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.more_like_this("conv-000003", 1, k=10)
+        timings["mlt_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for q in BM25_BENCH_QUERIES:
+            for _ in range(10):
+                eng.search_collapse(q, "role", k=10)
+        timings["collapse_60q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.

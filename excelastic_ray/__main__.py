@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="query_string mode: field:term clauses allowed")
     s.add_argument("--fuzzy", default=None, metavar="EDITS",
                    help="fuzzy match: AUTO or max edit distance")
+    s.add_argument("--wildcard", action="store_true",
+                   help="wildcard query: * = any run, ? = one char")
+    s.add_argument("--suggest", action="store_true",
+                   help="term suggester: closest dictionary terms per "
+                        "query token ('did you mean')")
+    s.add_argument("--collapse", default=None, metavar="ATTR",
+                   help="field collapse: at most one (best) hit per "
+                        "distinct value of ATTR")
+    s.add_argument("--mlt", default=None, metavar="CONV:TURN",
+                   help="more_like_this: docs most similar to the "
+                        "given stored doc (query arg ignored)")
     s.add_argument("--sort-ts", action="store_true",
                    help="time-ordered results (newest first) instead "
                         "of relevance")
@@ -139,6 +150,18 @@ def main(argv: list[str] | None = None) -> int:
                               use_actors=args.actors)
             if args.phrase:
                 t = eng.search_phrase(args.query, args.k, slop=args.slop)
+            elif args.suggest:
+                t = eng.suggest(args.query)
+            elif args.wildcard:
+                t = eng.search_wildcard(args.query, args.k,
+                                        filters=filters or None)
+            elif args.mlt:
+                conv, _, turn = args.mlt.rpartition(":")
+                t = eng.more_like_this(conv, int(turn), k=args.k,
+                                       filters=filters or None)
+            elif args.collapse:
+                t = eng.search_collapse(args.query, args.collapse, args.k,
+                                        filters=filters or None)
             elif args.fuzzy is not None:
                 fz = args.fuzzy if args.fuzzy == "AUTO" else int(args.fuzzy)
                 t = eng.search_fuzzy(args.query, args.k, fuzziness=fz,

@@ -200,6 +200,53 @@ class ShardSearcher:
         hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
         return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
 
+    def terms_matching(self, pattern: str, cap: int,
+                       field: str | None = None) -> list[str]:
+        """First ``cap`` dictionary terms matching an ES wildcard
+        pattern (``*`` = any run of chars, ``?`` = exactly one).
+        Lucene rewrites a wildcard query to an automaton intersected
+        with the term dict; the dense-dictionary analog is a
+        literal-prefix seek (two binary searches bound the scan to the
+        prefix region) + one compiled-regex pass over the surviving
+        slice. A leading wildcard degenerates to a full
+        dictionary-region scan — the same cost cliff the ES docs warn
+        about for leading-wildcard queries."""
+        lit = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        rx = re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern
+            )
+        )
+        if field is not None:
+            from excelastic_ray.analysis import field_key
+
+            base = field_key(field, lit)
+            lo = int(np.searchsorted(self.terms, base))
+            hi = int(np.searchsorted(self.terms, base + "\U0010ffff"))
+            strip = len(base) - len(lit)
+            out = []
+            for t in self.terms[lo:hi]:
+                bare = str(t)[strip:]
+                if rx.fullmatch(bare):
+                    out.append(bare)
+                    if len(out) >= cap:
+                        break
+            return out
+        lo = int(np.searchsorted(self.terms, max(lit, "\x02")))
+        hi = (
+            int(np.searchsorted(self.terms, lit + "\U0010ffff"))
+            if lit else len(self.terms)
+        )
+        out = []
+        for t in self.terms[lo:hi]:
+            ts = str(t)
+            if rx.fullmatch(ts):
+                out.append(ts)
+                if len(out) >= cap:
+                    break
+        return out
+
     def fuzzy_candidates(self, term: str, max_edits: int,
                          prefix_length: int = 0) -> list[tuple[str, int]]:
         """Dictionary terms within Levenshtein distance ``max_edits`` of
@@ -567,6 +614,56 @@ class ShardSearcher:
         vals, counts = np.unique(col[m].astype(str), return_counts=True)
         return dict(zip(vals.tolist(), counts.tolist()))
 
+    def collapse_topk(self, terms, idfs, avgdl, attr, k,
+                      filters=None, n_required=0):
+        """ES field collapse, shard phase: TAAT-score every matching
+        doc, keep ONE best hit (score DESC, docid ASC) per distinct
+        ``attr`` value, return the shard's top-``k`` groups →
+        (docids, scores, group values). Shard-local top-k groups are
+        sufficient for an exact global merge: if a group misses this
+        shard's k best groups, at least k other groups beat its best
+        hit here, and each of those has a global best at least that
+        good — so it cannot reach the global top-k either."""
+        cfg = self.cfg
+        col = self.attrs.get(attr)
+        if col is None:
+            raise KeyError(f"attribute {attr!r} not stored in this index")
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64), [])
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return empty
+        scores = acc[nz]
+        docids = self.docids[nz]
+        groups = col[nz].astype(str)
+        order = np.lexsort((docids, -scores))
+        # first occurrence of each group along the ranked order == that
+        # group's best hit (np.unique returns first-occurrence indices)
+        uniq, first = np.unique(groups[order], return_index=True)
+        best = order[first]
+        bd, bs = docids[best], scores[best]
+        sel = np.lexsort((bd, -bs))[:k]
+        return bd[sel], bs[sel], uniq[sel].tolist()
+
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0):
         """Dense term-at-a-time: accumulate into a float64 array over the
         shard's ordinal space (bounded by shard doc count). Per-doc
@@ -876,11 +973,26 @@ class IndexReader:
             (docids & (self.cfg.max_turns - 1)).astype(np.int32),
         )
 
+    def docid_of(self, conv_id: str, turn_idx: int) -> int:
+        """(conv_id, turn_idx) → docid: one scan of the (small,
+        driver-resident) conv-rank table + pure arithmetic. The turn is
+        NOT validated here — fetch_docs raises KeyError for a docid the
+        docstore has never seen."""
+        hit = np.flatnonzero(self.conv_ids == conv_id)
+        if not len(hit):
+            raise KeyError(f"unknown conv_id {conv_id!r}")
+        return (int(hit[0]) << self.cfg.turn_bits) | int(turn_idx)
+
 
 #: TOKEN_RE matched case-insensitively over the ORIGINAL text: offsets
 #: stay valid even for characters whose lowercase form changes length
 #: ('İ' → 'i̇', ligatures), which text.lower()-based offsets would shift.
 _TOKEN_RE_CI = re.compile(TOKEN_RE.pattern, re.IGNORECASE)
+
+#: analyzer-token chars plus the two ES wildcard metacharacters — what
+#: survives wildcard-pattern normalization (mirrors search_prefix's
+#: TOKEN_RE normalization of the prefix string).
+_WILDCARD_TOKEN_RE = re.compile(r"[a-z0-9_*?]+")
 
 
 def highlight_text(text: str | None, terms) -> str:
@@ -903,6 +1015,25 @@ def highlight_text(text: str | None, terms) -> str:
             last = m.end()
     out.append(text[last:])
     return "".join(out)
+
+
+def _merge_collapse(parts, k):
+    """Merge per-shard collapse results: per group keep the global best
+    hit (score DESC, docid ASC), then rank groups by their best hit —
+    identical logic to the shard phase, over pool-size × k rows."""
+    docids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.float64)
+    groups = np.asarray(
+        [g for p in parts for g in p[2]], dtype=object
+    )
+    if not len(docids):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64), []
+    order = np.lexsort((docids, -scores))
+    uniq, first = np.unique(groups[order].astype(str), return_index=True)
+    best = order[first]
+    bd, bs = docids[best], scores[best]
+    sel = np.lexsort((bd, -bs))[:k]
+    return bd[sel], bs[sel], uniq[sel].tolist()
 
 
 def _merge_shard_topk(parts, k):
@@ -1306,6 +1437,62 @@ class QueryEngine:
             }
         )
 
+    def expand_wildcard(self, pattern: str, max_expansions: int = 50,
+                        field: str | None = None) -> list[str]:
+        """Global wildcard expansion: union of per-shard dictionary
+        matches, sorted, capped at ``max_expansions`` — deterministic
+        (the lexicographically FIRST matches win the cap, mirroring
+        expand_prefix)."""
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.terms_matching.remote(pattern, max_expansions, field)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).terms_matching(pattern, max_expansions, field)
+                for s in range(r.num_shards)
+            ]
+        out: set[str] = set()
+        for p in parts:
+            out.update(p)
+        return sorted(out)[:max_expansions]
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        max_expansions: int = 50,
+                        filters: dict | None = None,
+                        field: str | None = None):
+        """ES wildcard query (``*`` = any run, ``?`` = one char):
+        expand against the term dictionary, then score the expansion
+        as a bool-of-terms OR (the ``rewrite=scoring_boolean`` mode,
+        same fully-specified shape as search_prefix, so a SQL GLOB
+        expansion twins it exactly)."""
+        import pyarrow as pa
+
+        norm = "".join(_WILDCARD_TOKEN_RE.findall(pattern.lower()))
+        if field is not None:
+            terms = self.expand_wildcard(norm, max_expansions, field=field)
+            if terms:
+                return self._search_field_pairs(
+                    [(field, t) for t in terms], k, filters, 0
+                )
+        else:
+            terms = self.expand_wildcard(norm, max_expansions)
+            if terms:
+                return self.search(" ".join(terms), k, filters=filters)
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "docid": pa.array([], type=pa.int64()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
     @staticmethod
     def auto_fuzziness(term: str) -> int:
         """ES ``fuzziness: AUTO``: 0 edits below 3 chars, 1 for 3-5,
@@ -1321,6 +1508,15 @@ class QueryEngine:
         ordered (distance ASC, term ASC) — closest matches win the
         ``max_expansions`` cap deterministically (the exact-term match,
         distance 0, always survives)."""
+        best = self._fuzzy_union(term, max_edits, prefix_length)
+        ranked = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))
+        return [t for t, _ in ranked[:max_expansions]]
+
+    def _fuzzy_union(self, term: str, max_edits: int,
+                     prefix_length: int = 0) -> dict[str, int]:
+        """Union of per-shard Levenshtein candidates → {term: distance}
+        (min distance across shards; the metric is shard-invariant, so
+        min is just dedup)."""
         r = self.reader
         if self._actors is not None:
             import ray
@@ -1339,8 +1535,59 @@ class QueryEngine:
             for t, d in p:
                 if t not in best or d < best[t]:
                     best[t] = d
-        ranked = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))
-        return [t for t, _ in ranked[:max_expansions]]
+        return best
+
+    def suggest(self, text: str, max_edits: int = 2,
+                max_suggestions: int = 3, prefix_length: int = 0,
+                suggest_mode: str = "always"):
+        """ES term suggester ("did you mean"): per analyzer token of
+        ``text``, the ``max_suggestions`` closest dictionary terms
+        within ``max_edits`` Levenshtein edits → pyarrow.Table (term,
+        rank, suggestion, distance, df). The input term itself
+        (distance 0) is never suggested. Ranking is the deterministic
+        integer ordering (distance ASC, global df DESC, suggestion
+        ASC) — ES ranks by a frequency-scaled similarity score; the
+        integer proxy keeps the SQL ``levenshtein()`` twin exact.
+        ``suggest_mode="missing"`` (an ES mode) only suggests for
+        terms absent from the index; default "always" suggests for
+        every token."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        if suggest_mode not in ("always", "missing"):
+            raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        cols: dict[str, list] = {
+            "term": [], "rank": [], "suggestion": [], "distance": [],
+            "df": [],
+        }
+        for t in dict.fromkeys(tokenize(text)):  # unique, input order
+            if suggest_mode == "missing" and int(self._global_dfs([t])[0]) > 0:
+                continue
+            best = self._fuzzy_union(t, max_edits, prefix_length)
+            cands = sorted(c for c, d in best.items() if d > 0)
+            if not cands:
+                continue
+            dfs = self._global_dfs(cands)
+            ranked = sorted(
+                zip(cands, (best[c] for c in cands), dfs.tolist()),
+                key=lambda x: (x[1], -x[2], x[0]),
+            )[:max_suggestions]
+            for i, (c, d, df_) in enumerate(ranked, start=1):
+                cols["term"].append(t)
+                cols["rank"].append(i)
+                cols["suggestion"].append(c)
+                cols["distance"].append(d)
+                cols["df"].append(df_)
+        return pa.table(
+            {
+                "term": pa.array(cols["term"], type=pa.string()),
+                "rank": pa.array(cols["rank"], type=pa.int32()),
+                "suggestion": pa.array(cols["suggestion"], type=pa.string()),
+                "distance": pa.array(cols["distance"], type=pa.int32()),
+                "df": pa.array(cols["df"], type=pa.int64()),
+            }
+        )
 
     def search_fuzzy(self, query: str, k: int = 10,
                      fuzziness: int | str = "AUTO",
@@ -1369,6 +1616,116 @@ class QueryEngine:
             return self.search(" ".join(sorted(expanded)), k, filters=filters)
         return self._result_table(
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        )
+
+    def more_like_this(self, conv_id: str, turn_idx: int, k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 1,
+                       min_doc_freq: int = 1,
+                       filters: dict | None = None):
+        """ES more_like_this: find the docs most similar to one stored
+        doc. The source doc's text is fetched (chunk-pruned point
+        lookup), analyzed, and its ``max_query_terms`` most
+        characteristic terms become a bool-of-terms OR query; the
+        source doc itself is excluded from the results.
+
+        Term selection: ES ranks candidate terms by tf·idf; we use the
+        deterministic integer ordering (tf DESC, global df ASC, term
+        ASC) — the same monotone tf·idf proxy keywords() uses — so the
+        SQL twin selects identical terms with no float-cutoff
+        ambiguity (documented deviation). ``min_term_freq`` /
+        ``min_doc_freq`` are the ES gates of the same names."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        r = self.reader
+        src = r.docid_of(conv_id, turn_idx)
+        text = r.fetch_docs([src], columns=["text"])["text"][0].as_py()
+        tf: dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        cands = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        dfs = self._global_dfs(cands) if cands else np.zeros(0, np.int64)
+        sel = [
+            (t, tf[t], int(d))
+            for t, d in zip(cands, dfs)
+            if d >= max(min_doc_freq, 1)
+        ]
+        sel.sort(key=lambda x: (-x[1], x[2], x[0]))
+        terms = [t for t, _, _ in sel[:max_query_terms]]
+        if not terms:
+            return self._result_table(
+                np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+            )
+        # depth k+1: the source doc may (usually does) rank first;
+        # dropping it afterwards still leaves an exact top-k
+        t = self.search(" ".join(terms), k + 1, filters=filters)
+        keep = [
+            i for i, d in enumerate(t["docid"].to_pylist()) if d != src
+        ][:k]
+        t = t.take(keep)
+        return t.set_column(
+            t.schema.get_field_index("rank"), "rank",
+            pa.array(np.arange(1, len(keep) + 1, dtype=np.int32)),
+        )
+
+    def search_collapse(self, query: str, attr: str, k: int = 10,
+                        filters: dict | None = None, mode: str = "or"):
+        """ES field collapse: the top-``k`` hits with at most one hit —
+        the best (score DESC, docid ASC) — per distinct value of doc
+        attribute ``attr``; groups are ranked by their best hit.
+        Exact across shards: each shard returns its k best groups
+        (see ShardSearcher.collapse_topk for why that suffices), the
+        driver merges per-group maxima. Output adds an ``attr`` column
+        with the group value."""
+        import pyarrow as pa
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = query_terms(query)
+        bd = np.zeros(0, dtype=np.int64)
+        bs = np.zeros(0, dtype=np.float64)
+        bg: list[str] = []
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.collapse_topk.remote(
+                                lterms, idfs, r.avgdl, attr, k, filters,
+                                n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).collapse_topk(
+                            lterms, idfs, r.avgdl, attr, k, filters,
+                            n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                bd, bs, bg = _merge_collapse(parts, k)
+        conv, turn = r.keys_of(bd)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(bd) + 1, dtype=np.int32)),
+                "docid": pa.array(bd, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                attr: pa.array(bg, type=pa.string()),
+                "score": pa.array(bs, type=pa.float64()),
+            }
         )
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
@@ -1721,6 +2078,21 @@ class ShardActor:
         for s in self.searchers:
             out.update(s.terms_with_prefix(prefix, cap, field))
         return sorted(out)[:cap]
+
+    def terms_matching(self, pattern: str, cap: int,
+                       field: str | None = None) -> list[str]:
+        out: set[str] = set()
+        for s in self.searchers:
+            out.update(s.terms_matching(pattern, cap, field))
+        return sorted(out)[:cap]
+
+    def collapse_topk(self, terms, idfs, avgdl, attr, k,
+                      filters=None, n_required=0):
+        parts = [
+            s.collapse_topk(terms, idfs, avgdl, attr, k, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_collapse(parts, k)
 
     def fuzzy_candidates(self, term, max_edits, prefix_length=0):
         best: dict[str, int] = {}

@@ -232,6 +232,10 @@ class ImportServer:
                                 offset=int(q.get("from", "0")),
                                 slop=int(q.get("slop", "0")),
                                 qs=q.get("qs") == "1",
+                                wildcard=q.get("wildcard") == "1",
+                                suggest=q.get("suggest") == "1",
+                                collapse=q.get("collapse") or None,
+                                mlt=q.get("mlt") or None,
                             ),
                         )
                     else:
@@ -393,7 +397,9 @@ class ImportServer:
 
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0, slop: int = 0,
-               qs: bool = False) -> dict:
+               qs: bool = False, wildcard: bool = False,
+               suggest: bool = False, collapse: str | None = None,
+               mlt: str | None = None) -> dict:
         from excelastic_ray.index.segments import load_global_manifest
         from excelastic_ray.query.engine import QueryEngine
 
@@ -420,7 +426,16 @@ class ImportServer:
                     )
                 eng = QueryEngine(self.index_dir(index))
                 self._engines[index] = eng
-        if phrase:
+        if suggest:
+            t = eng.suggest(query)
+        elif wildcard:
+            t = eng.search_wildcard(query, k)
+        elif mlt:  # "conv_id:turn_idx" of the source doc
+            conv, _, turn = mlt.rpartition(":")
+            t = eng.more_like_this(conv, int(turn), k=k)
+        elif collapse:
+            t = eng.search_collapse(query, collapse, k=k)
+        elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
         elif qs:  # Kibana-style field:term query strings
             t = eng.search_qs(query, k=k, offset=offset)

@@ -1,0 +1,227 @@
+"""Round-3 ES query-surface batch: wildcard queries, the term
+suggester, more_like_this, and field collapse — each checked against a
+brute-force in-Python oracle over the synthetic corpus."""
+
+from __future__ import annotations
+
+import fnmatch
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from excelastic_ray.analysis import tokenize
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.corpus import generate_transcripts
+from excelastic_ray.index.build import build_index
+from excelastic_ray.query.engine import QueryEngine
+
+CFG = IndexConfig(
+    turn_bits=8, convs_per_chunk_bits=3, num_shards=4,
+    field_index_fields=("role",),
+)
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    D = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, D[0] = D[0], i
+        for j in range(1, n + 1):
+            prev, D[j] = D[j], min(
+                D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return D[n]
+
+
+@pytest.fixture(scope="module")
+def qs(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    table = generate_transcripts(n_convs=30, seed=5)
+    idx = str(tmp_path_factory.mktemp("surface3") / "idx")
+    build_index(rd.from_arrow(table), idx, CFG, clear=True)
+    df = table.to_pandas()
+    df["toks"] = [tokenize(t) for t in df["text"]]
+    vocab = sorted({t for toks in df["toks"] for t in toks})
+    dfreq = {}
+    for toks in df["toks"]:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    return QueryEngine(idx), df, vocab, dfreq
+
+
+# -- wildcard ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pat", ["w0000*", "w?001?", "*all", "ru?", "zz*q"])
+def test_expand_wildcard_matches_bruteforce(qs, pat):
+    eng, _, vocab, _ = qs
+    want = [t for t in vocab if fnmatch.fnmatchcase(t, pat)][:10]
+    assert eng.expand_wildcard(pat, max_expansions=10) == want
+
+
+def test_search_wildcard_scores_expansion_as_or(qs):
+    eng, _, _, _ = qs
+    terms = eng.expand_wildcard("w0000*", max_expansions=10)
+    assert terms
+    a = eng.search_wildcard("w0000*", k=10, max_expansions=10)
+    b = eng.search(" ".join(terms), k=10)
+    assert a.equals(b)
+
+
+def test_wildcard_trailing_star_equals_prefix_query(qs):
+    eng, _, _, _ = qs
+    a = eng.search_wildcard("cal*", k=10, max_expansions=5)
+    b = eng.search_prefix("cal", k=10, max_expansions=5)
+    assert a.equals(b)
+
+
+def test_wildcard_absent_pattern_empty(qs):
+    eng, _, _, _ = qs
+    assert eng.search_wildcard("zzzz*qq", k=10).num_rows == 0
+
+
+def test_wildcard_field_scoped(qs):
+    eng, _, _, _ = qs
+    # role stream holds exactly the four role tokens
+    got = eng.expand_wildcard("*s*", max_expansions=10, field="role")
+    assert got == ["assistant", "system", "user"]
+
+
+# -- term suggester ---------------------------------------------------------
+
+
+def test_suggest_matches_bruteforce_ranking(qs):
+    eng, _, vocab, dfreq = qs
+    t = eng.suggest("cal", max_edits=1, max_suggestions=5)
+    got = list(
+        zip(t["suggestion"].to_pylist(), t["distance"].to_pylist(),
+            t["df"].to_pylist())
+    )
+    want = sorted(
+        ((c, _lev("cal", c), dfreq[c]) for c in vocab
+         if 1 <= _lev("cal", c) <= 1),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:5]
+    assert got == want
+    assert t["rank"].to_pylist() == list(range(1, len(want) + 1))
+
+
+def test_suggest_never_suggests_the_input_term(qs):
+    eng, _, _, _ = qs
+    t = eng.suggest("call the", max_edits=2, max_suggestions=10)
+    for term, sug in zip(t["term"].to_pylist(), t["suggestion"].to_pylist()):
+        assert sug != term
+
+
+def test_suggest_mode_missing_skips_present_terms(qs):
+    eng, _, _, dfreq = qs
+    assert dfreq.get("call", 0) > 0
+    t = eng.suggest("call", max_edits=2, suggest_mode="missing")
+    assert t.num_rows == 0
+    t2 = eng.suggest("calx", max_edits=2, suggest_mode="missing")
+    assert t2.num_rows > 0
+
+
+# -- more_like_this ---------------------------------------------------------
+
+
+def test_mlt_excludes_source_and_uses_selected_terms(qs):
+    eng, df, _, dfreq = qs
+    conv, turn = "conv-000003", 1
+    src_docid = eng.reader.docid_of(conv, turn)
+    row = df[(df["conv_id"] == conv) & (df["turn_idx"] == turn)].iloc[0]
+    tf: dict[str, int] = {}
+    for t in row["toks"]:
+        tf[t] = tf.get(t, 0) + 1
+    sel = sorted(tf, key=lambda t: (-tf[t], dfreq[t], t))[:8]
+    got = eng.more_like_this(conv, turn, k=10, max_query_terms=8)
+    assert src_docid not in got["docid"].to_pylist()
+    want = eng.search(" ".join(sel), k=11)
+    keep = [i for i, d in enumerate(want["docid"].to_pylist())
+            if d != src_docid][:10]
+    assert got["docid"].to_pylist() == [
+        want["docid"].to_pylist()[i] for i in keep
+    ]
+    assert got["rank"].to_pylist() == list(range(1, len(keep) + 1))
+
+
+def test_mlt_unknown_conv_raises(qs):
+    eng, _, _, _ = qs
+    with pytest.raises(KeyError):
+        eng.more_like_this("conv-999999", 0)
+
+
+# -- field collapse ---------------------------------------------------------
+
+
+def _client_collapse(t, attr_of, k):
+    """Collapse a full ranking client-side: best hit per group, then
+    top-k groups by their best hit (score DESC, docid ASC)."""
+    rows = pd.DataFrame(
+        {
+            "docid": t["docid"].to_pylist(),
+            "score": t["score"].to_pylist(),
+        }
+    )
+    rows["grp"] = rows["docid"].map(attr_of)
+    rows = rows.sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).drop_duplicates("grp")
+    return rows.head(k)
+
+
+@pytest.mark.parametrize("query", ["call the", "w00001", "run ok call"])
+def test_collapse_equals_clientside_collapse(qs, query):
+    eng, df, _, _ = qs
+    full = eng.search(query, k=len(df))
+    conv, turn = eng.reader.keys_of(
+        np.asarray(full["docid"].to_pylist(), dtype=np.int64)
+    )
+    key_role = {
+        (c, t): r
+        for c, t, r in zip(df["conv_id"], df["turn_idx"], df["role"])
+    }
+    attr_of = dict(
+        zip(
+            full["docid"].to_pylist(),
+            (key_role[(c, int(t))] for c, t in zip(conv, turn)),
+        )
+    )
+    want = _client_collapse(full, attr_of, k=10)
+    got = eng.search_collapse(query, "role", k=10)
+    assert got["docid"].to_pylist() == want["docid"].tolist()
+    assert got["role"].to_pylist() == want["grp"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+    # at most one hit per group, by construction
+    assert got.num_rows == len(set(got["role"].to_pylist()))
+
+
+def test_collapse_respects_filters_and_mode(qs):
+    eng, _, _, _ = qs
+    got = eng.search_collapse(
+        "call the", "role", k=10, filters={"role": "user"}
+    )
+    assert got["role"].to_pylist() == ["user"]
+    assert eng.search_collapse("call zzzzabsent", "role", k=10,
+                               mode="and").num_rows == 0
+
+
+def test_collapse_and_wildcard_actor_parity(qs):
+    eng, _, _, _ = qs
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.search_collapse("call the", "role", k=10)
+        b = eng.search_collapse("call the", "role", k=10)
+        assert a.equals(b)
+        aw = actor_eng.search_wildcard("w0000*", k=10)
+        bw = eng.search_wildcard("w0000*", k=10)
+        assert aw.equals(bw)
+        asu = actor_eng.suggest("cal", max_edits=1)
+        bsu = eng.suggest("cal", max_edits=1)
+        assert asu.equals(bsu)
+    finally:
+        actor_eng.close()

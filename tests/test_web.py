@@ -148,9 +148,16 @@ def test_cli_search_flags(ray_session, tmp_path):
         assert main(["search", idx, "the", "-k", "3", "--from", "2",
                      "--highlight"]) == 0
         assert main(["search", idx, "the", "-k", "3", "--phrase"]) == 0
+        assert main(["search", idx, "th*", "-k", "3", "--wildcard"]) == 0
+        assert main(["search", idx, "teh", "--suggest"]) == 0
+        assert main(["search", idx, "the", "-k", "3",
+                     "--collapse", "role"]) == 0
+        assert main(["search", idx, "", "-k", "3",
+                     "--mlt", "conv-000003:1"]) == 0
         assert main(["status", idx]) == 0
     text = out.getvalue()
     assert "<em>" in text and "docid" in text and '"percent": 100.0' in text
+    assert "suggestion" in text and "role" in text
 
 
 def test_upload_xls_via_http(ray_session, tmp_path):
