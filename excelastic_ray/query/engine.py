@@ -464,11 +464,16 @@ class ShardSearcher:
         ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
         ``idfs`` are GLOBAL idfs (df summed across shards by the caller).
 
-        ``algo="auto"`` picks per shard: block-max WAND when a selective
-        pivot term exists (its skips then bypass most of the hot lists);
-        vectorized TAAT otherwise (a doc-at-a-time Python loop can never
-        beat numpy over full decode when every candidate must be scored
-        anyway). Both are exact and return identical results.
+        ``algo="auto"`` always picks vectorized TAAT. Block-max WAND
+        ("bmw") stays available and exact (tests pin bmw == taat), but
+        measurement killed it from auto: its per-block Python cursor
+        overhead (~µs/block: pivot sort, next_geq, block_ub) exceeds
+        TAAT's vectorized full-decode cost (~ns/posting) at EVERY
+        tested term-count/df shape — 57× slower on rare+common 2-term,
+        200× on 16-term, 74× on a 23-term more_like_this expansion
+        (BASELINE.md round 3). BMW's asymptotic skip advantage needs
+        compiled cursors; in pure Python the constant factor always
+        loses against numpy.
 
         ``filters``: {attr: value or list} restricts results to matching
         docs WITHOUT changing BM25 stats (ES filter context).
@@ -486,12 +491,7 @@ class ShardSearcher:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         mask = self.filter_mask(filters)
         if algo == "auto":
-            dfs = np.asarray([self.df[self.lookup(t)] for t, _ in present])
-            total = int(dfs.sum())
-            selective = total > 65536 and len(present) > 1 and (
-                dfs.min() * 20 < dfs.max()
-            )
-            algo = "bmw" if (selective and not n_required) else "taat"
+            algo = "taat"
         if algo == "taat":
             return self._topk_taat(present, avgdl, k, mask, n_required)
         if algo == "bmw":
