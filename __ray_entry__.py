@@ -108,6 +108,19 @@ MLT_SOURCES = [
 ]
 MLT_MAX_TERMS = 10
 
+#: bool query set: (qid, must, should, must_not, minimum_should_match
+#: or None → ES default). Covers must+scoring-should, pure should with
+#: msm, pure must, must_not exclusion, should+must_not with msm, and a
+#: dead must term (→ empty).
+BOOL_QUERIES = [
+    ("b1", "table", "spark merge", "", None),
+    ("b2", "", "window value sort", "", 2),
+    ("b3", "table scan", "", "", None),
+    ("b4", "value", "", "table", None),
+    ("b5", "", "key value", "scan part", 1),
+    ("b6", "zzz_absent_term", "value", "", None),
+]
+
 #: match_phrase query set: common bigram, trigram, absent phrase,
 #: single-term phrase (== tf-scored term query).
 PHRASE_QUERIES = [
@@ -443,6 +456,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
                         "role": t["role"],
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_bool(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, must, should, mnot, msm in BOOL_QUERIES:
+            t = eng.search_bool(
+                must=must, should=should, must_not=mnot, k=10,
+                minimum_should_match=msm,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -853,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "suggest_terms": q_suggest_terms,
         "more_like_this": q_more_like_this,
@@ -1298,6 +1339,81 @@ QUALIFY row_number() OVER (
     )
 
 
+def _bool_sql() -> str:
+    """ES-bool twin: score over the must∪should term union (one q row
+    per term with role flags — a term in both roles scores once), then
+    gate per doc on mhits = n_must (all must terms matched; a dead
+    must term makes the query empty naturally), shits >= msm
+    (minimum_should_match), and NOT EXISTS a must_not match. Mirrors
+    search_bool's preprocessing: should terms also in must_not are
+    dropped before the VALUES are built (they can never contribute —
+    any doc containing one is excluded)."""
+    q_vals, qp_vals, mnot_vals = [], [], []
+    for qid, must, should, mnot, msm in BOOL_QUERIES:
+        m = sorted(set(must.lower().split()))
+        n = sorted(set(mnot.lower().split()))
+        s = sorted(set(should.lower().split()) - set(n))
+        msm_v = msm if msm is not None else (1 if s and not m else 0)
+        qp_vals.append(f"('{qid}', {len(m)}, {msm_v})")
+        for t in sorted(set(m) | set(s)):
+            q_vals.append(
+                f"('{qid}', '{t}', {str(t in m).upper()},"
+                f" {str(t in s).upper()})"
+            )
+        for t in n:
+            mnot_vals.append(f"('{qid}', '{t}')")
+    if not mnot_vals:  # VALUES needs >= 1 row; never joins
+        mnot_vals.append("('__none__', '__none__')")
+    sep = ",\n        "
+    q_v, qp_v, mnot_v = sep.join(q_vals), sep.join(qp_vals), sep.join(mnot_vals)
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term, is_must, is_should) AS (VALUES
+        {q_v}),
+qp(query_id, n_must, msm) AS (VALUES
+        {qp_v}),
+mnot(query_id, term) AS (VALUES
+        {mnot_v}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum(CASE WHEN q.is_must THEN 1 ELSE 0 END) AS mhits,
+           sum(CASE WHEN q.is_should THEN 1 ELSE 0 END) AS shits,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+JOIN qp ON qp.query_id = scored.query_id
+WHERE scored.mhits = qp.n_must AND scored.shits >= qp.msm
+  AND NOT EXISTS (
+      SELECT 1 FROM mnot m JOIN tf tn ON tn.term = m.term
+      WHERE m.query_id = scored.query_id
+        AND tn.conv_id = scored.conv_id AND tn.turn_idx = scored.turn_idx)
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= 10
+"""
+    )
+
+
 def _wildcard_sql() -> str:
     """ES-wildcard twin: per query, expand to the lexicographically
     first ``WILDCARD_MAX_EXPANSIONS`` dictionary terms matching the
@@ -1556,6 +1672,7 @@ GROUP BY 1, 2
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "bm25_bool_topk": _bool_sql(),
         "bm25_wildcard_topk": _wildcard_sql(),
         "suggest_terms": _suggest_sql(),
         "more_like_this": _mlt_sql(),

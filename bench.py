@@ -164,6 +164,11 @@ def run_bench() -> dict:
             for _ in range(10):
                 eng.search_collapse(q, "role", k=10)
         timings["collapse_60q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.search_bool(must="w00042", should="the call run",
+                            must_not="w00777", k=10)
+        timings["bool_10q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.

@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mlt", default=None, metavar="CONV:TURN",
                    help="more_like_this: docs most similar to the "
                         "given stored doc (query arg ignored)")
+    s.add_argument("--must", default=None,
+                   help="bool query: required (scoring) terms; the "
+                        "positional query arg becomes the should clause")
+    s.add_argument("--must-not", dest="must_not", default=None,
+                   help="bool query: excluded (non-scoring) terms")
+    s.add_argument("--msm", type=int, default=None,
+                   help="bool query minimum_should_match")
     s.add_argument("--sort-ts", action="store_true",
                    help="time-ordered results (newest first) instead "
                         "of relevance")
@@ -162,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.collapse:
                 t = eng.search_collapse(args.query, args.collapse, args.k,
                                         filters=filters or None)
+            elif args.must or args.must_not or args.msm is not None:
+                t = eng.search_bool(
+                    must=args.must or "", should=args.query,
+                    must_not=args.must_not or "", k=args.k,
+                    minimum_should_match=args.msm,
+                    filters=filters or None,
+                )
             elif args.fuzzy is not None:
                 fz = args.fuzzy if args.fuzzy == "AUTO" else int(args.fuzzy)
                 t = eng.search_fuzzy(args.query, args.k, fuzziness=fz,

@@ -498,6 +498,56 @@ class ShardSearcher:
             return self._topk_bmw(present, avgdl, k, mask, n_required)
         raise ValueError(f"unknown algo {algo!r}")
 
+    def bool_topk(self, terms, idfs, must_flags, should_flags, mnot,
+                  avgdl, k, filters=None, n_must=0, msm=0):
+        """ES ``bool`` query, shard phase. ``terms`` is the sorted
+        unique union of the must and should clause terms (summation
+        order matches the oracle); ``must_flags``/``should_flags`` mark
+        each term's role(s); ``mnot`` is the must_not term list. A doc
+        survives iff it matched all ``n_must`` GLOBAL must terms, at
+        least ``msm`` should terms (minimum_should_match), no must_not
+        term, and the attribute filter. Score = sum of BM25
+        contributions of its matched must∪should terms — must and
+        should both score, must_not and filters are non-scoring (ES
+        filter context). Per-doc predicates are shard-local facts (a
+        doc lives in exactly one shard), so shard evaluation is
+        globally exact."""
+        cfg = self.cfg
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        mhits = np.zeros(len(self.docids), dtype=np.int32) if n_must else None
+        shits = np.zeros(len(self.docids), dtype=np.int32) if msm else None
+        for t, t_idf, is_m, is_s in zip(terms, idfs, must_flags, should_flags):
+            i = self.lookup(t)
+            if i < 0:
+                continue
+            ids, tfs = self.decoded(i)
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if is_m and mhits is not None:
+                mhits[ids] += 1
+            if is_s and shits is not None:
+                shits[ids] += 1
+        if mhits is not None:
+            acc[mhits < n_must] = 0.0
+        if shits is not None:
+            acc[shits < msm] = 0.0
+        for t in mnot:
+            i = self.lookup(t)
+            if i < 0:
+                continue
+            ids, _ = self.decoded(i)
+            acc[ids] = 0.0
+        fmask = self.filter_mask(filters)
+        if fmask is not None:
+            acc[~fmask] = 0.0
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def topk_fields(self, entries, avgdls: dict, k: int,
                     filters: dict | None = None, combine: str = "sum",
                     tie_breaker: float = 0.0):
@@ -1493,6 +1543,88 @@ class QueryEngine:
             }
         )
 
+    def search_bool(self, must: str = "", should: str = "",
+                    must_not: str = "", k: int = 10,
+                    minimum_should_match: int | None = None,
+                    filters: dict | None = None):
+        """ES ``bool`` query: ``must`` terms all required (scoring),
+        ``should`` terms optional (scoring, at least
+        ``minimum_should_match`` of them — ES default: 1 when there is
+        no must clause, else 0), ``must_not`` terms excluded
+        (non-scoring), ``filters`` the non-scoring attribute filter
+        context. Clause strings are analyzed with the index analyzer;
+        duplicate terms within a clause dedup (Lucene BooleanQuery
+        behavior). A term in both must and should counts toward both
+        predicates but scores once. Deviation from ES: a query with no
+        scoring clause (must_not/filter only — ES matches everything at
+        score 0) raises ValueError instead of ranking the whole corpus.
+
+        Edge semantics (all mirrored exactly by the SQL twin): a must
+        term absent from the corpus ⇒ empty result; a should term
+        absent ⇒ drops out (can never match or score); must ∩ must_not
+        ⇒ empty (the clauses contradict); should ∩ must_not terms can
+        never contribute (any doc containing one is excluded)."""
+        m_terms = query_terms(must)
+        s_terms = query_terms(should)
+        n_terms = query_terms(must_not)
+        if not m_terms and not s_terms:
+            raise ValueError("bool query needs at least one must or "
+                             "should term")
+        msm = (
+            minimum_should_match
+            if minimum_should_match is not None
+            else (1 if s_terms and not m_terms else 0)
+        )
+        empty = self._result_table(
+            np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        )
+        nset = set(n_terms)
+        if nset & set(m_terms):
+            return empty  # contradiction: must t AND must_not t
+        s_terms = [t for t in s_terms if t not in nset]
+        r = self.reader
+        if not r.n_docs:
+            return empty
+        n_must = len(m_terms)
+        union = sorted(set(m_terms) | set(s_terms))
+        dfs = dict(zip(union, self._global_dfs(union).tolist()))
+        if any(dfs[t] == 0 for t in m_terms):
+            return empty  # a required term matches nothing
+        live = [t for t in union if dfs[t] > 0]
+        s_live = sum(1 for t in s_terms if dfs[t] > 0)
+        if msm > s_live:
+            return empty  # fewer live should terms than required
+        if not live:
+            return empty
+        mset, sset = set(m_terms), set(s_terms)
+        idfs = [idf(r.n_docs, dfs[t]) for t in live]
+        must_flags = [t in mset for t in live]
+        should_flags = [t in sset for t in live]
+        mnot = [t for t in n_terms if t not in self._df_cache
+                or self._df_cache[t] != 0]
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [
+                    a.bool_topk.remote(
+                        live, idfs, must_flags, should_flags, mnot,
+                        r.avgdl, k, filters, n_must, msm,
+                    )
+                    for a in self._actors
+                ]
+            )
+        else:
+            parts = [
+                r.searcher(s).bool_topk(
+                    live, idfs, must_flags, should_flags, mnot,
+                    r.avgdl, k, filters, n_must, msm,
+                )
+                for s in range(r.num_shards)
+            ]
+        docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     @staticmethod
     def auto_fuzziness(term: str) -> int:
         """ES ``fuzziness: AUTO``: 0 edits below 3 chars, 1 for 3-5,
@@ -2093,6 +2225,15 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_collapse(parts, k)
+
+    def bool_topk(self, terms, idfs, must_flags, should_flags, mnot,
+                  avgdl, k, filters=None, n_must=0, msm=0):
+        parts = [
+            s.bool_topk(terms, idfs, must_flags, should_flags, mnot,
+                        avgdl, k, filters, n_must, msm)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def fuzzy_candidates(self, term, max_edits, prefix_length=0):
         best: dict[str, int] = {}

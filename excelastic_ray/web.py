@@ -236,6 +236,10 @@ class ImportServer:
                                 suggest=q.get("suggest") == "1",
                                 collapse=q.get("collapse") or None,
                                 mlt=q.get("mlt") or None,
+                                must=q.get("must") or None,
+                                must_not=q.get("must_not") or None,
+                                msm=(int(q["msm"]) if q.get("msm")
+                                     else None),
                             ),
                         )
                     else:
@@ -399,7 +403,9 @@ class ImportServer:
                phrase: bool = False, offset: int = 0, slop: int = 0,
                qs: bool = False, wildcard: bool = False,
                suggest: bool = False, collapse: str | None = None,
-               mlt: str | None = None) -> dict:
+               mlt: str | None = None, must: str | None = None,
+               must_not: str | None = None,
+               msm: int | None = None) -> dict:
         from excelastic_ray.index.segments import load_global_manifest
         from excelastic_ray.query.engine import QueryEngine
 
@@ -426,7 +432,13 @@ class ImportServer:
                     )
                 eng = QueryEngine(self.index_dir(index))
                 self._engines[index] = eng
-        if suggest:
+        if must or must_not or msm is not None:
+            # ES bool: q= is the should clause, must=/must_not=/msm=
+            # the remaining clauses
+            t = eng.search_bool(must=must or "", should=query,
+                                must_not=must_not or "", k=k,
+                                minimum_should_match=msm)
+        elif suggest:
             t = eng.suggest(query)
         elif wildcard:
             t = eng.search_wildcard(query, k)

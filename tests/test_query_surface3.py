@@ -225,3 +225,104 @@ def test_collapse_and_wildcard_actor_parity(qs):
         assert asu.equals(bsu)
     finally:
         actor_eng.close()
+
+
+# -- bool queries -----------------------------------------------------------
+
+
+def _keys_toks(eng, df, table):
+    """docid → token set of that doc, via the stored (conv, turn) keys."""
+    conv, turn = eng.reader.keys_of(
+        np.asarray(table["docid"].to_pylist(), dtype=np.int64)
+    )
+    by_key = {
+        (c, int(t)): set(toks)
+        for c, t, toks in zip(df["conv_id"], df["turn_idx"], df["toks"])
+    }
+    return [by_key[(c, int(t))] for c, t in zip(conv, turn)]
+
+
+def test_bool_pure_must_equals_operator_and(qs):
+    eng, _, _, _ = qs
+    a = eng.search_bool(must="call the", k=10)
+    b = eng.search("call the", k=10, mode="and")
+    assert a.equals(b)
+
+
+def test_bool_pure_should_default_msm_equals_or(qs):
+    eng, _, _, _ = qs
+    a = eng.search_bool(should="call the window", k=10)
+    b = eng.search("call the window", k=10)
+    assert a.equals(b)
+
+
+def test_bool_must_plus_should_clientside(qs):
+    eng, df, _, _ = qs
+    must, should = "call", "the window"
+    union = " ".join(sorted(set((must + " " + should).split())))
+    full = eng.search(union, k=len(df))
+    toksets = _keys_toks(eng, df, full)
+    keep = [i for i, ts in enumerate(toksets) if "call" in ts][:10]
+    want = full.take(keep)
+    got = eng.search_bool(must=must, should=should, k=10)
+    assert got["docid"].to_pylist() == want["docid"].to_pylist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+
+def test_bool_must_not_excludes(qs):
+    eng, df, _, _ = qs
+    full = eng.search("call", k=len(df))
+    toksets = _keys_toks(eng, df, full)
+    keep = [i for i, ts in enumerate(toksets) if "the" not in ts][:10]
+    want = full.take(keep)
+    got = eng.search_bool(must="call", must_not="the", k=10)
+    assert got["docid"].to_pylist() == want["docid"].to_pylist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+    # no surviving doc contains the excluded term
+    assert all("the" not in ts for ts in _keys_toks(eng, df, got))
+
+
+def test_bool_minimum_should_match(qs):
+    eng, df, _, _ = qs
+    terms = "call the window"
+    full = eng.search(terms, k=len(df))
+    toksets = _keys_toks(eng, df, full)
+    tset = set(terms.split())
+    keep = [i for i, ts in enumerate(toksets) if len(ts & tset) >= 2][:10]
+    want = full.take(keep)
+    got = eng.search_bool(should=terms, minimum_should_match=2, k=10)
+    assert got["docid"].to_pylist() == want["docid"].to_pylist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+
+def test_bool_edge_cases(qs):
+    eng, _, _, _ = qs
+    # dead must term → empty, even with live should terms
+    assert eng.search_bool(must="zzzzabsent", should="call").num_rows == 0
+    # must ∩ must_not contradiction → empty
+    assert eng.search_bool(must="call", must_not="call").num_rows == 0
+    # msm above the live should count → empty
+    assert eng.search_bool(should="call zzzzabsent",
+                           minimum_should_match=2).num_rows == 0
+    # no scoring clause → ValueError
+    with pytest.raises(ValueError):
+        eng.search_bool(must_not="call")
+
+
+def test_bool_actor_parity(qs):
+    eng, _, _, _ = qs
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.search_bool(must="call", should="the window",
+                                  must_not="w00001", k=10)
+        b = eng.search_bool(must="call", should="the window",
+                            must_not="w00001", k=10)
+        assert a.equals(b)
+    finally:
+        actor_eng.close()

@@ -154,6 +154,8 @@ def test_cli_search_flags(ray_session, tmp_path):
                      "--collapse", "role"]) == 0
         assert main(["search", idx, "", "-k", "3",
                      "--mlt", "conv-000003:1"]) == 0
+        assert main(["search", idx, "call the", "-k", "3",
+                     "--must", "w00001", "--must-not", "w00002"]) == 0
         assert main(["status", idx]) == 0
     text = out.getvalue()
     assert "<em>" in text and "docid" in text and '"percent": 100.0' in text
