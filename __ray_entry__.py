@@ -642,6 +642,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_keywords(sf_dir):
         return ts.keywords(_docs(sf_dir), k=3)
 
+    def q_mix_sources(sf_dir):
+        from excelastic_ray.pipelines.sampling import mix_to_weights
+
+        return mix_to_weights(
+            _docs(sf_dir).select_columns(["doc_id", "source"]),
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        )
+
+    def q_line_dedup(sf_dir):
+        from excelastic_ray.pipelines.dedup import remove_repeated_lines
+
+        return remove_repeated_lines(_docs(sf_dir), min_df=2)
+
+    def q_significant_terms(sf_dir):
+        return ts.significant_terms(
+            _docs(sf_dir), fg_col="source", fg_value="src0", n=10,
+            min_doc_count=3,
+        )
+
     def q_contamination(sf_dir):
         import pyarrow as pa
 
@@ -918,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "doc_signals": q_doc_signals,
         "keywords": q_keywords,
+        "significant_terms": q_significant_terms,
+        "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -936,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "sample": q_sample,
+        "mix_sources": q_mix_sources,
         "stratified_sample": q_stratified_sample,
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
@@ -1884,6 +1906,59 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df FROM (
     FROM tf JOIN df USING (term)
 ) WHERE rank <= 3
 """,
+        # RefinedWeb/CCNet boilerplate removal: drop every line occurring
+        # in >= 2 distinct docs; the synthetic corpus is single-line with
+        # no cross-doc exact lines, so this gate is a full-corpus
+        # PASSTHROUGH hash check (text_clean == text end-to-end); actual
+        # removal is pinned by tests/test_pipelines.py on a crafted
+        # multi-line corpus
+        "line_dedup": """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lines AS (SELECT DISTINCT doc_id, unnest(ls.ls) AS line FROM ls),
+ldf AS (SELECT line, count(*) AS df FROM lines GROUP BY line),
+hotl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS hl
+         FROM ldf WHERE df >= 2)
+SELECT d.doc_id,
+       CAST(len(d.ls) AS BIGINT) AS n_lines,
+       CAST(len(d.ls) - len(list_filter(d.ls,
+                l -> NOT list_contains(h.hl, l))) AS BIGINT) AS n_removed,
+       array_to_string(list_filter(d.ls, l -> NOT list_contains(h.hl, l)),
+                       chr(10)) AS text_clean
+FROM ls d CROSS JOIN hotl h
+""",
+        # ES significant_terms (JLH heuristic): foreground = one source
+        # slice vs the whole-corpus background; same float64 expression
+        # as the engine, ordered by the TRUNCATED score so rounding ties
+        # break identically (term ASC)
+        "significant_terms": f"""
+WITH base AS (SELECT doc_id, source, {_TOK} AS toks FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS fg
+        FROM base),
+tf AS (SELECT DISTINCT doc_id, source, term
+       FROM (SELECT doc_id, source, unnest(toks) AS term FROM base)),
+stats AS (SELECT term,
+                 CAST(count(*) AS DOUBLE) AS df,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS fg_df
+          FROM tf GROUP BY term),
+scored AS (
+    SELECT term, fg_df, df,
+           floor((fg_df / t.fg - df / t.n)
+                 * ((fg_df / t.fg) / (df / t.n)) * 1000000 + 0.5)
+               / 1000000 AS score
+    FROM stats CROSS JOIN tot t
+    WHERE fg_df >= 3 AND fg_df / t.fg > df / t.n
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, term) AS INTEGER)
+           AS rank,
+       term, CAST(fg_df AS BIGINT) AS fg_df, CAST(df AS BIGINT) AS df,
+       score
+FROM scored
+ORDER BY score DESC, term
+LIMIT 10
+""",
         "contamination": """
 SELECT a.doc_id
 FROM documents a
@@ -2024,6 +2099,23 @@ FROM s GROUP BY user_id, session_idx
 SELECT doc_id FROM documents
 WHERE (doc_id * 2654435761) % 4294967296
       < CAST(floor(0.35 * 4294967296) AS BIGINT)
+""",
+        # data mixing: per-source keep rate = w * T / c with
+        # T = min(c/w) (largest downsample-only total hitting the
+        # target proportions), same float64 expression and Knuth-hash
+        # threshold as the engine
+        "mix_sources": """
+WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source),
+t AS (SELECT min(c.c / w.w) AS t FROM c JOIN w ON w.source = c.source
+      WHERE w.w > 0),
+r AS (SELECT c.source, w.w * t.t / c.c AS rate
+      FROM c JOIN w ON w.source = c.source CROSS JOIN t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON r.source = d.source
+WHERE (d.doc_id * 2654435761) % 4294967296
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
 """,
         "stratified_sample": """
 SELECT doc_id, lang FROM documents

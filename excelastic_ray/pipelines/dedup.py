@@ -1240,3 +1240,99 @@ def winnow_fingerprints(ds, k: int = 5, w: int = 4,
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
+
+
+def remove_repeated_lines(ds, min_df: int = 2, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n_buckets: int = N_BUCKETS,
+                          hot_budget: int = 50_000_000):
+    """Boilerplate line removal (the RefinedWeb / CCNet pre-training
+    cleanup): drop every line that occurs in at least ``min_df``
+    DISTINCT documents — navigation bars, cookie banners, license
+    headers — and return the cleaned text.
+
+    Two passes. Pass 1 computes line document-frequency on 64-bit FNV
+    line hashes (never shipping line text) with the usual shape:
+    per-batch partials deduped per doc, a coarse hash-bucket combine,
+    then a distributed ``df >= min_df`` filter. The HOT set (repeated
+    lines only — boilerplate-sized, not corpus-sized) is budget-gated
+    by a count before it is collected and ``ray.put`` once as a sorted
+    uint64 array. Pass 2 is a pure map: split, hash, ``searchsorted``
+    membership, rebuild. Removal keys on the 64-bit hash (the same
+    collision stance as exact_dedup's content_hash).
+
+    → Dataset (id, n_lines, n_removed, text_clean); docs whose every
+    line is boilerplate come out with text_clean = "".
+    """
+    import ray
+
+    from excelastic_ray.hashing import fnv1a_rows
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        per_doc: list[np.ndarray] = []
+        for t in texts:
+            ls = (t or "").split("\n")
+            per_doc.append(np.unique(fnv1a_rows([l.encode() for l in ls])))
+        flat = (
+            np.concatenate(per_doc) if per_doc
+            else np.zeros(0, dtype=np.uint64)
+        )
+        h, c = np.unique(flat, return_counts=True)
+        return pa.table({
+            "line_hash": pa.array(h.view(np.int64)),
+            "df": pa.array(c.astype(np.int64)),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("line_hash", sort=False)["df"].sum().reset_index()
+        )
+        return out[out["df"] >= min_df][["line_hash"]]
+
+    hot_ds = (
+        ds.map_batches(line_partial, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby("bucket").map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+    n_hot = hot_ds.count()
+    if n_hot > hot_budget:
+        raise ValueError(
+            f"{n_hot} repeated lines exceed hot_budget={hot_budget}; "
+            "switch to a line-hash bucket join for this corpus"
+        )
+    hot = (
+        np.sort(hot_ds.to_pandas()["line_hash"].to_numpy().view(np.uint64))
+        if n_hot
+        else np.zeros(0, dtype=np.uint64)  # empty frame drops its schema
+    )
+    hot_ref = ray.put(hot)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        ids = batch[id_col]
+        n_lines, n_removed, cleaned = [], [], []
+        for t in batch[text_col].to_pylist():
+            ls = (t or "").split("\n")
+            hs = fnv1a_rows([l.encode() for l in ls])
+            pos = np.searchsorted(hot_arr, hs)
+            pos[pos >= len(hot_arr)] = 0
+            is_hot = (
+                hot_arr[pos] == hs if len(hot_arr)
+                else np.zeros(len(ls), dtype=bool)
+            )
+            n_lines.append(len(ls))
+            n_removed.append(int(is_hot.sum()))
+            cleaned.append(
+                "\n".join(l for l, h in zip(ls, is_hot) if not h)
+            )
+        return pa.table({
+            id_col: ids,
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+            "text_clean": pa.array(cleaned, type=pa.string()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=8192)

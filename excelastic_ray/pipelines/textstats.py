@@ -491,3 +491,116 @@ def doc_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=8192)
+
+
+def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
+                      n: int = 10, min_doc_count: int = 3,
+                      text_col: str = "text", n_buckets: int = 32):
+    """ES ``significant_terms`` aggregation: terms over-represented in
+    a FOREGROUND slice (``fg_col == fg_value``) relative to the whole
+    corpus, scored with the JLH heuristic — ``(fg_pct - bg_pct) *
+    (fg_pct / bg_pct)`` with fg_pct = fg_df / fg_size and bg_pct =
+    df / N (ES: absolute change × relative change; terms with fg_pct
+    <= bg_pct score 0 and are dropped, as are terms below
+    ``min_doc_count`` foreground docs — the ES default gate of the
+    same name).
+
+    One corpus pass: each batch emits per-term (df, fg_df) partials
+    PLUS one sentinel row carrying the batch's (docs, fg docs) totals
+    (the sentinel term starts with ``\\x00``, outside the analyzer
+    alphabet — it can never collide); a coarse hash-bucket combine
+    (term_df's cardinality-independent shape) sums both. The totals
+    are then a one-group lookup, scoring is a vectorized map over the
+    combined term frame, and only the global top-``n`` (score DESC,
+    term ASC) — computed via distributed sort + limit — ever reaches
+    the driver.
+
+    → pyarrow.Table (rank, term, fg_df, df, score), score trunc6'd.
+    """
+    from excelastic_ray.hashing import fnv1a_rows
+
+    _SENTINEL = "\x00__totals__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fg_mask = np.asarray(
+            [v == fg_value for v in batch[fg_col].to_pylist()], dtype=bool
+        )
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        terms = [_SENTINEL]
+        dfs = [len(texts)]
+        fg_dfs = [int(fg_mask.sum())]
+        if len(codes):
+            pair = pd.DataFrame({"r": row_idx, "c": codes}).drop_duplicates()
+            r, c = pair["r"].to_numpy(), pair["c"].to_numpy()
+            df = np.bincount(c, minlength=len(uniques)).astype(np.int64)
+            fg_df = np.bincount(
+                c[fg_mask[r]], minlength=len(uniques)
+            ).astype(np.int64)
+            terms += [str(u) for u in uniques]
+            dfs += df.tolist()
+            fg_dfs += fg_df.tolist()
+        bucket = (
+            fnv1a_rows([t.encode() for t in terms]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "fg_df": pa.array(fg_dfs, type=pa.int64()),
+            "__bucket": pa.array(bucket),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("term", sort=False)
+            .agg(df=("df", "sum"), fg_df=("fg_df", "sum"))
+            .reset_index()
+        )
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("__bucket").map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+    tot = combined.filter(lambda r: r["term"] == _SENTINEL).take_all()
+    n_docs, fg_size = int(tot[0]["df"]), int(tot[0]["fg_df"])
+    if fg_size == 0:
+        return pa.table({
+            "rank": pa.array([], type=pa.int32()),
+            "term": pa.array([], type=pa.string()),
+            "fg_df": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        })
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        df = batch["df"].to_numpy().astype(np.float64)
+        fg_df = batch["fg_df"].to_numpy().astype(np.float64)
+        keep = (terms != _SENTINEL) & (fg_df >= min_doc_count)
+        fg_pct = fg_df / fg_size
+        bg_pct = df / n_docs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        keep &= fg_pct > bg_pct
+        return pa.table({
+            "term": pa.array(terms[keep].astype(str)),
+            "fg_df": pa.array(fg_df[keep].astype(np.int64)),
+            "df": pa.array(df[keep].astype(np.int64)),
+            "score": pa.array(trunc6(jlh[keep]), type=pa.float64()),
+        })
+
+    top = (
+        combined.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "term"], descending=[True, False])
+        .limit(n)
+        .to_pandas()
+    )
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+        "term": pa.array(top["term"].astype(str)),
+        "fg_df": pa.array(top["fg_df"].to_numpy().astype(np.int64)),
+        "df": pa.array(top["df"].to_numpy().astype(np.int64)),
+        "score": pa.array(top["score"].to_numpy(), type=pa.float64()),
+    })

@@ -895,3 +895,124 @@ def test_hll_estimate_within_error_and_merge_invariant(ray_session):
             rel = abs(est - exact[et]) / exact[et]
             assert rel <= 5 * sigma, (et, est, exact[et])
     assert outs[0].to_dict() == outs[1].to_dict()
+
+
+def test_significant_terms_bruteforce(ray_session, docs_ds):
+    import ray.data as rd
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import significant_terms, trunc6
+
+    got = significant_terms(
+        docs_ds, fg_col="source", fg_value="src0", n=10, min_doc_count=3
+    ).to_pandas()
+
+    df_pdf = docs_ds.to_pandas()
+    n_docs = len(df_pdf)
+    fg = df_pdf["source"] == "src0"
+    fg_size = int(fg.sum())
+    df_cnt, fg_cnt = {}, {}
+    for text, is_fg in zip(df_pdf["text"], fg):
+        for t in set(tokenize(text)):
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+            if is_fg:
+                fg_cnt[t] = fg_cnt.get(t, 0) + 1
+    rows = []
+    for t, f in fg_cnt.items():
+        if f < 3:
+            continue
+        fg_pct, bg_pct = f / fg_size, df_cnt[t] / n_docs
+        if fg_pct <= bg_pct:
+            continue
+        rows.append((t, f, df_cnt[t],
+                     float(trunc6((fg_pct - bg_pct) * (fg_pct / bg_pct)))))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    want = rows[:10]
+    assert list(zip(got["term"], got["fg_df"], got["df"])) == [
+        (t, f, d) for t, f, d, _ in want
+    ]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for _, _, _, s in want]
+    )
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_significant_terms_empty_foreground(ray_session, docs_ds):
+    from excelastic_ray.pipelines.textstats import significant_terms
+
+    out = significant_terms(docs_ds, fg_col="source", fg_value="nope")
+    assert out.num_rows == 0
+
+
+def test_remove_repeated_lines(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import remove_repeated_lines
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "keep me\nBOILER\nunique a",
+            "BOILER\nother text",
+            "solo doc",
+            # within-doc repetition alone does NOT make a line hot
+            # (df counts distinct docs), but BOILER is hot, so both
+            # copies go
+            "x\nBOILER\nBOILER\ny",
+        ],
+    })
+    out = (
+        remove_repeated_lines(rd.from_arrow(t), min_df=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [3, 2, 1, 4]
+    assert out["n_removed"].tolist() == [1, 1, 0, 2]
+    assert out["text_clean"].tolist() == [
+        "keep me\nunique a", "other text", "solo doc", "x\ny"
+    ]
+    # within-doc-only repetition survives at min_df=2
+    t2 = pa.table({"doc_id": [0], "text": ["same\nsame"]})
+    out2 = remove_repeated_lines(rd.from_arrow(t2), min_df=2).to_pandas()
+    assert out2["text_clean"].tolist() == ["same\nsame"]
+    # budget gate raises before collecting an oversized hot set
+    with pytest.raises(ValueError, match="hot_budget"):
+        remove_repeated_lines(
+            rd.from_arrow(t), min_df=1, hot_budget=2
+        ).to_pandas()
+
+
+def test_mix_to_weights_proportions(ray_session, docs_ds):
+    from excelastic_ray.pipelines.sampling import (
+        KNUTH, MOD, mix_to_weights,
+    )
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    got = (
+        mix_to_weights(docs_ds.select_columns(["doc_id", "source"]), weights)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force: same rate rule over the pandas frame
+    pdf = docs_ds.to_pandas()[["doc_id", "source"]]
+    counts = pdf["source"].value_counts().to_dict()
+    t_total = min(counts[s] / w for s, w in weights.items())
+    keep = []
+    for did, src in zip(pdf["doc_id"], pdf["source"]):
+        w = weights.get(src, 0.0)
+        if w <= 0:
+            continue
+        rate = w * t_total / counts[src]
+        if (int(did) * KNUTH) % MOD < int(rate * MOD):
+            keep.append((int(did), src))
+    keep.sort()
+    assert list(zip(got["doc_id"], got["source"])) == keep
+    # only weighted sources survive
+    assert set(got["source"]) <= set(weights)
+
+
+def test_mix_to_weights_no_live_source_empty(ray_session, docs_ds):
+    from excelastic_ray.pipelines.sampling import mix_to_weights
+
+    out = mix_to_weights(
+        docs_ds.select_columns(["doc_id", "source"]), {"absent": 1.0}
+    )
+    assert out.count() == 0
