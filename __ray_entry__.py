@@ -794,6 +794,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.stats_by_type(ev)
 
+    def q_value_histogram(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.value_histogram(ev, interval=0.5)
+
+    def q_value_percentiles(sf_dir):
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.value_percentiles(ev, qs=(0.5, 0.9, 0.99))
+
     def q_distinct_users(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -954,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling": q_tumbling,
         "sliding": q_sliding,
         "event_stats": q_event_stats,
+        "value_histogram": q_value_histogram,
+        "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "sample": q_sample,
@@ -2149,6 +2165,31 @@ SELECT event_type,
        floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value,
        floor(sum(value) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
 FROM events GROUP BY 1
+""",
+        # ES histogram aggregation: fixed-interval numeric buckets
+        # keyed by floor(value/interval)*interval — identical float64
+        # bucket expression in engine and SQL, so the double keys match
+        # bit-for-bit
+        "value_histogram": """
+SELECT floor(value / 0.5) * 0.5 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value,
+       floor(floor(sum(value) * 1000000 + 0.5) / 1000000
+             / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events GROUP BY 1
+""",
+        # ES percentiles aggregation — the engine computes EXACT
+        # discrete quantiles (distributed radix selection over
+        # order-preserving float bits, <= 4 histogram passes), where ES
+        # itself approximates with t-digest; quantile_disc returns the
+        # same "smallest value with cum >= ceil(q*n)" element, so the
+        # doubles match exactly with no rounding
+        "value_percentiles": """
+SELECT 0.5  AS quantile, quantile_disc(value, 0.5)  AS value FROM events
+UNION ALL
+SELECT 0.9  AS quantile, quantile_disc(value, 0.9)  AS value FROM events
+UNION ALL
+SELECT 0.99 AS quantile, quantile_disc(value, 0.99) AS value FROM events
 """,
         # ES cardinality aggregation, exact twin (the HLL estimate
         # variant is the no-oracle hll_users entry)

@@ -394,3 +394,182 @@ def tumbling_counts(ds, hours: int = 1):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def value_histogram(ds, interval: float = 0.5, col: str = "value"):
+    """ES ``histogram`` aggregation analog over a numeric field:
+    fixed-``interval`` buckets keyed by ``floor(value / interval) *
+    interval`` (Elasticsearch's bucket rule, negatives included), each
+    with count / sum / avg of ``value``.
+
+    Per-batch pandas partials grouped on the float bucket key (exact
+    equality is safe — every engine computes the key with the identical
+    float64 expression), then the coarse-bucket sum combine; the
+    exchange moves O(batches x buckets) partial rows, never events.
+
+    → Dataset (bucket_lo, n, sum_value, avg_value), sums trunc6'd."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        df = pd.DataFrame(
+            {
+                "bucket_lo": np.floor(v / interval) * interval,
+                "n": 1,
+                "sum_value": v,
+            }
+        )
+        return (
+            df.groupby("bucket_lo", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    out = _bucketed_sum_combine(partials, ["bucket_lo"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        # avg from the TRUNCATED sum: the raw float sum depends on
+        # summation order (engine vs SQL differ in the last bits), and
+        # sum/n can land exactly on a .5 rounding boundary (e.g.
+        # 1687.71 / 32); rounding the sum once first gives both engines
+        # the identical dividend
+        s = trunc6(batch["sum_value"].to_numpy())
+        return pa.table(
+            {
+                "bucket_lo": batch["bucket_lo"],
+                "n": batch["n"],
+                "sum_value": pa.array(s),
+                "avg_value": pa.array(trunc6(s / n)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_F64_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def _f64_to_ordered(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 → uint64 bijection (the radix-sort
+    trick): flip all bits of negatives, set the sign bit of
+    non-negatives; ``a < b`` over doubles iff ``key(a) < key(b)``
+    unsigned. ``-0.0`` is normalized to ``+0.0`` first (SQL ordering
+    treats them equal)."""
+    v = np.asarray(v, dtype=np.float64) + 0.0
+    u = v.view(np.uint64)
+    return np.where(u >> np.uint64(63) != 0, ~u, u | _F64_SIGN)
+
+
+def _ordered_to_f64(k: np.uint64) -> float:
+    k = np.uint64(k)
+    u = k ^ _F64_SIGN if k >> np.uint64(63) else ~k
+    return float(np.uint64(u).view(np.float64))
+
+
+def value_percentiles(ds, qs=(0.5, 0.9, 0.99), col: str = "value"):
+    """ES ``percentiles`` aggregation analog over a continuous double
+    column — EXACT (discrete quantiles: the smallest value whose
+    cumulative count reaches ``ceil(q * n)``, = DuckDB
+    ``quantile_disc``), where ES itself ships a t-digest approximation.
+
+    Exact continuous quantiles normally need a global sort; instead this
+    runs distributed radix SELECTION on the order-preserving uint64
+    image of the doubles: each of <= 4 streaming passes histograms the
+    next 16 bits of the key, per-batch partials are SPARSE (only
+    patterns that occur, never a dense 2^16 vector) and carry per-bucket
+    min/max full keys, the driver combine is histogram-sized, and the
+    next pass filters to the <= len(qs) active prefixes. A bucket whose
+    min == max key resolves its targets early (degenerate distributions
+    finish in one pass). Nothing row-sized ever reaches the driver and
+    no shuffle moves events — the cost is at most 4 scans of ONE pruned
+    column.
+
+    → pandas.DataFrame (quantile, value), exact data values."""
+    targets: dict[float, dict] = {}  # q -> {"rank": r, "prefix": p}
+
+    def make_pass(shift: int, active: np.ndarray | None):
+        pshift = np.uint64(shift + 16)
+        sh = np.uint64(shift)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            arr = batch[col].drop_null().to_numpy(zero_copy_only=False)
+            key = _f64_to_ordered(arr)
+            if active is not None:
+                key = key[np.isin(key >> pshift, active)]
+            bucket = key >> sh
+            order = np.argsort(bucket, kind="stable")
+            bucket, key = bucket[order], key[order]
+            ub, start = np.unique(bucket, return_index=True)
+            cnt = np.diff(np.append(start, len(bucket)))
+            kmin = np.minimum.reduceat(key, start) if len(key) else key
+            kmax = np.maximum.reduceat(key, start) if len(key) else key
+            return pa.table(
+                {
+                    "prefix": pa.array(ub, type=pa.uint64()),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                    "kmin": pa.array(kmin, type=pa.uint64()),
+                    "kmax": pa.array(kmax, type=pa.uint64()),
+                }
+            )
+
+        return partial
+
+    resolved: dict[float, float] = {}
+    shifts = [48, 32, 16, 0]
+    for level, shift in enumerate(shifts):
+        if level == 0:
+            active = None
+        else:
+            need = {t["prefix"] for q, t in targets.items()
+                    if q not in resolved}
+            if not need:
+                break
+            active = np.array(sorted(need), dtype=np.uint64)
+        part = ds.map_batches(
+            make_pass(shift, active), batch_format="pyarrow",
+            batch_size=65536,
+        ).to_pandas()  # histogram-sized: sparse (prefix, cnt) partials
+        if part.empty:  # zero valid rows: a no-column frame, no groupby
+            return pd.DataFrame({"quantile": list(qs),
+                                 "value": [np.nan] * len(qs)})
+        hist = (
+            part.groupby("prefix")
+            .agg(cnt=("cnt", "sum"), kmin=("kmin", "min"),
+                 kmax=("kmax", "max"))
+            .sort_index()
+        )
+        if level == 0:
+            n = int(hist["cnt"].sum()) if len(hist) else 0
+            if n == 0:
+                return pd.DataFrame({"quantile": list(qs),
+                                     "value": [np.nan] * len(qs)})
+            for q in qs:
+                targets[q] = {"rank": max(1, int(np.ceil(q * n)))}
+        for q in qs:
+            if q in resolved:
+                continue
+            # the rank is scoped to THIS target's parent prefix: restrict
+            # the walk to that prefix's sub-buckets (level 0: all rows)
+            if level == 0:
+                sub = hist
+            else:
+                parents = hist.index.to_numpy() >> np.uint64(16)
+                sub = hist[parents == targets[q]["prefix"]]
+            cum = sub["cnt"].cumsum()
+            i = int(np.searchsorted(cum.to_numpy(), targets[q]["rank"]))
+            # scalar column access, NEVER sub.iloc[i]: a mixed-dtype row
+            # Series promotes the uint64 keys to float64 and rounds off
+            # the low mantissa bits (wrong value, silently)
+            kmin = np.uint64(sub["kmin"].iloc[i])
+            kmax = np.uint64(sub["kmax"].iloc[i])
+            before = int(cum.iloc[i - 1]) if i else 0
+            if kmin == kmax or shift == 0:
+                resolved[q] = _ordered_to_f64(kmin)
+            else:
+                targets[q] = {"rank": targets[q]["rank"] - before,
+                              "prefix": np.uint64(sub.index[i])}
+    return pd.DataFrame(
+        {"quantile": list(qs), "value": [resolved[q] for q in qs]}
+    )

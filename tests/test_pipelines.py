@@ -1016,3 +1016,60 @@ def test_mix_to_weights_no_live_source_empty(ray_session, docs_ds):
         docs_ds.select_columns(["doc_id", "source"]), {"absent": 1.0}
     )
     assert out.count() == 0
+
+
+def test_value_histogram_negatives(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import value_histogram
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"value": [-1.2, -0.6, -0.4, 0.0, 0.3, 0.5, 1.7]})
+    )
+    out = (
+        value_histogram(ds, interval=0.5).to_pandas()
+        .sort_values("bucket_lo").reset_index(drop=True)
+    )
+    # ES bucket rule: floor(v / interval) * interval, negatives land in
+    # the bucket BELOW zero
+    assert out["bucket_lo"].tolist() == [-1.5, -1.0, -0.5, 0.0, 0.5, 1.5]
+    assert out["n"].tolist() == [1, 1, 1, 2, 1, 1]
+    assert out["sum_value"].tolist() == [-1.2, -0.6, -0.4, 0.3, 0.5, 1.7]
+
+
+def test_value_percentiles_exact_vs_sort(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import value_percentiles
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate([
+        rng.normal(-3, 1, 4001), rng.exponential(2.0, 3000),
+        np.full(500, 2.5),  # heavy tie mass
+    ])
+    qs = (0.01, 0.5, 0.9, 0.999)
+    got = value_percentiles(
+        rd.from_pandas(pd.DataFrame({"value": v})).repartition(7), qs=qs
+    )
+    s = np.sort(v)
+    want = [s[max(1, int(np.ceil(q * len(v)))) - 1] for q in qs]
+    # exact data values, not interpolations — compare with ==
+    assert got["value"].tolist() == want
+
+
+def test_value_percentiles_degenerate_single_pass(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import value_percentiles
+
+    out = value_percentiles(
+        rd.from_pandas(pd.DataFrame({"value": np.full(99, -7.25)})),
+        qs=(0.5, 0.99),
+    )
+    assert out["value"].tolist() == [-7.25, -7.25]
+    # empty input -> NaN values, no crash
+    empty = value_percentiles(
+        rd.from_pandas(pd.DataFrame({"value": np.array([], dtype=float)})),
+        qs=(0.5,),
+    )
+    assert np.isnan(empty["value"]).all()
