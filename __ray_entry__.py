@@ -181,6 +181,10 @@ def _docs(sf_dir: str):
 #: context); the derived corpus stamps ts = 2026-01-01 + doc_id minutes.
 TS_RANGE = ("2026-01-01 02:00:00", "2026-01-01 06:00:00")
 
+# function_score gauss decay: origin mid-corpus, multiplier 0.5 at 2 h
+DECAY_ORIGIN = "2026-01-01 04:00:00"
+DECAY_SCALE_US = 7_200_000_000
+
 
 def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or",
                 filters: dict | None = None):
@@ -282,6 +286,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir,
             filters={"ts": {"gte": TS_RANGE[0], "lt": TS_RANGE[1]}},
         )
+
+    def q_bm25_decay_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_decay(
+                q, k=10, attr="ts", origin=DECAY_ORIGIN,
+                scale=DECAY_SCALE_US, decay=0.5,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def q_bm25_date_histogram(sf_dir):
         import pandas as pd
@@ -923,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_field_topk": q_bm25_field_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
+        "bm25_decay_topk": q_bm25_decay_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
@@ -1016,7 +1049,8 @@ def _bm25_terms_values() -> str:
 
 
 def _bm25_sql(conjunctive: bool = False,
-              ts_range: tuple[str, str] | None = None) -> str:
+              ts_range: tuple[str, str] | None = None,
+              decay: tuple[str, int, float] | None = None) -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
@@ -1037,6 +1071,19 @@ def _bm25_sql(conjunctive: bool = False,
         if ts_range
         else ""
     )
+    # ES function_score gauss decay (multiply boost_mode): rank and
+    # score by raw * decay^((|ts-origin|/scale)^2) — the identical
+    # float64 expression as ShardSearcher.decay_topk
+    rank_expr, score_expr = "raw", "raw"
+    if decay:
+        origin, scale_us, base = decay
+        ts_clause = """JOIN transcripts tt
+     ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx"""
+        mult = (
+            f"pow({base}, pow(abs(epoch_us(tt.ts) "
+            f"- epoch_us(TIMESTAMP '{origin}')) / {float(scale_us)}, 2))"
+        )
+        rank_expr = score_expr = f"raw * {mult}"
     return (
         _BASE
         + f""",
@@ -1066,12 +1113,12 @@ scored AS (
     GROUP BY q.query_id, tf.conv_id, tf.turn_idx
 )
 SELECT scored.query_id, scored.conv_id, scored.turn_idx,
-       floor(raw * 1000000 + 0.5) / 1000000 AS score
+       floor({score_expr} * 1000000 + 0.5) / 1000000 AS score
 FROM scored {and_clause}
 {ts_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
-    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= 10
+    ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) <= 10
 """
     )
 
@@ -1717,6 +1764,9 @@ GROUP BY 1, 2
         "bm25_collapse": _collapse_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
+        "bm25_decay_topk": _bm25_sql(
+            decay=(DECAY_ORIGIN, DECAY_SCALE_US, 0.5)
+        ),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover
         # default), newest first, (conv_id, turn_idx) == docid tie-break
         "bm25_sort_ts": _BASE

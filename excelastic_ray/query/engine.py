@@ -656,6 +656,55 @@ class ShardSearcher:
         )[:k]
         return ids[pos], ts[pos]
 
+    def decay_topk(self, terms, idfs, avgdl, k, attr: str, origin_us: int,
+                   scale_us: float, decay: float = 0.5,
+                   filters=None, n_required=0):
+        """ES ``function_score`` gauss date decay, shard phase: TAAT-score
+        every matching doc, multiply by ``decay ** ((|ts - origin| /
+        scale)^2)`` (the ES gauss decay curve with offset 0 — the
+        multiplier is exactly ``decay`` at distance ``scale``), then take
+        the shard's top-k ON THE DECAYED SCORE. Decay-before-top-k is
+        what makes the global merge exact: a doc close to ``origin`` can
+        out-rank a higher-BM25 doc far from it, so relevance-first
+        pruning would be wrong; every doc lives in exactly one shard, so
+        per-shard top-k on final scores merges exactly."""
+        col = self.time_attrs.get(attr)
+        if col is None:
+            raise KeyError(
+                f"no timestamp attribute {attr!r} in this index "
+                f"(have {sorted(self.time_attrs)})"
+            )
+        cfg = self.cfg
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        # int64 µs distance / float scale then decay^(r^2) — the same
+        # float64 expression as the oracle's pow(decay, pow(dist/scale,2))
+        r = np.abs(col[nz] - np.int64(origin_us)) / scale_us
+        scores = acc[nz] * np.power(decay, r * r)
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def facet(self, terms, attr: str, n_required=0, filters=None) -> dict:
         m = self.matching_mask(terms, n_required, filters)
         col = self.attrs.get(attr)
@@ -1084,6 +1133,17 @@ def _merge_collapse(parts, k):
     bd, bs = docids[best], scores[best]
     sel = np.lexsort((bd, -bs))[:k]
     return bd[sel], bs[sel], uniq[sel].tolist()
+
+
+def _parse_span_us(v) -> int:
+    """µs int, or an ES-style duration string "<N>m"/"<N>h"/"<N>d"."""
+    if isinstance(v, (int, np.integer, float)):
+        return int(v)
+    s = str(v).strip().lower()
+    units = {"m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    raise ValueError(f"cannot parse time span {v!r} (use µs or N[mhd])")
 
 
 def _merge_shard_topk(parts, k):
@@ -2084,6 +2144,71 @@ class QueryEngine:
             }
         )
 
+    def search_decay(self, query: str, k: int = 10, attr: str = "ts",
+                     origin=None, scale="24h", decay: float = 0.5,
+                     filters: dict | None = None, mode: str = "or"):
+        """ES ``function_score`` with a gauss date-decay multiplier:
+        ranked by ``bm25 * decay ** ((|ts - origin| / scale)^2)`` — the
+        recency-boosted relevance query (ES ``gauss`` decay with offset
+        0; the multiplier equals ``decay`` at distance ``scale`` from
+        ``origin``). BM25 stats are untouched; only the ranking score is
+        rescaled, per the ES multiply boost_mode default.
+
+        ``origin`` accepts ISO strings / datetime64 / µs ints; ``scale``
+        accepts µs ints or "<N>h"/"<N>d" strings.
+
+        → pyarrow.Table (rank, docid, conv_id, turn_idx, score)."""
+        import pyarrow as pa
+
+        if origin is None:
+            raise ValueError("origin is required (ES has no default)")
+        origin_us = ShardSearcher._as_us(origin)
+        scale_us = float(_parse_span_us(scale))
+        r = self.reader
+        terms = query_terms(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.decay_topk.remote(
+                                lterms, idfs, r.avgdl, k, attr, origin_us,
+                                scale_us, decay, filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).decay_topk(
+                            lterms, idfs, r.avgdl, k, attr, origin_us,
+                            scale_us, decay, filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        conv, turn = r.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(docids) + 1,
+                                           dtype=np.int32)),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):
         """Batch search (the ES _msearch analog) → pyarrow.Table with a
@@ -2188,6 +2313,15 @@ class ShardActor:
 
     def count(self, terms, n_required=0, filters=None) -> int:
         return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def decay_topk(self, terms, idfs, avgdl, k, attr, origin_us, scale_us,
+                   decay=0.5, filters=None, n_required=0):
+        parts = [
+            s.decay_topk(terms, idfs, avgdl, k, attr, origin_us, scale_us,
+                         decay, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def sorted_matches(self, terms, attr, k, order="desc",
                        search_after=None, n_required=0, filters=None):

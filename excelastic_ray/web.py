@@ -240,6 +240,8 @@ class ImportServer:
                                 must_not=q.get("must_not") or None,
                                 msm=(int(q["msm"]) if q.get("msm")
                                      else None),
+                                decay_origin=q.get("decay_origin") or None,
+                                decay_scale=q.get("decay_scale", "24h"),
                             ),
                         )
                     else:
@@ -405,7 +407,9 @@ class ImportServer:
                suggest: bool = False, collapse: str | None = None,
                mlt: str | None = None, must: str | None = None,
                must_not: str | None = None,
-               msm: int | None = None) -> dict:
+               msm: int | None = None,
+               decay_origin: str | None = None,
+               decay_scale: str = "24h") -> dict:
         from excelastic_ray.index.segments import load_global_manifest
         from excelastic_ray.query.engine import QueryEngine
 
@@ -447,6 +451,10 @@ class ImportServer:
             t = eng.more_like_this(conv, int(turn), k=k)
         elif collapse:
             t = eng.search_collapse(query, collapse, k=k)
+        elif decay_origin:
+            # ES function_score gauss date decay (recency boost)
+            t = eng.search_decay(query, k, origin=decay_origin,
+                                 scale=decay_scale)
         elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
         elif qs:  # Kibana-style field:term query strings

@@ -116,3 +116,70 @@ def test_sorted_bad_args(ts_index):
         eng.search_sorted("the", order="sideways")
     with pytest.raises(KeyError):
         eng.search_sorted("the", sort="nope")
+
+
+# ---------------------------------------------------------------------------
+# function_score gauss date decay (search_decay)
+# ---------------------------------------------------------------------------
+
+def _decay_bruteforce(table, oracle, query, origin_us, scale_us, base, k):
+    """All matching docs BM25-scored by the oracle, multiplied by the
+    identical decay expression, re-ranked on the decayed score."""
+    ts_of = {}
+    for c, ti, ts in zip(
+        table["conv_id"].to_pylist(), table["turn_idx"].to_pylist(),
+        table["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+    ):
+        ts_of[(c, int(ti))] = int(ts)
+    full = oracle.search(query, k=10**9)
+    rows = []
+    for docid, s in full:
+        ts = ts_of[oracle.keys_of(docid)]
+        r = abs(np.int64(ts) - np.int64(origin_us)) / scale_us
+        rows.append((docid, float(s * np.power(base, r * r))))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return rows[:k]
+
+
+def test_decay_vs_bruteforce(ts_index):
+    from excelastic_ray.query.oracle import BM25Oracle
+
+    idx, table = ts_index
+    eng = QueryEngine(idx)
+    oracle = BM25Oracle(table, CFG)
+    origin = "2026-01-05 00:00:00"
+    scale_us = 2.0 * 86_400_000_000
+    for q in ("the call", "run ok to", "the"):
+        got = eng.search_decay(q, k=10, origin=origin, scale=int(scale_us),
+                               decay=0.5)
+        origin_us = int(np.datetime64(origin, "us").astype(np.int64))
+        want = _decay_bruteforce(table, oracle, q, origin_us, scale_us,
+                                 0.5, 10)
+        assert got["docid"].to_pylist() == [d for d, _ in want]
+        # identical float ops end-to-end -> exact equality
+        assert got["score"].to_pylist() == [s for _, s in want]
+    # decay actually reorders vs relevance ranking for a hot term
+    plain = eng.search("the", k=10)
+    dec = eng.search_decay("the", k=10, origin=origin, scale=int(scale_us))
+    assert plain["docid"].to_pylist() != dec["docid"].to_pylist()
+
+
+def test_decay_actor_parity_and_args(ts_index, ray_session):
+    idx, _ = ts_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        a = actors.search_decay("the call", k=9, origin="2026-01-03",
+                                scale="36h")
+        b = local.search_decay("the call", k=9, origin="2026-01-03",
+                               scale="36h")
+        assert a.equals(b)
+    finally:
+        actors.close()
+    with pytest.raises(ValueError, match="origin"):
+        local.search_decay("the", k=5)
+    with pytest.raises(ValueError, match="span"):
+        local.search_decay("the", k=5, origin="2026-01-03", scale="2fort")
+    # absent term -> empty result, stable schema
+    empty = local.search_decay("zzzzmissing", k=5, origin="2026-01-03")
+    assert empty.num_rows == 0
