@@ -674,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_keywords(sf_dir):
         return ts.keywords(_docs(sf_dir), k=3)
 
+    def q_lm_ppl(sf_dir):
+        return ts.lm_score(_docs(sf_dir), min_count=2, k_smooth=0.1)
+
     def q_mix_sources(sf_dir):
         from excelastic_ray.pipelines.sampling import mix_to_weights
 
@@ -985,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_signals": q_doc_signals,
         "keywords": q_keywords,
         "significant_terms": q_significant_terms,
+        "lm_ppl": q_lm_ppl,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1996,6 +2000,46 @@ FROM ls d CROSS JOIN hotl h
         # slice vs the whole-corpus background; same float64 expression
         # as the engine, ordered by the TRUNCATED score so rounding ties
         # break identically (term ASC)
+        # CCNet/KenLM-style bigram-LM perplexity, self-trained: add-k
+        # P(w2|w1) = (c12 + 0.1) / (c1 + 0.1 * V), V = vocab(+unk)
+        # size, tokens with count < 2 collapse to chr(1) = <unk>. The
+        # per-bigram log-prob is quantized to INTEGER micro-nats before
+        # the per-doc sum (identical doubles in → identical int64s →
+        # exact sums in any order; float sum-order drift can't flip a
+        # digit); avg/ppl then derive from the same integers
+        "lm_ppl": f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                unnest(toks) AS term
+         FROM base),
+ucnt AS (SELECT term, count(*) AS c FROM tok0 GROUP BY term),
+vocab AS (SELECT term, CAST(c AS DOUBLE) AS c FROM ucnt WHERE c >= 2),
+vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+tok AS (SELECT t.doc_id, t.pos,
+               CASE WHEN v.term IS NULL THEN chr(1) ELSE t.term END AS mt
+        FROM tok0 t LEFT JOIN vocab v ON v.term = t.term),
+mu AS (SELECT mt, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY mt),
+big AS (SELECT a.doc_id, a.mt AS w1, b.mt AS w2
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bcnt AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+         FROM big GROUP BY 1, 2),
+scored AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           sum(CAST(floor(ln((bc.c + 0.1) / (mu.c + 0.1 * vs.v))
+                          * 1000000 + 0.5) AS BIGINT)) AS logprob_u6
+    FROM big g
+    JOIN bcnt bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+    JOIN mu ON mu.mt = g.w1
+    CROSS JOIN vs
+    GROUP BY g.doc_id)
+SELECT doc_id, n_bigrams, CAST(logprob_u6 AS BIGINT) AS logprob_u6,
+       floor((logprob_u6 / 1000000.0) / n_bigrams * 1000000 + 0.5)
+           / 1000000 AS avg_logprob,
+       floor(exp(-((logprob_u6 / 1000000.0) / n_bigrams))
+             * 1000000 + 0.5) / 1000000 AS ppl
+FROM scored
+""",
         "significant_terms": f"""
 WITH base AS (SELECT doc_id, source, {_TOK} AS toks FROM documents),
 tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,

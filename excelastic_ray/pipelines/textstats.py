@@ -604,3 +604,171 @@ def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
         "df": pa.array(top["df"].to_numpy().astype(np.int64)),
         "score": pa.array(top["score"].to_numpy(), type=pa.float64()),
     })
+
+
+def lm_score(ds, min_count: int = 2, k_smooth: float = 0.1,
+             id_col: str = "doc_id", text_col: str = "text",
+             n_buckets: int = 32,
+             vocab_budget: int = 5_000_000,
+             bigram_budget: int = 50_000_000):
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-k-smoothed BIGRAM word LM on the corpus and score every doc by
+    its average per-bigram log-probability / perplexity (the KenLM
+    wikipedia-perplexity filter of the CCNet pre-training pipeline,
+    self-trained here — low-probability docs are gibberish/boilerplate
+    candidates, high are natural text).
+
+    Model: tokens with corpus occurrence count < ``min_count`` collapse
+    to one ``<unk>`` symbol; P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V)
+    with V = vocab size + 1 (the unk) and c(.) occurrence counts over
+    the mapped stream.
+
+    Exactness trick — INTEGER MICRO-NATS: each bigram's log-prob is
+    quantized to ``floor(ln(p) * 1e6 + 0.5)`` as an int64 BEFORE the
+    per-doc summation. Both engines compute the per-bigram double with
+    the identical expression (same inputs, same libm), so the quantized
+    integers are equal by construction, and integer sums are exact in
+    ANY order — float summation-order drift (engine pairwise vs SQL
+    sequential) can never flip a rounded digit of the doc totals.
+
+    Scale shape: pass A = unigram occurrence counts (per-batch bincount
+    partials, coarse-bucket combine); pass B = bigram counts over the
+    mapped stream keyed ``c1 * V + c2`` (same shape); both model tables
+    are budget-GATED by a count before they are collected and
+    ``ray.put`` once; pass C is a pure scoring map (searchsorted lookups
+    against the broadcast arrays). Reducers and the driver hold
+    model-sized tables, never the corpus.
+
+    → Dataset (id, n_bigrams, logprob_u6, avg_logprob, ppl) over docs
+    with >= 1 bigram (>= 2 tokens); avg/ppl trunc6'd.
+    """
+    import ray
+
+    from excelastic_ray.hashing import fnv1a_rows
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        codes, uniques, _ = _tokenize_batch(batch[text_col].to_pylist())
+        if len(codes):
+            c = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+            terms = [str(u) for u in uniques]
+        else:
+            terms, c = [], np.zeros(0, dtype=np.int64)
+        bucket = (
+            fnv1a_rows([t.encode() for t in terms]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "c": pa.array(c),
+            "__bucket": pa.array(bucket),
+        })
+
+    def uni_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("term", sort=False)["c"].sum().reset_index()
+        )
+
+    ucnt_ds = (
+        ds.map_batches(uni_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("__bucket").map_groups(uni_combine, batch_format="pandas")
+        .materialize()
+    )
+    n_raw_terms = ucnt_ds.count()
+    if n_raw_terms > vocab_budget:
+        raise ValueError(
+            f"{n_raw_terms} distinct tokens exceed vocab_budget="
+            f"{vocab_budget}; raise min_count or the budget"
+        )
+    ucnt = ucnt_ds.to_pandas()
+    in_vocab = ucnt["c"].to_numpy() >= min_count
+    order = np.argsort(ucnt["term"].to_numpy()[in_vocab].astype(str))
+    vocab = ucnt["term"].to_numpy()[in_vocab].astype(str)[order]  # U-dtype
+    cu = np.append(
+        ucnt["c"].to_numpy()[in_vocab][order].astype(np.float64),
+        float(ucnt["c"].to_numpy()[~in_vocab].sum()),  # <unk> count
+    )
+    n_vocab = len(vocab)
+    v_total = float(n_vocab + 1)
+    vocab_ref = ray.put(vocab)  # fixed-width buffer: zero-copy reads
+
+    def mapped_pairs(batch: pa.Table):
+        """→ (pair_row, c1, c2, n_rows) for in-doc adjacent pairs."""
+        voc = ray.get(vocab_ref)
+        texts = batch[text_col].to_pylist()
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        uniq_s = uniques.astype(str) if len(uniques) else np.zeros(0, "U1")
+        pos = np.searchsorted(voc, uniq_s)
+        pos_c = np.minimum(pos, max(n_vocab - 1, 0))
+        hit = (
+            (pos < n_vocab) & (voc[pos_c] == uniq_s) if n_vocab
+            else np.zeros(len(uniq_s), dtype=bool)
+        )
+        ucode = np.where(hit, pos, n_vocab).astype(np.int64)
+        mc = ucode[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+        if len(mc) < 2:
+            e = np.zeros(0, dtype=np.int64)
+            return e, e, e, len(texts)
+        keep = row_idx[:-1] == row_idx[1:]
+        return (row_idx[:-1][keep], mc[:-1][keep], mc[1:][keep],
+                len(texts))
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _, c1, c2, _ = mapped_pairs(batch)
+        keys, cnts = np.unique(c1 * np.int64(v_total) + c2,
+                               return_counts=True)
+        return pa.table({
+            "key": pa.array(keys.astype(np.int64)),
+            "c": pa.array(cnts.astype(np.int64)),
+            "__bucket": pa.array((keys % n_buckets).astype(np.int64)),
+        })
+
+    def bi_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("key", sort=False)["c"].sum().reset_index()
+        )
+
+    bcnt_ds = (
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("__bucket").map_groups(bi_combine, batch_format="pandas")
+        .materialize()
+    )
+    n_bigram_keys = bcnt_ds.count()
+    if n_bigram_keys > bigram_budget:
+        raise ValueError(
+            f"{n_bigram_keys} distinct bigrams exceed bigram_budget="
+            f"{bigram_budget}; raise min_count or the budget"
+        )
+    bdf = bcnt_ds.to_pandas()
+    border = np.argsort(bdf["key"].to_numpy())
+    bkeys = bdf["key"].to_numpy()[border]
+    bc = bdf["c"].to_numpy()[border].astype(np.float64)
+    bigram_ref = ray.put((bkeys, bc))
+    cu_ref = ray.put(cu)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bkeys_, bc_ = ray.get(bigram_ref)
+        cu_ = ray.get(cu_ref)
+        pair_row, c1, c2, n_rows = mapped_pairs(batch)
+        keys = c1 * np.int64(v_total) + c2
+        pos = np.searchsorted(bkeys_, keys)
+        pos_c = np.minimum(pos, max(len(bkeys_) - 1, 0))
+        found = (pos < len(bkeys_)) & (bkeys_[pos_c] == keys)
+        cb = np.where(found, bc_[pos_c], 0.0)
+        logp = np.log((cb + k_smooth) / (cu_[c1] + k_smooth * v_total))
+        u6 = np.floor(logp * 1e6 + 0.5)  # integer micro-nats (as f64)
+        lp = np.bincount(pair_row, weights=u6, minlength=n_rows)
+        nb = np.bincount(pair_row, minlength=n_rows).astype(np.int64)
+        keep = nb >= 1
+        lp = lp[keep].astype(np.int64)
+        nbk = nb[keep]
+        avg = (lp / 1e6) / nbk
+        return pa.table({
+            id_col: batch[id_col].filter(pa.array(keep)),
+            "n_bigrams": pa.array(nbk),
+            "logprob_u6": pa.array(lp),
+            "avg_logprob": pa.array(trunc6(avg), type=pa.float64()),
+            "ppl": pa.array(trunc6(np.exp(-avg)), type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)

@@ -1073,3 +1073,82 @@ def test_value_percentiles_degenerate_single_pass(ray_session):
         qs=(0.5,),
     )
     assert np.isnan(empty["value"]).all()
+
+
+def test_lm_score_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import lm_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a rug",  # 'dog'/'rug'/'ran' are singletons -> unk
+        "zz",                   # single token: no bigrams, dropped
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        lm_score(rd.from_arrow(t).repartition(3), min_count=2, k_smooth=0.1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force with dict counters
+    toks = [tokenize(x) for x in texts]
+    uni: dict[str, int] = {}
+    for row in toks:
+        for w in row:
+            uni[w] = uni.get(w, 0) + 1
+    vocab = {w for w, c in uni.items() if c >= 2}
+    V = len(vocab) + 1
+    m = [[w if w in vocab else "<unk>" for w in row] for row in toks]
+    cu: dict[str, int] = {}
+    bc: dict[tuple, int] = {}
+    for row in m:
+        for w in row:
+            cu[w] = cu.get(w, 0) + 1
+        for a, b in zip(row, row[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    rows = []
+    for did, row in enumerate(m):
+        pairs = list(zip(row, row[1:]))
+        if not pairs:
+            continue
+        lp = sum(
+            int(math.floor(
+                math.log((bc[p] + 0.1) / (cu[p[0]] + 0.1 * V)) * 1e6 + 0.5
+            ))
+            for p in pairs
+        )
+        rows.append((did, len(pairs), lp))
+    assert list(zip(got["doc_id"], got["n_bigrams"], got["logprob_u6"])) \
+        == rows
+    # derived columns agree with the integer totals
+    for _, r in got.iterrows():
+        avg = (r["logprob_u6"] / 1e6) / r["n_bigrams"]
+        assert r["avg_logprob"] == np.floor(avg * 1e6 + 0.5) / 1e6
+        assert r["ppl"] == np.floor(np.exp(-avg) * 1e6 + 0.5) / 1e6
+    # single-token doc 3 was dropped
+    assert 3 not in set(got["doc_id"])
+
+
+def test_lm_score_parallelism_invariant_and_budgets(ray_session, docs_ds):
+    from excelastic_ray.pipelines.textstats import lm_score
+
+    a = (
+        lm_score(docs_ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        lm_score(docs_ds.repartition(13)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # natural text scores better (lower ppl) than shuffled gibberish:
+    # sanity that the score separates quality at all
+    assert (a["ppl"] > 0).all()
+    with pytest.raises(ValueError, match="vocab_budget"):
+        lm_score(docs_ds, vocab_budget=3).to_pandas()
+    with pytest.raises(ValueError, match="bigram_budget"):
+        lm_score(docs_ds, bigram_budget=3).to_pandas()
