@@ -315,6 +315,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_delete_topk(sf_dir):
+        # _delete_by_query lifecycle: tombstone every role='tool' doc on
+        # a COPY of the cached index (the cache is shared by the other
+        # entries), then rank — deleted docs drop from results while
+        # BM25 stats stay pre-merge (ES semantics), so the oracle is the
+        # plain BM25 CTE with a role exclusion join after scoring
+        import shutil
+
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        src = _index_for(sf_dir)
+        dst = src + "_delete"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        eng = QueryEngine(dst)
+        n = eng.delete_by_query(filters={"role": "tool"})
+        assert n > 0
+        eng = QueryEngine(dst)  # reopen: tombstones load at open
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search(q, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_date_histogram(sf_dir):
         import pandas as pd
 
@@ -959,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_decay_topk": q_bm25_decay_topk,
+        "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
@@ -1054,7 +1094,8 @@ def _bm25_terms_values() -> str:
 
 def _bm25_sql(conjunctive: bool = False,
               ts_range: tuple[str, str] | None = None,
-              decay: tuple[str, int, float] | None = None) -> str:
+              decay: tuple[str, int, float] | None = None,
+              exclude_role: str | None = None) -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
@@ -1075,6 +1116,13 @@ def _bm25_sql(conjunctive: bool = False,
         if ts_range
         else ""
     )
+    # _delete_by_query twin: deleted docs (role match) drop from the
+    # ranked RESULTS only — df/N/avgdl still cover them (ES pre-merge
+    # delete semantics), so the exclusion joins AFTER scoring
+    if exclude_role:
+        ts_clause = f"""JOIN transcripts tt
+     ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx
+    AND tt.role <> '{exclude_role}'"""
     # ES function_score gauss decay (multiply boost_mode): rank and
     # score by raw * decay^((|ts-origin|/scale)^2) — the identical
     # float64 expression as ShardSearcher.decay_topk
@@ -1771,6 +1819,7 @@ GROUP BY 1, 2
         "bm25_decay_topk": _bm25_sql(
             decay=(DECAY_ORIGIN, DECAY_SCALE_US, 0.5)
         ),
+        "bm25_delete_topk": _bm25_sql(exclude_role="tool"),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover
         # default), newest first, (conv_id, turn_idx) == docid tie-break
         "bm25_sort_ts": _BASE

@@ -77,6 +77,17 @@ class ShardSearcher:
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
         self.dls = docs["dl"].to_numpy().astype(np.float64)
+        # delete_by_query tombstones: deleted docs drop out of every
+        # RESULT path (the live mask composes into filter_mask, which
+        # all result paths consult) while postings / df / avgdl stay
+        # untouched until a merge — exactly ES's pre-merge delete
+        # semantics (deletes don't immediately change scoring stats)
+        self.live_mask: np.ndarray | None = None
+        dpath = os.path.join(shard_path, "deletes.parquet")
+        if os.path.exists(dpath):
+            dead = pq.read_table(dpath)["docid"].to_numpy()
+            if len(dead):
+                self.live_mask = ~np.isin(self.docids, dead)
         # Filterable doc attributes (ES filter-context analog): strings
         # filter by equality; timestamp columns (kept as int64 µs) also
         # support range filters + date_histogram.
@@ -116,10 +127,15 @@ class ShardSearcher:
         """Ordinal-space bool mask. String attrs: value or value list
         (equality / IN). Timestamp attrs: {"gte"/"gt"/"lte"/"lt": bound}
         dicts with ISO-8601, datetime64 or µs-int bounds — the ES range
-        query in filter context."""
+        query in filter context. Tombstoned docs (delete_by_query) are
+        composed in here, so every result path excludes them."""
         if not filters:
-            return None
-        mask = np.ones(len(self.docids), dtype=bool)
+            return self.live_mask  # None when no deletes; callers never
+            # mutate the returned mask (they write into their own acc)
+        mask = (
+            self.live_mask.copy() if self.live_mask is not None
+            else np.ones(len(self.docids), dtype=bool)
+        )
         for name, want in filters.items():
             if isinstance(want, dict):
                 col = self.time_attrs.get(name)
@@ -2208,6 +2224,83 @@ class QueryEngine:
                 "score": pa.array(scores, type=pa.float64()),
             }
         )
+
+    def delete_by_query(self, query: str | None = None,
+                        filters: dict | None = None,
+                        mode: str = "or") -> int:
+        """ES ``_delete_by_query``: tombstone every doc matching the
+        query/filters. Deleted docs disappear from every result path
+        (search/count/facets/sorted/decay/...) immediately, while
+        postings, df and avgdl stay untouched — ES's own pre-merge
+        delete semantics (stats shift only when segments merge).
+
+        ``query=None`` with ``filters`` is delete-by-filter;
+        ``query=None, filters=None`` is ES ``match_all`` (delete every
+        doc). Tombstones persist as a per-shard ``deletes.parquet``
+        (atomic replace, union with prior deletes — idempotent and
+        monotone), and the manifest's ``deletes_rev`` counter bumps so
+        cached engines (e.g. the web server's) know to reopen.
+
+        → number of docids in the union tombstone set after this call.
+        Only supported on a local (non-actor) engine: actor pools hold
+        immutable searcher state; reopen after deleting."""
+        import pyarrow as pa
+
+        if self._actors is not None:
+            raise NotImplementedError(
+                "delete_by_query needs a local engine (actor searchers "
+                "are immutable); open QueryEngine(index) without actors"
+            )
+        r = self.reader
+        terms: list[str] = []
+        n_required = 0
+        if query is not None:
+            terms = query_terms(query)
+            if not terms:
+                return sum(
+                    0 if r.searcher(s).live_mask is None
+                    else int((~r.searcher(s).live_mask).sum())
+                    for s in range(r.num_shards)
+                )
+            dfs = self._global_dfs(terms)
+            live = [t for t, d in zip(terms, dfs) if d > 0]
+            if mode == "and":
+                if len(live) < len(terms):
+                    live = []
+                n_required = len(live)
+            terms = live
+        total = 0
+        for s in range(r.num_shards):
+            sr = r.searcher(s)
+            if query is not None:
+                if not terms:
+                    mask = np.zeros(len(sr.docids), dtype=bool)
+                else:
+                    mask = sr.matching_mask(terms, n_required, filters)
+            else:
+                fm = sr.filter_mask(filters)
+                mask = (
+                    fm.copy() if fm is not None
+                    else np.ones(len(sr.docids), dtype=bool)
+                )
+            dead = sr.docids[mask]
+            if sr.live_mask is not None:  # union with prior tombstones
+                dead = np.union1d(dead, sr.docids[~sr.live_mask])
+            else:
+                dead = np.sort(dead)
+            total += len(dead)
+            seg.atomic_write_parquet(
+                os.path.join(r.shard_path(s), "deletes.parquet"),
+                pa.table({"docid": pa.array(dead, type=pa.int64())}),
+            )
+            sr.live_mask = (
+                ~np.isin(sr.docids, dead) if len(dead) else None
+            )
+        m = seg.load_global_manifest(r.index_dir)
+        m["deletes_rev"] = int(m.get("deletes_rev", 0)) + 1
+        seg.save_global_manifest(r.index_dir, m)
+        r.manifest = m
+        return total
 
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):

@@ -418,9 +418,14 @@ class ImportServer:
             if eng is not None:
                 # re-check on every hit: an import may have started
                 # since this engine was cached (manifest flips away
-                # from "complete" before any destructive write)
+                # from "complete" before any destructive write), or a
+                # delete_by_query bumped deletes_rev (tombstones load
+                # at searcher-open time)
                 m = load_global_manifest(self.index_dir(index))
-                if m.get("status") != "complete":
+                if m.get("status") != "complete" or (
+                    m.get("deletes_rev", 0)
+                    != eng.reader.manifest.get("deletes_rev", 0)
+                ):
                     self._engines.pop(index, None)
                     eng = None
             if eng is None:
