@@ -185,6 +185,9 @@ def resize_media(ds, max_side: int = 224, concurrency=None,
         ResizeMedia, fn_constructor_args=(max_side, fake),
         batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
         concurrency=concurrency if concurrency is not None else (1, default_pool()),
+        # pool replacement + lineage is the recovery path (ray#53727:
+        # ctor args live in the object store, in-place restart unreliable)
+        max_restarts=0,
     )
 
 
@@ -194,6 +197,9 @@ def sample_frames(ds, n_frames: int = 4, concurrency=None,
         SampleFrames, fn_constructor_args=(n_frames, 64, fake),
         batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
         concurrency=concurrency if concurrency is not None else (1, default_pool()),
+        # pool replacement + lineage is the recovery path (ray#53727:
+        # ctor args live in the object store, in-place restart unreliable)
+        max_restarts=0,
     )
 
 
@@ -202,6 +208,9 @@ def decode_media(ds, concurrency=None, batch_size: int = 256, fake: bool = True)
         DecodeMedia, fn_constructor_args=(fake,), batch_format="pyarrow",
         batch_size=batch_size, num_cpus=1,
         concurrency=concurrency if concurrency is not None else (1, default_pool()),
+        # pool replacement + lineage is the recovery path (ray#53727:
+        # ctor args live in the object store, in-place restart unreliable)
+        max_restarts=0,
     )
 
 
@@ -211,4 +220,7 @@ def extract_features(ds, dim: int = 16, concurrency=None,
         ExtractFeatures, fn_constructor_args=(dim, fake), batch_format="pyarrow",
         batch_size=batch_size, num_cpus=1,
         concurrency=concurrency if concurrency is not None else (1, default_pool()),
+        # pool replacement + lineage is the recovery path (ray#53727:
+        # ctor args live in the object store, in-place restart unreliable)
+        max_restarts=0,
     )
