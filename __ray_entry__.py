@@ -690,6 +690,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bpe_tokens(sf_dir):
         return ts.bpe_token_count(_docs(sf_dir))
 
+    def q_pack_sequences(sf_dir):
+        # GPT-style concat-and-chunk packing manifest: global token
+        # offsets (distributed bucket prefix-sum, no sort) + sequence
+        # assignment at seq_len=512
+        from excelastic_ray.pipelines.pack import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), seq_len=512)
+
+    def q_pack_stats(sf_dir):
+        from excelastic_ray.pipelines.pack import pack_stats
+
+        return pack_stats(_docs(sf_dir), seq_len=512)
+
     def q_winnow(sf_dir):
         # MOSS winnowing fingerprints (rows-only: FNV mixing has no SQL
         # twin; semantics pinned by the coverage-guarantee pytest)
@@ -1021,6 +1034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
         "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
@@ -1902,6 +1917,58 @@ SELECT doc_id,
                              AS DOUBLE) / len(toks)) * 1000000 + 0.5) / 1000000
        END AS mean_tok_len
 FROM base JOIN documents USING (doc_id)
+""",
+        # concat-and-chunk packing manifest: exclusive prefix-sum of
+        # (analyzer token count + 1 eod) in doc_id order, cut at 512
+        "pack_sequences": """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) + 1 AS n_tokens
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM base
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 512 AS seq_first,
+       tok_start % 512 AS seq_off,
+       (tok_start + n_tokens - 1) // 512 AS seq_last
+FROM scan
+""",
+        "pack_stats": """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) + 1 AS n_tokens
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM base
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS docs,
+         CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS tokens,
+         CAST(COALESCE(sum(CASE WHEN (tok_start + n_tokens - 1) // 512
+                                     > tok_start // 512
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS straddlers
+  FROM scan
+)
+SELECT docs, tokens,
+       CAST(ceil(CAST(tokens AS DOUBLE) / 512) AS BIGINT) AS n_seqs,
+       CASE WHEN tokens = 0 THEN 0.0
+            ELSE floor((CAST(tokens - (ceil(CAST(tokens AS DOUBLE) / 512) - 1)
+                             * 512 AS DOUBLE) / 512) * 1000000 + 0.5) / 1000000
+       END AS last_fill,
+       straddlers
+FROM tot
 """,
         "quality": _DOCTOK
         + f"""
