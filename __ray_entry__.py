@@ -854,6 +854,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.tumbling_counts(ev, hours=1)
 
+    def q_composite_agg(sf_dir):
+        # ES composite aggregation: (event_type, day) buckets in key
+        # order, page 2 via an exclusive after-key — the deep-page path
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.composite_agg(
+            ev, size=15, after=("click", "2024-01-20")
+        )
+
+    def q_date_histogram_pipeline(sf_dir):
+        # ES pipeline aggs (cumulative_sum / derivative / moving_fn)
+        # over a daily date_histogram of the event stream
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.date_histogram_pipeline(ev, hours=24, window=3)
+
     def q_sample(sf_dir):
         from excelastic_ray.pipelines.sampling import deterministic_sample
 
@@ -1060,6 +1078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling": q_tumbling,
         "sliding": q_sliding,
         "event_stats": q_event_stats,
+        "composite_agg": q_composite_agg,
+        "date_histogram_pipeline": q_date_histogram_pipeline,
         "value_histogram": q_value_histogram,
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
@@ -2364,6 +2384,48 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # ES composite aggregation: ascending composite-key bucket
+        # pages with an exclusive after-key tuple filter
+        "composite_agg": """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 DAY, ts) AS day,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM b
+WHERE event_type > 'click'
+   OR (event_type = 'click' AND day > TIMESTAMP '2024-01-20')
+ORDER BY event_type, day
+LIMIT 15
+""",
+        # ES pipeline aggregations over a daily date_histogram:
+        # cumulative_sum, derivative (first bucket 0 both sides) and a
+        # trailing moving_fn average of the previous 3 buckets
+        "date_histogram_pipeline": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT window_start, n,
+         CAST(SUM(n) OVER (ORDER BY window_start) AS BIGINT) AS cum_n,
+         CAST(COALESCE(n - LAG(n) OVER (ORDER BY window_start), 0)
+              AS BIGINT) AS deriv,
+         CAST(COUNT(*) OVER (ORDER BY window_start
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ww,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY window_start
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ws
+  FROM h
+)
+SELECT window_start, n, cum_n, deriv,
+       CASE WHEN ww = 0 THEN 0.0
+            ELSE floor(CAST(ws AS DOUBLE) / ww * 1000000 + 0.5) / 1000000
+       END AS moving_avg
+FROM w
 """,
         # ES stats aggregation (count/min/max/sum/avg of a numeric
         # field per bucket); avg derives from the rounded-once sums

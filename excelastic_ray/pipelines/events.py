@@ -573,3 +573,128 @@ def value_percentiles(ds, qs=(0.5, 0.9, 0.99), col: str = "value"):
     return pd.DataFrame(
         {"quantile": list(qs), "value": [resolved[q] for q in qs]}
     )
+
+
+def composite_agg(ds, size: int = 10, after: tuple | None = None,
+                  day_us: int = 86_400_000_000):
+    """ES ``composite`` aggregation analog: buckets over the composite
+    source ``(event_type, day)`` in ascending key order, paginated by an
+    exclusive ``after`` key — THE way to page through a high-cardinality
+    aggregation without deep bucket trees (ES composite-agg contract).
+
+    Scale shape: per-batch partials → coarse-bucket combine (exchange is
+    O(batches × buckets), never events) → vectorized tuple filter
+    ``key > after`` → distributed sort over the BUCKET table (tiny
+    relative to the corpus) → limit ``size``. The ``after`` filter
+    prunes before the sort, so deep pages never re-sort skipped keys.
+
+    → Dataset (event_type, day, doc_count, sum_value) with ``day`` a
+    date32-style midnight timestamp; sums trunc6'd for oracle parity.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = (ts // day_us) * day_us
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "day": day,
+                "n": 1,
+                "sum_value": batch["value"].to_numpy(),
+            }
+        )
+        return (
+            df.groupby(["event_type", "day"], sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["event_type", "day"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas().to_numpy(dtype=object)
+        day = batch["day"].to_numpy()
+        keep = np.ones(len(et), dtype=bool)
+        if after is not None:
+            a_et, a_day = after
+            a_day = int(np.datetime64(a_day, "us").astype(np.int64))
+            keep = (et > a_et) | ((et == a_et) & (day > a_day))
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], type=pa.string()),
+                "day": pa.array(day[keep].astype("datetime64[us]")),
+                "doc_count": batch["n"].to_numpy()[keep],
+                "sum_value": pa.array(
+                    trunc6(batch["sum_value"].to_numpy()[keep])
+                ),
+            }
+        )
+
+    return (
+        buckets.map_batches(finish, batch_format="pyarrow")
+        .sort(["event_type", "day"])
+        .limit(size)
+    )
+
+
+def date_histogram_pipeline(ds, hours: int = 24, window: int = 3):
+    """ES pipeline aggregations over a date_histogram: per time bucket
+    the event count plus ``cumulative_sum``, ``derivative`` (ES null
+    for the first bucket → 0 here, both sides coalesce) and a centered-
+    trailing ``moving_fn`` avg of the previous ``window`` counts — the
+    Kibana time-series panel primitives.
+
+    The histogram itself is the scalable part (partial+final combine as
+    in :func:`tumbling_counts`); the pipeline stage then runs over the
+    BUCKET table, which is O(time range / interval), so it collapses to
+    one ordered block (``repartition(1)``) for the exact window scan —
+    documented driver-independent but single-block by design (ES
+    computes pipeline aggs on the coordinating node the same way).
+
+    → Dataset (window_start, n, cum_n, deriv, moving_avg).
+    """
+    us = hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // us) * us
+        df = pd.DataFrame({"window_start": win, "n": 1, "sum_value": 0.0})
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["window_start"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch["window_start"].to_numpy(), kind="stable")
+        win = batch["window_start"].to_numpy()[order]
+        n = batch["n"].to_numpy()[order].astype(np.int64)
+        cum = np.cumsum(n)
+        deriv = np.concatenate([[0], np.diff(n)])
+        # trailing moving average of the previous `window` buckets
+        # (current excluded — ES moving_fn shift default), first bucket 0
+        csum = np.concatenate([[0], cum])
+        lo = np.maximum(np.arange(len(n)) - window, 0)
+        width = np.arange(len(n)) - lo
+        mov = np.zeros(len(n), dtype=np.float64)
+        nz = width > 0
+        mov[nz] = (csum[np.arange(len(n))[nz]] - csum[lo[nz]]) / width[nz]
+        return pa.table(
+            {
+                "window_start": pa.array(win.astype("datetime64[us]")),
+                "n": pa.array(n),
+                "cum_n": pa.array(cum),
+                "deriv": pa.array(deriv),
+                "moving_avg": pa.array(trunc6(mov)),
+            }
+        )
+
+    return buckets.repartition(1).map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,102 @@
+"""ES composite aggregation + pipeline aggregations: paging chain
+covers every bucket exactly once; window metrics match a brute-force
+pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from excelastic_ray.pipelines import events
+from excelastic_ray.pipelines.textstats import trunc6
+
+
+def _events(n=3000, seed=4):
+    rng = np.random.default_rng(seed)
+    ts = np.datetime64("2024-01-01", "us") + rng.integers(
+        0, 20 * 86_400_000_000, size=n
+    ).astype("timedelta64[us]")
+    return pa.table(
+        {
+            "ts": pa.array(ts),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c"], size=n), type=pa.string()
+            ),
+            "value": pa.array(rng.normal(size=n)),
+        }
+    )
+
+
+def _bucket_oracle(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    g = (
+        df.groupby(["event_type", "day"])
+        .agg(doc_count=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    g["sum_value"] = trunc6(g["sum_value"].to_numpy())
+    return g
+
+
+def test_composite_first_page_is_key_ordered_prefix(ray_session):
+    import ray.data as rd
+
+    t = _events()
+    want = _bucket_oracle(t)
+    got = (
+        events.composite_agg(rd.from_arrow(t), size=7)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want.head(7), check_dtype=False
+    )
+
+
+def test_composite_paging_chain_covers_all_buckets(ray_session):
+    import ray.data as rd
+
+    t = _events(seed=11)
+    want = _bucket_oracle(t)
+    pages, after = [], None
+    for _ in range(100):
+        page = events.composite_agg(
+            rd.from_arrow(t), size=13, after=after
+        ).to_pandas()
+        if page.empty:
+            break
+        pages.append(page)
+        last = page.iloc[-1]
+        after = (last["event_type"], last["day"].to_numpy())
+    got = pd.concat(pages, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pipeline_aggs_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = _events(seed=13)
+    got = (
+        events.date_histogram_pipeline(rd.from_arrow(t), hours=24, window=3)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    n = (
+        df.groupby(df["ts"].dt.floor("D"))
+        .size()
+        .sort_index()
+    )
+    assert got["n"].tolist() == n.tolist()
+    assert got["cum_n"].tolist() == n.cumsum().tolist()
+    assert got["deriv"].tolist() == [0] + list(np.diff(n.to_numpy()))
+    mov = [
+        0.0 if i == 0 else float(np.mean(n.to_numpy()[max(i - 3, 0):i]))
+        for i in range(len(n))
+    ]
+    assert got["moving_avg"].tolist() == list(trunc6(np.array(mov)))
