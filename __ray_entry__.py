@@ -92,6 +92,18 @@ WILDCARD_QUERIES = [
 ]
 WILDCARD_MAX_EXPANSIONS = 3
 
+#: regexp query set (ES regexp, anchored full-term match; patterns in
+#: the Python-re ∩ RE2 common subset): char class, optional group,
+#: unanchored-prefix scan, alternation, and an absent shape.
+REGEXP_QUERIES = [
+    ("r1", "ta[bl]le"),
+    ("r2", "scans?"),
+    ("r3", ".*tion"),
+    ("r4", "w(in|an)dow"),
+    ("r5", "zz+q"),
+]
+REGEXP_MAX_EXPANSIONS = 3
+
 #: term-suggester input ("did you mean"): misspellings of corpus terms
 #: plus an unsalvageable token; 2-edit budget, top 3 per term.
 SUGGEST_TEXT = "tabel windo scann zzzzzzzz valu"
@@ -441,6 +453,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.table(
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_regexp_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, p in REGEXP_QUERIES:
+            t = eng.search_regexp(
+                p, 10, max_expansions=REGEXP_MAX_EXPANSIONS
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -1035,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
+        "bm25_regexp_topk": q_bm25_regexp_topk,
         "suggest_terms": q_suggest_terms,
         "more_like_this": q_more_like_this,
         "bm25_collapse": q_bm25_collapse,
@@ -1586,23 +1626,29 @@ QUALIFY row_number() OVER (
     )
 
 
-def _wildcard_sql() -> str:
+def _wildcard_sql(queries=None, cap=None, regexp: bool = False) -> str:
     """ES-wildcard twin: per query, expand to the lexicographically
-    first ``WILDCARD_MAX_EXPANSIONS`` dictionary terms matching the
-    pattern (DuckDB GLOB has exactly the ES wildcard semantics:
-    ``*`` = any run, ``?`` = one char), then score as a bool-of-terms
-    OR query (identical CTE to bm25_topk)."""
-    cap = WILDCARD_MAX_EXPANSIONS
+    first ``cap`` dictionary terms matching the pattern (DuckDB GLOB
+    has exactly the ES wildcard semantics: ``*`` = any run, ``?`` = one
+    char; with ``regexp=True`` the predicate is ``regexp_full_match`` —
+    the anchored ES regexp query), then score as a bool-of-terms OR
+    query (identical CTE to bm25_topk)."""
+    queries = WILDCARD_QUERIES if queries is None else queries
+    cap = WILDCARD_MAX_EXPANSIONS if cap is None else cap
+    pred = (
+        (lambda p: f"regexp_full_match(term, '{p}')")
+        if regexp else (lambda p: f"term GLOB '{p}'")
+    )
     exps = ",\n".join(
         f"""exp_{qid} AS (
     SELECT DISTINCT term FROM (SELECT unnest(toks) AS term FROM base)
-    WHERE term GLOB '{p}' ORDER BY term LIMIT {cap}
+    WHERE {pred(p)} ORDER BY term LIMIT {cap}
 )"""
-        for qid, p in WILDCARD_QUERIES
+        for qid, p in queries
     )
     q_union = "\nUNION ALL\n".join(
         f"SELECT '{qid}' AS query_id, term FROM exp_{qid}"
-        for qid, _ in WILDCARD_QUERIES
+        for qid, _ in queries
     )
     return (
         _BASE
@@ -1846,6 +1892,9 @@ GROUP BY 1, 2
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_bool_topk": _bool_sql(),
         "bm25_wildcard_topk": _wildcard_sql(),
+        "bm25_regexp_topk": _wildcard_sql(
+            REGEXP_QUERIES, REGEXP_MAX_EXPANSIONS, regexp=True
+        ),
         "suggest_terms": _suggest_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_collapse": _collapse_sql(),

@@ -74,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="fuzzy match: AUTO or max edit distance")
     s.add_argument("--wildcard", action="store_true",
                    help="wildcard query: * = any run, ? = one char")
+    s.add_argument("--regexp", action="store_true",
+                   help="regexp query (anchored full-term match)")
     s.add_argument("--suggest", action="store_true",
                    help="term suggester: closest dictionary terms per "
                         "query token ('did you mean')")
@@ -162,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
             elif args.wildcard:
                 t = eng.search_wildcard(args.query, args.k,
                                         filters=filters or None)
+            elif args.regexp:
+                t = eng.search_regexp(args.query, args.k,
+                                      filters=filters or None)
             elif args.mlt:
                 conv, _, turn = args.mlt.rpartition(":")
                 t = eng.more_like_this(conv, int(turn), k=args.k,

@@ -263,6 +263,47 @@ class ShardSearcher:
                     break
         return out
 
+    def terms_regexp(self, pattern: str, cap: int,
+                     field: str | None = None) -> list[str]:
+        """First ``cap`` dictionary terms whose WHOLE text matches the
+        regex (ES ``regexp`` query is anchored — Lucene wraps the
+        expression in an automaton matched against full terms). Same
+        dictionary-seek shape as :meth:`terms_matching`: the regex's
+        literal prefix bounds the scan with two binary searches, then
+        one compiled ``fullmatch`` pass over the surviving slice. A
+        pattern with no literal prefix scans the whole region — the
+        documented ES cost cliff."""
+        lit = _regex_literal_prefix(pattern)
+        rx = re.compile(pattern)
+        if field is not None:
+            from excelastic_ray.analysis import field_key
+
+            base = field_key(field, lit)
+            lo = int(np.searchsorted(self.terms, base))
+            hi = int(np.searchsorted(self.terms, base + "\U0010ffff"))
+            strip = len(base) - len(lit)
+            out = []
+            for t in self.terms[lo:hi]:
+                bare = str(t)[strip:]
+                if rx.fullmatch(bare):
+                    out.append(bare)
+                    if len(out) >= cap:
+                        break
+            return out
+        lo = int(np.searchsorted(self.terms, max(lit, "\x02")))
+        hi = (
+            int(np.searchsorted(self.terms, lit + "\U0010ffff"))
+            if lit else len(self.terms)
+        )
+        out = []
+        for t in self.terms[lo:hi]:
+            ts = str(t)
+            if rx.fullmatch(ts):
+                out.append(ts)
+                if len(out) >= cap:
+                    break
+        return out
+
     def fuzzy_candidates(self, term: str, max_edits: int,
                          prefix_length: int = 0) -> list[tuple[str, int]]:
         """Dictionary terms within Levenshtein distance ``max_edits`` of
@@ -1109,6 +1150,23 @@ _TOKEN_RE_CI = re.compile(TOKEN_RE.pattern, re.IGNORECASE)
 #: TOKEN_RE normalization of the prefix string).
 _WILDCARD_TOKEN_RE = re.compile(r"[a-z0-9_*?]+")
 
+_RE_META = set(".^$*+?{}[]()|\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest leading literal run of a regex (the dictionary-seek
+    anchor). Stops at the first metacharacter; a quantifier consumes
+    the PREVIOUS char, so that char leaves the literal too
+    (``err(or)?`` → ``err``, ``ab*c`` → ``a``)."""
+    lit: list[str] = []
+    for c in pattern:
+        if c in _RE_META:
+            if c in "*+?{" and lit:
+                lit.pop()
+            break
+        lit.append(c)
+    return "".join(lit)
+
 
 def highlight_text(text: str | None, terms) -> str:
     """Wrap every analyzer-token occurrence of ``terms`` in <em></em>
@@ -1609,6 +1667,59 @@ class QueryEngine:
             terms = self.expand_wildcard(norm, max_expansions)
             if terms:
                 return self.search(" ".join(terms), k, filters=filters)
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "docid": pa.array([], type=pa.int64()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 50,
+                      field: str | None = None) -> list[str]:
+        """Global regexp expansion: union of per-shard anchored-match
+        dictionary scans, sorted, capped — lexicographically first
+        matches win the cap (mirrors expand_wildcard)."""
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.terms_regexp.remote(pattern, max_expansions, field)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).terms_regexp(pattern, max_expansions, field)
+                for s in range(r.num_shards)
+            ]
+        out: set[str] = set()
+        for p in parts:
+            out.update(p)
+        return sorted(out)[:max_expansions]
+
+    def search_regexp(self, pattern: str, k: int = 10,
+                      max_expansions: int = 50,
+                      filters: dict | None = None,
+                      field: str | None = None):
+        """ES ``regexp`` query: anchored regex expanded against the
+        term dictionary, scored as a bool-of-terms OR
+        (``rewrite=scoring_boolean`` — same shape as wildcard/prefix,
+        so a DuckDB ``regexp_full_match`` expansion twins it exactly).
+        Patterns must stay in the Python-re ∩ RE2 common subset (no
+        Lucene ``~``/``#`` operators, which ES itself gates behind
+        flags)."""
+        import pyarrow as pa
+
+        terms = self.expand_regexp(pattern, max_expansions, field=field)
+        if terms:
+            if field is not None:
+                return self._search_field_pairs(
+                    [(field, t) for t in terms], k, filters, 0
+                )
+            return self.search(" ".join(terms), k, filters=filters)
         return pa.table(
             {
                 "rank": pa.array([], type=pa.int32()),
@@ -2443,6 +2554,13 @@ class ShardActor:
         out: set[str] = set()
         for s in self.searchers:
             out.update(s.terms_matching(pattern, cap, field))
+        return sorted(out)[:cap]
+
+    def terms_regexp(self, pattern: str, cap: int,
+                     field: str | None = None) -> list[str]:
+        out: set[str] = set()
+        for s in self.searchers:
+            out.update(s.terms_regexp(pattern, cap, field))
         return sorted(out)[:cap]
 
     def collapse_topk(self, terms, idfs, avgdl, attr, k,

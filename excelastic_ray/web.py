@@ -233,6 +233,7 @@ class ImportServer:
                                 slop=int(q.get("slop", "0")),
                                 qs=q.get("qs") == "1",
                                 wildcard=q.get("wildcard") == "1",
+                                regexp=q.get("regexp") == "1",
                                 suggest=q.get("suggest") == "1",
                                 collapse=q.get("collapse") or None,
                                 mlt=q.get("mlt") or None,
@@ -404,6 +405,7 @@ class ImportServer:
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0, slop: int = 0,
                qs: bool = False, wildcard: bool = False,
+               regexp: bool = False,
                suggest: bool = False, collapse: str | None = None,
                mlt: str | None = None, must: str | None = None,
                must_not: str | None = None,
@@ -451,6 +453,8 @@ class ImportServer:
             t = eng.suggest(query)
         elif wildcard:
             t = eng.search_wildcard(query, k)
+        elif regexp:
+            t = eng.search_regexp(query, k)
         elif mlt:  # "conv_id:turn_idx" of the source doc
             conv, _, turn = mlt.rpartition(":")
             t = eng.more_like_this(conv, int(turn), k=k)

@@ -89,6 +89,52 @@ def test_wildcard_field_scoped(qs):
     assert got == ["assistant", "system", "user"]
 
 
+# -- regexp -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pat", ["w000[0-3].", "scans?", ".*all", "c(al|ell)l?", "zz+q"]
+)
+def test_expand_regexp_matches_bruteforce(qs, pat):
+    import re as _re
+
+    eng, _, vocab, _ = qs
+    rx = _re.compile(pat)
+    want = [t for t in vocab if rx.fullmatch(t)][:10]
+    assert eng.expand_regexp(pat, max_expansions=10) == want
+
+
+def test_search_regexp_scores_expansion_as_or(qs):
+    eng, _, _, _ = qs
+    terms = eng.expand_regexp("w0000.", max_expansions=10)
+    assert terms
+    a = eng.search_regexp("w0000.", k=10, max_expansions=10)
+    b = eng.search(" ".join(terms), k=10)
+    assert a.equals(b)
+
+
+def test_regexp_absent_pattern_empty(qs):
+    eng, _, _, _ = qs
+    assert eng.search_regexp("zzzz+qq", k=10).num_rows == 0
+
+
+def test_regexp_field_scoped(qs):
+    eng, _, _, _ = qs
+    got = eng.expand_regexp(".*s.*", max_expansions=10, field="role")
+    assert got == ["assistant", "system", "user"]
+
+
+def test_regexp_literal_prefix_extraction():
+    from excelastic_ray.query.engine import _regex_literal_prefix
+
+    assert _regex_literal_prefix("err(or)?") == "err"
+    assert _regex_literal_prefix("ab*c") == "a"
+    assert _regex_literal_prefix("scans?") == "scan"
+    assert _regex_literal_prefix(".*tion") == ""
+    assert _regex_literal_prefix("plain") == "plain"
+    assert _regex_literal_prefix("a\\d+") == "a"
+
+
 # -- term suggester ---------------------------------------------------------
 
 
@@ -223,6 +269,9 @@ def test_collapse_and_wildcard_actor_parity(qs):
         asu = actor_eng.suggest("cal", max_edits=1)
         bsu = eng.suggest("cal", max_edits=1)
         assert asu.equals(bsu)
+        ar = actor_eng.search_regexp("w000[0-3].", k=10)
+        br = eng.search_regexp("w000[0-3].", k=10)
+        assert ar.equals(br)
     finally:
         actor_eng.close()
 
