@@ -104,6 +104,11 @@ REGEXP_QUERIES = [
 ]
 REGEXP_MAX_EXPANSIONS = 3
 
+#: _termvectors target docs (derived transcript rows of doc_ids 0, 1,
+#: 11 — present at every scale factor)
+TERMVEC_DOCS = [("conv_000000", 0), ("conv_000000", 1),
+                ("conv_000001", 3)]
+
 #: term-suggester input ("did you mean"): misspellings of corpus terms
 #: plus an unsalvageable token; 2-edit budget, top 3 per term.
 SUGGEST_TEXT = "tabel windo scann zzzzzzzz valu"
@@ -762,6 +767,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_quantiles(sf_dir):
         return ts.token_quantiles(_docs(sf_dir), qs=(0.5, 0.9, 0.99))
 
+    def q_termvectors(sf_dir):
+        # ES _termvectors: per-doc (term, tf, df) for three fixed docs
+        # (doc_ids 0, 1, 11 exist at every sf)
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for c, t in TERMVEC_DOCS:
+            tv = eng.termvectors(c, t)
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": pa.array([c] * tv.num_rows,
+                                            type=pa.string()),
+                        "turn_idx": pa.array([t] * tv.num_rows,
+                                             type=pa.int32()),
+                        "term": tv["term"],
+                        "tf": tv["tf"],
+                        "df": tv["df"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_keywords(sf_dir):
         return ts.keywords(_docs(sf_dir), k=3)
 
@@ -1075,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
+        "termvectors": q_termvectors,
         "suggest_terms": q_suggest_terms,
         "more_like_this": q_more_like_this,
         "bm25_collapse": q_bm25_collapse,
@@ -1895,6 +1927,28 @@ GROUP BY 1, 2
         "bm25_regexp_topk": _wildcard_sql(
             REGEXP_QUERIES, REGEXP_MAX_EXPANSIONS, regexp=True
         ),
+        # ES _termvectors: re-analyze the stored doc for tf, corpus df
+        "termvectors": _BASE
+        + f""",
+sel AS (
+  SELECT conv_id, turn_idx, toks FROM base
+  WHERE (conv_id, turn_idx) IN (
+        {", ".join(f"('{c}', {t})" for c, t in TERMVEC_DOCS)})
+),
+tf AS (
+  SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM sel)
+  GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term
+        FROM base)
+  GROUP BY term
+)
+SELECT tf.conv_id, tf.turn_idx, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+""",
         "suggest_terms": _suggest_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_collapse": _collapse_sql(),

@@ -1988,6 +1988,37 @@ class QueryEngine:
             pa.array(np.arange(1, len(keep) + 1, dtype=np.int32)),
         )
 
+    def termvectors(self, conv_id: str, turn_idx: int):
+        """ES ``_termvectors`` analog: one stored doc's term vector —
+        (term, tf, df) sorted by term. ES without stored vectors
+        re-analyzes the ``_source`` exactly like this (our analyzer IS
+        the index analyzer, so tf matches the postings bit-for-bit);
+        ``df`` comes from the live dictionary via the same cached
+        global-df path the scorers use. Cost: one chunk-pruned doc
+        fetch + one dictionary seek per distinct term — no postings
+        scan."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        r = self.reader
+        src = r.docid_of(conv_id, turn_idx)
+        text = r.fetch_docs([src], columns=["text"])["text"][0].as_py()
+        tf: dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        terms = sorted(tf)
+        dfs = (
+            self._global_dfs(terms) if terms else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array([tf[t] for t in terms], type=pa.int64()),
+                "df": pa.array(np.asarray(dfs, dtype=np.int64)),
+            }
+        )
+
     def search_collapse(self, query: str, attr: str, k: int = 10,
                         filters: dict | None = None, mode: str = "or"):
         """ES field collapse: the top-``k`` hits with at most one hit —

@@ -135,6 +135,28 @@ def test_regexp_literal_prefix_extraction():
     assert _regex_literal_prefix("a\\d+") == "a"
 
 
+# -- termvectors ------------------------------------------------------------
+
+
+def test_termvectors_matches_bruteforce(qs):
+    eng, df, _, dfreq = qs
+    row = df.iloc[7]
+    tv = eng.termvectors(row["conv_id"], int(row["turn_idx"]))
+    toks = row["toks"]
+    want_tf = {t: toks.count(t) for t in set(toks)}
+    assert tv["term"].to_pylist() == sorted(want_tf)
+    got = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+    assert got == want_tf
+    for t, d in zip(tv["term"].to_pylist(), tv["df"].to_pylist()):
+        assert d == dfreq[t]
+
+
+def test_termvectors_missing_doc_raises(qs):
+    eng, _, _, _ = qs
+    with pytest.raises(KeyError):
+        eng.termvectors("conv-does-not-exist", 0)
+
+
 # -- term suggester ---------------------------------------------------------
 
 
