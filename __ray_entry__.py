@@ -371,6 +371,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_update_facets(sf_dir):
+        # _update_by_query doc-values overlay: docs matching
+        # 'table scan' (OR) get tool='archived' on a COPY of the cached
+        # index; tool-facets for the BM25 query set then reflect the
+        # overlay (filter/facet context) while scoring is untouched —
+        # the Lucene updateDocValues contract
+        import shutil
+
+        import pandas as pd
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        src = _index_for(sf_dir)
+        dst = src + "_update"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        eng = QueryEngine(dst)
+        n = eng.update_by_query("table scan",
+                                set_values={"tool": "archived"})
+        assert n > 0
+        eng = QueryEngine(dst)  # reopen: overlay loads at open
+        rows = []
+        for qid, q in BM25_QUERIES:
+            for tool, cnt in eng.facets(q, "tool").items():
+                rows.append({"query_id": qid, "tool": tool, "n": cnt})
+        return pd.DataFrame(rows, columns=["query_id", "tool", "n"])
+
     def q_bm25_date_histogram(sf_dir):
         import pandas as pd
 
@@ -1114,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sort_ts": q_bm25_sort_ts,
         "bm25_count": q_bm25_count,
         "bm25_facets": q_bm25_facets,
+        "update_facets": q_update_facets,
         "doc_keys": q_doc_keys,
         "index_stats": q_index_stats,
         "term_df": q_term_df,
@@ -1914,6 +1942,37 @@ matched AS (
 SELECT m.query_id, t.role, CAST(count(*) AS BIGINT) AS n
 FROM matched m JOIN transcripts t
      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+GROUP BY 1, 2
+""",
+        # _update_by_query DV-overlay twin: docs matching the update
+        # query ('table scan', OR) facet as tool='archived'; everything
+        # else facets as its stored tool
+        "update_facets": _BASE
+        + f""",
+tf AS (
+    SELECT DISTINCT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+),
+upd AS (
+    SELECT DISTINCT conv_id, turn_idx FROM tf
+    WHERE term IN ('table', 'scan')
+),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+matched AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx
+    FROM q JOIN tf ON tf.term = q.term
+    GROUP BY 1, 2, 3
+)
+SELECT m.query_id,
+       CASE WHEN u.conv_id IS NOT NULL THEN 'archived' ELSE t.tool END
+           AS tool,
+       CAST(count(*) AS BIGINT) AS n
+FROM matched m
+JOIN transcripts t
+     ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+LEFT JOIN upd u
+     ON u.conv_id = m.conv_id AND u.turn_idx = m.turn_idx
 GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),

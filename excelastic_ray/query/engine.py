@@ -115,6 +115,29 @@ class ShardSearcher:
                 self.attrs[name] = (
                     docs[name].to_numpy(zero_copy_only=False).astype(object)
                 )
+        # update_by_query doc-values overlay (Lucene updateDocValues
+        # analog): filter/facet/sort attrs reflect the new values;
+        # postings — including field-qualified streams — stay as
+        # indexed until a reindex, exactly Lucene's updatable-DV
+        # contract.
+        upath = os.path.join(shard_path, "updates.parquet")
+        if os.path.exists(upath):
+            upd = pq.read_table(upath)
+            u_ids = upd["docid"].to_numpy()
+            u_attr = upd["attr"].to_numpy(zero_copy_only=False)
+            u_val = upd["value"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.docids, u_ids)
+            ok = (pos < len(self.docids)) & (
+                self.docids[np.minimum(pos, len(self.docids) - 1)] == u_ids
+            )
+            for name in np.unique(u_attr[ok]):
+                m = ok & (u_attr == name)
+                if name in self.attrs:
+                    self.attrs[name][pos[m]] = u_val[m]
+                elif name in self.time_attrs:
+                    self.time_attrs[name][pos[m]] = [
+                        self._as_us(v) for v in u_val[m]
+                    ]
 
     @staticmethod
     def _as_us(v) -> int:
@@ -2440,6 +2463,134 @@ class QueryEngine:
             )
         m = seg.load_global_manifest(r.index_dir)
         m["deletes_rev"] = int(m.get("deletes_rev", 0)) + 1
+        seg.save_global_manifest(r.index_dir, m)
+        r.manifest = m
+        return total
+
+    def update_by_query(self, query: str | None = None,
+                        filters: dict | None = None,
+                        set_values: dict | None = None,
+                        mode: str = "or") -> int:
+        """ES ``_update_by_query`` with set-field semantics, implemented
+        as Lucene updatable doc-values: every doc matching
+        ``query``/``filters`` gets its ATTRIBUTE columns overwritten
+        with ``set_values`` — filter context, facets, sort-by-field and
+        fetched attrs all see the new values immediately, while the
+        inverted index (including field-qualified posting streams)
+        keeps scoring the originally indexed text until a reindex.
+        That split is exactly Lucene's ``updateDocValues`` contract
+        (documented deviation from ES, which reindexes the doc).
+
+        Updates persist as a per-shard long-format ``updates.parquet``
+        (docid, attr, value) with keep-last merge semantics (a later
+        update of the same (docid, attr) wins); the manifest's
+        ``updates_rev`` bumps so cached engines reopen. Timestamp
+        attrs accept ISO-8601 strings. → number of docs touched by
+        THIS call. Local (non-actor) engines only, like
+        delete_by_query."""
+        import pyarrow as pa
+
+        if not set_values:
+            raise ValueError("set_values must name at least one attr")
+        if self._actors is not None:
+            raise NotImplementedError(
+                "update_by_query needs a local engine (actor searchers "
+                "are immutable); open QueryEngine(index) without actors"
+            )
+        r = self.reader
+        probe = r.searcher(0)
+        for name in set_values:
+            if name not in probe.attrs and name not in probe.time_attrs:
+                raise KeyError(
+                    f"unknown doc attribute {name!r} "
+                    f"(have {sorted(probe.attrs) + sorted(probe.time_attrs)})"
+                )
+        terms: list[str] = []
+        n_required = 0
+        if query is not None:
+            terms = query_terms(query)
+            dfs = self._global_dfs(terms) if terms else []
+            live = [t for t, d in zip(terms, dfs) if d > 0]
+            if mode == "and":
+                if len(live) < len(terms):
+                    live = []
+                n_required = len(live)
+            terms = live
+        total = 0
+        for s in range(r.num_shards):
+            sr = r.searcher(s)
+            if query is not None:
+                if not terms:
+                    continue
+                mask = sr.matching_mask(terms, n_required, filters)
+            else:
+                fm = sr.filter_mask(filters)
+                mask = (
+                    fm.copy() if fm is not None
+                    else np.ones(len(sr.docids), dtype=bool)
+                )
+            hit = sr.docids[mask]
+            total += len(hit)
+            new = {
+                "docid": np.repeat(hit, len(set_values)),
+                "attr": np.tile(
+                    np.array(sorted(set_values), dtype=object), len(hit)
+                ),
+                "value": np.tile(
+                    np.array(
+                        [str(set_values[a]) for a in sorted(set_values)],
+                        dtype=object,
+                    ),
+                    len(hit),
+                ),
+            }
+            upath = os.path.join(r.shard_path(s), "updates.parquet")
+            frames = []
+            if os.path.exists(upath):
+                old = pq.read_table(upath)
+                frames.append(
+                    {
+                        "docid": old["docid"].to_numpy(),
+                        "attr": old["attr"].to_numpy(zero_copy_only=False),
+                        "value": old["value"].to_numpy(zero_copy_only=False),
+                    }
+                )
+            frames.append(new)
+            docid = np.concatenate([f["docid"] for f in frames])
+            attr = np.concatenate([f["attr"] for f in frames])
+            value = np.concatenate([f["value"] for f in frames])
+            # keep-last per (docid, attr): encode the pair as one int64
+            # key (docids are rank<<turn_bits — far below 2^63/n_attrs),
+            # stable-sort, keep each run's last element (newest append)
+            uniq_attr, code = np.unique(attr, return_inverse=True)
+            key = docid * np.int64(len(uniq_attr)) + code
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            run_end = np.append(sk[1:] != sk[:-1], True)
+            keep = order[run_end]
+            if len(keep):
+                seg.atomic_write_parquet(
+                    upath,
+                    pa.table(
+                        {
+                            "docid": pa.array(docid[keep], type=pa.int64()),
+                            "attr": pa.array(attr[keep], type=pa.string()),
+                            "value": pa.array(value[keep],
+                                              type=pa.string()),
+                        }
+                    ),
+                )
+            # apply in place so this engine serves the new values
+            # without a reopen
+            if len(hit):
+                pos = np.searchsorted(sr.docids, hit)
+                for name, v in set_values.items():
+                    if name in sr.attrs:
+                        sr.attrs[name][pos] = str(v)
+                    else:
+                        sr.time_attrs[name][pos] = sr._as_us(v)
+        m = seg.load_global_manifest(r.index_dir)
+        m["updates_rev"] = int(m.get("updates_rev", 0)) + 1
         seg.save_global_manifest(r.index_dir, m)
         r.manifest = m
         return total

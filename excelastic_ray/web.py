@@ -421,12 +421,14 @@ class ImportServer:
                 # re-check on every hit: an import may have started
                 # since this engine was cached (manifest flips away
                 # from "complete" before any destructive write), or a
-                # delete_by_query bumped deletes_rev (tombstones load
-                # at searcher-open time)
+                # delete_by_query / update_by_query bumped a mutation
+                # rev (tombstones + DV overlays load at open time)
                 m = load_global_manifest(self.index_dir(index))
+                er = eng.reader.manifest
                 if m.get("status") != "complete" or (
-                    m.get("deletes_rev", 0)
-                    != eng.reader.manifest.get("deletes_rev", 0)
+                    m.get("deletes_rev", 0) != er.get("deletes_rev", 0)
+                ) or (
+                    m.get("updates_rev", 0) != er.get("updates_rev", 0)
                 ):
                     self._engines.pop(index, None)
                     eng = None

@@ -109,3 +109,88 @@ def test_delete_bumps_manifest_rev(idx):
     r0 = seg.load_global_manifest(path).get("deletes_rev", 0)
     eng.delete_by_query(filters={"role": "tool"})
     assert seg.load_global_manifest(path)["deletes_rev"] == r0 + 1
+
+
+# -- update_by_query (Lucene updateDocValues analog) ------------------------
+
+
+def test_update_by_filter_changes_facets_not_scores(idx):
+    path, df = idx
+    eng = QueryEngine(path)
+    before = eng.search("the run", k=100000)
+    n_user = int((df["role"] == "user").sum())
+    n = eng.update_by_query(filters={"role": "user"},
+                            set_values={"tool": "archived"})
+    assert n == n_user
+    eng2 = QueryEngine(path)  # overlay loads at open
+    after = eng2.search("the run", k=100000)
+    assert after.equals(before)  # postings untouched: identical ranking
+    # facet context sees the overlay
+    fac = eng2.facets("the run", "tool")
+    roles = df.set_index(["conv_id", "turn_idx"])["role"]
+    got = list(zip(after["conv_id"].to_pylist(),
+                   after["turn_idx"].to_pylist()))
+    want_archived = sum(1 for kk in got if roles.loc[kk] == "user")
+    assert fac.get("archived", 0) == want_archived
+    # filter context matches on the NEW value
+    t = eng2.search("the run", k=100000,
+                    filters={"tool": "archived"})
+    assert t.num_rows == want_archived
+
+
+def test_update_keep_last_and_in_place(idx):
+    path, df = idx
+    eng = QueryEngine(path)
+    eng.update_by_query(filters={"role": "tool"},
+                        set_values={"tool": "first"})
+    # same engine serves the overlay without reopen
+    assert "first" in eng.facets("the", "tool")
+    eng.update_by_query(filters={"role": "tool"},
+                        set_values={"tool": "second"})
+    eng2 = QueryEngine(path)
+    fac = eng2.facets("the", "tool")
+    assert "first" not in fac and "second" in fac
+
+
+def test_update_by_query_terms_and_ts_attr(idx):
+    path, df = idx
+    eng = QueryEngine(path)
+    want = {
+        (c, t)
+        for c, t, x in zip(df["conv_id"], df["turn_idx"], df["text"])
+        if "run" in tokenize(x)
+    }
+    n = eng.update_by_query("run",
+                            set_values={"ts": "2030-01-01T00:00:00"})
+    assert n == len(want)
+    eng2 = QueryEngine(path)
+    t = eng2.search("the run", k=100000,
+                    filters={"ts": {"gte": "2030-01-01"}})
+    got = set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    hits = set(
+        zip(*[
+            eng2.search("the run", k=100000)[c].to_pylist()
+            for c in ("conv_id", "turn_idx")
+        ])
+    )
+    assert got == (want & hits)
+
+
+def test_update_unknown_attr_raises(idx):
+    path, _ = idx
+    eng = QueryEngine(path)
+    with pytest.raises(KeyError):
+        eng.update_by_query("the", set_values={"nope": "x"})
+    with pytest.raises(ValueError):
+        eng.update_by_query("the")
+
+
+def test_update_bumps_manifest_rev(idx):
+    path, _ = idx
+    from excelastic_ray.index import segments as seg
+
+    eng = QueryEngine(path)
+    r0 = seg.load_global_manifest(path).get("updates_rev", 0)
+    eng.update_by_query(filters={"role": "tool"},
+                        set_values={"tool": "x"})
+    assert seg.load_global_manifest(path)["updates_rev"] == r0 + 1
