@@ -761,6 +761,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bpe_tokens(sf_dir):
         return ts.bpe_token_count(_docs(sf_dir))
 
+    def q_vocab_coverage(sf_dir):
+        # per-doc OOV rate vs the corpus top-200 vocabulary (broadcast
+        # small side, one scoring pass)
+        return ts.vocab_coverage(_docs(sf_dir), vocab_size=200)
+
     def q_pack_sequences(sf_dir):
         # GPT-style concat-and-chunk packing manifest: global token
         # offsets (distributed bucket prefix-sum, no sort) + sequence
@@ -1152,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
+        "vocab_coverage": q_vocab_coverage,
         "pack_sequences": q_pack_sequences,
         "pack_stats": q_pack_stats,
         "winnow": q_winnow,
@@ -2099,6 +2105,34 @@ SELECT doc_id,
                              AS DOUBLE) / len(toks)) * 1000000 + 0.5) / 1000000
        END AS mean_tok_len
 FROM base JOIN documents USING (doc_id)
+""",
+        # per-doc OOV rate vs the corpus top-200 vocab (cf DESC, term
+        # ASC ties — the identical ordering the engine sorts by)
+        "vocab_coverage": _DOCTOK
+        + """
+, cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(toks) AS term FROM base)
+  GROUP BY term
+),
+vocab AS (SELECT term FROM cf ORDER BY cf DESC, term LIMIT 200),
+per AS (SELECT doc_id, unnest(toks) AS term FROM base),
+cnt AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov
+  FROM per p LEFT JOIN vocab v USING (term)
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(c.n_tokens, 0) AS n_tokens,
+       COALESCE(c.oov, 0) AS oov,
+       CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN 0.0
+            ELSE floor(CAST(c.oov AS DOUBLE) / c.n_tokens * 1000000 + 0.5)
+                 / 1000000
+       END AS oov_ratio
+FROM base b LEFT JOIN cnt c USING (doc_id)
 """,
         # concat-and-chunk packing manifest: exclusive prefix-sum of
         # (analyzer token count + 1 eod) in doc_id order, cut at 512

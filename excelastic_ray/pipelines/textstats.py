@@ -772,3 +772,56 @@ def lm_score(ds, min_count: int = 2, k_smooth: float = 0.1,
         })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def vocab_coverage(ds, vocab_size: int = 500, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per-doc OOV rate against the corpus's own top-``vocab_size``
+    vocabulary (cf DESC, term ASC ties) — the tokenizer-coverage check
+    a pretraining pipeline runs before committing to a vocab.
+
+    Scale shape: the vocabulary comes from :func:`term_df`
+    (partial+final, cardinality-independent combine) → distributed
+    sort + limit → ONE vocab-sized driver collect, broadcast once via
+    ``ray.put`` and read per task (never re-shipped per batch). The
+    scoring pass is one ``map_batches`` over the text: per-batch
+    factorize once, one ``np.isin`` over the batch's UNIQUE tokens
+    (vocab-hash lookup per distinct token, not per occurrence), then
+    bincount per row. → (doc_id, n_tokens, oov, oov_ratio trunc6)."""
+    import ray
+
+    top = (
+        term_df(ds, text_col=text_col)
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    vref = ray.put(set(top["term"]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vref)
+        texts = batch[text_col].to_pylist()
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        n = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
+        if len(codes):
+            known_u = np.fromiter(
+                (u in vocab for u in uniques), dtype=bool,
+                count=len(uniques),
+            )
+            oov_tok = ~known_u[codes]
+            oov = np.bincount(
+                row_idx, weights=oov_tok, minlength=len(texts)
+            ).astype(np.int64)
+        else:
+            oov = np.zeros(len(texts), dtype=np.int64)
+        ratio = np.where(n > 0, oov / np.maximum(n, 1), 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n),
+                "oov": pa.array(oov),
+                "oov_ratio": pa.array(trunc6(ratio), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

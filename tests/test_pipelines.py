@@ -1152,3 +1152,34 @@ def test_lm_score_parallelism_invariant_and_budgets(ray_session, docs_ds):
         lm_score(docs_ds, vocab_budget=3).to_pandas()
     with pytest.raises(ValueError, match="bigram_budget"):
         lm_score(docs_ds, bigram_budget=3).to_pandas()
+
+
+def test_vocab_coverage_matches_bruteforce(ray_session, docs_ds):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import trunc6, vocab_coverage
+
+    df = docs_ds.to_pandas()
+    toks = [tokenize(t) for t in df["text"]]
+    cf = Counter(w for row in toks for w in row)
+    V = 5
+    vocab = set(
+        t for t, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    )
+    got = (
+        vocab_coverage(rd.from_pandas(df), vocab_size=V)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_oov = [sum(1 for w in row if w not in vocab) for row in toks]
+    assert got["n_tokens"].tolist() == [len(r) for r in toks]
+    assert got["oov"].tolist() == want_oov
+    ratios = [
+        float(trunc6(np.array([o / len(r)]))[0]) if len(r) else 0.0
+        for o, r in zip(want_oov, toks)
+    ]
+    assert got["oov_ratio"].tolist() == ratios
