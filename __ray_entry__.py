@@ -731,6 +731,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    def q_reindex_stats(sf_dir):
+        # ES _reindex: rebuild from the docstore under a DIFFERENT
+        # config (2 shards) — stats must reproduce the source corpus
+        import shutil
+
+        import pandas as pd
+
+        from excelastic_ray.config import IndexConfig
+        from excelastic_ray.index.build import reindex
+        from excelastic_ray.index.segments import load_global_manifest
+
+        src = _index_for(sf_dir)
+        dst = src + "_reindex"
+        shutil.rmtree(dst, ignore_errors=True)
+        reindex(src, dst, IndexConfig(
+            turn_bits=8, convs_per_chunk_bits=6, num_shards=2,
+        ))
+        m = load_global_manifest(dst)
+        return pd.DataFrame(
+            [
+                {
+                    "n_docs": m["n_docs"],
+                    "n_convs": m["n_convs"],
+                    "avgdl": float(np.floor(m["avgdl"] * 1e6 + 0.5) / 1e6),
+                }
+            ]
+        )
+
     def q_term_df(sf_dir):
         return ts.term_df(_docs(sf_dir))
 
@@ -1149,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_facets": q_update_facets,
         "doc_keys": q_doc_keys,
         "index_stats": q_index_stats,
+        "reindex_stats": q_reindex_stats,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "token_stats": q_token_stats,
@@ -2073,6 +2102,15 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 """,
         "index_stats": _BASE
+        + """
+SELECT count(*) AS n_docs,
+       count(DISTINCT conv_id) AS n_convs,
+       floor((CAST(sum(len(toks)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000
+           AS avgdl
+FROM base
+""",
+        # _reindex twin: a faithful reindex reproduces the corpus stats
+        "reindex_stats": _BASE
         + """
 SELECT count(*) AS n_docs,
        count(DISTINCT conv_id) AS n_convs,

@@ -169,6 +169,14 @@ def run_bench() -> dict:
             eng.search_bool(must="w00042", should="the call run",
                             must_not="w00777", k=10)
         timings["bool_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.search_regexp("w0004[0-5]", k=10)
+        timings["regexp_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(10):
+            eng.termvectors("conv-000003", 1)
+        timings["termvectors_10q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.
@@ -194,6 +202,10 @@ def run_bench() -> dict:
             "sessionize",
             "tumbling",
             "media_decode",
+            "pack_sequences",
+            "vocab_coverage",
+            "composite_agg",
+            "date_histogram_pipeline",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -83,7 +83,8 @@ def _conv_partials(batch: pa.Table) -> pd.DataFrame:
     return out.reset_index()
 
 
-def conversation_table(ds, config: IndexConfig) -> np.ndarray:
+def conversation_table(ds, config: IndexConfig,
+                       strict: bool = True) -> np.ndarray:
     """Validate the corpus and return the sorted distinct conv_id array
     (row position == conv_rank).
 
@@ -118,34 +119,36 @@ def conversation_table(ds, config: IndexConfig) -> np.ndarray:
         )
         .reset_index()
     )
-    n = stats["cnt"].to_numpy()
-    mn = stats["mn"].to_numpy()
-    mx = stats["mx"].to_numpy()
-    sm = stats["sm"].to_numpy()
-    sq = stats["sq"].to_numpy()
-    exp_sm = n * (n - 1) // 2
-    exp_sq = (n - 1) * n * (2 * n - 1) // 6
-    bad = (mn != 0) | (mx != n - 1) | (sm != exp_sm) | (sq != exp_sq)
-    if bad.any():
-        culprit = stats["conv_id"].iloc[int(np.flatnonzero(bad)[0])]
-        raise ValidationError(
-            f"conversation {culprit!r}: turn_idx is not a duplicate-free "
-            f"0..n-1 sequence"
-        )
-    if (n > config.max_turns).any():
-        raise ValidationError(
-            f"a conversation exceeds max_turns={config.max_turns} "
-            f"(raise IndexConfig.turn_bits)"
-        )
+    _validate_moments(
+        stats["cnt"].to_numpy(), stats["mn"].to_numpy(),
+        stats["mx"].to_numpy(), stats["sm"].to_numpy(),
+        stats["sq"].to_numpy(), config.max_turns,
+        stats["conv_id"].to_numpy(), strict=strict,
+    )
     return np.sort(stats["conv_id"].to_numpy().astype(object))
 
 
-def _validate_moments(cnt, mn, mx, sm, sq, max_turns, sample_ids) -> None:
+def _validate_moments(cnt, mn, mx, sm, sq, max_turns, sample_ids,
+                      strict: bool = True) -> None:
     """Shared turn-sequence validity check over moment arrays: each
     conversation's turn_idx must be exactly {0..n-1} (min=0, max=n-1,
     sum and sum-of-squares match — exact for non-adversarial inputs and
-    exactly re-checked by the per-chunk duplicate-docid guard)."""
+    exactly re-checked by the per-chunk duplicate-docid guard).
+
+    ``strict=False`` (the reindex-from-tombstoned-docstore mode) keeps
+    only the structural bounds — 0 ≤ turn_idx < max_turns — since
+    deletions punch holes in the 0..n-1 sequence; uniqueness is still
+    exactly enforced by the chunk builder's duplicate-docid guard."""
     n = cnt.astype(np.int64)
+    if not strict:
+        if len(mn) and (int(mn.min()) < 0 or int(mx.max()) > max_turns - 1):
+            bad0 = (mn < 0) | (mx > max_turns - 1)
+            culprit = sample_ids[int(np.flatnonzero(bad0)[0])]
+            raise ValidationError(
+                f"conversation {culprit!r}: turn_idx outside "
+                f"[0, {max_turns - 1}] (raise IndexConfig.turn_bits)"
+            )
+        return
     exp_sm = n * (n - 1) // 2
     exp_sq = (n - 1) * n * (2 * n - 1) // 6
     bad = (mn != 0) | (mx != n - 1) | (sm != exp_sm) | (sq != exp_sq)
@@ -163,7 +166,8 @@ def _validate_moments(cnt, mn, mx, sm, sq, max_turns, sample_ids) -> None:
 
 
 def distributed_conversation_ranks(ds, config: IndexConfig,
-                                   index_dir: str) -> int:
+                                   index_dir: str,
+                                   strict: bool = True) -> int:
     """Beyond-driver-budget rank assignment: the driver NEVER holds the
     conversation table. Returns n_convs; writes ``convs.parquet`` as a
     DIRECTORY of (rank, conv_id) files.
@@ -200,6 +204,7 @@ def distributed_conversation_ranks(ds, config: IndexConfig,
             batch["cnt"].to_numpy(), batch["mn"].to_numpy(),
             batch["mx"].to_numpy(), batch["sm"].to_numpy(),
             batch["sq"].to_numpy(), config.max_turns, ids,
+            strict=strict,
         )
         return pa.table({"conv_id": pa.array(ids, type=pa.string())})
 
@@ -1121,6 +1126,7 @@ def build_index(
     resume: bool = True,
     parallelism: int | None = None,
     transforms: list | None = None,
+    strict_turns: bool = True,
 ) -> BuildResult:
     """Build (or resume building) an index over a transcript corpus.
 
@@ -1147,6 +1153,7 @@ def build_index(
         return _build_index_impl(
             source, index_dir, config, clear=clear, resume=resume,
             parallelism=parallelism, transforms=transforms,
+            strict_turns=strict_turns,
         )
     finally:
         ctx.shuffle_strategy = prior_strategy
@@ -1161,6 +1168,7 @@ def _build_index_impl(
     resume: bool,
     parallelism: int | None,
     transforms: list | None = None,
+    strict_turns: bool = True,
 ) -> BuildResult:
     import ray
     import ray.data as rd
@@ -1226,9 +1234,10 @@ def _build_index_impl(
         use_dist = False
 
     if use_dist:
-        n_convs = distributed_conversation_ranks(ds, config, index_dir)
+        n_convs = distributed_conversation_ranks(ds, config, index_dir,
+                                                 strict=strict_turns)
     else:
-        conv_ids = conversation_table(ds, config)
+        conv_ids = conversation_table(ds, config, strict=strict_turns)
         n_convs = len(conv_ids)
         cp = os.path.join(index_dir, "convs.parquet")
         if os.path.isdir(cp):  # prior distributed build left a directory
@@ -1561,3 +1570,114 @@ def build_status(index_dir: str) -> dict:
         "postings_emitted": sum(m["n_postings"] for m in done.values()),
         "bytes_compressed": sum(m["bytes_compressed"] for m in done.values()),
     }
+
+
+def reindex(src_index: str, dst_index: str,
+            config: IndexConfig | None = None, *,
+            clear: bool = True, transforms: list | None = None,
+            parallelism: int | None = None) -> "BuildResult":
+    """ES ``_reindex`` analog: build a NEW index from the source
+    index's docstore (the ``_source`` scan), optionally under a
+    different :class:`IndexConfig` (changed shard count, field streams,
+    analyzer attrs — the reasons ES users reindex).
+
+    Mutation semantics match a Lucene merge: ``delete_by_query``
+    tombstones are honored (only live docs survive — ES reindex copies
+    live docs), and ``update_by_query`` doc-values overlays are BAKED
+    IN (the overlay value becomes the stored attribute, exactly what a
+    segment merge does with updatable DVs). Both mutation tables are
+    mutation-sized, collected once and broadcast via ``ray.put`` —
+    never per batch. The docstore itself streams through the normal
+    distributed build path: one parquet file per source chunk read as
+    a Dataset, never driver-materialized.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data  # noqa: F401  (ray.data.read_parquet below)
+
+    files = seg.docstore_files(src_index)
+    if not files:
+        raise FileNotFoundError(f"no docstore slices under {src_index}")
+    m = seg.load_global_manifest(src_index)
+    if m.get("status") != "complete":
+        raise RuntimeError(
+            f"source index {src_index!r} is not complete "
+            f"(status={m.get('status')!r})"
+        )
+    if config is None:
+        config = IndexConfig.from_dict(m["config"])
+
+    dead_parts, upd_parts = [], []
+    for s in range(int(m["num_shards"])):
+        sd = seg.shard_dir(src_index, s)
+        dp = os.path.join(sd, "deletes.parquet")
+        if os.path.exists(dp):
+            dead_parts.append(pq.read_table(dp)["docid"].to_numpy())
+        up = os.path.join(sd, "updates.parquet")
+        if os.path.exists(up):
+            upd_parts.append(pq.read_table(up))
+    dead = (
+        np.unique(np.concatenate(dead_parts)) if dead_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    overlays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if upd_parts:
+        upd = pa.concat_tables(upd_parts)
+        ua = upd["attr"].to_numpy(zero_copy_only=False)
+        uid = upd["docid"].to_numpy()
+        uval = upd["value"].to_numpy(zero_copy_only=False)
+        for name in np.unique(ua):
+            mm = ua == name
+            o = np.argsort(uid[mm], kind="stable")
+            overlays[str(name)] = (uid[mm][o], uval[mm][o])
+    ref = ray.put((dead, overlays))
+
+    src_cols = [
+        c for c in ("docid", *TRANSCRIPT_COLUMNS)
+        if c in pq.ParquetFile(files[0]).schema_arrow.names
+    ]
+    out_cols = [c for c in src_cols if c != "docid"]
+
+    def live_source(batch: pa.Table) -> pa.Table:
+        b_dead, b_over = ray.get(ref)
+        ids = batch["docid"].to_numpy()
+        if len(b_dead):
+            batch = batch.filter(
+                pa.array(~np.isin(ids, b_dead), type=pa.bool_())
+            )
+            ids = batch["docid"].to_numpy()
+        for name, (o_ids, o_vals) in b_over.items():
+            if name not in batch.column_names or not len(ids):
+                continue
+            pos = np.searchsorted(o_ids, ids)
+            hit = (pos < len(o_ids)) & (
+                o_ids[np.minimum(pos, len(o_ids) - 1)] == ids
+            )
+            if not hit.any():
+                continue
+            col = batch[name]
+            if pa.types.is_timestamp(col.type):
+                vals = col.to_numpy().astype("datetime64[us]").copy()
+                vals[hit] = [
+                    np.datetime64(v, "us") for v in o_vals[pos[hit]]
+                ]
+                new = pa.array(vals)
+            else:
+                vals = col.to_numpy(zero_copy_only=False).astype(object)
+                vals[hit] = o_vals[pos[hit]]
+                new = pa.array(vals, type=col.type)
+            batch = batch.set_column(
+                batch.column_names.index(name), name, new
+            )
+        return batch.select(out_cols)
+
+    ds = ray.data.read_parquet(files, columns=src_cols).map_batches(
+        live_source, batch_format="pyarrow"
+    )
+    # strict_turns=False: tombstones punch holes in the 0..n-1 turn
+    # sequence; bounds still checked, duplicates still caught by the
+    # chunk builder's docid guard
+    return build_index(
+        ds, dst_index, config, clear=clear, transforms=transforms,
+        parallelism=parallelism, strict_turns=not len(dead),
+    )
