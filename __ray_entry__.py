@@ -148,6 +148,15 @@ PHRASE_QUERIES = [
     ("p5", "value"),
 ]
 
+#: adjacency_matrix named filters: hot-token OR queries, a rare pair,
+#: and an absent query (must yield empty-but-present buckets).
+ADJ_FILTERS = [
+    ("absent", "zzz_absent_term"),
+    ("calls", "call run"),
+    ("hot", "the of"),
+    ("rare", "w00042 w00137"),
+]
+
 _BUILT: dict[str, str] = {}
 
 
@@ -264,6 +273,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.table(
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_adjacency_matrix(sf_dir):
+        # ES adjacency_matrix agg: doc counts for each named filter and
+        # every pairwise intersection (a <= b, zero buckets kept)
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.adjacency_matrix(dict(ADJ_FILTERS))
+
+    def q_bm25_top_hits(sf_dir):
+        # ES terms agg + top_hits sub-agg: per role bucket, the top-3
+        # hits of each query (engine.search_top_hits)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_top_hits(q, "role", per_k=3)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "role": t["role"],
+                        "rank": t["rank"],
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -1153,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_top_hits": q_bm25_top_hits,
+        "adjacency_matrix": q_adjacency_matrix,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_field_topk": q_bm25_field_topk,
@@ -1341,6 +1389,80 @@ FROM scored {and_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) <= 10
+"""
+    )
+
+
+def _adjacency_sql() -> str:
+    """adjacency_matrix twin: per named OR-filter a containment flag
+    over toks, then one count per unordered pair (a ≤ b)."""
+    names = sorted(n for n, _ in ADJ_FILTERS)
+    qmap = dict(ADJ_FILTERS)
+    flt_cols = ",\n    ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{t}'" for t in sorted(set(qmap[n].lower().split())))
+        + f"])) > 0 AS m_{n}"
+        for n in names
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}' AS a, '{b}' AS b, "
+        f"count(*) FILTER (WHERE m_{a} AND m_{b}) AS n FROM flt"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    return (
+        _BASE
+        + f""",
+flt AS (SELECT {flt_cols} FROM base)
+{pairs}
+"""
+    )
+
+
+def _top_hits_sql(per_k: int = 3) -> str:
+    """terms-agg + top_hits twin: the identical BM25 CTE as
+    ``_bm25_sql``, partitioned by the doc's role bucket — per
+    (query, role) the top-``per_k`` hits by (raw DESC, conv, turn)."""
+    vals = _bm25_terms_values()
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT scored.query_id, tt.role,
+       CAST(row_number() OVER (
+           PARTITION BY scored.query_id, tt.role
+           ORDER BY raw DESC, scored.conv_id, scored.turn_idx
+       ) AS INT) AS rank,
+       scored.conv_id, scored.turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+JOIN transcripts tt
+  ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id, tt.role
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= {per_k}
 """
     )
 
@@ -1943,6 +2065,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_top_hits": _top_hits_sql(),
+        "adjacency_matrix": _adjacency_sql(),
         "bm25_count": _BASE
         + f""",
 tf AS (

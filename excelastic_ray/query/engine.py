@@ -705,6 +705,19 @@ class ShardSearcher:
     def count(self, terms, n_required=0, filters=None) -> int:
         return int(self.matching_mask(terms, n_required, filters).sum())
 
+    def adjacency_counts(self, specs, filters=None) -> np.ndarray:
+        """ES ``adjacency_matrix`` agg, shard phase: for ``specs`` a
+        list of (terms, n_required) named filters, the F×F int64 matrix
+        whose [i, j] is the count of this shard's docs matching BOTH
+        filter i and filter j (diagonal = per-filter counts). Additive
+        across shards, so the driver just sums the matrices."""
+        if not specs:
+            return np.zeros((0, 0), dtype=np.int64)
+        M = np.stack(
+            [self.matching_mask(t, n, filters) for t, n in specs]
+        ).astype(np.int64)
+        return M @ M.T
+
     def sorted_matches(self, terms, attr: str, k: int, order: str = "desc",
                        search_after: tuple[int, int] | None = None,
                        n_required: int = 0, filters: dict | None = None):
@@ -842,6 +855,49 @@ class ShardSearcher:
         bd, bs = docids[best], scores[best]
         sel = np.lexsort((bd, -bs))[:k]
         return bd[sel], bs[sel], uniq[sel].tolist()
+
+    def top_hits_topk(self, terms, idfs, avgdl, attr, per_k,
+                      filters=None, n_required=0):
+        """ES terms-agg + ``top_hits`` sub-agg, shard phase: TAAT-score
+        every matching doc, then keep the per-group top-``per_k`` hits
+        (score DESC, docid ASC) for EVERY distinct ``attr`` value seen
+        in this shard → (docids, scores, group values). Exact global
+        merge: each doc lives in exactly one shard, so any hit in a
+        group's global top-``per_k`` is necessarily in that group's
+        shard-local top-``per_k``; the driver just re-selects per group
+        over the concatenated candidates (≤ shards × per_k per group)."""
+        cfg = self.cfg
+        col = self.attrs.get(attr)
+        if col is None:
+            raise KeyError(f"attribute {attr!r} not stored in this index")
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64), [])
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return empty
+        return _per_group_topk(
+            self.docids[nz], acc[nz], nz_groups=col[nz].astype(str),
+            per_k=per_k,
+        )
 
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0):
         """Dense term-at-a-time: accumulate into a float64 array over the
@@ -1230,6 +1286,21 @@ def _merge_collapse(parts, k):
     bd, bs = docids[best], scores[best]
     sel = np.lexsort((bd, -bs))[:k]
     return bd[sel], bs[sel], uniq[sel].tolist()
+
+
+def _per_group_topk(docids, scores, nz_groups, per_k):
+    """Per-group top-``per_k`` selection (score DESC, docid ASC within
+    each group) → (docids, scores, groups) in group-ASC, rank-ASC order.
+    Shared by the shard phase and the driver merge of the ES
+    terms-agg + ``top_hits`` analog."""
+    groups = np.asarray(nz_groups)
+    o = np.lexsort((docids, -scores, groups))
+    g = groups[o]
+    starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+    sizes = np.diff(np.r_[starts, len(g)])
+    rank_in_group = np.arange(len(g)) - np.repeat(starts, sizes)
+    sel = o[rank_in_group < per_k]
+    return docids[sel], scores[sel], groups[sel].tolist()
 
 
 def _parse_span_us(v) -> int:
@@ -2101,6 +2172,84 @@ class QueryEngine:
             }
         )
 
+    def search_top_hits(self, query: str, attr: str, per_k: int = 3,
+                        filters: dict | None = None, mode: str = "or"):
+        """ES terms aggregation with a ``top_hits`` sub-aggregation:
+        for EVERY distinct value of doc attribute ``attr`` among the
+        matching docs, the per-bucket top-``per_k`` hits (score DESC,
+        docid ASC). Unlike field collapse (one best hit per group,
+        globally top-k groups), this returns all buckets, each with up
+        to ``per_k`` ranked hits — the "show me the best examples per
+        category" ES shape. Exact across shards: every doc lives in
+        exactly one shard, so the global per-bucket top-``per_k`` is a
+        re-selection over the shards' per-bucket candidates.
+        Output: (attr, rank, docid, conv_id, turn_idx, score) ordered
+        by (attr ASC, rank ASC)."""
+        import pyarrow as pa
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = query_terms(query)
+        bd = np.zeros(0, dtype=np.int64)
+        bs = np.zeros(0, dtype=np.float64)
+        bg: list[str] = []
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.top_hits_topk.remote(
+                                lterms, idfs, r.avgdl, attr, per_k,
+                                filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).top_hits_topk(
+                            lterms, idfs, r.avgdl, attr, per_k, filters,
+                            n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                cd = np.concatenate([p[0] for p in parts])
+                cs = np.concatenate([p[1] for p in parts])
+                cg = [g for p in parts for g in p[2]]
+                if len(cd):
+                    bd, bs, bg = _per_group_topk(cd, cs, cg, per_k)
+        conv, turn = r.keys_of(bd)
+        garr = np.asarray(bg, dtype=object)
+        # rank restarts at 1 inside each bucket (group-major order is
+        # what _per_group_topk returns)
+        starts = np.r_[0, np.flatnonzero(garr[1:] != garr[:-1]) + 1] if len(
+            garr
+        ) else np.zeros(0, np.int64)
+        sizes = np.diff(np.r_[starts, len(garr)])
+        rank = (
+            np.arange(len(garr)) - np.repeat(starts, sizes) + 1
+            if len(garr) else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                attr: pa.array(bg, type=pa.string()),
+                "rank": pa.array(rank.astype(np.int32), type=pa.int32()),
+                "docid": pa.array(bd, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(bs, type=pa.float64()),
+            }
+        )
+
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
@@ -2204,6 +2353,50 @@ class QueryEngine:
         return sum(
             r.searcher(s).count(live, n_required, filters)
             for s in range(r.num_shards)
+        )
+
+    def adjacency_matrix(self, named: dict[str, str],
+                         filters: dict | None = None, mode: str = "or"):
+        """ES ``adjacency_matrix`` aggregation (the ``filters`` agg plus
+        pairwise intersections): for each named query and each unordered
+        pair, the count of docs matching both. Buckets are emitted for
+        every pair a ≤ b — including empty ones, for a stable schema —
+        ordered by (a, b). → table (a, b, n)."""
+        import pyarrow as pa
+
+        names = sorted(named)
+        specs = []
+        for nm in names:
+            live, n_required, dead = self._query_shape(named[nm], mode)
+            if not live or (mode == "and" and dead):
+                specs.append(([], 0))
+            else:
+                specs.append((live, n_required))
+        F = len(names)
+        total = np.zeros((F, F), dtype=np.int64)
+        r = self.reader
+        if F and r.n_docs:
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [a.adjacency_counts.remote(specs, filters)
+                     for a in self._actors]
+                )
+            else:
+                parts = [
+                    r.searcher(s).adjacency_counts(specs, filters)
+                    for s in range(r.num_shards)
+                ]
+            for p in parts:
+                total += p
+        ai, bi = np.triu_indices(F)
+        return pa.table(
+            {
+                "a": pa.array([names[i] for i in ai], type=pa.string()),
+                "b": pa.array([names[j] for j in bi], type=pa.string()),
+                "n": pa.array(total[ai, bi], type=pa.int64()),
+            }
         )
 
     def facets(self, query: str, attr: str, filters: dict | None = None,
@@ -2752,6 +2945,24 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_collapse(parts, k)
+
+    def adjacency_counts(self, specs, filters=None):
+        mats = [s.adjacency_counts(specs, filters) for s in self.searchers]
+        return sum(mats[1:], mats[0])
+
+    def top_hits_topk(self, terms, idfs, avgdl, attr, per_k,
+                      filters=None, n_required=0):
+        parts = [
+            s.top_hits_topk(terms, idfs, avgdl, attr, per_k, filters,
+                            n_required)
+            for s in self.searchers
+        ]
+        cd = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts])
+        cg = [g for p in parts for g in p[2]]
+        if not len(cd):
+            return cd, cs, cg
+        return _per_group_topk(cd, cs, cg, per_k)
 
     def bool_topk(self, terms, idfs, must_flags, should_flags, mnot,
                   avgdl, k, filters=None, n_must=0, msm=0):

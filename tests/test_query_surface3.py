@@ -397,3 +397,89 @@ def test_bool_actor_parity(qs):
         assert a.equals(b)
     finally:
         actor_eng.close()
+
+
+# -- terms agg + top_hits ---------------------------------------------------
+
+
+@pytest.mark.parametrize("query,per_k", [("call the", 3), ("run ok", 1),
+                                         ("w00001", 5)])
+def test_top_hits_equals_clientside_per_group(qs, query, per_k):
+    eng, df, _, _ = qs
+    full = eng.search(query, k=len(df)).to_pandas()
+    key_role = {
+        (c, t): r
+        for c, t, r in zip(df["conv_id"], df["turn_idx"], df["role"])
+    }
+    full["role"] = [
+        key_role[(c, int(t))]
+        for c, t in zip(full["conv_id"], full["turn_idx"])
+    ]
+    want = (
+        full.sort_values(["role", "score", "docid"],
+                         ascending=[True, False, True])
+        .groupby("role", sort=True)
+        .head(per_k)
+        .reset_index(drop=True)
+    )
+    got = eng.search_top_hits(query, "role", per_k=per_k).to_pandas()
+    assert got["docid"].tolist() == want["docid"].tolist()
+    assert got["role"].tolist() == want["role"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    # rank restarts at 1 inside each bucket
+    assert (got.groupby("role")["rank"].min() == 1).all()
+    assert (got.groupby("role")["rank"].max() <= per_k).all()
+
+
+def test_top_hits_filters_and_actor_parity(qs):
+    eng, _, _, _ = qs
+    f = eng.search_top_hits("call the", "role", per_k=2,
+                            filters={"tool": "sql"})
+    assert f.num_rows > 0
+    tools = eng.reader.fetch_docs(
+        np.asarray(f["docid"].to_pylist(), dtype=np.int64),
+        columns=["tool"],
+    )["tool"].to_pylist()
+    assert set(tools) == {"sql"}
+    assert eng.search_top_hits("zzzzabsent", "role").num_rows == 0
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.search_top_hits("call the", "role", per_k=3)
+        b = eng.search_top_hits("call the", "role", per_k=3)
+        assert a.equals(b)
+    finally:
+        actor_eng.close()
+
+
+# -- adjacency_matrix -------------------------------------------------------
+
+
+def test_adjacency_matrix_equals_bruteforce(qs):
+    eng, df, _, _ = qs
+    named = {"calls": "call run", "hot": "the", "none": "zzzzabsent"}
+    got = eng.adjacency_matrix(named).to_pandas()
+    sets = {
+        nm: {
+            i for i, toks in enumerate(df["toks"])
+            if set(q.split()) & set(toks)
+        }
+        for nm, q in named.items()
+    }
+    names = sorted(named)
+    want = {
+        (a, b): len(sets[a] & sets[b])
+        for i, a in enumerate(names) for b in names[i:]
+    }
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert row["n"] == want[(row["a"], row["b"])], (row["a"], row["b"])
+    # zero buckets are present, not dropped
+    assert (got[got["a"] == "none"]["n"] == 0).all()
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.adjacency_matrix(named)
+        b = eng.adjacency_matrix(named)
+        assert a.equals(b)
+    finally:
+        actor_eng.close()
