@@ -148,6 +148,15 @@ PHRASE_QUERIES = [
     ("p5", "value"),
 ]
 
+#: range-agg buckets: open ends, an overlapping bucket, an empty one.
+RANGE_AGG_RANGES = [
+    (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
+]
+
+#: boosting-query negative clause + demotion factor (ES negative_boost)
+BOOSTING_NEGATIVE = "scan slow"
+BOOSTING_FACTOR = 0.3
+
 #: adjacency_matrix named filters: hot-token OR queries, a rare pair,
 #: and an absent query (must yield empty-but-present buckets).
 ADJ_FILTERS = [
@@ -273,6 +282,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.table(
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_boosting(sf_dir):
+        # ES boosting query: positive BM25, negative match demoted by
+        # negative_boost (never excluded)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_boosting(q, BOOSTING_NEGATIVE,
+                                    negative_boost=BOOSTING_FACTOR, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -1082,6 +1119,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["value"])
         return events.value_histogram(ev, interval=0.5)
 
+    def q_range_agg(sf_dir):
+        # ES range agg: explicit overlapping + empty buckets over value
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.range_agg(ev, RANGE_AGG_RANGES)
+
     def q_value_percentiles(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -1201,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
+        "bm25_boosting": q_bm25_boosting,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_field_topk": q_bm25_field_topk,
@@ -1264,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": q_composite_agg,
         "date_histogram_pipeline": q_date_histogram_pipeline,
         "value_histogram": q_value_histogram,
+        "range_agg": q_range_agg,
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
@@ -1391,6 +1438,87 @@ QUALIFY row_number() OVER (
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) <= 10
 """
     )
+
+
+def _boosting_sql() -> str:
+    """boosting-query twin: the _bm25_sql CTE with rank AND score
+    multiplied by negative_boost when the doc's toks intersect the
+    negative clause — the identical float64 expression as
+    ShardSearcher.boosting_topk."""
+    vals = _bm25_terms_values()
+    neg = ", ".join(
+        f"'{t}'" for t in sorted(set(BOOSTING_NEGATIVE.lower().split()))
+    )
+    mult = (
+        f"CASE WHEN len(list_intersect(bb.toks, [{neg}])) > 0 "
+        f"THEN {BOOSTING_FACTOR} ELSE 1.0 END"
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor(raw * {mult} * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+JOIN base bb
+  ON bb.conv_id = scored.conv_id AND bb.turn_idx = scored.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw * {mult} DESC, scored.conv_id, scored.turn_idx) <= 10
+"""
+    )
+
+
+def _range_agg_sql() -> str:
+    """range-agg twin: one FILTERed count/sum per bucket (overlap and
+    empties included), avg from the trunc6'd sum like the engine."""
+    parts = []
+    for lo, hi in RANGE_AGG_RANGES:
+        key = (
+            f"{'*' if lo is None else repr(float(lo))}"
+            f"-{'*' if hi is None else repr(float(hi))}"
+        )
+        conds = []
+        if lo is not None:
+            conds.append(f"value >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"value < {float(hi)}")
+        w = " AND ".join(conds) or "TRUE"
+        parts.append(
+            f"""SELECT '{key}' AS range_key,
+       count(*) FILTER (WHERE {w}) AS n,
+       floor(coalesce(sum(value) FILTER (WHERE {w}), 0)
+             * 1000000 + 0.5) / 1000000 AS sum_value,
+       CASE WHEN count(*) FILTER (WHERE {w}) = 0 THEN 0.0
+            ELSE floor(floor(coalesce(sum(value) FILTER (WHERE {w}), 0)
+                             * 1000000 + 0.5) / 1000000
+                       / (count(*) FILTER (WHERE {w}))
+                       * 1000000 + 0.5) / 1000000 END AS avg_value
+FROM events"""
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _adjacency_sql() -> str:
@@ -2067,6 +2195,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        "range_agg": _range_agg_sql(),
+        "bm25_boosting": _boosting_sql(),
         "bm25_count": _BASE
         + f""",
 tf AS (

@@ -448,6 +448,63 @@ def value_histogram(ds, interval: float = 0.5, col: str = "value"):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def range_agg(ds, ranges, col: str = "value"):
+    """ES ``range`` aggregation analog: explicit (from, to) buckets —
+    ``from`` inclusive, ``to`` exclusive, ``None`` = open end — which
+    MAY overlap (a doc can land in several buckets, exactly ES). Keyed
+    by the ES bucket-key format ``"<from>-<to>"`` with ``*`` for open
+    ends; empty buckets are kept.
+
+    Every batch emits ONE tiny row per range (count + sum via boolean
+    masks — ranges is small by contract), then the coarse-bucket sum
+    combine; the exchange moves O(batches × ranges) rows, never events.
+
+    → Dataset (range_key, n, sum_value, avg_value), sums trunc6'd,
+    avg from the truncated sum (see value_histogram for why)."""
+
+    def fmt(x):
+        return "*" if x is None else repr(float(x))
+
+    keys = [f"{fmt(lo)}-{fmt(hi)}" for lo, hi in ranges]
+    bounds = [
+        (-np.inf if lo is None else float(lo),
+         np.inf if hi is None else float(hi))
+        for lo, hi in ranges
+    ]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        ns, sums = [], []
+        for lo, hi in bounds:
+            m = (v >= lo) & (v < hi)
+            ns.append(int(m.sum()))
+            sums.append(float(v[m].sum()))
+        return pd.DataFrame(
+            {"range_key": keys, "n": ns, "sum_value": sums}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    out = _bucketed_sum_combine(partials, ["range_key"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        s = trunc6(batch["sum_value"].to_numpy())
+        safe = np.where(n > 0, n, 1)
+        return pa.table(
+            {
+                "range_key": batch["range_key"],
+                "n": batch["n"],
+                "sum_value": pa.array(s),
+                "avg_value": pa.array(
+                    np.where(n > 0, trunc6(s / safe), 0.0)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 _F64_SIGN = np.uint64(1) << np.uint64(63)
 
 

@@ -798,6 +798,48 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def boosting_topk(self, terms, idfs, avgdl, k, neg_terms,
+                      negative_boost: float, filters=None, n_required=0):
+        """ES ``boosting`` query, shard phase: TAAT-score the positive
+        query over every matching doc, multiply docs matching the
+        negative query by ``negative_boost`` (< 1 demotes, never
+        excludes — the ES semantics vs must_not), then shard top-k ON
+        THE ADJUSTED SCORE. Like decay_topk, adjusting before top-k is
+        what makes the global merge exact: a demoted doc can only fall,
+        and every doc lives in exactly one shard."""
+        cfg = self.cfg
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return empty
+        scores = acc[nz]
+        if neg_terms:
+            neg = self.matching_mask(neg_terms)
+            scores = np.where(neg[nz], scores * negative_boost, scores)
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def facet(self, terms, attr: str, n_required=0, filters=None) -> dict:
         m = self.matching_mask(terms, n_required, filters)
         col = self.attrs.get(attr)
@@ -2172,6 +2214,51 @@ class QueryEngine:
             }
         )
 
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        filters: dict | None = None, mode: str = "or"):
+        """ES ``boosting`` query: rank by the positive query's BM25,
+        with docs matching the negative query multiplied by
+        ``negative_boost`` (demoted in place, never excluded — the
+        soft counterpart of bool must_not). Output matches search()."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = query_terms(positive)
+        neg_terms = query_terms(negative)
+        bd = np.zeros(0, dtype=np.int64)
+        bs = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.boosting_topk.remote(
+                                lterms, idfs, r.avgdl, k, neg_terms,
+                                negative_boost, filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).boosting_topk(
+                            lterms, idfs, r.avgdl, k, neg_terms,
+                            negative_boost, filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                bd, bs = _merge_shard_topk(parts, k)
+        return self._result_table(bd, bs)
+
     def search_top_hits(self, query: str, attr: str, per_k: int = 3,
                         filters: dict | None = None, mode: str = "or"):
         """ES terms aggregation with a ``top_hits`` sub-aggregation:
@@ -2949,6 +3036,15 @@ class ShardActor:
     def adjacency_counts(self, specs, filters=None):
         mats = [s.adjacency_counts(specs, filters) for s in self.searchers]
         return sum(mats[1:], mats[0])
+
+    def boosting_topk(self, terms, idfs, avgdl, k, neg_terms,
+                      negative_boost, filters=None, n_required=0):
+        parts = [
+            s.boosting_topk(terms, idfs, avgdl, k, neg_terms,
+                            negative_boost, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def top_hits_topk(self, terms, idfs, avgdl, attr, per_k,
                       filters=None, n_required=0):

@@ -100,3 +100,38 @@ def test_pipeline_aggs_match_bruteforce(ray_session):
         for i in range(len(n))
     ]
     assert got["moving_avg"].tolist() == list(trunc6(np.array(mov)))
+
+
+# -- range aggregation ------------------------------------------------------
+
+
+def test_range_agg_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = _events(n=5000, seed=9)
+    ranges = [(None, -1), (-1, 0), (-0.5, 0.5), (0, None), (5, 9)]
+    got = (
+        events.range_agg(rd.from_arrow(t), ranges)
+        .to_pandas()
+        .set_index("range_key")
+    )
+    v = t["value"].to_numpy()
+    assert len(got) == len(ranges)
+    for lo, hi in ranges:
+        key = (
+            f"{'*' if lo is None else repr(float(lo))}"
+            f"-{'*' if hi is None else repr(float(hi))}"
+        )
+        m = np.ones(len(v), dtype=bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v < hi
+        row = got.loc[key]
+        assert row["n"] == m.sum()
+        np.testing.assert_allclose(row["sum_value"], v[m].sum(), atol=1e-6)
+    # the (5, 9) bucket is empty but present
+    assert got.loc["5.0-9.0"]["n"] == 0
+    assert got.loc["5.0-9.0"]["avg_value"] == 0.0
+    # overlap: (-0.5, 0.5) double-counts docs also in (-1, 0) / (0, *)
+    assert got["n"].sum() > len(v)

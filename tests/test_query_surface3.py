@@ -483,3 +483,43 @@ def test_adjacency_matrix_equals_bruteforce(qs):
         assert a.equals(b)
     finally:
         actor_eng.close()
+
+
+# -- boosting query ---------------------------------------------------------
+
+
+def test_boosting_demotes_never_excludes(qs):
+    eng, df, _, _ = qs
+    full = eng.search("call the", k=len(df)).to_pandas()
+    neg_docs = set(
+        eng.search("window", k=len(df)).to_pandas()["docid"]
+    )
+    nb = 0.25
+    adj = full.copy()
+    adj["score"] = np.where(
+        adj["docid"].isin(neg_docs), adj["score"] * nb, adj["score"]
+    )
+    want = adj.sort_values(["score", "docid"],
+                           ascending=[False, True]).head(10)
+    got = eng.search_boosting("call the", "window",
+                              negative_boost=nb, k=10).to_pandas()
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy())
+    # demoted docs remain retrievable (never excluded like must_not)
+    big = eng.search_boosting("call the", "window", negative_boost=nb,
+                              k=len(df)).to_pandas()
+    assert set(big["docid"]) == set(full["docid"])
+    # boost 1.0 == plain search
+    same = eng.search_boosting("call the", "window", negative_boost=1.0,
+                               k=10)
+    assert same.equals(eng.search("call the", k=10))
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.search_boosting("call the", "window",
+                                      negative_boost=nb, k=10)
+        b = eng.search_boosting("call the", "window",
+                                negative_boost=nb, k=10)
+        assert a.equals(b)
+    finally:
+        actor_eng.close()
