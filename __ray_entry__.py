@@ -845,6 +845,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_term_df(sf_dir):
         return ts.term_df(_docs(sf_dir))
 
+    def q_dup_ngrams(sf_dir):
+        # exact-substring contamination signal: per-doc fraction of
+        # n-gram occurrences appearing >= 2x corpus-wide
+        return ts.dup_ngram_stats(_docs(sf_dir), n=3)
+
     def q_top_terms(sf_dir):
         # partial+final df aggregate → distributed sort → limit: the
         # top-k frequent-terms query (ties broken by term asc)
@@ -1273,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "reindex_stats": q_reindex_stats,
         "term_df": q_term_df,
+        "dup_ngrams": q_dup_ngrams,
         "top_terms": q_top_terms,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -2371,6 +2377,23 @@ SELECT count(*) AS n_docs,
        floor((CAST(sum(len(toks)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000
            AS avgdl
 FROM base
+""",
+        # dup-n-gram twin: 3-gram strings via list slices; a doc's
+        # occurrence is dup when its gram appears >= 2x corpus-wide
+        "dup_ngrams": _DOCTOK
+        + """,
+grams AS (
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+          FROM base)
+),
+counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       floor(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM grams JOIN counts USING (g)
+GROUP BY grams.doc_id
 """,
         "term_df": _DOCTOK
         + """

@@ -825,3 +825,88 @@ def vocab_coverage(ds, vocab_size: int = 500, text_col: str = "text",
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+_NGRAM_P = np.uint64(0x100000001B3)  # FNV prime: position-sensitive mix
+
+
+def _ngram_occurrences(texts: list, n: int):
+    """→ (hashes, row_idx) — one 64-bit polynomial rolling hash per
+    token n-gram OCCURRENCE (not deduped), fully vectorized across the
+    batch: the polynomial runs over the concatenated token-hash array
+    and windows crossing a doc boundary are masked out. Position-
+    sensitive (unlike the xor shingle mix) so reordered n-grams never
+    collide by construction."""
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    if len(codes) < n:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    uh = fnv1a_rows([str(u).encode() for u in uniques])
+    th = uh[codes]
+    L = len(th) - n + 1
+    with np.errstate(over="ignore"):
+        s = th[:L].copy()
+        for j in range(1, n):
+            s = s * _NGRAM_P + th[j:L + j]
+    valid = row_idx[:L] == row_idx[n - 1:]
+    return s[valid], row_idx[:L][valid]
+
+
+def dup_ngram_stats(ds, n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 64):
+    """Per-doc duplicated n-gram span fraction — the exact-substring
+    contamination signal (GPT-3 / MassiveText dedup reports it at 13-gram
+    granularity; ``n`` is configurable): an n-gram occurrence is
+    "duplicated" when that n-gram appears ≥ 2 times CORPUS-WIDE (within
+    or across docs). Docs with fewer than ``n`` tokens emit no rows.
+
+    Scale shape: occurrences are hash-partitioned by n-gram hash (all
+    occurrences of one n-gram land in one bucket, so its global count is
+    computable bucket-locally), each bucket emits per-doc (occ, dup)
+    partials, and a second coarse-bucket combine sums them per doc. Two
+    exchanges, both over bounded key spaces; the driver never sees
+    occurrence rows. → (doc_id, n_ngrams, dup_frac trunc6'd)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        h, rows = _ngram_occurrences(batch[text_col].to_pylist(), n)
+        ids = batch[id_col].to_numpy()[rows] if len(rows) else rows
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "h": pa.array(h.astype(np.int64)),
+                id_col: pa.array(ids.astype(np.int64)),
+            }
+        )
+
+    def per_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["h"].to_numpy(), sort=False)
+        cnt = np.bincount(codes)
+        dup = (cnt[codes] >= 2).astype(np.int64)
+        out = (
+            pd.DataFrame({id_col: g[id_col].to_numpy(), "dup": dup})
+            .groupby(id_col, sort=False)
+            .agg(occ=("dup", "size"), dup=("dup", "sum"))
+            .reset_index()
+        )
+        out["__bucket2"] = out[id_col].to_numpy() % n_buckets
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(id_col, sort=False)
+            .agg(n_ngrams=("occ", "sum"), dup=("dup", "sum"))
+            .reset_index()
+        )
+        s["dup_frac"] = trunc6(
+            s["dup"].to_numpy() / s["n_ngrams"].to_numpy()
+        )
+        return s[[id_col, "n_ngrams", "dup_frac"]]
+
+    occ = ds.map_batches(emit, batch_format="pyarrow", batch_size=8192)
+    partials = occ.groupby("__bucket").map_groups(
+        per_hash_bucket, batch_format="pandas"
+    )
+    return partials.groupby("__bucket2").map_groups(
+        per_doc, batch_format="pandas"
+    )

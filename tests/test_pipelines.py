@@ -1183,3 +1183,47 @@ def test_vocab_coverage_matches_bruteforce(ray_session, docs_ds):
         for o, r in zip(want_oov, toks)
     ]
     assert got["oov_ratio"].tolist() == ratios
+
+
+def test_dup_ngram_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import dup_ngram_stats, trunc6
+
+    texts = [
+        "alpha beta gamma delta",        # shares "alpha beta gamma" w/ 1
+        "alpha beta gamma epsilon",
+        "zeta eta theta",                # unique 3-gram
+        "iota kappa",                    # < n tokens: no rows
+        "mu mu mu mu mu",                # internal repetition duplicates
+        "",                              # empty: no rows
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    n = 3
+    out = (
+        dup_ngram_stats(rd.from_arrow(t).repartition(3), n=n)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute-force oracle over exact 3-gram strings
+    from collections import Counter
+    grams = {}
+    for i, txt in enumerate(texts):
+        tk = tokenize(txt)
+        grams[i] = [" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)]
+    c = Counter(g for gs in grams.values() for g in gs)
+    assert set(out.index) == {i for i, gs in grams.items() if gs}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        dup = sum(c[g] >= 2 for g in gs)
+        assert out.loc[i, "n_ngrams"] == len(gs)
+        assert out.loc[i, "dup_frac"] == trunc6(
+            np.array([dup / len(gs)])
+        )[0]
+    # "mu mu mu" appears 3x inside doc 4 alone -> fully duplicated
+    assert out.loc[4, "dup_frac"] == 1.0
+    assert out.loc[2, "dup_frac"] == 0.0
