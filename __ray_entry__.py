@@ -153,6 +153,9 @@ RANGE_AGG_RANGES = [
     (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
 ]
 
+#: percentile_ranks probe values over events.value
+PCT_RANK_PROBES = (5.0, 25.0, 49.630657, 120.0, 400.0)
+
 #: boosting-query negative clause + demotion factor (ES negative_boost)
 BOOSTING_NEGATIVE = "scan slow"
 BOOSTING_FACTOR = 0.3
@@ -1023,6 +1026,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.cosine_topk(emb, qmat, query_ids=qids, k=10)
 
+    def q_ann_filtered_topk(sf_dir):
+        # ES 8 knn-with-filter: exact cosine top-k over label IN (0,1)
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.cosine_topk(
+            emb, qmat, query_ids=qids, k=10, where=("label", {0, 1})
+        )
+
     def q_ann_lsh_topk(sf_dir):
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.lsh_bucket_topk(emb, qmat, query_ids=qids, k=10)
@@ -1123,6 +1133,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                 columns=["value"])
         return events.value_histogram(ev, interval=0.5)
+
+    def q_percentile_ranks(sf_dir):
+        # ES percentile_ranks (exact; ES approximates with t-digest)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.percentile_ranks(ev, PCT_RANK_PROBES)
+
+    def q_top_facets(sf_dir):
+        # ES terms agg with size + sum_other_doc_count (exact)
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.top_facets("the call", "tool", size=3)
 
     def q_range_agg(sf_dir):
         # ES range agg: explicit overlapping + empty buckets over value
@@ -1317,6 +1342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": q_date_histogram_pipeline,
         "value_histogram": q_value_histogram,
         "range_agg": q_range_agg,
+        "percentile_ranks": q_percentile_ranks,
+        "top_facets": q_top_facets,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
@@ -1444,6 +1472,37 @@ QUALIFY row_number() OVER (
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) <= 10
 """
     )
+
+
+def _percentile_ranks_sql() -> str:
+    """percentile_ranks twin: one exact ≤-probe percentage per row."""
+    return " UNION ALL ".join(
+        f"""SELECT {float(p)} AS value,
+       floor(100.0 * (count(*) FILTER (WHERE value <= {float(p)}))
+             / count(*) * 1000000 + 0.5) / 1000000 AS pct
+FROM events"""
+        for p in PCT_RANK_PROBES
+    )
+
+
+_TOP_FACETS_SQL = (
+    _BASE
+    + """,
+m AS (SELECT conv_id, turn_idx FROM base
+      WHERE len(list_intersect(toks, ['call', 'the'])) > 0),
+cnt AS (SELECT tt.tool AS value, count(*) AS n
+        FROM m JOIN transcripts tt
+          ON tt.conv_id = m.conv_id AND tt.turn_idx = m.turn_idx
+        GROUP BY tt.tool),
+ranked AS (SELECT value, n,
+                  row_number() OVER (ORDER BY n DESC, value) AS r
+           FROM cnt)
+SELECT value, n FROM ranked WHERE r <= 3
+UNION ALL
+SELECT '__other__' AS value, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+FROM ranked WHERE r > 3
+"""
+)
 
 
 def _boosting_sql() -> str:
@@ -2203,6 +2262,28 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_matrix": _adjacency_sql(),
         "range_agg": _range_agg_sql(),
         "bm25_boosting": _boosting_sql(),
+        "percentile_ranks": _percentile_ranks_sql(),
+        "top_facets": _TOP_FACETS_SQL,
+        # knn-with-filter twin: candidate side restricted to label 0/1
+        "ann_filtered_topk": """
+WITH n AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) AS raw
+    FROM n q JOIN n e ON q.vec_id < 5 AND e.label IN (0, 1)
+)
+SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
         "bm25_count": _BASE
         + f""",
 tf AS (

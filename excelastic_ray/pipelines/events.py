@@ -112,7 +112,7 @@ def _bucketed_sum_combine(partials, key_cols: list[str],
         return (
             g.drop(columns="__bucket")
             .groupby(key_cols, sort=False)
-            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .sum()  # every non-key column is an additive partial
             .reset_index()
         )
 
@@ -499,6 +499,37 @@ def range_agg(ds, ranges, col: str = "value"):
                 "avg_value": pa.array(
                     np.where(n > 0, trunc6(s / safe), 0.0)
                 ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def percentile_ranks(ds, values, col: str = "value"):
+    """ES ``percentile_ranks`` aggregation analog: for each probe value
+    the percentage of docs with ``col`` ≤ value — EXACT (one tiny
+    count-partial per batch; ES itself approximates with t-digest).
+    → Dataset (value, pct trunc6'd)."""
+    probes = np.asarray(sorted(float(v) for v in values), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = np.sort(batch[col].to_numpy())
+        le = np.searchsorted(v, probes, side="right").astype(np.int64)
+        return pd.DataFrame(
+            {"value": probes, "le": le, "n": len(v)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    out = _bucketed_sum_combine(partials, ["value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        le = batch["le"].to_numpy().astype(np.float64)
+        n = batch["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "value": batch["value"],
+                "pct": pa.array(trunc6(100.0 * le / n)),
             }
         )
 

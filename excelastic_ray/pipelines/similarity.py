@@ -65,10 +65,16 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: tuple[str, set] | None = None,
 ):
     """Exact cosine top-k per query → Dataset (query_id, vec_id, cos)
     with ties broken (cos DESC, vec_id ASC); cos truncated to 6
-    decimals for oracle comparison."""
+    decimals for oracle comparison.
+
+    ``where=(col, allowed_values)`` is the ES 8 ``knn`` filter clause:
+    candidates are restricted BEFORE scoring (pre-filter, so the
+    result is the exact top-k of the filtered set — never fewer than k
+    survivors because a post-filter dropped them)."""
     import ray
 
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -79,6 +85,19 @@ def cosine_topk(
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         b_qids, b_q = ray.get(ref)
+        if where is not None:
+            col, allowed = where
+            keep = np.isin(
+                batch[col].to_numpy(zero_copy_only=False),
+                np.asarray(sorted(allowed)),
+            )
+            batch = batch.filter(pa.array(keep))
+            if not batch.num_rows:
+                return pd.DataFrame(
+                    {"query_id": np.zeros(0, np.int64),
+                     id_col: np.zeros(0, np.int64),
+                     "cos": np.zeros(0, np.float64)}
+                )
         ids = batch[id_col].to_numpy()
         mat = _normalize(_as_matrix(batch[vec_col]))
         sims = mat @ b_q.T  # (batch × queries)

@@ -2512,6 +2512,29 @@ class QueryEngine:
                 out[v] = out.get(v, 0) + n
         return dict(sorted(out.items()))
 
+    def top_facets(self, query: str, attr: str, size: int = 10,
+                   filters: dict | None = None, mode: str = "or"):
+        """ES ``terms`` aggregation with ``size``: the top-``size``
+        buckets by (doc count DESC, value ASC) plus one ``__other__``
+        row carrying the remainder — ES's ``sum_other_doc_count``,
+        except EXACT here (the full per-shard facet dicts are merged
+        before truncation, where ES truncates per shard at shard_size
+        and can under-count). → table (value, n)."""
+        import pyarrow as pa
+
+        merged = self.facets(query, attr, filters=filters, mode=mode)
+        ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = ranked[:size]
+        other = sum(n for _, n in ranked[size:])
+        vals = [v for v, _ in top] + ["__other__"]
+        ns = [n for _, n in top] + [other]
+        return pa.table(
+            {
+                "value": pa.array(vals, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
     def date_histogram(self, query: str, attr: str = "ts",
                        interval_hours: int = 24,
                        filters: dict | None = None,

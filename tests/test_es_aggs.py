@@ -135,3 +135,20 @@ def test_range_agg_matches_bruteforce(ray_session):
     assert got.loc["5.0-9.0"]["avg_value"] == 0.0
     # overlap: (-0.5, 0.5) double-counts docs also in (-1, 0) / (0, *)
     assert got["n"].sum() > len(v)
+
+
+def test_percentile_ranks_exact(ray_session):
+    import ray.data as rd
+
+    t = _events(n=4000, seed=11)
+    v = t["value"].to_numpy()
+    probes = [-1.0, 0.0, 0.5, 10.0]
+    got = (
+        events.percentile_ranks(rd.from_arrow(t), probes)
+        .to_pandas()
+        .set_index("value")
+    )
+    for p in probes:
+        want = trunc6(np.array([100.0 * (v <= p).sum() / len(v)]))[0]
+        assert got.loc[p, "pct"] == want
+    assert got.loc[10.0, "pct"] == 100.0

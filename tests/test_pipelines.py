@@ -1227,3 +1227,44 @@ def test_dup_ngram_stats_bruteforce(ray_session):
     # "mu mu mu" appears 3x inside doc 4 alone -> fully duplicated
     assert out.loc[4, "dup_frac"] == 1.0
     assert out.loc[2, "dup_frac"] == 0.0
+
+
+def test_cosine_topk_where_filter(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.similarity import cosine_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 8
+    vecs = rng.normal(size=(n, d))
+    labels = rng.integers(0, 4, size=n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    q = vecs[:2]
+    got = (
+        cosine_topk(rd.from_arrow(t).repartition(4), q, k=5,
+                    where=("label", {1, 2}))
+        .to_pandas()
+        .sort_values(["query_id", "cos"], ascending=[True, False])
+    )
+    # every hit obeys the filter
+    lab = dict(zip(range(n), labels))
+    assert all(lab[v] in (1, 2) for v in got["vec_id"])
+    # equals brute force over the filtered subset
+    vv = vecs.astype(np.float64)
+    vv = vv / np.linalg.norm(vv, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = vv @ vv[qi]
+        m = np.isin(labels, [1, 2])
+        idx = np.flatnonzero(m)
+        order = idx[np.lexsort((idx, -sims[m]))][:5]
+        sub = got[got["query_id"] == qi]
+        assert sub["vec_id"].tolist() == order.tolist()

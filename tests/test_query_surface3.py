@@ -523,3 +523,18 @@ def test_boosting_demotes_never_excludes(qs):
         assert a.equals(b)
     finally:
         actor_eng.close()
+
+
+def test_top_facets_size_and_other(qs):
+    eng, _, _, _ = qs
+    full = eng.facets("call the", "tool")
+    got = eng.top_facets("call the", "tool", size=3).to_pandas()
+    ranked = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["value"].tolist()[:-1] == [v for v, _ in ranked[:3]]
+    assert got["n"].tolist()[:-1] == [n for _, n in ranked[:3]]
+    assert got["value"].tolist()[-1] == "__other__"
+    assert got["n"].tolist()[-1] == sum(n for _, n in ranked[3:])
+    # size beyond cardinality: other bucket is 0, all values present
+    all_got = eng.top_facets("call the", "tool", size=100).to_pandas()
+    assert all_got["n"].tolist()[-1] == 0
+    assert len(all_got) == len(full) + 1
