@@ -215,6 +215,56 @@ def _docs(sf_dir: str):
     return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
+_SPLIT_BUILT: dict[str, tuple[str, str]] = {}
+
+
+def _split_indices_for(sf_dir: str) -> tuple[str, str]:
+    """Two cached indices over a conv-hash PARTITION of the derived
+    corpus — the multi-index (ES index-pattern) fixture: searching both
+    with combined stats must equal searching the single full index."""
+    import pyarrow as pa
+
+    from excelastic_ray.hashing import fnv1a_rows
+    from excelastic_ray.index.build import build_index
+
+    if sf_dir in _SPLIT_BUILT:
+        return _SPLIT_BUILT[sf_dir]
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (
+        f"{os.path.basename(ap) or 'sf'}_"
+        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}"
+    )
+    dirs = []
+    for parity in (0, 1):
+        idx = f"/tmp/excelastic_ray_cache/idx_{tag}_part{parity}"
+        try:
+            from excelastic_ray.index.segments import load_global_manifest
+
+            m = load_global_manifest(idx)
+            done = (
+                m.get("status") == "complete"
+                and m.get("config") == ENTRY_CONFIG.to_dict()
+            )
+        except Exception:
+            done = False
+        if not done:
+            def keep(batch: pa.Table, p=parity) -> pa.Table:
+                h = fnv1a_rows(
+                    [c.encode() for c in batch["conv_id"].to_pylist()]
+                ) % np.uint64(2)
+                return batch.filter(pa.array(h == p))
+
+            src = transcripts_from_documents(sf_dir).map_batches(
+                keep, batch_format="pyarrow"
+            )
+            build_index(src, idx, ENTRY_CONFIG, clear=True)
+        dirs.append(idx)
+    _SPLIT_BUILT[sf_dir] = (dirs[0], dirs[1])
+    return _SPLIT_BUILT[sf_dir]
+
+
 #: ts range for the range-filtered search entry (ES range in filter
 #: context); the derived corpus stamps ts = 2026-01-01 + doc_id minutes.
 TS_RANGE = ("2026-01-01 02:00:00", "2026-01-01 06:00:00")
@@ -308,6 +358,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for qid, q in BM25_QUERIES:
             t = eng.search_boosting(q, BOOSTING_NEGATIVE,
                                     negative_boost=BOOSTING_FACTOR, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_multi_index_search(sf_dir):
+        # ES index-pattern search (dfs_query_then_fetch): two indices
+        # holding a partition of the corpus, searched with combined
+        # stats — must hash-match the single-index BM25 oracle
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.multi import MultiIndexEngine
+
+        a, b = _split_indices_for(sf_dir)
+        eng = MultiIndexEngine([a, b])
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search(q, k=10)
             parts.append(
                 pa.table(
                     {
@@ -1276,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
+        "multi_index_search": q_multi_index_search,
         "bm25_boosting": q_bm25_boosting,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
@@ -2260,6 +2340,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        # multi-index twin IS the single-corpus BM25 oracle: a faithful
+        # dfs_query_then_fetch over a partition reproduces it exactly
+        "multi_index_search": _bm25_sql(),
         "range_agg": _range_agg_sql(),
         "bm25_boosting": _boosting_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
