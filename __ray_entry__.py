@@ -156,6 +156,15 @@ RANGE_AGG_RANGES = [
 #: percentile_ranks probe values over events.value
 PCT_RANK_PROBES = (5.0, 25.0, 49.630657, 120.0, 400.0)
 
+#: rescore query set: (id, main match query, rescore phrase) — r3's
+#: phrase is absent (combined must degrade to plain BM25)
+RESCORE_QUERIES = [
+    ("r1", "table hash part", "table hash"),
+    ("r2", "slow hash batch", "slow hash"),
+    ("r3", "value part", "zzz absent phrase"),
+]
+RESCORE_QW, RESCORE_RW = 1.0, 2.0
+
 #: boosting-query negative clause + demotion factor (ES negative_boost)
 BOOSTING_NEGATIVE = "scan slow"
 BOOSTING_FACTOR = 0.3
@@ -358,6 +367,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for qid, q in BM25_QUERIES:
             t = eng.search_boosting(q, BOOSTING_NEGATIVE,
                                     negative_boost=BOOSTING_FACTOR, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_rescore(sf_dir):
+        # ES rescore: BM25 window re-ranked by qw*bm25 + rw*phrase;
+        # window covers all matches so the twin is SQL-expressible
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q, ph in RESCORE_QUERIES:
+            t = eng.search_rescore(
+                q, ph, k=10, window_size=1 << 30,
+                query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+            )
             parts.append(
                 pa.table(
                     {
@@ -1356,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
+        "bm25_rescore": q_bm25_rescore,
         "bm25_boosting": q_bm25_boosting,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
@@ -1583,6 +1623,90 @@ SELECT '__other__' AS value, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
 FROM ranked WHERE r > 3
 """
 )
+
+
+def _rescore_sql() -> str:
+    """rescore twin: per query, combined = qw * main-query BM25 +
+    rw * exact-phrase pseudo-term score (0 when the doc misses the
+    phrase) — the engine's whole-corpus-window rescore."""
+    qw, rw = RESCORE_QW, RESCORE_RW
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q, _ in RESCORE_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    ctes, selects = [], []
+    for qid, _, ph in RESCORE_QUERIES:
+        terms = ph.lower().split()
+        k = len(terms)
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        ctes.append(
+            f"""m_{qid} AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= {k}
+                    THEN len(list_filter(range(1, len(toks) - {k} + 2),
+                                         i -> {cond}))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+)""",
+            )
+        selects.append(
+            f"""SELECT query_id, conv_id, turn_idx,
+       floor(combined * 1000000 + 0.5) / 1000000 AS score
+FROM (
+    SELECT sc.query_id, sc.conv_id, sc.turn_idx,
+           {qw} * sc.raw + {rw} * coalesce(
+               ln(1 + (s.n - CAST(pd.d AS DOUBLE) + 0.5)
+                      / (CAST(pd.d AS DOUBLE) + 0.5))
+               * p.ptf * 2.2
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               0.0) AS combined
+    FROM scored sc
+    CROSS JOIN stats s
+    CROSS JOIN (SELECT count(*) AS d FROM m_{qid}) pd
+    LEFT JOIN m_{qid} p
+      ON p.conv_id = sc.conv_id AND p.turn_idx = sc.turn_idx
+    WHERE sc.query_id = '{qid}'
+)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY combined DESC, conv_id, turn_idx) <= 10"""
+        )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+"""
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 def _boosting_sql() -> str:
@@ -2343,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         # multi-index twin IS the single-corpus BM25 oracle: a faithful
         # dfs_query_then_fetch over a partition reproduces it exactly
         "multi_index_search": _bm25_sql(),
+        "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
         "bm25_boosting": _boosting_sql(),
         "percentile_ranks": _percentile_ranks_sql(),

@@ -840,6 +840,66 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def rescore_topk(self, terms, idfs, avgdl, k, window, p_terms,
+                     p_idf, p_slop, query_weight, rescore_weight,
+                     filters=None, n_required=0):
+        """ES ``rescore`` (window rescorer), shard phase: BM25-score
+        every matching doc, take this shard's top-``window`` hits
+        (score DESC, docid ASC) — the rescore window — and re-rank
+        those by ``query_weight * bm25 + rescore_weight * phrase``
+        where ``phrase`` is the sloppy-phrase pseudo-term score (0 for
+        window docs not matching the phrase — ES ``score_mode: total``).
+        Hits OUTSIDE the window keep their original score and original
+        order BELOW the rescored window, exactly ES's contract that the
+        rescore phase reorders only the top window_size hits."""
+        cfg = self.cfg
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return empty
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))
+        win, rest = order[:window], order[window:]
+        # phrase score joined onto the window by docid
+        w_scores = scores[win] * query_weight
+        if p_idf > 0.0:
+            p_ids, ptfs, p_dls = self.phrase_matches(p_terms, p_slop)
+            if len(p_ids):
+                psc = contribution(
+                    p_idf, ptfs.astype(np.float64), p_dls, avgdl,
+                    cfg.k1, cfg.b,
+                )
+                pos = np.searchsorted(p_ids, docids[win])
+                hit = (pos < len(p_ids)) & (
+                    p_ids[np.minimum(pos, len(p_ids) - 1)] == docids[win]
+                )
+                w_scores[hit] += rescore_weight * psc[pos[hit]]
+        w_order = np.lexsort((docids[win], -w_scores))
+        out_ids = np.concatenate([docids[win][w_order], docids[rest]])[:k]
+        out_sc = np.concatenate([w_scores[w_order], scores[rest]])[:k]
+        return out_ids, out_sc
+
     def facet(self, terms, attr: str, n_required=0, filters=None) -> dict:
         m = self.matching_mask(terms, n_required, filters)
         col = self.attrs.get(attr)
@@ -2259,6 +2319,73 @@ class QueryEngine:
                 bd, bs = _merge_shard_topk(parts, k)
         return self._result_table(bd, bs)
 
+    def search_rescore(self, query: str, rescore_query: str,
+                       k: int = 10, window_size: int = 100,
+                       query_weight: float = 1.0,
+                       rescore_weight: float = 1.0, slop: int = 0,
+                       filters: dict | None = None, mode: str = "or"):
+        """ES ``rescore``: a cheap BM25 match ranks everything, then
+        each shard's top ``window_size`` hits are re-ranked by
+        ``query_weight * bm25 + rescore_weight * phrase_score`` where
+        the rescore query is a (sloppy) match_phrase — the classic
+        proximity-rescore pattern. Per-shard windows are ES's own
+        semantics (its rescorer runs on each shard before the merge);
+        with ``window_size`` ≥ every shard's match count the result is
+        the exact global combined ranking. Output matches search()."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = query_terms(query)
+        p_terms = TOKEN_RE.findall(rescore_query.lower())
+        bd = np.zeros(0, dtype=np.int64)
+        bs = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    counts = ray.get(
+                        [a.phrase_count.remote(p_terms, slop, None)
+                         for a in self._actors]
+                    )
+                    df_p = int(sum(counts))
+                    p_idf = idf(r.n_docs, df_p) if df_p else 0.0
+                    parts = ray.get(
+                        [
+                            a.rescore_topk.remote(
+                                lterms, idfs, r.avgdl, k, window_size,
+                                p_terms, p_idf, slop, query_weight,
+                                rescore_weight, filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    searchers = [
+                        r.searcher(s) for s in range(r.num_shards)
+                    ]
+                    df_p = sum(
+                        s.phrase_count(p_terms, slop, None)
+                        for s in searchers
+                    )
+                    p_idf = idf(r.n_docs, df_p) if df_p else 0.0
+                    parts = [
+                        s.rescore_topk(
+                            lterms, idfs, r.avgdl, k, window_size,
+                            p_terms, p_idf, slop, query_weight,
+                            rescore_weight, filters, n_required,
+                        )
+                        for s in searchers
+                    ]
+                bd, bs = _merge_shard_topk(parts, k)
+        return self._result_table(bd, bs)
+
     def search_top_hits(self, query: str, attr: str, per_k: int = 3,
                         filters: dict | None = None, mode: str = "or"):
         """ES terms aggregation with a ``top_hits`` sub-aggregation:
@@ -3065,6 +3192,17 @@ class ShardActor:
         parts = [
             s.boosting_topk(terms, idfs, avgdl, k, neg_terms,
                             negative_boost, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def rescore_topk(self, terms, idfs, avgdl, k, window, p_terms,
+                     p_idf, p_slop, query_weight, rescore_weight,
+                     filters=None, n_required=0):
+        parts = [
+            s.rescore_topk(terms, idfs, avgdl, k, window, p_terms,
+                           p_idf, p_slop, query_weight, rescore_weight,
+                           filters, n_required)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -538,3 +538,49 @@ def test_top_facets_size_and_other(qs):
     all_got = eng.top_facets("call the", "tool", size=100).to_pandas()
     assert all_got["n"].tolist()[-1] == 0
     assert len(all_got) == len(full) + 1
+
+
+# -- rescore ----------------------------------------------------------------
+
+
+def test_rescore_equals_clientside_combined(qs):
+    eng, df, _, _ = qs
+    q, ph = "call the run", "the run"
+    qw, rw = 1.0, 2.0
+    full = eng.search(q, k=len(df)).to_pandas()
+    phr = eng.search_phrase(ph, k=len(df)).to_pandas()
+    pmap = dict(zip(phr["docid"], phr["score"]))
+    comb = full.copy()
+    comb["score"] = qw * comb["score"].to_numpy() + rw * np.array(
+        [pmap.get(d, 0.0) for d in comb["docid"]]
+    )
+    want = comb.sort_values(["score", "docid"],
+                            ascending=[False, True]).head(10)
+    got = eng.search_rescore(q, ph, k=10, window_size=1 << 30,
+                             query_weight=qw,
+                             rescore_weight=rw).to_pandas()
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy())
+
+
+def test_rescore_absent_phrase_and_window(qs):
+    eng, _, _, _ = qs
+    # absent rescore phrase: combined degrades to query_weight * bm25
+    base = eng.search("call the", k=10)
+    got = eng.search_rescore("call the", "zzzz absent", k=10,
+                             window_size=1 << 30)
+    assert got.equals(base)
+    # window_size=0: nothing is rescored — original ranking survives
+    got0 = eng.search_rescore("call the", "the run", k=10, window_size=0,
+                              rescore_weight=5.0)
+    assert got0["docid"].to_pylist() == base["docid"].to_pylist()
+    actor_eng = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actor_eng.search_rescore("call the", "the run", k=10,
+                                     window_size=1 << 30)
+        b = eng.search_rescore("call the", "the run", k=10,
+                               window_size=1 << 30)
+        assert a.equals(b)
+    finally:
+        actor_eng.close()
