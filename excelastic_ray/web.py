@@ -17,7 +17,16 @@ stdlib re-expression:
                                  websocket implementation in the stdlib)
 - ``GET  /api/search?index=...&q=...&k=...``  BM25 top-k over a built
                                  index (the half the reference delegates
-                                 to Elasticsearch/Kibana)
+                                 to Elasticsearch/Kibana); ``index`` may
+                                 be an alias (multi-target aliases fan
+                                 out with combined stats)
+- ``GET/POST /api/aliases``      ES ``_aliases`` analog: atomic
+                                 add/remove batches (zero-downtime swap)
+- ``POST /api/snapshot?name=...[&indices=a,b]``  hard-link snapshot of
+                                 complete indices into the repo dir
+- ``GET  /api/snapshots``        list committed snapshots
+- ``POST /api/restore?name=...&index=...[&rename=...]``  all-or-nothing
+                                 restore (ES ``_restore`` analog)
 
 Upload params mirror ``ImportEvent.fromParams`` (ImportEvent.java:40-48):
 ``index`` (required unless the server was started with ``index_lock``,
@@ -89,11 +98,17 @@ class ImportServer:
     """
 
     def __init__(self, index_root: str, port: int = 0,
-                 index_lock: str | None = None, config=None):
+                 index_lock: str | None = None, config=None,
+                 snapshot_repo: str | None = None):
         from excelastic_ray.config import IndexConfig
 
         self.index_root = index_root
         self.index_lock = index_lock
+        # the ES "registered repository" — a sibling of the index root
+        # by default so list_indices never mistakes it for an index
+        self.snapshot_repo = snapshot_repo or (
+            os.path.normpath(index_root) + "_snapshots"
+        )
         self.config = config or IndexConfig()
         self.imports: dict[str, dict] = {}
         # one import at a time per index dir (concurrent builds into the
@@ -221,6 +236,17 @@ class ImportServer:
                         self.wfile.write(body)
                     elif u.path == "/api/indices":
                         self._json(200, server.list_indices())
+                    elif u.path == "/api/aliases":
+                        from excelastic_ray.index.snapshot import (
+                            load_aliases,
+                        )
+
+                        self._json(
+                            200,
+                            {"aliases": load_aliases(server.index_root)},
+                        )
+                    elif u.path == "/api/snapshots":
+                        self._json(200, server.list_snapshots())
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
                     elif u.path == "/api/search":
@@ -252,6 +278,41 @@ class ImportServer:
 
             def do_POST(self):
                 u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/api/aliases":
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.update_aliases(body.get("actions", [])),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/snapshot":
+                    try:
+                        names = [s for s in
+                                 (q.get("indices", "").split(","))
+                                 if s] or None
+                        self._json(
+                            200, server.snapshot(q["name"], names)
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/restore":
+                    try:
+                        self._json(
+                            200,
+                            server.restore(
+                                q["name"], q["index"],
+                                q.get("rename") or None,
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path != "/api/upload":
                     self._json(404, {"error": "not found"})
                     return
@@ -307,7 +368,18 @@ class ImportServer:
         thread, return the import id immediately (the reference replies
         after completion for the CLI but streams progress for the web —
         we return at once and let /api/status poll)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
         index = self.index_lock or params.get("index") or "imports"
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            # ES write-alias rule: an alias spanning several indices
+            # cannot accept writes
+            raise ValueError(
+                f"alias {index!r} points at {len(targets)} indices; "
+                f"imports need a single concrete target"
+            )
+        index = targets[0]
         offset = int(params.get("offset", "1") or "1")
         clear = params.get("options", "clear") != "add"
         imp_id = uuid.uuid4().hex[:12]
@@ -392,6 +464,82 @@ class ImportServer:
             )
         return {"indices": out}
 
+    # -- lifecycle APIs: aliases + snapshot/restore ----------------------
+
+    def update_aliases(self, actions: list[dict]) -> dict:
+        """ES ``POST /_aliases`` analog — atomic add/remove batch."""
+        from excelastic_ray.index.snapshot import update_aliases
+
+        for act in actions:  # validate names before touching state
+            for body in act.values():
+                self.index_dir(body["alias"])
+                self.index_dir(body["index"])
+        out = update_aliases(self.index_root, actions)
+        with self._engines_guard:
+            # retargeted aliases must not serve the old resolution
+            self._engines = {
+                k: v for k, v in self._engines.items() if k not in out
+            }
+        return {"aliases": out}
+
+    def snapshot(self, name: str, indices: list[str] | None = None) -> dict:
+        """ES ``PUT /_snapshot/<repo>/<name>`` analog.  Holds each
+        index's import lock (sorted order) so no import clears files
+        mid-link; hard links make this metadata-cheap."""
+        import contextlib
+
+        from excelastic_ray.index.segments import load_global_manifest
+        from excelastic_ray.index.snapshot import create_snapshot
+
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid snapshot name {name!r}")
+        if indices is None:
+            indices = []
+            for nm in sorted(os.listdir(self.index_root)):
+                try:
+                    if load_global_manifest(
+                        os.path.join(self.index_root, nm)
+                    ).get("status") == "complete":
+                        indices.append(nm)
+                except (FileNotFoundError, NotADirectoryError):
+                    continue
+        if not indices:
+            raise ValueError("no complete indices to snapshot")
+        with contextlib.ExitStack() as stack:
+            for nm in sorted(indices):
+                with self._locks_guard:
+                    lock = self._index_locks.setdefault(
+                        nm, threading.Lock()
+                    )
+                stack.enter_context(lock)
+            return create_snapshot(
+                self.snapshot_repo, name,
+                {nm: self.index_dir(nm) for nm in indices},
+            )
+
+    def list_snapshots(self) -> dict:
+        from excelastic_ray.index.snapshot import list_snapshots
+
+        return {"snapshots": list_snapshots(self.snapshot_repo)}
+
+    def restore(self, name: str, index: str,
+                rename_to: str | None = None) -> dict:
+        """ES ``POST /_snapshot/<repo>/<name>/_restore`` analog."""
+        from excelastic_ray.index.snapshot import restore_snapshot
+
+        target = rename_to or index
+        self.index_dir(target)  # validate before creating anything
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(target, threading.Lock())
+        with lock:
+            out = restore_snapshot(
+                self.snapshot_repo, name, index, self.index_root,
+                rename_to=rename_to,
+            )
+        with self._engines_guard:
+            self._engines.pop(target, None)
+        return out
+
     def status(self, imp_id: str) -> dict:
         from excelastic_ray.index.build import build_status
 
@@ -401,6 +549,57 @@ class ImportServer:
         out = dict(rec)
         out["progress"] = build_status(self.index_dir(rec["index"]))
         return out
+
+    def _acquire_engine(self, name: str, targets: list[str]):
+        """Cached engine for a concrete index or alias.  Cache entries
+        are (resolution, engine); an entry is dropped when the alias
+        was retargeted, any target index flipped away from complete
+        (import mid-clear), or a mutation rev moved (delete/update
+        overlays load at engine-open time)."""
+        from excelastic_ray.index.segments import load_global_manifest
+        from excelastic_ray.query.engine import QueryEngine
+        from excelastic_ray.query.multi import MultiIndexEngine
+
+        dirs = [self.index_dir(t) for t in targets]
+        with self._engines_guard:
+            hit = self._engines.get(name)
+            if hit is not None:
+                cached_targets, eng = hit
+                subs = eng.engines if hasattr(eng, "engines") else [eng]
+                fresh = cached_targets == targets
+                if fresh:
+                    for sub, d in zip(subs, dirs):
+                        m = load_global_manifest(d)
+                        er = sub.reader.manifest
+                        if m.get("status") != "complete" or (
+                            m.get("deletes_rev", 0)
+                            != er.get("deletes_rev", 0)
+                        ) or (
+                            m.get("updates_rev", 0)
+                            != er.get("updates_rev", 0)
+                        ):
+                            fresh = False
+                            break
+                if fresh:
+                    return eng
+                self._engines.pop(name, None)
+            # read-gate: only serve complete indices — a concurrent
+            # import into the same dir may be mid-clear/rebuild
+            # (imports hold the per-index lock; reads check status)
+            for t, d in zip(targets, dirs):
+                m = load_global_manifest(d)
+                if m.get("status") != "complete":
+                    raise RuntimeError(
+                        f"index {t!r} is not complete "
+                        f"(status={m.get('status')!r}); retry when the "
+                        f"import finishes"
+                    )
+            if len(dirs) == 1:
+                eng = QueryEngine(dirs[0])
+            else:
+                eng = MultiIndexEngine(dirs)
+            self._engines[name] = (targets, eng)
+            return eng
 
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0, slop: int = 0,
@@ -412,39 +611,23 @@ class ImportServer:
                msm: int | None = None,
                decay_origin: str | None = None,
                decay_scale: str = "24h") -> dict:
-        from excelastic_ray.index.segments import load_global_manifest
-        from excelastic_ray.query.engine import QueryEngine
+        from excelastic_ray.index.snapshot import resolve_alias
 
-        with self._engines_guard:
-            eng = self._engines.get(index)
-            if eng is not None:
-                # re-check on every hit: an import may have started
-                # since this engine was cached (manifest flips away
-                # from "complete" before any destructive write), or a
-                # delete_by_query / update_by_query bumped a mutation
-                # rev (tombstones + DV overlays load at open time)
-                m = load_global_manifest(self.index_dir(index))
-                er = eng.reader.manifest
-                if m.get("status") != "complete" or (
-                    m.get("deletes_rev", 0) != er.get("deletes_rev", 0)
-                ) or (
-                    m.get("updates_rev", 0) != er.get("updates_rev", 0)
-                ):
-                    self._engines.pop(index, None)
-                    eng = None
-            if eng is None:
-                # read-gate: only serve a complete index — a concurrent
-                # import into the same dir may be mid-clear/rebuild
-                # (imports hold the per-index lock; reads check status)
-                m = load_global_manifest(self.index_dir(index))
-                if m.get("status") != "complete":
-                    raise RuntimeError(
-                        f"index {index!r} is not complete "
-                        f"(status={m.get('status')!r}); retry when the "
-                        f"import finishes"
-                    )
-                eng = QueryEngine(self.index_dir(index))
-                self._engines[index] = eng
+        targets = resolve_alias(self.index_root, index)
+        eng = self._acquire_engine(index, targets)
+        if len(targets) > 1:
+            # an alias over several indices fans out with combined
+            # corpus stats (dfs_query_then_fetch); only the plain
+            # relevance search mode is exposed through it, like the
+            # reference's Kibana index-pattern default view
+            if (phrase or qs or wildcard or regexp or suggest or collapse
+                    or mlt or must or must_not or msm is not None
+                    or decay_origin):
+                raise ValueError(
+                    f"alias {index!r} spans {len(targets)} indices; "
+                    f"only plain search is supported across indices"
+                )
+            return {"hits": eng.search(query, k).to_pylist()}
         if must or must_not or msm is not None:
             # ES bool: q= is the should clause, must=/must_not=/msm=
             # the remaining clauses

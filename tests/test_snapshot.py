@@ -1,0 +1,241 @@
+"""Snapshot/restore + alias lifecycle — the ES ``_snapshot`` and
+``_aliases`` analogs (the index-management half the reference delegates
+to Elasticsearch operators)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import urllib.request
+
+import pytest
+
+from excelastic_ray.config import IndexConfig
+from excelastic_ray.corpus import generate_transcripts
+from excelastic_ray.index.build import build_index
+from excelastic_ray.index.snapshot import (
+    create_snapshot,
+    delete_snapshot,
+    list_snapshots,
+    restore_snapshot,
+    resolve_alias,
+    update_aliases,
+)
+from excelastic_ray.query.engine import QueryEngine
+
+CFG = IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2)
+
+
+def _build(root: str, name: str, seed: int, n_convs: int = 25) -> str:
+    import ray.data as rd
+
+    path = os.path.join(root, name)
+    table = generate_transcripts(n_convs=n_convs, seed=seed)
+    build_index(rd.from_arrow(table), path, CFG, clear=True)
+    return path
+
+
+def _hits(path_or_eng, q: str = "the tool", k: int = 20):
+    eng = (path_or_eng if isinstance(path_or_eng, QueryEngine)
+           else QueryEngine(path_or_eng))
+    t = eng.search(q, k=k)
+    return [(r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in t.to_pylist()]
+
+
+def test_snapshot_restore_roundtrip(ray_session, tmp_path):
+    root = str(tmp_path / "indexes")
+    repo = str(tmp_path / "repo")
+    a = _build(root, "a", seed=3)
+    want = _hits(a)
+
+    snap = create_snapshot(repo, "s1", {"a": a})
+    assert snap["state"] == "SUCCESS"
+    assert snap["indices"]["a"]["n_files"] > 0
+
+    # the live index is wiped; restore brings back identical results
+    shutil.rmtree(a)
+    out = restore_snapshot(repo, "s1", "a", root)
+    assert out["restored_as"] == "a"
+    assert _hits(a) == want
+
+    # restore-with-rename → a second identical index; restoring over
+    # an existing index refuses (ES cannot-restore-into-open-index)
+    out = restore_snapshot(repo, "s1", "a", root, rename_to="a2")
+    assert _hits(os.path.join(root, "a2")) == want
+    with pytest.raises(FileExistsError):
+        restore_snapshot(repo, "s1", "a", root)
+
+    # a partial snapshot dir (no manifest — crashed mid-copy) is hidden
+    os.makedirs(os.path.join(repo, "crashed", "a"))
+    assert [s["snapshot"] for s in list_snapshots(repo)] == ["s1"]
+
+    delete_snapshot(repo, "s1")
+    assert list_snapshots(repo) == []
+
+
+def test_snapshot_survives_index_mutation(ray_session, tmp_path):
+    """Hard-linked snapshots stay valid because mutations replace files
+    atomically (new inode), never write in place: delete_by_query on
+    the live index must not leak into an existing snapshot."""
+    root = str(tmp_path / "indexes")
+    repo = str(tmp_path / "repo")
+    a = _build(root, "a", seed=5)
+    want = _hits(a)
+    create_snapshot(repo, "pre", {"a": a})
+
+    eng = QueryEngine(a)
+    assert eng.delete_by_query(filters={"role": "tool"}) > 0
+    assert _hits(a) != want  # live index changed
+
+    restore_snapshot(repo, "pre", "a", root, rename_to="a_pre")
+    assert _hits(os.path.join(root, "a_pre")) == want
+
+
+def test_snapshot_refuses_incomplete_index(ray_session, tmp_path):
+    from excelastic_ray.index.segments import (
+        load_global_manifest,
+        save_global_manifest,
+    )
+
+    root = str(tmp_path / "indexes")
+    a = _build(root, "a", seed=7)
+    m = load_global_manifest(a)
+    m["status"] = "building"
+    save_global_manifest(a, m)
+    with pytest.raises(RuntimeError, match="not complete"):
+        create_snapshot(str(tmp_path / "repo"), "s", {"a": a})
+
+
+def test_alias_add_swap_remove(ray_session, tmp_path):
+    root = str(tmp_path / "indexes")
+    _build(root, "v1", seed=1)
+    _build(root, "v2", seed=2)
+
+    update_aliases(root, [{"add": {"alias": "live", "index": "v1"}}])
+    assert resolve_alias(root, "live") == ["v1"]
+    assert resolve_alias(root, "v1") == ["v1"]  # concrete = itself
+
+    # the zero-downtime swap is one atomic action batch
+    update_aliases(root, [
+        {"remove": {"alias": "live", "index": "v1"}},
+        {"add": {"alias": "live", "index": "v2"}},
+    ])
+    assert resolve_alias(root, "live") == ["v2"]
+
+    # multi-target alias
+    update_aliases(root, [{"add": {"alias": "all", "index": "v1"}},
+                          {"add": {"alias": "all", "index": "v2"}}])
+    assert resolve_alias(root, "all") == ["v1", "v2"]
+
+    update_aliases(root, [{"remove": {"alias": "live", "index": "v2"}}])
+    assert resolve_alias(root, "live") == ["live"]  # gone → concrete
+
+    with pytest.raises(FileNotFoundError):
+        update_aliases(root, [{"add": {"alias": "x", "index": "nope"}}])
+    with pytest.raises(ValueError, match="collides"):
+        update_aliases(root, [{"add": {"alias": "v1", "index": "v2"}}])
+    with pytest.raises(KeyError):
+        update_aliases(root, [{"remove": {"alias": "all", "index": "zz"}}])
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else b""
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_alias_and_snapshot_surface(ray_session, tmp_path):
+    """End-to-end over HTTP: alias swap routes search, multi-alias fans
+    out, snapshot + restore-with-rename round-trips."""
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "indexes")
+    _build(root, "v1", seed=1)
+    _build(root, "v2", seed=2)
+    v1_hits = _hits(os.path.join(root, "v1"))
+    v2_hits = _hits(os.path.join(root, "v2"))
+    assert v1_hits != v2_hits
+
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        st, _ = _post(base + "/api/aliases", {"actions": [
+            {"add": {"alias": "live", "index": "v1"}},
+        ]})
+        assert st == 200
+
+        def search_via(name):
+            st, out = _get(base + f"/api/search?index={name}&q=the+tool&k=20")
+            assert st == 200, out
+            return [(h["conv_id"], h["turn_idx"], round(h["score"], 6))
+                    for h in out["hits"]]
+
+        assert search_via("live") == v1_hits
+        st, _ = _post(base + "/api/aliases", {"actions": [
+            {"remove": {"alias": "live", "index": "v1"}},
+            {"add": {"alias": "live", "index": "v2"}},
+        ]})
+        assert st == 200
+        assert search_via("live") == v2_hits  # retarget invalidates cache
+
+        st, out = _get(base + "/api/aliases")
+        assert st == 200 and out["aliases"] == {"live": ["v2"]}
+
+        # multi-target alias: plain search fans out; modal search 500s
+        _post(base + "/api/aliases", {"actions": [
+            {"add": {"alias": "both", "index": "v1"}},
+            {"add": {"alias": "both", "index": "v2"}},
+        ]})
+        st, out = _get(base + "/api/search?index=both&q=the+tool&k=40")
+        assert st == 200
+        convs = {(h["index"], h["conv_id"], h["turn_idx"])
+                 for h in out["hits"]}
+        assert {i for i, _, _ in convs} == {"v1", "v2"}
+        st, out = _get(base + "/api/search?index=both&q=a+b&phrase=1")
+        assert st == 500 and "plain search" in out["error"]
+
+        # uploads cannot target a multi-index alias (write-alias rule)
+        payload = open(
+            "/root/reference/src/test/resources/test.csv", "rb"
+        ).read()
+        import tests.test_web as tw
+
+        st, out = tw._post_multipart(
+            base + "/api/upload",
+            {"index": b"both", "options": b"clear"},
+            ("file", "t.csv", payload),
+        )
+        assert st == 500 and "concrete" in out["error"]
+
+        # snapshot all complete indices, restore v1 under a new name
+        st, snap = _post(base + "/api/snapshot?name=nightly")
+        assert st == 200 and set(snap["indices"]) == {"v1", "v2"}, snap
+        st, out = _get(base + "/api/snapshots")
+        assert st == 200 and [s["snapshot"] for s in out["snapshots"]] \
+            == ["nightly"]
+        st, out = _post(
+            base + "/api/restore?name=nightly&index=v1&rename=v1r"
+        )
+        assert st == 200 and out["restored_as"] == "v1r", out
+        assert search_via("v1r") == v1_hits
+        # restoring onto the live index name refuses
+        st, out = _post(base + "/api/restore?name=nightly&index=v1")
+        assert st == 400 and "exists" in out["error"]
+    finally:
+        srv.stop()
