@@ -989,6 +989,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_percolate(sf_dir):
+        # ES percolator analog: classify every doc against the
+        # registered query set (AND semantics per query)
+        from excelastic_ray.pipelines.percolate import percolate
+
+        return percolate(_docs(sf_dir), _PERC_QUERIES,
+                         id_cols=("doc_id",))
+
     def q_quality_filter(sf_dir):
         return ts.quality_filter(
             _docs(sf_dir), min_tokens=5, max_stop_ratio=0.6,
@@ -1428,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
+        "percolate": q_percolate,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
@@ -1495,6 +1504,30 @@ base AS (SELECT conv_id, turn_idx, {_TOK} AS toks FROM transcripts)
 """
 
 _DOCTOK = f"WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents)"
+
+#: Registered percolator queries (ES percolate analog). Fixed so the
+#: Ray kernel and the SQL twin compile the same term sets.
+_PERC_QUERIES = [
+    "spark join hash",
+    "slow query scan",
+    "customer order line",
+    "vector batch merge",
+    "window agg group",
+    "stream data filter fast",
+    "missingterm anywhere",
+]
+
+
+def _perc_values() -> str:
+    """(query_id, term) VALUES literal from the SAME analyzer the
+    engine uses (query_terms dedupes + sorts)."""
+    from excelastic_ray.analysis import query_terms
+
+    rows = []
+    for qi, q in enumerate(_PERC_QUERIES):
+        for t in query_terms(q):
+            rows.append(f"({qi}, '{t}')")
+    return ", ".join(rows)
 
 
 def _stop_list(lang: str) -> str:
@@ -2804,6 +2837,19 @@ SELECT doc_id,
                        * 1000000 + 0.5) / 1000000
        END AS distinct_ratio
 FROM base
+""",
+        "percolate": _DOCTOK
+        + f"""
+, q(query_id, term) AS (VALUES {_perc_values()})
+, qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id)
+, hits AS (
+  SELECT b.doc_id, q.query_id, count(*) AS matched
+  FROM base b JOIN q ON list_contains(b.toks, q.term)
+  GROUP BY b.doc_id, q.query_id
+)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN qn USING (query_id)
+WHERE h.matched = qn.n
 """,
         "langid": _DOCTOK
         + f"""
