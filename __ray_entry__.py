@@ -47,6 +47,22 @@ BM25_QUERIES = [
     ("q6", "scan scan scan"),
 ]
 
+#: query-time synonym table (ES synonym_graph analog). Mixes synonyms
+#: that exist in the corpus (merge/join, scan/filter) with absent ones
+#: (quick/rapid, read) so the df = max(member df) rule is exercised
+#: both ways.
+SYN_TABLE = {
+    "fast": ["quick", "rapid"],
+    "join": ["merge"],
+    "big": ["large", "huge"],
+    "scan": ["read", "filter"],
+}
+SYN_QUERIES = [
+    ("s1", "fast join"),
+    ("s2", "big table scan"),
+    ("s3", "window value"),  # no synonyms -> plain per-term scoring
+]
+
 #: prefix query set (ES prefix / scoring_boolean rewrite): a narrow
 #: prefix, a broad one exercising the max_expansions=3 cap, an absent
 #: one, and a single-char prefix.
@@ -662,6 +678,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.table(
                     {
                         "query_id": pa.array([qid] * t.num_rows, type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_synonym_topk(sf_dir):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in SYN_QUERIES:
+            t = eng.search_synonyms(q, SYN_TABLE, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
@@ -1415,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "bm25_synonym_topk": q_bm25_synonym_topk,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
@@ -1516,6 +1558,30 @@ _PERC_QUERIES = [
     "stream data filter fast",
     "missingterm anywhere",
 ]
+
+
+def _syn_group_values() -> str:
+    """(query_id, group_id, term) VALUES literal from the SAME group
+    expansion search_synonyms performs (dedupe + sort), so the SQL
+    twin's groups are the engine's groups by construction."""
+    from excelastic_ray.analysis import query_terms, tokenize
+
+    rows = []
+    for qid, q in SYN_QUERIES:
+        groups, seen = [], set()
+        for t in query_terms(q):
+            members = {t}
+            for s in SYN_TABLE.get(t, []):
+                members.update(tokenize(s))
+            g = tuple(sorted(members))
+            if g not in seen:
+                seen.add(g)
+                groups.append(g)
+        groups.sort()
+        for gi, g in enumerate(groups):
+            for t in g:
+                rows.append(f"('{qid}', {gi}, '{t}')")
+    return ", ".join(rows)
 
 
 def _perc_values() -> str:
@@ -2598,6 +2664,45 @@ GROUP BY 1, 2
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "bm25_synonym_topk": _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+g(query_id, group_id, term) AS (VALUES {_syn_group_values()}),
+-- Lucene SynonymQuery stats: group df = max member df, group tf =
+-- per-doc sum of member tfs, one BM25 contribution per group
+gdf AS (SELECT g.query_id, g.group_id, max(coalesce(df.df, 0)) AS df
+        FROM g LEFT JOIN df ON df.term = g.term
+        GROUP BY g.query_id, g.group_id),
+gtf AS (SELECT g.query_id, g.group_id, tf.conv_id, tf.turn_idx,
+               sum(tf.tf) AS tf
+        FROM g JOIN tf ON tf.term = g.term
+        GROUP BY 1, 2, 3, 4),
+scored AS (
+  SELECT gtf.query_id, gtf.conv_id, gtf.turn_idx,
+         sum( ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+              * gtf.tf * 2.2
+              / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM gtf
+  JOIN gdf ON gdf.query_id = gtf.query_id AND gdf.group_id = gtf.group_id
+  JOIN dl ON dl.conv_id = gtf.conv_id AND dl.turn_idx = gtf.turn_idx
+  CROSS JOIN stats s
+  WHERE gdf.df > 0
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
         "bm25_bool_topk": _bool_sql(),
         "bm25_wildcard_topk": _wildcard_sql(),
         "bm25_regexp_topk": _wildcard_sql(

@@ -1029,6 +1029,40 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def topk_synonyms(self, groups, idfs, avgdl, k, filters=None):
+        """Lucene ``SynonymQuery`` TAAT: each group of analyzer terms
+        scores as ONE pseudo-term — per-doc tf = Σ member tfs, one
+        contribution per group using the group's (global) idf.  Groups
+        arrive sorted; contributions sum in that order, matching the
+        SQL twin's per-group aggregation."""
+        cfg = self.cfg
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        for g, g_idf in zip(groups, idfs):
+            slots = [s for s in (self.lookup(t) for t in g) if s >= 0]
+            if not slots:
+                continue
+            if len(slots) == 1:
+                ids, tfs = self.decoded(slots[0])
+                tfv = tfs.astype(np.float64)
+            else:
+                tf_acc = np.zeros(len(self.docids), dtype=np.float64)
+                for s in slots:
+                    ids, tfs = self.decoded(s)
+                    tf_acc[ids] += tfs
+                ids = np.flatnonzero(tf_acc)
+                tfv = tf_acc[ids]
+            acc[ids] += contribution(
+                g_idf, tfv, self.dls[ids], avgdl, cfg.k1, cfg.b
+            )
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def _topk_bmw(self, present, avgdl, k, mask=None, n_required=0):
         cfg = self.cfg
         cursors = [
@@ -2133,6 +2167,63 @@ class QueryEngine:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         )
 
+    def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
+                        k: int = 10, filters: dict | None = None):
+        """ES query-time synonym expansion (analyzer ``synonym_graph``
+        filter + Lucene ``SynonymQuery``): each query term expands to
+        its synonym set and the group scores as ONE pseudo-term —
+        per-doc tf = Σ member tfs, df = max member df (Lucene's
+        SynonymQuery docFreq rule), one BM25 contribution per group.
+        Synonym table values are run through the analyzer, so
+        multi-word synonyms contribute each of their tokens to the
+        group. Duplicate groups (two query terms expanding to the same
+        set) score once, like BooleanQuery term dedup."""
+        from excelastic_ray.analysis import tokenize
+
+        r = self.reader
+        groups: list[tuple[str, ...]] = []
+        seen: set[tuple[str, ...]] = set()
+        for t in query_terms(query):
+            members = {t}
+            for s in synonyms.get(t, []):
+                members.update(tokenize(s))
+            g = tuple(sorted(members))
+            if g not in seen:
+                seen.add(g)
+                groups.append(g)
+        groups.sort()
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if groups and r.n_docs:
+            all_terms = sorted({t for g in groups for t in g})
+            dfs = dict(zip(all_terms, self._global_dfs(all_terms)))
+            live = [
+                (g, max(int(dfs[t]) for t in g))
+                for g in groups
+                if max(int(dfs[t]) for t in g) > 0
+            ]
+            if live:
+                lgroups = [g for g, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get([
+                        a.topk_synonyms.remote(
+                            lgroups, idfs, r.avgdl, k, filters
+                        )
+                        for a in self._actors
+                    ])
+                else:
+                    parts = [
+                        r.searcher(s).topk_synonyms(
+                            lgroups, idfs, r.avgdl, k, filters
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def more_like_this(self, conv_id: str, turn_idx: int, k: int = 10,
                        max_query_terms: int = 25, min_term_freq: int = 1,
                        min_doc_freq: int = 1,
@@ -3123,6 +3214,13 @@ class ShardActor:
                     combine="sum", tie_breaker=0.0):
         parts = [
             s.topk_fields(entries, avgdls, k, filters, combine, tie_breaker)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def topk_synonyms(self, groups, idfs, avgdl, k, filters=None):
+        parts = [
+            s.topk_synonyms(groups, idfs, avgdl, k, filters)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
