@@ -169,6 +169,16 @@ RANGE_AGG_RANGES = [
     (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
 ]
 
+#: ES filters-agg named buckets over events: overlapping membership +
+#: range conjunctions + an empty bucket.
+FILTERS_AGG = {
+    "clicks_views": {"eq": {"event_type": ["click", "view"]}},
+    "big": {"gte": {"value": 100.0}},
+    "mid_purchase": {"eq": {"event_type": "purchase"},
+                     "gte": {"value": 10.0}, "lt": {"value": 500.0}},
+    "impossible": {"lt": {"value": -1e9}},
+}
+
 #: percentile_ranks probe values over events.value
 PCT_RANK_PROBES = (5.0, 25.0, 49.630657, 120.0, 400.0)
 
@@ -1324,6 +1334,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["value"])
         return events.range_agg(ev, RANGE_AGG_RANGES)
 
+    def q_filters_agg(sf_dir):
+        # ES filters agg: named predicate buckets (overlap + empties)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"])
+        return events.filters_agg(ev, FILTERS_AGG)
+
+    def q_rare_terms(sf_dir):
+        # ES rare_terms agg: the df <= N/10 long tail, (df ASC, term
+        # ASC). The threshold scales with the corpus so the probe stays
+        # non-empty at every sf (the synthetic vocab has no hapax tail)
+        import pyarrow.parquet as pq
+
+        import excelastic_ray.pipelines.textstats as ts
+
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        return ts.rare_terms(_docs(sf_dir), max_df=n // 10, k=50)
+
     def q_value_percentiles(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -1513,6 +1542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": q_date_histogram_pipeline,
         "value_histogram": q_value_histogram,
         "range_agg": q_range_agg,
+        "filters_agg": q_filters_agg,
+        "rare_terms": q_rare_terms,
         "percentile_ranks": q_percentile_ranks,
         "top_facets": q_top_facets,
         "ann_filtered_topk": q_ann_filtered_topk,
@@ -1876,6 +1907,43 @@ def _range_agg_sql() -> str:
         w = " AND ".join(conds) or "TRUE"
         parts.append(
             f"""SELECT '{key}' AS range_key,
+       count(*) FILTER (WHERE {w}) AS n,
+       floor(coalesce(sum(value) FILTER (WHERE {w}), 0)
+             * 1000000 + 0.5) / 1000000 AS sum_value,
+       CASE WHEN count(*) FILTER (WHERE {w}) = 0 THEN 0.0
+            ELSE floor(floor(coalesce(sum(value) FILTER (WHERE {w}), 0)
+                             * 1000000 + 0.5) / 1000000
+                       / (count(*) FILTER (WHERE {w}))
+                       * 1000000 + 0.5) / 1000000 END AS avg_value
+FROM events"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _filters_agg_sql() -> str:
+    """filters-agg twin: the predicate for each named bucket is built
+    from the SAME spec dict the engine evaluates."""
+
+    def pred(spec: dict) -> str:
+        parts = []
+        for c, v in sorted(spec.get("eq", {}).items()):
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            lit = ", ".join(
+                f"'{x}'" if isinstance(x, str) else repr(float(x))
+                for x in vals
+            )
+            parts.append(f"{c} IN ({lit})")
+        for c, v in sorted(spec.get("gte", {}).items()):
+            parts.append(f"{c} >= {float(v)}")
+        for c, v in sorted(spec.get("lt", {}).items()):
+            parts.append(f"{c} < {float(v)}")
+        return " AND ".join(parts) or "TRUE"
+
+    parts = []
+    for key in sorted(FILTERS_AGG):
+        w = pred(FILTERS_AGG[key])
+        parts.append(
+            f"""SELECT '{key}' AS filter_key,
        count(*) FILTER (WHERE {w}) AS n,
        floor(coalesce(sum(value) FILTER (WHERE {w}), 0)
              * 1000000 + 0.5) / 1000000 AS sum_value,
@@ -2568,6 +2636,18 @@ def oracle_sql() -> dict[str, str]:
         "multi_index_search": _bm25_sql(),
         "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
+        "filters_agg": _filters_agg_sql(),
+        "rare_terms": _DOCTOK
+        + """
+, t AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY term
+)
+SELECT term, df FROM t
+WHERE df <= (SELECT count(*) // 10 FROM documents)
+ORDER BY df, term LIMIT 50
+""",
         "bm25_boosting": _boosting_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
         "top_facets": _TOP_FACETS_SQL,

@@ -786,3 +786,66 @@ def date_histogram_pipeline(ds, hours: int = 24, window: int = 3):
     return buckets.repartition(1).map_batches(
         scan, batch_format="pyarrow", batch_size=None
     )
+
+
+def filters_agg(ds, named_filters: dict[str, dict], col: str = "value"):
+    """ES ``filters`` aggregation analog: NAMED predicate buckets — a
+    row may land in several buckets (or none), empty buckets are kept,
+    exactly ES. Each named filter is a spec dict with optional keys:
+
+      ``eq``  {column: value or [values]}   membership
+      ``gte`` {column: number}              column >= number
+      ``lt``  {column: number}              column <  number
+
+    (the conjunction of everything present — the ES bool-filter
+    context shape). Every batch emits ONE tiny row per bucket (count +
+    sum of ``col`` via boolean masks), then the coarse-bucket sum
+    combine — the exchange moves O(batches × buckets) rows, never
+    events.
+
+    → Dataset (filter_key, n, sum_value, avg_value); sums trunc6'd,
+    avg from the truncated sum (see value_histogram for why)."""
+    keys = sorted(named_filters)
+
+    def mask_for(batch: pa.Table, spec: dict) -> np.ndarray:
+        m = np.ones(batch.num_rows, dtype=bool)
+        for c, v in spec.get("eq", {}).items():
+            vals = v if isinstance(v, (list, tuple, set)) else [v]
+            m &= np.isin(
+                batch[c].to_numpy(zero_copy_only=False), list(vals)
+            )
+        for c, v in spec.get("gte", {}).items():
+            m &= batch[c].to_numpy(zero_copy_only=False) >= v
+        for c, v in spec.get("lt", {}).items():
+            m &= batch[c].to_numpy(zero_copy_only=False) < v
+        return m
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        ns, sums = [], []
+        for k in keys:
+            m = mask_for(batch, named_filters[k])
+            ns.append(int(m.sum()))
+            sums.append(float(v[m].sum()))
+        return pd.DataFrame({"filter_key": keys, "n": ns, "sum_value": sums})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    out = _bucketed_sum_combine(partials, ["filter_key"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        s = trunc6(batch["sum_value"].to_numpy())
+        safe = np.where(n > 0, n, 1)
+        return pa.table(
+            {
+                "filter_key": batch["filter_key"],
+                "n": batch["n"],
+                "sum_value": pa.array(s),
+                "avg_value": pa.array(
+                    np.where(n > 0, trunc6(s / safe), 0.0)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -910,3 +910,31 @@ def dup_ngram_stats(ds, n: int = 3, id_col: str = "doc_id",
     return partials.groupby("__bucket2").map_groups(
         per_doc, batch_format="pandas"
     )
+
+
+def rare_terms(ds, max_df: int = 2, k: int = 50,
+               text_col: str = "text", n_buckets: int = 32):
+    """ES ``rare_terms`` aggregation analog: the long-tail terms whose
+    corpus document frequency is <= ``max_df``, ordered (df ASC, term
+    ASC) — the opposite end of the distribution from ``top_terms``.
+    Built on the same partial+final ``term_df`` combine (exchange moves
+    per-batch distinct terms, never tokens), then a distributed
+    predicate filter + sort + limit. ES bounds the bucket set with a
+    CuckooFilter precision knob; the exact equivalent here is the hard
+    ``k`` limit on the sorted tail.
+
+    → Dataset (term, df), deterministic under any parallelism."""
+
+    def tail_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.less_equal(batch["df"], max_df)
+        ).select(["term", "df"])
+
+    return (
+        term_df(ds, text_col=text_col, n_buckets=n_buckets)
+        .map_batches(tail_only, batch_format="pyarrow")
+        .sort(["df", "term"])
+        .limit(k)
+    )

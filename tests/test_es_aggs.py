@@ -152,3 +152,64 @@ def test_percentile_ranks_exact(ray_session):
         want = trunc6(np.array([100.0 * (v <= p).sum() / len(v)]))[0]
         assert got.loc[p, "pct"] == want
     assert got.loc[10.0, "pct"] == 100.0
+
+
+def test_filters_agg_named_buckets(ray_session):
+    """ES filters agg: overlapping membership, conjunction specs, and
+    an empty bucket (kept, zeros)."""
+    import ray.data as rd
+
+    t = _events()
+    df = t.to_pandas()
+    specs = {
+        "ab": {"eq": {"event_type": ["a", "b"]}},
+        "pos": {"gte": {"value": 0.0}},
+        "a_small": {"eq": {"event_type": "a"}, "lt": {"value": 0.5}},
+        "never": {"gte": {"value": 1e12}},
+    }
+    got = (
+        events.filters_agg(rd.from_arrow(t), specs)
+        .to_pandas()
+        .set_index("filter_key")
+        .sort_index()
+    )
+    masks = {
+        "ab": df.event_type.isin(["a", "b"]),
+        "pos": df.value >= 0.0,
+        "a_small": (df.event_type == "a") & (df.value < 0.5),
+        "never": df.value >= 1e12,
+    }
+    assert set(got.index) == set(specs)
+    for k, m in masks.items():
+        assert got.loc[k, "n"] == int(m.sum())
+        assert got.loc[k, "sum_value"] == trunc6(
+            np.array([df.value[m].sum()])
+        )[0]
+    assert got.loc["never", "n"] == 0 and got.loc["never", "avg_value"] == 0.0
+
+
+def test_rare_terms_long_tail(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import rare_terms
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "common common unique1",
+                "common twice",
+                "common twice",
+                "common",
+                "common unique2 unique2",  # df(unique2)=1 despite tf 2
+                "common",
+            ],
+        }
+    )
+    got = rare_terms(rd.from_arrow(docs), max_df=2, k=10).to_pandas()
+    assert list(map(tuple, got.to_numpy())) == [
+        ("unique1", 1), ("unique2", 1), ("twice", 2),
+    ]
+    # the k limit truncates the sorted tail deterministically
+    got1 = rare_terms(rd.from_arrow(docs), max_df=2, k=2).to_pandas()
+    assert list(got1["term"]) == ["unique1", "unique2"]
