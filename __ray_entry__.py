@@ -1183,6 +1183,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
         return dedup.embedding_dup_pairs(emb, threshold=0.2)
 
+    def q_semdedup(sf_dir):
+        # SemDeDup (cluster-then-dedup) — the sub-quadratic scale path;
+        # k-means isn't SQL-expressible, so the keep rule is pinned by
+        # pytest against a brute-force oracle on the engine's own
+        # assignment (tests/test_pipelines.py)
+        from excelastic_ray.io import read_parquet_clean
+
+        emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+        return dedup.semdedup(emb, n_clusters=8, threshold=0.25)
+
     def _query_vecs(sf_dir, n=5):
         """Fetch ONLY the query vectors (vec_id < n) — a pruned filter
         scan, not a whole-corpus driver collect."""
@@ -1528,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semdedup": q_semdedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_sq8_topk": q_ann_sq8_topk,

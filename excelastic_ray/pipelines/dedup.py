@@ -1336,3 +1336,95 @@ def remove_repeated_lines(ds, min_df: int = 2, id_col: str = "doc_id",
         })
 
     return ds.map_batches(clean, batch_format="pyarrow", batch_size=8192)
+
+
+def semdedup(
+    ds,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 5,
+    seed: int = 13,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings then dropping within-cluster
+    near-duplicates — the sub-quadratic scale path for embedding dedup
+    (``embedding_dup_pairs`` is the exact-global O(n²) baseline).
+
+    1. deterministic distributed k-means (``kmeans_centroids``: seeded
+       data-independent init, partial+final Lloyd passes — the shuffle
+       moves k×dim floats per batch, never vectors);
+    2. one ``map_batches`` pass assigns each vector its cluster and
+       centroid similarity;
+    3. ``groupby(cluster).map_groups``: within a cluster, order items
+       by keep priority (centroid similarity ASC, id ASC — the paper's
+       keep-the-outlier rule), compute the pairwise cosine matrix, and
+       drop every item whose max similarity to any EARLIER item is
+       ≥ ``threshold`` (the paper's upper-triangle rule).
+
+    Within-cluster work is O(g²) by design — size ``n_clusters`` ≈
+    n / target_group so a group's float64 sim matrix fits a worker
+    (the paper runs k = 50k at LAION scale for the same reason). The
+    cluster shuffle moves each (id, cluster, csim, vector) row once.
+
+    → Dataset (id, cluster, centroid_sim, max_prior_sim, keep). Exact
+    duplicates always land in one cluster (identical argmax), so each
+    identical set keeps exactly one row regardless of k."""
+    import ray
+
+    from excelastic_ray.pipelines.similarity import (
+        _as_matrix,
+        _normalize,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(ds, n_clusters, n_iter, vec_col, seed)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        sims = mat @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "centroid_sim": pa.array(
+                    sims[np.arange(len(a)), a].astype(np.float64)
+                ),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g[id_col].to_numpy(), g["centroid_sim"].to_numpy())
+        )
+        g = g.iloc[order]
+        mat = _normalize(
+            np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in g[vec_col]]
+            )
+        )
+        s = mat @ mat.T
+        # max similarity to any earlier (higher-priority) item
+        s[np.triu_indices(len(g))] = -np.inf
+        prior = s.max(axis=1) if len(g) > 1 else np.full(len(g), -np.inf)
+        prior[0] = -np.inf
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "centroid_sim": g["centroid_sim"].to_numpy(),
+                "max_prior_sim": prior,
+                "keep": prior < threshold,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )

@@ -1268,3 +1268,76 @@ def test_cosine_topk_where_filter(ray_session):
         order = idx[np.lexsort((idx, -sims[m]))][:5]
         sub = got[got["query_id"] == qi]
         assert sub["vec_id"].tolist() == order.tolist()
+
+
+# -- SemDeDup ------------------------------------------------------------
+
+
+def _semdedup_oracle(ids, mat, clusters, csims, threshold):
+    """Brute-force greedy upper-triangle rule per cluster."""
+    import numpy as np
+
+    keep = {}
+    for c in np.unique(clusters):
+        sel = np.flatnonzero(clusters == c)
+        order = sel[np.lexsort((ids[sel], csims[sel]))]
+        m = mat[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = m @ m.T
+        for i in range(len(order)):
+            prior = s[i, :i].max() if i else -np.inf
+            keep[ids[order[i]]] = prior < threshold
+    return keep
+
+
+def test_semdedup_identical_vectors_keep_exactly_one(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8))
+    # ids 20..24 duplicate vector 0; 25..26 duplicate vector 7
+    mat = np.vstack([base, base[[0, 0, 0, 0, 0, 7, 7]]])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), type=pa.int64()),
+            "embedding": pa.array([list(r) for r in mat]),
+        }
+    )
+    out = (
+        semdedup(rd.from_arrow(t), n_clusters=4, threshold=0.99)
+        .to_pandas()
+    )
+    dup0 = out[out.vec_id.isin([0, 20, 21, 22, 23, 24])]
+    dup7 = out[out.vec_id.isin([7, 25, 26])]
+    assert dup0.keep.sum() == 1 and dup7.keep.sum() == 1
+    assert len(out) == len(mat)
+
+
+def test_semdedup_matches_bruteforce_given_assignment(ray_session, emb_ds):
+    """The within-cluster keep rule equals the pure-numpy oracle on the
+    engine's own (cluster, centroid_sim) assignment."""
+    import numpy as np
+
+    from excelastic_ray.pipelines.dedup import semdedup
+
+    out = (
+        semdedup(emb_ds, n_clusters=8, threshold=0.25)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    src = emb_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in src.embedding])
+    ids = src.vec_id.to_numpy()
+    merged = out.merge(src[["vec_id"]], on="vec_id")
+    want = _semdedup_oracle(
+        ids, mat, out.cluster.to_numpy(), out.centroid_sim.to_numpy(), 0.25
+    )
+    assert len(merged) == len(src)
+    got = dict(zip(out.vec_id, out.keep))
+    assert got == want
+    # 0.25 sits inside the sim range of the synthetic embeddings
+    assert (~out.keep).sum() > 0
