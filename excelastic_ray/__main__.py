@@ -12,6 +12,10 @@ CommandLine.java:32-64`` + ``ApplicationLauncher.java:46-48``).
                                     [--from N] [--highlight]
     python -m excelastic_ray status <index_dir>
     python -m excelastic_ray serve  <index_root> [--port P] [--index-lock X]
+    python -m excelastic_ray snapshot  <index_root> <repo> <name> [--indices a,b]
+    python -m excelastic_ray restore   <index_root> <repo> <name> <index> [--rename X]
+    python -m excelastic_ray snapshots <repo>
+    python -m excelastic_ray alias     <index_root> list|add|remove|swap ...
 
 Owns the Ray session (library code never calls ray.init)."""
 
@@ -99,8 +103,36 @@ def main(argv: list[str] | None = None) -> int:
                    help="pagination offset (ES from)")
     s.add_argument("--highlight", action="store_true")
 
+    s.add_argument("--syn", action="append", default=[],
+                   metavar="TERM=ALT|ALT2",
+                   help="query-time synonym expansion (repeatable; "
+                        "Lucene SynonymQuery scoring)")
+
     st = sub.add_parser("status")
     st.add_argument("index_dir")
+
+    sn = sub.add_parser("snapshot", help="snapshot indices into a repo")
+    sn.add_argument("index_root")
+    sn.add_argument("repo")
+    sn.add_argument("name")
+    sn.add_argument("--indices", default=None,
+                    help="comma-separated subset (default: all complete)")
+
+    rs = sub.add_parser("restore", help="restore an index from a snapshot")
+    rs.add_argument("index_root")
+    rs.add_argument("repo")
+    rs.add_argument("name")
+    rs.add_argument("index")
+    rs.add_argument("--rename", default=None)
+
+    ls = sub.add_parser("snapshots", help="list snapshots in a repo")
+    ls.add_argument("repo")
+
+    al = sub.add_parser("alias", help="manage index aliases")
+    al.add_argument("index_root")
+    al.add_argument("action", choices=["list", "add", "remove", "swap"])
+    al.add_argument("names", nargs="*",
+                    help="add/remove: ALIAS INDEX; swap: ALIAS OLD NEW")
 
     sv = sub.add_parser("serve", help="HTTP upload/status/search server")
     sv.add_argument("index_root")
@@ -113,6 +145,68 @@ def main(argv: list[str] | None = None) -> int:
         from excelastic_ray.index.build import build_status
 
         print(json.dumps(build_status(args.index_dir), indent=1))
+        return 0
+    if args.cmd == "snapshot":
+        import os
+
+        from excelastic_ray.index.segments import load_global_manifest
+        from excelastic_ray.index.snapshot import create_snapshot
+
+        if args.indices:
+            names = args.indices.split(",")
+        else:
+            names = []
+            for nm in sorted(os.listdir(args.index_root)):
+                try:
+                    m = load_global_manifest(
+                        os.path.join(args.index_root, nm)
+                    )
+                except (FileNotFoundError, NotADirectoryError):
+                    continue
+                if m.get("status") == "complete":
+                    names.append(nm)
+        out = create_snapshot(
+            args.repo, args.name,
+            {nm: os.path.join(args.index_root, nm) for nm in names},
+        )
+        print(json.dumps(out, indent=1))
+        return 0
+    if args.cmd == "restore":
+        from excelastic_ray.index.snapshot import restore_snapshot
+
+        print(json.dumps(restore_snapshot(
+            args.repo, args.name, args.index, args.index_root,
+            rename_to=args.rename,
+        ), indent=1))
+        return 0
+    if args.cmd == "snapshots":
+        from excelastic_ray.index.snapshot import list_snapshots
+
+        print(json.dumps({"snapshots": list_snapshots(args.repo)},
+                         indent=1))
+        return 0
+    if args.cmd == "alias":
+        from excelastic_ray.index.snapshot import (
+            load_aliases,
+            update_aliases,
+        )
+
+        if args.action == "list":
+            print(json.dumps(load_aliases(args.index_root), indent=1))
+            return 0
+        if args.action in ("add", "remove"):
+            if len(args.names) != 2:
+                p.error("alias add/remove needs: ALIAS INDEX")
+            acts = [{args.action: {"alias": args.names[0],
+                                   "index": args.names[1]}}]
+        else:  # swap — one atomic batch
+            if len(args.names) != 3:
+                p.error("alias swap needs: ALIAS OLD NEW")
+            acts = [
+                {"remove": {"alias": args.names[0], "index": args.names[1]}},
+                {"add": {"alias": args.names[0], "index": args.names[2]}},
+            ]
+        print(json.dumps(update_aliases(args.index_root, acts), indent=1))
         return 0
 
     import ray
@@ -157,7 +251,14 @@ def main(argv: list[str] | None = None) -> int:
                 filters.setdefault(key, []).append(val)
             eng = QueryEngine(args.index_dir, algo=args.algo,
                               use_actors=args.actors)
-            if args.phrase:
+            if args.syn:
+                table = {}
+                for spec in args.syn:
+                    term, _, alts = spec.partition("=")
+                    table[term.lower()] = alts.split("|")
+                t = eng.search_synonyms(args.query, table, args.k,
+                                        filters=filters or None)
+            elif args.phrase:
                 t = eng.search_phrase(args.query, args.k, slop=args.slop)
             elif args.suggest:
                 t = eng.suggest(args.query)

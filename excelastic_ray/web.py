@@ -247,6 +247,14 @@ class ImportServer:
                         )
                     elif u.path == "/api/snapshots":
                         self._json(200, server.list_snapshots())
+                    elif u.path == "/api/analyze":
+                        # ES _analyze analog: the index-time analyzer
+                        # applied to arbitrary text
+                        from excelastic_ray.analysis import tokenize
+
+                        self._json(
+                            200, {"tokens": tokenize(q.get("q", ""))}
+                        )
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
                     elif u.path == "/api/search":

@@ -239,3 +239,34 @@ def test_http_alias_and_snapshot_surface(ray_session, tmp_path):
         assert st == 400 and "exists" in out["error"]
     finally:
         srv.stop()
+
+
+def test_cli_snapshot_restore_alias(ray_session, tmp_path):
+    """CLI lifecycle parity: snapshot -> snapshots -> restore --rename,
+    alias add/swap/list; search --syn exercises synonym expansion."""
+    import contextlib
+    import io as _io
+
+    from excelastic_ray.__main__ import main
+
+    root = str(tmp_path / "indexes")
+    repo = str(tmp_path / "repo")
+    a = _build(root, "v1", seed=1)
+    _build(root, "v2", seed=2)
+    want = _hits(a)
+
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["snapshot", root, repo, "nightly"]) == 0
+        assert main(["snapshots", repo]) == 0
+        assert main(["restore", root, repo, "nightly", "v1",
+                     "--rename", "v1r"]) == 0
+        assert main(["alias", root, "add", "live", "v1"]) == 0
+        assert main(["alias", root, "swap", "live", "v1", "v2"]) == 0
+        assert main(["alias", root, "list"]) == 0
+        assert main(["search", a, "the tool", "-k", "3",
+                     "--syn", "tool=run|call"]) == 0
+    text = out.getvalue()
+    assert '"nightly"' in text and '"v1r"' in text
+    assert '"live": [\n  "v2"\n ]' in text.replace("\r", "")
+    assert _hits(os.path.join(root, "v1r")) == want

@@ -336,3 +336,17 @@ def test_list_indices(ray_session, tmp_path):
                    for i in got)
     finally:
         srv.stop()
+
+
+def test_analyze_endpoint(ray_session, tmp_path):
+    """ES _analyze analog: the index-time analyzer over arbitrary text."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "idx_an")).start()
+    try:
+        _, body = _get(
+            f"http://127.0.0.1:{srv.port}/api/analyze?q=Hello%2C+World_42%21"
+        )
+        assert json.loads(body) == {"tokens": ["hello", "world_42"]}
+    finally:
+        srv.stop()
