@@ -1183,6 +1183,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
         return dedup.embedding_dup_pairs(emb, threshold=0.2)
 
+    def q_budget_select(sf_dir):
+        # quality-ordered greedy prefix under a token budget (10
+        # tokens/doc on average — ~40% of the corpus), scale-
+        # proportional like rare_terms
+        import pyarrow.parquet as pq
+
+        from excelastic_ray.pipelines.sampling import budget_select
+
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        return budget_select(_docs(sf_dir), token_budget=10 * n)
+
     def q_semdedup(sf_dir):
         # SemDeDup (cluster-then-dedup) — the sub-quadratic scale path;
         # k-means isn't SQL-expressible, so the keep rule is pinned by
@@ -1539,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "semdedup": q_semdedup,
+        "budget_select": q_budget_select,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -2648,6 +2660,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
         "filters_agg": _filters_agg_sql(),
+        "budget_select": _DOCTOK
+        + """
+, m AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE floor(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks) * 1000000 + 0.5) / 1000000
+         END AS quality,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM base
+),
+c AS (
+  SELECT m.*, sum(n_tokens) OVER (
+      ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+)
+SELECT doc_id, quality, n_tokens FROM c
+WHERE cum <= 10 * (SELECT count(*) FROM documents)
+""",
         "rare_terms": _DOCTOK
         + """
 , t AS (

@@ -1341,3 +1341,53 @@ def test_semdedup_matches_bruteforce_given_assignment(ray_session, emb_ds):
     assert got == want
     # 0.25 sits inside the sim range of the synthetic embeddings
     assert (~out.keep).sum() > 0
+
+
+# -- budget_select ---------------------------------------------------------
+
+
+def _budget_oracle(df, budget):
+    import numpy as np
+
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    from excelastic_ray.analysis import tokenize
+
+    rows = []
+    for r in df.itertuples(index=False):
+        toks = tokenize(r.text)
+        q = trunc6(np.array(
+            [len(set(toks)) / len(toks) if toks else 0.0]
+        ))[0]
+        rows.append((r.doc_id, q, len(toks)))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    out, cum = [], 0
+    for did, q, n in rows:
+        if cum + n > budget:
+            break  # cum is monotone: the selection is a prefix
+        cum += n
+        out.append((did, q, n))
+    return sorted(out)
+
+
+def test_budget_select_prefix_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.sampling import budget_select
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 40)))
+        for _ in range(120)
+    ]
+    t = pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                  "text": texts})
+    df = t.to_pandas()
+    for budget in (0, 37, 500, 10**9):
+        got = sorted(
+            (r["doc_id"], r["quality"], r["n_tokens"])
+            for r in budget_select(rd.from_arrow(t), budget).take_all()
+        )
+        assert got == _budget_oracle(df, budget), budget
