@@ -177,6 +177,12 @@ def run_bench() -> dict:
         for _ in range(10):
             eng.termvectors("conv-000003", 1)
         timings["termvectors_10q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for q in BM25_BENCH_QUERIES:
+            for _ in range(10):
+                eng.search_synonyms(q, {"the": ["a"], "call": ["run"]},
+                                    k=10)
+        timings["synonym_60q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.
@@ -206,6 +212,11 @@ def run_bench() -> dict:
             "vocab_coverage",
             "composite_agg",
             "date_histogram_pipeline",
+            "percolate",
+            "semdedup",
+            "budget_select",
+            "filters_agg",
+            "rare_terms",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
