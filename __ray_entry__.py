@@ -698,6 +698,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_search_after(sf_dir):
+        # ES search_after deep paging: page 2 (ranks 11-20) fetched via
+        # the stateless (score, docid) cursor of page 1's last hit —
+        # O(k) per shard instead of offset's O(depth)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            p1 = eng.search(q, 10)
+            if p1.num_rows == 10:
+                cursor = (p1["score"][-1].as_py(), p1["docid"][-1].as_py())
+                t = eng.search(q, 10, search_after=cursor)
+            else:  # fewer than 10 total hits -> page 2 is empty
+                t = p1.slice(0, 0)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_synonym_topk(sf_dir):
         import pyarrow as pa
 
@@ -1507,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_slop_topk": q_bm25_slop_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_synonym_topk": q_bm25_synonym_topk,
+        "bm25_search_after": q_bm25_search_after,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
@@ -1667,7 +1701,8 @@ def _bm25_terms_values() -> str:
 def _bm25_sql(conjunctive: bool = False,
               ts_range: tuple[str, str] | None = None,
               decay: tuple[str, int, float] | None = None,
-              exclude_role: str | None = None) -> str:
+              exclude_role: str | None = None,
+              rn: str = "<= 10") -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
@@ -1742,7 +1777,7 @@ FROM scored {and_clause}
 {ts_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
-    ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) <= 10
+    ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
 """
     )
 
@@ -2786,6 +2821,7 @@ GROUP BY 1, 2
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "bm25_search_after": _bm25_sql(rn="BETWEEN 11 AND 20"),
         "bm25_synonym_topk": _BASE
         + f""",
 dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),

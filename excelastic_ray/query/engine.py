@@ -539,10 +539,17 @@ class ShardSearcher:
         algo: str = "auto",
         filters: dict | None = None,
         n_required: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k → (docids int64, scores float64),
         ordered (score DESC, docid ASC). ``terms`` must be sorted unique;
         ``idfs`` are GLOBAL idfs (df summed across shards by the caller).
+
+        ``after`` = (score, docid): keep only docs strictly after that
+        cursor in the (score DESC, docid ASC) sort — the ES
+        ``search_after`` stateless deep-paging cursor. Scores are
+        deterministic float64 (fixed summation order), so the equality
+        half of the comparison is exact across calls.
 
         ``algo="auto"`` always picks vectorized TAAT. Block-max WAND
         ("bmw") stays available and exact (tests pin bmw == taat), but
@@ -573,8 +580,11 @@ class ShardSearcher:
         if algo == "auto":
             algo = "taat"
         if algo == "taat":
-            return self._topk_taat(present, avgdl, k, mask, n_required)
+            return self._topk_taat(present, avgdl, k, mask, n_required,
+                                   after)
         if algo == "bmw":
+            if after is not None:
+                raise ValueError("search_after requires the taat scorer")
             return self._topk_bmw(present, avgdl, k, mask, n_required)
         raise ValueError(f"unknown algo {algo!r}")
 
@@ -1001,7 +1011,8 @@ class ShardSearcher:
             per_k=per_k,
         )
 
-    def _topk_taat(self, present, avgdl, k, mask=None, n_required=0):
+    def _topk_taat(self, present, avgdl, k, mask=None, n_required=0,
+                   after=None):
         """Dense term-at-a-time: accumulate into a float64 array over the
         shard's ordinal space (bounded by shard doc count). Per-doc
         contributions sum in sorted-term order — bit-identical to the
@@ -1023,6 +1034,10 @@ class ShardSearcher:
             acc[hits < n_required] = 0.0
         if mask is not None:
             acc[~mask] = 0.0
+        if after is not None:
+            s0, d0 = after
+            keep = (acc < s0) | ((acc == s0) & (self.docids > d0))
+            acc[~keep] = 0.0
         nz = np.flatnonzero(acc)
         scores = acc[nz]
         docids = self.docids[nz]
@@ -1520,7 +1535,8 @@ class QueryEngine:
 
     def search(self, query: str, k: int = 10, filters: dict | None = None,
                mode: str = "or", include_source: bool = False,
-               offset: int = 0, highlight: bool = False):
+               offset: int = 0, highlight: bool = False,
+               search_after: tuple[float, int] | None = None):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
@@ -1531,16 +1547,26 @@ class QueryEngine:
         ``offset`` is the ES ``from`` parameter: each shard returns its
         top (offset + k), the merged ranking is sliced [offset, offset+k)
         and ``rank`` numbers from offset + 1 — identical to slicing the
-        full ranking client-side. ``highlight=True`` adds a ``highlight``
-        column: the stored text with every query-term occurrence wrapped
-        in <em></em> (the ES highlighter default), produced by the SAME
-        analyzer that built the index (needs store_source)."""
+        full ranking client-side (O(depth) per shard: fine shallow).
+        ``search_after`` = (score, docid) of the LAST hit of the
+        previous page: each shard skips everything at-or-before that
+        cursor in the (score DESC, docid ASC) sort and returns only k
+        rows — the ES stateless deep-paging cursor, O(k) per page at
+        any depth. Mutually exclusive with ``offset``; ``rank`` restarts
+        at 1 per page (the absolute position is the caller's running
+        count, exactly as in ES). ``highlight=True`` adds a
+        ``highlight`` column: the stored text with every query-term
+        occurrence wrapped in <em></em> (the ES highlighter default),
+        produced by the SAME analyzer that built the index (needs
+        store_source)."""
         import pyarrow as pa
 
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
         if offset < 0:
             raise ValueError("offset must be >= 0")
+        if search_after is not None and offset:
+            raise ValueError("search_after and offset are exclusive")
         r = self.reader
         terms = query_terms(query)
         docids = np.zeros(0, dtype=np.int64)
@@ -1553,15 +1579,16 @@ class QueryEngine:
                 n_required = len(live) if mode == "and" else 0
                 lterms = [t for t, _ in live]
                 idfs = [idf(r.n_docs, d) for _, d in live]
-                depth = offset + k
+                depth = k if search_after is not None else offset + k
+                algo = "taat" if search_after is not None else self.algo
                 if self._actors is not None:
                     import ray
 
                     parts = ray.get(
                         [
                             a.topk.remote(
-                                lterms, idfs, r.avgdl, depth, self.algo,
-                                filters, n_required,
+                                lterms, idfs, r.avgdl, depth, algo,
+                                filters, n_required, search_after,
                             )
                             for a in self._actors
                         ]
@@ -1569,8 +1596,8 @@ class QueryEngine:
                 else:
                     parts = [
                         r.searcher(s).topk(
-                            lterms, idfs, r.avgdl, depth, self.algo, filters,
-                            n_required,
+                            lterms, idfs, r.avgdl, depth, algo, filters,
+                            n_required, search_after,
                         )
                         for s in range(r.num_shards)
                     ]
@@ -3203,9 +3230,10 @@ class ShardActor:
             totals += np.asarray(s.dfs(terms), dtype=np.int64)
         return totals.tolist()
 
-    def topk(self, terms, idfs, avgdl, k, algo, filters=None, n_required=0):
+    def topk(self, terms, idfs, avgdl, k, algo, filters=None, n_required=0,
+             after=None):
         parts = [
-            s.topk(terms, idfs, avgdl, k, algo, filters, n_required)
+            s.topk(terms, idfs, avgdl, k, algo, filters, n_required, after)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -277,6 +277,7 @@ class ImportServer:
                                      else None),
                                 decay_origin=q.get("decay_origin") or None,
                                 decay_scale=q.get("decay_scale", "24h"),
+                                search_after=q.get("search_after") or None,
                             ),
                         )
                     else:
@@ -618,7 +619,8 @@ class ImportServer:
                must_not: str | None = None,
                msm: int | None = None,
                decay_origin: str | None = None,
-               decay_scale: str = "24h") -> dict:
+               decay_scale: str = "24h",
+               search_after: str | None = None) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -661,6 +663,12 @@ class ImportServer:
             t = eng.search_phrase(query, k, slop=slop)
         elif qs:  # Kibana-style field:term query strings
             t = eng.search_qs(query, k=k, offset=offset)
+        elif search_after:
+            # stateless deep-paging cursor "score:docid" — the last
+            # hit of the previous page (ES search_after)
+            s, _, d = search_after.rpartition(":")
+            t = eng.search(query, k, include_source=True,
+                           search_after=(float(s), int(d)))
         else:
             t = eng.search(query, k, include_source=True, offset=offset)
         return {"hits": t.to_pylist()}

@@ -183,3 +183,45 @@ def test_decay_actor_parity_and_args(ts_index, ray_session):
     # absent term -> empty result, stable schema
     empty = local.search_decay("zzzzmissing", k=5, origin="2026-01-03")
     assert empty.num_rows == 0
+
+
+def test_relevance_search_after_pages_equal_slices(ts_index):
+    """Score-sort search_after: chaining (score, docid) cursors walks
+    the ENTIRE ranking in k-sized pages identical to the full ranking's
+    slices (stateless; O(k) per shard per page)."""
+    idx, _ = ts_index
+    eng = QueryEngine(idx)
+    full = eng.search("the call run w00004", k=100000)
+    ranking = list(zip(full["docid"].to_pylist(),
+                       full["score"].to_pylist()))
+    assert len(ranking) > 25
+
+    paged, cursor = [], None
+    while True:
+        page = eng.search("the call run w00004", k=7, search_after=cursor)
+        if page.num_rows == 0:
+            break
+        rows = list(zip(page["docid"].to_pylist(),
+                        page["score"].to_pylist()))
+        paged.extend(rows)
+        cursor = (rows[-1][1], rows[-1][0])
+        assert page["rank"].to_pylist() == list(range(1, len(rows) + 1))
+    assert paged == ranking
+
+    # equal-score runs must not be skipped or duplicated across a page
+    # boundary (the docid tiebreak half of the cursor)
+    scores = [s for _, s in ranking]
+    assert len(set(scores)) < len(scores), "fixture must contain ties"
+
+
+def test_search_after_matches_offset(ts_index):
+    idx, _ = ts_index
+    eng = QueryEngine(idx)
+    p1 = eng.search("the call", k=10)
+    cursor = (p1["score"][-1].as_py(), p1["docid"][-1].as_py())
+    via_cursor = eng.search("the call", k=10, search_after=cursor)
+    via_offset = eng.search("the call", k=10, offset=10)
+    assert via_cursor["docid"].to_pylist() == via_offset["docid"].to_pylist()
+    assert via_cursor["score"].to_pylist() == via_offset["score"].to_pylist()
+    with pytest.raises(ValueError, match="exclusive"):
+        eng.search("the", k=5, offset=5, search_after=cursor)
