@@ -169,6 +169,16 @@ RANGE_AGG_RANGES = [
     (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
 ]
 
+#: hybrid-search query set: (query_id, BM25 text query, query-vector
+#: vec_id) pairs fused by reciprocal rank fusion (ES 8 hybrid shape).
+HYBRID_QUERIES = [
+    ("h0", "spark join hash", 0),
+    ("h1", "slow scan filter", 1),
+    ("h2", "window value table", 2),
+]
+RRF_WINDOW = 60  # ES rank_window_size
+RRF_K = 60       # ES rank_constant
+
 #: ES filters-agg named buckets over events: overlapping membership +
 #: range conjunctions + an empty bucket.
 FILTERS_AGG = {
@@ -1253,6 +1263,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mat = np.asarray(sub["embedding"].tolist(), dtype=np.float64)[order]
         return emb, ids[order].tolist(), mat
 
+    def q_hybrid_rrf(sf_dir):
+        # ES 8 hybrid search: BM25 top-window over the transcript index
+        # + exact cosine top-window over the embeddings, fused by
+        # reciprocal rank fusion on the shared doc-id space
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        emb, qids, qmat = _query_vecs(sf_dir, n=3)
+        cos = similarity.cosine_topk(
+            emb, qmat, query_ids=qids, k=RRF_WINDOW
+        ).to_pandas()
+        parts = []
+        for qid, text_q, vid in HYBRID_QUERIES:
+            t = eng.search(text_q, k=RRF_WINDOW)
+            # docid ↔ doc_id: the transcripts view is the deterministic
+            # (doc_id // 8, doc_id % 8) projection of documents
+            bm_ids = [
+                int(c[5:]) * 8 + ti
+                for c, ti in zip(t["conv_id"].to_pylist(),
+                                 t["turn_idx"].to_pylist())
+            ]
+            sub = cos[cos.query_id == vid].sort_values(
+                ["cos", "vec_id"], ascending=[False, True]
+            )
+            fused = similarity.rrf_fuse(
+                [bm_ids, sub.vec_id.tolist()], k=10, rank_constant=RRF_K
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(fused),
+                                             type=pa.string()),
+                        "doc_id": pa.array([d for d, _ in fused],
+                                           type=pa.int64()),
+                        "rrf": pa.array(
+                            trunc6(np.array([s for _, s in fused])),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_ann_cosine_topk(sf_dir):
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.cosine_topk(emb, qmat, query_ids=qids, k=10)
@@ -1586,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "budget_select": q_budget_select,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1976,6 +2033,95 @@ def _range_agg_sql() -> str:
 FROM events"""
         )
     return " UNION ALL ".join(parts)
+
+
+def _hybrid_sql() -> str:
+    """hybrid_rrf twin: BM25 top-window mapped back to doc_id, cosine
+    top-window ranked on the trunc6 similarity (the engine leg ranks
+    the same truncated value), FULL JOINed and fused with
+    1/(rank_constant + r) terms in the same addition order."""
+    from excelastic_ray.analysis import query_terms
+
+    hv = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q, _vid in HYBRID_QUERIES
+        for t in query_terms(q)
+    )
+    hq = ", ".join(f"('{qid}', {vid})" for qid, _q, vid in HYBRID_QUERIES)
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {hv}),
+hq(query_id, vec_id) AS (VALUES {hq}),
+bmscored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+bm AS (
+    SELECT query_id,
+           CAST(substr(conv_id, 6) AS BIGINT) * 8 + turn_idx AS doc_id,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY raw DESC, conv_id, turn_idx) AS r
+    FROM bmscored
+    QUALIFY r <= {RRF_WINDOW}
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+cosp AS (
+    SELECT hq.query_id, e.vec_id AS doc_id,
+           floor(list_sum(list_transform(range(1, len(qv.v) + 1),
+                i -> qv.v[i] * e.v[i])) / (qv.nrm * e.nrm)
+                * 1000000 + 0.5) / 1000000 AS cos6
+    FROM hq
+    JOIN nv qv ON qv.vec_id = hq.vec_id
+    CROSS JOIN nv e
+),
+cosr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cos6 DESC, doc_id) AS r
+    FROM cosp
+    QUALIFY r <= {RRF_WINDOW}
+),
+fused AS (
+    SELECT coalesce(bm.query_id, cosr.query_id) AS query_id,
+           coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+           coalesce(1.0 / ({RRF_K} + bm.r), 0)
+           + coalesce(1.0 / ({RRF_K} + cosr.r), 0) AS raw
+    FROM bm
+    FULL JOIN cosr
+      ON bm.query_id = cosr.query_id AND bm.doc_id = cosr.doc_id
+)
+SELECT query_id, doc_id,
+       floor(raw * 1000000 + 0.5) / 1000000 AS rrf
+FROM fused
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, doc_id) <= 10
+"""
+    )
 
 
 def _filters_agg_sql() -> str:
@@ -2695,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
         "filters_agg": _filters_agg_sql(),
+        "hybrid_rrf": _hybrid_sql(),
         "budget_select": _DOCTOK
         + """
 , m AS (

@@ -369,3 +369,23 @@ def sq8_topk(
     return partials.groupby("query_id").map_groups(
         _final_topk_fn(k, id_col), batch_format="pandas"
     )
+
+
+def rrf_fuse(rankings: list[list[int]], k: int = 10,
+             rank_constant: int = 60) -> list[tuple[int, float]]:
+    """Reciprocal rank fusion (ES 8 hybrid search; Cormack et al. 2009):
+    fuse several rankings of the same id space with
+    ``score(d) = Σ_r 1/(rank_constant + rank_r(d))`` over the rankings
+    that contain d, → top-k (id, rrf) ordered (rrf DESC, id ASC).
+
+    Inputs are top-WINDOW rankings (ES ``rank_window_size``, default
+    ≤ ~100 ids each), so fusion is a driver-side dict fold by
+    contract — the expensive legs (BM25 top-window, ANN top-window)
+    are the distributed parts. Per-doc terms accumulate in rankings
+    order, fixing float summation order for oracle comparison."""
+    scores: dict[int, float] = {}
+    for ranking in rankings:
+        for r, did in enumerate(ranking, 1):
+            scores[did] = scores.get(did, 0.0) + 1.0 / (rank_constant + r)
+    out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(int(d), float(s)) for d, s in out]

@@ -1391,3 +1391,23 @@ def test_budget_select_prefix_exact(ray_session):
             for r in budget_select(rd.from_arrow(t), budget).take_all()
         )
         assert got == _budget_oracle(df, budget), budget
+
+
+def test_rrf_fuse_semantics():
+    from excelastic_ray.pipelines.similarity import rrf_fuse
+
+    # doc 1 ranks 1st and 2nd; doc 2 only 1st in ranking B; doc 3 only
+    # 2nd in ranking A
+    fused = rrf_fuse([[1, 3], [2, 1]], k=10, rank_constant=60)
+    want = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 61,
+        3: 1 / 62,
+    }
+    assert dict(fused) == want
+    assert [d for d, _ in fused] == [1, 2, 3]  # rrf DESC, id ASC
+    # ties break on id: two docs with identical single-leg ranks
+    fused = rrf_fuse([[9], [4]], k=10)
+    assert [d for d, _ in fused] == [4, 9]
+    # k truncates
+    assert len(rrf_fuse([[1, 2, 3]], k=2)) == 2
