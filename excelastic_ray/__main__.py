@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=None)
     b.add_argument("--turn-bits", type=int, default=None)
     b.add_argument("--no-store", action="store_true")
+    b.add_argument("--pipeline", default=None,
+                   help="comma-separated ingest pipelines applied "
+                        "between read and validation (the reference's "
+                        "--pipeline ES ingest-pipeline id)")
+    b.add_argument("--mapping", default=None,
+                   help="named IndexConfig preset (the reference's "
+                        "--mapping ES type-mapping name)")
 
     a = sub.add_parser("append")
     a.add_argument("src")
@@ -218,6 +225,11 @@ def main(argv: list[str] | None = None) -> int:
             from excelastic_ray.config import IndexConfig
             from excelastic_ray.index.build import build_index
 
+            from excelastic_ray.ingest import (
+                resolve_mapping,
+                resolve_pipelines,
+            )
+
             overrides = {}
             if args.shards is not None:
                 overrides["num_shards"] = args.shards
@@ -225,9 +237,10 @@ def main(argv: list[str] | None = None) -> int:
                 overrides["turn_bits"] = args.turn_bits
             if args.no_store:
                 overrides["store_source"] = False
+            cfg = resolve_mapping(args.mapping, IndexConfig(**overrides))
             res = build_index(
-                args.src, args.index_dir, IndexConfig(**overrides),
-                clear=args.clear,
+                args.src, args.index_dir, cfg, clear=args.clear,
+                transforms=resolve_pipelines(args.pipeline) or None,
             )
             print(json.dumps({
                 "n_docs": res.n_docs, "n_convs": res.n_convs,

@@ -56,6 +56,8 @@ _FORM = """<!doctype html><title>excelastic_ray</title>
   <p>file: <input type="file" name="file"></p>
   <p>index: <input type="text" name="index"></p>
   <p>offset: <input type="text" name="offset" value="1"></p>
+  <p>pipeline: <input type="text" name="pipeline"></p>
+  <p>mapping: <input type="text" name="mapping"></p>
   <p><label><input type="radio" name="options" value="clear" checked>
      Clear existing index</label>
      <label><input type="radio" name="options" value="add">
@@ -391,6 +393,8 @@ class ImportServer:
         index = targets[0]
         offset = int(params.get("offset", "1") or "1")
         clear = params.get("options", "clear") != "add"
+        pipeline = params.get("pipeline") or None
+        mapping = params.get("mapping") or None
         imp_id = uuid.uuid4().hex[:12]
         ext = os.path.splitext(filename)[1] or ".bin"
         fd, tmp = tempfile.mkstemp(suffix=ext)
@@ -412,7 +416,10 @@ class ImportServer:
         def run() -> None:
             try:
                 with lock:
-                    rec["rows"] = self.import_file(tmp, index, offset, clear)
+                    rec["rows"] = self.import_file(
+                        tmp, index, offset, clear,
+                        pipeline=pipeline, mapping=mapping,
+                    )
                 rec["status"] = "complete"
             except Exception as e:
                 rec["status"] = "error"
@@ -425,10 +432,18 @@ class ImportServer:
         return {"id": imp_id, "index": index}
 
     def import_file(self, path: str, index: str, offset: int,
-                    clear: bool) -> int:
+                    clear: bool, pipeline: str | None = None,
+                    mapping: str | None = None) -> int:
         from excelastic_ray.index.build import build_index
+        from excelastic_ray.ingest import resolve_mapping, resolve_pipelines
         from excelastic_ray.sources import registry
         from excelastic_ray.sources.adapt import dataset_as_transcripts
+
+        # resolve BEFORE any index mutation: an unknown pipeline or
+        # mapping name fails the import without touching the index
+        # (ImportEvent.java parity: the params ride the upload form)
+        transforms = resolve_pipelines(pipeline) or None
+        cfg = resolve_mapping(mapping, self.config)
 
         reader = registry.get_by_filename(path)
         try:
@@ -441,7 +456,8 @@ class ImportServer:
         # rebuild window would read deleted/partial files
         with self._engines_guard:
             self._engines.pop(index, None)
-        build_index(ds, self.index_dir(index), self.config, clear=clear)
+        build_index(ds, self.index_dir(index), cfg, clear=clear,
+                    transforms=transforms)
         with self._engines_guard:  # and after: force a fresh reader
             self._engines.pop(index, None)
         return n_rows
