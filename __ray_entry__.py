@@ -1274,8 +1274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         eng = QueryEngine(_index_for(sf_dir))
         emb, qids, qmat = _query_vecs(sf_dir, n=3)
+        # rank_trunc6: window membership and rank order both use the
+        # 6-decimal similarity, identical to the SQL twin's cos6 rank
+        # (raw-cosine ranks could flip on summation-order near-ties)
         cos = similarity.cosine_topk(
-            emb, qmat, query_ids=qids, k=RRF_WINDOW
+            emb, qmat, query_ids=qids, k=RRF_WINDOW, rank_trunc6=True
         ).to_pandas()
         parts = []
         for qid, text_q, vid in HYBRID_QUERIES:

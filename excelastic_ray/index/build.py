@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -1299,6 +1300,10 @@ def _build_index_impl(
     manifest = {
         "status": "complete",
         "format_version": 2,
+        # unique per completed build: readers cache an engine per
+        # manifest identity, and a clear+rebuild must never look
+        # identical to the manifest it replaced (web.py read gate)
+        "build_id": uuid.uuid4().hex,
         "config": config.to_dict(),
         "n_docs": int(n_docs),
         "n_convs": int(n_convs),

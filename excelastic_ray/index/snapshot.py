@@ -40,12 +40,20 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 
 from excelastic_ray.index.segments import atomic_write_json
 
 SNAPSHOT_MANIFEST = "SNAPSHOT.json"
 ALIASES_FILE = "aliases.json"
+
+#: process-wide guard for aliases.json read-modify-write and snapshot
+#: directory creation: two concurrent HTTP alias batches (the server is
+#: threaded) must not lose updates, and two same-name snapshots must
+#: not interleave their copies. Cross-PROCESS races (CLI vs server)
+#: remain the operator's responsibility, as with ES's single master.
+_LIFECYCLE_LOCK = threading.Lock()
 
 
 def _walk_files(root: str) -> list[str]:
@@ -78,35 +86,52 @@ def create_snapshot(repo_dir: str, name: str,
     from excelastic_ray.index.segments import load_global_manifest
 
     snap_dir = os.path.join(repo_dir, name)
-    if os.path.exists(os.path.join(snap_dir, SNAPSHOT_MANIFEST)):
-        raise ValueError(f"snapshot {name!r} already exists")
-    indices: dict[str, dict] = {}
-    for index, src in sorted(index_dirs.items()):
-        m = load_global_manifest(src)  # FileNotFoundError if no index
-        if m.get("status") != "complete":
-            raise RuntimeError(
-                f"index {index!r} is not complete "
-                f"(status={m.get('status')!r}); refusing to snapshot"
-            )
-        files = _walk_files(src)
-        total = 0
-        for rel in files:
-            total += _link_or_copy(
-                os.path.join(src, rel),
-                os.path.join(snap_dir, index, rel),
-            )
-        indices[index] = {
-            "n_files": len(files),
-            "bytes": total,
-            "n_docs": m.get("n_docs"),
+    with _LIFECYCLE_LOCK:
+        if os.path.exists(os.path.join(snap_dir, SNAPSHOT_MANIFEST)):
+            raise ValueError(f"snapshot {name!r} already exists")
+    # stage into a private dot-dir (hidden from list_snapshots), commit
+    # by one rename — a crash never leaves a visible partial snapshot
+    # and a concurrent same-name attempt can never interleave files
+    os.makedirs(repo_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=repo_dir, prefix=f".snap-{name}-")
+    os.chmod(tmp, 0o755)
+    try:
+        indices: dict[str, dict] = {}
+        for index, src in sorted(index_dirs.items()):
+            m = load_global_manifest(src)  # FileNotFoundError if no index
+            if m.get("status") != "complete":
+                raise RuntimeError(
+                    f"index {index!r} is not complete "
+                    f"(status={m.get('status')!r}); refusing to snapshot"
+                )
+            files = _walk_files(src)
+            total = 0
+            for rel in files:
+                total += _link_or_copy(
+                    os.path.join(src, rel),
+                    os.path.join(tmp, index, rel),
+                )
+            indices[index] = {
+                "n_files": len(files),
+                "bytes": total,
+                "n_docs": m.get("n_docs"),
+            }
+        payload = {
+            "snapshot": name,
+            "state": "SUCCESS",
+            "indices": indices,
+            "ts": time.time(),
         }
-    payload = {
-        "snapshot": name,
-        "state": "SUCCESS",
-        "indices": indices,
-        "ts": time.time(),
-    }
-    atomic_write_json(os.path.join(snap_dir, SNAPSHOT_MANIFEST), payload)
+        atomic_write_json(os.path.join(tmp, SNAPSHOT_MANIFEST), payload)
+        with _LIFECYCLE_LOCK:
+            if os.path.exists(os.path.join(snap_dir, SNAPSHOT_MANIFEST)):
+                raise ValueError(f"snapshot {name!r} already exists")
+            if os.path.isdir(snap_dir):
+                shutil.rmtree(snap_dir)  # crashed pre-commit leftover
+            os.rename(tmp, snap_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return payload
 
 
@@ -117,6 +142,8 @@ def list_snapshots(repo_dir: str) -> list[dict]:
     if not os.path.isdir(repo_dir):
         return out
     for nm in sorted(os.listdir(repo_dir)):
+        if nm.startswith("."):  # in-flight .snap-* staging dirs
+            continue
         p = os.path.join(repo_dir, nm, SNAPSHOT_MANIFEST)
         if os.path.exists(p):
             with open(p) as f:
@@ -155,9 +182,20 @@ def restore_snapshot(repo_dir: str, name: str, index: str,
             f"index {target!r} already exists; delete it or restore "
             f"with rename"
         )
+    if target in load_aliases(index_root):
+        # ES refuses to create an index whose name an alias holds: the
+        # alias would shadow the restored directory (searches and
+        # writes on the name keep hitting the alias targets)
+        raise ValueError(
+            f"{target!r} is an existing alias; restore under another "
+            f"name or remove the alias first"
+        )
     src = os.path.join(snap_dir, index)
     os.makedirs(index_root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=index_root, prefix=f".restore-{target}-")
+    # mkdtemp dirs are 0700; a restored index must be as readable as a
+    # built one (e.g. restored by an operator, served by a service user)
+    os.chmod(tmp, 0o755)
     try:
         files = _walk_files(src)
         for rel in files:
@@ -186,36 +224,37 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
     ``{"remove": {...}}`` actions atomically (validate everything, then
     one ``os.replace`` of aliases.json).  Matches ES ``POST /_aliases``:
     a v1→v2 swap in one call is never observable half-done."""
-    aliases = load_aliases(index_root)
-    for act in actions:
-        if len(act) != 1 or next(iter(act)) not in ("add", "remove"):
-            raise ValueError(f"bad alias action {act!r}")
-        op, body = next(iter(act.items()))
-        alias, index = body["alias"], body["index"]
-        if op == "add":
-            if os.path.isdir(os.path.join(index_root, alias)):
-                raise ValueError(
-                    f"alias {alias!r} collides with a concrete index"
-                )
-            if not os.path.exists(
-                os.path.join(index_root, index, "manifest.json")
-            ):
-                raise FileNotFoundError(
-                    f"alias target index {index!r} does not exist"
-                )
-            tgts = aliases.setdefault(alias, [])
-            if index not in tgts:
-                tgts.append(index)
-        else:
-            if alias not in aliases or index not in aliases[alias]:
-                raise KeyError(
-                    f"alias {alias!r} does not point at {index!r}"
-                )
-            aliases[alias].remove(index)
-            if not aliases[alias]:
-                del aliases[alias]
-    atomic_write_json(os.path.join(index_root, ALIASES_FILE), aliases)
-    return aliases
+    with _LIFECYCLE_LOCK:
+        aliases = load_aliases(index_root)
+        for act in actions:
+            if len(act) != 1 or next(iter(act)) not in ("add", "remove"):
+                raise ValueError(f"bad alias action {act!r}")
+            op, body = next(iter(act.items()))
+            alias, index = body["alias"], body["index"]
+            if op == "add":
+                if os.path.isdir(os.path.join(index_root, alias)):
+                    raise ValueError(
+                        f"alias {alias!r} collides with a concrete index"
+                    )
+                if not os.path.exists(
+                    os.path.join(index_root, index, "manifest.json")
+                ):
+                    raise FileNotFoundError(
+                        f"alias target index {index!r} does not exist"
+                    )
+                tgts = aliases.setdefault(alias, [])
+                if index not in tgts:
+                    tgts.append(index)
+            else:
+                if alias not in aliases or index not in aliases[alias]:
+                    raise KeyError(
+                        f"alias {alias!r} does not point at {index!r}"
+                    )
+                aliases[alias].remove(index)
+                if not aliases[alias]:
+                    del aliases[alias]
+        atomic_write_json(os.path.join(index_root, ALIASES_FILE), aliases)
+        return aliases
 
 
 def resolve_alias(index_root: str, name: str) -> list[str]:

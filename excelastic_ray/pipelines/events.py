@@ -806,6 +806,13 @@ def filters_agg(ds, named_filters: dict[str, dict], col: str = "value"):
     → Dataset (filter_key, n, sum_value, avg_value); sums trunc6'd,
     avg from the truncated sum (see value_histogram for why)."""
     keys = sorted(named_filters)
+    for k in keys:  # a typo'd op must error, not match everything
+        unknown = set(named_filters[k]) - {"eq", "gte", "lt"}
+        if unknown:
+            raise ValueError(
+                f"filter {k!r} has unknown ops {sorted(unknown)}; "
+                f"supported: eq, gte, lt"
+            )
 
     def mask_for(batch: pa.Table, spec: dict) -> np.ndarray:
         m = np.ones(batch.num_rows, dtype=bool)

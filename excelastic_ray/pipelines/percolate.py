@@ -44,8 +44,11 @@ def compile_queries(queries: list[str],
         for t in ts:
             m[pos[t], qi] = 1
         if ts:
+            # clamp to [1, len]: required = 0 would make the query
+            # match any doc containing ANY registered term
             required[qi] = (len(ts) if minimum_should_match is None
-                            else min(minimum_should_match, len(ts)))
+                            else max(1, min(minimum_should_match,
+                                            len(ts))))
         else:
             required[qi] = 1  # no terms -> unmatched forever
     return np.asarray(uq, dtype=np.str_), m, required

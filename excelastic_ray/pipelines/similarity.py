@@ -66,6 +66,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     where: tuple[str, set] | None = None,
+    rank_trunc6: bool = False,
 ):
     """Exact cosine top-k per query → Dataset (query_id, vec_id, cos)
     with ties broken (cos DESC, vec_id ASC); cos truncated to 6
@@ -74,7 +75,15 @@ def cosine_topk(
     ``where=(col, allowed_values)`` is the ES 8 ``knn`` filter clause:
     candidates are restricted BEFORE scoring (pre-filter, so the
     result is the exact top-k of the filtered set — never fewer than k
-    survivors because a post-filter dropped them)."""
+    survivors because a post-filter dropped them).
+
+    ``rank_trunc6=True`` truncates similarities to 6 decimals BEFORE
+    ranking (partial cut, final cut, and tie-breaks all on the
+    truncated value + id). Use when the RANKS feed further computation
+    that must match a SQL twin exactly (hybrid RRF): engine and SQL
+    compute raw cosine with different float summation orders, so
+    ranking raw risks boundary flips on near-ties; ranking the
+    truncated value is identical on both sides by construction."""
     import ray
 
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -101,6 +110,8 @@ def cosine_topk(
         ids = batch[id_col].to_numpy()
         mat = _normalize(_as_matrix(batch[vec_col]))
         sims = mat @ b_q.T  # (batch × queries)
+        if rank_trunc6:
+            sims = trunc6(sims)
         out_q, out_v, out_s = [], [], []
         kk = min(k, len(ids))
         for j, qid in enumerate(b_qids):

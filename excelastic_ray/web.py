@@ -453,14 +453,22 @@ class ImportServer:
         ds, n_rows = dataset_as_transcripts(ds, conv_prefix=index)
         # invalidate BEFORE the build can clear/rewrite shard files: a
         # cached engine opens shards lazily, so serving it during the
-        # rebuild window would read deleted/partial files
-        with self._engines_guard:
-            self._engines.pop(index, None)
+        # rebuild window would read deleted/partial files. Alias
+        # entries whose resolution spans this index go too — their
+        # MultiIndexEngine holds a reader over the same files.
+        self._evict_engines_for(index)
         build_index(ds, self.index_dir(index), cfg, clear=clear,
                     transforms=transforms)
-        with self._engines_guard:  # and after: force a fresh reader
-            self._engines.pop(index, None)
+        self._evict_engines_for(index)  # and after: force fresh readers
         return n_rows
+
+    def _evict_engines_for(self, index: str) -> None:
+        with self._engines_guard:
+            self._engines = {
+                name: (targets, eng)
+                for name, (targets, eng) in self._engines.items()
+                if index not in targets
+            }
 
     def list_indices(self) -> dict:
         """ES ``_cat/indices`` analog: every index under the root with
@@ -500,10 +508,13 @@ class ImportServer:
                 self.index_dir(body["alias"])
                 self.index_dir(body["index"])
         out = update_aliases(self.index_root, actions)
+        touched = {body["alias"] for act in actions
+                   for body in act.values()}
         with self._engines_guard:
-            # retargeted aliases must not serve the old resolution
+            # only the aliases this batch touched need eviction (the
+            # per-hit cached_targets check re-validates everything else)
             self._engines = {
-                k: v for k, v in self._engines.items() if k not in out
+                k: v for k, v in self._engines.items() if k not in touched
             }
         return {"aliases": out}
 
@@ -594,14 +605,14 @@ class ImportServer:
                 fresh = cached_targets == targets
                 if fresh:
                     for sub, d in zip(subs, dirs):
+                        # full-manifest equality, not just the mutation
+                        # revs: a clear+rebuild between requests writes
+                        # a NEW manifest whose revs may still be 0, and
+                        # serving the old reader over replaced files
+                        # would be wrong (review r3 #1)
                         m = load_global_manifest(d)
-                        er = sub.reader.manifest
                         if m.get("status") != "complete" or (
-                            m.get("deletes_rev", 0)
-                            != er.get("deletes_rev", 0)
-                        ) or (
-                            m.get("updates_rev", 0)
-                            != er.get("updates_rev", 0)
+                            m != sub.reader.manifest
                         ):
                             fresh = False
                             break
@@ -648,10 +659,11 @@ class ImportServer:
             # reference's Kibana index-pattern default view
             if (phrase or qs or wildcard or regexp or suggest or collapse
                     or mlt or must or must_not or msm is not None
-                    or decay_origin):
+                    or decay_origin or offset or search_after):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
-                    f"only plain search is supported across indices"
+                    f"only plain unpaged search is supported across "
+                    f"indices"
                 )
             return {"hits": eng.search(query, k).to_pylist()}
         if must or must_not or msm is not None:
@@ -681,9 +693,11 @@ class ImportServer:
             t = eng.search_qs(query, k=k, offset=offset)
         elif search_after:
             # stateless deep-paging cursor "score:docid" — the last
-            # hit of the previous page (ES search_after)
+            # hit of the previous page (ES search_after). offset passes
+            # through so combining the two raises the engine's
+            # exclusivity error instead of silently ignoring from=
             s, _, d = search_after.rpartition(":")
-            t = eng.search(query, k, include_source=True,
+            t = eng.search(query, k, include_source=True, offset=offset,
                            search_after=(float(s), int(d)))
         else:
             t = eng.search(query, k, include_source=True, offset=offset)

@@ -213,3 +213,12 @@ def test_rare_terms_long_tail(ray_session):
     # the k limit truncates the sorted tail deterministically
     got1 = rare_terms(rd.from_arrow(docs), max_df=2, k=2).to_pandas()
     assert list(got1["term"]) == ["unique1", "unique2"]
+
+
+def test_filters_agg_rejects_unknown_op(ray_session):
+    import pytest
+    import ray.data as rd
+
+    t = _events(100)
+    with pytest.raises(ValueError, match="unknown ops"):
+        events.filters_agg(rd.from_arrow(t), {"x": {"gt": {"value": 1}}})

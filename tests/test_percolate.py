@@ -83,3 +83,14 @@ def test_no_registered_terms():
     uq, m, req = compile_queries(["", ""])
     out = percolate_batch(DOCS, uq, m, req, ("doc_id",), "text")
     assert out.num_rows == 0
+
+
+def test_msm_zero_clamped_to_one():
+    """required must never drop to 0 (a 0 threshold would match every
+    doc containing ANY registered term)."""
+    uq, m, req = compile_queries(["alpha beta", "zeta"],
+                                 minimum_should_match=0)
+    out = percolate_batch(DOCS, uq, m, req, ("doc_id",), "text")
+    got = _pairs(out)
+    # doc 0 has alpha+beta+gamma but NOT zeta: must not match query 1
+    assert (0, 1) not in got and (0, 0) in got

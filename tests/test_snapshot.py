@@ -208,7 +208,7 @@ def test_http_alias_and_snapshot_surface(ray_session, tmp_path):
                  for h in out["hits"]}
         assert {i for i, _, _ in convs} == {"v1", "v2"}
         st, out = _get(base + "/api/search?index=both&q=a+b&phrase=1")
-        assert st == 500 and "plain search" in out["error"]
+        assert st == 500 and "plain unpaged search" in out["error"]
 
         # uploads cannot target a multi-index alias (write-alias rule)
         payload = open(
@@ -270,3 +270,82 @@ def test_cli_snapshot_restore_alias(ray_session, tmp_path):
     assert '"nightly"' in text and '"v1r"' in text
     assert '"live": [\n  "v2"\n ]' in text.replace("\r", "")
     assert _hits(os.path.join(root, "v1r")) == want
+
+
+def test_alias_engine_invalidated_by_member_rebuild(ray_session, tmp_path):
+    """Review r3 #1: a cached alias engine spanning index 'a' must not
+    serve stale results after 'a' is clear+rebuilt (fresh revs == old
+    revs; detection is build_id/manifest identity)."""
+    import ray.data as rd
+
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "indexes")
+    a = _build(root, "a", seed=3)
+    _build(root, "b", seed=4)
+    update_aliases(root, [{"add": {"alias": "ab", "index": "a"}},
+                          {"add": {"alias": "ab", "index": "b"}}])
+    srv = ImportServer(root)
+    before = srv.search("ab", "the tool", k=20)["hits"]
+
+    # rebuild 'a' through the server path (clear), different corpus
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=25, seed=99)),
+        a, CFG, clear=True,
+    )
+    after = srv.search("ab", "the tool", k=20)["hits"]
+    assert after != before  # stale cache would return `before`
+    # and the fresh engine actually reflects the new 'a' corpus
+    assert any(h["index"] == "a" for h in after)
+
+
+def test_concurrent_alias_updates_do_not_lose_writes(ray_session, tmp_path):
+    import threading
+
+    root = str(tmp_path / "indexes")
+    for i in range(6):
+        _build(root, f"i{i}", seed=i, n_convs=3)
+
+    errs = []
+
+    def add(i):
+        try:
+            update_aliases(
+                root, [{"add": {"alias": f"al{i}", "index": f"i{i}"}}]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    from excelastic_ray.index.snapshot import load_aliases
+
+    assert not errs
+    assert set(load_aliases(root)) == {f"al{i}" for i in range(6)}
+
+
+def test_restore_refuses_alias_shadow(ray_session, tmp_path):
+    root = str(tmp_path / "indexes")
+    repo = str(tmp_path / "repo")
+    a = _build(root, "a", seed=5)
+    _build(root, "b", seed=6)
+    update_aliases(root, [{"add": {"alias": "prod", "index": "b"}}])
+    create_snapshot(repo, "s", {"a": a})
+    with pytest.raises(ValueError, match="existing alias"):
+        restore_snapshot(repo, "s", "a", root, rename_to="prod")
+
+
+def test_snapshot_staging_is_invisible_and_crash_safe(ray_session, tmp_path):
+    """A leftover pre-commit staging dir is hidden from list_snapshots
+    and a later same-name snapshot succeeds cleanly."""
+    root = str(tmp_path / "indexes")
+    repo = str(tmp_path / "repo")
+    a = _build(root, "a", seed=7)
+    os.makedirs(os.path.join(repo, ".snap-s1-dead", "a"))
+    create_snapshot(repo, "s1", {"a": a})
+    names = [s["snapshot"] for s in list_snapshots(repo)]
+    assert names == ["s1"]
+    # restored content comes from the committed snapshot only
+    restore_snapshot(repo, "s1", "a", root, rename_to="a2")
+    assert _hits(os.path.join(root, "a2")) == _hits(a)
