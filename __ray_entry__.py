@@ -169,6 +169,10 @@ RANGE_AGG_RANGES = [
     (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
 ]
 
+#: significant_text probes: terms characterizing each query's top-200
+#: BM25 hits (ES sampler-wrapped significant_text shape)
+SIGTEXT_QUERIES = [("g1", "table"), ("g2", "spark sort merge")]
+
 #: hybrid-search query set: (query_id, BM25 text query, query-vector
 #: vec_id) pairs fused by reciprocal rank fusion (ES 8 hybrid shape).
 HYBRID_QUERIES = [
@@ -703,6 +707,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "score": pa.array(
                             trunc6(t["score"].to_numpy()), type=pa.float64()
                         ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_sig_text(sf_dir):
+        # ES significant_text: JLH-scored over-represented terms of
+        # each query's top-200 hit sample vs the whole corpus
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in SIGTEXT_QUERIES:
+            t = eng.significant_text(q, k=10, sample_size=200,
+                                     min_doc_count=3)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "term": t["term"],
+                        "fg_df": t["fg_df"],
+                        "df": t["df"],
+                        "score": t["score"],
                     }
                 )
             )
@@ -1600,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_synonym_topk": q_bm25_synonym_topk,
         "bm25_search_after": q_bm25_search_after,
+        "sig_text": q_sig_text,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
@@ -2036,6 +2067,79 @@ def _range_agg_sql() -> str:
 FROM events"""
         )
     return " UNION ALL ".join(parts)
+
+
+def _sigtext_sql() -> str:
+    """significant_text twin: top-200 BM25 hit sample per query, JLH
+    over per-doc-distinct term counts (the tf CTE is one row per
+    (doc, term)) vs global df, same float-op order as the engine."""
+    from excelastic_ray.analysis import query_terms
+
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in SIGTEXT_QUERIES
+        for t in query_terms(q)
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+hits AS (
+    SELECT query_id, conv_id, turn_idx,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY raw DESC, conv_id, turn_idx) AS r
+    FROM scored
+    QUALIFY r <= 200
+),
+fgn AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS n_fg
+        FROM hits GROUP BY query_id),
+fgterm AS (
+    SELECT h.query_id, tf.term, CAST(count(*) AS DOUBLE) AS fg_df
+    FROM hits h
+    JOIN tf ON tf.conv_id = h.conv_id AND tf.turn_idx = h.turn_idx
+    GROUP BY h.query_id, tf.term
+),
+jl AS (
+    SELECT f.query_id, f.term,
+           CAST(f.fg_df AS BIGINT) AS fg_df,
+           CAST(df.df AS BIGINT) AS df,
+           (f.fg_df / fgn.n_fg - df.df / s.n)
+           * ((f.fg_df / fgn.n_fg) / (df.df / s.n)) AS raw
+    FROM fgterm f
+    JOIN fgn ON fgn.query_id = f.query_id
+    JOIN df ON df.term = f.term
+    CROSS JOIN stats s
+    WHERE f.fg_df >= 3 AND f.fg_df / fgn.n_fg > df.df / s.n
+)
+SELECT query_id, term, fg_df, df,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM jl
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, term) <= 10
+"""
+    )
 
 
 def _hybrid_sql() -> str:
@@ -2972,6 +3076,7 @@ GROUP BY 1, 2
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_search_after": _bm25_sql(rn="BETWEEN 11 AND 20"),
+        "sig_text": _sigtext_sql(),
         "bm25_synonym_topk": _BASE
         + f""",
 dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),

@@ -2194,6 +2194,79 @@ class QueryEngine:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         )
 
+    def significant_text(self, query: str, k: int = 10,
+                         sample_size: int = 200, min_doc_count: int = 3,
+                         filters: dict | None = None):
+        """ES ``significant_text``: terms over-represented in the top
+        hits of a query relative to the whole corpus, scored with the
+        same JLH heuristic as ``significant_terms`` — ``(fg_pct -
+        bg_pct) * (fg_pct / bg_pct)``, fg_pct = fg_df / |sample|,
+        bg_pct = global df / N; terms with fg_pct <= bg_pct or fewer
+        than ``min_doc_count`` foreground docs drop.
+
+        Foreground = the top-``sample_size`` BM25 hits, exactly ES's
+        recommended sampler-wrapped usage: the driver-side analysis is
+        bounded by the sample window, never the hit count; the
+        expensive parts (ranking, global dfs) stay distributed.
+
+        → pyarrow.Table (rank, term, fg_df, df, score), trunc6'd."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+        from excelastic_ray.pipelines.textstats import trunc6
+
+        empty = pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "fg_df": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        hits = self.search(query, k=sample_size, filters=filters)
+        if hits.num_rows == 0:
+            return empty
+        docids = hits["docid"].to_numpy()
+        texts = self.reader.fetch_docs(
+            docids, columns=["text"]
+        )["text"].to_pylist()
+        fg: dict[str, int] = {}
+        for t in texts:
+            for term in set(tokenize(t)):
+                fg[term] = fg.get(term, 0) + 1
+        cands = sorted(t for t, c in fg.items() if c >= min_doc_count)
+        if not cands:
+            return empty
+        bg = self._global_dfs(cands).astype(np.float64)
+        fg_df = np.asarray([fg[t] for t in cands], dtype=np.float64)
+        n_fg = float(len(docids))
+        n_bg = float(self.reader.n_docs)
+        fg_pct = fg_df / n_fg
+        bg_pct = bg / n_bg
+        keep = fg_pct > bg_pct
+        jlh = np.zeros(len(cands))
+        jlh[keep] = (fg_pct[keep] - bg_pct[keep]) * (
+            fg_pct[keep] / bg_pct[keep]
+        )
+        order = np.lexsort(
+            (np.asarray(cands, dtype=object)[keep], -jlh[keep])
+        )[:k]
+        sel = np.flatnonzero(keep)[order]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(sel) + 1, dtype=np.int32)
+                ),
+                "term": pa.array(
+                    [cands[i] for i in sel], type=pa.string()
+                ),
+                "fg_df": pa.array(fg_df[sel].astype(np.int64)),
+                "df": pa.array(bg[sel].astype(np.int64)),
+                "score": pa.array(trunc6(jlh[sel]), type=pa.float64()),
+            }
+        )
+
     def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
                         k: int = 10, filters: dict | None = None):
         """ES query-time synonym expansion (analyzer ``synonym_graph``

@@ -584,3 +584,48 @@ def test_rescore_absent_phrase_and_window(qs):
         assert a.equals(b)
     finally:
         actor_eng.close()
+
+
+def test_significant_text_matches_bruteforce(qs):
+    """JLH over the top-N hit sample equals a brute-force computation
+    on the same sample."""
+    eng, df, _vocab, _dfreq = qs
+    hits = eng.search("the call", k=50)
+    sample = [
+        df[(df.conv_id == c) & (df.turn_idx == t)].iloc[0].text
+        for c, t in zip(hits["conv_id"].to_pylist(),
+                        hits["turn_idx"].to_pylist())
+    ]
+    fg = {}
+    for tx in sample:
+        for term in set(tokenize(tx)):
+            fg[term] = fg.get(term, 0) + 1
+    n_fg = float(len(sample))
+    n_bg = float(len(df))
+    bg = {}
+    for tx in df.text:
+        for term in set(tokenize(tx)):
+            bg[term] = bg.get(term, 0) + 1
+    rows = []
+    for term, c in fg.items():
+        if c < 3:
+            continue
+        fp, bp = c / n_fg, bg[term] / n_bg
+        if fp > bp:
+            rows.append((term, c, bg[term], (fp - bp) * (fp / bp)))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    got = eng.significant_text("the call", k=10, sample_size=50)
+    want = rows[:10]
+    assert got["term"].to_pylist() == [t for t, *_ in want]
+    assert got["fg_df"].to_pylist() == [c for _, c, _, _ in want]
+    assert got["df"].to_pylist() == [d for _, _, d, _ in want]
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    assert got["score"].to_pylist() == list(
+        trunc6(np.array([s for *_, s in want]))
+    )
+
+
+def test_significant_text_empty_query(qs):
+    eng = qs[0]
+    assert eng.significant_text("zzz_absent", k=5).num_rows == 0
