@@ -1208,6 +1208,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         )
 
+    def q_temperature_mix(sf_dir):
+        # mT5-style temperature flattening: weights ∝ count^(1/2).
+        # Probes the LANG column (skewed: en dominates) — the source
+        # column is uniform at every sf, where flattening is a no-op
+        from excelastic_ray.pipelines.sampling import temperature_mix
+
+        return temperature_mix(
+            _docs(sf_dir).select_columns(["doc_id", "lang"]),
+            temperature=2.0, source_col="lang",
+        )
+
     def q_line_dedup(sf_dir):
         from excelastic_ray.pipelines.dedup import remove_repeated_lines
 
@@ -1700,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q_hll_users,
         "sample": q_sample,
         "mix_sources": q_mix_sources,
+        "temperature_mix": q_temperature_mix,
         "stratified_sample": q_stratified_sample,
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
@@ -3724,6 +3736,25 @@ r AS (SELECT c.source, w.w * t.t / c.c AS rate
       FROM c JOIN w ON w.source = c.source CROSS JOIN t)
 SELECT d.doc_id, d.source
 FROM documents d JOIN r ON r.source = d.source
+WHERE (d.doc_id * 2654435761) % 4294967296
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+""",
+        "temperature_mix": """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c
+           FROM documents GROUP BY lang),
+-- weights ∝ c^(1/T), trunc6'd exactly like the engine so the
+-- order-sensitive normalizer sum cannot flip a hash threshold
+w AS (SELECT lang,
+             floor(pow(c, 1.0 / 2.0)
+                   / (SELECT sum(pow(c, 1.0 / 2.0)) FROM c)
+                   * 1000000 + 0.5) / 1000000 AS w
+      FROM c),
+t AS (SELECT min(c.c / w.w) AS t FROM c JOIN w USING (lang)
+      WHERE w.w > 0),
+r AS (SELECT c.lang, w.w * t.t / c.c AS rate
+      FROM c JOIN w USING (lang) CROSS JOIN t WHERE w.w > 0)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
 WHERE (d.doc_id * 2654435761) % 4294967296
       < CAST(floor(r.rate * 4294967296) AS BIGINT)
 """,

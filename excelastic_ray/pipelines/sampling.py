@@ -87,6 +87,37 @@ def mix_to_weights(ds, weights: dict[str, float],
     )
 
 
+def temperature_mix(ds, temperature: float = 2.0,
+                    source_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-flattened source mixing — the multilingual /
+    multi-source pre-training recipe (mT5/mC4, XLM-R): mixture weight
+    p_s ∝ count_s^(1/T).  T = 1 keeps natural proportions, T → ∞
+    approaches uniform; the flattening boosts small sources' SHARE
+    while ``mix_to_weights`` only ever downsamples (output total is
+    the largest size every source can supply at its flattened share).
+
+    One tiny counting aggregate derives the weights, then the
+    deterministic-hash mixer applies them — two streaming passes, no
+    shuffle of data rows.  Weights are trunc6'd before use: the
+    normalizer Σ c^(1/T) is an order-sensitive float sum, and the SQL
+    twin must land on the identical hash thresholds.
+
+    → Dataset (id, source) of survivors."""
+    counts: dict[str, int] = {}
+    for r in ds.groupby(source_col).count().take_all():
+        counts[r[source_col]] = int(r["count()"])
+    if not counts:
+        return ds.select_columns([id_col, source_col])
+    inv_t = 1.0 / float(temperature)
+    raw = {s: float(c) ** inv_t for s, c in sorted(counts.items())}
+    total = sum(raw.values())
+    weights = {
+        s: float(np.floor(v / total * 1e6 + 0.5) / 1e6)
+        for s, v in raw.items()
+    }
+    return mix_to_weights(ds, weights, source_col, id_col)
+
+
 def budget_select(ds, token_budget: int, id_col: str = "doc_id",
                   text_col: str = "text"):
     """Quality-ordered selection under a token budget — the curation

@@ -1411,3 +1411,34 @@ def test_rrf_fuse_semantics():
     assert [d for d, _ in fused] == [4, 9]
     # k truncates
     assert len(rrf_fuse([[1, 2, 3]], k=2)) == 2
+
+
+def test_temperature_mix_flattens_shares(ray_session):
+    """T=2 shrinks the dominant source's share toward uniform while
+    never upsampling; T→∞ approaches equal shares; selection is the
+    deterministic hash rule."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.sampling import temperature_mix
+
+    n_a, n_b = 900, 100
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_a + n_b), type=pa.int64()),
+            "source": ["a"] * n_a + ["b"] * n_b,
+        }
+    )
+    out = temperature_mix(rd.from_arrow(t), temperature=2.0).to_pandas()
+    got = out.source.value_counts()
+    # flattened weights: 30/40 vs 10/40 -> shares 75% / 25% (natural
+    # was 90/10); b is the binding source (kept ~whole)
+    share_a = got.get("a", 0) / len(out)
+    assert 0.70 < share_a < 0.80
+    assert got.get("b", 0) >= 0.9 * n_b
+    # rerunning with different parallelism yields identical rows
+    out2 = (
+        temperature_mix(rd.from_arrow(t).repartition(7), temperature=2.0)
+        .to_pandas()
+    )
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
