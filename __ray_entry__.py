@@ -1208,6 +1208,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         )
 
+    def q_assign_splits(sf_dir):
+        # deterministic growth-stable train/val/test assignment
+        from excelastic_ray.pipelines.sampling import assign_splits
+
+        return assign_splits(
+            _docs(sf_dir).select_columns(["doc_id"]),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+
     def q_temperature_mix(sf_dir):
         # mT5-style temperature flattening: weights ∝ count^(1/2).
         # Probes the LANG column (skewed: en dominates) — the source
@@ -1712,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample": q_sample,
         "mix_sources": q_mix_sources,
         "temperature_mix": q_temperature_mix,
+        "assign_splits": q_assign_splits,
         "stratified_sample": q_stratified_sample,
         "csv_ingest": q_csv_ingest,
         "xlsx_ingest": q_xlsx_ingest,
@@ -3738,6 +3748,17 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN r ON r.source = d.source
 WHERE (d.doc_id * 2654435761) % 4294967296
       < CAST(floor(r.rate * 4294967296) AS BIGINT)
+""",
+        "assign_splits": f"""
+-- sorted split names [test, train, val] with fractions .05/.9/.05 →
+-- cumulative thresholds floor(cum * 2^32); last split absorbs residue
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296
+                 < {int(np.floor(0.05 * (1 << 32)))} THEN 'test'
+            WHEN (doc_id * 2654435761) % 4294967296
+                 < {int(np.floor(0.95 * (1 << 32)))} THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
 """,
         "temperature_mix": """
 WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c

@@ -234,3 +234,34 @@ def budget_select(ds, token_budget: int, id_col: str = "doc_id",
         )
 
     return m.map_batches(pick, batch_format="pyarrow")
+
+
+def assign_splits(ds, fractions: dict[str, float] | None = None,
+                  id_col: str = "doc_id"):
+    """Deterministic train/val/test split assignment — the eval-split
+    primitive. Each row's split depends ONLY on its id (Knuth hash
+    mapped to [0, 1), compared against cumulative fraction boundaries
+    in sorted split-name order), so the assignment is reproducible at
+    any parallelism and immune to corpus growth: adding documents
+    never moves an existing document between splits (the property
+    random shuffles lack — reshuffling leaks eval docs into train).
+
+    ``fractions`` must sum to 1 (default 98/1/1 train/val/test).
+
+    → the input Dataset with a ``split`` column appended."""
+    fractions = fractions or {"test": 0.01, "train": 0.98, "val": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    names = sorted(fractions)
+    bounds = np.cumsum([fractions[n] for n in names])
+    thresholds = np.floor(bounds * MOD).astype(np.int64)
+    thresholds[-1] = MOD  # the last split absorbs float residue
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = (batch[id_col].to_numpy().astype(np.int64) * KNUTH) % MOD
+        idx = np.searchsorted(thresholds, h, side="right")
+        return batch.append_column(
+            "split", pa.array(np.asarray(names, dtype=object)[idx])
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1442,3 +1442,27 @@ def test_temperature_mix_flattens_shares(ray_session):
         .to_pandas()
     )
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_assign_splits_growth_stable(ray_session):
+    """Adding documents never moves an existing document's split, and
+    fractions are approximately honored."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.sampling import assign_splits
+
+    import pytest
+
+    small = pa.table({"doc_id": pa.array(range(2000), type=pa.int64())})
+    big = pa.table({"doc_id": pa.array(range(5000), type=pa.int64())})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_splits(rd.from_arrow(small), fr).to_pandas()
+    b = assign_splits(rd.from_arrow(big), fr).to_pandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_s", "_b"))
+    assert (merged.split_s == merged.split_b).all()
+    share = b.split.value_counts(normalize=True)
+    assert abs(share["train"] - 0.8) < 0.03
+    assert len(a) == 2000 and set(a.split) == {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(rd.from_arrow(small), {"train": 0.5})
