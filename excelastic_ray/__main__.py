@@ -141,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("names", nargs="*",
                     help="add/remove: ALIAS INDEX; swap: ALIAS OLD NEW")
 
+    fm = sub.add_parser("forcemerge",
+                        help="compact an index to fewer shards "
+                             "(ES _forcemerge analog)")
+    fm.add_argument("index_dir")
+    fm.add_argument("--shards", type=int, default=1)
+
     sv = sub.add_parser("serve", help="HTTP upload/status/search server")
     sv.add_argument("index_root")
     sv.add_argument("--port", type=int, default=8080)
@@ -248,6 +254,13 @@ def main(argv: list[str] | None = None) -> int:
                 "seconds": round(res.seconds, 2),
                 "turns_per_sec": round(res.n_docs / max(res.seconds, 1e-9), 1),
             }))
+        elif args.cmd == "forcemerge":
+            from excelastic_ray.index.build import force_merge
+
+            m = force_merge(args.index_dir, num_shards=args.shards)
+            print(json.dumps({"num_shards": m["num_shards"],
+                              "shard_bytes": m["shard_bytes"],
+                              "status": m["status"]}))
         elif args.cmd == "append":
             from excelastic_ray.index.build import append_index
 

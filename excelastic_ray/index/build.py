@@ -1686,3 +1686,77 @@ def reindex(src_index: str, dst_index: str,
         ds, dst_index, config, clear=clear, transforms=transforms,
         parallelism=parallelism, strict_turns=not len(dead),
     )
+
+
+def force_merge(index_dir: str, num_shards: int = 1,
+                cpus: int | None = None) -> dict:
+    """ES ``_forcemerge`` analog: re-merge the retained level-0 chunk
+    segments into ``num_shards`` larger shards (ES
+    ``max_num_segments``). Fewer, larger shards = lower per-query
+    fan-out — the read-optimized compaction an index gets after its
+    write phase ends.
+
+    Reuses the build's streaming merge verbatim (chunk segments are
+    immutable and still on disk), so peak memory stays one record
+    batch per chunk and results are byte-equivalent to having built
+    with the target shard count. Not a new exchange: the chunks were
+    already term-sorted at build time.
+
+    Refuses when delete/update overlays exist (their docid→shard
+    placement would change): ES's expunge-deletes variant is the
+    ``reindex`` path here, which rewrites the corpus without the dead
+    docs. Crash-safe: the manifest leaves ``complete`` before any
+    shard file changes and returns only at the end with a fresh
+    ``build_id``; re-running after a crash completes idempotently
+    (per-shard manifests skip finished work).
+    """
+    import shutil
+
+    import ray
+
+    m = seg.load_global_manifest(index_dir)
+    if m.get("status") not in ("complete", "force_merging"):
+        raise RuntimeError(
+            f"index is not complete (status={m.get('status')!r})"
+        )
+    if m.get("deletes_rev", 0) or m.get("updates_rev", 0):
+        raise RuntimeError(
+            "force_merge with delete/update overlays is not supported; "
+            "run reindex() to expunge them first"
+        )
+    config = IndexConfig.from_dict(m["config"])
+    chunks = sorted(seg.completed_chunks(index_dir))
+    target = min(int(num_shards), len(chunks)) or 1
+    if target == int(m["num_shards"]):
+        return m  # already at the target fan-out
+    if cpus is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+
+    m["status"] = "force_merging"
+    seg.save_global_manifest(index_dir, m)  # readers gate on complete
+
+    # drop stale shard dirs first: a crash between merge and cleanup
+    # must never leave shard files that a smaller target would not
+    # rewrite (the merge itself replaces files atomically per shard)
+    shards_root = os.path.join(index_dir, "shards")
+    if os.path.isdir(shards_root):
+        for name in sorted(os.listdir(shards_root)):
+            if name.startswith("shard=") and \
+                    int(name.split("=")[1]) >= target:
+                shutil.rmtree(os.path.join(shards_root, name))
+            elif name.startswith("shard="):
+                # chunk sets change for every shard on a fan-out
+                # change; clear the manifest so the merger rebuilds
+                p = os.path.join(shards_root, name, seg.MANIFEST)
+                if os.path.exists(p):
+                    os.unlink(p)
+
+    shard_bytes = _merge_phase(index_dir, config, chunks, target, cpus)
+
+    m["num_shards"] = target
+    m["shard_bytes"] = int(shard_bytes)
+    m["status"] = "complete"
+    m["build_id"] = uuid.uuid4().hex
+    seg.save_global_manifest(index_dir, m)
+    return m

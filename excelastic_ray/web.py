@@ -324,6 +324,18 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/forcemerge":
+                    try:
+                        self._json(
+                            200,
+                            server.forcemerge(
+                                q["index"],
+                                int(q.get("max_num_segments", "1")),
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path != "/api/upload":
                     self._json(404, {"error": "not found"})
                     return
@@ -575,6 +587,23 @@ class ImportServer:
         with self._engines_guard:
             self._engines.pop(target, None)
         return out
+
+    def forcemerge(self, index: str, max_num_segments: int = 1) -> dict:
+        """ES ``POST /<index>/_forcemerge`` analog: compact to fewer
+        shards under the index's import lock; readers re-open on the
+        new build_id."""
+        from excelastic_ray.index.build import force_merge
+
+        self.index_dir(index)  # name validation
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            self._evict_engines_for(index)
+            m = force_merge(self.index_dir(index),
+                            num_shards=max_num_segments)
+            self._evict_engines_for(index)
+        return {"index": index, "num_shards": m["num_shards"],
+                "status": m["status"]}
 
     def status(self, imp_id: str) -> dict:
         from excelastic_ray.index.build import build_status
