@@ -1516,6 +1516,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         return ts.rare_terms(_docs(sf_dir), max_df=n // 10, k=50)
 
+    def q_bucket_script(sf_dir):
+        # ES bucket_script (avg = sum/n per day bucket) +
+        # bucket_selector (HAVING avg >= 50)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["ts", "value"])
+        return events.bucket_script_selector(ev, hours=24, min_avg=50.0)
+
     def q_value_percentiles(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -1711,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
+        "bucket_script": q_bucket_script,
         "rare_terms": q_rare_terms,
         "percentile_ranks": q_percentile_ranks,
         "top_facets": q_top_facets,
@@ -2970,6 +2980,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
         "filters_agg": _filters_agg_sql(),
+        "bucket_script": """
+WITH b AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start,
+         CAST(count(*) AS BIGINT) AS n,
+         floor(sum(value) * 1000000 + 0.5) / 1000000 AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT * FROM (
+  SELECT window_start, n, sum_value,
+         floor(sum_value / n * 1000000 + 0.5) / 1000000 AS avg_value
+  FROM b
+) WHERE avg_value >= 50.0
+""",
         "hybrid_rrf": _hybrid_sql(),
         "budget_select": _DOCTOK
         + """

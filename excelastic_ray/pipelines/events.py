@@ -856,3 +856,55 @@ def filters_agg(ds, named_filters: dict[str, dict], col: str = "value"):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def bucket_script_selector(ds, hours: int = 24,
+                           min_avg: float | None = None):
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline aggs over a
+    date_histogram of value sums: per time bucket compute a derived
+    metric with a script — here ``avg = sum_value / n`` (trunc6 of the
+    trunc6'd sum, the engine-wide avg rule) — then keep only buckets
+    passing the selector predicate (``avg >= min_avg``; None keeps
+    all), the ES HAVING clause.
+
+    The histogram is the scalable part (partial+final combine); the
+    script/selector run vectorized over the O(range/interval) bucket
+    table — no extra exchange beyond the combine.
+
+    → Dataset (window_start, n, sum_value, avg_value), selector
+    applied."""
+    us = hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = batch["value"].to_numpy()
+        df = pd.DataFrame(
+            {"window_start": (ts // us) * us, "n": 1, "sum_value": v}
+        )
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["window_start"])
+
+    def script_and_select(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        s = trunc6(batch["sum_value"].to_numpy())
+        avg = trunc6(s / np.where(n > 0, n, 1))
+        out = pa.table(
+            {
+                "window_start": batch["window_start"],
+                "n": pa.array(n),
+                "sum_value": pa.array(s),
+                "avg_value": pa.array(avg),
+            }
+        )
+        if min_avg is not None:
+            out = out.filter(pa.array(avg >= min_avg))
+        return out
+
+    return buckets.map_batches(script_and_select, batch_format="pyarrow")

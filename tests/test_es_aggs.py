@@ -222,3 +222,36 @@ def test_filters_agg_rejects_unknown_op(ray_session):
     t = _events(100)
     with pytest.raises(ValueError, match="unknown ops"):
         events.filters_agg(rd.from_arrow(t), {"x": {"gt": {"value": 1}}})
+
+
+def test_bucket_script_selector(ray_session):
+    """Derived avg per bucket + HAVING-style selector against a pandas
+    oracle."""
+    import ray.data as rd
+
+    t = _events(2000, seed=9)
+    got = (
+        events.bucket_script_selector(rd.from_arrow(t), hours=24,
+                                      min_avg=0.0)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    us = 24 * 3_600_000_000
+    df["w"] = (df.ts.astype("int64") // us) * us
+    g = df.groupby("w").value.agg(["size", "sum"]).reset_index()
+    g["sum6"] = trunc6(g["sum"].to_numpy())
+    g["avg6"] = trunc6(g["sum6"].to_numpy() / g["size"].to_numpy())
+    g = g[g.avg6 >= 0.0]
+    assert got.window_start.tolist() == g.w.tolist()
+    assert got.avg_value.tolist() == g.avg6.tolist()
+    # selector actually filters at a higher cut
+    cut = float(g.avg6.median())
+    sel = (
+        events.bucket_script_selector(rd.from_arrow(t), hours=24,
+                                      min_avg=cut)
+        .to_pandas()
+    )
+    assert 0 < len(sel) < len(g)
+    assert (sel.avg_value >= cut).all()
