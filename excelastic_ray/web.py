@@ -249,6 +249,22 @@ class ImportServer:
                         )
                     elif u.path == "/api/snapshots":
                         self._json(200, server.list_snapshots())
+                    elif u.path == "/api/count":
+                        # ES _count analog: matching-doc count, no hits
+                        self._json(
+                            200, server.count(q["index"], q.get("q", ""))
+                        )
+                    elif u.path == "/api/mget":
+                        # ES _mget analog: batch point fetch by
+                        # ids=conv:turn,conv:turn
+                        self._json(
+                            200,
+                            server.mget(
+                                q["index"],
+                                [s for s in q.get("ids", "").split(",")
+                                 if s],
+                            ),
+                        )
                     elif u.path == "/api/analyze":
                         # ES _analyze analog: the index-time analyzer
                         # applied to arbitrary text
@@ -587,6 +603,33 @@ class ImportServer:
         with self._engines_guard:
             self._engines.pop(target, None)
         return out
+
+    def count(self, index: str, query: str) -> dict:
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        eng = self._acquire_engine(index, targets)
+        return {"count": int(eng.count(query))}
+
+    def mget(self, index: str, ids: list[str]) -> dict:
+        """Batch point fetch. Each id is ``conv_id:turn_idx``; missing
+        docs report found=false like ES."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("mget needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        docs = []
+        for s in ids:
+            conv, _, turn = s.rpartition(":")
+            try:
+                docid = eng.reader.docid_of(conv, int(turn))
+                src = eng.reader.fetch_docs([docid]).to_pylist()[0]
+                docs.append({"id": s, "found": True, **src})
+            except (KeyError, ValueError, IndexError):
+                docs.append({"id": s, "found": False})
+        return {"docs": docs}
 
     def forcemerge(self, index: str, max_num_segments: int = 1) -> dict:
         """ES ``POST /<index>/_forcemerge`` analog: compact to fewer

@@ -350,3 +350,38 @@ def test_analyze_endpoint(ray_session, tmp_path):
         assert json.loads(body) == {"tokens": ["hello", "world_42"]}
     finally:
         srv.stop()
+
+
+def test_count_and_mget_endpoints(ray_session, tmp_path):
+    """ES _count and _mget analogs over HTTP."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "cm")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        _, body = _get(base + "/api/count?index=a&q=the")
+        n = json.loads(body)["count"]
+        _, body = _get(base + "/api/search?index=a&q=the&k=100000")
+        assert n == len(json.loads(body)["hits"]) > 0
+
+        _, body = _get(
+            base + "/api/mget?index=a&ids=conv-000003:1,conv-999999:0"
+        )
+        docs = json.loads(body)["docs"]
+        assert docs[0]["found"] and "text" in docs[0]
+        assert docs[0]["conv_id"] == "conv-000003"
+        assert not docs[1]["found"]
+    finally:
+        srv.stop()
