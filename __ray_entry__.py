@@ -1516,6 +1516,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         return ts.rare_terms(_docs(sf_dir), max_df=n // 10, k=50)
 
+    def q_auto_date_histogram(sf_dir):
+        # ES auto_date_histogram: ladder-picked interval for <=25
+        # buckets over the events time range
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["ts"])
+        return events.auto_date_histogram(ev, target_buckets=25)
+
     def q_bucket_script(sf_dir):
         # ES bucket_script (avg = sum/n per day bucket) +
         # bucket_selector (HAVING avg >= 50)
@@ -1721,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
         "bucket_script": q_bucket_script,
+        "auto_date_histogram": q_auto_date_histogram,
         "rare_terms": q_rare_terms,
         "percentile_ranks": q_percentile_ranks,
         "top_facets": q_top_facets,
@@ -2261,6 +2271,29 @@ QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY raw DESC, doc_id) <= 10
 """
     )
+
+
+def _auto_hist_sql() -> str:
+    """auto_date_histogram twin: the SAME ladder constant picks the
+    smallest rung whose rounded-edge bucket count fits the target."""
+    from excelastic_ray.pipelines.events import AUTO_HIST_LADDER
+
+    ladder = ", ".join(str(i) for i in AUTO_HIST_LADDER)
+    return f"""
+WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events),
+iv AS (
+  SELECT coalesce(
+    (SELECT min(t.i) FROM unnest([{ladder}]) AS t(i), mm
+     WHERE mm.hi // t.i - mm.lo // t.i + 1 <= 25),
+    {AUTO_HIST_LADDER[-1]}) AS i
+)
+SELECT (epoch_us(ts) // iv.i) * iv.i AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       iv.i AS interval_us
+FROM events, iv
+GROUP BY 1, 3
+"""
 
 
 def _filters_agg_sql() -> str:
@@ -2980,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _rescore_sql(),
         "range_agg": _range_agg_sql(),
         "filters_agg": _filters_agg_sql(),
+        "auto_date_histogram": _auto_hist_sql(),
         "bucket_script": """
 WITH b AS (
   SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start,

@@ -908,3 +908,65 @@ def bucket_script_selector(ds, hours: int = 24,
         return out
 
     return buckets.map_batches(script_and_select, batch_format="pyarrow")
+
+
+#: auto_date_histogram rounding ladder (a fixed subset of ES's):
+#: 1m, 5m, 15m, 1h, 3h, 12h, 1d, 7d, 30d — in microseconds.
+AUTO_HIST_LADDER = tuple(
+    m * 60_000_000 for m in (1, 5, 15, 60, 180, 720, 1440, 10080, 43200)
+)
+
+
+def auto_date_histogram(ds, target_buckets: int = 20):
+    """ES ``auto_date_histogram`` analog: pick the smallest interval
+    from the rounding ladder whose bucket count fits
+    ``target_buckets``, then bucket. Interval choice needs only the
+    (min, max) timestamp — one tiny aggregate — and the bucket count
+    uses the ROUNDED edges (hi//i - lo//i + 1), the same arithmetic
+    the SQL twin runs; ties on the ladder are impossible (strictly
+    increasing intervals). Falls back to the coarsest rung when even
+    it overflows the target.
+
+    → Dataset (window_start int64-us, n, interval_us), the chosen
+    interval attached to every row like ES's response metadata."""
+    # one pass: per-batch (min, max) partials, driver combine
+    def mmpart(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"lo": [int(ts.min())], "hi": [int(ts.max())]})
+
+    parts = ds.map_batches(mmpart, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    interval = AUTO_HIST_LADDER[-1]
+    for i in AUTO_HIST_LADDER:
+        if hi // i - lo // i + 1 <= target_buckets:
+            interval = i
+            break
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"window_start": (ts // interval) * interval, "n": 1}
+        )
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    out = _bucketed_sum_combine(partials, ["window_start"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch["window_start"],
+                "n": batch["n"],
+                "interval_us": pa.array(
+                    np.full(batch.num_rows, interval, dtype=np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -255,3 +255,39 @@ def test_bucket_script_selector(ray_session):
     )
     assert 0 < len(sel) < len(g)
     assert (sel.avg_value >= cut).all()
+
+
+def test_auto_date_histogram_picks_smallest_fitting_rung(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import (
+        AUTO_HIST_LADDER,
+        auto_date_histogram,
+    )
+
+    t = _events(1500, seed=2)  # 20-day span
+    got = (
+        auto_date_histogram(rd.from_arrow(t), target_buckets=25)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    lo = int(df.ts.astype("int64").min())
+    hi = int(df.ts.astype("int64").max())
+    iv = next(
+        (i for i in AUTO_HIST_LADDER if hi // i - lo // i + 1 <= 25),
+        AUTO_HIST_LADDER[-1],
+    )
+    assert (got.interval_us == iv).all()
+    assert len(got) <= 25
+    want = (
+        ((df.ts.astype("int64") // iv) * iv)
+        .value_counts()
+        .sort_index()
+    )
+    assert got.window_start.tolist() == want.index.tolist()
+    assert got.n.tolist() == want.tolist()
+    # tiny target forces the coarsest rung fallback path
+    one = auto_date_histogram(rd.from_arrow(t), target_buckets=1).to_pandas()
+    assert (one.interval_us == AUTO_HIST_LADDER[-1]).all()
