@@ -1113,6 +1113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_dsir(sf_dir):
+        # DSIR importance: target = lang 'en', source = whole corpus;
+        # no vocab cap so the SQL twin covers the full dictionary
+        return ts.dsir_importance(_docs(sf_dir), target=("lang", "en"))
+
     def q_percolate(sf_dir):
         # ES percolator analog: classify every doc against the
         # registered query set (AND semantics per query)
@@ -1691,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "langid": q_langid,
         "percolate": q_percolate,
+        "dsir": q_dsir,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
@@ -3434,6 +3440,36 @@ SELECT doc_id,
                        * 1000000 + 0.5) / 1000000
        END AS distinct_ratio
 FROM base
+""",
+        "dsir": """
+WITH base AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM base),
+c AS (SELECT term, CAST(count(*) AS DOUBLE) AS c_all,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS c_tgt
+      FROM tok GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_s,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS n_t,
+               (SELECT CAST(count(*) AS DOUBLE) FROM c) AS v
+        FROM tok),
+-- per-token log ratio floored to integer micro-units BEFORE the
+-- per-doc sum: integer sums are order-free (the lm_ppl trick)
+r AS (SELECT c.term,
+             CAST(floor(ln(((c.c_tgt + 1.0) / (tot.n_t + 1.0 * tot.v))
+                           / ((c.c_all + 1.0) / (tot.n_s + 1.0 * tot.v)))
+                        * 1000000 + 0.5) AS BIGINT) AS u6
+      FROM c CROSS JOIN tot),
+scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(r.u6) AS BIGINT) AS s
+           FROM tok t JOIN r ON r.term = t.term GROUP BY t.doc_id)
+SELECT b.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.s, 0) AS logratio_u6,
+       CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+            ELSE floor(s.s / 1000000.0 / s.n_tokens * 1000000 + 0.5)
+                 / 1000000 END AS avg_logratio
+FROM base b LEFT JOIN scored s USING (doc_id)
 """,
         "percolate": _DOCTOK
         + f"""

@@ -938,3 +938,130 @@ def rare_terms(ds, max_df: int = 2, k: int = 50,
         .sort(["df", "term"])
         .limit(k)
     )
+
+
+def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
+                    alpha: float = 1.0, max_vocab: int | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 32):
+    """DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
+    rank raw documents by how target-like they are under unigram
+    bag-of-words language models — the data-selection score
+    ``log p_target(doc) - log p_raw(doc)``.
+
+    Per-token log ratio ``ln(((c_t + α)/(N_t + αV)) / ((c_s + α)/(N_s
+    + αV)))`` with Laplace-α smoothing over the shared corpus
+    vocabulary V; per-doc scores sum the ratios as INTEGER micro-units
+    (each token's ratio is floored to 1e-6 units first — lm_ppl's
+    trick), so the sum is order-free and exactly SQL-comparable.
+
+    Shape: ONE corpus pass emits per-term (corpus tf, target tf)
+    partials plus a sentinel totals row (significant_terms' shape),
+    combined by coarse hash buckets; the vocab ratio table is then
+    broadcast once (``max_vocab`` caps it — terms beyond the top-V by
+    (corpus tf DESC, term ASC) fall back to the constant
+    smoothing-only ratio ln((N_s + αV)/(N_t + αV)), the DSIR hashed-
+    feature analog of an OOV bucket) and pass 2 is a pure map.
+
+    → Dataset (id, n_tokens, logratio_u6, avg_logratio)."""
+    import ray
+
+    from excelastic_ray.hashing import fnv1a_rows
+
+    tgt_col, tgt_val = target
+    _SENT = "\x00__totals__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        is_tgt = np.asarray(
+            [v == tgt_val for v in batch[tgt_col].to_pylist()], dtype=bool
+        )
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        terms = [_SENT]
+        n_tok = int(len(codes))
+        n_tgt_tok = int(is_tgt[row_idx].sum()) if len(codes) else 0
+        c_all = [n_tok]
+        c_tgt = [n_tgt_tok]
+        if len(codes):
+            c_all += np.bincount(codes, minlength=len(uniques)) \
+                .astype(np.int64).tolist()
+            c_tgt += np.bincount(
+                codes[is_tgt[row_idx]], minlength=len(uniques)
+            ).astype(np.int64).tolist()
+            terms += [str(u) for u in uniques]
+        bucket = (
+            fnv1a_rows([t.encode() for t in terms])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "c_all": pa.array(c_all, type=pa.int64()),
+                         "c_tgt": pa.array(c_tgt, type=pa.int64()),
+                         "__bucket": pa.array(bucket)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("term", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    sent = vocab.term == _SENT
+    n_s = float(vocab.loc[sent, "c_all"].sum())
+    n_t = float(vocab.loc[sent, "c_tgt"].sum())
+    vocab = vocab[~sent]
+    v_size = float(len(vocab))
+    if max_vocab is not None and len(vocab) > max_vocab:
+        vocab = vocab.sort_values(
+            ["c_all", "term"], ascending=[False, True]
+        ).head(max_vocab)
+    denom_t = n_t + alpha * v_size
+    denom_s = n_s + alpha * v_size
+    ratios = np.log(
+        ((vocab.c_tgt.to_numpy() + alpha) / denom_t)
+        / ((vocab.c_all.to_numpy() + alpha) / denom_s)
+    )
+    u6 = np.floor(ratios * 1e6 + 0.5).astype(np.int64)
+    oov_u6 = int(np.floor(np.log(denom_s / denom_t) * 1e6 + 0.5))
+    order = np.argsort(vocab.term.to_numpy().astype(np.str_))
+    terms_arr = vocab.term.to_numpy().astype(np.str_)[order]
+    u6 = u6[order]
+    ref = ray.put((terms_arr, u6))
+
+    def score(batch: pa.Table) -> pa.Table:
+        b_terms, b_u6 = ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        tok_u6 = np.zeros(0, dtype=np.int64)
+        if len(codes):
+            uq = np.asarray(uniques, dtype=np.str_)
+            ins = np.searchsorted(b_terms, uq)
+            ins[ins == len(b_terms)] = 0
+            hit = (b_terms[ins] == uq) if len(b_terms) else \
+                np.zeros(len(uq), dtype=bool)
+            per_uniq = np.where(hit, b_u6[ins] if len(b_terms) else 0,
+                                oov_u6)
+            tok_u6 = per_uniq[codes]
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        sums = np.bincount(row_idx, weights=tok_u6, minlength=n) \
+            .astype(np.int64)
+        safe = np.where(n_tokens > 0, n_tokens, 1)
+        avg = trunc6(sums / 1e6 / safe)
+        avg[n_tokens == 0] = 0.0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "logratio_u6": pa.array(sums),
+                "avg_logratio": pa.array(avg),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

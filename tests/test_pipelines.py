@@ -1466,3 +1466,42 @@ def test_assign_splits_growth_stable(ray_session):
     assert len(a) == 2000 and set(a.split) == {"train", "val", "test"}
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(rd.from_arrow(small), {"train": 0.5})
+
+
+def test_dsir_importance_semantics(ray_session):
+    """Target-only tokens score positive, off-target tokens negative;
+    the vocab cap routes tail terms through the constant OOV ratio."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import dsir_importance
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "lang": ["en", "en", "en", "zh", "zh", "zh"],
+            "text": [
+                "alpha alpha beta", "alpha beta", "alpha",
+                "gamma gamma delta", "gamma delta", "gamma",
+            ],
+        }
+    )
+    out = (
+        dsir_importance(rd.from_arrow(t), target=("lang", "en"))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # en docs (target-characteristic tokens) score above zh docs
+    assert out.loc[[0, 1, 2], "avg_logratio"].min() > \
+        out.loc[[3, 4, 5], "avg_logratio"].max()
+    assert (out.loc[[0, 1, 2], "logratio_u6"] > 0).all()
+    assert (out.loc[[3, 4, 5], "logratio_u6"] < 0).all()
+
+    # capping the vocab to 1 term sends the rest through the OOV path
+    capped = (
+        dsir_importance(rd.from_arrow(t), target=("lang", "en"),
+                        max_vocab=1)
+        .to_pandas()
+    )
+    assert len(capped) == 6 and capped.n_tokens.sum() == 12
