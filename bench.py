@@ -217,6 +217,11 @@ def run_bench() -> dict:
             "budget_select",
             "filters_agg",
             "rare_terms",
+            "dsir",
+            "temperature_mix",
+            "assign_splits",
+            "auto_date_histogram",
+            "bucket_script",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -55,7 +55,8 @@ def stratified_sample(ds, rates: dict[str, float], strata_col: str = "lang",
 
 
 def mix_to_weights(ds, weights: dict[str, float],
-                   source_col: str = "source", id_col: str = "doc_id"):
+                   source_col: str = "source", id_col: str = "doc_id",
+                   counts: dict[str, int] | None = None):
     """Down-sample to a target source MIXTURE (the pre-training
     data-mixing recipe: "the corpus should be 50% src0, 30% src1,
     20% src2"). Never upsamples: the output size is the largest total
@@ -69,10 +70,13 @@ def mix_to_weights(ds, weights: dict[str, float],
     pass + one map, parallelism-invariant, and SQL-expressible with
     the identical float expression (w * T / c, floored at * 2^32).
 
-    → Dataset (id, source) of survivors."""
-    counts: dict[str, int] = {}
-    for r in ds.groupby(source_col).count().take_all():  # tiny: one row
-        counts[r[source_col]] = int(r["count()"])        # per source
+    → Dataset (id, source) of survivors. ``counts`` skips the counting
+    pass when the caller already aggregated per-source totals
+    (temperature_mix shares its counting pass this way)."""
+    if counts is None:
+        counts = {}
+        for r in ds.groupby(source_col).count().take_all():  # tiny
+            counts[r[source_col]] = int(r["count()"])        # per source
     live = [(s, w) for s, w in weights.items()
             if w > 0 and counts.get(s)]
     if not live:
@@ -115,7 +119,7 @@ def temperature_mix(ds, temperature: float = 2.0,
         s: float(np.floor(v / total * 1e6 + 0.5) / 1e6)
         for s, v in raw.items()
     }
-    return mix_to_weights(ds, weights, source_col, id_col)
+    return mix_to_weights(ds, weights, source_col, id_col, counts=counts)
 
 
 def budget_select(ds, token_budget: int, id_col: str = "doc_id",
