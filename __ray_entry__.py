@@ -1113,6 +1113,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_conv_stats(sf_dir):
+        # per-conversation rollup over the derived transcript corpus
+        from excelastic_ray.pipelines.convs import conv_stats
+
+        return conv_stats(transcripts_from_documents(sf_dir))
+
+    def q_role_transitions(sf_dir):
+        # Markov role-transition counts over consecutive turns
+        from excelastic_ray.pipelines.convs import role_transitions
+
+        return role_transitions(transcripts_from_documents(sf_dir))
+
     def q_dsir(sf_dir):
         # DSIR importance: target = lang 'en', source = whole corpus;
         # no vocab cap so the SQL twin covers the full dictionary
@@ -1697,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "percolate": q_percolate,
         "dsir": q_dsir,
+        "conv_stats": q_conv_stats,
+        "role_transitions": q_role_transitions,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
@@ -3440,6 +3454,32 @@ SELECT doc_id,
                        * 1000000 + 0.5) / 1000000
        END AS distinct_ratio
 FROM base
+""",
+        "conv_stats": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+           AS n_assistant,
+       CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT)
+           AS n_tool_role,
+       CAST(count(*) FILTER (WHERE tool <> '') AS BIGINT)
+           AS n_tool_calls,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))
+            AS BIGINT) AS n_tokens,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+            AS BIGINT) AS duration_s
+FROM transcripts GROUP BY conv_id
+""",
+        "role_transitions": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT a.role AS from_role, b.role AS to_role,
+       CAST(count(*) AS BIGINT) AS n
+FROM transcripts a
+JOIN transcripts b
+  ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY 1, 2
 """,
         "dsir": """
 WITH base AS (SELECT doc_id, lang,

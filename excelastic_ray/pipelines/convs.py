@@ -1,0 +1,174 @@
+"""Conversation-level analytics over the transcript table — the
+aggregate views an operator of a transcript corpus actually reads
+(turns per conversation, role mix, tool usage, duration, and the
+role-transition structure).
+
+Shuffle shape: conversations are TINY groups (a handful of turns), so
+a fine distributed groupby per conv would hit the measured per-group
+overhead pitfall. Both ops use the repo-standard two-level shape:
+per-batch vectorized partials (one row per conv per batch / one row
+per transition pair per batch) → coarse hash-bucket combine → final
+vectorized reduce inside each bucket frame. The exchange moves
+O(batches × convs-in-batch) partial rows, never turns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from excelastic_ray.analysis import TOKEN_RE
+from excelastic_ray.pipelines.events import _bucketed_sum_combine
+
+
+def conv_stats(ds, n_buckets: int = 32):
+    """Per-conversation rollup → (conv_id, n_turns, n_user,
+    n_assistant, n_tool_role, n_tool_calls, n_tokens, duration_s).
+
+    ``n_tool_role`` counts turns whose role is ``tool``;
+    ``n_tool_calls`` counts turns with a non-empty ``tool`` attribute
+    (the reference's tool column). Duration is (max ts - min ts) in
+    whole seconds. min/max survive the sum-combine as negated-max
+    tricks are avoided by carrying both endpoints explicitly."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        roles = batch["role"].to_numpy(zero_copy_only=False)
+        tools = batch["tool"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        findall = TOKEN_RE.findall
+        n_tok = np.fromiter(
+            (len(findall(t.lower())) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                "n_turns": 1,
+                "n_user": (roles == "user").astype(np.int64),
+                "n_assistant": (roles == "assistant").astype(np.int64),
+                "n_tool_role": (roles == "tool").astype(np.int64),
+                "n_tool_calls": np.asarray(
+                    [bool(t) for t in tools], dtype=np.int64
+                ),
+                "n_tokens": n_tok,
+                "ts_min": ts,
+                "ts_max": ts,
+            }
+        )
+        return (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_user=("n_user", "sum"),
+                n_assistant=("n_assistant", "sum"),
+                n_tool_role=("n_tool_role", "sum"),
+                n_tool_calls=("n_tool_calls", "sum"),
+                n_tokens=("n_tokens", "sum"),
+                ts_min=("ts_min", "min"),
+                ts_max=("ts_max", "max"),
+            )
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+
+    # min/max are not additive: the generic sum-combine cannot be used
+    # verbatim, so the bucket reducer aggregates each column correctly
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["conv_id"],
+                                       index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_user=("n_user", "sum"),
+                n_assistant=("n_assistant", "sum"),
+                n_tool_role=("n_tool_role", "sum"),
+                n_tool_calls=("n_tool_calls", "sum"),
+                n_tokens=("n_tokens", "sum"),
+                ts_min=("ts_min", "min"),
+                ts_max=("ts_max", "max"),
+            )
+            .reset_index()
+        )
+
+    combined = (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dur = (
+            batch["ts_max"].to_numpy() - batch["ts_min"].to_numpy()
+        ) // 1_000_000
+        keep = [c for c in batch.column_names
+                if c not in ("ts_min", "ts_max")]
+        return batch.select(keep).append_column(
+            "duration_s", pa.array(dur.astype(np.int64))
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def role_transitions(ds, n_buckets: int = 32):
+    """Role-transition counts over consecutive turns within each
+    conversation → (from_role, to_role, n) — the Markov structure of
+    the corpus (user→assistant→tool loops).
+
+    Consecutive means ``turn_idx + 1``: each batch pairs its rows via
+    a vectorized sorted self-alignment on (conv_id, turn_idx), and
+    cross-BATCH adjacency is preserved by bucketing whole
+    conversations first (conv-hash bucket groupby → per-bucket sort →
+    shift compare), so no pair is ever split."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        cid = b["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(cid), index=False
+        ).to_numpy()
+        return b.append_column(
+            "__bucket", pa.array((h % n_buckets).astype(np.int64))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cid = g["conv_id"].to_numpy()
+        ti = g["turn_idx"].to_numpy()
+        role = g["role"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (cid[1:] == cid[:-1]) & (ti[1:] == ti[:-1] + 1)
+        pair = pd.DataFrame(
+            {"from_role": role[:-1][same[1:]] if len(g) > 1 else [],
+             "to_role": role[1:][same[1:]] if len(g) > 1 else []}
+        )
+        out = (
+            pair.groupby(["from_role", "to_role"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    partials = (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return _bucketed_sum_combine(
+        partials.map_batches(
+            lambda t: t, batch_format="pyarrow"
+        ),
+        ["from_role", "to_role"],
+        n_buckets=8,
+    )

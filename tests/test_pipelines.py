@@ -1505,3 +1505,66 @@ def test_dsir_importance_semantics(ray_session):
         .to_pandas()
     )
     assert len(capped) == 6 and capped.n_tokens.sum() == 12
+
+
+def test_conv_stats_and_role_transitions(ray_session):
+    """Per-conv rollup and transition counts survive conversations
+    split across blocks (the cross-batch adjacency case)."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import conv_stats, role_transitions
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for c in range(40):
+        n = int(rng.integers(2, 9))
+        for t in range(n):
+            rows.append(
+                {
+                    "conv_id": f"c{c:03d}",
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][
+                        int(rng.integers(0, 3))
+                    ],
+                    "text": " ".join(
+                        rng.choice(["a", "b", "cc"], size=rng.integers(1, 6))
+                    ),
+                    "tool": "search" if rng.random() < 0.3 else "",
+                    "ts": np.datetime64("2026-01-01", "us")
+                    + np.timedelta64(int(rng.integers(0, 10**6)), "s"),
+                }
+            )
+    t = pa.Table.from_pylist(rows)
+    df = t.to_pandas()
+    ds = rd.from_arrow(t).repartition(9)  # split convs across blocks
+
+    got = conv_stats(ds).to_pandas().set_index("conv_id").sort_index()
+    g = df.groupby("conv_id")
+    assert got.n_turns.tolist() == g.size().sort_index().tolist()
+    assert got.n_user.tolist() == \
+        g.apply(lambda x: (x.role == "user").sum()).sort_index().tolist()
+    assert got.n_tool_calls.tolist() == \
+        g.apply(lambda x: (x.tool != "").sum()).sort_index().tolist()
+    want_dur = g.ts.agg(lambda s: int(
+        (s.max() - s.min()).total_seconds()
+    )).sort_index()
+    assert got.duration_s.tolist() == want_dur.tolist()
+
+    tr = (
+        role_transitions(rd.from_arrow(t).repartition(9))
+        .to_pandas()
+        .set_index(["from_role", "to_role"])
+        .sort_index()
+    )
+    d2 = df.sort_values(["conv_id", "turn_idx"])
+    prev = d2.shift(1)
+    adj = (prev.conv_id == d2.conv_id) & (prev.turn_idx + 1 == d2.turn_idx)
+    want = (
+        pd.DataFrame({"f": prev.role[adj], "t": d2.role[adj]})
+        .groupby(["f", "t"])
+        .size()
+        .sort_index()
+    )
+    assert tr.n.tolist() == want.tolist()
+    assert tr.n.sum() == int(adj.sum())
