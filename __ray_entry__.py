@@ -1125,6 +1125,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return role_transitions(transcripts_from_documents(sf_dir))
 
+    def q_context_windows(sf_dir):
+        # (context, target) training-example assembly: previous-3-turn
+        # row window per conversation
+        from excelastic_ray.pipelines.convs import context_windows
+
+        return context_windows(transcripts_from_documents(sf_dir),
+                               window=3)
+
     def q_dsir(sf_dir):
         # DSIR importance: target = lang 'en', source = whole corpus;
         # no vocab cap so the SQL twin covers the full dictionary
@@ -1711,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q_dsir,
         "conv_stats": q_conv_stats,
         "role_transitions": q_role_transitions,
+        "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
@@ -3480,6 +3489,17 @@ FROM transcripts a
 JOIN transcripts b
   ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
 GROUP BY 1, 2
+""",
+        "context_windows": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       coalesce(array_to_string(
+           list(text) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+           chr(10)), '') AS context,
+       text AS target
+FROM transcripts
 """,
         "dsir": """
 WITH base AS (SELECT doc_id, lang,

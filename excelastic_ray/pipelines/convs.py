@@ -172,3 +172,64 @@ def role_transitions(ds, n_buckets: int = 32):
         ["from_role", "to_role"],
         n_buckets=8,
     )
+
+
+def context_windows(ds, window: int = 3, n_buckets: int = 32):
+    """Training-example assembly: for every turn, the concatenation of
+    its previous ``window`` turns in the same conversation (newline-
+    joined, oldest first) plus the turn itself as the target — the
+    (context, target) constructor for next-turn prediction / RAG eval
+    sets.
+
+    Whole conversations bucket together (conv-hash groupby), each
+    bucket frame sorts once by (conv_id, turn_idx), and the window
+    assembles with ``window`` vectorized shifted-array passes — no
+    per-conversation Python. The window is ROW-based within the
+    conversation (SQL ``ROWS BETWEEN w PRECEDING AND 1 PRECEDING``):
+    turn-idx gaps from deleted turns do not break the chain, matching
+    the window-function semantics a SQL twin computes.
+
+    → Dataset (conv_id, turn_idx, context, target)."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        cid = b["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(cid), index=False
+        ).to_numpy()
+        return b.append_column(
+            "__bucket", pa.array((h % n_buckets).astype(np.int64))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(g)
+        cid = g["conv_id"].to_numpy()
+        ti = g["turn_idx"].to_numpy()
+        texts = g["text"].to_numpy(dtype=object)
+        ctx = np.full(n, "", dtype=object)
+        for k in range(window, 0, -1):  # oldest shift first
+            if k >= n:
+                continue
+            valid = np.zeros(n, dtype=bool)
+            valid[k:] = cid[k:] == cid[:-k]
+            piece = np.empty(n, dtype=object)
+            piece[k:] = texts[:-k]
+            sel = np.flatnonzero(valid)
+            empty = np.asarray([ctx[i] == "" for i in sel])
+            ctx[sel[empty]] = piece[sel[empty]]
+            grow = sel[~empty]
+            ctx[grow] = ctx[grow] + "\n" + piece[grow]
+        return pd.DataFrame(
+            {
+                "conv_id": cid,
+                "turn_idx": ti,
+                "context": ctx,
+                "target": texts,
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

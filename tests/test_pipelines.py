@@ -1568,3 +1568,28 @@ def test_conv_stats_and_role_transitions(ray_session):
     )
     assert tr.n.tolist() == want.tolist()
     assert tr.n.sum() == int(adj.sum())
+
+
+def test_context_windows_row_frame(ray_session):
+    """Row-frame semantics incl. turn-idx gaps, split across blocks."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import context_windows
+
+    t = pa.table(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 2,
+            "turn_idx": [0, 1, 3, 4, 0, 1],  # gap: a's turn 2 deleted
+            "text": ["t0", "t1", "t3", "t4", "u0", "u1"],
+        }
+    )
+    got = (
+        context_windows(rd.from_arrow(t).repartition(4), window=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.context.tolist() == [
+        "", "t0", "t0\nt1", "t1\nt3", "", "u0",
+    ]
+    assert got.target.tolist() == ["t0", "t1", "t3", "t4", "u0", "u1"]
