@@ -222,6 +222,9 @@ def run_bench() -> dict:
             "assign_splits",
             "auto_date_histogram",
             "bucket_script",
+            "conv_stats",
+            "role_transitions",
+            "context_windows",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
