@@ -712,6 +712,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_complete_prefix(sf_dir):
+        # ES completion suggester: popularity-ranked prefix completion
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, p in (("c1", "s"), ("c2", "ta"), ("c3", "zzz")):
+            t = eng.complete(p, k=5)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "term": t["term"],
+                        "df": t["df"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_sig_text(sf_dir):
         # ES significant_text: JLH-scored over-represented terms of
         # each query's top-200 hit sample vs the whole corpus
@@ -1694,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonym_topk": q_bm25_synonym_topk,
         "bm25_search_after": q_bm25_search_after,
         "sig_text": q_sig_text,
+        "complete_prefix": q_complete_prefix,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
@@ -3185,6 +3208,20 @@ GROUP BY 1, 2
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_search_after": _bm25_sql(rn="BETWEEN 11 AND 20"),
         "sig_text": _sigtext_sql(),
+        "complete_prefix": _BASE
+        + """,
+tf AS (
+    SELECT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+p(query_id, pre) AS (VALUES ('c1', 's'), ('c2', 'ta'), ('c3', 'zzz'))
+SELECT p.query_id, df.term, df.df
+FROM p JOIN df ON starts_with(df.term, p.pre)
+QUALIFY row_number() OVER (
+    PARTITION BY p.query_id ORDER BY df.df DESC, df.term) <= 5
+""",
         "bm25_synonym_topk": _BASE
         + f""",
 dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),

@@ -2194,6 +2194,52 @@ class QueryEngine:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         )
 
+    def complete(self, prefix: str, k: int = 10,
+                 max_candidates: int = 10_000):
+        """ES completion-suggester analog (search-as-you-type): the
+        top-``k`` dictionary terms starting with ``prefix``, ranked by
+        corpus document frequency (popularity) with (df DESC, term
+        ASC) ties — served from the sorted term dictionary (two binary
+        searches per shard, the same TermEnum seek the prefix query
+        uses), no postings decoded. ``max_candidates`` bounds the
+        per-shard candidate range like ES's suggester limits.
+
+        → pyarrow.Table (rank, term, df)."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        r = self.reader
+        toks = tokenize(prefix)
+        out_empty = pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(toks) != 1:
+            return out_empty
+        p = toks[0]
+        cands: set[str] = set()
+        for s in range(r.num_shards):
+            cands.update(r.searcher(s).terms_with_prefix(p, max_candidates))
+        if not cands:
+            return out_empty
+        terms = sorted(cands)
+        dfs = self._global_dfs(terms)
+        order = np.lexsort((np.asarray(terms, dtype=object), -dfs))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int32)
+                ),
+                "term": pa.array([terms[i] for i in order],
+                                 type=pa.string()),
+                "df": pa.array(dfs[order].astype(np.int64)),
+            }
+        )
+
     def significant_text(self, query: str, k: int = 10,
                          sample_size: int = 200, min_doc_count: int = 3,
                          filters: dict | None = None):

@@ -249,6 +249,15 @@ class ImportServer:
                         )
                     elif u.path == "/api/snapshots":
                         self._json(200, server.list_snapshots())
+                    elif u.path == "/api/complete":
+                        # ES completion suggester (search-as-you-type)
+                        self._json(
+                            200,
+                            server.complete(
+                                q["index"], q.get("q", ""),
+                                int(q.get("k", "10")),
+                            ),
+                        )
                     elif u.path == "/api/count":
                         # ES _count analog: matching-doc count, no hits
                         self._json(
@@ -603,6 +612,15 @@ class ImportServer:
         with self._engines_guard:
             self._engines.pop(target, None)
         return out
+
+    def complete(self, index: str, prefix: str, k: int = 10) -> dict:
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("completion needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        return {"completions": eng.complete(prefix, k).to_pylist()}
 
     def count(self, index: str, query: str) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias

@@ -629,3 +629,16 @@ def test_significant_text_matches_bruteforce(qs):
 def test_significant_text_empty_query(qs):
     eng = qs[0]
     assert eng.significant_text("zzz_absent", k=5).num_rows == 0
+
+
+def test_complete_prefix_ranked_by_df(qs):
+    eng, _df, vocab, dfreq = qs
+    got = eng.complete("w0", k=8)
+    want = sorted(
+        ((t, dfreq[t]) for t in vocab if t.startswith("w0")),
+        key=lambda x: (-x[1], x[0]),
+    )[:8]
+    assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) \
+        == want
+    assert eng.complete("zzznope").num_rows == 0
+    assert eng.complete("two words").num_rows == 0  # one token only

@@ -385,3 +385,32 @@ def test_count_and_mget_endpoints(ray_session, tmp_path):
         assert not docs[1]["found"]
     finally:
         srv.stop()
+
+
+def test_complete_endpoint(ray_session, tmp_path):
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "cp")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    try:
+        _, body = _get(
+            f"http://127.0.0.1:{srv.port}/api/complete?index=a&q=w0&k=5"
+        )
+        comps = json.loads(body)["completions"]
+        assert comps and all(c["term"].startswith("w0") for c in comps)
+        assert [c["df"] for c in comps] == sorted(
+            (c["df"] for c in comps), reverse=True
+        )
+    finally:
+        srv.stop()
