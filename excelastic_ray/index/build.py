@@ -1724,11 +1724,16 @@ def force_merge(index_dir: str, num_shards: int = 1,
             "force_merge with delete/update overlays is not supported; "
             "run reindex() to expunge them first"
         )
+    if int(num_shards) < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     config = IndexConfig.from_dict(m["config"])
     chunks = sorted(seg.completed_chunks(index_dir))
     target = min(int(num_shards), len(chunks)) or 1
-    if target == int(m["num_shards"]):
-        return m  # already at the target fan-out
+    if target == int(m["num_shards"]) and m.get("status") == "complete":
+        # the no-op shortcut only applies to a HEALTHY index: after a
+        # crashed merge (status force_merging) a re-run must rebuild
+        # even at the recorded fan-out
+        return m
     if cpus is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4

@@ -22,6 +22,16 @@ from excelastic_ray.analysis import TOKEN_RE
 from excelastic_ray.pipelines.events import _bucketed_sum_combine
 
 
+def _conv_bucket(b: pa.Table, n_buckets: int) -> pa.Table:
+    """Append the conv-hash bucket column (the one shared bucketing
+    rule for every conversation-grouped op in this module)."""
+    cid = b["conv_id"].to_numpy(zero_copy_only=False)
+    h = pd.util.hash_pandas_object(pd.Series(cid), index=False).to_numpy()
+    return b.append_column(
+        "__bucket", pa.array((h % n_buckets).astype(np.int64))
+    )
+
+
 def conv_stats(ds, n_buckets: int = 32):
     """Per-conversation rollup → (conv_id, n_turns, n_user,
     n_assistant, n_tool_role, n_tool_calls, n_tokens, duration_s).
@@ -131,47 +141,38 @@ def role_transitions(ds, n_buckets: int = 32):
     conversations first (conv-hash bucket groupby → per-bucket sort →
     shift compare), so no pair is ever split."""
 
-    def bucket(b: pa.Table) -> pa.Table:
-        cid = b["conv_id"].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_pandas_object(
-            pd.Series(cid), index=False
-        ).to_numpy()
-        return b.append_column(
-            "__bucket", pa.array((h % n_buckets).astype(np.int64))
-        )
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(g)
         cid = g["conv_id"].to_numpy()
         ti = g["turn_idx"].to_numpy()
         role = g["role"].to_numpy()
-        same = np.zeros(len(g), dtype=bool)
-        if len(g) > 1:
+        # n <= 1 emits an empty pair set via EMPTY SLICES of the real
+        # role array — a literal [] would type the empty block float64
+        # and poison Ray's schema unification with the string blocks
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
             same[1:] = (cid[1:] == cid[:-1]) & (ti[1:] == ti[:-1] + 1)
+        m = same[1:]
         pair = pd.DataFrame(
-            {"from_role": role[:-1][same[1:]] if len(g) > 1 else [],
-             "to_role": role[1:][same[1:]] if len(g) > 1 else []}
+            {"from_role": pd.array(role[:-1][m], dtype="string"),
+             "to_role": pd.array(role[1:][m], dtype="string")}
         )
-        out = (
+        return (
             pair.groupby(["from_role", "to_role"], sort=False)
             .size()
             .rename("n")
             .reset_index()
         )
-        return out
 
     partials = (
-        ds.map_batches(bucket, batch_format="pyarrow", batch_size=16384)
+        ds.map_batches(lambda b: _conv_bucket(b, n_buckets),
+                       batch_format="pyarrow", batch_size=16384)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    return _bucketed_sum_combine(
-        partials.map_batches(
-            lambda t: t, batch_format="pyarrow"
-        ),
-        ["from_role", "to_role"],
-        n_buckets=8,
-    )
+    return _bucketed_sum_combine(partials, ["from_role", "to_role"],
+                                 n_buckets=8)
 
 
 def context_windows(ds, window: int = 3, n_buckets: int = 32):
@@ -191,22 +192,20 @@ def context_windows(ds, window: int = 3, n_buckets: int = 32):
 
     → Dataset (conv_id, turn_idx, context, target)."""
 
-    def bucket(b: pa.Table) -> pa.Table:
-        cid = b["conv_id"].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_pandas_object(
-            pd.Series(cid), index=False
-        ).to_numpy()
-        return b.append_column(
-            "__bucket", pa.array((h % n_buckets).astype(np.int64))
-        )
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         n = len(g)
         cid = g["conv_id"].to_numpy()
         ti = g["turn_idx"].to_numpy()
-        texts = g["text"].to_numpy(dtype=object)
+        texts = np.asarray(
+            ["" if t is None else t for t in g["text"]], dtype=object
+        )
         ctx = np.full(n, "", dtype=object)
+        # `has` tracks "context already holds a turn" separately from
+        # the string value: an EMPTY-TEXT turn still occupies a window
+        # slot and must contribute its newline separator, exactly like
+        # the SQL twin's array_to_string over the list window
+        has = np.zeros(n, dtype=bool)
         for k in range(window, 0, -1):  # oldest shift first
             if k >= n:
                 continue
@@ -214,11 +213,13 @@ def context_windows(ds, window: int = 3, n_buckets: int = 32):
             valid[k:] = cid[k:] == cid[:-k]
             piece = np.empty(n, dtype=object)
             piece[k:] = texts[:-k]
-            sel = np.flatnonzero(valid)
-            empty = np.asarray([ctx[i] == "" for i in sel])
-            ctx[sel[empty]] = piece[sel[empty]]
-            grow = sel[~empty]
-            ctx[grow] = ctx[grow] + "\n" + piece[grow]
+            first = valid & ~has
+            grow = valid & has
+            if first.any():
+                ctx[first] = piece[first]
+            if grow.any():
+                ctx[grow] = ctx[grow] + "\n" + piece[grow]
+            has |= valid
         return pd.DataFrame(
             {
                 "conv_id": cid,
@@ -229,7 +230,8 @@ def context_windows(ds, window: int = 3, n_buckets: int = 32):
         )
 
     return (
-        ds.map_batches(bucket, batch_format="pyarrow", batch_size=16384)
+        ds.map_batches(lambda b: _conv_bucket(b, n_buckets),
+                       batch_format="pyarrow", batch_size=16384)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

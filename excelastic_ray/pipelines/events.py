@@ -929,13 +929,25 @@ def auto_date_histogram(ds, target_buckets: int = 20):
 
     → Dataset (window_start int64-us, n, interval_us), the chosen
     interval attached to every row like ES's response metadata."""
-    # one pass: per-batch (min, max) partials, driver combine
+    # one pass: per-batch (min, max) partials, driver combine; empty
+    # blocks (empty row groups / upstream filters) emit no partial
     def mmpart(batch: pa.Table) -> pd.DataFrame:
         ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not len(ts):
+            return pd.DataFrame({"lo": np.zeros(0, np.int64),
+                                 "hi": np.zeros(0, np.int64)})
         return pd.DataFrame({"lo": [int(ts.min())], "hi": [int(ts.max())]})
 
     parts = ds.map_batches(mmpart, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
+    if not len(parts):  # zero events: an empty, correctly-typed result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"window_start": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "interval_us": pa.array([], type=pa.int64())})
+        )
     lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
     interval = AUTO_HIST_LADDER[-1]
     for i in AUTO_HIST_LADDER:

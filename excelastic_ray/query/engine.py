@@ -2195,14 +2195,18 @@ class QueryEngine:
         )
 
     def complete(self, prefix: str, k: int = 10,
-                 max_candidates: int = 10_000):
+                 max_candidates: int | None = None):
         """ES completion-suggester analog (search-as-you-type): the
         top-``k`` dictionary terms starting with ``prefix``, ranked by
         corpus document frequency (popularity) with (df DESC, term
         ASC) ties — served from the sorted term dictionary (two binary
         searches per shard, the same TermEnum seek the prefix query
-        uses), no postings decoded. ``max_candidates`` bounds the
-        per-shard candidate range like ES's suggester limits.
+        uses), no postings decoded. Candidates are unbounded by
+        default (the range is vocabulary-bounded); ``max_candidates``
+        caps the per-shard range for enormous vocabularies, which
+        makes the ranking approximate (alphabetically-late popular
+        terms past the cap are not seen) — documented ES-suggester-
+        style truncation, off unless asked for.
 
         → pyarrow.Table (rank, term, df)."""
         import pyarrow as pa
@@ -2221,9 +2225,10 @@ class QueryEngine:
         if len(toks) != 1:
             return out_empty
         p = toks[0]
+        cap = max_candidates if max_candidates is not None else (1 << 62)
         cands: set[str] = set()
         for s in range(r.num_shards):
-            cands.update(r.searcher(s).terms_with_prefix(p, max_candidates))
+            cands.update(r.searcher(s).terms_with_prefix(p, cap))
         if not cands:
             return out_empty
         terms = sorted(cands)

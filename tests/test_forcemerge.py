@@ -111,3 +111,39 @@ def test_force_merge_over_http_and_cli(ray_session, tmp_path):
         assert main(["forcemerge", idx, "--shards", "3"]) == 0
     assert '"num_shards": 3' in buf.getvalue()
     assert _snapshot_results(idx) == before
+
+
+def test_force_merge_validates_and_resumes(ray_session, tmp_path):
+    """Review fixes: num_shards < 1 refuses before touching files, and
+    a crashed merge (status force_merging) re-runs even at the
+    recorded fan-out instead of no-op'ing on a broken index."""
+    import ray.data as rd
+
+    from excelastic_ray.index.segments import (
+        load_global_manifest,
+        save_global_manifest,
+    )
+
+    idx = str(tmp_path / "idx3")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=20, seed=10)),
+        idx, CFG, clear=True,
+    )
+    before = _snapshot_results(idx)
+    with pytest.raises(ValueError, match=">= 1"):
+        force_merge(idx, num_shards=-1)
+    with pytest.raises(ValueError, match=">= 1"):
+        force_merge(idx, num_shards=0)
+    assert _snapshot_results(idx) == before  # nothing was touched
+
+    # simulate a crash mid-merge: status flipped, shard manifests gone
+    import os as _os
+    import shutil as _shutil
+
+    m = load_global_manifest(idx)
+    m["status"] = "force_merging"
+    save_global_manifest(idx, m)
+    _shutil.rmtree(_os.path.join(idx, "shards", "shard=00003"))
+    out = force_merge(idx, num_shards=m["num_shards"])
+    assert out["status"] == "complete"
+    assert _snapshot_results(idx) == before

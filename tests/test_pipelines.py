@@ -1593,3 +1593,64 @@ def test_context_windows_row_frame(ray_session):
         "", "t0", "t0\nt1", "t1\nt3", "", "u0",
     ]
     assert got.target.tolist() == ["t0", "t1", "t3", "t4", "u0", "u1"]
+
+
+def test_context_windows_short_convs_and_empty_turns(ray_session):
+    """Review fixes: buckets full of 1-turn conversations must not
+    crash, and an EMPTY-TEXT turn still occupies a window slot (its
+    newline separator survives, matching array_to_string)."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import context_windows
+
+    singles = pa.table(
+        {
+            "conv_id": [f"s{i}" for i in range(8)],
+            "turn_idx": [0] * 8,
+            "text": [f"t{i}" for i in range(8)],
+        }
+    )
+    out = context_windows(rd.from_arrow(singles), window=3).to_pandas()
+    assert len(out) == 8 and (out.context == "").all()
+
+    mixed = pa.table(
+        {
+            "conv_id": ["a"] * 3,
+            "turn_idx": [0, 1, 2],
+            "text": ["", "y", "z"],
+        }
+    )
+    got = (
+        context_windows(rd.from_arrow(mixed), window=3)
+        .to_pandas()
+        .sort_values("turn_idx")
+    )
+    assert got.context.tolist() == ["", "", "\ny"]
+
+
+def test_role_transitions_single_turn_only_schema(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import role_transitions
+
+    t = pa.table(
+        {
+            "conv_id": [f"s{i}" for i in range(5)],
+            "turn_idx": [0] * 5,
+            "role": ["user"] * 5,
+        }
+    )
+    out = role_transitions(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0
+
+
+def test_auto_date_histogram_empty_input(ray_session):
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import auto_date_histogram
+
+    t = pa.table({"ts": pa.array([], type=pa.timestamp("us"))})
+    ds_out = auto_date_histogram(rd.from_arrow(t))
+    # crash-freedom is the contract; Ray's empty-dataset to_pandas
+    # drops column metadata, so assert on the dataset itself
+    assert ds_out.count() == 0
