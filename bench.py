@@ -183,6 +183,22 @@ def run_bench() -> dict:
                 eng.search_synonyms(q, {"the": ["a"], "call": ["run"]},
                                     k=10)
         timings["synonym_60q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(5):
+            eng.significant_text("the call", k=10, sample_size=200)
+        timings["sigtext_5q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for _ in range(20):
+            eng.complete("w0", k=10)
+        timings["complete_20q"] = round(time.monotonic() - s, 3)
+        s = time.monotonic()
+        for q in BM25_BENCH_QUERIES:
+            p1 = eng.search(q, 10)
+            if p1.num_rows == 10:
+                cur = (p1["score"][-1].as_py(), p1["docid"][-1].as_py())
+                for _ in range(5):
+                    eng.search(q, 10, search_after=cur)
+        timings["search_after_30q"] = round(time.monotonic() - s, 3)
         eng.close()
 
     # Pipeline operators over the sf dir.

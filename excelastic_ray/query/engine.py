@@ -213,6 +213,16 @@ class ShardSearcher:
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(self.df[i]) if (i := self.lookup(t)) >= 0 else 0 for t in terms]
 
+    def prefix_dfs(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, dfs) of the whole prefix range as ARRAY SLICES —
+        zero per-term lookups (the completion suggester's hot path:
+        per-term ``dfs()`` over thousands of candidates costs
+        O(candidates · log V) binary searches; the range slice is two
+        searches total)."""
+        lo = int(np.searchsorted(self.terms, max(prefix, "\x02")))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        return self.terms[lo:hi], self.df[lo:hi]
+
     def terms_with_prefix(self, prefix: str, cap: int,
                           field: str | None = None) -> list[str]:
         """First ``cap`` dictionary terms starting with ``prefix`` —
@@ -2225,22 +2235,37 @@ class QueryEngine:
         if len(toks) != 1:
             return out_empty
         p = toks[0]
-        cap = max_candidates if max_candidates is not None else (1 << 62)
-        cands: set[str] = set()
+        import pandas as pd
+
+        # per-shard (terms, dfs) arrive as contiguous array slices;
+        # the cross-shard df sum is one vectorized groupby — no
+        # per-term dictionary lookups anywhere on this path
+        parts = []
         for s in range(r.num_shards):
-            cands.update(r.searcher(s).terms_with_prefix(p, cap))
-        if not cands:
+            t_arr, d_arr = r.searcher(s).prefix_dfs(p)
+            if max_candidates is not None:
+                t_arr, d_arr = (t_arr[:max_candidates],
+                                d_arr[:max_candidates])
+            if len(t_arr):
+                parts.append(
+                    pd.DataFrame({"term": t_arr.astype(object),
+                                  "df": d_arr.astype(np.int64)})
+                )
+        if not parts:
             return out_empty
-        terms = sorted(cands)
-        dfs = self._global_dfs(terms)
-        order = np.lexsort((np.asarray(terms, dtype=object), -dfs))[:k]
+        agg = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("term", sort=False)["df"].sum()
+        )
+        terms = agg.index.to_numpy(dtype=object)
+        dfs = agg.to_numpy()
+        order = np.lexsort((terms, -dfs))[:k]
         return pa.table(
             {
                 "rank": pa.array(
                     np.arange(1, len(order) + 1, dtype=np.int32)
                 ),
-                "term": pa.array([terms[i] for i in order],
-                                 type=pa.string()),
+                "term": pa.array(terms[order], type=pa.string()),
                 "df": pa.array(dfs[order].astype(np.int64)),
             }
         )
