@@ -305,6 +305,10 @@ class ImportServer:
                                 decay_origin=q.get("decay_origin") or None,
                                 decay_scale=q.get("decay_scale", "24h"),
                                 search_after=q.get("search_after") or None,
+                                fields=q.get("fields") or None,
+                                sort_ts=q.get("sort_ts") == "1",
+                                fuzzy=q.get("fuzzy") or None,
+                                syn=q.get("syn") or None,
                             ),
                         )
                     else:
@@ -737,7 +741,10 @@ class ImportServer:
                msm: int | None = None,
                decay_origin: str | None = None,
                decay_scale: str = "24h",
-               search_after: str | None = None) -> dict:
+               search_after: str | None = None,
+               fields: str | None = None, sort_ts: bool = False,
+               fuzzy: str | None = None,
+               syn: str | None = None) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -749,7 +756,8 @@ class ImportServer:
             # reference's Kibana index-pattern default view
             if (phrase or qs or wildcard or regexp or suggest or collapse
                     or mlt or must or must_not or msm is not None
-                    or decay_origin or offset or search_after):
+                    or decay_origin or offset or search_after
+                    or fields or sort_ts or fuzzy or syn):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
@@ -777,6 +785,22 @@ class ImportServer:
             # ES function_score gauss date decay (recency boost)
             t = eng.search_decay(query, k, origin=decay_origin,
                                  scale=decay_scale)
+        elif fields:
+            # multi_match over per-field posting streams
+            t = eng.search_fields(query, fields.split(","), k=k,
+                                  offset=offset)
+        elif sort_ts:
+            t = eng.search_sorted(query, k, order="desc")
+        elif fuzzy:
+            fz = fuzzy if fuzzy == "AUTO" else int(fuzzy)
+            t = eng.search_fuzzy(query, k, fuzziness=fz)
+        elif syn:
+            # syn=term=alt|alt2,term2=alt (the CLI --syn format)
+            table = {}
+            for spec in syn.split(","):
+                term, _, alts = spec.partition("=")
+                table[term.lower()] = alts.split("|")
+            t = eng.search_synonyms(query, table, k)
         elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
         elif qs:  # Kibana-style field:term query strings

@@ -414,3 +414,53 @@ def test_complete_endpoint(ray_session, tmp_path):
         )
     finally:
         srv.stop()
+
+
+def test_search_mode_params_over_http(ray_session, tmp_path):
+    """fields / sort_ts / fuzzy / syn search modes through the HTTP
+    surface match the engine's direct results."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "modes")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=15, seed=4)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2,
+                    field_index_fields=("role",)),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def hits(params):
+        _, body = _get(base + f"/api/search?index=a&{params}")
+        return [(h["docid"], h["score"])
+                for h in json.loads(body)["hits"]]
+
+    try:
+        want = eng.search_fields("user the", ["role", "text"], k=5)
+        assert hits("q=user+the&k=5&fields=role,text") == list(
+            zip(want["docid"].to_pylist(), want["score"].to_pylist())
+        )
+        want = eng.search_sorted("the", 5, order="desc")
+        _, body = _get(base + "/api/search?index=a&q=the&k=5&sort_ts=1")
+        got_ids = [h["docid"] for h in json.loads(body)["hits"]]
+        assert got_ids == want["docid"].to_pylist()
+        want = eng.search_fuzzy("teh", 5, fuzziness=1)
+        assert hits("q=teh&k=5&fuzzy=1") == list(
+            zip(want["docid"].to_pylist(), want["score"].to_pylist())
+        )
+        want = eng.search_synonyms("run", {"run": ["call"]}, 5)
+        assert hits("q=run&k=5&syn=run%3Dcall") == list(
+            zip(want["docid"].to_pylist(), want["score"].to_pylist())
+        )
+    finally:
+        srv.stop()
