@@ -1006,21 +1006,50 @@ def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
             .reset_index()
         )
 
-    vocab = (
+    vocab_ds = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("__bucket")
         .map_groups(combine, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    sent = vocab.term == _SENT
-    n_s = float(vocab.loc[sent, "c_all"].sum())
-    n_t = float(vocab.loc[sent, "c_tgt"].sum())
-    vocab = vocab[~sent]
-    v_size = float(len(vocab))
-    if max_vocab is not None and len(vocab) > max_vocab:
-        vocab = vocab.sort_values(
-            ["c_all", "term"], ascending=[False, True]
-        ).head(max_vocab)
+    # budget gate (materialize → count → collect-or-cap): the combined
+    # vocab frame is vocabulary-sized; past max_vocab the cap runs as
+    # a DISTRIBUTED sort + limit so the driver only ever collects the
+    # capped frame (plus the sentinel totals via a filter scan)
+    n_vocab = vocab_ds.count()
+    if max_vocab is not None and n_vocab - 1 > max_vocab:
+        import pyarrow.compute as pc
+
+        sent_rows = vocab_ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["term"], _SENT)
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        capped = (
+            vocab_ds.map_batches(
+                lambda t: t.filter(pc.not_equal(t["term"], _SENT)),
+                batch_format="pyarrow",
+            )
+            .sort(["c_all", "term"], descending=[True, False])
+            .limit(max_vocab)
+            .to_pandas()
+        )
+        n_s = float(sent_rows["c_all"].sum())
+        n_t = float(sent_rows["c_tgt"].sum())
+        v_size = float(n_vocab - len(sent_rows))
+        vocab = capped
+    else:
+        vocab = vocab_ds.to_pandas()
+        sent = vocab.term == _SENT
+        n_s = float(vocab.loc[sent, "c_all"].sum())
+        n_t = float(vocab.loc[sent, "c_tgt"].sum())
+        vocab = vocab[~sent]
+        v_size = float(len(vocab))
+        if max_vocab is not None and len(vocab) > max_vocab:
+            vocab = vocab.sort_values(
+                ["c_all", "term"], ascending=[False, True]
+            ).head(max_vocab)
     denom_t = n_t + alpha * v_size
     denom_s = n_s + alpha * v_size
     ratios = np.log(
