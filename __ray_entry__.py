@@ -1135,6 +1135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_bpe_train(sf_dir):
+        # fit a BPE merge table on the corpus (distributed word counts
+        # -> vocabulary-sized driver merge loop, the HF-trainer shape);
+        # the iterative merge has no SQL twin — pytest pins the
+        # algorithm on a hand-computed classic example
+        return ts.bpe_train(_docs(sf_dir), n_merges=30)
+
     def q_conv_stats(sf_dir):
         # per-conversation rollup over the derived transcript corpus
         from excelastic_ray.pipelines.convs import conv_stats
@@ -1741,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": q_percolate,
         "dsir": q_dsir,
         "conv_stats": q_conv_stats,
+        "bpe_train": q_bpe_train,
         "role_transitions": q_role_transitions,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,

@@ -1094,3 +1094,63 @@ def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
+              n_buckets: int = 32):
+    """Train a BPE merge table on the corpus (Sennrich et al. 2016) —
+    the fit-a-tokenizer-on-your-data pipeline stage.
+
+    Split of work is the standard tokenizer-trainer shape (HF /
+    sentencepiece): the DISTRIBUTED part is word counting (term_df's
+    partial + coarse-bucket combine — the exchange moves per-batch
+    distinct words, never tokens), and the merge loop then runs on the
+    aggregated (word, count) table, which is VOCABULARY-sized driver
+    work by design. Each word is a char sequence ending in the
+    word-boundary marker; every iteration merges the most frequent
+    adjacent symbol pair, ties broken by the lexicographically
+    smallest pair — fully deterministic.
+
+    → pyarrow.Table (merge_idx, left, right, pair_count)."""
+    words = term_df(ds, text_col=text_col, n_buckets=n_buckets) \
+        .to_pandas()
+    counts = dict(zip(words["term"], words["cf"].astype(int)))
+    # symbol sequences: chars + end-of-word marker on the last char
+    seqs = {w: tuple(w[:-1]) + (w[-1] + "</w>",) for w in counts}
+    merges = []
+    for idx in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in counts.items():
+            s = seqs[w]
+            for a, b in zip(s[:-1], s[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break  # nothing left worth merging
+        merges.append((idx, a, b, n))
+        ab = a + b
+        for w, s in seqs.items():
+            if a not in s:
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return pa.table(
+        {
+            "merge_idx": pa.array([m[0] for m in merges], type=pa.int32()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "pair_count": pa.array([m[3] for m in merges],
+                                   type=pa.int64()),
+        }
+    )

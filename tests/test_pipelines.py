@@ -1654,3 +1654,32 @@ def test_auto_date_histogram_empty_input(ray_session):
     # crash-freedom is the contract; Ray's empty-dataset to_pandas
     # drops column metadata, so assert on the dataset itself
     assert ds_out.count() == 0
+
+
+def test_bpe_train_classic_example(ray_session):
+    """Sennrich's classic example: corpus {low, lower, newest, widest}
+    with multiplicities — the first merges are deterministic."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import bpe_train
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+             + ["widest"] * 3)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    got = bpe_train(rd.from_arrow(t), n_merges=4).to_pylist()
+    # pair counts round 1: ('e','s') 9, ('s','t</w>') 9, ('l','o') 7 …
+    # tie 9/9 breaks to the lexicographically smaller pair ('e','s')
+    assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == \
+        ("e", "s", 9)
+    assert (got[1]["left"], got[1]["right"], got[1]["pair_count"]) == \
+        ("es", "t</w>", 9)
+    assert (got[2]["left"], got[2]["right"], got[2]["pair_count"]) == \
+        ("l", "o", 7)
+    # merge 4: 'lo'+'w</w>' (5, the "low" word) vs … check value sanity
+    assert got[3]["pair_count"] >= 5
+    assert all(m["merge_idx"] == i for i, m in enumerate(got))
