@@ -1137,9 +1137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_bpe_train(sf_dir):
         # fit a BPE merge table on the corpus (distributed word counts
-        # -> vocabulary-sized driver merge loop, the HF-trainer shape);
-        # the iterative merge has no SQL twin — pytest pins the
-        # algorithm on a hand-computed classic example
+        # -> budget-gated vocabulary-sized driver merge loop with an
+        # incremental pair->words index, the HF-trainer shape); the
+        # DuckDB twin replays the merge loop as a recursive CTE over
+        # the (word, cnt, seq) segmentation table
         return ts.bpe_train(_docs(sf_dir), n_merges=30)
 
     def q_conv_stats(sf_dir):
@@ -3393,6 +3394,68 @@ GROUP BY grams.doc_id
 SELECT term, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
 FROM (SELECT doc_id, unnest(toks) AS term FROM base)
 GROUP BY term
+""",
+        # BPE trainer twin: replay the merge loop as a recursive CTE.
+        # seg carries the full (word, cnt, seq) segmentation per
+        # iteration; each step picks the (count DESC, pair ASC) argmax
+        # pair via a subquery aggregate over the working table and
+        # re-segments with the same greedy left-to-right rule the
+        # trainer uses (a match at i is applied iff the run of
+        # consecutive matches immediately before i has even length —
+        # exactly what the sequential scan produces on overlapping
+        # runs like 'aaa').
+        "bpe_train": f"""
+WITH RECURSIVE words AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOK}) AS term FROM documents)
+  GROUP BY term
+),
+seg AS (
+  SELECT 0 AS it, word, cnt,
+    list_transform(range(1, length(word)+1),
+      j -> CASE WHEN j = length(word) THEN word[j] || '</w>'
+                ELSE word[j] END) AS seq
+  FROM words
+  UNION ALL
+  SELECT s.it + 1, s.word, s.cnt,
+    list_filter(
+      list_transform(range(1, len(s.seq)+1), j ->
+        CASE WHEN list_contains(sel.S, j) THEN b.bl || b.br
+             WHEN list_contains(sel.S, j-1) THEN NULL
+             ELSE s.seq[j] END),
+      x -> x IS NOT NULL) AS seq
+  FROM seg s
+  CROSS JOIN (
+    SELECT bl, br FROM (
+      SELECT x.seq[u.i] AS bl, x.seq[u.i+1] AS br, sum(x.cnt) AS pc
+      FROM seg x, UNNEST(range(1, len(x.seq))) AS u(i)
+      GROUP BY 1, 2
+      HAVING sum(x.cnt) >= 2
+    ) ORDER BY pc DESC, bl, br LIMIT 1
+  ) b,
+  LATERAL (
+    SELECT list_filter(m.M, i ->
+      (i - coalesce(list_max(list_filter(range(1, i),
+           p -> NOT list_contains(m.M, p))), 0) - 1) % 2 = 0) AS S
+    FROM (SELECT list_filter(range(1, len(s.seq)),
+           i -> s.seq[i] = b.bl AND s.seq[i+1] = b.br) AS M) m
+  ) sel
+  WHERE s.it < 30
+),
+pairs AS (
+  SELECT s.it, s.seq[u.i] AS bl, s.seq[u.i+1] AS br,
+         sum(s.cnt) AS pair_count
+  FROM seg s, UNNEST(range(1, len(s.seq))) AS u(i)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(it AS INTEGER) AS "merge_idx", bl AS "left", br AS "right",
+       CAST(pair_count AS BIGINT) AS "pair_count"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY it ORDER BY pair_count DESC, bl, br) AS rn
+  FROM pairs WHERE pair_count >= 2
+) WHERE rn = 1 AND it < 30
+ORDER BY "merge_idx"
 """,
         "top_terms": _DOCTOK
         + """

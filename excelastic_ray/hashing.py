@@ -97,6 +97,33 @@ def bit_length_u64(x: np.ndarray) -> np.ndarray:
     return (bl + (v > 0)).astype(np.int64)
 
 
+def resolve_buckets(ds=None, n_buckets: int | None = None,
+                    bytes_per_row: int = 16,
+                    target_bytes: int = 256 << 20) -> int:
+    """Shuffle-bucket count for the coarse-bucket combine pattern.
+
+    ``n_buckets`` explicit → returned verbatim. ``None`` → auto-sized by
+    the SCALE.md rule: one bucket materializes as one reducer frame, so
+    K ≈ max(64, 2 × cluster cores, rows × bytes_per_row / 256 MB). The
+    row count comes from ``ds._meta_count()`` (metadata-only — parquet
+    footers; NEVER executes a derived pipeline); when the count is
+    unknown (derived dataset, ds=None) the cluster-based floor applies
+    and corpus-proportional sizing is the caller's job via an explicit
+    ``n_buckets``."""
+    if n_buckets is not None:
+        return n_buckets
+    floor = max(64, 2 * (default_pool() + 2))
+    if ds is None:
+        return floor
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    if not n:
+        return floor
+    return max(floor, int(n) * bytes_per_row // target_bytes + 1)
+
+
 def default_pool(headroom: int = 2, floor: int = 2) -> int:
     """Actor-pool size for pipeline stages: cluster CPUs minus headroom
     for the read/shuffle task pools (an actor pool that reserves every

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from excelastic_ray.analysis import TOKEN_RE
+from excelastic_ray.hashing import resolve_buckets
 from excelastic_ray.pipelines.events import _bucketed_sum_combine
 
 
@@ -32,7 +33,7 @@ def _conv_bucket(b: pa.Table, n_buckets: int) -> pa.Table:
     )
 
 
-def conv_stats(ds, n_buckets: int = 32):
+def conv_stats(ds, n_buckets: int | None = None):
     """Per-conversation rollup → (conv_id, n_turns, n_user,
     n_assistant, n_tool_role, n_tool_calls, n_tokens, duration_s).
 
@@ -40,7 +41,11 @@ def conv_stats(ds, n_buckets: int = 32):
     ``n_tool_calls`` counts turns with a non-empty ``tool`` attribute
     (the reference's tool column). Duration is (max ts - min ts) in
     whole seconds. min/max survive the sum-combine as negated-max
-    tricks are avoided by carrying both endpoints explicitly."""
+    tricks are avoided by carrying both endpoints explicitly.
+
+    ``n_buckets=None`` auto-sizes by the SCALE.md K rule (one bucket =
+    one reducer frame of conv partial rows)."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=16)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         roles = batch["role"].to_numpy(zero_copy_only=False)
@@ -130,7 +135,7 @@ def conv_stats(ds, n_buckets: int = 32):
     return combined.map_batches(finish, batch_format="pyarrow")
 
 
-def role_transitions(ds, n_buckets: int = 32):
+def role_transitions(ds, n_buckets: int | None = None):
     """Role-transition counts over consecutive turns within each
     conversation → (from_role, to_role, n) — the Markov structure of
     the corpus (user→assistant→tool loops).
@@ -139,7 +144,10 @@ def role_transitions(ds, n_buckets: int = 32):
     a vectorized sorted self-alignment on (conv_id, turn_idx), and
     cross-BATCH adjacency is preserved by bucketing whole
     conversations first (conv-hash bucket groupby → per-bucket sort →
-    shift compare), so no pair is ever split."""
+    shift compare), so no pair is ever split. The FIRST bucketing is
+    corpus-row-sized, so ``n_buckets=None`` auto-sizes by the K rule;
+    the final combine's key space is roles², a constant."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=64)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -175,7 +183,7 @@ def role_transitions(ds, n_buckets: int = 32):
                                  n_buckets=8)
 
 
-def context_windows(ds, window: int = 3, n_buckets: int = 32):
+def context_windows(ds, window: int = 3, n_buckets: int | None = None):
     """Training-example assembly: for every turn, the concatenation of
     its previous ``window`` turns in the same conversation (newline-
     joined, oldest first) plus the turn itself as the target — the
@@ -190,7 +198,12 @@ def context_windows(ds, window: int = 3, n_buckets: int = 32):
     turn-idx gaps from deleted turns do not break the chain, matching
     the window-function semantics a SQL twin computes.
 
-    → Dataset (conv_id, turn_idx, context, target)."""
+    → Dataset (conv_id, turn_idx, context, target).
+
+    ``n_buckets=None`` auto-sizes by the K rule with a full-text
+    per-row budget (each bucket frame carries the turn text × (window
+    + 1) after assembly)."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=2048)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")

@@ -12,14 +12,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from excelastic_ray.hashing import resolve_buckets
 from excelastic_ray.pipelines.textstats import trunc6
 
 
-N_USER_BUCKETS = 64  # default; size per the dedup.N_BUCKETS rule —
-# one bucket is one reducer frame (~48 B × rows / n_buckets)
+N_USER_BUCKETS = 64  # legacy floor; size per the dedup.N_BUCKETS rule —
+# one bucket is one reducer frame (~48 B × rows / n_buckets).
+# n_buckets=None on the corpus-keyed entry points auto-sizes by the
+# SCALE.md K rule (resolve_buckets).
 
 
-def sessionize(ds, gap_minutes: int = 30, n_buckets: int = N_USER_BUCKETS):
+def sessionize(ds, gap_minutes: int = 30, n_buckets: int | None = None):
     """Session windows per user: a new session starts when the gap since
     the previous event exceeds ``gap_minutes``. → one row per session:
     (user_id, session_idx, n_events, sum_value, start_ts, end_ts).
@@ -34,6 +37,7 @@ def sessionize(ds, gap_minutes: int = 30, n_buckets: int = N_USER_BUCKETS):
     bucket, but costs O(rows log rows) of vectorized work there, not an
     unbounded per-group pandas session.
     """
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=48)
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def bucket(b: pa.Table) -> pa.Table:
@@ -93,14 +97,19 @@ def sessionize(ds, gap_minutes: int = 30, n_buckets: int = N_USER_BUCKETS):
 
 
 def _bucketed_sum_combine(partials, key_cols: list[str],
-                          n_buckets: int = 32):
+                          n_buckets: int | None = None):
     """Final combine of partial (n, sum_value) rows via a COARSE hash
     bucket instead of a fine distributed groupby: a Ray groupby over
     thousands of tiny (type, window) groups costs seconds of per-group
     machinery (the round-1 tiny-group pitfall — it regressed tumbling
     2.4→4 s in round 2's bench); hashing the keys into ~32 reducer
     frames and doing the fine grouping vectorized in pandas inside each
-    makes the exchange shape independent of group cardinality."""
+    makes the exchange shape independent of group cardinality.
+    ``partials`` is a DERIVED dataset (its metadata row count is
+    unknown without executing), so ``n_buckets=None`` resolves to the
+    cluster-based floor; callers whose partial stream is known-tiny
+    pass a small explicit width."""
+    n_buckets = resolve_buckets(None, n_buckets)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
@@ -231,7 +240,7 @@ def stats_by_type(ds, n_buckets: int = 8):
     )
 
 
-def distinct_users(ds, n_buckets: int = N_USER_BUCKETS):
+def distinct_users(ds, n_buckets: int | None = None):
     """ES ``cardinality`` aggregation, exact: distinct user_id per
     event_type.
 
@@ -242,8 +251,8 @@ def distinct_users(ds, n_buckets: int = N_USER_BUCKETS):
     bucket counts its unique pairs independently and the final per-type
     count is a small sum of n_buckets partial rows — no global distinct
     structure anywhere. Reducer memory is O(unique pairs / n_buckets);
-    size n_buckets up per the dedup.scaled_buckets rule at corpus
-    scale."""
+    ``n_buckets=None`` auto-sizes per the SCALE.md K rule."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=16)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from excelastic_ray.analysis import TOKEN_RE
-from excelastic_ray.hashing import fnv1a_rows
+from excelastic_ray.hashing import fnv1a_rows, resolve_buckets
 
 # Tiny per-language stopword lists (the langid heuristic). Keep in exact
 # lockstep with the SQL lists in __ray_entry__.py.
@@ -250,14 +250,15 @@ def bpe_token_count(ds, **kw):
                           batch_format="pyarrow", batch_size=8192)
 
 
-def term_df(ds, text_col: str = "text", n_buckets: int = 32):
+def term_df(ds, text_col: str = "text", n_buckets: int | None = None):
     """Corpus-wide (term, df, cf): pre-aggregated per batch (one row per
     distinct term per batch), then a COARSE hash-bucketed final combine
     — the fine distributed groupby over a vocabulary of tiny term groups
     paid seconds of per-group machinery (the same pitfall as the window
-    combines); bucketing keys into ~32 reducer frames with a vectorized
-    pandas groupby inside each is cardinality-independent. At a larger
-    vocabulary raise ``n_buckets`` by the usual K rule."""
+    combines); bucketing keys into coarse reducer frames with a
+    vectorized pandas groupby inside each is cardinality-independent.
+    ``n_buckets=None`` auto-sizes by the SCALE.md K rule."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=8)
 
     def partial(batch: pa.Table) -> pa.Table:
         codes, uniques, row_idx = _tokenize_batch(batch[text_col].to_pylist())
@@ -495,7 +496,8 @@ def doc_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
                       n: int = 10, min_doc_count: int = 3,
-                      text_col: str = "text", n_buckets: int = 32):
+                      text_col: str = "text",
+                      n_buckets: int | None = None):
     """ES ``significant_terms`` aggregation: terms over-represented in
     a FOREGROUND slice (``fg_col == fg_value``) relative to the whole
     corpus, scored with the JLH heuristic — ``(fg_pct - bg_pct) *
@@ -519,6 +521,7 @@ def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
     """
     from excelastic_ray.hashing import fnv1a_rows
 
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=8)
     _SENTINEL = "\x00__totals__"
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -563,7 +566,14 @@ def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
         .groupby("__bucket").map_groups(combine, batch_format="pandas")
         .materialize()
     )
-    tot = combined.filter(lambda r: r["term"] == _SENTINEL).take_all()
+    def _sentinel_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["term"], _SENTINEL))
+
+    tot = combined.map_batches(
+        _sentinel_only, batch_format="pyarrow"
+    ).take_all()
     n_docs, fg_size = int(tot[0]["df"]), int(tot[0]["fg_df"])
     if fg_size == 0:
         return pa.table({
@@ -608,7 +618,7 @@ def significant_terms(ds, fg_col: str = "source", fg_value: str = "src0",
 
 def lm_score(ds, min_count: int = 2, k_smooth: float = 0.1,
              id_col: str = "doc_id", text_col: str = "text",
-             n_buckets: int = 32,
+             n_buckets: int | None = None,
              vocab_budget: int = 5_000_000,
              bigram_budget: int = 50_000_000):
     """CCNet-style n-gram language-model quality scoring: train an
@@ -645,6 +655,8 @@ def lm_score(ds, min_count: int = 2, k_smooth: float = 0.1,
     import ray
 
     from excelastic_ray.hashing import fnv1a_rows
+
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=8)
 
     def uni_partial(batch: pa.Table) -> pa.Table:
         codes, uniques, _ = _tokenize_batch(batch[text_col].to_pylist())
@@ -852,7 +864,8 @@ def _ngram_occurrences(texts: list, n: int):
 
 
 def dup_ngram_stats(ds, n: int = 3, id_col: str = "doc_id",
-                    text_col: str = "text", n_buckets: int = 64):
+                    text_col: str = "text",
+                    n_buckets: int | None = None):
     """Per-doc duplicated n-gram span fraction — the exact-substring
     contamination signal (GPT-3 / MassiveText dedup reports it at 13-gram
     granularity; ``n`` is configurable): an n-gram occurrence is
@@ -864,7 +877,12 @@ def dup_ngram_stats(ds, n: int = 3, id_col: str = "doc_id",
     computable bucket-locally), each bucket emits per-doc (occ, dup)
     partials, and a second coarse-bucket combine sums them per doc. Two
     exchanges, both over bounded key spaces; the driver never sees
-    occurrence rows. → (doc_id, n_ngrams, dup_frac trunc6'd)."""
+    occurrence rows. → (doc_id, n_ngrams, dup_frac trunc6'd).
+
+    ``n_buckets=None`` auto-sizes per doc COUNT × ~2 KB (the occurrence
+    exchange is token-sized — one 24 B row per n-gram occurrence, so
+    the per-row budget assumes ~100 tokens/doc)."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=2048)
 
     def emit(batch: pa.Table) -> pa.Table:
         h, rows = _ngram_occurrences(batch[text_col].to_pylist(), n)
@@ -913,7 +931,7 @@ def dup_ngram_stats(ds, n: int = 3, id_col: str = "doc_id",
 
 
 def rare_terms(ds, max_df: int = 2, k: int = 50,
-               text_col: str = "text", n_buckets: int = 32):
+               text_col: str = "text", n_buckets: int | None = None):
     """ES ``rare_terms`` aggregation analog: the long-tail terms whose
     corpus document frequency is <= ``max_df``, ordered (df ASC, term
     ASC) — the opposite end of the distribution from ``top_terms``.
@@ -941,9 +959,9 @@ def rare_terms(ds, max_df: int = 2, k: int = 50,
 
 
 def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
-                    alpha: float = 1.0, max_vocab: int | None = None,
+                    alpha: float = 1.0, max_vocab: int | None = 50_000_000,
                     id_col: str = "doc_id", text_col: str = "text",
-                    n_buckets: int = 32):
+                    n_buckets: int | None = None):
     """DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
     rank raw documents by how target-like they are under unigram
     bag-of-words language models — the data-selection score
@@ -969,6 +987,7 @@ def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
     from excelastic_ray.hashing import fnv1a_rows
 
     tgt_col, tgt_val = target
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=8)
     _SENT = "\x00__totals__"
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1097,7 +1116,8 @@ def dsir_importance(ds, target: tuple[str, str] = ("lang", "en"),
 
 
 def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
-              n_buckets: int = 32):
+              n_buckets: int | None = None,
+              vocab_budget: int = 50_000_000):
     """Train a BPE merge table on the corpus (Sennrich et al. 2016) —
     the fit-a-tokenizer-on-your-data pipeline stage.
 
@@ -1111,19 +1131,57 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
     adjacent symbol pair, ties broken by the lexicographically
     smallest pair — fully deterministic.
 
+    Scale shape: the vocabulary collect is budget-GATED (materialize →
+    count → collect-or-raise, the ``keywords`` ``df_budget`` pattern —
+    vocabulary-sized driver state is the standard trainer split, but a
+    web-scale vocab must not land silently), and the merge loop keeps an
+    INCREMENTAL pair→count table plus a pair→words inverted index: each
+    merge touches only the words that actually contain the merged pair
+    (subtract their old adjacent-pair counts, re-segment, add the new
+    ones) instead of rescanning the whole vocabulary per iteration —
+    the standard trainer optimization (HF tokenizers / the original
+    subword-nmt ``learn_bpe`` both maintain exactly this index).
+
     → pyarrow.Table (merge_idx, left, right, pair_count)."""
-    words = term_df(ds, text_col=text_col, n_buckets=n_buckets) \
-        .to_pandas()
+    words_ds = term_df(ds, text_col=text_col, n_buckets=n_buckets) \
+        .materialize()
+    n_vocab = words_ds.count()
+    if n_vocab > vocab_budget:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds vocab_budget={vocab_budget}; "
+            "pre-filter the corpus or raise the budget explicitly"
+        )
+    words = words_ds.to_pandas()
     counts = dict(zip(words["term"], words["cf"].astype(int)))
     # symbol sequences: chars + end-of-word marker on the last char
     seqs = {w: tuple(w[:-1]) + (w[-1] + "</w>",) for w in counts}
+
+    def _word_pairs(s):
+        return zip(s[:-1], s[1:])
+
+    # one full pass builds the pair-count table and the inverted index;
+    # every later iteration updates both incrementally
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, c in counts.items():
+        for p in _word_pairs(seqs[w]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(w)
+
+    def _resegment(s, a, b, ab):
+        out = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return tuple(out)
+
     merges = []
     for idx in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for w, c in counts.items():
-            s = seqs[w]
-            for a, b in zip(s[:-1], s[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -1132,19 +1190,24 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
             break  # nothing left worth merging
         merges.append((idx, a, b, n))
         ab = a + b
-        for w, s in seqs.items():
-            if a not in s:
-                continue
-            out = []
-            i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(ab)
-                    i += 2
+        # touch ONLY the words containing (a, b)
+        for w in list(pair_words.get((a, b), ())):
+            c = counts[w]
+            old = seqs[w]
+            for p in set(_word_pairs(old)):
+                pair_words[p].discard(w)
+            for p in _word_pairs(old):
+                left = pair_counts[p] - c
+                if left:
+                    pair_counts[p] = left
                 else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = tuple(out)
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
+            new = _resegment(old, a, b, ab)
+            seqs[w] = new
+            for p in _word_pairs(new):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(w)
     return pa.table(
         {
             "merge_idx": pa.array([m[0] for m in merges], type=pa.int32()),

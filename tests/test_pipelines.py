@@ -1683,3 +1683,81 @@ def test_bpe_train_classic_example(ray_session):
     # merge 4: 'lo'+'w</w>' (5, the "low" word) vs … check value sanity
     assert got[3]["pair_count"] >= 5
     assert all(m["merge_idx"] == i for i, m in enumerate(got))
+
+
+def test_bpe_train_incremental_matches_bruteforce(ray_session):
+    """The incremental pair->words index must produce EXACTLY the merge
+    table the naive rescan-everything loop produces — including
+    overlapping runs ('aaaa'), exhausted pairs, and (count, pair)
+    tie-breaks."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import bpe_train
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+             + ["widest"] * 3 + ["aaa"] * 4 + ["aaaa"] * 3 + ["a"] * 7
+             + ["zz"])
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    got = [
+        (m["merge_idx"], m["left"], m["right"], m["pair_count"])
+        for m in bpe_train(rd.from_arrow(t), n_merges=100).to_pylist()
+    ]
+
+    # brute-force reference: full pair recount + full vocab rescan
+    # every iteration (the round-3 implementation)
+    from collections import Counter
+
+    counts = Counter(texts)
+    seqs = {w: tuple(w[:-1]) + (w[-1] + "</w>",) for w in counts}
+    ref = []
+    for idx in range(100):
+        pc: dict = {}
+        for w, c in counts.items():
+            s = seqs[w]
+            for a, b in zip(s[:-1], s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        ref.append((idx, a, b, n))
+        ab = a + b
+        for w, s in seqs.items():
+            if a not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    assert got == ref
+    assert len(got) > 5  # the corpus genuinely exercises the loop
+
+
+def test_bpe_train_vocab_budget(ray_session):
+    """The vocabulary collect is budget-gated: an over-budget vocab
+    raises instead of landing on the driver."""
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import bpe_train
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": ["alpha beta", "gamma delta", "epsilon zeta",
+                     "eta theta"],
+        }
+    )
+    with pytest.raises(ValueError, match="vocab_budget"):
+        bpe_train(rd.from_arrow(t), n_merges=2, vocab_budget=3)
