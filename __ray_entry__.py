@@ -35,6 +35,41 @@ ENTRY_CONFIG = IndexConfig(
     field_index_fields=("role", "tool"),
 )
 
+#: english-analyzer variant (stopword removal + light stem) — the ES
+#: analyzer-preset parity surface; its own cached index per sf_dir.
+ENTRY_CONFIG_EN = IndexConfig(
+    turn_bits=12, convs_per_chunk_bits=4, num_shards=4, batch_size=2048,
+    field_index_fields=("role", "tool"), analyzer="english",
+)
+
+#: stemmed-search query set: INFLECTED forms whose english-analyzer
+#: stems are corpus terms (the corpus holds only singular forms, so a
+#: standard-analyzer search for these returns nothing — the entry
+#: demonstrates query-side stemming + index-side stopword removal).
+STEM_QUERIES = [
+    ("sq1", "joins the queries"),
+    ("sq2", "scanning filtered rows"),
+    ("sq3", "sorted tables and windows"),
+    ("sq4", "a values stream"),
+    ("sq5", "the and a"),  # pure stopwords → empty result set
+]
+
+#: single-doc CRUD edit script (deterministic; conv_000000..2 exist at
+#: every sf — the derived corpus packs 8 turns per conversation) and
+#: the queries run over the post-edit, reindex-expunged corpus.
+CRUD_EDITS = {
+    "new_conv": ("zzzcrud", 0, "crud sentinel join spark"),
+    "new_turn": ("conv_000002", 100, "crud hash appended line"),
+    "overwrite": ("conv_000001", 0, "crud vector overwrite merge"),
+    "delete": ("conv_000000", 3),
+}
+CRUD_QUERIES = [
+    ("c1", "crud"),
+    ("c2", "crud join spark"),
+    ("c3", "vector overwrite"),
+    ("c4", "hash line"),
+]
+
 #: BM25 benchmark/oracle query set: (query_id, query string). Terms come
 #: from the documents vocabulary; includes a multi-term, an absent-term,
 #: and a duplicate-term query.
@@ -255,6 +290,42 @@ def _index_for(sf_dir: str) -> str:
             transcripts_from_documents(sf_dir), idx, ENTRY_CONFIG, clear=True
         )
     _BUILT[sf_dir] = idx
+    return idx
+
+
+_BUILT_EN: dict[str, str] = {}
+
+
+def _index_for_en(sf_dir: str) -> str:
+    """english-analyzer index over the same derived corpus (cached)."""
+    from excelastic_ray.index.build import build_index
+
+    if sf_dir in _BUILT_EN:
+        return _BUILT_EN[sf_dir]
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (
+        f"{os.path.basename(ap) or 'sf'}_"
+        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}_en"
+    )
+    idx = f"/tmp/excelastic_ray_cache/idx_{tag}"
+    try:
+        from excelastic_ray.index.segments import load_global_manifest
+
+        m = load_global_manifest(idx)
+        done = (
+            m.get("status") == "complete"
+            and m.get("config") == ENTRY_CONFIG_EN.to_dict()
+        )
+    except Exception:
+        done = False
+    if not done:
+        build_index(
+            transcripts_from_documents(sf_dir), idx, ENTRY_CONFIG_EN,
+            clear=True,
+        )
+    _BUILT_EN[sf_dir] = idx
     return idx
 
 
@@ -1135,6 +1206,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_doc_crud(sf_dir):
+        # single-document CRUD over a scratch COPY of the cached index:
+        # index a new conversation, append a turn to an existing one,
+        # overwrite a turn, tombstone a turn, then reindex (the expunge
+        # / compaction path) and search the final state. The oracle
+        # replays the same edit script as SQL set operations.
+        import shutil
+
+        import pyarrow as pa
+
+        from excelastic_ray.index.build import (
+            delete_doc,
+            index_doc,
+            reindex,
+        )
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        src = _index_for(sf_dir)
+        scratch = src + "_crud"
+        final = src + "_crud_final"
+        for d in (scratch, final):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        shutil.copytree(src, scratch)
+        cid, ti, tx = CRUD_EDITS["new_conv"]
+        index_doc(scratch, {"conv_id": cid, "turn_idx": ti, "role": "user",
+                            "text": tx})
+        cid, ti, tx = CRUD_EDITS["new_turn"]
+        index_doc(scratch, {"conv_id": cid, "turn_idx": ti,
+                            "role": "assistant", "text": tx})
+        cid, ti, tx = CRUD_EDITS["overwrite"]
+        index_doc(scratch, {"conv_id": cid, "turn_idx": ti, "role": "user",
+                            "text": tx}, overwrite=True)
+        cid, ti = CRUD_EDITS["delete"]
+        delete_doc(scratch, cid, ti)
+        reindex(scratch, final)
+
+        eng = QueryEngine(final)
+        parts = []
+        for qid, q in CRUD_QUERIES:
+            t = eng.search(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_stem_topk(sf_dir):
+        # english-analyzer index: stopword removal + light stem at
+        # build AND query time (ES analyzer-preset parity; the
+        # reference's --mapping selects ES-side analysis the same way)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for_en(sf_dir))
+        parts = []
+        for qid, q in STEM_QUERIES:
+            t = eng.search(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bpe_train(sf_dir):
         # fit a BPE merge table on the corpus (distributed word counts
         # -> budget-gated vocabulary-sized driver merge loop with an
@@ -1750,6 +1906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q_dsir,
         "conv_stats": q_conv_stats,
         "bpe_train": q_bpe_train,
+        "bm25_stem_topk": q_bm25_stem_topk,
+        "doc_crud": q_doc_crud,
         "role_transitions": q_role_transitions,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
@@ -1974,6 +2132,115 @@ QUALIFY row_number() OVER (
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
 """
     )
+
+
+def _bm25_stem_sql() -> str:
+    """bm25_stem_topk twin: the plain _bm25_sql shape with (a) the doc
+    tokenizer replaced by the english analyzer expression and (b) the
+    query VALUES generated by the ENGINE's query_terms under the same
+    analyzer — both sides of the analyzer chain come from analysis.py,
+    so the twin cannot drift from the engine."""
+    from excelastic_ray.analysis import analyzer_sql, query_terms
+
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in STEM_QUERIES
+        for t in query_terms(q, "english")
+    ) or "('__none__', '__none__')"
+    tok_en = analyzer_sql("text", "english")
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (SELECT conv_id, turn_idx, {tok_en} AS toks FROM transcripts),
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= 10
+"""
+
+
+def _doc_crud_sql() -> str:
+    """doc_crud twin: replay the CRUD edit script as SQL set operations
+    over the derived transcript corpus (delete + overwrite remove rows,
+    the three writes UNION ALL in with literal texts — the literals
+    come from the same CRUD_EDITS the engine runs), then the plain BM25
+    twin over the edited corpus (reindex expunged the tombstone, so the
+    final stats ARE the edited corpus's stats)."""
+    nc, nt, ow = (CRUD_EDITS["new_conv"], CRUD_EDITS["new_turn"],
+                  CRUD_EDITS["overwrite"])
+    dl_c, dl_t = CRUD_EDITS["delete"]
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in CRUD_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    return f"""
+WITH transcripts0 AS ({TRANSCRIPTS_SQL}),
+edited AS (
+    SELECT conv_id, turn_idx, text FROM transcripts0
+    WHERE NOT (conv_id = '{dl_c}' AND turn_idx = {dl_t})
+      AND NOT (conv_id = '{ow[0]}' AND turn_idx = {ow[1]})
+    UNION ALL SELECT '{ow[0]}', CAST({ow[1]} AS INTEGER), '{ow[2]}'
+    UNION ALL SELECT '{nc[0]}', CAST({nc[1]} AS INTEGER), '{nc[2]}'
+    UNION ALL SELECT '{nt[0]}', CAST({nt[1]} AS INTEGER), '{nt[2]}'
+),
+base AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+         FROM edited),
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= 10
+"""
 
 
 def _percentile_ranks_sql() -> str:
@@ -3066,6 +3333,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_stem_topk": _bm25_stem_sql(),
+        "doc_crud": _doc_crud_sql(),
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),
         # multi-index twin IS the single-corpus BM25 oracle: a faithful

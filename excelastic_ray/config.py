@@ -64,6 +64,15 @@ class IndexConfig:
     # Postings per skip block (block-max metadata granularity).
     block_size: int = 128
 
+    # Analyzer preset for the CATCH-ALL text stream ("standard" |
+    # "english" — see analysis.py). Per-field streams (role/tool) stay
+    # unanalyzed keyword-style tokens, matching ES keyword fields. The
+    # analyzer is part of the index identity: append refuses a config
+    # mismatch, exactly like a codec or field-list change (the
+    # reference's --mapping selects ES-side analysis the same way,
+    # ImportEvent.java:43,60).
+    analyzer: str = "standard"
+
     # Which columns get tokenized into the index (concatenated into the
     # catch-all stream — the default/unqualified search field).
     index_fields: tuple[str, ...] = ("text",)
@@ -108,6 +117,10 @@ class IndexConfig:
     driver_conv_budget: int = 50_000_000
 
     def __post_init__(self) -> None:
+        from excelastic_ray.analysis import ANALYZERS
+
+        if self.analyzer not in ANALYZERS:
+            raise ValueError(f"unknown analyzer {self.analyzer!r}")
         if self.codec not in ("varint", "blockpack", "pfor"):
             raise ValueError(f"unknown codec {self.codec!r}")
         if self.codec == "pfor" and self.block_size > 256:
@@ -143,6 +156,7 @@ class IndexConfig:
             "k1": self.k1,
             "b": self.b,
             "codec": self.codec,
+            "analyzer": self.analyzer,
             "turn_bits": self.turn_bits,
             "convs_per_chunk_bits": self.convs_per_chunk_bits,
             "num_shards": self.num_shards,
@@ -164,4 +178,5 @@ class IndexConfig:
         d["attr_fields"] = tuple(d.get("attr_fields", ("role", "tool", "ts")))
         d.setdefault("store_positions", False)  # pre-positions indexes
         d.setdefault("driver_conv_budget", 50_000_000)
+        d.setdefault("analyzer", "standard")  # pre-analyzer indexes
         return IndexConfig(**d)

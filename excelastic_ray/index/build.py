@@ -437,7 +437,19 @@ class StampChunk:
 
         for name in ("conv_id", "role", "tool"):
             i = batch.schema.get_field_index(name)
-            if i >= 0 and not pa.types.is_dictionary(batch.schema.field(i).type):
+            if i < 0:
+                continue
+            ftype = batch.schema.field(i).type
+            if pa.types.is_null(ftype):
+                # an all-null column arrives typed `null` (e.g. a
+                # docstore written before types were made explicit):
+                # cast to string so downstream schema unification and
+                # the categorical decode never see a null category
+                batch = batch.set_column(
+                    i, name, batch[name].cast(pa.string())
+                )
+                ftype = pa.string()
+            if not pa.types.is_dictionary(ftype):
                 batch = batch.set_column(
                     i, name, pc.dictionary_encode(batch[name].combine_chunks())
                 )
@@ -559,13 +571,22 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
         n_docs = len(doc_arr)
 
         # ---- tokenize (C-level findall; loop is rows-of-one-chunk) ----
+        # cfg.analyzer applies to the CATCH-ALL stream only (per-field
+        # streams below are ES-keyword-style, never analyzed);
+        # tokenize_many memoizes stems per chunk so the english chain
+        # costs one stem per distinct token, not per occurrence
         findall = TOKEN_RE.findall
         if len(cfg.index_fields) == 1:
             texts = g[cfg.index_fields[0]].tolist()
         else:
             cols = [g[f].tolist() for f in cfg.index_fields]
             texts = [" ".join(v for v in vals if v) for vals in zip(*cols)]
-        toks = [findall(t.lower()) if t else [] for t in texts]
+        if cfg.analyzer == "standard":
+            toks = [findall(t.lower()) if t else [] for t in texts]
+        else:
+            from excelastic_ray.analysis import tokenize_many
+
+            toks = tokenize_many(texts, cfg.analyzer)
         (uniq, rows_df, rows_nb, rows_post, rows_bm, rows_pos,
          dl_arr, total_dl, n_postings) = _posting_columns(toks, cfg)
 
@@ -660,12 +681,27 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
             os.path.join(d, "docs.parquet"), pa.table(doc_cols)
         )
         if store_cols:
-            # docstore slice (ES `_source` analog), docid-ordered
-            store = pa.Table.from_pandas(
-                g[["docid", *store_cols]], preserve_index=False
-            )
+            # docstore slice (ES `_source` analog), docid-ordered.
+            # Types are made EXPLICIT: pandas infers an all-null object
+            # column as Arrow `null`, which (a) breaks docstore schema
+            # unification across chunks and (b) dictionary-encodes into
+            # a null category on reindex (pandas refuses null
+            # categories) — force string for non-numeric columns.
+            s_cols = {"docid": pa.array(doc_arr, type=pa.int64())}
+            for c in store_cols:
+                col = g[c]
+                if np.issubdtype(col.dtype, np.datetime64):
+                    s_cols[c] = pa.array(
+                        col.to_numpy().astype("datetime64[us]")
+                    )
+                elif np.issubdtype(col.dtype, np.number):
+                    s_cols[c] = pa.array(col.to_numpy())
+                else:
+                    s_cols[c] = pa.array(
+                        col.to_numpy(object), type=pa.string()
+                    )
             nbytes += seg.atomic_write_parquet(
-                os.path.join(d, "store.parquet"), store
+                os.path.join(d, "store.parquet"), pa.table(s_cols)
             )
         manifest = {
             "chunk": chunk,
@@ -1389,7 +1425,9 @@ def append_index(
     try:
         cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
         if isinstance(source, (str, list, tuple)):
-            ds = rd.read_parquet(
+            from excelastic_ray.io import read_parquet_clean
+
+            ds = read_parquet_clean(
                 source,
                 columns=list(TRANSCRIPT_COLUMNS),
                 override_num_blocks=max(2 * cpus, 32),
@@ -1548,6 +1586,245 @@ def append_index(
         ctx.shuffle_strategy = prior_strategy
 
 
+def _conv_ranks_table(index_dir: str):
+    """(rank ndarray, conv_id object ndarray) from convs.parquet —
+    explicit ranks when present (post-append), positional otherwise."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "convs.parquet"))
+    ids = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+    ranks = (
+        t["rank"].to_numpy()
+        if "rank" in t.column_names
+        else np.arange(len(ids), dtype=np.int64)
+    )
+    return ranks.astype(np.int64), ids
+
+
+def delete_doc(index_dir: str, conv_id: str, turn_idx: int) -> int:
+    """ES single-document ``_delete`` analog: tombstone ONE (conv_id,
+    turn_idx) in its owning shard's ``deletes.parquet`` — the same
+    pre-merge semantics as ``delete_by_query`` (the doc drops from
+    results; df/N/avgdl still cover it until a ``reindex`` expunge,
+    exactly Lucene's deleted-doc contract). → the tombstoned docid.
+    Raises ``KeyError`` when the doc does not exist or is already
+    deleted (the ES 404)."""
+    import pyarrow.parquet as pq
+
+    manifest = seg.load_global_manifest(index_dir)
+    if manifest.get("status") != "complete":
+        raise ValidationError("index is not complete")
+    cfg = IndexConfig.from_dict(manifest["config"])
+    ranks, ids = _conv_ranks_table(index_dir)
+    hit = np.flatnonzero(ids == conv_id)
+    if not len(hit):
+        raise KeyError(f"conv_id {conv_id!r} not in the index")
+    rank = int(ranks[hit[0]])
+    docid = int(cfg.docid(rank, int(turn_idx)))
+    shard = cfg.shard_of_chunk(cfg.chunk_of_rank(rank))
+    sd = seg.shard_dir(index_dir, shard)
+    docids = pq.read_table(
+        os.path.join(sd, "docs.parquet"), columns=["docid"]
+    )["docid"].to_numpy()
+    p = int(np.searchsorted(docids, docid))
+    if p >= len(docids) or docids[p] != docid:
+        raise KeyError(f"({conv_id!r}, {turn_idx}) not in the index")
+    dpath = os.path.join(sd, "deletes.parquet")
+    dead = (
+        pq.read_table(dpath)["docid"].to_numpy()
+        if os.path.exists(dpath)
+        else np.zeros(0, dtype=np.int64)
+    )
+    if docid in dead:
+        raise KeyError(f"({conv_id!r}, {turn_idx}) is already deleted")
+    seg.atomic_write_parquet(
+        dpath,
+        pa.table({"docid": pa.array(np.union1d(dead, [docid]),
+                                    type=pa.int64())}),
+    )
+    manifest["deletes_rev"] = int(manifest.get("deletes_rev", 0)) + 1
+    seg.save_global_manifest(index_dir, manifest)
+    return docid
+
+
+def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
+              parallelism: int | None = None) -> int:
+    """ES single-document ``_index`` analog: add (or, with
+    ``overwrite=True``, replace — ES default ``op_type=index``) ONE
+    turn. → the doc's docid.
+
+    Shape: a NEW conversation delegates to :func:`append_index` with a
+    one-row table (ranked after the corpus, new chunk, one shard
+    re-merge — the write path already built for batches). A turn of an
+    EXISTING conversation rebuilds ONLY its owning chunk's level-0
+    segment from that chunk's docstore slice ± the row (driver-side —
+    one chunk is bounded by config, ~2^convs_per_chunk_bits convs) and
+    re-merges ONLY the owning shard via the normal streaming merge; all
+    other chunks/shards are untouched (their manifests short-circuit
+    the merge pool). There is deliberately NO in-memory indexing
+    buffer: per-doc cost is one chunk rebuild + one shard merge, so
+    BULK writes belong in ``append_index``/``build_index`` — this is
+    the interactive CRUD surface (the reference's ES users do per-doc
+    ``_index`` constantly, ElasticWriter.java:158-171).
+
+    Requires ``store_source=True`` (the chunk rebuild re-reads its
+    docstore slice). Overwriting a tombstoned doc resurrects it."""
+    import ray
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    manifest = seg.load_global_manifest(index_dir)
+    if manifest.get("status") != "complete":
+        raise ValidationError("index is not complete")
+    cfg = IndexConfig.from_dict(manifest["config"])
+    if not cfg.store_source:
+        raise ValidationError(
+            "index_doc needs store_source=True (chunk rebuild reads "
+            "the docstore slice)"
+        )
+    conv_id = str(row["conv_id"])
+    turn_idx = int(row["turn_idx"])
+    if not (0 <= turn_idx < cfg.max_turns):
+        raise ValidationError(
+            f"turn_idx {turn_idx} out of range (max_turns={cfg.max_turns})"
+        )
+    ranks, ids = _conv_ranks_table(index_dir)
+    hit = np.flatnonzero(ids == conv_id)
+
+    if not len(hit):
+        # ---- new conversation: the append path is the write path ----
+        cols: dict[str, pa.Array] = {}
+        for c in TRANSCRIPT_COLUMNS:
+            if c == "conv_id":
+                cols[c] = pa.array([conv_id], type=pa.string())
+            elif c == "turn_idx":
+                cols[c] = pa.array([turn_idx], type=pa.int32())
+            elif c == "ts":
+                v = row.get("ts")
+                if isinstance(v, str):
+                    v = np.datetime64(v, "us")
+                cols[c] = pa.array(
+                    [v], type=pa.timestamp("us")
+                )
+            else:
+                cols[c] = pa.array([row.get(c)], type=pa.string())
+        append_index(rd.from_arrow(pa.table(cols)), index_dir,
+                     parallelism=parallelism)
+        ranks, ids = _conv_ranks_table(index_dir)
+        rank = int(ranks[np.flatnonzero(ids == conv_id)[0]])
+        return int(cfg.docid(rank, turn_idx))
+
+    # ---- existing conversation: rebuild the owning chunk ------------
+    rank = int(ranks[hit[0]])
+    docid = int(cfg.docid(rank, turn_idx))
+    chunk = int(cfg.chunk_of_rank(rank))
+    shard = int(cfg.shard_of_chunk(chunk))
+    cd = seg.chunk_dir(index_dir, chunk)
+    store = pq.read_table(os.path.join(cd, "store.parquet"))
+    store_cols = [c for c in store.column_names if c != "docid"]
+    g = store.to_pandas()
+    orig_dtypes = {c: g[c].dtype for c in g.columns}
+    exists = bool((g["docid"] == docid).any())
+    if exists and not overwrite:
+        raise ValidationError(
+            f"({conv_id!r}, {turn_idx}) already indexed; pass "
+            "overwrite=True (ES op_type=index) or delete_doc first"
+        )
+    if exists:
+        g = g[g["docid"] != docid]
+    new_row = {"docid": docid}
+    for c in store_cols:
+        if c == "conv_id":
+            new_row[c] = conv_id
+        elif c == "turn_idx":
+            new_row[c] = turn_idx
+        elif c == "ts":
+            v = row.get("ts")
+            new_row[c] = (
+                pd.Timestamp(v) if v is not None else pd.NaT
+            )
+        else:
+            new_row[c] = row.get(c)
+    g = pd.concat([g, pd.DataFrame([new_row])], ignore_index=True)
+    if "ts" in g.columns:
+        g["ts"] = pd.to_datetime(g["ts"]).astype("datetime64[us]")
+    # keep the docstore slice's dtypes EXACTLY (turn_idx stays int32
+    # etc.) so per-chunk store files never drift schema
+    for c, dt in orig_dtypes.items():
+        if c != "ts" and str(g[c].dtype) != str(dt):
+            g[c] = g[c].astype(dt)
+    g["chunk"] = chunk
+    # atomic chunk rewrite (same builder as the distributed path)
+    make_chunk_builder(index_dir, cfg.to_dict(), store_cols)(g)
+
+    # force ONLY the owning shard to re-merge (its manifest would
+    # otherwise short-circuit on the unchanged chunk set)
+    sd = seg.shard_dir(index_dir, shard)
+    mp = os.path.join(sd, seg.MANIFEST)
+    if os.path.exists(mp):
+        os.unlink(mp)
+    cpus = parallelism or (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized() else 4
+    )
+    all_chunks = seg.completed_chunks(index_dir)
+    shard_bytes = _merge_phase(
+        index_dir, cfg, sorted(all_chunks), int(manifest["num_shards"]),
+        cpus,
+    )
+
+    # resurrect: an overwrite makes the doc live again
+    dpath = os.path.join(sd, "deletes.parquet")
+    if os.path.exists(dpath):
+        dead = pq.read_table(dpath)["docid"].to_numpy()
+        if docid in dead:
+            left = dead[dead != docid]
+            if len(left):
+                seg.atomic_write_parquet(
+                    dpath, pa.table({"docid": pa.array(left,
+                                                       type=pa.int64())})
+                )
+            else:
+                os.unlink(dpath)
+            manifest["deletes_rev"] = int(manifest.get("deletes_rev", 0)) + 1
+    upath = os.path.join(sd, "updates.parquet")
+    if os.path.exists(upath):
+        import pyarrow.compute as pc
+
+        ut = pq.read_table(upath)
+        keep = pc.not_equal(ut["docid"], docid)
+        if pc.any(pc.invert(keep)).as_py():
+            seg.atomic_write_parquet(upath, ut.filter(keep))
+            manifest["updates_rev"] = int(manifest.get("updates_rev", 0)) + 1
+
+    # refresh the global stats from the chunk census
+    n_docs = sum(m["n_docs"] for m in all_chunks.values())
+    total_dl = sum(m["total_dl"] for m in all_chunks.values())
+    field_totals = _sum_field_dl(all_chunks)
+    manifest.update(
+        {
+            "n_docs": int(n_docs),
+            "total_dl": int(total_dl),
+            "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+            "field_avgdl": {
+                f: (v / n_docs) if n_docs else 0.0
+                for f, v in field_totals.items()
+            },
+            "n_postings": int(
+                sum(m["n_postings"] for m in all_chunks.values())
+            ),
+            "segment_bytes": int(
+                sum(m["bytes_compressed"] for m in all_chunks.values())
+            ),
+            "shard_bytes": int(shard_bytes),
+            "build_id": uuid.uuid4().hex,
+        }
+    )
+    seg.write_chunk_census(index_dir, all_chunks)
+    seg.save_global_manifest(index_dir, manifest)
+    return docid
+
+
 def build_status(index_dir: str) -> dict:
     """Progress accounting for a (possibly in-flight) build — the analog
     of the reference's per-import progress percent published over the
@@ -1676,7 +1953,9 @@ def reindex(src_index: str, dst_index: str,
             )
         return batch.select(out_cols)
 
-    ds = ray.data.read_parquet(files, columns=src_cols).map_batches(
+    from excelastic_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(files, columns=src_cols).map_batches(
         live_source, batch_format="pyarrow"
     )
     # strict_turns=False: tombstones punch holes in the 0..n-1 turn

@@ -547,32 +547,35 @@ def verify_jaccard(
         batch_format="pyarrow", batch_size=4096,
     ).materialize()
 
+    def _set_lengths(col: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (0 if s is None else len(s) for s in col),
+            dtype=np.int64, count=len(col),
+        )
+
     def attach_a(g: pd.DataFrame) -> pa.Table:
         docs = g[g["is_doc"] == 1]
-        pairs = g[g["is_doc"] == 0]
         # cross-band duplicates of one (a, b) pair all land in this
         # bucket (key = hash(a)), so dedup here is exact and saves the
-        # caller a dedicated dedup shuffle
-        pairs = pairs.drop_duplicates(["a", "b"])
-        lut = dict(zip(docs["a"].to_numpy(), docs["sh"].to_numpy()))
-        out_a, out_b, out_sh = [], [], []
-        for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
-            sa = lut.get(int(a))
-            if sa is None or not len(sa):
-                continue
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_sh.append(np.asarray(sa, dtype=np.int64))
+        # caller a dedicated dedup shuffle; the doc-side attach is one
+        # vectorized hash join (pandas merge), no per-pair Python
+        pairs = g[g["is_doc"] == 0].drop_duplicates(["a", "b"])
+        m = pairs[["a", "b"]].merge(docs[["a", "sh"]], on="a")
+        if len(m):
+            m = m[_set_lengths(m["sh"].to_numpy()) > 0]
+        out_b = m["b"].to_numpy().astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(
-                    _id_bucket(np.asarray(out_b, dtype=np.int64), n_buckets)
-                    .astype(np.int64)
+                    _id_bucket(out_b, n_buckets).astype(np.int64)
                 ),
-                "is_doc": pa.array(np.zeros(len(out_a), dtype=np.int64)),
-                "a": pa.array(np.asarray(out_a, dtype=np.int64)),
-                "b": pa.array(np.asarray(out_b, dtype=np.int64)),
-                "sh": pa.array(out_sh, type=pa.list_(pa.int64())),
+                "is_doc": pa.array(np.zeros(len(m), dtype=np.int64)),
+                "a": pa.array(m["a"].to_numpy().astype(np.int64)),
+                "b": pa.array(out_b),
+                "sh": pa.array(
+                    [np.asarray(s, dtype=np.int64) for s in m["sh"]],
+                    type=pa.list_(pa.int64()),
+                ),
             }
         )
 
@@ -583,25 +586,60 @@ def verify_jaccard(
     )
 
     def attach_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        EMPTY = pd.DataFrame(
+            {
+                "a": np.zeros(0, np.int64),
+                "b": np.zeros(0, np.int64),
+                "jaccard": np.zeros(0, np.float64),
+            }
+        )
         docs = g[g["is_doc"] == 1]
         pairs = g[g["is_doc"] == 0]
-        lut = dict(zip(docs["a"].to_numpy(), docs["sh"].to_numpy()))
-        out = []
-        for a, b, sa in zip(
-            pairs["a"].to_numpy(), pairs["b"].to_numpy(), pairs["sh"].to_numpy()
-        ):
-            sb = lut.get(int(b))
-            if sb is None or not len(sb):
-                continue
-            sa = np.asarray(sa, dtype=np.int64)
-            sb = np.asarray(sb, dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out.append((int(a), int(b), float(trunc6(j))))
+        if not len(pairs) or not len(docs):
+            return EMPTY
+        # vectorized b-side attach (merge on b), then per-pair exact
+        # intersection via the ngram_jaccard hash-join kernel: flatten
+        # both shingle lists with their pair-row index, one merge on
+        # (row, shingle), bincount rows — shingles are unique per doc,
+        # so the match count per row IS |A ∩ B|
+        m = pairs[["a", "b", "sh"]].merge(
+            docs[["a", "sh"]].rename(columns={"a": "b", "sh": "sh_b"}),
+            on="b",
+        )
+        if not len(m):
+            return EMPTY
+        sh_a = m["sh"].to_numpy()
+        sh_b = m["sh_b"].to_numpy()
+        la = _set_lengths(sh_a)
+        lb = _set_lengths(sh_b)
+        keep = (la > 0) & (lb > 0)
+        if not keep.all():
+            m = m[keep]
+            sh_a, sh_b, la, lb = sh_a[keep], sh_b[keep], la[keep], lb[keep]
+        if not len(m):
+            return EMPTY
+        n = len(m)
+        va = np.concatenate([np.asarray(s, dtype=np.int64) for s in sh_a])
+        vb = np.concatenate([np.asarray(s, dtype=np.int64) for s in sh_b])
+        ra = np.repeat(np.arange(n, dtype=np.int64), la)
+        rb = np.repeat(np.arange(n, dtype=np.int64), lb)
+        mm = pd.merge(
+            pd.DataFrame({"r": ra, "v": va}),
+            pd.DataFrame({"r": rb, "v": vb}),
+            on=["r", "v"],
+        )
+        inter = np.bincount(
+            mm["r"].to_numpy(), minlength=n
+        ).astype(np.int64)
+        j = inter / (la + lb - inter)
+        sel = j >= threshold
         return pd.DataFrame(
-            out, columns=["a", "b", "jaccard"]
-        ).astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
+            {
+                "a": m["a"].to_numpy().astype(np.int64)[sel],
+                "b": m["b"].to_numpy().astype(np.int64)[sel],
+                "jaccard": trunc6(j[sel]),
+            }
+        )
 
     return (
         stage1.union(sh)

@@ -1,13 +1,16 @@
-"""Multimodal binary-column plumbing (decode stages STUBBED).
+"""Multimodal binary-column plumbing (real decode behind auto-detect).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 decode / feature-extract / resize run as actor-pool ``map_batches``
-stages. The image/audio libraries are NOT in this container, so the
-decode kernel is stubbed: with ``fake=True`` (default) a deterministic
-fake decoder derives shape/features from the payload bytes so the Ray
-plumbing — schema, batch size, actor signature, output layout — is real
-and tested; with ``fake=False`` the stage raises ``NotImplementedError``
-at the exact point a real codec (PIL / torchaudio / pyav) would slot in.
+stages. The image/audio libraries are NOT in this container, so with
+``fake=True`` (default) a deterministic fake decoder derives
+shape/features from the payload bytes so the Ray plumbing — schema,
+batch size, actor signature, output layout — is real and tested; with
+``fake=False`` the actor AUTO-DETECTS the codec at init (PIL for
+images when importable) and otherwise raises ``NotImplementedError``
+at the exact point a real codec (PIL / torchaudio / pyav) would slot
+in. A skip-marked pytest activates the real path if the container ever
+gains PIL.
 
 Batch-size guidance: binary payloads dominate block size — size
 ``batch_size`` so batch_bytes × concurrency fits the worker heap
@@ -51,29 +54,60 @@ def attach_fake_payloads(batch: pa.Table, id_col: str = "doc_id",
     )
 
 
+def _try_import_pil():
+    """Auto-detect the real image codec (PIL) — None when absent."""
+    try:  # pragma: no cover - lib absent in this container
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeMedia:
     """Actor-pool decode stage: payload → (height, width, n_channels) for
-    images / (n_samples, sample_rate) for audio. Real decode is stubbed."""
+    images / (n_samples, sample_rate) for audio.
+
+    ``fake=False`` AUTO-DETECTS the codec at actor init (once per
+    actor, the model-load slot): image payloads decode through PIL when
+    it is importable; without PIL (this container) init raises the
+    documented ``NotImplementedError``. Audio decode would need
+    torchaudio and stays stubbed either way."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
+        self._pil = None
         if not fake:
-            try:  # pragma: no cover - libs absent in this container
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
+            self._pil = _try_import_pil()
+            if self._pil is None:
                 raise NotImplementedError(
                     "real media decode needs PIL/torchaudio; run with fake=True"
-                ) from e
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:  # pragma: no cover
-            raise NotImplementedError("real decode path not available here")
         payloads = batch["payload"].to_pylist()
         sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                             count=len(payloads))
-        # Deterministic fake: shape derived from payload length.
-        h = (sizes % 480) + 1
-        w = (sizes % 640) + 1
+        if not self.fake:  # pragma: no cover - needs PIL
+            import io
+
+            kinds = batch["kind"].to_pylist()
+            h = np.empty(len(payloads), dtype=np.int64)
+            w = np.empty(len(payloads), dtype=np.int64)
+            c = np.empty(len(payloads), dtype=np.int64)
+            for i, (kind, p) in enumerate(zip(kinds, payloads)):
+                if kind != "image":
+                    raise NotImplementedError(
+                        "real audio/video decode needs torchaudio/pyav"
+                    )
+                img = self._pil.open(io.BytesIO(p or b""))
+                w[i], h[i] = img.size
+                c[i] = len(img.getbands())
+        else:
+            # Deterministic fake: shape derived from payload length.
+            h = (sizes % 480) + 1
+            w = (sizes % 640) + 1
+            c = np.full(len(sizes), 3, dtype=np.int64)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -81,7 +115,7 @@ class DecodeMedia:
                 "n_bytes": pa.array(sizes),
                 "height": pa.array(h),
                 "width": pa.array(w),
-                "n_channels": pa.array(np.full(len(sizes), 3, dtype=np.int64)),
+                "n_channels": pa.array(c),
             }
         )
 

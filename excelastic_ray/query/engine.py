@@ -1408,19 +1408,28 @@ def _regex_literal_prefix(pattern: str) -> str:
     return "".join(lit)
 
 
-def highlight_text(text: str | None, terms) -> str:
+def highlight_text(text: str | None, terms, analyzer: str = "standard") -> str:
     """Wrap every analyzer-token occurrence of ``terms`` in <em></em>
     (ES highlighter default tags). Token boundaries come from the SAME
     TOKEN_RE pattern as indexing (matched case-insensitively in place,
-    comparing each match lowercased), so highlights match exactly what
-    scored and slice offsets always refer to the original string."""
+    comparing each match ANALYZED — lowercased, and stemmed when the
+    index analyzer stems), so highlights match exactly what scored and
+    slice offsets always refer to the original string."""
     if not text:
         return ""
     want = set(terms)
+    if analyzer != "standard":
+        from excelastic_ray.analysis import analyze_tokens
+
+        def _norm(t: str) -> str:
+            a = analyze_tokens([t], analyzer)
+            return a[0] if a else ""
+    else:
+        _norm = str
     out = []
     last = 0
     for m in _TOKEN_RE_CI.finditer(text):
-        if m.group(0).lower() in want:
+        if _norm(m.group(0).lower()) in want:
             out.append(text[last : m.start()])
             out.append("<em>")
             out.append(text[m.start() : m.end()])
@@ -1543,6 +1552,32 @@ class QueryEngine:
             self._df_cache.update(zip(missing, totals.tolist()))
         return np.asarray([self._df_cache[t] for t in terms], dtype=np.int64)
 
+    # -- analyzer plumbing (catch-all text stream) ------------------------
+    # Every text-stream query path analyzes with the INDEX's configured
+    # analyzer (manifest config.analyzer): same stopword removal + stem
+    # chain the build applied, so query terms hit the same dictionary.
+    # Per-field streams (role/tool) are keyword-style and never analyzed.
+
+    def _qt(self, query: str) -> list[str]:
+        """``query_terms`` under the index analyzer (sorted, distinct)."""
+        return query_terms(query, self.reader.cfg.analyzer)
+
+    def _tok(self, text) -> list[str]:
+        """``tokenize`` under the index analyzer (ordered, stops out)."""
+        from excelastic_ray.analysis import tokenize
+
+        return tokenize(text, self.reader.cfg.analyzer)
+
+    def _tok_ordered(self, query: str) -> list[str]:
+        """Phrase-shaped analysis: IN ORDER, duplicates kept. Positions
+        were assigned over the analyzed stream at build time, so phrase
+        adjacency is adjacency AFTER stopword removal."""
+        from excelastic_ray.analysis import analyze_tokens
+
+        return analyze_tokens(
+            TOKEN_RE.findall(query.lower()), self.reader.cfg.analyzer
+        )
+
     def search(self, query: str, k: int = 10, filters: dict | None = None,
                mode: str = "or", include_source: bool = False,
                offset: int = 0, highlight: bool = False,
@@ -1578,7 +1613,7 @@ class QueryEngine:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are exclusive")
         r = self.reader
-        terms = query_terms(query)
+        terms = self._qt(query)
         docids = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
         if terms and r.n_docs:
@@ -1635,7 +1670,7 @@ class QueryEngine:
         if highlight:
             if len(docids):
                 texts = r.fetch_docs(docids, columns=["text"])["text"].to_pylist()
-                snips = [highlight_text(t, terms) for t in texts]
+                snips = [highlight_text(t, terms, r.cfg.analyzer) for t in texts]
             else:
                 snips = []
             out = out.append_column(
@@ -1664,7 +1699,7 @@ class QueryEngine:
         if ordi >= len(s.docids) or s.docids[ordi] != docid:
             raise KeyError(f"docid {docid} not in the index")
         dl = float(s.dls[ordi])
-        terms = query_terms(query)
+        terms = self._qt(query)
         dfs = self._global_dfs(terms)
         rows = []
         total = 0.0
@@ -1719,18 +1754,21 @@ class QueryEngine:
         )
 
     def _field_key_of(self, field: str | None, term: str):
-        """→ (dictionary key, normalized field). The catch-all stream
-        (field None, or the single configured index_field — identical by
-        definition, so it is served from the main stream rather than
-        duplicated) uses the bare term; everything else must have its
-        own stream in config.field_index_fields."""
-        from excelastic_ray.analysis import field_key
+        """→ (dictionary key | None, normalized field). The catch-all
+        stream (field None, or the single configured index_field —
+        identical by definition, so it is served from the main stream
+        rather than duplicated) uses the term ANALYZED with the index
+        analyzer (key None when the analyzer drops it — a stopword);
+        everything else must have its own stream in
+        config.field_index_fields and stays keyword-raw."""
+        from excelastic_ray.analysis import analyze_tokens, field_key
 
         cfg = self.reader.cfg
         if field is None or (
             len(cfg.index_fields) == 1 and field == cfg.index_fields[0]
         ):
-            return term, None
+            toks = analyze_tokens([term], cfg.analyzer)
+            return (toks[0] if toks else None), None
         if field not in cfg.field_index_fields:
             raise KeyError(
                 f"field {field!r} is not indexed per-field "
@@ -1753,6 +1791,8 @@ class QueryEngine:
         seen: dict[str, str | None] = {}
         for field, term in pairs:
             key, fnorm = self._field_key_of(field, term)
+            if key is None:  # analyzer dropped the term (stopword)
+                continue
             seen.setdefault(key, fnorm)
         keys = sorted(seen)  # deterministic scoring order
         docids = np.zeros(0, dtype=np.int64)
@@ -2018,9 +2058,9 @@ class QueryEngine:
         absent ⇒ drops out (can never match or score); must ∩ must_not
         ⇒ empty (the clauses contradict); should ∩ must_not terms can
         never contribute (any doc containing one is excluded)."""
-        m_terms = query_terms(must)
-        s_terms = query_terms(should)
-        n_terms = query_terms(must_not)
+        m_terms = self._qt(must)
+        s_terms = self._qt(should)
+        n_terms = self._qt(must_not)
         if not m_terms and not s_terms:
             raise ValueError("bool query needs at least one must or "
                              "should term")
@@ -2147,7 +2187,7 @@ class QueryEngine:
             "term": [], "rank": [], "suggestion": [], "distance": [],
             "df": [],
         }
-        for t in dict.fromkeys(tokenize(text)):  # unique, input order
+        for t in dict.fromkeys(self._tok(text)):  # unique, input order
             if suggest_mode == "missing" and int(self._global_dfs([t])[0]) > 0:
                 continue
             best = self._fuzzy_union(t, max_edits, prefix_length)
@@ -2190,7 +2230,7 @@ class QueryEngine:
         from excelastic_ray.analysis import tokenize
 
         expanded: set[str] = set()
-        for t in tokenize(query):
+        for t in self._tok(query):
             d = self.auto_fuzziness(t) if fuzziness == "AUTO" else int(fuzziness)
             if d == 0:
                 expanded.add(t)
@@ -2309,7 +2349,7 @@ class QueryEngine:
         )["text"].to_pylist()
         fg: dict[str, int] = {}
         for t in texts:
-            for term in set(tokenize(t)):
+            for term in set(self._tok(t)):
                 fg[term] = fg.get(term, 0) + 1
         cands = sorted(t for t, c in fg.items() if c >= min_doc_count)
         if not cands:
@@ -2359,7 +2399,7 @@ class QueryEngine:
         r = self.reader
         groups: list[tuple[str, ...]] = []
         seen: set[tuple[str, ...]] = set()
-        for t in query_terms(query):
+        for t in self._qt(query):
             members = {t}
             for s in synonyms.get(t, []):
                 members.update(tokenize(s))
@@ -2424,7 +2464,7 @@ class QueryEngine:
         src = r.docid_of(conv_id, turn_idx)
         text = r.fetch_docs([src], columns=["text"])["text"][0].as_py()
         tf: dict[str, int] = {}
-        for t in tokenize(text):
+        for t in self._tok(text):
             tf[t] = tf.get(t, 0) + 1
         cands = sorted(t for t, n in tf.items() if n >= min_term_freq)
         dfs = self._global_dfs(cands) if cands else np.zeros(0, np.int64)
@@ -2468,7 +2508,7 @@ class QueryEngine:
         src = r.docid_of(conv_id, turn_idx)
         text = r.fetch_docs([src], columns=["text"])["text"][0].as_py()
         tf: dict[str, int] = {}
-        for t in tokenize(text):
+        for t in self._tok(text):
             tf[t] = tf.get(t, 0) + 1
         terms = sorted(tf)
         dfs = (
@@ -2496,7 +2536,7 @@ class QueryEngine:
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
         r = self.reader
-        terms = query_terms(query)
+        terms = self._qt(query)
         bd = np.zeros(0, dtype=np.int64)
         bs = np.zeros(0, dtype=np.float64)
         bg: list[str] = []
@@ -2551,8 +2591,8 @@ class QueryEngine:
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
         r = self.reader
-        terms = query_terms(positive)
-        neg_terms = query_terms(negative)
+        terms = self._qt(positive)
+        neg_terms = self._qt(negative)
         bd = np.zeros(0, dtype=np.int64)
         bs = np.zeros(0, dtype=np.float64)
         if terms and r.n_docs:
@@ -2602,8 +2642,8 @@ class QueryEngine:
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
         r = self.reader
-        terms = query_terms(query)
-        p_terms = TOKEN_RE.findall(rescore_query.lower())
+        terms = self._qt(query)
+        p_terms = self._tok_ordered(rescore_query)
         bd = np.zeros(0, dtype=np.int64)
         bs = np.zeros(0, dtype=np.float64)
         if terms and r.n_docs:
@@ -2671,7 +2711,7 @@ class QueryEngine:
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
         r = self.reader
-        terms = query_terms(query)
+        terms = self._qt(query)
         bd = np.zeros(0, dtype=np.int64)
         bs = np.zeros(0, dtype=np.float64)
         bg: list[str] = []
@@ -2759,7 +2799,7 @@ class QueryEngine:
             r.avgdl if field is None
             else r.manifest.get("field_avgdl", {})[field]
         )
-        terms = TOKEN_RE.findall(query.lower())  # IN ORDER, duplicates kept
+        terms = self._tok_ordered(query)  # IN ORDER, duplicates kept
         docids = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
         if terms and r.n_docs:
@@ -2806,7 +2846,7 @@ class QueryEngine:
 
     def _query_shape(self, query: str, mode: str):
         """→ (live terms, n_required, dead) for count/facet endpoints."""
-        terms = query_terms(query)
+        terms = self._qt(query)
         if not terms:
             return [], 0, False
         dfs = self._global_dfs(terms)
@@ -3043,7 +3083,7 @@ class QueryEngine:
         origin_us = ShardSearcher._as_us(origin)
         scale_us = float(_parse_span_us(scale))
         r = self.reader
-        terms = query_terms(query)
+        terms = self._qt(query)
         docids = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
         if terms and r.n_docs:
@@ -3117,7 +3157,7 @@ class QueryEngine:
         terms: list[str] = []
         n_required = 0
         if query is not None:
-            terms = query_terms(query)
+            terms = self._qt(query)
             if not terms:
                 return sum(
                     0 if r.searcher(s).live_mask is None
@@ -3205,7 +3245,7 @@ class QueryEngine:
         terms: list[str] = []
         n_required = 0
         if query is not None:
-            terms = query_terms(query)
+            terms = self._qt(query)
             dfs = self._global_dfs(terms) if terms else []
             live = [t for t, d in zip(terms, dfs) if d > 0]
             if mode == "and":
@@ -3308,7 +3348,7 @@ class QueryEngine:
             r = self.reader
             per_query = []
             for q in queries:
-                terms = query_terms(q)
+                terms = self._qt(q)
                 dfs = self._global_dfs(terms) if terms else []
                 live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
                 dead = len(live) < len(terms)

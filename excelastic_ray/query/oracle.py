@@ -36,7 +36,7 @@ class BM25Oracle:
         self.dl: dict[int, int] = {}
         for c, t, x in zip(conv, turn, text):
             docid = (ranks[c] << cfg.turn_bits) | t
-            toks = tokenize(x)
+            toks = tokenize(x, cfg.analyzer)
             self.dl[docid] = len(toks)
             for p, w in enumerate(toks):
                 d = self.postings.setdefault(w, {})
@@ -52,7 +52,7 @@ class BM25Oracle:
                mode: str = "or") -> list[tuple[int, float]]:
         """Exact top-k [(docid, score)] — score DESC, docid ASC ties.
         ``mode="and"``: every query term must match (ES operator=and)."""
-        terms = query_terms(query)
+        terms = query_terms(query, self.cfg.analyzer)
         scores: dict[int, float] = {}
         hits: dict[int, int] = {}
         n_live = 0
@@ -85,7 +85,7 @@ class BM25Oracle:
         """match_phrase oracle: ptf = consecutive-occurrence count, df =
         docs with ptf > 0, score = idf(N, df) * tfnorm(ptf, dl) — the
         single-pseudo-term PhraseQuery shape the engine mirrors."""
-        terms = tokenize(query)  # ordered, duplicates kept
+        terms = tokenize(query, self.cfg.analyzer)  # ordered, duplicates kept
         if not terms:
             return []
         maps = [self.positions.get(t) for t in terms]

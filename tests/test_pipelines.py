@@ -237,10 +237,48 @@ def test_multimodal_plumbing(ray_session, docs_ds):
 
 
 def test_multimodal_real_decode_raises():
-    from excelastic_ray.pipelines.multimodal import DecodeMedia
+    from excelastic_ray.pipelines.multimodal import (
+        DecodeMedia,
+        _try_import_pil,
+    )
 
+    if _try_import_pil() is not None:
+        pytest.skip("PIL present: the auto-detect path activates instead")
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)
+
+
+# a valid 1x1 RGB PNG (red pixel), so the real-decode test needs no
+# image library to BUILD its fixture — only to decode it
+_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000001000000010802000000907753"
+    "de0000000c4944415408d763f8cfc00000030101cf9e46a80000000049454e44"
+    "ae426082"
+)
+
+
+def test_multimodal_real_decode_pil(ray_session):
+    """Activates only if the container gains PIL: the fake=False actor
+    must decode a real PNG through the auto-detected codec."""
+    from excelastic_ray.pipelines.multimodal import (
+        DecodeMedia,
+        _try_import_pil,
+    )
+
+    if _try_import_pil() is None:
+        pytest.skip("PIL not installed in this container")
+    t = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "kind": ["image"],
+            "payload": pa.array([_PNG_1x1], type=pa.large_binary()),
+            "mime": ["image/png"],
+        }
+    )
+    out = DecodeMedia(fake=False)(t)
+    assert out["height"][0].as_py() == 1
+    assert out["width"][0].as_py() == 1
+    assert out["n_channels"][0].as_py() == 3
 
 
 def test_term_df_partial_final(ray_session):

@@ -85,3 +85,34 @@ def test_reindex_new_config_and_mutations_baked(src, tmp_path):
 def test_reindex_incomplete_source_raises(tmp_path, ray_session):
     with pytest.raises((FileNotFoundError, RuntimeError)):
         reindex(str(tmp_path / "nope"), str(tmp_path / "out"))
+
+
+def test_reindex_all_null_attr_column(tmp_path, ray_session):
+    """Regression: a docstore column that is ALL null (e.g. `tool` in a
+    corpus with no tool turns) used to round-trip as Arrow `null` type
+    and explode into a null Categorical category inside the reindex
+    shuffle — the docstore now writes explicit string types and the
+    stamp stage casts any legacy null-typed column."""
+    import numpy as np
+    import ray.data as rd
+
+    n = 30
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i // 3:03d}" for i in range(n)]),
+            "turn_idx": pa.array([i % 3 for i in range(n)],
+                                 type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array([np.datetime64("2026-01-01", "us")] * n),
+            "text": pa.array([f"alpha w{i}" for i in range(n)]),
+        }
+    )
+    cfg = IndexConfig(turn_bits=6, convs_per_chunk_bits=2, num_shards=2)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    build_index(rd.from_arrow(t), src, cfg, clear=True)
+    reindex(src, dst)
+    a, b = QueryEngine(src), QueryEngine(dst)
+    assert a.reader.n_docs == b.reader.n_docs == n
+    assert a.search("alpha", k=50).equals(b.search("alpha", k=50))
