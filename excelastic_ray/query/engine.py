@@ -561,16 +561,18 @@ class ShardSearcher:
         deterministic float64 (fixed summation order), so the equality
         half of the comparison is exact across calls.
 
-        ``algo="auto"`` always picks vectorized TAAT. Block-max WAND
-        ("bmw") stays available and exact (tests pin bmw == taat), but
-        measurement killed it from auto: its per-block Python cursor
-        overhead (~µs/block: pivot sort, next_geq, block_ub) exceeds
-        TAAT's vectorized full-decode cost (~ns/posting) at EVERY
-        tested term-count/df shape — 57× slower on rare+common 2-term,
-        200× on 16-term, 74× on a 23-term more_like_this expansion
-        (BASELINE.md round 3). BMW's asymptotic skip advantage needs
-        compiled cursors; in pure Python the constant factor always
-        loses against numpy.
+        ``algo="auto"`` picks vectorized TAAT, except for conjunctive
+        (operator=and) queries with skewed shard-local dfs, which route
+        to the vectorized block-skip intersection (``and_skip``,
+        _topk_and_skip) — the numpy realization of BMW's skip
+        advantage: 3.3× faster than TAAT on rare+hot 2-term AND at
+        254k docs, margin growing with corpus size (BASELINE.md round
+        4 head-to-head), bit-identical results. Per-cursor block-max
+        WAND ("bmw") stays available and exact (tests pin bmw == taat)
+        but remains out of auto: its per-block Python overhead
+        (~µs/block) loses to TAAT at every tested shape — 57× slower
+        on rare+common 2-term, 200× on 16-term (BASELINE.md round 3);
+        the same shape vectorized IS and_skip.
 
         ``filters``: {attr: value or list} restricts results to matching
         docs WITHOUT changing BM25 stats (ES filter context).
@@ -589,9 +591,28 @@ class ShardSearcher:
         mask = self.filter_mask(filters)
         if algo == "auto":
             algo = "taat"
+            # conjunctive + skewed dfs → the block-skip intersection
+            # beats full TAAT decode (the shape BMW was built for,
+            # without per-posting Python): the rare term bounds the
+            # candidate set, so only candidate-bearing blocks of the
+            # hot terms decode. Thresholds: candidates must be few in
+            # absolute terms (the block probe has a per-block Python
+            # step) AND much rarer than the hottest term (else TAAT's
+            # full vector decode is simply faster).
+            if n_required == len(present) > 1 and after is None:
+                ldfs = [int(self.df[self.lookup(t)]) for t, _ in present]
+                if min(ldfs) <= 65536 and min(ldfs) * 64 <= max(ldfs):
+                    algo = "and_skip"
         if algo == "taat":
             return self._topk_taat(present, avgdl, k, mask, n_required,
                                    after)
+        if algo == "and_skip":
+            if after is not None:
+                raise ValueError("search_after requires the taat scorer")
+            if n_required != len(present):
+                raise ValueError("and_skip is a conjunctive scorer "
+                                 "(operator=and only)")
+            return self._topk_and_skip(present, avgdl, k, mask)
         if algo == "bmw":
             if after is not None:
                 raise ValueError("search_after requires the taat scorer")
@@ -1087,6 +1108,85 @@ class ShardSearcher:
         docids = self.docids[nz]
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
+
+    def _topk_and_skip(self, present, avgdl, k, mask=None):
+        """Conjunctive (operator=and) exact top-k via VECTORIZED
+        block-skip intersection — the numpy replacement for BMW's
+        per-posting Python cursors on the rare-term-conjunction shape:
+
+        1. seed = full decode of the LOCALLY rarest term (bounds the
+           candidate set);
+        2. every other term is probed ONLY in the blocks its surviving
+           candidates land in (block routing via one searchsorted over
+           the block-max ``last_id`` skip table; each needed block
+           decodes once, candidates resolve with one searchsorted per
+           block) — hot terms never fully decode;
+        3. survivors' scores sum per term in sorted-term order with
+           the same float64 kernels as ``_topk_taat`` — results are
+           bit-identical to TAAT/oracle.
+
+        Cost ≈ Σ_t min(df_seed, blocks_t) block decodes vs TAAT's
+        Σ_t df_t full decode; wins when min(df) ≪ max(df) (the `auto`
+        gate). A term already in the decoded-postings LRU short-cuts
+        to a direct searchsorted membership probe (no block loop)."""
+        cfg = self.cfg
+        slots = [(t, t_idf, self.lookup(t)) for t, t_idf in present]
+        ldfs = np.asarray([int(self.df[s]) for _, _, s in slots])
+        seed_j = int(np.argmin(ldfs))
+        cand, seed_tfs = self.decoded(slots[seed_j][2])
+        if not len(cand):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        n_cand = len(cand)
+        tf_vecs: list[np.ndarray | None] = [None] * len(slots)
+        tf_vecs[seed_j] = seed_tfs.astype(np.float64)
+        alive = np.ones(n_cand, dtype=bool)
+        # probe rarer terms first: they kill candidates fastest
+        for j in np.argsort(ldfs):
+            j = int(j)
+            if j == seed_j:
+                continue
+            if not alive.any():
+                break
+            slot = slots[j][2]
+            tf_full = np.zeros(n_cand, dtype=np.float64)
+            if slot in self._decode_cache:
+                ids_t, tfs_t = self.decoded(slot)  # LRU hit: no block loop
+                p = np.searchsorted(ids_t, cand)
+                ok = alive & (p < len(ids_t)) & (
+                    ids_t[np.minimum(p, len(ids_t) - 1)] == cand
+                )
+                tf_full[ok] = tfs_t[p[ok]]
+            else:
+                pl = self.posting_list(slot)
+                last = pl.bm["last_id"].astype(np.int64)
+                bi = np.searchsorted(last, cand, side="left")
+                valid = alive & (bi < pl.n_blocks)
+                for b in np.unique(bi[valid]):
+                    sel = np.flatnonzero(valid & (bi == b))
+                    bids, btfs = pl.decode_block(int(b))
+                    p = np.searchsorted(bids, cand[sel])
+                    ok = (p < len(bids)) & (
+                        bids[np.minimum(p, len(bids) - 1)] == cand[sel]
+                    )
+                    hit = sel[ok]
+                    tf_full[hit] = btfs[p[ok]]
+            alive &= tf_full > 0
+            tf_vecs[j] = tf_full
+        if not alive.any():
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        ids = cand[alive]
+        dlv = self.dls[ids]
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for j in range(len(slots)):  # present order == sorted-term order
+            acc += contribution(
+                slots[j][1], tf_vecs[j][alive], dlv, avgdl, cfg.k1, cfg.b
+            )
+        if mask is not None:
+            keep = mask[ids]
+            ids, acc = ids[keep], acc[keep]
+        docids = self.docids[ids]
+        order = np.lexsort((docids, -acc))[:k]
+        return docids[order], acc[order]
 
     def _topk_bmw(self, present, avgdl, k, mask=None, n_required=0):
         cfg = self.cfg

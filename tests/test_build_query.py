@@ -76,6 +76,76 @@ def test_bmw_equals_taat_randomized(engines, tiny_table):
             ), (q, k)
 
 
+def test_and_skip_equals_taat_randomized(engines, tiny_table, tiny_oracle):
+    """The vectorized block-skip conjunction scorer must be
+    bit-identical to TAAT (and the oracle) on random AND queries mixing
+    frequency classes — the rare+hot shape it is gated in for, plus
+    degenerate all-rare / all-hot mixes, with and without filters."""
+    from collections import Counter
+
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+
+    eng_skip = QueryEngine(engines["taat"].reader, algo="and_skip")
+    eng_taat = engines["taat"]
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    ranked = [t for t, _ in counts.most_common()]
+    hot, rare = ranked[:20], ranked[-40:]
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        n_h = int(rng.integers(1, 3))
+        n_r = int(rng.integers(1, 3))
+        picks = (
+            [hot[int(rng.integers(0, len(hot)))] for _ in range(n_h)]
+            + [rare[int(rng.integers(0, len(rare)))] for _ in range(n_r)]
+        )
+        q = " ".join(picks)
+        for k in (1, 5, 25):
+            a = eng_skip.search(q, k, mode="and")
+            b = eng_taat.search(q, k, mode="and")
+            assert a.equals(b), (q, k)
+    # explicit and_skip refuses non-conjunctive queries
+    with pytest.raises(Exception, match="conjunctive"):
+        eng_skip.search(f"{hot[0]} {rare[0]}", 10, mode="or")
+    # filters compose identically
+    q = f"{hot[0]} {rare[0]}"
+    fa = eng_skip.search(q, 10, mode="and", filters={"role": "user"})
+    fb = eng_taat.search(q, 10, mode="and", filters={"role": "user"})
+    assert fa.equals(fb)
+    # oracle anchor on a conjunctive query with survivors
+    got = eng_skip.search(q, 10, mode="and")
+    exp = tiny_oracle.search(q, 10, mode="and")
+    assert list(zip(got["docid"].to_pylist(),
+                    got["score"].to_pylist())) == exp
+
+
+def test_auto_gates_and_skip_on_skew(tiny_index, tiny_table):
+    """auto picks and_skip exactly when the query is conjunctive AND
+    the shard-local dfs are skewed; results stay identical either way."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+
+    d, _ = tiny_index
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    ranked = [t for t, _ in counts.most_common()]
+    q = f"{ranked[0]} {ranked[-1]}"  # hottest + rarest
+    auto = QueryEngine(d, algo="auto")
+    taat = QueryEngine(d, algo="taat")
+    assert auto.search(q, 10, mode="and").equals(
+        taat.search(q, 10, mode="and")
+    )
+    # or-mode never routes to the conjunctive scorer
+    assert auto.search(q, 10, mode="or").equals(
+        taat.search(q, 10, mode="or")
+    )
+
+
 def test_actor_mode_matches_local(tiny_index, query_set):
     d, _ = tiny_index
     eng = QueryEngine(d, algo="bmw", use_actors=True)
