@@ -1621,7 +1621,10 @@ def delete_doc(index_dir: str, conv_id: str, turn_idx: int) -> int:
         raise KeyError(f"conv_id {conv_id!r} not in the index")
     rank = int(ranks[hit[0]])
     docid = int(cfg.docid(rank, int(turn_idx)))
-    shard = cfg.shard_of_chunk(cfg.chunk_of_rank(rank))
+    # shard placement uses the manifest's EFFECTIVE shard count (build
+    # caps num_shards at the chunk count; force_merge can change it) —
+    # the config's num_shards is only the requested fan-out
+    shard = int(cfg.chunk_of_rank(rank)) % int(manifest["num_shards"])
     sd = seg.shard_dir(index_dir, shard)
     docids = pq.read_table(
         os.path.join(sd, "docs.parquet"), columns=["docid"]
@@ -1718,7 +1721,9 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
     rank = int(ranks[hit[0]])
     docid = int(cfg.docid(rank, turn_idx))
     chunk = int(cfg.chunk_of_rank(rank))
-    shard = int(cfg.shard_of_chunk(chunk))
+    # effective (manifest) shard count, NOT the config's requested one:
+    # build caps num_shards at the chunk count and force_merge changes it
+    shard = chunk % int(manifest["num_shards"])
     cd = seg.chunk_dir(index_dir, chunk)
     store = pq.read_table(os.path.join(cd, "store.parquet"))
     store_cols = [c for c in store.column_names if c != "docid"]

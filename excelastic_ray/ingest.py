@@ -101,6 +101,10 @@ MAPPINGS: dict[str, dict] = {
     "fielded": {"field_index_fields": ("role", "tool")},
     # index-only (no stored _source): smallest footprint
     "no_source": {"store_source": False},
+    # ES english-analyzer mapping: stopword removal + light stemming on
+    # the catch-all stream (the reference's --mapping selects ES-side
+    # analysis exactly like this, ImportEvent.java:43,60)
+    "english": {"analyzer": "english"},
 }
 
 

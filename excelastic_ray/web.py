@@ -27,6 +27,12 @@ stdlib re-expression:
 - ``GET  /api/snapshots``        list committed snapshots
 - ``POST /api/restore?name=...&index=...[&rename=...]``  all-or-nothing
                                  restore (ES ``_restore`` analog)
+- ``POST /api/doc?index=...[&overwrite=true]``  single-doc index
+                                 (ES ``PUT /<index>/_doc`` analog; JSON
+                                 body = one turn; default op_type=create)
+- ``DELETE /api/doc?index=...&conv_id=...&turn_idx=...``  single-doc
+                                 tombstone (ES ``_delete``; 404 when
+                                 absent or already deleted)
 
 Upload params mirror ``ImportEvent.fromParams`` (ImportEvent.java:40-48):
 ``index`` (required unless the server was started with ``index_lock``,
@@ -365,6 +371,24 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/doc":
+                    # ES PUT /<index>/_doc analog: index ONE turn; the
+                    # doc id is (conv_id, turn_idx); ?overwrite=true is
+                    # ES op_type=index, default op_type=create
+                    try:
+                        length = int(self.headers.get("Content-Length",
+                                                      "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.doc_index(
+                                q["index"], body,
+                                overwrite=q.get("overwrite") == "true",
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path != "/api/upload":
                     self._json(404, {"error": "not found"})
                     return
@@ -390,6 +414,26 @@ class ImportServer:
                     self._json(200, imp)
                 except Exception as e:
                     self._json(500, {"error": str(e)})
+
+            def do_DELETE(self):
+                # ES DELETE /<index>/_doc analog: tombstone ONE turn
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/api/doc":
+                    try:
+                        self._json(
+                            200,
+                            server.doc_delete(
+                                q["index"], q["conv_id"],
+                                int(q["turn_idx"]),
+                            ),
+                        )
+                    except KeyError as e:
+                        self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                self._json(404, {"error": "not found"})
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.httpd.server_address[1]
@@ -502,6 +546,48 @@ class ImportServer:
                     transforms=transforms)
         self._evict_engines_for(index)  # and after: force fresh readers
         return n_rows
+
+    def doc_index(self, index: str, body: dict,
+                  overwrite: bool = False) -> dict:
+        """ES single-doc ``_index`` (``PUT /<index>/_doc``): index one
+        turn into an existing index. Serializes with imports on the
+        per-index lock; engine caches evict so the next search reads
+        the new manifest."""
+        from excelastic_ray.index.build import index_doc
+
+        d = self.index_dir(index)
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            self._evict_engines_for(index)
+            docid = index_doc(d, body, overwrite=overwrite)
+            self._evict_engines_for(index)
+        return {
+            "index": index,
+            "conv_id": str(body.get("conv_id")),
+            "turn_idx": int(body.get("turn_idx", 0)),
+            "docid": int(docid),
+            "result": "updated" if overwrite else "created",
+        }
+
+    def doc_delete(self, index: str, conv_id: str, turn_idx: int) -> dict:
+        """ES single-doc ``_delete``: tombstone one turn (pre-merge
+        semantics; ``reindex`` is the expunge path)."""
+        from excelastic_ray.index.build import delete_doc
+
+        d = self.index_dir(index)
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            docid = delete_doc(d, conv_id, int(turn_idx))
+            self._evict_engines_for(index)
+        return {
+            "index": index,
+            "conv_id": conv_id,
+            "turn_idx": int(turn_idx),
+            "docid": int(docid),
+            "result": "deleted",
+        }
 
     def _evict_engines_for(self, index: str) -> None:
         with self._engines_guard:

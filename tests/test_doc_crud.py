@@ -189,3 +189,40 @@ def test_index_doc_turn_out_of_range(crud_index):
             {"conv_id": "c0001", "turn_idx": 1 << 10, "role": "user",
              "text": "x"},
         )
+
+
+def test_crud_on_append_created_chunk_effective_shards(tmp_path, ray_session):
+    """Regression: the owning shard must come from the manifest's
+    EFFECTIVE shard count (build caps num_shards at the chunk count),
+    not the config's requested fan-out — an overwrite of a doc in an
+    append-created chunk previously re-merged a nonexistent shard and
+    the search kept serving the old postings."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.index.build import index_doc
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a-1", "a-2"]),
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "tool": pa.array([None, None], type=pa.string()),
+            "ts": pa.array([np.datetime64("2026-01-01", "us")] * 2),
+            "text": pa.array(["hello world", "goodbye world"]),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    # requested fan-out 8, but one chunk → effective num_shards == 1
+    build_index(rd.from_arrow(t), idx, IndexConfig(num_shards=8),
+                clear=True)
+    index_doc(idx, {"conv_id": "crudconv", "turn_idx": 0, "role": "user",
+                    "text": "zebra quagga sentinel"})
+    assert QueryEngine(idx).search("quagga", k=5).num_rows == 1
+    index_doc(idx, {"conv_id": "crudconv", "turn_idx": 0, "role": "user",
+                    "text": "zebra okapi rewritten"}, overwrite=True)
+    eng = QueryEngine(idx)
+    assert eng.search("okapi", k=5).num_rows == 1
+    assert eng.search("quagga", k=5).num_rows == 0
+    delete_doc(idx, "crudconv", 0)
+    assert QueryEngine(idx).search("okapi", k=5).num_rows == 0

@@ -464,3 +464,85 @@ def test_search_mode_params_over_http(ray_session, tmp_path):
         )
     finally:
         srv.stop()
+
+
+def _req(url: str, method: str, body: bytes | None = None):
+    req = urllib.request.Request(url, data=body, method=method)
+    if body is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_doc_crud_endpoints(ray_session, tmp_path):
+    """ES single-doc _index/_delete over HTTP: create, search, refuse
+    duplicate create, overwrite, tombstone, 404 on re-delete."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open(
+            "/root/reference/src/test/resources/test.csv", "rb"
+        ).read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"crudidx", "options": b"clear", "offset": b"1"},
+            ("file", "test.csv", payload),
+        )
+        assert status == 200, resp
+        for _ in range(200):
+            status, s = _get(base + f"/api/status?id={resp['id']}")
+            if json.loads(s)["status"] in ("complete", "error"):
+                break
+            time.sleep(0.1)
+        assert json.loads(s)["status"] == "complete"
+
+        doc = {"conv_id": "crudconv", "turn_idx": 0, "role": "user",
+               "text": "zebra quagga sentinel"}
+        status, r = _req(
+            base + "/api/doc?index=crudidx", "POST",
+            json.dumps(doc).encode(),
+        )
+        assert status == 200 and r["result"] == "created", r
+
+        status, hits = _get(base + "/api/search?index=crudidx&q=quagga")
+        hits = json.loads(hits)["hits"]
+        assert len(hits) == 1
+        assert hits[0]["conv_id"] == "crudconv"
+
+        # duplicate create refused; overwrite allowed
+        status, r = _req(
+            base + "/api/doc?index=crudidx", "POST",
+            json.dumps(doc).encode(),
+        )
+        assert status == 400
+        doc["text"] = "zebra okapi rewritten"
+        status, r = _req(
+            base + "/api/doc?index=crudidx&overwrite=true", "POST",
+            json.dumps(doc).encode(),
+        )
+        assert status == 200 and r["result"] == "updated"
+        status, hits = _get(base + "/api/search?index=crudidx&q=okapi")
+        assert len(json.loads(hits)["hits"]) == 1
+        status, hits = _get(base + "/api/search?index=crudidx&q=quagga")
+        assert len(json.loads(hits)["hits"]) == 0
+
+        # delete → gone; re-delete → 404
+        status, r = _req(
+            base + "/api/doc?index=crudidx&conv_id=crudconv&turn_idx=0",
+            "DELETE",
+        )
+        assert status == 200 and r["result"] == "deleted"
+        status, hits = _get(base + "/api/search?index=crudidx&q=okapi")
+        assert len(json.loads(hits)["hits"]) == 0
+        status, r = _req(
+            base + "/api/doc?index=crudidx&conv_id=crudconv&turn_idx=0",
+            "DELETE",
+        )
+        assert status == 404
+    finally:
+        srv.stop()
