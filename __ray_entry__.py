@@ -1206,6 +1206,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_agg_tree(sf_dir):
+        # composable nested-aggregation tree (ES aggs-in-aggs): terms →
+        # range → date_histogram with sum/avg/min/max leaves — the
+        # generic executor behind the fixed agg shapes
+        from excelastic_ray.pipelines.aggtree import agg_tree
+
+        spec = {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "by_band": {
+                        "range": {
+                            "field": "value",
+                            "ranges": [[None, 50], [50, None]],
+                        },
+                        "aggs": {
+                            "per_2d": {
+                                "date_histogram": {
+                                    "field": "ts", "interval_hours": 48,
+                                },
+                                "aggs": {
+                                    "v_sum": {"sum": {"field": "value"}},
+                                    "v_avg": {"avg": {"field": "value"}},
+                                    "v_min": {"min": {"field": "value"}},
+                                    "v_max": {"max": {"field": "value"}},
+                                },
+                            }
+                        },
+                    }
+                },
+            }
+        }
+        from excelastic_ray.io import read_parquet_clean
+
+        return agg_tree(
+            read_parquet_clean(f"{sf_dir}/events.parquet"), spec
+        )
+
     def q_doc_crud(sf_dir):
         # single-document CRUD over a scratch COPY of the cached index:
         # index a new conversation, append a turn to an existing one,
@@ -1908,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "bm25_stem_topk": q_bm25_stem_topk,
         "doc_crud": q_doc_crud,
+        "agg_tree": q_agg_tree,
         "role_transitions": q_role_transitions,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
@@ -3335,6 +3374,36 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
+        # nested agg tree: terms(3) → range(value) → date_histogram(48h)
+        # with sum/avg/min/max leaves. terms pruning is exact (full
+        # counts, doc_count DESC / key ASC); avg derives from the
+        # trunc6'd sum like the engine (range_agg convention).
+        "agg_tree": """
+WITH l1 AS (
+  SELECT event_type FROM events GROUP BY event_type
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 3
+),
+rows_ AS (
+  SELECT e.event_type AS by_type_key,
+         CASE WHEN e.value < 50 THEN '*-50.0' ELSE '50.0-*' END
+           AS by_band_key,
+         to_timestamp(
+           (epoch_us(e.ts) // 172800000000) * 172800
+         )::TIMESTAMP AS per_2d_key,
+         e.value AS value
+  FROM events e JOIN l1 USING (event_type)
+)
+SELECT by_type_key, by_band_key, per_2d_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS v_sum,
+       floor((floor(sum(value) * 1000000 + 0.5) / 1000000) / count(*)
+             * 1000000 + 0.5) / 1000000 AS v_avg,
+       floor(min(value) * 1000000 + 0.5) / 1000000 AS v_min,
+       floor(max(value) * 1000000 + 0.5) / 1000000 AS v_max
+FROM rows_
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),
         # multi-index twin IS the single-corpus BM25 oracle: a faithful

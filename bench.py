@@ -241,6 +241,8 @@ def run_bench() -> dict:
             "conv_stats",
             "role_transitions",
             "context_windows",
+            "agg_tree",
+            "bpe_train",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -291,3 +291,74 @@ def test_auto_date_histogram_picks_smallest_fitting_rung(ray_session):
     # tiny target forces the coarsest rung fallback path
     one = auto_date_histogram(rd.from_arrow(t), target_buckets=1).to_pandas()
     assert (one.interval_us == AUTO_HIST_LADDER[-1]).all()
+
+
+def test_agg_tree_hand_computed(ray_session):
+    """Composable nested-agg executor on a hand-checked tiny tree:
+    terms(size=2) → histogram(10) with sum/avg/min/max/value_count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "a", "b", "b", "c"],
+            "v": pa.array([1.0, 2.0, 11.0, 5.0, 15.0, 99.0]),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 2},
+            "aggs": {
+                "by_bin": {
+                    "histogram": {"field": "v", "interval": 10.0},
+                    "aggs": {
+                        "s": {"sum": {"field": "v"}},
+                        "m": {"min": {"field": "v"}},
+                        "x": {"max": {"field": "v"}},
+                        "c": {"value_count": {"field": "v"}},
+                    },
+                }
+            },
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec).to_pydict()
+    # size=2 keeps a (3 docs) and b (2 docs); c is pruned
+    assert out["by_kind_key"] == ["a", "a", "b", "b"]
+    assert out["by_bin_key"] == [0.0, 10.0, 0.0, 10.0]
+    assert out["doc_count"] == [2, 1, 1, 1]
+    assert out["s"] == [3.0, 11.0, 5.0, 15.0]
+    assert out["m"] == [1.0, 11.0, 5.0, 15.0]
+    assert out["x"] == [2.0, 11.0, 5.0, 15.0]
+    assert out["c"] == [2, 1, 1, 1]
+
+
+def test_agg_tree_range_drops_unmatched_and_validates(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table({"kind": ["a", "a"], "v": pa.array([1.0, 200.0])})
+    spec = {
+        "r": {
+            "range": {"field": "v", "ranges": [[None, 100]]},
+            "aggs": {"s": {"sum": {"field": "v"}}},
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec).to_pydict()
+    assert out["r_key"] == ["*-100.0"] and out["doc_count"] == [1]
+    assert out["s"] == [1.0]
+
+    with pytest.raises(ValueError, match="bucket kind"):
+        agg_tree(rd.from_arrow(t), {"x": {"sum": {"field": "v"}}})
+    with pytest.raises(ValueError, match="deepest"):
+        agg_tree(
+            rd.from_arrow(t),
+            {"x": {"terms": {"field": "kind"},
+                   "aggs": {"s": {"sum": {"field": "v"}},
+                            "y": {"terms": {"field": "kind"}}}}},
+        )
