@@ -198,3 +198,16 @@ def test_standard_default_unchanged():
 def test_stopword_list_is_sorted_ascii():
     assert list(STOP_EN) == sorted(STOP_EN)
     assert all(w.isascii() and w.islower() for w in STOP_EN)
+
+
+def test_actor_mode_matches_local_english(en_index):
+    """Analyzer-aware query analysis happens on the driver; the shard
+    actors score pre-analyzed terms — actor-served results must equal
+    in-process results on the english index."""
+    eng, _, _ = en_index
+    actor_eng = QueryEngine(eng.reader.index_dir, use_actors=True)
+    try:
+        for q in ("running", "the study", "stopped queries"):
+            assert actor_eng.search_topk(q, 10) == eng.search_topk(q, 10)
+    finally:
+        actor_eng.close()
