@@ -1206,6 +1206,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir):
         return ts.langid(_docs(sf_dir))
 
+    def q_exact_substr(sf_dir):
+        # ExactSubstr dedup spans (Lee et al. 2021): merged token spans
+        # covered by a >=8-token substring occurring >=2 times
+        # corpus-wide — L-gram hash-partition reduction of the
+        # suffix-array formulation
+        return dedup.exact_substr_spans(_docs(sf_dir), min_tokens=8)
+
     def q_agg_tree(sf_dir):
         # composable nested-aggregation tree (ES aggs-in-aggs): terms →
         # range → date_histogram with sum/avg/min/max leaves — the
@@ -1947,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stem_topk": q_bm25_stem_topk,
         "doc_crud": q_doc_crud,
         "agg_tree": q_agg_tree,
+        "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
@@ -3374,6 +3382,38 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
+        # ExactSubstr spans: duplicated L-token grams by STRING equality
+        # (the engine's 64-bit rolling hash stands in; a collision would
+        # fail this hash compare), then per-doc interval merge via the
+        # gaps-and-islands window (new span when the gap exceeds L)
+        "exact_substr": _DOCTOK
+        + """,
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+7], chr(31)) AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM base)
+),
+dup AS (
+  SELECT doc_id, pos FROM grams
+  WHERE gram IN (SELECT gram FROM grams GROUP BY gram
+                 HAVING count(*) >= 2)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - lag_pos > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM (SELECT doc_id, pos,
+               coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos), pos) AS lag_pos
+        FROM dup)
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, g
+""",
         # nested agg tree: terms(3) → range(value) → date_histogram(48h)
         # with sum/avg/min/max leaves. terms pruning is exact (full
         # counts, doc_count DESC / key ASC); avg derives from the

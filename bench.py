@@ -243,6 +243,7 @@ def run_bench() -> dict:
             "context_windows",
             "agg_tree",
             "bpe_train",
+            "exact_substr",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -46,6 +46,7 @@ from excelastic_ray.hashing import (
     fnv1a_bytes,
     fnv1a_rows,
     fnv1a_str_rows,
+    resolve_buckets,
 )
 from excelastic_ray.pipelines.textstats import _tokenize_batch, trunc6
 
@@ -67,6 +68,7 @@ __all__ = [
     "simhash_batch",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "exact_substr_spans",
     "winnow_fingerprints",
     "embedding_dup_pairs",
     "collect_embedding_matrix",
@@ -1110,6 +1112,121 @@ def ngram_jaccard_pairs(
         for j in range(i, len(refs)):
             tasks.append(block_pair.remote(refs[i], refs[j], i == j))
     return rd.from_arrow_refs(tasks)
+
+
+def exact_substr_spans(ds, min_tokens: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int | None = None):
+    """ExactSubstr dedup spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the merged
+    token spans covered by a substring of ≥ ``min_tokens`` tokens that
+    occurs ≥ 2 times CORPUS-WIDE (in another doc or at another
+    position). The paper removes these spans before training; this
+    operator reports them so the pipeline can cut or weight.
+
+    Shape — the L-gram reduction instead of a suffix array: any
+    duplicated substring of ≥ L tokens contains a duplicated L-token
+    gram, so (1) one pass emits a position-sensitive rolling hash per
+    L-gram OCCURRENCE with its in-doc token position; (2) occurrences
+    hash-partition by gram (a gram's global count is bucket-local —
+    dup_ngram_stats' exchange); (3) duplicated occurrences re-key by
+    doc and each doc's sorted start positions MERGE into maximal
+    spans vectorized (interval [p, p+L) unions; break where the gap
+    exceeds L). Two bounded exchanges; the driver never sees
+    occurrence rows. Within-doc repeats count as duplicates, exactly
+    like the suffix-array formulation.
+
+    → Dataset (doc_id, span_start, span_end, span_tokens) — token
+    offsets, end exclusive; pure integers (exact SQL twin)."""
+    from excelastic_ray.pipelines.textstats import _NGRAM_P
+
+    L = int(min_tokens)
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=2048)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        codes, uniques, row_idx = _tokenize_batch(texts)
+        empty = pa.table(
+            {
+                "__bucket": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(codes) < L:
+            return empty
+        uh = fnv1a_rows([str(u).encode() for u in uniques])
+        th = uh[codes]
+        W = len(th) - L + 1
+        with np.errstate(over="ignore"):
+            s = th[:W].copy()
+            for j in range(1, L):
+                s = s * _NGRAM_P + th[j:W + j]
+        valid = row_idx[:W] == row_idx[L - 1:]
+        if not valid.any():
+            return empty
+        rows = row_idx[:W][valid]
+        # in-doc token position: global window start minus the row's
+        # first-token index (row_idx is emitted row-ascending)
+        first_tok = np.searchsorted(row_idx, np.arange(len(texts)))
+        pos = np.flatnonzero(valid) - first_tok[rows]
+        h = s[valid]
+        ids = batch[id_col].to_numpy().astype(np.int64)[rows]
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "h": pa.array(h.astype(np.int64)),
+                id_col: pa.array(ids),
+                "pos": pa.array(pos.astype(np.int64)),
+            }
+        )
+
+    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["h"].to_numpy(), sort=False)
+        cnt = np.bincount(codes)
+        keep = cnt[codes] >= 2
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[keep],
+                "pos": g["pos"].to_numpy()[keep],
+            }
+        )
+        out["__bucket2"] = out[id_col].to_numpy() % n_buckets
+        return out
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        p = g["pos"].to_numpy()
+        n = len(g)
+        # new span when the doc changes or the gap exceeds L (interval
+        # [p, p+L) no longer overlaps/touches the running span)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (ids[1:] != ids[:-1]) | (p[1:] - p[:-1] > L)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        span_start = p[starts]
+        span_end = p[ends] + L
+        return pd.DataFrame(
+            {
+                id_col: ids[starts],
+                "span_start": span_start.astype(np.int64),
+                "span_end": span_end.astype(np.int64),
+                "span_tokens": (span_end - span_start).astype(np.int64),
+            }
+        )
+
+    occ = ds.map_batches(emit, batch_format="pyarrow", batch_size=8192)
+    dups = occ.groupby("__bucket").map_groups(
+        dup_occurrences, batch_format="pandas"
+    )
+    return dups.groupby("__bucket2").map_groups(
+        merge_spans, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

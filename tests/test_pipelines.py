@@ -1799,3 +1799,72 @@ def test_bpe_train_vocab_budget(ray_session):
     )
     with pytest.raises(ValueError, match="vocab_budget"):
         bpe_train(rd.from_arrow(t), n_merges=2, vocab_budget=3)
+
+
+def test_exact_substr_spans_hand_computed(ray_session):
+    """ExactSubstr spans (Lee et al. 2021) on a hand-built corpus:
+    cross-doc duplicate, within-doc repeat, and span merging."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import exact_substr_spans
+
+    shared = "one two three four"  # 4 tokens, duplicated across docs
+    texts = [
+        f"alpha {shared} beta gamma",          # doc 0: dup at pos 1..4
+        f"delta epsilon {shared} zeta",        # doc 1: dup at pos 2..5
+        "rep rep rep rep rep rep unique0",     # doc 2: within-doc repeat
+        "totally distinct text here unique1",  # doc 3: no dup
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    out = (
+        exact_substr_spans(rd.from_arrow(t), min_tokens=4)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    rows = list(
+        map(tuple, out[["doc_id", "span_start", "span_end"]].to_numpy())
+    )
+    # doc 0: 4-gram starting at pos 1 → span [1, 5)
+    assert (0, 1, 5) in rows
+    # doc 1: same 4-gram at pos 2 → span [2, 6)
+    assert (1, 2, 6) in rows
+    # doc 2: "rep rep rep rep" occurs at pos 0,1,2 — one MERGED span
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, 6)]
+    # doc 3: clean
+    assert not [r for r in rows if r[0] == 3]
+    assert (out["span_tokens"]
+            == out["span_end"] - out["span_start"]).all()
+
+
+def test_exact_substr_spans_gap_breaks(ray_session):
+    """Two duplicated grams farther apart than L stay separate spans."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import exact_substr_spans
+
+    a = "aa bb cc"   # 3 tokens, dup
+    b = "xx yy zz"   # 3 tokens, dup
+    texts = [
+        f"{a} f1 f2 f3 f4 f5 {b}",
+        f"{a} g1 g2 g3 g4 g5 {b}",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    out = (
+        exact_substr_spans(rd.from_arrow(t), min_tokens=3)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+    )
+    d0 = out[out["doc_id"] == 0][["span_start", "span_end"]].to_numpy()
+    assert [tuple(r) for r in d0] == [(0, 3), (8, 11)]
