@@ -16,6 +16,9 @@ CommandLine.java:32-64`` + ``ApplicationLauncher.java:46-48``).
     python -m excelastic_ray restore   <index_root> <repo> <name> <index> [--rename X]
     python -m excelastic_ray snapshots <repo>
     python -m excelastic_ray alias     <index_root> list|add|remove|swap ...
+    python -m excelastic_ray doc-index  <index_dir> --conv-id X --turn-idx N
+                                        --text "..." [--overwrite]
+    python -m excelastic_ray doc-delete <index_dir> <conv_id> <turn_idx>
 
 Owns the Ray session (library code never calls ray.init)."""
 
@@ -152,6 +155,25 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--index-lock", default=None)
 
+    di = sub.add_parser("doc-index",
+                        help="index ONE turn (ES PUT /<index>/_doc)")
+    di.add_argument("index_dir")
+    di.add_argument("--conv-id", required=True)
+    di.add_argument("--turn-idx", type=int, required=True)
+    di.add_argument("--text", required=True)
+    di.add_argument("--role", default="user")
+    di.add_argument("--tool", default=None)
+    di.add_argument("--ts", default=None, help="ISO-8601 timestamp")
+    di.add_argument("--overwrite", action="store_true",
+                    help="ES op_type=index (default: create — refuse "
+                         "an existing doc)")
+
+    dd = sub.add_parser("doc-delete",
+                        help="tombstone ONE turn (ES DELETE _doc)")
+    dd.add_argument("index_dir")
+    dd.add_argument("conv_id")
+    dd.add_argument("turn_idx", type=int)
+
     args = p.parse_args(argv)
 
     if args.cmd == "status":
@@ -261,6 +283,26 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"num_shards": m["num_shards"],
                               "shard_bytes": m["shard_bytes"],
                               "status": m["status"]}))
+        elif args.cmd == "doc-index":
+            from excelastic_ray.index.build import index_doc
+
+            docid = index_doc(
+                args.index_dir,
+                {"conv_id": args.conv_id, "turn_idx": args.turn_idx,
+                 "role": args.role, "tool": args.tool, "ts": args.ts,
+                 "text": args.text},
+                overwrite=args.overwrite,
+            )
+            print(json.dumps({
+                "docid": int(docid),
+                "result": "updated" if args.overwrite else "created",
+            }))
+        elif args.cmd == "doc-delete":
+            from excelastic_ray.index.build import delete_doc
+
+            docid = delete_doc(args.index_dir, args.conv_id,
+                               args.turn_idx)
+            print(json.dumps({"docid": int(docid), "result": "deleted"}))
         elif args.cmd == "append":
             from excelastic_ray.index.build import append_index
 
