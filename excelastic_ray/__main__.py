@@ -174,6 +174,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("conv_id")
     dd.add_argument("turn_idx", type=int)
 
+    du = sub.add_parser("doc-update",
+                        help="overlay attr values on ONE turn "
+                             "(ES _update analog)")
+    du.add_argument("index_dir")
+    du.add_argument("conv_id")
+    du.add_argument("turn_idx", type=int)
+    du.add_argument("--set", action="append", required=True,
+                    metavar="attr=value",
+                    help="repeatable attribute assignment")
+
     args = p.parse_args(argv)
 
     if args.cmd == "status":
@@ -303,6 +313,13 @@ def main(argv: list[str] | None = None) -> int:
             docid = delete_doc(args.index_dir, args.conv_id,
                                args.turn_idx)
             print(json.dumps({"docid": int(docid), "result": "deleted"}))
+        elif args.cmd == "doc-update":
+            from excelastic_ray.index.build import update_doc
+
+            sets = dict(kv.split("=", 1) for kv in args.set)
+            docid = update_doc(args.index_dir, args.conv_id,
+                               args.turn_idx, sets)
+            print(json.dumps({"docid": int(docid), "result": "updated"}))
         elif args.cmd == "append":
             from excelastic_ray.index.build import append_index
 

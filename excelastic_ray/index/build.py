@@ -1650,6 +1650,77 @@ def delete_doc(index_dir: str, conv_id: str, turn_idx: int) -> int:
     return docid
 
 
+def update_doc(index_dir: str, conv_id: str, turn_idx: int,
+               set_values: dict) -> int:
+    """ES single-document partial ``_update``: overwrite ONE doc's
+    ATTRIBUTE values (role/tool/ts — the filter/facet/sort surface)
+    via the per-shard ``updates.parquet`` doc-values overlay, exactly
+    ``update_by_query``'s mechanism scoped to one (conv_id, turn_idx).
+    The inverted index keeps scoring the originally indexed text until
+    a reindex (Lucene's updatable-DV contract); changing the TEXT is
+    :func:`index_doc` with ``overwrite=True``. → the doc's docid;
+    ``KeyError`` when the doc or an attribute does not exist."""
+    import pyarrow.parquet as pq
+
+    if not set_values:
+        raise ValueError("set_values must name at least one attr")
+    manifest = seg.load_global_manifest(index_dir)
+    if manifest.get("status") != "complete":
+        raise ValidationError("index is not complete")
+    cfg = IndexConfig.from_dict(manifest["config"])
+    ranks, ids = _conv_ranks_table(index_dir)
+    hit = np.flatnonzero(ids == conv_id)
+    if not len(hit):
+        raise KeyError(f"conv_id {conv_id!r} not in the index")
+    rank = int(ranks[hit[0]])
+    docid = int(cfg.docid(rank, int(turn_idx)))
+    shard = int(cfg.chunk_of_rank(rank)) % int(manifest["num_shards"])
+    sd = seg.shard_dir(index_dir, shard)
+    docs_schema = pq.read_schema(os.path.join(sd, "docs.parquet"))
+    attrs = [c for c in docs_schema.names
+             if c not in ("docid", "dl") and not c.startswith("dl@")]
+    for name in set_values:
+        if name not in attrs:
+            raise KeyError(
+                f"unknown doc attribute {name!r} (have {sorted(attrs)})"
+            )
+    docids = pq.read_table(
+        os.path.join(sd, "docs.parquet"), columns=["docid"]
+    )["docid"].to_numpy()
+    p = int(np.searchsorted(docids, docid))
+    if p >= len(docids) or docids[p] != docid:
+        raise KeyError(f"({conv_id!r}, {turn_idx}) not in the index")
+    upath = os.path.join(sd, "updates.parquet")
+    names = sorted(set_values)
+    new_docid = np.full(len(names), docid, dtype=np.int64)
+    new_attr = np.asarray(names, dtype=object)
+    new_value = np.asarray([str(set_values[a]) for a in names],
+                           dtype=object)
+    if os.path.exists(upath):
+        old = pq.read_table(upath)
+        o_id = old["docid"].to_numpy()
+        o_attr = old["attr"].to_numpy(zero_copy_only=False)
+        o_val = old["value"].to_numpy(zero_copy_only=False)
+        # keep-last per (docid, attr): drop prior rows this call rewrites
+        drop = (o_id == docid) & np.isin(o_attr.astype(str), names)
+        new_docid = np.concatenate([o_id[~drop], new_docid])
+        new_attr = np.concatenate([o_attr[~drop], new_attr])
+        new_value = np.concatenate([o_val[~drop], new_value])
+    seg.atomic_write_parquet(
+        upath,
+        pa.table(
+            {
+                "docid": pa.array(new_docid, type=pa.int64()),
+                "attr": pa.array(new_attr, type=pa.string()),
+                "value": pa.array(new_value, type=pa.string()),
+            }
+        ),
+    )
+    manifest["updates_rev"] = int(manifest.get("updates_rev", 0)) + 1
+    seg.save_global_manifest(index_dir, manifest)
+    return docid
+
+
 def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
               parallelism: int | None = None) -> int:
     """ES single-document ``_index`` analog: add (or, with

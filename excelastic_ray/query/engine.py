@@ -3403,7 +3403,12 @@ class QueryEngine:
             key = docid * np.int64(len(uniq_attr)) + code
             order = np.argsort(key, kind="stable")
             sk = key[order]
-            run_end = np.append(sk[1:] != sk[:-1], True)
+            # a shard with zero prior + zero new rows has nothing to
+            # write (np.append on an empty diff would fabricate one)
+            run_end = (
+                np.append(sk[1:] != sk[:-1], True)
+                if len(sk) else np.zeros(0, dtype=bool)
+            )
             keep = order[run_end]
             if len(keep):
                 seg.atomic_write_parquet(

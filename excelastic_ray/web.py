@@ -33,6 +33,9 @@ stdlib re-expression:
 - ``DELETE /api/doc?index=...&conv_id=...&turn_idx=...``  single-doc
                                  tombstone (ES ``_delete``; 404 when
                                  absent or already deleted)
+- ``POST /api/doc/update?index=...&conv_id=...&turn_idx=...``  attr
+                                 overlay on one doc (ES ``_update``;
+                                 JSON body = {attr: value})
 
 Upload params mirror ``ImportEvent.fromParams`` (ImportEvent.java:40-48):
 ``index`` (required unless the server was started with ``index_lock``,
@@ -371,6 +374,26 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/doc/update":
+                    # ES POST /<index>/_update analog: overlay attr
+                    # values on ONE doc (doc-values update; text keeps
+                    # scoring as indexed until reindex)
+                    try:
+                        length = int(self.headers.get("Content-Length",
+                                                      "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.doc_update(
+                                q["index"], q["conv_id"],
+                                int(q["turn_idx"]), body,
+                            ),
+                        )
+                    except KeyError as e:
+                        self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/doc":
                     # ES PUT /<index>/_doc analog: index ONE turn; the
                     # doc id is (conv_id, turn_idx); ?overwrite=true is
@@ -568,6 +591,25 @@ class ImportServer:
             "turn_idx": int(body.get("turn_idx", 0)),
             "docid": int(docid),
             "result": "updated" if overwrite else "created",
+        }
+
+    def doc_update(self, index: str, conv_id: str, turn_idx: int,
+                   set_values: dict) -> dict:
+        """ES single-doc ``_update``: attribute overlay on one turn."""
+        from excelastic_ray.index.build import update_doc
+
+        d = self.index_dir(index)
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            docid = update_doc(d, conv_id, int(turn_idx), set_values)
+            self._evict_engines_for(index)
+        return {
+            "index": index,
+            "conv_id": conv_id,
+            "turn_idx": int(turn_idx),
+            "docid": int(docid),
+            "result": "updated",
         }
 
     def doc_delete(self, index: str, conv_id: str, turn_idx: int) -> dict:

@@ -226,3 +226,36 @@ def test_crud_on_append_created_chunk_effective_shards(tmp_path, ray_session):
     assert eng.search("quagga", k=5).num_rows == 0
     delete_doc(idx, "crudconv", 0)
     assert QueryEngine(idx).search("okapi", k=5).num_rows == 0
+
+
+def test_update_doc_overlays_attrs(crud_index):
+    from excelastic_ray.index.build import update_doc
+
+    update_doc(crud_index, "c0001", 0, {"role": "assistant"})
+    eng = QueryEngine(crud_index)
+    # filter context sees the new value; scoring text unchanged
+    t = eng.search("token1", k=10, filters={"role": "assistant"})
+    assert ("c0001", 0) in list(
+        zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+    )
+    t2 = eng.search("token1", k=10, filters={"role": "user"})
+    assert ("c0001", 0) not in list(
+        zip(t2["conv_id"].to_pylist(), t2["turn_idx"].to_pylist())
+    )
+    # keep-last: a second update of the same attr wins
+    update_doc(crud_index, "c0001", 0, {"role": "tool"})
+    eng2 = QueryEngine(crud_index)
+    t3 = eng2.search("token1", k=10, filters={"role": "tool"})
+    assert ("c0001", 0) in list(
+        zip(t3["conv_id"].to_pylist(), t3["turn_idx"].to_pylist())
+    )
+    # validation: unknown attr / missing doc
+    from excelastic_ray.index.build import update_doc as ud
+    with pytest.raises(KeyError):
+        ud(crud_index, "c0001", 0, {"nope": "x"})
+    with pytest.raises(KeyError):
+        ud(crud_index, "ghost", 0, {"role": "user"})
+    # composes with update_by_query's overlay (same file, keep-last)
+    eng3 = QueryEngine(crud_index)
+    n = eng3.update_by_query(query="token2", set_values={"role": "user"})
+    assert n == 3

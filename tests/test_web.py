@@ -546,3 +546,56 @@ def test_doc_crud_endpoints(ray_session, tmp_path):
         assert status == 404
     finally:
         srv.stop()
+
+
+def test_doc_update_endpoint(ray_session, tmp_path):
+    """ES single-doc _update over HTTP: attr overlay reflects in
+    filtered search; unknown doc is a 404."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "indexes")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        payload = open(
+            "/root/reference/src/test/resources/test.csv", "rb"
+        ).read()
+        status, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"updidx", "options": b"clear", "offset": b"1"},
+            ("file", "test.csv", payload),
+        )
+        assert status == 200, resp
+        for _ in range(200):
+            status, s = _get(base + f"/api/status?id={resp['id']}")
+            if json.loads(s)["status"] in ("complete", "error"):
+                break
+            time.sleep(0.1)
+        assert json.loads(s)["status"] == "complete"
+        status, r = _req(
+            base + "/api/doc?index=updidx", "POST",
+            json.dumps({"conv_id": "u1", "turn_idx": 0, "role": "user",
+                        "text": "pangolin text"}).encode(),
+        )
+        assert status == 200
+        status, r = _req(
+            base + "/api/doc/update?index=updidx&conv_id=u1&turn_idx=0",
+            "POST", json.dumps({"role": "assistant"}).encode(),
+        )
+        assert status == 200 and r["result"] == "updated"
+        # the overlay is a doc-values update: FILTER context sees the
+        # new value (the stored _source keeps the original, Lucene's
+        # updatable-DV contract — the documented ES deviation)
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(str(tmp_path / "indexes" / "updidx"))
+        t = eng.search("pangolin", k=5, filters={"role": "assistant"})
+        assert t.num_rows == 1
+        t = eng.search("pangolin", k=5, filters={"role": "user"})
+        assert t.num_rows == 0
+        status, r = _req(
+            base + "/api/doc/update?index=updidx&conv_id=ghost&turn_idx=0",
+            "POST", json.dumps({"role": "x"}).encode(),
+        )
+        assert status == 404
+    finally:
+        srv.stop()
