@@ -290,8 +290,9 @@ def _chunk_phase_joined(
     store_cols: list[str],
     rank_offset: int = 0,
     n_rows: int | None = None,
-) -> pd.DataFrame:
+):
     """Stamping via a bucket-partitioned join against the rank files
+    → LAZY Dataset of per-chunk summary rows (like :func:`_chunk_phase`).
     (the distributed-ranks sibling of :func:`_chunk_phase`): transcript
     rows and (rank, conv_id) rows are both keyed by a conv_id hash
     bucket, a pandas merge inside each bucket attaches the rank, and the
@@ -366,14 +367,10 @@ def _chunk_phase_joined(
         .groupby("bucket")
         .map_groups(attach, batch_format="pandas")
     )
-    return (
-        stamped.groupby("chunk")
-        .map_groups(
-            make_chunk_builder(index_dir, cfg_dict, store_cols),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    return stamped.groupby("chunk").map_groups(
+        make_chunk_builder(index_dir, config.to_dict(), store_cols),
+        batch_format="pandas",
+    )  # LAZY: callers stream it (overlapped merge) or to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -1048,8 +1045,10 @@ def _chunk_phase(
     cpus: int,
     store_cols: list[str],
     rank_offset: int = 0,
-) -> pd.DataFrame:
-    """stamp → chunk shuffle → fused tokenize + level-0 segment writes.
+):
+    """stamp → chunk shuffle → fused tokenize + level-0 segment writes
+    → LAZY Dataset of per-chunk summary rows (callers stream it for the
+    overlapped merge, or to_pandas()).
     ``conv_path`` is the conv-rank parquet path each stamp actor loads in
     __init__ (re-fetchable on actor restart, unlike an ObjectRef)."""
     schema_names = set(ds.schema().names)
@@ -1080,14 +1079,10 @@ def _chunk_phase(
         # (ray#53727) — lineage re-execution is the recovery path
         max_restarts=0,
     )
-    return (
-        stamped.groupby("chunk")
-        .map_groups(
-            make_chunk_builder(index_dir, config.to_dict(), store_cols),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    return stamped.groupby("chunk").map_groups(
+        make_chunk_builder(index_dir, config.to_dict(), store_cols),
+        batch_format="pandas",
+    )  # LAZY: callers stream it (overlapped merge) or to_pandas()
 
 
 def _sum_field_dl(all_chunks: dict[int, dict]) -> dict[str, int]:
@@ -1098,6 +1093,112 @@ def _sum_field_dl(all_chunks: dict[int, dict]) -> dict[str, int]:
         for f, v in m.get("field_dl", {}).items():
             out[f] = out.get(f, 0) + int(v)
     return out
+
+
+def _merge_shard_task(index_dir: str, cfg_dict: dict, shard: int,
+                      chunks: list[int]) -> dict:
+    """Plain-task form of one shard merge (the overlapped path fires
+    these as soon as a shard's chunk set completes)."""
+    return SegmentMerger(index_dir, cfg_dict)._merge_shard(shard, chunks)
+
+
+_MERGE_REMOTE = None
+
+
+def _merge_remote():
+    global _MERGE_REMOTE
+    if _MERGE_REMOTE is None:
+        import ray
+
+        _MERGE_REMOTE = ray.remote(num_cpus=1)(_merge_shard_task)
+    return _MERGE_REMOTE
+
+
+def _overlapped_chunk_merge(
+    summaries_ds,
+    index_dir: str,
+    config: IndexConfig,
+    n_chunks: int,
+    num_shards: int,
+    skip: list[int],
+    cpus: int,
+    expected_chunks: list[int] | None = None,
+) -> tuple[pd.DataFrame, int, float, float]:
+    """Consume the chunk-summary STREAM and fire each shard's merge the
+    moment its chunk set is complete — the merge overlaps the tail of
+    the chunk phase instead of waiting for a global barrier (the shard
+    merge only needs ITS chunks' files, which are written atomically
+    with per-chunk manifests before their summary row is emitted).
+
+    Resume/fault story unchanged: chunk files + per-shard manifests are
+    idempotent; a failed run re-fires exactly the missing work. In-flight
+    merges are capped at the merge-pool width so the chunk stage keeps
+    its CPUs.
+
+    → (summaries df, shard bytes, t_last_chunk, t_all_merged) —
+    monotonic timestamps for phase accounting."""
+    import ray
+
+    chunk_ids = (
+        sorted(expected_chunks) if expected_chunks is not None
+        else list(range(n_chunks))
+    )
+    shard_chunks: dict[int, list[int]] = {
+        s: [c for c in chunk_ids if c % num_shards == s]
+        for s in range(num_shards)
+    }
+    pending: dict[int, set] = {
+        s: set(cs) - set(skip) for s, cs in shard_chunks.items()
+    }
+    merge_pool = max(1, min(num_shards, cpus - 1))
+    remote = _merge_remote()
+    inflight: list = []
+    merged: list[dict] = []
+
+    def _launch(s: int) -> None:
+        nonlocal inflight
+        while len(inflight) >= merge_pool:
+            done_refs, inflight = ray.wait(inflight, num_returns=1)
+            merged.extend(ray.get(done_refs))
+        inflight.append(
+            remote.remote(index_dir, config.to_dict(), s, shard_chunks[s])
+        )
+
+    # shards whose chunks were all skipped (resume) merge immediately
+    # (their per-shard manifest short-circuits if already merged)
+    for s in range(num_shards):
+        if shard_chunks[s] and not pending[s]:
+            _launch(s)
+
+    frames: list[pd.DataFrame] = []
+    for batch in summaries_ds.iter_batches(batch_size=256,
+                                           batch_format="pandas"):
+        if not len(batch):
+            continue
+        frames.append(batch)
+        for c in batch["chunk"].tolist():
+            s = int(c) % num_shards
+            if pending[s]:
+                pending[s].discard(int(c))
+                if not pending[s]:
+                    _launch(s)
+    t_last_chunk = time.monotonic()
+    still = [s for s, p in pending.items() if p and shard_chunks[s]]
+    if still:
+        # defensive: a chunk whose summary never arrived (e.g. every
+        # chunk was skipped upstream) — fall back to direct launches;
+        # the global completeness check after us raises if files are
+        # genuinely missing
+        for s in still:
+            _launch(s)
+    if inflight:
+        merged.extend(ray.get(inflight))
+    t_all_merged = time.monotonic()
+    shard_bytes = int(sum(m["bytes_compressed"] for m in merged))
+    summaries = (
+        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    )
+    return summaries, shard_bytes, t_last_chunk, t_all_merged
 
 
 def _merge_phase(
@@ -1150,7 +1251,9 @@ class BuildResult:
     chunks_skipped: int
     seconds: float
     #: wall time per phase: validate (conv census), chunks (stamp +
-    #: shuffle + fused tokenize/segment build), merge (shard merge)
+    #: shuffle + fused tokenize/segment build, up to the LAST chunk
+    #: summary), merge (the shard-merge TAIL after the last chunk —
+    #: most merge work overlaps the chunk phase, round 4)
     phase_seconds: dict | None = None
 
 
@@ -1299,21 +1402,38 @@ def _build_index_impl(
     skip = sorted(done)
 
     store_cols = _store_cols(config, schema_names)
+    num_shards = min(config.num_shards, n_chunks) or 1
     summaries = pd.DataFrame()
     if len(skip) < n_chunks:
+        # ---- chunk build OVERLAPPED with shard merge --------------------
+        # the chunk-summary stream is consumed on the driver; each
+        # shard's merge fires the moment its chunk set completes, so the
+        # merge wall-time hides behind the chunk phase's tail instead of
+        # waiting on a global barrier
         if use_dist:
-            summaries = _chunk_phase_joined(
+            sds = _chunk_phase_joined(
                 ds, config, index_dir, skip, cpus, store_cols,
                 n_rows=n_rows_hint,
             )
         else:
-            summaries = _chunk_phase(
+            sds = _chunk_phase(
                 ds, os.path.join(index_dir, "convs.parquet"), config,
                 index_dir, skip, cpus, store_cols,
             )
+        summaries, shard_bytes, t_chunk_end, t_merge_end = (
+            _overlapped_chunk_merge(
+                sds, index_dir, config, n_chunks, num_shards, skip, cpus
+            )
+        )
+    else:  # nothing to build: plain merge (resume completing a merge)
+        t_chunk_end = time.monotonic()
+        shard_bytes = _merge_phase(
+            index_dir, config, list(range(n_chunks)), num_shards, cpus
+        )
+        t_merge_end = time.monotonic()
 
-    phases["chunks"] = round(time.monotonic() - t_phase - phases["validate"],
-                             3)
+    phases["chunks"] = round(t_chunk_end - t_phase - phases["validate"], 3)
+    phases["merge"] = round(t_merge_end - t_chunk_end, 3)
     all_chunks = seg.completed_chunks(index_dir)
     if sorted(all_chunks) != list(range(n_chunks)):
         missing_c = sorted(set(range(n_chunks)) - set(all_chunks))
@@ -1324,14 +1444,6 @@ def _build_index_impl(
     n_postings = sum(m["n_postings"] for m in all_chunks.values())
     seg_bytes = sum(m["bytes_compressed"] for m in all_chunks.values())
     field_totals = _sum_field_dl(all_chunks)
-
-    # ---- merge into shards (fixed actor pool) --------------------------
-    num_shards = min(config.num_shards, n_chunks) or 1
-    t_merge = time.monotonic()
-    shard_bytes = _merge_phase(
-        index_dir, config, sorted(all_chunks), num_shards, cpus
-    )
-    phases["merge"] = round(time.monotonic() - t_merge, 3)
 
     manifest = {
         "status": "complete",
@@ -1492,26 +1604,30 @@ def append_index(
         skip = sorted(done)
 
         store_cols = _store_cols(config, schema_names)
-        summaries = _chunk_phase(
-            ds, pending, config, index_dir, skip, cpus, store_cols,
-            rank_offset=base_rank,
-        )
-        os.remove(pending)
-
-        all_chunks = seg.completed_chunks(index_dir)
         n_new_chunks = ((len(new_convs) - 1) >> config.convs_per_chunk_bits) + 1
         expected = sorted(
             set(range(base_chunks))
             | {base_chunks + c for c in range(n_new_chunks)}
         )
+        num_shards = int(manifest["num_shards"])
+        # chunk build overlapped with shard merge (see _build_index_impl):
+        # shards with only-base chunks launch immediately and short-circuit
+        # on their unchanged manifests; shards receiving new chunks merge
+        # as soon as their last new chunk lands
+        sds = _chunk_phase(
+            ds, pending, config, index_dir, skip, cpus, store_cols,
+            rank_offset=base_rank,
+        )
+        summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
+            sds, index_dir, config, len(expected), num_shards, skip, cpus,
+            expected_chunks=expected,
+        )
+        os.remove(pending)
+
+        all_chunks = seg.completed_chunks(index_dir)
         if sorted(all_chunks) != expected:
             missing_c = sorted(set(expected) - set(all_chunks))
             raise RuntimeError(f"append incomplete: missing chunks {missing_c[:10]}")
-
-        num_shards = int(manifest["num_shards"])
-        shard_bytes = _merge_phase(
-            index_dir, config, sorted(all_chunks), num_shards, cpus
-        )
 
         # extended conv-rank table (explicit ranks: gap before base_rank)
         new_rank = base_rank + np.arange(len(new_convs), dtype=np.int64)
@@ -1821,7 +1937,17 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
             )
         else:
             new_row[c] = row.get(c)
-    g = pd.concat([g, pd.DataFrame([new_row])], ignore_index=True)
+    # typed single-row frame (a bare dict frame would carry all-NA
+    # object columns into concat — pandas FutureWarning + dtype drift)
+    row_df = pd.DataFrame(
+        {
+            k: pd.Series([v], dtype=g[k].dtype)
+            if g[k].dtype != object
+            else pd.Series([v], dtype=object)
+            for k, v in new_row.items()
+        }
+    )
+    g = pd.concat([g, row_df], ignore_index=True)
     if "ts" in g.columns:
         g["ts"] = pd.to_datetime(g["ts"]).astype("datetime64[us]")
     # keep the docstore slice's dtypes EXACTLY (turn_idx stays int32
