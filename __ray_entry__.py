@@ -1450,6 +1450,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_explain(sf_dir):
+        # ES _explain: per-term BM25 breakdown (tf, df, idf, dl,
+        # contribution) of each query's TOP-1 hit; absent-term queries
+        # (no hits) contribute no rows, and df=0 terms are dropped —
+        # both exactly as QueryEngine.explain does
+        import pandas as pd
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        rows = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search(q, 1)
+            if t.num_rows == 0:
+                continue
+            ex = eng.explain(q, t["docid"][0].as_py())
+            conv = t["conv_id"][0].as_py()
+            turn = t["turn_idx"][0].as_py()
+            for r in ex["terms"]:
+                rows.append(
+                    (qid, conv, turn, r["term"], r["tf"], r["df"],
+                     r["idf"], r["dl"], r["contribution"])
+                )
+        df = pd.DataFrame(
+            rows,
+            columns=["query_id", "conv_id", "turn_idx", "term", "tf",
+                     "df", "idf", "dl", "contribution"],
+        )
+        df["df"] = df["df"].astype("int64")
+        df["idf"] = trunc6(df["idf"].to_numpy())
+        df["contribution"] = trunc6(df["contribution"].to_numpy())
+        return df
+
+    def q_bm25_highlight(sf_dir):
+        # ES highlighter (number_of_fragments=0 mode): each top-10
+        # hit's stored text with every analyzer-token occurrence of a
+        # query term wrapped in <em></em>
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search(q, 10, highlight=True)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "highlight": t["highlight"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_keywords(sf_dir):
         return ts.keywords(_docs(sf_dir), k=3)
 
@@ -1930,6 +1989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
         "termvectors": q_termvectors,
+        "bm25_explain": q_bm25_explain,
+        "bm25_highlight": q_bm25_highlight,
         "suggest_terms": q_suggest_terms,
         "more_like_this": q_more_like_this,
         "bm25_collapse": q_bm25_collapse,
@@ -3370,6 +3431,100 @@ QUALIFY row_number() OVER (
     )
 
 
+def _explain_sql() -> str:
+    """bm25_explain twin: per-term BM25 components of each query's
+    top-1 hit. The scored/top1 CTEs repeat _bm25_sql's ranking exactly
+    (raw DESC, conv_id, turn_idx); the projection re-derives idf and
+    contribution per (query term × top-1 doc), LEFT-joining tf so a
+    df>0 term absent from the doc contributes a 0 row — the identical
+    row set QueryEngine.explain emits."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+top1 AS (
+    SELECT query_id, conv_id, turn_idx FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) = 1
+)
+SELECT q.query_id, t1.conv_id, t1.turn_idx, q.term,
+       coalesce(tf.tf, 0.0) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       floor(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * 1000000 + 0.5)
+           / 1000000 AS idf,
+       dl.dl AS dl,
+       floor(coalesce(
+                 ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                 0.0) * 1000000 + 0.5) / 1000000 AS contribution
+FROM q
+JOIN top1 t1 USING (query_id)
+JOIN df ON df.term = q.term
+JOIN dl ON dl.conv_id = t1.conv_id AND dl.turn_idx = t1.turn_idx
+LEFT JOIN tf ON tf.term = q.term
+     AND tf.conv_id = t1.conv_id AND tf.turn_idx = t1.turn_idx
+CROSS JOIN stats s
+"""
+    )
+
+
+def _highlight_sql() -> str:
+    """bm25_highlight twin: _bm25_sql's top-10 per query, each hit's
+    text run through regexp_replace with the query's token-boundary
+    alternation. Arrow and DuckDB both run RE2, and the analyzer's
+    token class [a-z0-9_] equals RE2's \\w, so \\b-delimited
+    alternation == whole-analyzer-token equality on both sides. The
+    patterns are GENERATED from the engine's own query_terms so the
+    twin cannot drift."""
+    from excelastic_ray.analysis import query_terms
+
+    pats = ",\n        ".join(
+        f"('{qid}', '(?i)\\b({'|'.join(query_terms(q, 'standard'))})\\b')"
+        for qid, q in BM25_QUERIES
+        if query_terms(q, "standard")
+    )
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+pats(query_id, pat) AS (VALUES
+        {pats}),
+hits AS ({_bm25_sql()})
+SELECT h.query_id, h.conv_id, h.turn_idx,
+       regexp_replace(t.text, p.pat, '<em>\\1</em>', 'g') AS highlight
+FROM hits h
+JOIN transcripts t
+     ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx
+JOIN pats p ON p.query_id = h.query_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     turn_mult = 1 << ENTRY_CONFIG.turn_bits
     en = _stop_list("en")
@@ -3675,6 +3830,8 @@ df AS (
 SELECT tf.conv_id, tf.turn_idx, tf.term, tf.tf, df.df
 FROM tf JOIN df USING (term)
 """,
+        "bm25_explain": _explain_sql(),
+        "bm25_highlight": _highlight_sql(),
         "suggest_terms": _suggest_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_collapse": _collapse_sql(),
