@@ -85,9 +85,11 @@ def _conv_partials(batch: pa.Table) -> pd.DataFrame:
 
 
 def conversation_table(ds, config: IndexConfig,
-                       strict: bool = True) -> np.ndarray:
+                       strict: bool = True, return_counts: bool = False):
     """Validate the corpus and return the sorted distinct conv_id array
-    (row position == conv_rank).
+    (row position == conv_rank); with ``return_counts`` also the
+    per-conversation row counts in the same order (the ranged
+    no-shuffle chunk phase derives its row offsets from them).
 
     Validation semantics (per conversation): turn_idx must be exactly
     {0..n-1} with no duplicates and n ≤ 2**turn_bits. Checked with
@@ -107,7 +109,8 @@ def conversation_table(ds, config: IndexConfig,
     # per-row docid math downstream is unchanged.)
     pdf = partials.to_pandas()
     if len(pdf) == 0:
-        return np.zeros(0, dtype=object)
+        empty = np.zeros(0, dtype=object)
+        return (empty, np.zeros(0, dtype=np.int64)) if return_counts else empty
     stats = (
         pdf
         .groupby("conv_id", sort=False)
@@ -126,7 +129,11 @@ def conversation_table(ds, config: IndexConfig,
         stats["sq"].to_numpy(), config.max_turns,
         stats["conv_id"].to_numpy(), strict=strict,
     )
-    return np.sort(stats["conv_id"].to_numpy().astype(object))
+    ids = stats["conv_id"].to_numpy().astype(object)
+    order = np.argsort(ids)
+    if return_counts:
+        return ids[order], stats["cnt"].to_numpy().astype(np.int64)[order]
+    return ids[order]
 
 
 def _validate_moments(cnt, mn, mx, sm, sq, max_turns, sample_ids,
@@ -1095,6 +1102,202 @@ def _sum_field_dl(all_chunks: dict[int, dict]) -> dict[str, int]:
     return out
 
 
+class _NotConvSorted(ValidationError):
+    """A ranged chunk task found a row outside its conversation set —
+    the source is not globally conv-sorted after all. The build falls
+    back to the shuffle chunk phase (already-verified chunks keep)."""
+
+
+def _is_missort(e: BaseException) -> bool:
+    """True when an exception (possibly a RayTaskError wrapper) is a
+    ranged-phase missort detection — the only error class that falls
+    back to the shuffle path instead of propagating."""
+    if isinstance(e, _NotConvSorted):
+        return True
+    cause = getattr(e, "cause", None)
+    if isinstance(cause, _NotConvSorted):
+        return True
+    return "_NotConvSorted" in repr(e)
+
+
+def _sorted_layout(source):
+    """Row-group-statistics evidence that a parquet source is globally
+    conv-sorted: files in sorted path order, row groups in file order,
+    conv_id [min, max] ranges non-decreasing and non-overlapping (equal
+    endpoints allowed — a conversation may straddle a boundary). The
+    check reads METADATA only, never data. → list of
+    (path, rg_index, n_rows) in global row order, or None when the
+    evidence is unavailable or negative.
+
+    Within-row-group order is NOT visible in metadata; each ranged
+    chunk task proves it at read time (membership check), so a
+    statistics-passing-but-scattered source degrades to the shuffle
+    path instead of building a wrong index."""
+    import pyarrow.parquet as pq
+
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            files = [
+                os.path.join(source, n)
+                for n in sorted(os.listdir(source))
+                if n.endswith(".parquet")
+            ]
+        else:
+            files = [source]
+    elif isinstance(source, (list, tuple)):
+        files = [p for p in source if isinstance(p, str)]
+        if len(files) != len(source):
+            return None
+    else:
+        return None
+    if not files:
+        return None
+    out: list[tuple[str, int, int]] = []
+    prev_max = None
+    for p in files:
+        try:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index("conv_id")
+        except Exception:
+            return None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode(), mx.decode()
+            if prev_max is not None and mn < prev_max:
+                return None
+            prev_max = mx
+            out.append((p, i, rg.num_rows))
+    return out
+
+
+def _ranged_chunk_build(layout, columns, start: int, stop: int, chunk: int,
+                        conv_base: int, chunk_convs, index_dir: str,
+                        cfg_dict: dict, store_cols: list[str]) -> dict:
+    """One no-shuffle chunk build: read global rows [start, stop) of a
+    conv-sorted parquet source (row-group pruned — only groups
+    overlapping the range are read, only ``columns`` decoded), stamp
+    docids locally (rank = conv_base + position in the chunk's own
+    sorted conv list), then run the standard fused chunk builder.
+
+    CORRECTNESS PROOF carried by the membership check: the range's
+    size equals the census row total of exactly this chunk's
+    conversations, so if every row in the slice BELONGS to those
+    conversations and docids are duplicate-free (the builder's guard),
+    the slice is exactly their row set — any misordering in the source
+    surfaces as a foreign row here or a duplicate docid there, raising
+    instead of building a wrong chunk."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    off = 0
+    for path, rgi, nrows in layout:
+        lo, hi = off, off + nrows
+        off = hi
+        if hi <= start:
+            continue
+        if lo >= stop:
+            break
+        t = pq.ParquetFile(path).read_row_group(rgi, columns=columns)
+        a = max(start - lo, 0)
+        tables.append(t.slice(a, min(stop, hi) - lo - a))
+    if not tables:
+        raise _NotConvSorted(f"chunk {chunk}: empty ranged read")
+    tbl = pa.concat_tables(tables).combine_chunks()
+    if tbl.num_rows != stop - start:
+        raise _NotConvSorted(f"chunk {chunk}: ranged read size mismatch")
+    cfg = IndexConfig.from_dict(cfg_dict)
+    g = tbl.to_pandas()
+    pos = pd.Index(np.asarray(chunk_convs, dtype=object)).get_indexer(
+        g["conv_id"].to_numpy(object)
+    )
+    if (pos < 0).any():
+        raise _NotConvSorted(
+            f"chunk {chunk}: row from a foreign conversation "
+            "(source not conv-sorted)"
+        )
+    ranks = conv_base + pos.astype(np.int64)
+    g["docid"] = (ranks << cfg.turn_bits) | g["turn_idx"].to_numpy().astype(
+        np.int64
+    )
+    g["chunk"] = chunk
+    out = make_chunk_builder(index_dir, cfg_dict, store_cols)(g)
+    return out.iloc[0].to_dict()
+
+
+_RANGED_REMOTE = None
+
+
+def _ranged_remote():
+    global _RANGED_REMOTE
+    if _RANGED_REMOTE is None:
+        import ray
+
+        _RANGED_REMOTE = ray.remote(num_cpus=1)(_ranged_chunk_build)
+    return _RANGED_REMOTE
+
+
+def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
+                        skip: list[int], store_cols: list[str],
+                        conv_ids, conv_counts):
+    """NO-SHUFFLE chunk phase for conv-sorted parquet input: chunk c is
+    a contiguous row range (offsets from the census counts), so one
+    plain task per chunk reads its range directly — the groupby
+    exchange (the dominant build cost) disappears entirely. This is
+    the 100 TB shape for ingest from conversation-bucketed storage:
+    zero data movement, per-chunk resumability, and the same atomic
+    chunk files as the shuffle paths.
+
+    → generator of per-chunk summary frames (consumed by the
+    overlapped merge), or None when the source lacks sortedness
+    evidence (caller uses the shuffle path)."""
+    import ray
+
+    layout = _sorted_layout(source)
+    if layout is None:
+        return None
+    if int(conv_counts.sum()) != sum(n for _, _, n in layout):
+        return None
+    starts = np.zeros(len(conv_counts) + 1, dtype=np.int64)
+    np.cumsum(conv_counts, out=starts[1:])
+    bits = config.convs_per_chunk_bits
+    n_convs = len(conv_ids)
+    n_chunks = ((n_convs - 1) >> bits) + 1 if n_convs else 0
+    columns = list(TRANSCRIPT_COLUMNS)
+    remote = _ranged_remote()
+    layout_ref = ray.put(layout)
+    skipset = set(skip)
+    refs = []
+    for c in range(n_chunks):
+        if c in skipset:
+            continue
+        lo, hi = c << bits, min((c + 1) << bits, n_convs)
+        refs.append(
+            remote.remote(
+                layout_ref, columns, int(starts[lo]), int(starts[hi]), c,
+                lo, conv_ids[lo:hi], index_dir, config.to_dict(), store_cols,
+            )
+        )
+
+    def gen():
+        pending = list(refs)
+        try:
+            while pending:
+                done, pending = ray.wait(pending, num_returns=1)
+                yield pd.DataFrame([ray.get(done[0])])
+        except BaseException:
+            for r in pending:
+                ray.cancel(r, force=False)
+            raise
+
+    return gen()
+
+
 def _merge_shard_task(index_dir: str, cfg_dict: dict, shard: int,
                       chunks: list[int]) -> dict:
     """Plain-task form of one shard merge (the overlapped path fires
@@ -1170,18 +1373,30 @@ def _overlapped_chunk_merge(
         if shard_chunks[s] and not pending[s]:
             _launch(s)
 
+    it = (
+        summaries_ds.iter_batches(batch_size=256, batch_format="pandas")
+        if hasattr(summaries_ds, "iter_batches")
+        else summaries_ds  # plain iterator of frames (ranged chunk phase)
+    )
     frames: list[pd.DataFrame] = []
-    for batch in summaries_ds.iter_batches(batch_size=256,
-                                           batch_format="pandas"):
-        if not len(batch):
-            continue
-        frames.append(batch)
-        for c in batch["chunk"].tolist():
-            s = int(c) % num_shards
-            if pending[s]:
-                pending[s].discard(int(c))
-                if not pending[s]:
-                    _launch(s)
+    try:
+        for batch in it:
+            if not len(batch):
+                continue
+            frames.append(batch)
+            for c in batch["chunk"].tolist():
+                s = int(c) % num_shards
+                if pending[s]:
+                    pending[s].discard(int(c))
+                    if not pending[s]:
+                        _launch(s)
+    except BaseException:
+        # a failing chunk stream (e.g. the ranged phase detecting a
+        # missorted source) must not leak merge tasks — cancel and let
+        # the caller fall back; shard merges are atomic + idempotent
+        for r in inflight:
+            ray.cancel(r, force=False)
+        raise
     t_last_chunk = time.monotonic()
     still = [s for s, p in pending.items() if p and shard_chunks[s]]
     if still:
@@ -1284,11 +1499,13 @@ def build_index(
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
-    # Push-based sort shuffle pipelines the map/merge phases of the
-    # chunk exchange; measured ~1.6x faster than pull-based here.
+    # Pull-based sort shuffle: with the round-4 few-large-blocks read
+    # rule (~cpus/2 blocks) the pull scheduler beats push-based on the
+    # full build at every measured CPU level (the round-1 1.6x
+    # push-over-pull result held only at 2x-cpus block counts).
     ctx = rd.DataContext.get_current()
     prior_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     try:
         return _build_index_impl(
             source, index_dir, config, clear=clear, resume=resume,
@@ -1333,16 +1550,18 @@ def _build_index_impl(
 
     cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
     if isinstance(source, (str, list, tuple)):
-        # ~2 blocks per CPU: enough that every stage can use the whole
-        # cluster even when the corpus arrives as a handful of files,
-        # few enough that shuffle orchestration stays cheap (block-count
-        # sweeps: 2x cpus beat both 4x and 16x by a wide margin).
+        # Few, large blocks: the chunk exchange's cost grows with block
+        # count (partition fan-out + per-task overhead), while the map
+        # side (read + stamp) is cheap — round-4 full-build sweeps put
+        # ~cpus/2 blocks (floor 16) 20-30% ahead of the old 2x-cpus
+        # rule at every CPU level. Per NODE at cluster scale this is
+        # the same rule (each node's share of blocks stays ~cores/2).
         from excelastic_ray.io import read_parquet_clean
 
         ds = read_parquet_clean(
             source,
             columns=list(TRANSCRIPT_COLUMNS),
-            override_num_blocks=max(2 * cpus, 32),
+            override_num_blocks=max(cpus // 2, 16),
         )
     else:
         ds = source
@@ -1373,11 +1592,14 @@ def _build_index_impl(
     else:
         use_dist = False
 
+    conv_ids = conv_counts = None
     if use_dist:
         n_convs = distributed_conversation_ranks(ds, config, index_dir,
                                                  strict=strict_turns)
     else:
-        conv_ids = conversation_table(ds, config, strict=strict_turns)
+        conv_ids, conv_counts = conversation_table(
+            ds, config, strict=strict_turns, return_counts=True
+        )
         n_convs = len(conv_ids)
         cp = os.path.join(index_dir, "convs.parquet")
         if os.path.isdir(cp):  # prior distributed build left a directory
@@ -1409,22 +1631,54 @@ def _build_index_impl(
         # the chunk-summary stream is consumed on the driver; each
         # shard's merge fires the moment its chunk set completes, so the
         # merge wall-time hides behind the chunk phase's tail instead of
-        # waiting on a global barrier
-        if use_dist:
-            sds = _chunk_phase_joined(
-                ds, config, index_dir, skip, cpus, store_cols,
-                n_rows=n_rows_hint,
+        # waiting on a global barrier. Conv-sorted parquet sources take
+        # the RANGED phase: no shuffle at all, one plain task per chunk
+        # reading its contiguous row range (membership-verified, with
+        # automatic fallback to the shuffle path on a missorted source).
+        ranged = None
+        if not use_dist and not transforms and isinstance(
+            source, (str, list, tuple)
+        ):
+            ranged = _chunk_phase_ranged(
+                source, config, index_dir, skip, store_cols,
+                conv_ids, conv_counts,
             )
-        else:
-            sds = _chunk_phase(
-                ds, os.path.join(index_dir, "convs.parquet"), config,
-                index_dir, skip, cpus, store_cols,
+        sds = None
+        if ranged is not None:
+            try:
+                summaries, shard_bytes, t_chunk_end, t_merge_end = (
+                    _overlapped_chunk_merge(
+                        ranged, index_dir, config, n_chunks, num_shards,
+                        skip, cpus,
+                    )
+                )
+            except Exception as e:  # noqa: BLE001
+                if not _is_missort(e):
+                    raise
+                # statistics said sorted, a row said otherwise: keep the
+                # chunks that verified, rebuild the rest via the shuffle
+                # path (atomic chunk files + shard manifests make both
+                # the chunk rebuild and the re-merge idempotent)
+                skip = sorted(seg.completed_chunks(index_dir))
+                ranged = None
+        if ranged is None:
+            if use_dist:
+                sds = _chunk_phase_joined(
+                    ds, config, index_dir, skip, cpus, store_cols,
+                    n_rows=n_rows_hint,
+                )
+            else:
+                sds = _chunk_phase(
+                    ds, os.path.join(index_dir, "convs.parquet"), config,
+                    index_dir, skip, cpus, store_cols,
+                )
+            summaries, shard_bytes, t_chunk_end, t_merge_end = (
+                _overlapped_chunk_merge(
+                    sds, index_dir, config, n_chunks, num_shards, skip, cpus
+                )
             )
-        summaries, shard_bytes, t_chunk_end, t_merge_end = (
-            _overlapped_chunk_merge(
-                sds, index_dir, config, n_chunks, num_shards, skip, cpus
-            )
-        )
+            if os.environ.get("EXCELASTIC_BUILD_STATS"):
+                print(sds.stats())
     else:  # nothing to build: plain merge (resume completing a merge)
         t_chunk_end = time.monotonic()
         shard_bytes = _merge_phase(
@@ -1533,7 +1787,7 @@ def append_index(
 
     ctx = rd.DataContext.get_current()
     prior_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     try:
         cpus = parallelism or int(ray.cluster_resources().get("CPU", 8))
         if isinstance(source, (str, list, tuple)):
@@ -1542,7 +1796,7 @@ def append_index(
             ds = read_parquet_clean(
                 source,
                 columns=list(TRANSCRIPT_COLUMNS),
-                override_num_blocks=max(2 * cpus, 32),
+                override_num_blocks=max(cpus // 2, 16),
             )
         else:
             ds = source
