@@ -705,7 +705,11 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
                         col.to_numpy(object), type=pa.string()
                     )
             nbytes += seg.atomic_write_parquet(
-                os.path.join(d, "store.parquet"), pa.table(s_cols)
+                os.path.join(d, "store.parquet"), pa.table(s_cols),
+                # small docid-ordered row groups: point fetches
+                # (fetch_docs) prune to the row groups that hold the
+                # requested ids instead of decoding the whole slice
+                row_group_size=1024,
             )
         manifest = {
             "chunk": chunk,

@@ -63,12 +63,12 @@ def atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def atomic_write_parquet(path: str, table: pa.Table) -> int:
+def atomic_write_parquet(path: str, table: pa.Table, **write_kwargs) -> int:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     os.close(fd)
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression="zstd", **write_kwargs)
     os.replace(tmp, path)
     return os.path.getsize(path)
 

@@ -1411,6 +1411,22 @@ class IndexReader:
         else:
             self.conv_ids = ids
         self._searchers: dict[int, ShardSearcher] = {}
+        # Docstore caches (the _source fetch phase): per-chunk row-group
+        # docid ranges (tiny, metadata-only) and an LRU of DECODED row
+        # groups — point fetches hitting the same hot chunks (top-k
+        # pages, significant_text samples, _mget) decode each group
+        # once instead of per call. Budgets bound worst-case memory.
+        from collections import OrderedDict
+
+        import threading
+
+        self._store_meta: "OrderedDict[int, tuple]" = OrderedDict()
+        self._store_meta_cap = 65536  # chunks
+        self._store_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._store_budget = 262_144  # cached docstore rows
+        self._store_size = 0
+        self._store_lock = threading.Lock()  # fetch_docs fans out threads
+        self._store_pool = None  # lazy persistent fetch thread pool
 
     def shard_path(self, s: int) -> str:
         return seg.shard_dir(self.index_dir, s)
@@ -1432,8 +1448,18 @@ class IndexReader:
 
         docids = np.asarray(docids, dtype=np.int64)
         chunks = (docids >> self.cfg.turn_bits) >> self.cfg.convs_per_chunk_bits
-        tables = []
-        for c in sorted(set(chunks.tolist())):
+        read_cols = columns and ["docid", *columns]
+
+        cols_key = tuple(read_cols) if read_cols else None
+
+        def _chunk_meta(c: int):
+            """(path, rg_lo, rg_hi): per-row-group docid ranges, cached
+            (metadata-only; the store is docid-ordered)."""
+            with self._store_lock:
+                m = self._store_meta.get(c)
+                if m is not None:
+                    self._store_meta.move_to_end(c)
+                    return m
             path = os.path.join(
                 segmod.chunk_dir(self.index_dir, int(c)), "store.parquet"
             )
@@ -1441,9 +1467,107 @@ class IndexReader:
                 raise FileNotFoundError(
                     "index was built with store_source=False; no docstore"
                 )
-            t = pq.read_table(path, columns=columns and ["docid", *columns])
-            want = docids[chunks == c]
-            tables.append(t.filter(pc.is_in(t["docid"], pa.array(want))))
+            md = pq.ParquetFile(path).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            di = names.index("docid")
+            nrg = md.num_row_groups
+            lo = np.empty(nrg, dtype=np.int64)
+            hi = np.empty(nrg, dtype=np.int64)
+            nrows = np.empty(nrg, dtype=np.int64)
+            for i in range(nrg):
+                rg = md.row_group(i)
+                nrows[i] = rg.num_rows
+                st = rg.column(di).statistics
+                if st is None or not st.has_min_max:
+                    lo[i], hi[i] = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+                else:
+                    lo[i], hi[i] = int(st.min), int(st.max)
+            m = (path, lo, hi, nrows)
+            with self._store_lock:
+                self._store_meta[c] = m
+                while len(self._store_meta) > self._store_meta_cap:
+                    self._store_meta.popitem(last=False)
+            return m
+
+        def _cache_put(key, t: pa.Table) -> None:
+            n = t.num_rows
+            if n > self._store_budget:
+                return
+            with self._store_lock:
+                if key in self._store_cache:
+                    return
+                while (self._store_size + n > self._store_budget
+                       and self._store_cache):
+                    _, old = self._store_cache.popitem(last=False)
+                    self._store_size -= old.num_rows
+                self._store_cache[key] = t
+                self._store_size += n
+
+        def _read_chunk(c: int) -> pa.Table:
+            want = np.sort(docids[chunks == c])
+            path, lo, hi, nrows = _chunk_meta(c)
+            # a group matters only if some wanted id lands in its range
+            pos = np.searchsorted(want, lo)
+            sel = np.flatnonzero((pos < len(want)) & (np.take(
+                want, np.minimum(pos, len(want) - 1)) <= hi))
+            if not len(sel):
+                return None
+            parts: dict[int, pa.Table] = {}
+            misses = []
+            with self._store_lock:
+                for i in sel:
+                    key = (c, int(i), cols_key)
+                    t = self._store_cache.get(key)
+                    if t is not None:
+                        self._store_cache.move_to_end(key)
+                        parts[int(i)] = t
+                    else:
+                        misses.append(int(i))
+            if misses:
+                # ONE batched read for all missing groups (one file
+                # open), split back per group by the known row counts
+                t = pq.ParquetFile(path).read_row_groups(
+                    misses, columns=read_cols
+                )
+                off = 0
+                for i in misses:
+                    part = t.slice(off, int(nrows[i]))
+                    off += int(nrows[i])
+                    parts[i] = part
+                    _cache_put((c, i, cols_key), part)
+            cat = (
+                parts[int(sel[0])]
+                if len(sel) == 1
+                else pa.concat_tables([parts[int(i)] for i in sel])
+            )
+            # the store is docid-ordered, so membership is a bisect +
+            # take, never a full is_in scan of the decoded groups
+            ids_np = cat["docid"].to_numpy()
+            at = np.searchsorted(ids_np, want)
+            ok = at < len(ids_np)
+            ok[ok] = ids_np[at[ok]] == want[ok]
+            return cat.take(pa.array(at[ok])) if ok.any() else None
+
+        uniq_chunks = sorted(set(chunks.tolist()))
+        if not uniq_chunks:
+            raise KeyError("fetch_docs called with no docids")
+        if len(uniq_chunks) > 1:
+            # per-chunk reads are independent file decodes (GIL-free in
+            # Arrow) — a PERSISTENT thread pool turns k-chunk fetches
+            # into one round of parallel point reads (per-call pool
+            # creation measurably dominated the warm path)
+            if self._store_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._store_pool = ThreadPoolExecutor(16)
+            tables = list(self._store_pool.map(_read_chunk, uniq_chunks))
+        else:
+            tables = [_read_chunk(uniq_chunks[0])]
+        tables = [t for t in tables if t is not None]
+        if not tables:
+            raise KeyError(
+                f"docids not present in docstore: {docids[:5].tolist()}"
+            )
         cat = pa.concat_tables(tables)
         # return in the requested docid order
         found = cat["docid"].to_numpy()
