@@ -214,7 +214,14 @@ def distributed_conversation_ranks(ds, config: IndexConfig,
             batch["sq"].to_numpy(), config.max_turns, ids,
             strict=strict,
         )
-        return pa.table({"conv_id": pa.array(ids, type=pa.string())})
+        # cnt rides along: the ranged (no-shuffle) chunk phase derives
+        # per-chunk row offsets from the census counts
+        return pa.table(
+            {
+                "conv_id": pa.array(ids, type=pa.string()),
+                "cnt": batch["cnt"].cast(pa.int64()),
+            }
+        )
 
     ranked = stats.map_batches(validate, batch_format="pyarrow").sort("conv_id")
 
@@ -255,15 +262,13 @@ def distributed_conversation_ranks(ds, config: IndexConfig,
     @ray.remote
     def stamp_ranks(path: str, out_path: str, base: int) -> int:
         t = pq.read_table(path)
-        out = pa.table(
-            {
-                "rank": pa.array(
-                    base + np.arange(t.num_rows, dtype=np.int64)
-                ),
-                "conv_id": t["conv_id"],
-            }
-        )
-        pq.write_table(out, out_path, compression="zstd")
+        cols = {
+            "rank": pa.array(base + np.arange(t.num_rows, dtype=np.int64)),
+            "conv_id": t["conv_id"],
+        }
+        if "cnt" in t.column_names:
+            cols["cnt"] = t["cnt"]
+        pq.write_table(pa.table(cols), out_path, compression="zstd")
         return t.num_rows
 
     os.makedirs(convs_dir, exist_ok=True)
@@ -1234,6 +1239,132 @@ def _ranged_chunk_build(layout, columns, start: int, stop: int, chunk: int,
     return out.iloc[0].to_dict()
 
 
+def _ranged_chunk_build_dist(layout, columns, chunk: int, lo_rank: int,
+                             conv_pieces, row_base: int, index_dir: str,
+                             cfg_dict: dict, store_cols: list[str]) -> dict:
+    """Distributed-census variant of :func:`_ranged_chunk_build`: the
+    chunk's conversation slice lives in the rank-ordered
+    ``convs.parquet`` directory, so the task first assembles its conv
+    list + row offsets from its files' (conv_id, cnt) columns
+    (``conv_pieces`` = [(path, start, stop)] in rank order; ``row_base``
+    is the global row offset of the FIRST piece's file), then runs the
+    standard ranged build. The driver never holds the conversation
+    table — its state stays O(files)."""
+    import pyarrow.parquet as pq
+
+    convs, cnts = [], []
+    row_start = row_base
+    for j, (path, a, b) in enumerate(conv_pieces):
+        t = pq.read_table(path, columns=["conv_id", "cnt"])
+        ids = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        cn = t["cnt"].to_numpy()
+        if j == 0 and a:
+            row_start += int(cn[:a].sum())
+        convs.append(ids[a:b])
+        cnts.append(cn[a:b])
+    convs = np.concatenate(convs) if convs else np.zeros(0, dtype=object)
+    n_rows = int(np.concatenate(cnts).sum()) if cnts else 0
+    return _ranged_chunk_build(
+        layout, columns, row_start, row_start + n_rows, chunk, lo_rank,
+        convs, index_dir, cfg_dict, store_cols,
+    )
+
+
+def _chunk_phase_ranged_dist(source, config: IndexConfig, index_dir: str,
+                             skip: list[int], store_cols: list[str],
+                             n_convs: int):
+    """Ranged (no-shuffle) chunk phase on top of the DISTRIBUTED census:
+    per-file census cnt sums give the driver O(files) row offsets, and
+    each chunk task assembles its own conv slice from the rank-ordered
+    convs.parquet directory. Same correctness proof and shuffle
+    fallback as the broadcast variant. → generator of summary frames,
+    or None when evidence/metadata is unavailable."""
+    import ray
+
+    layout = _sorted_layout(source)
+    if layout is None:
+        return None
+    convs_dir = os.path.join(index_dir, "convs.parquet")
+    if not os.path.isdir(convs_dir):
+        return None
+    import pyarrow.parquet as pq
+
+    conv_files, conv_rows = [], []
+    for name in sorted(os.listdir(convs_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(convs_dir, name)
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        if "cnt" not in names:
+            return None  # census written by an older build: no counts
+        if md.num_rows:
+            conv_files.append(p)
+            conv_rows.append(md.num_rows)
+    if not conv_files:
+        return None
+
+    @ray.remote(num_cpus=1)
+    def cnt_sum(path: str) -> int:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        return int(
+            _pc.sum(_pq.read_table(path, columns=["cnt"])["cnt"]).as_py()
+        )
+
+    sums = ray.get([cnt_sum.remote(p) for p in conv_files])
+    if sum(sums) != sum(n for _, _, n in layout):
+        return None
+    rank_base = np.zeros(len(conv_files) + 1, dtype=np.int64)
+    np.cumsum(conv_rows, out=rank_base[1:])
+    row_base = np.zeros(len(conv_files) + 1, dtype=np.int64)
+    np.cumsum(sums, out=row_base[1:])
+
+    bits = config.convs_per_chunk_bits
+    n_chunks = ((n_convs - 1) >> bits) + 1 if n_convs else 0
+    columns = list(TRANSCRIPT_COLUMNS)
+    layout_ref = ray.put(layout)
+    remote = ray.remote(num_cpus=1)(_ranged_chunk_build_dist)
+    skipset = set(skip)
+    refs = []
+    for c in range(n_chunks):
+        if c in skipset:
+            continue
+        lo, hi = c << bits, min((c + 1) << bits, n_convs)
+        fi = int(np.searchsorted(rank_base, lo, side="right")) - 1
+        pieces = []
+        r = lo
+        while r < hi:
+            fe = int(min(hi, rank_base[fi + 1]))
+            pieces.append(
+                (conv_files[fi], int(r - rank_base[fi]),
+                 int(fe - rank_base[fi]))
+            )
+            r = fe
+            fi += 1
+        refs.append(
+            remote.remote(
+                layout_ref, columns, c, lo, pieces, int(row_base[
+                    int(np.searchsorted(rank_base, lo, side="right")) - 1
+                ]), index_dir, config.to_dict(), store_cols,
+            )
+        )
+
+    def gen():
+        pending = list(refs)
+        try:
+            while pending:
+                done, pending = ray.wait(pending, num_returns=1)
+                yield pd.DataFrame([ray.get(done[0])])
+        except BaseException:
+            for r_ in pending:
+                ray.cancel(r_, force=False)
+            raise
+
+    return gen()
+
+
 _RANGED_REMOTE = None
 
 
@@ -1640,13 +1771,16 @@ def _build_index_impl(
         # reading its contiguous row range (membership-verified, with
         # automatic fallback to the shuffle path on a missorted source).
         ranged = None
-        if not use_dist and not transforms and isinstance(
-            source, (str, list, tuple)
-        ):
-            ranged = _chunk_phase_ranged(
-                source, config, index_dir, skip, store_cols,
-                conv_ids, conv_counts,
-            )
+        if not transforms and isinstance(source, (str, list, tuple)):
+            if use_dist:
+                ranged = _chunk_phase_ranged_dist(
+                    source, config, index_dir, skip, store_cols, n_convs
+                )
+            else:
+                ranged = _chunk_phase_ranged(
+                    source, config, index_dir, skip, store_cols,
+                    conv_ids, conv_counts,
+                )
         sds = None
         if ranged is not None:
             try:

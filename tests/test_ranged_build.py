@@ -102,6 +102,39 @@ def test_ranged_query_identical_to_oracle(
         assert eng.search_topk(q, 10) == tiny_oracle.search(q, 10)
 
 
+def test_ranged_dist_census_byte_identical(
+    tmp_path, sorted_corpus_dir, tiny_config, monkeypatch
+):
+    """driver_conv_budget=0 forces the DISTRIBUTED census; a conv-sorted
+    source must still take the ranged phase (the dist variant assembles
+    each chunk's conv slice from the rank-ordered convs.parquet
+    directory) and produce byte-identical shards."""
+    from dataclasses import replace
+
+    cfg_dist = replace(tiny_config, driver_conv_budget=0)
+
+    def _boom(*a, **k):  # noqa: ANN001
+        raise AssertionError("shuffle chunk phase used for a sorted source")
+
+    monkeypatch.setattr(build_mod, "_chunk_phase", _boom)
+    monkeypatch.setattr(build_mod, "_chunk_phase_joined", _boom)
+    dist_dir = str(tmp_path / "idx_dist_ranged")
+    res_d = build_index(sorted_corpus_dir, dist_dir, cfg_dist, clear=True)
+    monkeypatch.undo()
+
+    base_dir = str(tmp_path / "idx_broadcast")
+    res_b = build_index(sorted_corpus_dir, base_dir, tiny_config, clear=True)
+    assert res_d.n_docs == res_b.n_docs
+    assert res_d.n_postings == res_b.n_postings
+    for shard in range(res_d.num_shards):
+        a = os.path.join(dist_dir, "shards", f"shard={shard:05d}",
+                         "postings.parquet")
+        b = os.path.join(base_dir, "shards", f"shard={shard:05d}",
+                         "postings.parquet")
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), f"shard {shard} differs"
+
+
 def test_scattered_rowgroup_falls_back(tmp_path, tiny_table, tiny_config):
     """A single-row-group file trivially passes the statistics screen,
     but its interleaved rows put foreign conversations inside every
