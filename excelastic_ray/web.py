@@ -318,6 +318,8 @@ class ImportServer:
                                 sort_ts=q.get("sort_ts") == "1",
                                 fuzzy=q.get("fuzzy") or None,
                                 syn=q.get("syn") or None,
+                                highlight=q.get("highlight") == "1",
+                                explain=q.get("explain") or None,
                             ),
                         )
                     else:
@@ -872,7 +874,8 @@ class ImportServer:
                search_after: str | None = None,
                fields: str | None = None, sort_ts: bool = False,
                fuzzy: str | None = None,
-               syn: str | None = None) -> dict:
+               syn: str | None = None, highlight: bool = False,
+               explain: str | None = None) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -885,13 +888,20 @@ class ImportServer:
             if (phrase or qs or wildcard or regexp or suggest or collapse
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
-                    or fields or sort_ts or fuzzy or syn):
+                    or fields or sort_ts or fuzzy or syn or highlight
+                    or explain):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
                     f"indices"
                 )
             return {"hits": eng.search(query, k).to_pylist()}
+        if explain:
+            # ES _explain analog: per-term BM25 breakdown of one doc's
+            # score for q= (explain="conv_id:turn_idx")
+            conv, _, turn = explain.rpartition(":")
+            docid = eng.reader.docid_of(conv, int(turn))
+            return eng.explain(query, docid)
         if must or must_not or msm is not None:
             # ES bool: q= is the should clause, must=/must_not=/msm=
             # the remaining clauses
@@ -942,5 +952,8 @@ class ImportServer:
             t = eng.search(query, k, include_source=True, offset=offset,
                            search_after=(float(s), int(d)))
         else:
-            t = eng.search(query, k, include_source=True, offset=offset)
+            # highlight rides only the plain relevance mode (the ES
+            # highlighter's number_of_fragments=0 shape)
+            t = eng.search(query, k, include_source=True, offset=offset,
+                           highlight=highlight)
         return {"hits": t.to_pylist()}

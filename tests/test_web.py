@@ -462,6 +462,25 @@ def test_search_mode_params_over_http(ray_session, tmp_path):
         assert hits("q=run&k=5&syn=run%3Dcall") == list(
             zip(want["docid"].to_pylist(), want["score"].to_pylist())
         )
+        # highlight=1: plain search with the <em>-wrapped source text
+        want = eng.search("the", 5, include_source=True, highlight=True)
+        _, body = _get(base + "/api/search?index=a&q=the&k=5&highlight=1")
+        got = json.loads(body)["hits"]
+        assert [h["highlight"] for h in got] == want[
+            "highlight"].to_pylist()
+        assert all("<em>" in h["highlight"] for h in got)
+        # explain=conv:turn: per-term BM25 breakdown of that doc
+        top = eng.search("the", 1)
+        conv = top["conv_id"][0].as_py()
+        turn = top["turn_idx"][0].as_py()
+        _, body = _get(
+            base + f"/api/search?index=a&q=the&k=1&explain={conv}:{turn}"
+        )
+        ex = json.loads(body)
+        direct = eng.explain("the", eng.reader.docid_of(conv, int(turn)))
+        assert ex["matched"] is True
+        assert ex["score"] == direct["score"]
+        assert ex["terms"] == direct["terms"]
     finally:
         srv.stop()
 
