@@ -1868,6 +1868,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.hll_cardinality(ev)
 
+    def q_kmv_users(sf_dir):
+        # KMV distinct-count sketch over user_id: unlike HLL, exactly
+        # SQL-expressible (deterministic integer FNV) -> full oracle
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.sketch import kmv_distinct
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return kmv_distinct(ev, "user_id", k=64)
+
+    def q_shuffle_take(sf_dir):
+        # first 100 docs of the deterministic global training-order
+        # shuffle (ascending FNV of doc_id) -- prefix needs no shuffle
+        from excelastic_ray.pipelines.sampling import shuffle_take
+
+        return shuffle_take(_docs(sf_dir), n=100)
+
     def q_csv_ingest(sf_dir):
         # reference-fixture ingest parity (sf_dir unused: the golden
         # input IS the reference's own test.csv)
@@ -2065,6 +2081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
+        "kmv_users": q_kmv_users,
+        "shuffle_take": q_shuffle_take,
         "sample": q_sample,
         "mix_sources": q_mix_sources,
         "temperature_mix": q_temperature_mix,
@@ -3496,6 +3514,30 @@ CROSS JOIN stats s
     )
 
 
+def fnv64_int_sql(col: str) -> str:
+    """DuckDB expression computing FNV-1a 64 over the 8 little-endian
+    bytes of BIGINT ``col`` — bit-identical to
+    ``excelastic_ray.hashing.fnv1a_int64`` (verified per byte-step).
+    HUGEINT arithmetic with an explicit mod 2^64 per step; the xor only
+    ever touches the low byte (each input byte < 256), so it runs on
+    BIGINT and splices back. PRECONDITION: ``col`` >= 0 — SQL integer
+    division does not produce two's-complement bytes for negatives
+    (the Python side does); every id column in the gate is
+    non-negative."""
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    m = "18446744073709551616"
+    p = "1099511628211"
+    for i in range(8):
+        b = f"((CAST({col} AS HUGEINT) // {1 << (8 * i)}) % 256)"
+        lo = f"(({h}) % 256)"
+        hx = (
+            f"(({h}) - {lo} + CAST(xor(CAST({lo} AS BIGINT), "
+            f"CAST({b} AS BIGINT)) AS HUGEINT))"
+        )
+        h = f"(({hx} * {p}) % {m})"
+    return h
+
+
 def _highlight_sql() -> str:
     """bm25_highlight twin: _bm25_sql's top-10 per query, each hit's
     text run through regexp_replace with the query's token-boundary
@@ -4499,6 +4541,24 @@ t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
 SELECT c.value, c.est, t.n AS n_rows,
        CAST(t.n // 17 AS BIGINT) AS max_err
 FROM c CROSS JOIN t
+""",
+        "kmv_users": f"""
+WITH h AS (SELECT DISTINCT {fnv64_int_sql("user_id")} AS hv FROM events),
+kt AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+agg AS (SELECT count(*) AS c, max(hv) AS kh FROM kt)
+SELECT floor(CASE WHEN c = 0 THEN 0.0
+                  WHEN c < 64 THEN CAST(c AS DOUBLE)
+                  ELSE 63.0 * 18446744073709551616.0 / CAST(kh AS DOUBLE)
+             END * 1000000 + 0.5) / 1000000 AS est,
+       CASE WHEN c = 0 THEN '0' ELSE CAST(kh AS VARCHAR) END AS kth_hash,
+       CAST(64 AS BIGINT) AS k
+FROM agg
+""",
+        "shuffle_take": f"""
+WITH h AS (SELECT doc_id, {fnv64_int_sql("doc_id")} AS hv FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(hv AS VARCHAR) AS shuffle_key
+FROM h ORDER BY hv, doc_id LIMIT 100
 """,
         "sessionize": """
 WITH l AS (

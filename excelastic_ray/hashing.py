@@ -65,6 +65,21 @@ def fnv1a_rows(data: list[bytes]) -> np.ndarray:
     return out
 
 
+def fnv1a_int64(vals: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over the 8 little-endian bytes of each
+    int64 — identical to ``fnv1a_bytes(struct.pack('<q', v))``. The
+    SAME eight-step expression exists in DuckDB SQL
+    (``fnv64_int_sql`` in __ray_entry__), so integer-keyed sketches
+    and deterministic shuffles can have FULL-MATCH oracle twins."""
+    u = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    h = np.full(len(u), FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(8):
+            b = (u >> np.uint64(8 * i)) & np.uint64(0xFF)
+            h = (h ^ b) * FNV_PRIME
+    return h
+
+
 def fnv1a_str_rows(strings) -> np.ndarray:
     """``fnv1a_rows`` over UTF-8 encodings of ``strings`` (None → b"")."""
     return fnv1a_rows([(s or "").encode() if not isinstance(s, bytes) else s

@@ -269,3 +269,45 @@ def assign_splits(ds, fractions: dict[str, float] | None = None,
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def shuffle_take(ds, n: int = 100, id_col: str = "doc_id"):
+    """First ``n`` rows of the deterministic global training-order
+    shuffle — shuffle order = ascending FNV-1a-64 of ``id_col`` (ties,
+    i.e. hash collisions, break by id). The full shuffled ORDER is a
+    sort by this key (the standard one-all-to-all global shuffle); the
+    PREFIX needs no shuffle at all: each batch keeps its n smallest
+    (hash, id) pairs and the driver merges O(batches x n) candidates —
+    the top-k pattern, reproducible at any parallelism.
+
+    The identical integer hash exists in DuckDB (``fnv64_int_sql``), so
+    the gate twin is ``ORDER BY fnv(id), id LIMIT n`` — full-match.
+
+    → pa.Table (rank, doc_id, shuffle_key) with shuffle_key the decimal
+    string of the uint64 hash (exceeds Arrow int64).
+    """
+    import pandas as pd
+
+    from excelastic_ray.hashing import fnv1a_int64
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = fnv1a_int64(ids)
+        order = np.lexsort((ids, h))[:n]
+        return pd.DataFrame({"id": ids[order], "h": h[order]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    ids = parts["id"].to_numpy().astype(np.int64)
+    h = parts["h"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, h))[:n]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "shuffle_key": pa.array(
+                [str(x) for x in h[order]], type=pa.string()
+            ),
+        }
+    )

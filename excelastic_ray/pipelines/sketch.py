@@ -81,3 +81,50 @@ def heavy_hitters(ds, col: str, k: int = 16):
             "max_err": pa.array(np.full(len(order), max_err, dtype=np.int64)),
         }
     )
+
+
+def kmv_distinct(ds, col: str, k: int = 64):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007): FNV-1a-64 every value, keep the ``k``
+    smallest DISTINCT hashes; with fewer than ``k`` distinct hashes the
+    estimate is the exact distinct count, else ``(k-1) * 2^64 / h_(k)``.
+
+    Why KMV instead of HLL here: the summary is mergeable (union of
+    k-min sets → k-min set), ONE narrow pass — and, unlike HLL's
+    register math, the whole estimator is EXACTLY SQL-expressible with
+    the deterministic integer FNV (``fnv64_int_sql``), so the gate twin
+    full-matches instead of a rows-only check.
+
+    Shape at 100 TB: per-batch partials are ≤ k hashes each; the driver
+    merge is unique+sort over O(batches x k) uint64s. No shuffle.
+
+    → pa.Table (est, kth_hash, k) — one row; ``kth_hash`` is the
+    decimal string of h_(k) (uint64 exceeds Arrow int64).
+    """
+    from excelastic_ray.hashing import fnv1a_int64
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        h = np.unique(fnv1a_int64(batch[col].to_numpy()))
+        return pd.DataFrame({"h": h[:k]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    hs = np.unique(parts["h"].to_numpy().astype(np.uint64))[:k]
+    if len(hs) == 0:
+        est, kth = 0.0, 0
+    elif len(hs) < k:
+        est, kth = float(len(hs)), int(hs[-1])
+    else:
+        kth = int(hs[k - 1])
+        # identical float64 expression tree as the SQL twin:
+        # CAST(k-1 AS DOUBLE) * 2^64 / CAST(h_k AS DOUBLE)
+        est = float(k - 1) * 18446744073709551616.0 / float(np.uint64(kth))
+    est = float(np.floor(est * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "est": pa.array([est], type=pa.float64()),
+            "kth_hash": pa.array([str(kth)], type=pa.string()),
+            "k": pa.array([k], type=pa.int64()),
+        }
+    )

@@ -1868,3 +1868,86 @@ def test_exact_substr_spans_gap_breaks(ray_session):
     )
     d0 = out[out["doc_id"] == 0][["span_start", "span_end"]].to_numpy()
     assert [tuple(r) for r in d0] == [(0, 3), (8, 11)]
+
+
+def test_fnv1a_int64_matches_bytes_reference():
+    """Vectorized int64 FNV == scalar bytes FNV on LE packing — the
+    invariant the SQL twin (fnv64_int_sql) is verified against."""
+    import struct
+
+    import numpy as np
+
+    from excelastic_ray.hashing import fnv1a_bytes, fnv1a_int64
+
+    vals = np.array([0, 1, 42, -1, -(2**40), 2**62, 150, 999999],
+                    dtype=np.int64)
+    got = fnv1a_int64(vals)
+    for v, h in zip(vals, got):
+        assert int(h) == int(fnv1a_bytes(struct.pack("<q", int(v))))
+
+
+def test_fnv64_int_sql_matches_python():
+    import struct
+
+    import duckdb
+
+    from __ray_entry__ import fnv64_int_sql
+    from excelastic_ray.hashing import fnv1a_bytes
+
+    con = duckdb.connect()
+    vals = [0, 1, 42, 150, 999999, 2**40 + 7]
+    rows = con.sql(
+        f"SELECT v, {fnv64_int_sql('v')} AS h "
+        f"FROM (SELECT unnest({vals}) AS v)"
+    ).fetchall()
+    for v, h in rows:
+        assert int(h) == int(fnv1a_bytes(struct.pack("<q", int(v))))
+
+
+def test_kmv_distinct_exact_below_k_and_estimator_above(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.hashing import fnv1a_int64
+    from excelastic_ray.pipelines.sketch import kmv_distinct
+
+    # 30 distinct ids < k=64 -> exact count
+    ids = np.repeat(np.arange(30, dtype=np.int64), 5)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(ids)}))
+    out = kmv_distinct(ds, "user_id", k=64).to_pandas()
+    assert out["est"].iloc[0] == 30.0
+
+    # 500 distinct ids > k=64 -> the textbook estimator on the true
+    # 64th-smallest hash, invariant to batching/duplication
+    ids = np.arange(500, dtype=np.int64)
+    hs = np.sort(fnv1a_int64(ids))
+    expect = np.floor(
+        63.0 * 18446744073709551616.0 / float(hs[63]) * 1e6 + 0.5
+    ) / 1e6
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array(np.repeat(ids, 3))})
+    )
+    out = kmv_distinct(ds, "user_id", k=64).to_pandas()
+    assert out["est"].iloc[0] == expect
+    assert out["kth_hash"].iloc[0] == str(int(hs[63]))
+    # sanity: the estimate is in the right ballpark of 500
+    assert 300 < out["est"].iloc[0] < 800
+
+
+def test_shuffle_take_equals_full_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.hashing import fnv1a_int64
+    from excelastic_ray.pipelines.sampling import shuffle_take
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = shuffle_take(ds, n=50).to_pandas()
+    h = fnv1a_int64(ids)
+    order = np.lexsort((ids, h))[:50]
+    assert out["doc_id"].tolist() == ids[order].tolist()
+    assert out["shuffle_key"].tolist() == [str(x) for x in h[order]]
+    assert out["rank"].tolist() == list(range(1, 51))
