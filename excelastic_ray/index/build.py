@@ -1327,12 +1327,13 @@ def _chunk_phase_ranged_dist(source, config: IndexConfig, index_dir: str,
     layout_ref = ray.put(layout)
     remote = ray.remote(num_cpus=1)(_ranged_chunk_build_dist)
     skipset = set(skip)
-    refs = []
-    for c in range(n_chunks):
-        if c in skipset:
-            continue
+    cfg_dict = config.to_dict()
+    todo = (c for c in range(n_chunks) if c not in skipset)
+
+    def submit(c: int):
         lo, hi = c << bits, min((c + 1) << bits, n_convs)
         fi = int(np.searchsorted(rank_base, lo, side="right")) - 1
+        base = int(row_base[fi])
         pieces = []
         r = lo
         while r < hi:
@@ -1343,26 +1344,12 @@ def _chunk_phase_ranged_dist(source, config: IndexConfig, index_dir: str,
             )
             r = fe
             fi += 1
-        refs.append(
-            remote.remote(
-                layout_ref, columns, c, lo, pieces, int(row_base[
-                    int(np.searchsorted(rank_base, lo, side="right")) - 1
-                ]), index_dir, config.to_dict(), store_cols,
-            )
+        return remote.remote(
+            layout_ref, columns, c, lo, pieces, base, index_dir,
+            cfg_dict, store_cols,
         )
 
-    def gen():
-        pending = list(refs)
-        try:
-            while pending:
-                done, pending = ray.wait(pending, num_returns=1)
-                yield pd.DataFrame([ray.get(done[0])])
-        except BaseException:
-            for r_ in pending:
-                ray.cancel(r_, force=False)
-            raise
-
-    return gen()
+    return _windowed_task_stream(todo, submit)
 
 
 _RANGED_REMOTE = None
@@ -1407,30 +1394,44 @@ def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
     remote = _ranged_remote()
     layout_ref = ray.put(layout)
     skipset = set(skip)
-    refs = []
-    for c in range(n_chunks):
-        if c in skipset:
-            continue
+    cfg_dict = config.to_dict()
+    todo = (c for c in range(n_chunks) if c not in skipset)
+
+    def submit(c: int):
         lo, hi = c << bits, min((c + 1) << bits, n_convs)
-        refs.append(
-            remote.remote(
-                layout_ref, columns, int(starts[lo]), int(starts[hi]), c,
-                lo, conv_ids[lo:hi], index_dir, config.to_dict(), store_cols,
-            )
+        return remote.remote(
+            layout_ref, columns, int(starts[lo]), int(starts[hi]), c,
+            lo, conv_ids[lo:hi], index_dir, cfg_dict, store_cols,
         )
 
-    def gen():
-        pending = list(refs)
-        try:
-            while pending:
-                done, pending = ray.wait(pending, num_returns=1)
-                yield pd.DataFrame([ray.get(done[0])])
-        except BaseException:
-            for r in pending:
-                ray.cancel(r, force=False)
-            raise
+    return _windowed_task_stream(todo, submit)
 
-    return gen()
+
+def _windowed_task_stream(chunk_iter, submit, window: int | None = None):
+    """Generator of single-row summary frames over a WINDOWED task
+    stream: at most ``window`` (default 4x cluster CPUs) ranged chunk
+    tasks are in flight at once, refilled as results drain — at 10^6
+    chunks the driver never holds 10^6 pending futures, just a
+    cluster-width window plus an iterator. Cancels the window on error
+    (the missort-fallback path)."""
+    import ray
+
+    if window is None:
+        window = 4 * max(int(ray.cluster_resources().get("CPU", 8)), 1)
+    inflight = []
+    try:
+        for c in chunk_iter:
+            inflight.append(submit(c))
+            if len(inflight) >= window:
+                done, inflight = ray.wait(inflight, num_returns=1)
+                yield pd.DataFrame([ray.get(done[0])])
+        while inflight:
+            done, inflight = ray.wait(inflight, num_returns=1)
+            yield pd.DataFrame([ray.get(done[0])])
+    except BaseException:
+        for r in inflight:
+            ray.cancel(r, force=False)
+        raise
 
 
 def _merge_shard_task(index_dir: str, cfg_dict: dict, shard: int,
