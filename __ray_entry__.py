@@ -256,13 +256,16 @@ ADJ_FILTERS = [
 _BUILT: dict[str, str] = {}
 
 
-def _index_for(sf_dir: str) -> str:
-    """Build (once per sf_dir per process) the index over the derived
-    transcript corpus; reuse a completed on-disk index."""
+def _cached_index(sf_dir: str, cfg, cache: dict, suffix: str = "") -> str:
+    """Build (once per sf_dir per process) an index over the derived
+    transcript corpus under ``cfg``; reuse a completed on-disk index
+    whose manifest config matches EXACTLY (a cache from an older code
+    version — different config surface — rebuilds, never reuses). The
+    cache-validity rule lives here ONCE for every config variant."""
     from excelastic_ray.index.build import build_index
 
-    if sf_dir in _BUILT:
-        return _BUILT[sf_dir]
+    if sf_dir in cache:
+        return cache[sf_dir]
     import hashlib
 
     # key the cache by the absolute path (not the basename) so two
@@ -270,27 +273,27 @@ def _index_for(sf_dir: str) -> str:
     ap = os.path.abspath(os.path.normpath(sf_dir))
     tag = (
         f"{os.path.basename(ap) or 'sf'}_"
-        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}"
+        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}{suffix}"
     )
     idx = f"/tmp/excelastic_ray_cache/idx_{tag}"
     try:
         from excelastic_ray.index.segments import load_global_manifest
 
         m = load_global_manifest(idx)
-        # a cached index from an older code version (different config
-        # surface, e.g. no positions) must be rebuilt, not reused
         done = (
             m.get("status") == "complete"
-            and m.get("config") == ENTRY_CONFIG.to_dict()
+            and m.get("config") == cfg.to_dict()
         )
     except Exception:
         done = False
     if not done:
-        build_index(
-            transcripts_from_documents(sf_dir), idx, ENTRY_CONFIG, clear=True
-        )
-    _BUILT[sf_dir] = idx
+        build_index(transcripts_from_documents(sf_dir), idx, cfg, clear=True)
+    cache[sf_dir] = idx
     return idx
+
+
+def _index_for(sf_dir: str) -> str:
+    return _cached_index(sf_dir, ENTRY_CONFIG, _BUILT)
 
 
 _BUILT_EN: dict[str, str] = {}
@@ -298,35 +301,7 @@ _BUILT_EN: dict[str, str] = {}
 
 def _index_for_en(sf_dir: str) -> str:
     """english-analyzer index over the same derived corpus (cached)."""
-    from excelastic_ray.index.build import build_index
-
-    if sf_dir in _BUILT_EN:
-        return _BUILT_EN[sf_dir]
-    import hashlib
-
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    tag = (
-        f"{os.path.basename(ap) or 'sf'}_"
-        f"{hashlib.sha1(ap.encode()).hexdigest()[:10]}_en"
-    )
-    idx = f"/tmp/excelastic_ray_cache/idx_{tag}"
-    try:
-        from excelastic_ray.index.segments import load_global_manifest
-
-        m = load_global_manifest(idx)
-        done = (
-            m.get("status") == "complete"
-            and m.get("config") == ENTRY_CONFIG_EN.to_dict()
-        )
-    except Exception:
-        done = False
-    if not done:
-        build_index(
-            transcripts_from_documents(sf_dir), idx, ENTRY_CONFIG_EN,
-            clear=True,
-        )
-    _BUILT_EN[sf_dir] = idx
-    return idx
+    return _cached_index(sf_dir, ENTRY_CONFIG_EN, _BUILT_EN, suffix="_en")
 
 
 def _docs(sf_dir: str):

@@ -1758,6 +1758,9 @@ def _build_index_impl(
 
     done = seg.completed_chunks(index_dir) if resume else {}
     skip = sorted(done)
+    n_resumed = len(skip)  # the fallback path may widen `skip` with
+    # chunks the aborted ranged attempt already built — those count as
+    # BUILT this run, not skipped
 
     store_cols = _store_cols(config, schema_names)
     num_shards = min(config.num_shards, n_chunks) or 1
@@ -1877,8 +1880,8 @@ def _build_index_impl(
         total_dl=int(total_dl),
         n_postings=int(n_postings),
         bytes_compressed=int(seg_bytes + shard_bytes),
-        chunks_built=int(len(summaries)),
-        chunks_skipped=len(skip),
+        chunks_built=int(n_chunks - n_resumed),
+        chunks_skipped=n_resumed,
         seconds=time.monotonic() - t0,
         phase_seconds=phases,
     )

@@ -1645,9 +1645,15 @@ def highlight_text(text: str | None, terms, analyzer: str = "standard") -> str:
     if analyzer != "standard":
         from excelastic_ray.analysis import analyze_tokens
 
+        memo: dict[str, str] = {}  # one stem per DISTINCT token, not
+        # per occurrence (the tokenize_many pattern from the build path)
+
         def _norm(t: str) -> str:
-            a = analyze_tokens([t], analyzer)
-            return a[0] if a else ""
+            r = memo.get(t)
+            if r is None:
+                a = analyze_tokens([t], analyzer)
+                memo[t] = r = a[0] if a else ""
+            return r
     else:
         _norm = str
     out = []
@@ -2616,19 +2622,19 @@ class QueryEngine:
         its synonym set and the group scores as ONE pseudo-term —
         per-doc tf = Σ member tfs, df = max member df (Lucene's
         SynonymQuery docFreq rule), one BM25 contribution per group.
-        Synonym table values are run through the analyzer, so
-        multi-word synonyms contribute each of their tokens to the
-        group. Duplicate groups (two query terms expanding to the same
-        set) score once, like BooleanQuery term dedup."""
-        from excelastic_ray.analysis import tokenize
-
+        Synonym table values are run through the INDEX analyzer (same
+        chain as the query terms — on an english index a member like
+        "jogging" stems to the dictionary form), so multi-word synonyms
+        contribute each of their tokens to the group. Duplicate groups
+        (two query terms expanding to the same set) score once, like
+        BooleanQuery term dedup."""
         r = self.reader
         groups: list[tuple[str, ...]] = []
         seen: set[tuple[str, ...]] = set()
         for t in self._qt(query):
             members = {t}
             for s in synonyms.get(t, []):
-                members.update(tokenize(s))
+                members.update(self._tok(s))
             g = tuple(sorted(members))
             if g not in seen:
                 seen.add(g)

@@ -284,12 +284,32 @@ class ImportServer:
                             ),
                         )
                     elif u.path == "/api/analyze":
-                        # ES _analyze analog: the index-time analyzer
-                        # applied to arbitrary text
+                        # ES _analyze analog: with ?index=, THAT
+                        # index's configured analyzer (e.g. english);
+                        # without, the standard default
                         from excelastic_ray.analysis import tokenize
 
+                        analyzer = "standard"
+                        if q.get("index"):
+                            from excelastic_ray.index.segments import (
+                                load_global_manifest,
+                            )
+                            from excelastic_ray.index.snapshot import (
+                                resolve_alias,
+                            )
+
+                            t0 = os.path.join(
+                                server.index_root,
+                                resolve_alias(
+                                    server.index_root, q["index"]
+                                )[0],
+                            )
+                            analyzer = load_global_manifest(t0)[
+                                "config"].get("analyzer", "standard")
                         self._json(
-                            200, {"tokens": tokenize(q.get("q", ""))}
+                            200,
+                            {"tokens": tokenize(q.get("q", ""), analyzer),
+                             "analyzer": analyzer},
                         )
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
@@ -384,14 +404,20 @@ class ImportServer:
                         length = int(self.headers.get("Content-Length",
                                                       "0"))
                         body = json.loads(self.rfile.read(length) or b"{}")
+                        try:
+                            index = q["index"]
+                            conv = q["conv_id"]
+                            turn = int(q["turn_idx"])
+                        except KeyError as e:  # malformed REQUEST: 400
+                            self._json(
+                                400, {"error": f"missing param {e}"}
+                            )
+                            return
                         self._json(
                             200,
-                            server.doc_update(
-                                q["index"], q["conv_id"],
-                                int(q["turn_idx"]), body,
-                            ),
+                            server.doc_update(index, conv, turn, body),
                         )
-                    except KeyError as e:
+                    except KeyError as e:  # unknown doc/attr: 404
                         self._json(404, {"error": str(e)})
                     except Exception as e:
                         self._json(400, {"error": str(e)})

@@ -211,3 +211,18 @@ def test_actor_mode_matches_local_english(en_index):
             assert actor_eng.search_topk(q, 10) == eng.search_topk(q, 10)
     finally:
         actor_eng.close()
+
+
+def test_synonym_members_run_through_index_analyzer(en_index):
+    """A synonym member like "running" must stem to the dictionary form
+    on an english index, or the synonym silently contributes nothing
+    (round-4 review fix: members used the standard analyzer)."""
+    eng, _, _ = en_index
+    # "sprint" is absent from the corpus; its synonym member "running"
+    # stems to "run", which IS in the dictionary — the group must score
+    got = eng.search_synonyms("sprint", {"sprint": ["running"]}, 10)
+    assert got.num_rows > 0
+    # and the group behaves like searching the stemmed member directly
+    direct = eng.search("run", 10)
+    assert got["conv_id"].to_pylist() == direct["conv_id"].to_pylist()
+    assert got["turn_idx"].to_pylist() == direct["turn_idx"].to_pylist()

@@ -362,3 +362,110 @@ def test_agg_tree_range_drops_unmatched_and_validates(ray_session):
                    "aggs": {"s": {"sum": {"field": "v"}},
                             "y": {"terms": {"field": "kind"}}}}},
         )
+
+
+def test_agg_tree_range_counts_ancestors_before_filtering(ray_session):
+    """ES semantics: docs outside every child range still count toward
+    the PARENT terms ranking. type a (4 docs, all outside the range)
+    must win size=1 over type b (1 doc inside) — so b must NOT appear;
+    a has no leaf range bucket, so the flattened output is empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "a", "a", "b"],
+            "v": pa.array([50.0, 60.0, 70.0, 80.0, 1.0]),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 1},
+            "aggs": {"band": {"range": {"field": "v",
+                                        "ranges": [[0, 10]]}}},
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec).to_pydict()
+    assert "b" not in out["by_kind_key"]  # a outranks b on TRUE counts
+    assert out["by_kind_key"] == []  # a has no in-range leaf bucket
+
+
+def test_agg_tree_overlapping_ranges_multi_membership(ray_session):
+    """ES range buckets may overlap: a doc lands in EVERY bucket whose
+    range contains it, and ancestor counts still count it once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table({"kind": ["a", "a"], "v": pa.array([75.0, 5.0])})
+    spec = {
+        "r": {
+            "range": {"field": "v", "ranges": [[0, 100], [50, 150]]},
+            "aggs": {"s": {"sum": {"field": "v"}}},
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec).to_pydict()
+    assert out["r_key"] == ["0.0-100.0", "50.0-150.0"]
+    assert out["doc_count"] == [2, 1]  # 75 in both, 5 only in [0,100)
+    assert out["s"] == [80.0, 75.0]
+
+
+def test_agg_tree_null_metric_semantics(ray_session):
+    """value_count counts VALUES (nulls excluded); avg divides by the
+    non-null count; sum skips nulls; an all-null bucket's avg is null."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "a", "b"],
+            "v": pa.array([10.0, None, 20.0, None]),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 10},
+            "aggs": {
+                "c": {"value_count": {"field": "v"}},
+                "s": {"sum": {"field": "v"}},
+                "m": {"avg": {"field": "v"}},
+            },
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec).to_pydict()
+    assert out["by_kind_key"] == ["a", "b"]
+    assert out["doc_count"] == [3, 1]
+    assert out["c"] == [2, 0]       # nulls are not values
+    assert out["s"] == [30.0, 0.0]  # null-skipping sum
+    assert out["m"] == [15.0, None]  # sum/non-null-count; all-null -> null
+
+
+def test_agg_tree_empty_result_schema_is_typed(ray_session):
+    """An empty result keeps each level's real key type (timestamp for
+    date_histogram) so schema unions with non-empty results work."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree
+
+    t = pa.table(
+        {
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "v": pa.array([], type=pa.float64()),
+        }
+    )
+    spec = {
+        "per_day": {
+            "date_histogram": {"field": "ts", "interval_hours": 24},
+            "aggs": {"s": {"sum": {"field": "v"}}},
+        }
+    }
+    out = agg_tree(rd.from_arrow(t), spec)
+    assert out.schema.field("per_day_key").type == pa.timestamp("us")
+    assert out.schema.field("s").type == pa.float64()
+    assert out.num_rows == 0

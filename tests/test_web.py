@@ -347,7 +347,40 @@ def test_analyze_endpoint(ray_session, tmp_path):
         _, body = _get(
             f"http://127.0.0.1:{srv.port}/api/analyze?q=Hello%2C+World_42%21"
         )
-        assert json.loads(body) == {"tokens": ["hello", "world_42"]}
+        assert json.loads(body) == {
+            "tokens": ["hello", "world_42"], "analyzer": "standard"
+        }
+    finally:
+        srv.stop()
+
+
+def test_analyze_endpoint_uses_index_analyzer(ray_session, tmp_path):
+    """?index= applies THAT index's configured analyzer (round-4 review
+    fix: an english-mapping index previously analyzed with standard)."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "an_en")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=4, seed=1)),
+        f"{root}/en",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=1,
+                    analyzer="english"),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    try:
+        _, body = _get(
+            f"http://127.0.0.1:{srv.port}/api/analyze"
+            f"?q=running+the+tests&index=en"
+        )
+        assert json.loads(body) == {
+            "tokens": ["run", "test"], "analyzer": "english"
+        }
     finally:
         srv.stop()
 
