@@ -1366,7 +1366,7 @@ def _ranged_remote():
 
 def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
                         skip: list[int], store_cols: list[str],
-                        conv_ids, conv_counts):
+                        conv_ids, conv_counts, rank_offset: int = 0):
     """NO-SHUFFLE chunk phase for conv-sorted parquet input: chunk c is
     a contiguous row range (offsets from the census counts), so one
     plain task per chunk reads its range directly — the groupby
@@ -1395,13 +1395,19 @@ def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
     layout_ref = ray.put(layout)
     skipset = set(skip)
     cfg_dict = config.to_dict()
-    todo = (c for c in range(n_chunks) if c not in skipset)
+    # appends rank new convs after the base corpus at the next chunk
+    # boundary; a chunk-aligned offset shifts chunk ids and conv ranks
+    if rank_offset % (1 << bits):
+        return None  # unaligned offset: shuffle path handles it
+    chunk_base = rank_offset >> bits
+    todo = (c for c in range(n_chunks) if (chunk_base + c) not in skipset)
 
     def submit(c: int):
         lo, hi = c << bits, min((c + 1) << bits, n_convs)
         return remote.remote(
-            layout_ref, columns, int(starts[lo]), int(starts[hi]), c,
-            lo, conv_ids[lo:hi], index_dir, cfg_dict, store_cols,
+            layout_ref, columns, int(starts[lo]), int(starts[hi]),
+            chunk_base + c, rank_offset + lo, conv_ids[lo:hi], index_dir,
+            cfg_dict, store_cols,
         )
 
     return _windowed_task_stream(todo, submit)
@@ -1950,7 +1956,9 @@ def append_index(
                 f"input is missing required columns {sorted(missing)}"
             )
 
-        new_convs = conversation_table(ds, config)
+        new_convs, new_counts = conversation_table(
+            ds, config, return_counts=True
+        )
         import pyarrow.parquet as pq
 
         old = pq.read_table(os.path.join(index_dir, "convs.parquet"))
@@ -2010,14 +2018,35 @@ def append_index(
         # shards with only-base chunks launch immediately and short-circuit
         # on their unchanged manifests; shards receiving new chunks merge
         # as soon as their last new chunk lands
-        sds = _chunk_phase(
-            ds, pending, config, index_dir, skip, cpus, store_cols,
-            rank_offset=base_rank,
-        )
-        summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
-            sds, index_dir, config, len(expected), num_shards, skip, cpus,
-            expected_chunks=expected,
-        )
+        ranged = None
+        if isinstance(source, (str, list, tuple)):
+            # conv-sorted increments (the daily-batch shape) append
+            # with NO shuffle — same ranged phase as the fresh build,
+            # chunk ids and conv ranks shifted past the base corpus
+            ranged = _chunk_phase_ranged(
+                source, config, index_dir, skip, store_cols,
+                new_convs, new_counts, rank_offset=base_rank,
+            )
+        if ranged is not None:
+            try:
+                summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
+                    ranged, index_dir, config, len(expected), num_shards,
+                    skip, cpus, expected_chunks=expected,
+                )
+            except Exception as e:  # noqa: BLE001
+                if not _is_missort(e):
+                    raise
+                skip = sorted(seg.completed_chunks(index_dir))
+                ranged = None
+        if ranged is None:
+            sds = _chunk_phase(
+                ds, pending, config, index_dir, skip, cpus, store_cols,
+                rank_offset=base_rank,
+            )
+            summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
+                sds, index_dir, config, len(expected), num_shards, skip,
+                cpus, expected_chunks=expected,
+            )
         os.remove(pending)
 
         all_chunks = seg.completed_chunks(index_dir)

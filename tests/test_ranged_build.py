@@ -164,3 +164,49 @@ def test_scattered_rowgroup_falls_back(tmp_path, tiny_table, tiny_config):
     ref_eng = QueryEngine(ref)
     for q in ("the", "a b", "term_not_in_corpus"):
         assert eng.search_topk(q, 10) == ref_eng.search_topk(q, 10)
+
+
+def test_ranged_append_matches_shuffle_append(
+    tmp_path, sorted_corpus_dir, tiny_table, tiny_config, monkeypatch
+):
+    """A conv-sorted increment appends with NO shuffle and produces the
+    same index as the shuffle append (query-identical; same counters)."""
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import append_index
+    from excelastic_ray.query.engine import QueryEngine
+
+    # new conversations, disjoint ids (z-prefixed), written conv-sorted
+    raw = generate_transcripts(n_convs=24, seed=7).to_pandas()
+    raw["conv_id"] = "znew_" + raw["conv_id"].astype(str)
+    new = _conv_sorted(pa.Table.from_pandas(raw, preserve_index=False))
+    inc = str(tmp_path / "increment")
+    os.makedirs(inc)
+    pq.write_table(new, os.path.join(inc, "part-00000.parquet"),
+                   row_group_size=max(new.num_rows // 3, 1))
+
+    def _build_base(d):
+        return build_index(sorted_corpus_dir, d, tiny_config, clear=True)
+
+    a = str(tmp_path / "idx_a")
+    _build_base(a)
+
+    def _boom(*args, **kw):  # noqa: ANN001
+        raise AssertionError("shuffle chunk phase used for sorted append")
+
+    monkeypatch.setattr(build_mod, "_chunk_phase", _boom)
+    monkeypatch.setattr(build_mod, "_chunk_phase_joined", _boom)
+    res_a = append_index(inc, a)
+    monkeypatch.undo()
+
+    b = str(tmp_path / "idx_b")
+    _build_base(b)
+    # force the shuffle path by denying sortedness evidence
+    monkeypatch.setattr(build_mod, "_sorted_layout", lambda src: None)
+    res_b = append_index(inc, b)
+    monkeypatch.undo()
+
+    assert res_a.n_docs == res_b.n_docs
+    assert res_a.n_postings == res_b.n_postings
+    ea, eb = QueryEngine(a), QueryEngine(b)
+    for q in ("the", "znew", "a b c", "term_not_in_corpus"):
+        assert ea.search_topk(q, 20) == eb.search_topk(q, 20)
