@@ -124,9 +124,9 @@ def _level_keys(batch: pa.Table, kind: str, params: dict) -> np.ndarray:
     if kind == "terms":
         vals = batch[params["field"]].to_numpy(zero_copy_only=False)
         out = vals.astype(object)
-        for i, v in enumerate(out):
-            if v is None or (isinstance(v, float) and v != v):
-                out[i] = None
+        na = pd.isna(out)  # vectorized None/NaN detection
+        if na.any():
+            out[na] = None
         return out
     if kind == "date_histogram":
         raw = batch[params["field"]].to_numpy().astype("datetime64[us]")
