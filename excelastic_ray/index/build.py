@@ -1380,6 +1380,10 @@ def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
     evidence (caller uses the shuffle path)."""
     import ray
 
+    # appends rank new convs after the base corpus at the next chunk
+    # boundary; a chunk-aligned offset shifts chunk ids and conv ranks
+    if rank_offset % (1 << config.convs_per_chunk_bits):
+        return None  # unaligned offset: shuffle path handles it
     layout = _sorted_layout(source)
     if layout is None:
         return None
@@ -1395,10 +1399,6 @@ def _chunk_phase_ranged(source, config: IndexConfig, index_dir: str,
     layout_ref = ray.put(layout)
     skipset = set(skip)
     cfg_dict = config.to_dict()
-    # appends rank new convs after the base corpus at the next chunk
-    # boundary; a chunk-aligned offset shifts chunk ids and conv ranks
-    if rank_offset % (1 << bits):
-        return None  # unaligned offset: shuffle path handles it
     chunk_base = rank_offset >> bits
     todo = (c for c in range(n_chunks) if (chunk_base + c) not in skipset)
 
@@ -1556,6 +1556,36 @@ def _overlapped_chunk_merge(
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     )
     return summaries, shard_bytes, t_last_chunk, t_all_merged
+
+
+def _chunks_with_fallback(ranged, shuffle_thunk, index_dir: str,
+                          config: IndexConfig, n_chunks: int,
+                          num_shards: int, skip: list[int], cpus: int,
+                          expected_chunks: list[int] | None = None):
+    """Consume the RANGED summary stream through the overlapped merge;
+    on a missort detection fall back to the shuffle phase for whatever
+    the aborted attempt didn't finish (atomic chunk files + shard
+    manifests make both the rebuild and the re-merge idempotent). The
+    ONE copy of this control flow serves build and append.
+    → (summaries, shard_bytes, t_chunk_end, t_merge_end)."""
+    if ranged is not None:
+        try:
+            return _overlapped_chunk_merge(
+                ranged, index_dir, config, n_chunks, num_shards, skip,
+                cpus, expected_chunks=expected_chunks,
+            )
+        except Exception as e:  # noqa: BLE001
+            if not _is_missort(e):
+                raise
+            skip = sorted(seg.completed_chunks(index_dir))
+    sds = shuffle_thunk(skip)
+    out = _overlapped_chunk_merge(
+        sds, index_dir, config, n_chunks, num_shards, skip, cpus,
+        expected_chunks=expected_chunks,
+    )
+    if os.environ.get("EXCELASTIC_BUILD_STATS"):
+        print(sds.stats())
+    return out
 
 
 def _merge_phase(
@@ -1791,42 +1821,24 @@ def _build_index_impl(
                     source, config, index_dir, skip, store_cols,
                     conv_ids, conv_counts,
                 )
-        sds = None
-        if ranged is not None:
-            try:
-                summaries, shard_bytes, t_chunk_end, t_merge_end = (
-                    _overlapped_chunk_merge(
-                        ranged, index_dir, config, n_chunks, num_shards,
-                        skip, cpus,
-                    )
-                )
-            except Exception as e:  # noqa: BLE001
-                if not _is_missort(e):
-                    raise
-                # statistics said sorted, a row said otherwise: keep the
-                # chunks that verified, rebuild the rest via the shuffle
-                # path (atomic chunk files + shard manifests make both
-                # the chunk rebuild and the re-merge idempotent)
-                skip = sorted(seg.completed_chunks(index_dir))
-                ranged = None
-        if ranged is None:
+
+        def _shuffle(sk):
             if use_dist:
-                sds = _chunk_phase_joined(
-                    ds, config, index_dir, skip, cpus, store_cols,
+                return _chunk_phase_joined(
+                    ds, config, index_dir, sk, cpus, store_cols,
                     n_rows=n_rows_hint,
                 )
-            else:
-                sds = _chunk_phase(
-                    ds, os.path.join(index_dir, "convs.parquet"), config,
-                    index_dir, skip, cpus, store_cols,
-                )
-            summaries, shard_bytes, t_chunk_end, t_merge_end = (
-                _overlapped_chunk_merge(
-                    sds, index_dir, config, n_chunks, num_shards, skip, cpus
-                )
+            return _chunk_phase(
+                ds, os.path.join(index_dir, "convs.parquet"), config,
+                index_dir, sk, cpus, store_cols,
             )
-            if os.environ.get("EXCELASTIC_BUILD_STATS"):
-                print(sds.stats())
+
+        summaries, shard_bytes, t_chunk_end, t_merge_end = (
+            _chunks_with_fallback(
+                ranged, _shuffle, index_dir, config, n_chunks,
+                num_shards, skip, cpus,
+            )
+        )
     else:  # nothing to build: plain merge (resume completing a merge)
         t_chunk_end = time.monotonic()
         shard_bytes = _merge_phase(
@@ -2018,6 +2030,7 @@ def append_index(
         # shards with only-base chunks launch immediately and short-circuit
         # on their unchanged manifests; shards receiving new chunks merge
         # as soon as their last new chunk lands
+        n_resumed = len(skip)  # pre-fallback: counters stay honest
         ranged = None
         if isinstance(source, (str, list, tuple)):
             # conv-sorted increments (the daily-batch shape) append
@@ -2027,26 +2040,15 @@ def append_index(
                 source, config, index_dir, skip, store_cols,
                 new_convs, new_counts, rank_offset=base_rank,
             )
-        if ranged is not None:
-            try:
-                summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
-                    ranged, index_dir, config, len(expected), num_shards,
-                    skip, cpus, expected_chunks=expected,
-                )
-            except Exception as e:  # noqa: BLE001
-                if not _is_missort(e):
-                    raise
-                skip = sorted(seg.completed_chunks(index_dir))
-                ranged = None
-        if ranged is None:
-            sds = _chunk_phase(
-                ds, pending, config, index_dir, skip, cpus, store_cols,
+        summaries, shard_bytes, _tc, _tm = _chunks_with_fallback(
+            ranged,
+            lambda sk: _chunk_phase(
+                ds, pending, config, index_dir, sk, cpus, store_cols,
                 rank_offset=base_rank,
-            )
-            summaries, shard_bytes, _tc, _tm = _overlapped_chunk_merge(
-                sds, index_dir, config, len(expected), num_shards, skip,
-                cpus, expected_chunks=expected,
-            )
+            ),
+            index_dir, config, len(expected), num_shards, skip, cpus,
+            expected_chunks=expected,
+        )
         os.remove(pending)
 
         all_chunks = seg.completed_chunks(index_dir)
@@ -2119,8 +2121,8 @@ def append_index(
             total_dl=int(total_dl),
             n_postings=int(n_postings),
             bytes_compressed=int(seg_bytes + shard_bytes),
-            chunks_built=int(len(summaries)),
-            chunks_skipped=len(skip),
+            chunks_built=int(len(expected) - n_resumed),
+            chunks_skipped=n_resumed,
             seconds=time.monotonic() - t0,
         )
     finally:

@@ -167,7 +167,7 @@ def test_scattered_rowgroup_falls_back(tmp_path, tiny_table, tiny_config):
 
 
 def test_ranged_append_matches_shuffle_append(
-    tmp_path, sorted_corpus_dir, tiny_table, tiny_config, monkeypatch
+    tmp_path, sorted_corpus_dir, tiny_config, monkeypatch
 ):
     """A conv-sorted increment appends with NO shuffle and produces the
     same index as the shuffle append (query-identical; same counters)."""
