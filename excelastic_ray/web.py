@@ -36,6 +36,10 @@ stdlib re-expression:
 - ``POST /api/doc/update?index=...&conv_id=...&turn_idx=...``  attr
                                  overlay on one doc (ES ``_update``;
                                  JSON body = {attr: value})
+- ``POST /api/bulk?index=...``   ES ``_bulk``: NDJSON action/doc lines
+                                 (index/create/update/delete), ordered,
+                                 per-item results; runs of NEW
+                                 conversations batch into one append
 
 Upload params mirror ``ImportEvent.fromParams`` (ImportEvent.java:40-48):
 ``index`` (required unless the server was started with ``index_lock``,
@@ -440,6 +444,17 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/bulk":
+                    # ES _bulk analog: NDJSON action/doc lines, ordered
+                    # application, per-item results (errors item-scoped)
+                    try:
+                        length = int(self.headers.get("Content-Length",
+                                                      "0"))
+                        body = self.rfile.read(length).decode()
+                        self._json(200, server.bulk(q["index"], body))
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path != "/api/upload":
                     self._json(404, {"error": "not found"})
                     return
@@ -638,6 +653,25 @@ class ImportServer:
             "turn_idx": int(turn_idx),
             "docid": int(docid),
             "result": "updated",
+        }
+
+    def bulk(self, index: str, ndjson: str) -> dict:
+        """ES ``_bulk``: NDJSON action/doc lines applied in order with
+        per-item results; consecutive new-conversation index actions
+        batch into one append (the bulk-ingest fast path)."""
+        from excelastic_ray.bulk import bulk_apply, parse_ndjson
+
+        actions = parse_ndjson(ndjson)
+        d = self.index_dir(index)
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            items = bulk_apply(d, actions)
+            self._evict_engines_for(index)
+        return {
+            "index": index,
+            "items": items,
+            "errors": any(it["status"] == "error" for it in items),
         }
 
     def doc_delete(self, index: str, conv_id: str, turn_idx: int) -> dict:
