@@ -184,6 +184,13 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="attr=value",
                     help="repeatable attribute assignment")
 
+    bk = sub.add_parser("bulk",
+                        help="apply NDJSON bulk actions (ES _bulk): "
+                             "action/doc lines from a file or stdin")
+    bk.add_argument("index_dir")
+    bk.add_argument("file", nargs="?", default="-",
+                    help="NDJSON path (default: stdin)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "status":
@@ -293,6 +300,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"num_shards": m["num_shards"],
                               "shard_bytes": m["shard_bytes"],
                               "status": m["status"]}))
+        elif args.cmd == "bulk":
+            import sys
+
+            from excelastic_ray.bulk import bulk_apply, parse_ndjson
+
+            body = (sys.stdin.read() if args.file == "-"
+                    else open(args.file).read())
+            items = bulk_apply(args.index_dir, parse_ndjson(body))
+            print(json.dumps({
+                "items": items,
+                "errors": any(i["status"] == "error" for i in items),
+            }))
         elif args.cmd == "doc-index":
             from excelastic_ray.index.build import index_doc
 
