@@ -308,10 +308,10 @@ def main(argv: list[str] | None = None) -> int:
             body = (sys.stdin.read() if args.file == "-"
                     else open(args.file).read())
             items = bulk_apply(args.index_dir, parse_ndjson(body))
-            print(json.dumps({
-                "items": items,
-                "errors": any(i["status"] == "error" for i in items),
-            }))
+            errors = any(i["status"] == "error" for i in items)
+            print(json.dumps({"items": items, "errors": errors}))
+            if errors:
+                return 1  # shell contract: failed items fail the command
         elif args.cmd == "doc-index":
             from excelastic_ray.index.build import index_doc
 

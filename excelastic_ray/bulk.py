@@ -14,9 +14,18 @@ structural optimization: a consecutive RUN of ``index`` actions whose
 conversations are all NEW batches into a single :func:`append_index`
 call — the bulk-ingest fast path (one chunk build + one shard merge
 wave for the whole run instead of per-doc writes). Everything else
-applies through the single-doc primitives. Item failures produce
-``status="error"`` results and the batch continues, exactly ES's
-item-level error semantics.
+applies through the single-doc primitives. ``bulk_apply`` NEVER raises
+on item problems: failures produce ``status="error"`` results and the
+batch continues, exactly ES's item-level error semantics.
+
+Batch-failure policy: when the batched append fails with the index
+still COMPLETE (a validation problem — e.g. one malformed doc in the
+run), small runs (≤ ``RETRY_RUN_CAP``) retry per-doc so errors stay
+item-scoped and the good docs land; large runs report the batch error
+on every item instead of degrading into thousands of per-doc chunk
+builds. When the append died mid-flight (status ``appending``), every
+item reports the batch error — a per-doc retry could only repeat
+"index is not complete".
 
 At 100 TB the guidance is unchanged from ``index_doc``'s docstring:
 steady-state ingest belongs in ``build_index``/``append_index`` over
@@ -28,23 +37,24 @@ from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
-import pyarrow as pa
+#: max run size that retries per-doc after a batch validation failure
+RETRY_RUN_CAP = 64
 
 
 def _flush_new_conv_run(index_dir: str, run: list[dict],
                         results: list[dict], parallelism) -> None:
-    """One append_index for a run of new-conversation index actions;
-    on a batch-level validation error, fall back to per-doc indexing so
-    item errors stay item-scoped (ES semantics)."""
+    """One append_index for a run of new-conversation index actions.
+    NEVER raises: every failure mode lands in per-item results (the
+    bulk contract)."""
     if not run:
         return
     import ray.data as rd
 
+    from excelastic_ray.index import segments as seg
     from excelastic_ray.index.build import (
-        TRANSCRIPT_COLUMNS,
         append_index,
         index_doc,
+        rows_to_transcript_table,
     )
 
     def one_by_one() -> None:
@@ -61,50 +71,50 @@ def _flush_new_conv_run(index_dir: str, run: list[dict],
                     "op": "index", "status": "error", "error": str(e),
                 }
 
+    def fail_all(err: str) -> None:
+        for a in run:
+            results[a["__i"]] = {
+                "op": "index", "status": "error", "error": err,
+            }
+
     if len(run) == 1:
         one_by_one()
         return
-    cols: dict[str, list] = {c: [] for c in TRANSCRIPT_COLUMNS}
-    for a in run:
-        d = a["doc"]
-        for c in TRANSCRIPT_COLUMNS:
-            cols[c].append(d.get(c))
-    arrays = {}
-    for c, vals in cols.items():
-        if c == "turn_idx":
-            arrays[c] = pa.array([int(v) for v in vals], type=pa.int32())
-        elif c == "ts":
-            arrays[c] = pa.array(
-                [np.datetime64(v, "us") if isinstance(v, str) else v
-                 for v in vals],
-                type=pa.timestamp("us"),
-            )
-        else:
-            arrays[c] = pa.array(
-                [None if v is None else str(v) for v in vals],
-                type=pa.string(),
-            )
     try:
-        append_index(rd.from_arrow(pa.table(arrays)), index_dir,
-                     parallelism=parallelism)
-    except Exception:  # noqa: BLE001 — batch failed: item-scope it
+        table = rows_to_transcript_table([a["doc"] for a in run])
+    except Exception:  # noqa: BLE001 — a bad doc: let items self-report
         one_by_one()
         return
-    from excelastic_ray.index.build import _conv_ranks_table
-    from excelastic_ray.config import IndexConfig
-    from excelastic_ray.index import segments as seg
+    try:
+        append_index(rd.from_arrow(table), index_dir,
+                     parallelism=parallelism)
+    except Exception as e:  # noqa: BLE001
+        try:
+            status = seg.load_global_manifest(index_dir).get("status")
+        except Exception:  # noqa: BLE001
+            status = None
+        if status == "complete" and len(run) <= RETRY_RUN_CAP:
+            one_by_one()  # validation failure: item-scope it
+        else:
+            fail_all(str(e))  # mid-append crash or giant run: retryable
+        return
+    try:
+        from excelastic_ray.config import IndexConfig
+        from excelastic_ray.index.build import _conv_ranks_table
 
-    cfg = IndexConfig.from_dict(
-        seg.load_global_manifest(index_dir)["config"]
-    )
-    ranks, ids = _conv_ranks_table(index_dir)
-    pos = {c: int(r) for r, c in zip(ranks, ids)}
-    for a in run:
-        d = a["doc"]
-        docid = cfg.docid(pos[str(d["conv_id"])], int(d["turn_idx"]))
-        results[a["__i"]] = {
-            "op": "index", "status": "ok", "docid": int(docid),
-        }
+        cfg = IndexConfig.from_dict(
+            seg.load_global_manifest(index_dir)["config"]
+        )
+        ranks, ids = _conv_ranks_table(index_dir)
+        pos = {c: int(r) for r, c in zip(ranks, ids)}
+        for a in run:
+            d = a["doc"]
+            docid = cfg.docid(pos[str(d["conv_id"])], int(d["turn_idx"]))
+            results[a["__i"]] = {
+                "op": "index", "status": "ok", "docid": int(docid),
+            }
+    except Exception as e:  # noqa: BLE001 — docs landed; ids didn't
+        fail_all(f"indexed but docid lookup failed: {e}")
 
 
 def bulk_apply(index_dir: str, actions: list[dict],
@@ -112,6 +122,7 @@ def bulk_apply(index_dir: str, actions: list[dict],
     """Apply ``actions`` in order → one result dict per action
     ({op, status, docid?/error?}), never raising on item errors."""
     from excelastic_ray.index.build import (
+        ValidationError,
         _conv_ranks_table,
         delete_doc,
         index_doc,
@@ -135,6 +146,10 @@ def bulk_apply(index_dir: str, actions: list[dict],
         try:
             if op == "index":
                 doc = a["doc"]
+                if doc.get("conv_id") is None or doc.get("turn_idx") is None:
+                    raise ValidationError(
+                        "index action requires conv_id and turn_idx"
+                    )
                 conv = str(doc["conv_id"])
                 key = (conv, int(doc["turn_idx"]))
                 if conv not in known and key not in run_keys:
@@ -171,7 +186,8 @@ def bulk_apply(index_dir: str, actions: list[dict],
 def parse_ndjson(body: str) -> list[dict]:
     """ES _bulk NDJSON → action list. ``index``/``update`` action lines
     are followed by a doc/attrs line; ``delete`` stands alone. The
-    action metadata carries conv_id/turn_idx (ES's ``_id``)."""
+    action metadata's conv_id/turn_idx (ES's ``_id``) are AUTHORITATIVE
+    over same-named doc-body fields, like ES."""
     import json
 
     lines = [ln for ln in body.splitlines() if ln.strip()]
@@ -191,8 +207,13 @@ def parse_ndjson(body: str) -> list[dict]:
             if i + 1 >= len(lines):
                 raise ValueError("index action missing its doc line")
             doc = json.loads(lines[i + 1])
-            doc.setdefault("conv_id", params.get("conv_id"))
-            doc.setdefault("turn_idx", params.get("turn_idx"))
+            # the action line's id wins (ES: the metadata _id is
+            # authoritative; a doc body replaying a dump may embed
+            # stale ids of its own)
+            if params.get("conv_id") is not None:
+                doc["conv_id"] = params["conv_id"]
+            if params.get("turn_idx") is not None:
+                doc["turn_idx"] = params["turn_idx"]
             actions.append({"op": "index", "doc": doc,
                             # ES: op_type=index overwrites, create refuses
                             "overwrite": op == "index"})

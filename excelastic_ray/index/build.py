@@ -2264,6 +2264,39 @@ def update_doc(index_dir: str, conv_id: str, turn_idx: int,
     return docid
 
 
+def rows_to_transcript_table(rows: list[dict],
+                             max_turns: int | None = None) -> pa.Table:
+    """dict rows → a typed transcript table (the ONE coercion shared by
+    index_doc and bulk_apply): conv_id/role/text/tool as string,
+    turn_idx int32 (range-checked when ``max_turns`` given), ts parsed
+    from ISO-8601 strings to timestamp[us]."""
+    cols: dict[str, list] = {c: [] for c in TRANSCRIPT_COLUMNS}
+    for row in rows:
+        t = int(row["turn_idx"])
+        if max_turns is not None and not (0 <= t < max_turns):
+            raise ValidationError(
+                f"turn_idx {t} out of range (max_turns={max_turns})"
+            )
+        for c in TRANSCRIPT_COLUMNS:
+            cols[c].append(row.get(c))
+    arrays: dict[str, pa.Array] = {}
+    for c, vals in cols.items():
+        if c == "turn_idx":
+            arrays[c] = pa.array([int(v) for v in vals], type=pa.int32())
+        elif c == "ts":
+            arrays[c] = pa.array(
+                [np.datetime64(v, "us") if isinstance(v, str) else v
+                 for v in vals],
+                type=pa.timestamp("us"),
+            )
+        else:
+            arrays[c] = pa.array(
+                [None if v is None else str(v) for v in vals],
+                type=pa.string(),
+            )
+    return pa.table(arrays)
+
+
 def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
               parallelism: int | None = None) -> int:
     """ES single-document ``_index`` analog: add (or, with
@@ -2310,23 +2343,14 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
 
     if not len(hit):
         # ---- new conversation: the append path is the write path ----
-        cols: dict[str, pa.Array] = {}
-        for c in TRANSCRIPT_COLUMNS:
-            if c == "conv_id":
-                cols[c] = pa.array([conv_id], type=pa.string())
-            elif c == "turn_idx":
-                cols[c] = pa.array([turn_idx], type=pa.int32())
-            elif c == "ts":
-                v = row.get("ts")
-                if isinstance(v, str):
-                    v = np.datetime64(v, "us")
-                cols[c] = pa.array(
-                    [v], type=pa.timestamp("us")
+        append_index(
+            rd.from_arrow(
+                rows_to_transcript_table(
+                    [{**row, "conv_id": conv_id, "turn_idx": turn_idx}]
                 )
-            else:
-                cols[c] = pa.array([row.get(c)], type=pa.string())
-        append_index(rd.from_arrow(pa.table(cols)), index_dir,
-                     parallelism=parallelism)
+            ),
+            index_dir, parallelism=parallelism,
+        )
         ranks, ids = _conv_ranks_table(index_dir)
         rank = int(ranks[np.flatnonzero(ids == conv_id)[0]])
         return int(cfg.docid(rank, turn_idx))
@@ -2345,10 +2369,20 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
     orig_dtypes = {c: g[c].dtype for c in g.columns}
     exists = bool((g["docid"] == docid).any())
     if exists and not overwrite:
-        raise ValidationError(
-            f"({conv_id!r}, {turn_idx}) already indexed; pass "
-            "overwrite=True (ES op_type=index) or delete_doc first"
-        )
+        # ES create succeeds over a DELETED doc (the tombstone counts
+        # as absent); only a LIVE doc refuses
+        dpath0 = os.path.join(seg.shard_dir(index_dir, shard),
+                              "deletes.parquet")
+        tombstoned = False
+        if os.path.exists(dpath0):
+            tombstoned = docid in pq.read_table(
+                dpath0
+            )["docid"].to_numpy()
+        if not tombstoned:
+            raise ValidationError(
+                f"({conv_id!r}, {turn_idx}) already indexed; pass "
+                "overwrite=True (ES op_type=index) or delete_doc first"
+            )
     if exists:
         g = g[g["docid"] != docid]
     new_row = {"docid": docid}

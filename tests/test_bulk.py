@@ -169,3 +169,63 @@ def test_bulk_over_http(bulk_index, tmp_path, ray_session):
         assert len(hits) == 1
     finally:
         srv.stop()
+
+
+def test_bulk_never_raises_on_bad_doc_in_run(bulk_index):
+    """A malformed ts inside a batched new-conv run must item-scope,
+    not raise (the never-raise contract); good docs still land."""
+    actions = [
+        {"op": "index", "doc": {"conv_id": "g0", "turn_idx": 0,
+                                "role": "user", "text": "good one"}},
+        {"op": "index", "doc": {"conv_id": "g1", "turn_idx": 0,
+                                "role": "user", "text": "bad ts",
+                                "ts": "not-a-date"}},
+        {"op": "index", "doc": {"conv_id": "g2", "turn_idx": 0,
+                                "role": "user", "text": "good two"}},
+    ]
+    res = bulk_apply(bulk_index, actions)
+    assert [r["status"] for r in res] == ["ok", "error", "ok"]
+    eng = QueryEngine(bulk_index)
+    assert eng.search("good", 5).num_rows == 2
+
+
+def test_bulk_index_requires_ids(bulk_index):
+    """An id-less index action is an item error — never a doc filed
+    under the literal conversation id 'None'."""
+    res = bulk_apply(bulk_index, [
+        {"op": "index", "doc": {"turn_idx": 0, "text": "ghost"}},
+        {"op": "index", "doc": {"conv_id": "ok0", "turn_idx": 0,
+                                "role": "user", "text": "real"}},
+    ])
+    assert res[0]["status"] == "error"
+    assert "conv_id" in res[0]["error"]
+    assert res[1]["status"] == "ok"
+    eng = QueryEngine(bulk_index)
+    assert eng.search("ghost", 5).num_rows == 0
+
+
+def test_parse_ndjson_metadata_id_wins():
+    """The action line's conv_id/turn_idx override same-named doc-body
+    fields (ES: the metadata _id is authoritative)."""
+    body = "\n".join([
+        json.dumps({"index": {"conv_id": "a", "turn_idx": 1}}),
+        json.dumps({"conv_id": "stale", "turn_idx": 0, "text": "x"}),
+    ])
+    a = parse_ndjson(body)
+    assert a[0]["doc"]["conv_id"] == "a"
+    assert a[0]["doc"]["turn_idx"] == 1
+
+
+def test_bulk_delete_then_create_succeeds(bulk_index):
+    """ES create succeeds over a tombstoned doc: delete + create of the
+    same (conv_id, turn_idx) inside one bulk both report ok and the new
+    text is live."""
+    res = bulk_apply(bulk_index, [
+        {"op": "delete", "conv_id": "c0", "turn_idx": 0},
+        {"op": "index", "doc": {"conv_id": "c0", "turn_idx": 0,
+                                "role": "user", "text": "reborn doc"}},
+    ])
+    assert [r["status"] for r in res] == ["ok", "ok"]
+    eng = QueryEngine(bulk_index)
+    assert eng.search("reborn", 5).num_rows == 1
+    assert eng.search("alpha", 5).num_rows == 0  # old text gone
