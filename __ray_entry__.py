@@ -199,6 +199,16 @@ PHRASE_QUERIES = [
     ("p5", "value"),
 ]
 
+#: match_phrase_prefix set (search-as-you-type): the LAST token is a
+#: prefix — a multi-expansion one (sc → scan), a unique one, a pure
+#: prefix-only query, and an absent prefix.
+PHRASE_PREFIX_QUERIES = [
+    ("x1", "table sc"),
+    ("x2", "slow ha"),
+    ("x3", "va"),
+    ("x4", "table zzzq"),
+]
+
 #: range-agg buckets: open ends, an overlapping bucket, an empty one.
 RANGE_AGG_RANGES = [
     (None, 10), (10, 50), (25, 75), (50, 200), (200, None), (1000, 2000),
@@ -434,6 +444,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
                             trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_phrase_prefix(sf_dir):
+        # ES match_phrase_prefix (search-as-you-type): last token is a
+        # prefix completed by any dictionary term, unbounded expansion
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in PHRASE_PREFIX_QUERIES:
+            t = eng.search_phrase_prefix(q, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
                         ),
                     }
                 )
@@ -1964,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": q_bm25_boosting,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
@@ -2903,6 +2942,58 @@ QUALIFY row_number() OVER (
     )
 
 
+def _phrase_prefix_sql() -> str:
+    """bm25_phrase_prefix twin: the _phrase_sql shape with the LAST
+    slot matched by starts_with (any completion counts the anchor once
+    — the engine's union-of-expansions anchor semantics)."""
+    ctes, selects = [], []
+    for qid, q in PHRASE_PREFIX_QUERIES:
+        toks = q.lower().split()
+        head, prefix = toks[:-1], toks[-1]
+        k = len(toks)
+        conds = [
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(head)
+        ] + [f"starts_with(toks[i + {k - 1}], '{prefix}')"]
+        cond = " AND ".join(conds)
+        ctes.append(
+            f"""m_{qid} AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= {k}
+                    THEN len(list_filter(range(1, len(toks) - {k} + 2),
+                                         i -> {cond}))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+)"""
+        )
+        selects.append(
+            f"""SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM (
+    SELECT '{qid}' AS query_id, m.conv_id, m.turn_idx,
+           ln(1 + (s.n - CAST(d.d AS DOUBLE) + 0.5)
+                  / (CAST(d.d AS DOUBLE) + 0.5))
+           * m.ptf * 2.2
+           / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) AS raw
+    FROM m_{qid} m
+    CROSS JOIN stats s
+    CROSS JOIN (SELECT count(*) AS d FROM m_{qid}) d
+)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10"""
+        )
+    return (
+        _BASE
+        + ",\ndl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),\n"
+        + "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n"
+        + "                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def _field_sql() -> str:
     """Field-qualified BM25 twin (multi_match most_fields): each column
     is its own token stream with its own df / dl / avgdl; a doc's score
@@ -3761,6 +3852,7 @@ GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),

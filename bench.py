@@ -179,6 +179,12 @@ def run_bench() -> dict:
             for _ in range(10):
                 eng.search_phrase(q, 10, slop=2)
         timings["slop_30q"] = round(time.monotonic() - s, 3)
+        # round-4: match_phrase_prefix (search-as-you-type)
+        s = time.monotonic()
+        for q in ("the w0004", "w00042 w001", "absent zz"):
+            for _ in range(10):
+                eng.search_phrase_prefix(q, 10)
+        timings["phrase_prefix_30q"] = round(time.monotonic() - s, 3)
         s = time.monotonic()
         for _ in range(10):
             eng.search_fields("user the", ["role", "text"], k=10)

@@ -538,6 +538,137 @@ class ShardSearcher:
             dls[uniq],
         )
 
+    def _prefix_slot_range(self, prefix: str,
+                           field: str | None) -> tuple[int, int]:
+        """Dictionary slot range [lo, hi) of terms starting with
+        ``prefix`` (field-scoped keys when ``field`` given)."""
+        if field is None:
+            lo = int(np.searchsorted(self.terms, max(prefix, "\x02")))
+            hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        else:
+            from excelastic_ray.analysis import field_key
+
+            base = field_key(field, prefix)
+            lo = int(np.searchsorted(self.terms, base))
+            hi = int(np.searchsorted(self.terms, base + "\U0010ffff"))
+        return lo, hi
+
+    def phrase_prefix_matches(self, terms: list[str], prefix: str,
+                              slop: int = 0, field: str | None = None,
+                              max_expansions: int | None = None):
+        """ES ``match_phrase_prefix``: the phrase ``terms`` followed by
+        ANY dictionary term starting with ``prefix`` (search-as-you-type).
+        Expansion is UNBOUNDED — exact semantics; ES's max_expansions
+        truncation is a performance knob that CHANGES results, so it is
+        deliberately not replicated (a shard only ever expands terms
+        that actually occur in it, and each expansion's postings decode
+        through the LRU). → (docids, ptf, dl); ptf counts distinct
+        anchors — an anchor counts once however many completions exist
+        at it, the same existence semantics as the SQL twin."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.float64))
+        if field is None:
+            dls = self.dls
+            keys_of = list(terms)
+        else:
+            from excelastic_ray.analysis import field_key
+
+            fdl = self.field_dls.get(field)
+            if fdl is None:
+                raise KeyError(
+                    f"field {field!r} has no per-field stream in this index"
+                )
+            dls = fdl
+            keys_of = [field_key(field, t) for t in terms]
+        idxs = []
+        for t in keys_of:
+            i = self.lookup(t)
+            if i < 0:
+                return empty
+            idxs.append(i)
+        lo, hi = self._prefix_slot_range(prefix, field)
+        if max_expansions is not None:
+            # ES max_expansions: first N dictionary terms PER SHARD
+            # (ES truncates per segment the same way) — a wide prefix
+            # ("w0" over a 20k vocab) otherwise decodes every
+            # expansion's positions; the cap trades recall for latency
+            hi = min(hi, lo + int(max_expansions))
+        if hi <= lo:
+            return empty
+        L = len(terms) + 1
+        max_dl = int(dls.max()) if len(dls) else 0
+        M = np.int64(max_dl + L + slop + 2)
+        j_last = L - 1
+        # the last slot's key set is the UNION over all expansions
+        parts = []
+        for slot in range(lo, hi):
+            ids, tfs = self.decoded(slot)
+            pos = self.positions_of(slot, tfs)
+            base = np.repeat(ids, tfs) * M
+            if j_last == 0 or slop == 0:
+                parts.append(base + (pos - j_last + L + slop))
+            else:
+                parts.extend(
+                    base + (pos - j_last - d + L + slop)
+                    for d in range(slop + 1)
+                )
+        inter = np.unique(np.concatenate(parts))
+        for j, i in enumerate(idxs):
+            ids, tfs = self.decoded(i)
+            pos = self.positions_of(i, tfs)
+            base = np.repeat(ids, tfs) * M
+            if j == 0 or slop == 0:
+                keys = base + (pos - j + L + slop)
+            else:
+                keys = np.unique(
+                    np.concatenate(
+                        [base + (pos - j - d + L + slop)
+                         for d in range(slop + 1)]
+                    )
+                )
+            inter = np.intersect1d(inter, keys, assume_unique=True)
+            if not len(inter):
+                return empty
+        ords = (inter // M).astype(np.int64)
+        uniq, counts = np.unique(ords, return_counts=True)
+        return (
+            self.docids[uniq],
+            counts.astype(np.int64),
+            dls[uniq],
+        )
+
+    def phrase_prefix_count(self, terms: list[str], prefix: str,
+                            slop: int = 0, field: str | None = None,
+                            max_expansions: int | None = None) -> int:
+        """Phase 1 (match_phrase_prefix): cache matches, return count."""
+        key = ("pp", tuple(terms), prefix, slop, field, max_expansions)
+        m = self.phrase_prefix_matches(terms, prefix, slop, field,
+                                       max_expansions)
+        self._phrase_cache = (key, m)
+        return len(m[0])
+
+    def phrase_prefix_topk(self, terms: list[str], prefix: str,
+                           p_idf: float, avgdl: float, k: int,
+                           slop: int = 0, field: str | None = None,
+                           max_expansions: int | None = None):
+        """Phase 2: score the cached prefix-phrase matches."""
+        key = ("pp", tuple(terms), prefix, slop, field, max_expansions)
+        cached = getattr(self, "_phrase_cache", None)
+        if cached is not None and cached[0] == key:
+            docids, ptfs, dls = cached[1]
+        else:
+            docids, ptfs, dls = self.phrase_prefix_matches(
+                terms, prefix, slop, field, max_expansions
+            )
+        if not len(docids):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sc = contribution(
+            p_idf, ptfs.astype(np.float64), dls, avgdl,
+            self.cfg.k1, self.cfg.b,
+        )
+        order = np.lexsort((docids, -sc))[:k]
+        return docids[order], sc[order]
+
     # -- scoring ---------------------------------------------------------
 
     def topk(
@@ -3076,6 +3207,82 @@ class QueryEngine:
             }
         )
 
+    def search_phrase_prefix(self, query: str, k: int = 10,
+                             slop: int = 0, field: str | None = None,
+                             max_expansions: int | None = None):
+        """ES ``match_phrase_prefix`` (search-as-you-type): the query's
+        LAST analyzed token is a prefix completed by ANY dictionary
+        term; the phrase scores as one pseudo-term whose tf is the
+        anchor count and whose df is the prefix-phrase doc count —
+        the same two-phase shape as :meth:`search_phrase`. Expansion
+        is unbounded (exact; ES's max_expansions truncation changes
+        results and is deliberately not replicated)."""
+        import pyarrow as pa
+
+        r = self.reader
+        if field is not None and (
+            len(r.cfg.index_fields) == 1 and field == r.cfg.index_fields[0]
+        ):
+            field = None
+        avgdl = (
+            r.avgdl if field is None
+            else r.manifest.get("field_avgdl", {})[field]
+        )
+        toks = self._tok_ordered(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if toks and r.n_docs:
+            head, prefix = toks[:-1], toks[-1]
+            if self._actors is not None:
+                import ray
+
+                counts = ray.get(
+                    [a.phrase_prefix_count.remote(head, prefix, slop,
+                                                  field, max_expansions)
+                     for a in self._actors]
+                )
+                df_phrase = int(sum(counts))
+                if df_phrase:
+                    p_idf = idf(r.n_docs, df_phrase)
+                    parts = ray.get(
+                        [
+                            a.phrase_prefix_topk.remote(
+                                head, prefix, p_idf, avgdl, k, slop,
+                                field, max_expansions,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                    docids, scores = _merge_shard_topk(parts, k)
+            else:
+                searchers = [r.searcher(s) for s in range(r.num_shards)]
+                df_phrase = sum(
+                    s.phrase_prefix_count(head, prefix, slop, field,
+                                          max_expansions)
+                    for s in searchers
+                )
+                if df_phrase:
+                    p_idf = idf(r.n_docs, df_phrase)
+                    parts = [
+                        s.phrase_prefix_topk(head, prefix, p_idf, avgdl,
+                                             k, slop, field,
+                                             max_expansions)
+                        for s in searchers
+                    ]
+                    docids, scores = _merge_shard_topk(parts, k)
+        conv, turn = r.keys_of(docids)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(docids) + 1, dtype=np.int32)
+                ),
+                "docid": pa.array(docids, type=pa.int64()),
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
     def _query_shape(self, query: str, mode: str):
         """→ (live terms, n_required, dead) for count/facet endpoints."""
         terms = self._qt(query)
@@ -3819,6 +4026,25 @@ class ShardActor:
                     field: str | None = None):
         parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
                  for s in self.searchers]
+        return _merge_shard_topk(parts, k)
+
+    def phrase_prefix_count(self, terms, prefix, slop: int = 0,
+                            field: str | None = None,
+                            max_expansions: int | None = None) -> int:
+        return sum(
+            s.phrase_prefix_count(terms, prefix, slop, field,
+                                  max_expansions)
+            for s in self.searchers
+        )
+
+    def phrase_prefix_topk(self, terms, prefix, p_idf, avgdl, k,
+                           slop: int = 0, field: str | None = None,
+                           max_expansions: int | None = None):
+        parts = [
+            s.phrase_prefix_topk(terms, prefix, p_idf, avgdl, k, slop,
+                                 field, max_expansions)
+            for s in self.searchers
+        ]
         return _merge_shard_topk(parts, k)
 
     def facet(self, terms, attr, n_required=0, filters=None) -> dict:

@@ -344,6 +344,8 @@ class ImportServer:
                                 syn=q.get("syn") or None,
                                 highlight=q.get("highlight") == "1",
                                 explain=q.get("explain") or None,
+                                phrase_prefix=q.get(
+                                    "phrase_prefix") == "1",
                             ),
                         )
                     else:
@@ -935,7 +937,8 @@ class ImportServer:
                fields: str | None = None, sort_ts: bool = False,
                fuzzy: str | None = None,
                syn: str | None = None, highlight: bool = False,
-               explain: str | None = None) -> dict:
+               explain: str | None = None,
+               phrase_prefix: bool = False) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -949,7 +952,7 @@ class ImportServer:
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
                     or fields or sort_ts or fuzzy or syn or highlight
-                    or explain):
+                    or explain or phrase_prefix):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
@@ -999,6 +1002,9 @@ class ImportServer:
                 term, _, alts = spec.partition("=")
                 table[term.lower()] = alts.split("|")
             t = eng.search_synonyms(query, table, k)
+        elif phrase_prefix:
+            # ES match_phrase_prefix (search-as-you-type)
+            t = eng.search_phrase_prefix(query, k, slop=slop)
         elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
         elif qs:  # Kibana-style field:term query strings

@@ -114,3 +114,84 @@ def test_slop_actor_parity(sl, ray_session):
         assert a.equals(b)
     finally:
         actors.close()
+
+
+def _prefix_anchors(toks: list[str], head: list[str], prefix: str) -> int:
+    """Reference anchor count for match_phrase_prefix (slop=0): anchor
+    positions where the head matches exactly and the NEXT token starts
+    with the prefix — counted once however many completions exist."""
+    k = len(head) + 1
+    n = 0
+    for a in range(len(toks) - k + 1):
+        if all(toks[a + j] == t for j, t in enumerate(head)) and toks[
+            a + k - 1
+        ].startswith(prefix):
+            n += 1
+    return n
+
+
+def test_phrase_prefix_matches_bruteforce(sl):
+    """Engine match_phrase_prefix == brute-force anchors + pseudo-term
+    BM25 over the whole corpus, bit-identical scores."""
+    eng, table = sl
+    texts = table["text"].to_pylist()
+    convs = table["conv_id"].to_pylist()
+    turns = table["turn_idx"].to_pylist()
+    doc_toks = [tokenize(t) for t in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in doc_toks) / n_docs
+    for q in ("the w", "w00", "a w0", "zzzq"):
+        toks = tokenize(q)
+        head, prefix = toks[:-1], toks[-1]
+        ptf = [_prefix_anchors(t, head, prefix) for t in doc_toks]
+        df = sum(1 for x in ptf if x)
+        got = eng.search_phrase_prefix(q, 1000)
+        if df == 0:
+            assert got.num_rows == 0
+            continue
+        from excelastic_ray.query.bm25 import contribution, idf
+
+        p_idf = idf(n_docs, df)
+        expect = []
+        for i, x in enumerate(ptf):
+            if not x:
+                continue
+            dl = len(doc_toks[i])
+            s = float(contribution(p_idf, np.float64(x), np.float64(dl),
+                                   avgdl))
+            expect.append((convs[i], int(turns[i]), s))
+        want = {(c, t): s for c, t, s in expect}
+        assert got.num_rows == len(want), q
+        for c, t, s in zip(got["conv_id"].to_pylist(),
+                           got["turn_idx"].to_pylist(),
+                           got["score"].to_pylist()):
+            assert want[(c, t)] == s, (q, c, t)
+
+
+def test_phrase_prefix_actor_parity(sl, ray_session):
+    eng, _ = sl
+    actor_eng = QueryEngine(eng.reader.index_dir, use_actors=True)
+    try:
+        for q in ("the w", "w00", "zzzq"):
+            a = eng.search_phrase_prefix(q, 25)
+            b = actor_eng.search_phrase_prefix(q, 25)
+            assert a.to_pydict() == b.to_pydict(), q
+    finally:
+        actor_eng.close()
+
+
+def test_phrase_prefix_max_expansions(sl):
+    """ES max_expansions: per-shard first-N-by-term-order truncation —
+    a huge cap equals uncapped; a tiny cap can only shrink the match
+    set (documented recall trade)."""
+    eng, _ = sl
+    full = eng.search_phrase_prefix("the w", 1000)
+    same = eng.search_phrase_prefix("the w", 1000, max_expansions=10**6)
+    assert full.to_pydict() == same.to_pydict()
+    capped = eng.search_phrase_prefix("the w", 1000, max_expansions=1)
+    assert capped.num_rows <= full.num_rows
+    got = set(zip(capped["conv_id"].to_pylist(),
+                  capped["turn_idx"].to_pylist()))
+    have = set(zip(full["conv_id"].to_pylist(),
+                   full["turn_idx"].to_pylist()))
+    assert got <= have

@@ -495,6 +495,11 @@ def test_search_mode_params_over_http(ray_session, tmp_path):
         assert hits("q=run&k=5&syn=run%3Dcall") == list(
             zip(want["docid"].to_pylist(), want["score"].to_pylist())
         )
+        # phrase_prefix=1: ES match_phrase_prefix (search-as-you-type)
+        want = eng.search_phrase_prefix("the us", 5)
+        assert hits("q=the+us&k=5&phrase_prefix=1") == list(
+            zip(want["docid"].to_pylist(), want["score"].to_pylist())
+        )
         # highlight=1: plain search with the <em>-wrapped source text
         want = eng.search("the", 5, include_source=True, highlight=True)
         _, body = _get(base + "/api/search?index=a&q=the&k=5&highlight=1")
