@@ -65,6 +65,7 @@ __all__ = [
     "verify_jaccard",
     "collect_shingle_sets",
     "connected_components",
+    "cc_labels_distributed",
     "simhash_batch",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -810,6 +811,205 @@ def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
             parent[hi] = lo
     ids = sorted(parent) if all_ids is None else sorted(all_ids)
     return pd.DataFrame({"doc_id": ids, "rep": [find(i) for i in ids]})
+
+
+def cc_labels_distributed(pairs_ds, a_col: str = "a", b_col: str = "b",
+                          n_buckets: int = N_BUCKETS,
+                          max_rounds: int = 64):
+    """Distributed connected components over a duplicate-pair Dataset →
+    Dataset (doc_id, rep), rep = min doc id of the component — the
+    scale path for ``connected_components`` (whose DRIVER BUDGET note
+    names exactly this algorithm as the fallback).
+
+    Min-label propagation with pointer jumping. Per round, three
+    bucketed exchanges over NARROW node/edge-sized tables (int64
+    columns only; the corpus text never enters):
+
+      A1. edges ⋈ labels on the source node (one hash-bucket join —
+          the ``verify_jaccard`` shape) → (target, candidate_label).
+      A2. groupby target node: new = min(old, candidates); per-node
+          ``changed`` flag computed in-group (the old label row rides
+          the same bucket, so no extra join).
+      B.  pointer jump labels ⋈ labels (lbl ← lbl(lbl)), shortcutting
+          label chains so convergence is O(log diameter) rounds, not
+          O(diameter).
+
+    The label table (one 24 B row per node) is materialized per round
+    as the iteration checkpoint; the doubled edge table is materialized
+    ONCE already bucket-keyed and re-read from the object store every
+    round. Labels are node ids and only ever decrease, so the fixpoint
+    (no A- or B-change anywhere, checked by ``sum(changed)`` over the
+    already-materialized round output) is the component minimum:
+    at the A-fixpoint labels are constant across every edge, and the
+    constant can only be the component's min id.
+
+    Deterministic at any ``n_buckets`` / parallelism (min is
+    order-free). Sentinel rows (a < 0, the LSH drop counters) are
+    filtered out; isolated nodes (no pairs) are absent from the output,
+    matching ``connected_components(all_ids=None)``.
+    """
+    import ray.data as rd
+
+    def _exchange_table(k, v, w, kind):
+        k = k.astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_id_bucket(k, n_buckets).astype(np.int64)),
+                "kind": pa.array(
+                    np.full(len(k), kind, dtype=np.int64)
+                ),
+                "k": pa.array(k),
+                "v": pa.array(v.astype(np.int64)),
+                "w": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        a = b[a_col].to_numpy().astype(np.int64)
+        bb = b[b_col].to_numpy().astype(np.int64)
+        keep = (a >= 0) & (bb >= 0)
+        a, bb = a[keep], bb[keep]
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        return _exchange_table(u, v, np.zeros(len(u), np.int64), kind=0)
+
+    # doubled edges, keyed by hash(source) — built once, reused per round
+    edges = pairs_ds.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "rep": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    if edges.count() == 0:
+        return empty
+
+    def init_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("k")["v"].min()
+        nodes = m.index.to_numpy().astype(np.int64)
+        lbl = np.minimum(nodes, m.to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {"k": nodes, "v": lbl, "w": np.zeros(len(nodes), np.int64)}
+        )
+
+    labels = (
+        edges.groupby("bucket")
+        .map_groups(init_group, batch_format="pandas")
+        .materialize()
+    )
+
+    def lbl_by_node(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy()
+        return _exchange_table(
+            k, b["v"].to_numpy(), np.zeros(len(k), np.int64), kind=1
+        )
+
+    def a1_group(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 1]
+        ed = g[g["kind"] == 0]
+        m = ed[["k", "v"]].merge(
+            lab[["k", "v"]].rename(columns={"v": "lbl"}), on="k"
+        )
+        # candidates keyed by TARGET node, plus the old label rows
+        # passed through (already node-keyed: lab.k is the node)
+        node = np.concatenate(
+            [m["v"].to_numpy().astype(np.int64),
+             lab["k"].to_numpy().astype(np.int64)]
+        )
+        val = np.concatenate(
+            [m["lbl"].to_numpy().astype(np.int64),
+             lab["v"].to_numpy().astype(np.int64)]
+        )
+        kind = np.concatenate(
+            [np.zeros(len(m), np.int64), np.ones(len(lab), np.int64)]
+        )
+        return pd.DataFrame(
+            {
+                "bucket": _id_bucket(node, n_buckets).astype(np.int64),
+                "kind": kind,
+                "k": node,
+                "v": val,
+                "w": np.zeros(len(node), np.int64),
+            }
+        )
+
+    def a2_group(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["kind"] == 1]  # exactly one row per node (invariant)
+        cands = g[g["kind"] == 0]
+        nodes = old["k"].to_numpy().astype(np.int64)
+        oldv = old["v"].to_numpy().astype(np.int64)
+        if len(cands):
+            cmin = cands.groupby("k")["v"].min()
+            cand = cmin.reindex(nodes).to_numpy(dtype=np.float64)
+        else:
+            cand = np.full(len(nodes), np.nan)
+        newv = np.where(
+            np.isnan(cand), oldv, np.minimum(oldv, cand)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"k": nodes, "v": newv, "w": (newv < oldv).astype(np.int64)}
+        )
+
+    def jump_probe(b: pa.Table) -> pa.Table:  # keyed by the LABEL
+        return _exchange_table(
+            b["v"].to_numpy(), b["k"].to_numpy(), b["w"].to_numpy(), kind=0
+        )
+
+    def b_group(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 1]
+        pr = g[g["kind"] == 0]
+        m = pr[["k", "v", "w"]].merge(
+            lab[["k", "v"]].rename(columns={"v": "lbl2"}), on="k"
+        )
+        if len(m) != len(pr):  # labels are node ids → total inner join
+            raise RuntimeError("cc pointer jump: dangling label")
+        node = m["v"].to_numpy().astype(np.int64)
+        lbl2 = m["lbl2"].to_numpy().astype(np.int64)
+        changed = m["w"].to_numpy().astype(np.int64) | (
+            lbl2 != m["k"].to_numpy().astype(np.int64)
+        ).astype(np.int64)
+        return pd.DataFrame({"k": node, "v": lbl2, "w": changed})
+
+    for _ in range(max_rounds):
+        lab_keyed = labels.map_batches(
+            lbl_by_node, batch_format="pyarrow", batch_size=65536
+        )
+        after_a = (
+            edges.union(lab_keyed)
+            .groupby("bucket")
+            .map_groups(a1_group, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(a2_group, batch_format="pandas")
+            .materialize()
+        )
+        probe = after_a.map_batches(
+            jump_probe, batch_format="pyarrow", batch_size=65536
+        )
+        build = after_a.map_batches(
+            lbl_by_node, batch_format="pyarrow", batch_size=65536
+        )
+        labels = (
+            probe.union(build)
+            .groupby("bucket")
+            .map_groups(b_group, batch_format="pandas")
+            .materialize()
+        )
+        if not labels.sum("w"):
+            break
+    else:
+        raise RuntimeError(
+            f"cc_labels_distributed: no fixpoint in {max_rounds} rounds"
+        )
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["k"], "rep": b["v"]}),
+        batch_format="pyarrow", batch_size=65536,
+    ).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,79 @@ def test_verify_jaccard_matches_driver_oracle(ray_session, docs_ds):
             zip(got["a"], got["b"], got["jaccard"])} == exp
 
 
+def test_cc_distributed_matches_union_find(ray_session):
+    """Distributed min-label-propagation CC == driver union-find on
+    random graphs, a 60-node path (pointer-jump stress: diameter 59
+    must converge in O(log d) rounds, enforced by max_rounds=12), a
+    star, and disjoint cliques — at two bucket widths."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import (
+        cc_labels_distributed,
+        connected_components,
+    )
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 100, 150)
+    b = rng.randint(0, 100, 150)
+    keep = a != b
+    p = np.arange(60)
+    cases = [
+        # random graph at two bucket widths; the rest at one
+        (pd.DataFrame({"a": a[keep], "b": b[keep]}), (3, 64)),
+        (pd.DataFrame({"a": p[:-1], "b": p[1:]}), (5,)),
+        (
+            pd.DataFrame(
+                {
+                    "a": [10] * 8 + [100, 101, 100],
+                    "b": list(range(1, 9)) + [101, 102, 102],
+                }
+            ),
+            (5,),
+        ),
+    ]
+    for pairs, widths in cases:
+        want = connected_components(pairs)
+        for nb in widths:
+            got = cc_labels_distributed(
+                rd.from_pandas(pairs), n_buckets=nb, max_rounds=12
+            ).to_pandas()
+            assert got.reset_index(drop=True).equals(
+                want.reset_index(drop=True)
+            )
+
+
+def test_cc_distributed_empty_and_sentinels(ray_session):
+    """Empty pair set → empty labels; LSH drop-counter sentinel rows
+    (a = -1) are filtered before the graph is built."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import cc_labels_distributed
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    out = cc_labels_distributed(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "rep"}
+
+    with_sent = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([3, -1], type=pa.int64()),
+                "b": pa.array([5, -2], type=pa.int64()),
+            }
+        )
+    )
+    got = cc_labels_distributed(with_sent).to_pandas()
+    assert list(got["doc_id"]) == [3, 5] and list(got["rep"]) == [3, 3]
+
+
 def test_simhash_identical_docs_pair(ray_session):
     import ray.data as rd
 
