@@ -1876,6 +1876,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["value"])
         return events.value_percentiles(ev, qs=(0.5, 0.9, 0.99))
 
+    def q_extended_stats(sf_dir):
+        # ES extended_stats: moments + population variance/std + bounds
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.extended_stats(ev)
+
+    def q_mad_value(sf_dir):
+        # ES median_absolute_deviation (exact via two radix selections;
+        # ES approximates with t-digest)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.median_abs_deviation(ev)
+
+    def q_multi_terms(sf_dir):
+        # ES multi_terms agg: compound-key buckets, count DESC, key ASC
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "user_id"])
+        return events.multi_terms(ev, keys=("event_type", "user_id"),
+                                  size=10)
+
+    def q_matrix_stats(sf_dir):
+        # ES matrix_stats (one field pair): population covariance +
+        # Pearson correlation of value vs hour-of-day
+        import numpy as np
+        import pyarrow as pa
+
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["ts", "value"])
+
+        def add_hour(b: pa.Table) -> pa.Table:
+            hours = (
+                b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+                % 24
+            ).astype(np.float64)
+            return pa.table({"value": b["value"], "hour": pa.array(hours)})
+
+        return events.matrix_stats(
+            ev.map_batches(add_hour, batch_format="pyarrow"),
+            "value", "hour",
+        )
+
+    def q_string_stats(sf_dir):
+        # ES string_stats: length stats + corpus character entropy
+        import excelastic_ray.pipelines.textstats as ts
+
+        return ts.string_stats(_docs(sf_dir))
+
     def q_distinct_users(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -2101,6 +2156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_facets": q_top_facets,
         "ann_filtered_topk": q_ann_filtered_topk,
         "value_percentiles": q_value_percentiles,
+        "extended_stats": q_extended_stats,
+        "mad_value": q_mad_value,
+        "multi_terms": q_multi_terms,
+        "matrix_stats": q_matrix_stats,
+        "string_stats": q_string_stats,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "kmv_users": q_kmv_users,
@@ -4840,6 +4900,98 @@ UNION ALL
 SELECT 0.9  AS quantile, quantile_disc(value, 0.9)  AS value FROM events
 UNION ALL
 SELECT 0.99 AS quantile, quantile_disc(value, 0.99) AS value FROM events
+""",
+        # ES extended_stats: trunc6 applied to the raw sums FIRST, then
+        # every derived value reuses the truncated inputs — the exact
+        # formula the engine mirrors (see events.extended_stats)
+        "extended_stats": """
+WITH m AS (
+    SELECT count(value) AS n, min(value) AS mn, max(value) AS mx,
+           floor(sum(value) * 1e6 + 0.5) / 1e6 AS s,
+           floor(sum(value * value) * 1e6 + 0.5) / 1e6 AS ss
+    FROM events
+),
+d AS (
+    SELECT n, mn, mx, s, ss,
+           floor(s / n * 1e6 + 0.5) / 1e6 AS avg_v,
+           floor((ss / n - (s / n) * (s / n)) * 1e6 + 0.5) / 1e6 AS var_v
+    FROM m
+),
+e AS (
+    SELECT *, floor(sqrt(greatest(var_v, 0)) * 1e6 + 0.5) / 1e6 AS std_v
+    FROM d
+)
+SELECT CAST(n AS BIGINT) AS n, mn AS min_v, mx AS max_v, s AS sum_v,
+       avg_v, ss AS sum_sq, var_v AS variance, std_v AS std_dev,
+       floor((avg_v + 2 * std_v) * 1e6 + 0.5) / 1e6 AS std_upper,
+       floor((avg_v - 2 * std_v) * 1e6 + 0.5) / 1e6 AS std_lower
+FROM e
+""",
+        # ES median_absolute_deviation — engine is exact (two radix
+        # selections, discrete median = quantile_disc), so the doubles
+        # match with no rounding
+        "mad_value": """
+WITH med AS (SELECT quantile_disc(value, 0.5) AS m FROM events)
+SELECT m AS median,
+       (SELECT quantile_disc(abs(value - med.m), 0.5) FROM events) AS mad
+FROM med
+""",
+        # ES multi_terms agg: compound key, count DESC then key ASC;
+        # the (n, event_type, user_id) sort key is a total order so the
+        # LIMIT cut is identical in both engines
+        "multi_terms": """
+SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY n DESC, event_type, user_id
+LIMIT 10
+""",
+        # ES matrix_stats (value vs hour-of-day): the moment formula is
+        # spelled out because DuckDB's covar_pop/corr use Welford
+        # accumulation whose last bits differ from sum-of-products
+        "matrix_stats": """
+WITH b AS (
+    SELECT value AS x, CAST(extract(hour FROM ts) AS DOUBLE) AS y
+    FROM events
+),
+m AS (
+    SELECT count(*) AS n,
+           floor(sum(x) * 1e6 + 0.5) / 1e6 AS sx,
+           floor(sum(y) * 1e6 + 0.5) / 1e6 AS sy,
+           floor(sum(x * x) * 1e6 + 0.5) / 1e6 AS sxx,
+           floor(sum(y * y) * 1e6 + 0.5) / 1e6 AS syy,
+           floor(sum(x * y) * 1e6 + 0.5) / 1e6 AS sxy
+    FROM b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((sxy / n - (sx / n) * (sy / n)) * 1e6 + 0.5) / 1e6 AS cov,
+       floor(((sxy / n - (sx / n) * (sy / n))
+              / sqrt((sxx / n - (sx / n) * (sx / n))
+                     * (syy / n - (sy / n) * (sy / n)))) * 1e6 + 0.5) / 1e6
+           AS corr
+FROM m
+""",
+        # ES string_stats: per-char explode for the entropy term;
+        # length() counts codepoints = the engine's utf8_length
+        "string_stats": """
+WITH ch AS (
+    SELECT unicode(substr(d.text, i.i, 1)) AS c, count(*) AS cnt
+    FROM documents d,
+         LATERAL unnest(range(1, length(d.text) + 1)) AS i(i)
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM ch),
+ent AS (SELECT sum(-(cnt / t) * log2(cnt / t)) AS e FROM ch, tot),
+lens AS (
+    SELECT count(*) AS n, min(length(text)) AS mn, max(length(text)) AS mx,
+           sum(length(text)) AS s
+    FROM documents
+)
+SELECT CAST(n AS BIGINT) AS count, CAST(mn AS BIGINT) AS min_length,
+       CAST(mx AS BIGINT) AS max_length,
+       floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS avg_length,
+       floor(e * 1e6 + 0.5) / 1e6 AS entropy
+FROM lens, ent
 """,
         # ES cardinality aggregation, exact twin (the HLL estimate
         # variant is the no-oracle hll_users entry)

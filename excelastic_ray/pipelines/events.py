@@ -991,3 +991,185 @@ def auto_date_histogram(ds, target_buckets: int = 20):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def extended_stats(ds, col: str = "value", sigma: float = 2.0):
+    """ES ``extended_stats`` aggregation analog over a numeric field:
+    count / min / max / sum / avg / sum_of_squares / population
+    variance / std_deviation / std_deviation_bounds.
+
+    One tiny moment-partial row per batch (n, sum, sumsq, min, max),
+    combined on the driver (batch-count-sized, never rows). The float
+    sums are trunc6'd BEFORE any derived value so engine and SQL twin
+    divide the identical dividend (the ``value_histogram`` rule), and
+    every derived value reuses already-truncated inputs:
+
+        s = T(sum); ss = T(sumsq); avg = T(s/n)
+        var = T(ss/n - (s/n)^2);  std = T(sqrt(var))
+        bounds = T(avg +/- sigma*std)
+
+    → pandas.DataFrame, one row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pd.DataFrame(
+                {"n": [0], "s": [0.0], "ss": [0.0],
+                 "mn": [np.inf], "mx": [-np.inf]}
+            )
+        return pd.DataFrame(
+            {
+                "n": [len(v)],
+                "s": [float(np.sum(v))],
+                "ss": [float(np.sum(v * v))],
+                "mn": [float(np.min(v))],
+                "mx": [float(np.max(v))],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    n = int(p["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"n": [0], "min_v": [np.nan], "max_v": [np.nan],
+             "sum_v": [np.nan], "avg_v": [np.nan], "sum_sq": [np.nan],
+             "variance": [np.nan], "std_dev": [np.nan],
+             "std_upper": [np.nan], "std_lower": [np.nan]}
+        )
+    s = float(trunc6(p["s"].sum()))
+    ss = float(trunc6(p["ss"].sum()))
+    avg = float(trunc6(s / n))
+    var = float(trunc6(ss / n - (s / n) * (s / n)))
+    std = float(trunc6(np.sqrt(max(var, 0.0))))
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "min_v": [float(p["mn"].min())],
+            "max_v": [float(p["mx"].max())],
+            "sum_v": [s],
+            "avg_v": [avg],
+            "sum_sq": [ss],
+            "variance": [var],
+            "std_dev": [std],
+            "std_upper": [float(trunc6(avg + sigma * std))],
+            "std_lower": [float(trunc6(avg - sigma * std))],
+        }
+    )
+
+
+def median_abs_deviation(ds, col: str = "value"):
+    """ES ``median_absolute_deviation`` aggregation analog — EXACT via
+    two distributed radix selections (ES itself ships a t-digest
+    approximation): the discrete median m of ``col`` (smallest value
+    whose cumulative count reaches ceil(n/2) = DuckDB
+    ``quantile_disc``), then the discrete median of ``|x - m|``. Both
+    passes reuse ``value_percentiles``' streaming histogram selection —
+    nothing row-sized reaches the driver and no shuffle moves events.
+    |x - m| is a single exact float64 op, so the output is exact data
+    values (no truncation needed for SQL parity).
+
+    → pandas.DataFrame (median, mad), one row."""
+    m = float(value_percentiles(ds, qs=(0.5,), col=col)["value"].iloc[0])
+
+    def dev(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(v - m))})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow", batch_size=65536)
+    mad = float(value_percentiles(devs, qs=(0.5,), col="dev")["value"].iloc[0])
+    return pd.DataFrame({"median": [m], "mad": [mad]})
+
+
+def multi_terms(ds, keys=("event_type", "user_id"), size: int = 10):
+    """ES ``multi_terms`` aggregation analog: buckets keyed by the
+    COMPOUND key tuple, ordered by doc count DESC then key ASC,
+    truncated to ``size``.
+
+    Per-batch pandas groupby partials → the coarse-bucket sum combine
+    (exchange moves O(batches × live keys) partial rows, never events)
+    → per-block top-``size`` candidates → driver-side final top-k over
+    ≤ blocks × size candidate rows. The driver never sees the full key
+    cardinality.
+
+    → pandas.DataFrame (*keys, n), ``size`` rows."""
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys).to_pandas()
+        df["n"] = 1
+        return df.groupby(keys, sort=False).agg(n=("n", "sum")).reset_index()
+
+    p = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    comb = _bucketed_sum_combine(p, keys)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n"] + keys, ascending=[False] + [True] * len(keys)
+        ).head(size)
+
+    cand = comb.map_batches(
+        topn, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return (
+        cand.sort_values(["n"] + keys, ascending=[False] + [True] * len(keys))
+        .head(size)
+        .reset_index(drop=True)
+    )
+
+
+def matrix_stats(ds, x_col: str, y_col: str):
+    """ES ``matrix_stats`` aggregation analog for one field pair:
+    population covariance and Pearson correlation between two numeric
+    columns, from one pass of tiny moment partials (n, sx, sy, sxx,
+    syy, sxy) per batch combined on the driver.
+
+    Float sums are trunc6'd BEFORE any derived value (the
+    ``extended_stats`` rule) and the SQL twin spells out the identical
+    moment formula — DuckDB's native ``covar_pop``/``corr`` use Welford
+    accumulation whose last-bit behavior differs from the moment form:
+
+        cov_raw = T(sxy)/n - (T(sx)/n)(T(sy)/n)
+        cov  = T(cov_raw)
+        corr = T(cov_raw / sqrt(varx_raw * vary_raw))
+
+    → pandas.DataFrame (n, cov, corr), one row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [float(np.sum(x))],
+                "sy": [float(np.sum(y))],
+                "sxx": [float(np.sum(x * x))],
+                "syy": [float(np.sum(y * y))],
+                "sxy": [float(np.sum(x * y))],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    n = int(p["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"n": [0], "cov": [np.nan], "corr": [np.nan]})
+    sx = float(trunc6(p["sx"].sum()))
+    sy = float(trunc6(p["sy"].sum()))
+    sxx = float(trunc6(p["sxx"].sum()))
+    syy = float(trunc6(p["syy"].sum()))
+    sxy = float(trunc6(p["sxy"].sum()))
+    mx, my = sx / n, sy / n
+    cov_raw = sxy / n - mx * my
+    varx = sxx / n - mx * mx
+    vary = syy / n - my * my
+    corr = cov_raw / np.sqrt(varx * vary) if varx > 0 and vary > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "cov": [float(trunc6(cov_raw))],
+            "corr": [float(trunc6(corr))],
+        }
+    )

@@ -1217,3 +1217,87 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
                                    type=pa.int64()),
         }
     )
+
+
+def string_stats(ds, text_col: str = "text"):
+    """ES ``string_stats`` aggregation analog over a string field:
+    count, min/max/avg length (codepoints) and the Shannon entropy of
+    the corpus-wide CHARACTER distribution (``show_distribution``'s
+    underlying statistic).
+
+    Two streaming passes over the one pruned column:
+
+    1. length moments — a tiny (n, sum, min, max) partial per batch,
+       driver combine (batch-count-sized). Lengths are ints, so the
+       sums are exact — only the derived avg is trunc6'd.
+    2. character counts — each batch joins its strings once (C-level),
+       decodes to UTF-32, and bincounts codepoints via ``np.unique``;
+       the sparse (codepoint, cnt) partials go through the
+       coarse-bucket sum combine and the final alphabet-sized table
+       computes entropy on the driver in ASCENDING codepoint order
+       (deterministic summation; the SQL twin's SUM order is
+       unspecified but trunc6 absorbs last-bit spread).
+
+    → pandas.DataFrame (count, min_length, max_length, avg_length,
+    entropy), one row."""
+    import pyarrow.compute as pc
+
+    from excelastic_ray.pipelines.events import _bucketed_sum_combine
+
+    pruned = ds.select_columns([text_col])
+
+    def len_partial(batch: pa.Table) -> pd.DataFrame:
+        ln = pc.utf8_length(
+            pc.coalesce(batch[text_col], "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ln):
+            return pd.DataFrame({"n": [0], "s": [0], "mn": [2**62], "mx": [-1]})
+        return pd.DataFrame(
+            {"n": [len(ln)], "s": [int(ln.sum())],
+             "mn": [int(ln.min())], "mx": [int(ln.max())]}
+        )
+
+    lp = pruned.map_batches(len_partial, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    n = int(lp["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"count": [0], "min_length": [0], "max_length": [0],
+             "avg_length": [np.nan], "entropy": [np.nan]}
+        )
+
+    def char_partial(batch: pa.Table) -> pd.DataFrame:
+        joined = "".join(
+            pc.coalesce(batch[text_col], "").to_pylist()
+        )
+        if not joined:
+            return pd.DataFrame(
+                {"c": np.zeros(0, np.int64), "cnt": np.zeros(0, np.int64)}
+            )
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        u, cnt = np.unique(codes, return_counts=True)
+        return pd.DataFrame(
+            {"c": u.astype(np.int64), "cnt": cnt.astype(np.int64)}
+        )
+
+    chars = (
+        _bucketed_sum_combine(
+            pruned.map_batches(char_partial, batch_format="pyarrow",
+                               batch_size=65536),
+            ["c"],
+        )
+        .to_pandas()  # alphabet-sized, never rows
+        .sort_values("c")
+    )
+    tot = float(chars["cnt"].sum())
+    p = chars["cnt"].to_numpy(dtype=np.float64) / tot
+    entropy = float(-np.sum(p * np.log2(p)))
+    return pd.DataFrame(
+        {
+            "count": [n],
+            "min_length": [int(lp["mn"].min())],
+            "max_length": [int(lp["mx"].max())],
+            "avg_length": [float(trunc6(int(lp["s"].sum()) / n))],
+            "entropy": [float(trunc6(entropy))],
+        }
+    )

@@ -469,3 +469,103 @@ def test_agg_tree_empty_result_schema_is_typed(ray_session):
     assert out.schema.field("per_day_key").type == pa.timestamp("us")
     assert out.schema.field("s").type == pa.float64()
     assert out.num_rows == 0
+
+
+def test_extended_stats_hand_computed(ray_session):
+    """extended_stats vs direct numpy moments on a tiny column,
+    including the truncate-sums-first discipline."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import extended_stats
+
+    v = np.array([1.5, 2.0, 2.5, 10.0, -3.0])
+    out = extended_stats(
+        rd.from_arrow(pa.table({"value": pa.array(v)})), sigma=2.0
+    ).iloc[0]
+    assert out["n"] == 5
+    assert out["min_v"] == -3.0 and out["max_v"] == 10.0
+    assert out["sum_v"] == 13.0
+    assert out["avg_v"] == 2.6
+    assert out["sum_sq"] == 121.5
+    var = 121.5 / 5 - 2.6 * 2.6
+    assert abs(out["variance"] - var) < 1e-6
+    assert abs(out["std_dev"] - np.sqrt(out["variance"])) < 1e-6
+    assert abs(out["std_upper"] - (2.6 + 2 * out["std_dev"])) < 1e-6
+
+
+def test_median_abs_deviation_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import median_abs_deviation
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(50, 10, 501)
+    out = median_abs_deviation(
+        rd.from_arrow(pa.table({"value": pa.array(v)}))
+    ).iloc[0]
+    m = np.sort(v)[250]  # discrete median, odd count
+    mad = np.sort(np.abs(v - m))[250]
+    assert out["median"] == m and out["mad"] == mad
+
+
+def test_multi_terms_order_and_cut(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import multi_terms
+
+    t = pa.table(
+        {
+            "event_type": ["a", "a", "a", "b", "b", "c"],
+            "user_id": pa.array([1, 1, 2, 1, 1, 9], type=pa.int64()),
+        }
+    )
+    out = multi_terms(rd.from_arrow(t), size=3)
+    assert list(zip(out["event_type"], out["user_id"], out["n"])) == [
+        ("a", 1, 2), ("b", 1, 2), ("a", 2, 1),
+    ]
+
+
+def test_matrix_stats_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import matrix_stats
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(0, 1, 400)
+    y = 0.5 * x + rng.normal(0, 1, 400)
+    out = matrix_stats(
+        rd.from_arrow(pa.table({"x": pa.array(x), "y": pa.array(y)})),
+        "x", "y",
+    ).iloc[0]
+    cov = float(np.mean(x * y) - np.mean(x) * np.mean(y))
+    corr = cov / float(np.std(x) * np.std(y))
+    assert out["n"] == 400
+    assert abs(out["cov"] - cov) < 1e-5
+    assert abs(out["corr"] - corr) < 1e-5
+
+
+def test_string_stats_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import string_stats
+
+    texts = ["ab", "abb", None, ""]
+    out = string_stats(
+        rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    ).iloc[0]
+    # chars over the corpus: a=2, b=3 (None -> "", counts rows though)
+    assert out["count"] == 4
+    assert out["min_length"] == 0 and out["max_length"] == 3
+    assert out["avg_length"] == 1.25
+    p = np.array([2, 3]) / 5
+    ent = float(-np.sum(p * np.log2(p)))
+    assert abs(out["entropy"] - ent) < 1e-6
