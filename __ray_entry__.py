@@ -1116,6 +1116,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_rank_eval(sf_dir):
+        # ES _rank_eval API: precision/recall@10, MRR, binary NDCG;
+        # relevance judgment = conjunctive containment of all query
+        # terms (deterministically derivable by both engines)
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.rank_eval(BM25_QUERIES, k=10)
+
     def q_bm25_count(sf_dir):
         import pandas as pd
 
@@ -2057,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "bm25_topk": q_bm25_topk,
+        "rank_eval": q_rank_eval,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -2338,6 +2348,101 @@ FROM scored {and_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
+"""
+    )
+
+
+def _rank_eval_sql(k: int = 10) -> str:
+    """rank_eval twin: the _bm25_sql scored CTE ranked into the top-k
+    window, binary relevance = conjunctive containment (nmatch == nt),
+    metrics per query driven from qn (LEFT JOINs) so zero-result
+    queries like q4 still emit a row."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {vals}),
+qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           count(*) AS nmatch,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, nmatch,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY raw DESC, conv_id, turn_idx) AS pos
+    FROM scored
+    QUALIFY pos <= {k}
+),
+rel AS (
+    SELECT s.query_id, s.conv_id, s.turn_idx
+    FROM scored s
+    JOIN qn ON qn.query_id = s.query_id AND s.nmatch = qn.nt
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+flags AS (
+    SELECT r.query_id, r.pos,
+           CASE WHEN rel.conv_id IS NULL THEN 0 ELSE 1 END AS isrel
+    FROM ranked r
+    LEFT JOIN rel ON rel.query_id = r.query_id
+        AND rel.conv_id = r.conv_id AND rel.turn_idx = r.turn_idx
+),
+per AS (
+    SELECT query_id, count(*) AS retrieved, sum(isrel) AS hits,
+           coalesce(sum(CASE WHEN isrel = 1
+                        THEN 1.0 / log2(pos + 1) END), 0) AS dcg,
+           min(CASE WHEN isrel = 1 THEN pos END) AS first_rel
+    FROM flags GROUP BY 1
+),
+idcg AS (
+    SELECT n.query_id, coalesce(sum(1.0 / log2(i.i + 1)), 0) AS ideal
+    FROM nrel n, LATERAL unnest(range(1, least({k}, n.n_rel) + 1)) AS i(i)
+    GROUP BY 1
+)
+SELECT qn.query_id,
+       CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(p.retrieved, 0) AS BIGINT) AS retrieved,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+       CASE WHEN coalesce(p.retrieved, 0) > 0
+            THEN floor(CAST(p.hits AS DOUBLE) / p.retrieved * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS "precision",
+       CASE WHEN coalesce(n.n_rel, 0) > 0 AND p.hits IS NOT NULL
+            THEN floor(CAST(p.hits AS DOUBLE) / n.n_rel * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS recall,
+       CASE WHEN p.first_rel IS NULL THEN 0
+            ELSE floor(1.0 / p.first_rel * 1e6 + 0.5) / 1e6 END AS rr,
+       floor(coalesce(p.dcg, 0) * 1e6 + 0.5) / 1e6 AS dcg,
+       CASE WHEN coalesce(i.ideal, 0) > 0 AND p.dcg IS NOT NULL
+            THEN floor(p.dcg / i.ideal * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS ndcg
+FROM qn
+LEFT JOIN per p USING (query_id)
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+ORDER BY qn.query_id
 """
     )
 
@@ -3711,6 +3816,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "bm25_topk": _bm25_sql(),
+        "rank_eval": _rank_eval_sql(),
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
         # ExactSubstr spans: duplicated L-token grams by STRING equality

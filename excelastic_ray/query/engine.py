@@ -3294,6 +3294,68 @@ class QueryEngine:
         n_required = len(live) if mode == "and" else 0
         return live, n_required, dead
 
+    def rank_eval(self, queries, k: int = 10):
+        """ES ``_rank_eval`` API analog: ranking-quality metrics per
+        query over the BM25 top-``k`` window — precision@k (hits /
+        retrieved), recall@k (hits / total relevant), reciprocal rank
+        (0 when no relevant doc is in the window, ES's convention),
+        binary DCG@k and NDCG@k (ideal = the first min(k, n_rel)
+        positions all relevant).
+
+        Binary relevance judgment = CONJUNCTIVE CONTAINMENT: a doc is
+        relevant iff it matches every query term — a judgment both the
+        engine and the SQL twin derive deterministically from the
+        corpus, standing in for ES's caller-supplied ratings. The
+        window's relevant subset is recovered from the AND-mode top-k
+        (a conjunctive doc inside the OR window is beaten by < k docs
+        overall, hence by < k conjunctive docs, so it is always inside
+        the AND window too); the total relevant count is the _count
+        endpoint in AND mode — no full result-set materialization.
+
+        ``queries``: iterable of (query_id, query_string).
+        → pandas.DataFrame (query_id, n_rel, retrieved, hits,
+        precision, recall, rr, dcg, ndcg), floats trunc6'd."""
+        import pandas as pd
+
+        from excelastic_ray.pipelines.textstats import trunc6
+
+        def t6(x: float) -> float:
+            return float(trunc6(x))
+
+        rows = []
+        for qid, q in queries:
+            top = self.search(q, k)
+            keys = list(zip(top["conv_id"].to_pylist(),
+                            top["turn_idx"].to_pylist()))
+            and_top = self.search(q, k, mode="and")
+            rel_keys = set(zip(and_top["conv_id"].to_pylist(),
+                               and_top["turn_idx"].to_pylist()))
+            n_rel = self.count(q, mode="and")
+            flags = [kk in rel_keys for kk in keys]
+            retrieved = len(keys)
+            hits = sum(flags)
+            first = next((i + 1 for i, f in enumerate(flags) if f), 0)
+            dcg = float(
+                np.sum([1.0 / np.log2(i + 2) for i, f in enumerate(flags)
+                        if f])
+            )
+            ideal = min(k, n_rel)
+            idcg = float(np.sum(1.0 / np.log2(np.arange(ideal) + 2)))
+            rows.append(
+                {
+                    "query_id": qid,
+                    "n_rel": int(n_rel),
+                    "retrieved": int(retrieved),
+                    "hits": int(hits),
+                    "precision": t6(hits / retrieved) if retrieved else 0.0,
+                    "recall": t6(hits / n_rel) if n_rel else 0.0,
+                    "rr": t6(1.0 / first) if first else 0.0,
+                    "dcg": t6(dcg),
+                    "ndcg": t6(dcg / idcg) if idcg > 0 else 0.0,
+                }
+            )
+        return pd.DataFrame(rows)
+
     def count(self, query: str, filters: dict | None = None,
               mode: str = "or") -> int:
         """Matching-doc count (the ES _count endpoint analog)."""

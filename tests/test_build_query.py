@@ -905,3 +905,66 @@ def test_explain_reconstructs_scores(tiny_index, ray_session):
 
     with _pytest.raises(KeyError):
         eng.explain("the", 1 << 60)
+
+
+def test_rank_eval_hand_metrics(tiny_index, tiny_table):
+    """rank_eval metrics recomputed independently from raw text
+    containment (NOT the engine's AND-window shortcut): relevance =
+    doc token set contains every query term."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.pipelines.textstats import trunc6
+    from excelastic_ray.query.engine import QueryEngine
+
+    import numpy as np
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(3)]
+    mid = [t for t, c in counts.items() if 5 <= c <= 50][:2]
+    queries = [
+        ("qa", f"{hot[0]} {mid[0]}"),
+        ("qb", f"{hot[0]} {hot[1]} {mid[1]}"),
+        ("qc", "term_not_in_corpus"),
+    ]
+    out = eng.rank_eval(queries, k=10).set_index("query_id")
+
+    docsets = {
+        (c, i): set(tokenize(t))
+        for c, i, t in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    for qid, q in queries:
+        terms = set(tokenize(q))
+        n_rel = sum(1 for s in docsets.values() if terms <= s)
+        top = eng.search(q, 10)
+        keys = list(zip(top["conv_id"].to_pylist(),
+                        top["turn_idx"].to_pylist()))
+        flags = [terms <= docsets[kk] for kk in keys]
+        hits = sum(flags)
+        first = next((i + 1 for i, f in enumerate(flags) if f), 0)
+        dcg = sum(1.0 / np.log2(i + 2) for i, f in enumerate(flags) if f)
+        ideal = min(10, n_rel)
+        idcg = float(np.sum(1.0 / np.log2(np.arange(ideal) + 2)))
+        row = out.loc[qid]
+        assert row["n_rel"] == n_rel and row["hits"] == hits
+        assert row["retrieved"] == len(keys)
+        assert row["precision"] == (
+            float(trunc6(hits / len(keys))) if keys else 0.0
+        )
+        assert row["recall"] == (
+            float(trunc6(hits / n_rel)) if n_rel else 0.0
+        )
+        assert row["rr"] == (float(trunc6(1.0 / first)) if first else 0.0)
+        assert row["dcg"] == float(trunc6(dcg))
+        assert row["ndcg"] == (
+            float(trunc6(dcg / idcg)) if idcg > 0 else 0.0
+        )
