@@ -1210,6 +1210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n-gram occurrences appearing >= 2x corpus-wide
         return ts.dup_ngram_stats(_docs(sf_dir), n=3)
 
+    def q_repetition_signals(sf_dir):
+        # Gopher within-doc repetition filters: duplicate-line
+        # fractions + top 2-/3-gram token coverage
+        return ts.repetition_signals(_docs(sf_dir))
+
     def q_top_terms(sf_dir):
         # partial+final df aggregate → distributed sort → limit: the
         # top-k frequent-terms query (ties broken by term asc)
@@ -2129,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
+        "repetition_signals": q_repetition_signals,
         "token_quantiles": q_token_quantiles,
         "doc_signals": q_doc_signals,
         "keywords": q_keywords,
@@ -4674,6 +4680,69 @@ LIMIT 10
 SELECT a.doc_id
 FROM documents a
 WHERE a.text IN (SELECT text FROM documents WHERE doc_id % 7 = 0)
+""",
+        # Gopher within-doc repetition filters; n-gram fractions are
+        # token-denominated (max count × n / n_tokens), line stats are
+        # count- and char-denominated — identical expressions engine-side
+        "repetition_signals": f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+nt AS (SELECT doc_id, len(toks) AS n FROM base),
+g2 AS (
+    SELECT b.doc_id, b.toks[i.i] || ' ' || b.toks[i.i + 1] AS g
+    FROM base b, LATERAL unnest(range(1, greatest(len(b.toks), 1))) AS i(i)
+    WHERE i.i + 1 <= len(b.toks)
+),
+c2 AS (
+    SELECT doc_id, max(cnt) AS c FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2
+    ) GROUP BY 1
+),
+g3 AS (
+    SELECT b.doc_id,
+           b.toks[i.i] || ' ' || b.toks[i.i + 1] || ' ' || b.toks[i.i + 2]
+               AS g
+    FROM base b, LATERAL unnest(range(1, greatest(len(b.toks), 1))) AS i(i)
+    WHERE i.i + 2 <= len(b.toks)
+),
+c3 AS (
+    SELECT doc_id, max(cnt) AS c FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2
+    ) GROUP BY 1
+),
+lines AS (
+    SELECT doc_id,
+           unnest(string_split(coalesce(text, ''), chr(10))) AS line
+    FROM documents
+),
+lc AS (
+    SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+    FROM lines GROUP BY doc_id, line
+),
+ls AS (
+    SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+           sum(cnt * ln) AS tot_chars, sum((cnt - 1) * ln) AS dup_chars
+    FROM lc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(ls.n_lines AS BIGINT) AS n_lines,
+       floor(CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines
+             * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+       CASE WHEN ls.tot_chars > 0
+            THEN floor(CAST(ls.dup_chars AS DOUBLE) / ls.tot_chars
+                       * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS dup_line_char_frac,
+       CASE WHEN nt.n >= 2
+            THEN floor(CAST(c2.c * 2 AS DOUBLE) / nt.n * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS top2_frac,
+       CASE WHEN nt.n >= 3
+            THEN floor(CAST(c3.c * 3 AS DOUBLE) / nt.n * 1e6 + 0.5) / 1e6
+            ELSE 0 END AS top3_frac
+FROM documents d
+JOIN nt USING (doc_id)
+JOIN ls USING (doc_id)
+LEFT JOIN c2 USING (doc_id)
+LEFT JOIN c3 USING (doc_id)
+ORDER BY doc_id
 """,
         "ngram_jaccard": _DOCTOK
         + """

@@ -1301,3 +1301,112 @@ def string_stats(ds, text_col: str = "text"):
             "entropy": [float(trunc6(entropy))],
         }
     )
+
+
+def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style WITHIN-document repetition filters (Rae et al. 2021
+    §A1.1 — the signals ``doc_signals``/``dup_ngram_stats`` do NOT
+    cover: those are structure- and corpus-level): per doc,
+
+    - ``dup_line_frac``       — duplicate lines / lines (count-based)
+    - ``dup_line_char_frac``  — chars in occurrences beyond a line's
+                                first / total line chars
+    - ``top2_frac``/``top3_frac`` — tokens covered by the single most
+      frequent 2-/3-gram: max_count × n / n_tokens (the paper's
+      top-n-gram fraction, token-denominated)
+
+    Fully vectorized, embarrassingly parallel (no shuffle): line stats
+    ride one Arrow split + a C-level pandas groupby; n-gram max counts
+    pack adjacent token codes base-|vocab| into uint64 keys and reduce
+    with one groupby per n. → Dataset (doc_id, n_lines, dup_line_frac,
+    dup_line_char_frac, top2_frac, top3_frac), fracs trunc6'd."""
+    import pyarrow.compute as pc
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = pc.coalesce(batch[text_col], "")
+        lines = pc.split_pattern(texts, "\n")
+        sizes = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        flat = pc.list_flatten(lines)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lc = (
+            pd.DataFrame({"r": row, "line": flat.to_pandas(), "ln": ln})
+            .groupby(["r", "line"], sort=False)
+            .agg(cnt=("ln", "size"), ln=("ln", "first"))
+            .reset_index()
+        )
+        n_lines = np.bincount(row, minlength=n).astype(np.int64)
+        n_distinct = np.bincount(
+            lc["r"].to_numpy(), minlength=n
+        ).astype(np.int64)
+        tot_chars = np.bincount(
+            lc["r"].to_numpy(),
+            weights=(lc["cnt"] * lc["ln"]).to_numpy(),
+            minlength=n,
+        )
+        dup_chars = np.bincount(
+            lc["r"].to_numpy(),
+            weights=((lc["cnt"] - 1) * lc["ln"]).to_numpy(),
+            minlength=n,
+        )
+
+        codes, uniques, row_idx = _tokenize_batch(texts.to_pylist())
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        m = np.uint64(max(len(uniques), 1))
+
+        def max_ngram_count(k: int) -> np.ndarray:
+            out = np.zeros(n, dtype=np.int64)
+            w = len(codes) - (k - 1)
+            if w <= 0:
+                return out
+            r0 = row_idx[:w]
+            ok = np.ones(w, dtype=bool)
+            with np.errstate(over="ignore"):
+                key = codes[:w].astype(np.uint64)
+                for j in range(1, k):
+                    ok &= row_idx[j:w + j] == r0
+                    key = key * m + codes[j:w + j].astype(np.uint64)
+            r, key = r0[ok], key[ok]
+            if not len(r):
+                return out
+            mx = (
+                pd.DataFrame({"r": r, "key": key})
+                .groupby(["r", "key"], sort=False)
+                .size()
+                .groupby(level=0)
+                .max()
+            )
+            out[mx.index.to_numpy()] = mx.to_numpy()
+            return out
+
+        c2 = max_ngram_count(2)
+        c3 = max_ngram_count(3)
+        safe_t = np.maximum(n_tokens, 1).astype(np.float64)
+        safe_l = np.maximum(n_lines, 1).astype(np.float64)
+        safe_c = np.maximum(tot_chars, 1.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines),
+                "dup_line_frac": pa.array(
+                    trunc6((n_lines - n_distinct) / safe_l)
+                ),
+                "dup_line_char_frac": pa.array(
+                    trunc6(np.where(tot_chars > 0, dup_chars / safe_c, 0.0))
+                ),
+                "top2_frac": pa.array(
+                    trunc6(np.where(n_tokens >= 2, c2 * 2 / safe_t, 0.0))
+                ),
+                "top3_frac": pa.array(
+                    trunc6(np.where(n_tokens >= 3, c3 * 3 / safe_t, 0.0))
+                ),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          batch_size=4096)

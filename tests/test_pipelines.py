@@ -2024,3 +2024,46 @@ def test_shuffle_take_equals_full_sort(ray_session):
     assert out["doc_id"].tolist() == ids[order].tolist()
     assert out["shuffle_key"].tolist() == [str(x) for x in h[order]]
     assert out["rank"].tolist() == list(range(1, 51))
+
+
+def test_repetition_signals_hand_computed(ray_session):
+    """Gopher within-doc repetition signals on a crafted doc:
+    'a b\\nx\\nx\\na b' → 4 lines, 2 dups-beyond-first... checked by
+    hand below."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.textstats import repetition_signals, trunc6
+
+    texts = [
+        "a b\nx\nx\na b",      # lines: [a b, x, x, a b] -> 2 duplicate
+        "w w w q",              # top 2-gram 'w w' x2 over 4 tokens
+        "",                     # degenerate
+    ]
+    out = (
+        repetition_signals(
+            rd.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "text": texts}
+                )
+            )
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    r0 = out.loc[0]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == 0.5            # 2 of 4 lines are dups
+    # dup chars: 'x' (1) + 'a b' (3) beyond-first over total 1+1+3+3
+    assert r0["dup_line_char_frac"] == 0.5
+    # tokens: a b x x a b -> top 2-gram 'a b' x2 -> trunc6(2*2/6)
+    assert r0["top2_frac"] == 0.666667
+    # 3-grams all x1 over 6 tokens -> 3/6
+    assert r0["top3_frac"] == 0.5
+    r1 = out.loc[1]
+    assert r1["top2_frac"] == 1.0                # 'w w' x2 * 2 / 4
+    assert r1["top3_frac"] == 0.75               # 'w w w' x1 * 3 / 4
+    r2 = out.loc[2]
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    assert r2["dup_line_char_frac"] == 0.0
+    assert r2["top2_frac"] == 0.0 and r2["top3_frac"] == 0.0
