@@ -82,6 +82,16 @@ BM25_QUERIES = [
     ("q6", "scan scan scan"),
 ]
 
+#: span_first probes: (query_id, term, end) — end = max allowed span
+#: end position (0-based positions; a term at p spans (p, p+1)), so
+#: end=1 means "the very first token". Mixed df classes + bound depths.
+SPAN_FIRST_QUERIES = [
+    ("s1", "table", 1),
+    ("s2", "value", 3),
+    ("s3", "merge", 8),
+    ("s4", "zzz_absent_term", 4),
+]
+
 #: query-time synonym table (ES synonym_graph analog). Mixes synonyms
 #: that exist in the corpus (merge/join, scan/filter) with absent ones
 #: (quick/rapid, read) so the df = max(member df) rule is exercised
@@ -1116,6 +1126,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_span_first(sf_dir):
+        # ES span_first: positional boundary on the match, term-query
+        # scoring (stats untouched by the bound)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, term, end in SPAN_FIRST_QUERIES:
+            t = eng.search_span_first(term, end, 10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_rank_eval(sf_dir):
         # ES _rank_eval API: precision/recall@10, MRR, binary NDCG;
         # relevance judgment = conjunctive containment of all query
@@ -2072,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "rank_eval": q_rank_eval,
+        "span_first": q_span_first,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -2449,6 +2488,50 @@ LEFT JOIN per p USING (query_id)
 LEFT JOIN nrel n USING (query_id)
 LEFT JOIN idcg i USING (query_id)
 ORDER BY qn.query_id
+"""
+    )
+
+
+def _span_first_sql(k: int = 10) -> str:
+    """span_first twin: single-term BM25 scoring with a first-position
+    bound. list_position is 1-based, so the engine's 0-based
+    ``min_pos + 1 <= end`` is exactly ``list_position <= end``."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}', {end})" for qid, t, end in SPAN_FIRST_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term, endpos) AS (VALUES
+        {vals}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    JOIN base bb ON bb.conv_id = tf.conv_id AND bb.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE list_position(bb.toks, q.term) <= q.endpos
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
 """
     )
 
@@ -3823,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(),
         "rank_eval": _rank_eval_sql(),
+        "span_first": _span_first_sql(),
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
         # ExactSubstr spans: duplicated L-token grams by STRING equality

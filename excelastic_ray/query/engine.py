@@ -469,6 +469,42 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
+    def span_first_topk(self, term: str, end: int, t_idf: float,
+                        avgdl: float, k: int, filters: dict | None = None):
+        """ES ``span_first`` (a ``span_term`` bounded by ``end``):
+        matches docs whose first occurrence of ``term`` spans inside
+        the first ``end`` positions — 0-based, a term at position p
+        spans (p, p+1), so match iff min position + 1 <= end. Scored
+        EXACTLY like the plain term query (ES scores span queries with
+        the underlying term's BM25 statistics; the span bound restricts
+        matches, not stats). Positions come from the same stream the
+        phrase scorer decodes; first-per-doc is the group-start gather."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        slot = self.lookup(term)
+        if slot < 0:
+            return empty
+        ids, tfs = self.decoded(slot)
+        pos = self.positions_of(slot, tfs)
+        starts = np.concatenate(
+            ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+        )
+        keep = pos[starts] + 1 <= end
+        ids, tfs = ids[keep], tfs[keep]
+        mask = self.filter_mask(filters)
+        if mask is not None and len(ids):
+            m2 = mask[ids]
+            ids, tfs = ids[m2], tfs[m2]
+        if not len(ids):
+            return empty
+        sc = contribution(
+            t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+            cfg.k1, cfg.b,
+        )
+        docids = self.docids[ids]
+        order = np.lexsort((docids, -sc))[:k]
+        return docids[order], sc[order]
+
     def phrase_matches(self, terms: list[str], slop: int = 0,
                        field: str | None = None) -> tuple[np.ndarray, ...]:
         """Docs matching the phrase → (docids, ptf, dl) where ptf =
@@ -3134,6 +3170,47 @@ class QueryEngine:
             }
         )
 
+    def search_span_first(self, query: str, end: int, k: int = 10,
+                          filters: dict | None = None):
+        """ES ``span_first`` query: a single-term span whose end
+        position is <= ``end`` (the match must start inside the first
+        ``end`` token positions). Scored exactly like the plain term
+        query — the span boundary restricts MATCHES, never statistics
+        (df/idf stay the term's corpus-wide values, ES semantics). →
+        the standard (rank, docid, conv_id, turn_idx, score) table,
+        tie-break (score DESC, docid ASC)."""
+        r = self.reader
+        terms = self._qt(query)
+        if len(terms) != 1:
+            raise ValueError("span_first takes exactly one analyzed term")
+        t = terms[0]
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            df = int(self._global_dfs([t])[0])
+            if df > 0:
+                t_idf = idf(r.n_docs, df)
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.span_first_topk.remote(
+                                t, end, t_idf, r.avgdl, k, filters
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).span_first_topk(
+                            t, end, t_idf, r.avgdl, k, filters
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
@@ -3950,6 +4027,13 @@ class ShardActor:
 
     def count(self, terms, n_required=0, filters=None) -> int:
         return sum(s.count(terms, n_required, filters) for s in self.searchers)
+
+    def span_first_topk(self, term, end, t_idf, avgdl, k, filters=None):
+        parts = [
+            s.span_first_topk(term, end, t_idf, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def decay_topk(self, terms, idfs, avgdl, k, attr, origin_us, scale_us,
                    decay=0.5, filters=None, n_required=0):

@@ -195,3 +195,55 @@ def test_phrase_prefix_max_expansions(sl):
     have = set(zip(full["conv_id"].to_pylist(),
                    full["turn_idx"].to_pylist()))
     assert got <= have
+
+
+def test_span_first_brute_force(ray_session, tiny_index, tiny_table):
+    """span_first == docs whose FIRST occurrence of the term sits
+    inside the first `end` positions, scored exactly like the plain
+    term query; actor serving agrees with local."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    probes = [
+        (next(t for t, _ in counts.most_common(1)), 1),
+        ([t for t, c in counts.items() if 5 <= c <= 50][0], 3),
+    ]
+    docs = {
+        (c, i): tokenize(t)
+        for c, i, t in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    actor_eng = QueryEngine(d, use_actors=True)
+    for term, end in probes:
+        got = eng.search_span_first(term, end, k=1000)
+        keys = set(zip(got["conv_id"].to_pylist(),
+                       got["turn_idx"].to_pylist()))
+        want = {
+            kk for kk, toks in docs.items()
+            if term in toks and toks.index(term) + 1 <= end
+        }
+        assert keys == want
+        # scores identical to the plain term query for the same docs
+        full = eng.search(term, k=100000)
+        full_scores = dict(zip(
+            zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()),
+            full["score"].to_pylist(),
+        ))
+        for ck, sc in zip(
+            zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+            got["score"].to_pylist(),
+        ):
+            assert full_scores[ck] == sc
+        via_actor = actor_eng.search_span_first(term, end, k=1000)
+        assert via_actor.equals(got)
