@@ -137,6 +137,15 @@ class ImportServer:
         # completes so searches never serve a stale reader
         self._engines: dict[str, object] = {}
         self._engines_guard = threading.Lock()
+        # ES scroll contexts: id -> {index, query, k, cursor, done}.
+        # State per context is ONE (score, docid) cursor (the engine's
+        # stateless search_after does the actual paging), so an open
+        # scroll costs O(1) memory; oldest contexts evict past the cap
+        # (the ES keep-alive analog in a clock-free sandbox).
+        self._scrolls: dict[str, dict] = {}
+        self._scrolls_guard = threading.Lock()
+        self._scroll_seq = 0
+        self._scroll_cap = 128
         os.makedirs(index_root, exist_ok=True)
         server = self
 
@@ -317,6 +326,17 @@ class ImportServer:
                         )
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
+                    elif u.path == "/api/scroll":
+                        # ES GET _search/scroll analog: next page
+                        self._json(200, server.scroll_next(q["scroll_id"]))
+                    elif u.path == "/api/search" and q.get("scroll") == "1":
+                        # ES ?scroll= analog: open a scroll context
+                        self._json(
+                            200,
+                            server.scroll_open(
+                                q["index"], q["q"], int(q.get("k", "10"))
+                            ),
+                        )
                     elif u.path == "/api/search":
                         self._json(
                             200,
@@ -498,6 +518,15 @@ class ImportServer:
                         )
                     except KeyError as e:
                         self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/scroll":
+                    # ES DELETE /_search/scroll analog
+                    try:
+                        self._json(
+                            200, server.scroll_clear(q["scroll_id"])
+                        )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
@@ -922,6 +951,75 @@ class ImportServer:
                 eng = MultiIndexEngine(dirs)
             self._engines[name] = (targets, eng)
             return eng
+
+    def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
+        """ES scroll analog (relevance order): first page + scroll_id.
+
+        ES keeps a point-in-time snapshot per scroll; here segments are
+        immutable between imports, which IS the PIT semantics — with
+        one documented divergence: an import that completes mid-scroll
+        evicts the cached engine and later pages serve from the new
+        reader (ES would keep the old snapshot alive)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError(
+                f"alias {index!r} spans {len(targets)} indices; scroll "
+                f"is single-index"
+            )
+        eng = self._acquire_engine(index, targets)
+        t = eng.search(query, k, include_source=True)
+        hits = t.to_pylist()
+        with self._scrolls_guard:
+            self._scroll_seq += 1
+            sid = f"scroll-{self._scroll_seq}"
+            self._scrolls[sid] = {
+                "index": index,
+                "query": query,
+                "k": k,
+                "cursor": (
+                    (hits[-1]["score"], hits[-1]["docid"]) if hits else None
+                ),
+                "done": len(hits) < k,
+            }
+            while len(self._scrolls) > self._scroll_cap:
+                self._scrolls.pop(next(iter(self._scrolls)))
+        return {"scroll_id": sid, "hits": hits}
+
+    def scroll_next(self, scroll_id: str) -> dict:
+        """Next scroll page; empty hits once exhausted (the ES
+        behavior — the caller stops when a page comes back short)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        with self._scrolls_guard:
+            ctx = self._scrolls.get(scroll_id)
+            if ctx is None:
+                raise KeyError(f"unknown scroll_id {scroll_id!r}")
+            if ctx["done"] or ctx["cursor"] is None:
+                return {"scroll_id": scroll_id, "hits": []}
+            index, query, k, cursor = (
+                ctx["index"], ctx["query"], ctx["k"], ctx["cursor"]
+            )
+        targets = resolve_alias(self.index_root, index)
+        eng = self._acquire_engine(index, targets)
+        t = eng.search(query, k, include_source=True,
+                       search_after=(float(cursor[0]), int(cursor[1])))
+        hits = t.to_pylist()
+        with self._scrolls_guard:
+            ctx = self._scrolls.get(scroll_id)
+            if ctx is not None:
+                if hits:
+                    ctx["cursor"] = (hits[-1]["score"], hits[-1]["docid"])
+                if len(hits) < k:
+                    ctx["done"] = True
+        return {"scroll_id": scroll_id, "hits": hits}
+
+    def scroll_clear(self, scroll_id: str) -> dict:
+        """ES DELETE /_search/scroll analog."""
+        with self._scrolls_guard:
+            found = self._scrolls.pop(scroll_id, None) is not None
+        return {"released": found}
 
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0, slop: int = 0,

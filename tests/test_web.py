@@ -656,3 +656,59 @@ def test_doc_update_endpoint(ray_session, tmp_path):
         assert status == 404
     finally:
         srv.stop()
+
+
+def test_scroll_api(ray_session, tmp_path):
+    """ES scroll analog: open → page until short page → pages
+    concatenated equal one deep search; clear releases the context."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "scroll")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=15, seed=4)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    # pick a term matching comfortably more than one page
+    q = "the"
+    total = eng.count(q)
+    assert total > 7
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        _, body = _get(base + f"/api/search?index=a&q={q}&k=5&scroll=1")
+        page = json.loads(body)
+        sid = page["scroll_id"]
+        got = [(h["docid"], h["score"]) for h in page["hits"]]
+        for _ in range(1000):
+            _, body = _get(base + f"/api/scroll?scroll_id={sid}")
+            hits = json.loads(body)["hits"]
+            got.extend((h["docid"], h["score"]) for h in hits)
+            if len(hits) < 5:
+                break
+        deep = eng.search(q, k=total + 10)
+        want = list(zip(deep["docid"].to_pylist(),
+                        deep["score"].to_pylist()))
+        assert got == want
+        # a further pull on the exhausted scroll returns empty, not 500
+        _, body = _get(base + f"/api/scroll?scroll_id={sid}")
+        assert json.loads(body)["hits"] == []
+        # clear releases; a second clear reports released=False
+        req = urllib.request.Request(
+            base + f"/api/scroll?scroll_id={sid}", method="DELETE"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["released"] is True
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["released"] is False
+    finally:
+        srv.stop()
