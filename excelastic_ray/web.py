@@ -144,6 +144,7 @@ class ImportServer:
         # (the ES keep-alive analog in a clock-free sandbox).
         self._scrolls: dict[str, dict] = {}
         self._scrolls_guard = threading.Lock()
+        self._templates_guard = threading.Lock()
         self._scroll_seq = 0
         self._scroll_cap = 128
         os.makedirs(index_root, exist_ok=True)
@@ -326,6 +327,8 @@ class ImportServer:
                         )
                     elif u.path == "/api/status":
                         self._json(200, server.status(q.get("id", "")))
+                    elif u.path == "/api/templates":
+                        self._json(200, server.list_templates())
                     elif u.path == "/api/scroll":
                         # ES GET _search/scroll analog: next page
                         self._json(200, server.scroll_next(q["scroll_id"]))
@@ -372,6 +375,29 @@ class ImportServer:
                         self._json(404, {"error": "not found"})
                 except Exception as e:  # surface, never crash the server
                     self._json(500, {"error": str(e)})
+
+            def do_PUT(self):
+                # ES PUT /_index_template analog
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/api/template":
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.put_template(
+                                q["name"],
+                                body.get("index_patterns", []),
+                                mapping=body.get("mapping"),
+                                pipeline=body.get("pipeline"),
+                                priority=int(body.get("priority", 0)),
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                self._json(404, {"error": "not found"})
 
             def do_POST(self):
                 u = urlparse(self.path)
@@ -530,6 +556,12 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/template":
+                    try:
+                        self._json(200, server.delete_template(q["name"]))
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 self._json(404, {"error": "not found"})
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
@@ -577,6 +609,16 @@ class ImportServer:
         clear = params.get("options", "clear") != "add"
         pipeline = params.get("pipeline") or None
         mapping = params.get("mapping") or None
+        # index templates apply at CREATION only (ES rule): an import
+        # into a fresh index inherits the matching template's settings
+        # unless the upload overrides them explicitly
+        if (mapping is None or pipeline is None) and not os.path.exists(
+            os.path.join(self.index_dir(index), "manifest.json")
+        ):
+            tpl = self._match_template(index)
+            if tpl is not None:
+                mapping = mapping or tpl.get("mapping")
+                pipeline = pipeline or tpl.get("pipeline")
         imp_id = uuid.uuid4().hex[:12]
         ext = os.path.splitext(filename)[1] or ".bin"
         fd, tmp = tempfile.mkstemp(suffix=ext)
@@ -760,6 +802,81 @@ class ImportServer:
         return {"indices": out}
 
     # -- lifecycle APIs: aliases + snapshot/restore ----------------------
+
+    # -- index templates (ES PUT /_index_template analog) ------------------
+
+    def _templates_path(self) -> str:
+        return os.path.join(self.index_root, "_templates.json")
+
+    def _load_templates(self) -> dict:
+        try:
+            with open(self._templates_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_template(self, name: str, index_patterns: list[str],
+                     mapping: str | None = None,
+                     pipeline: str | None = None,
+                     priority: int = 0) -> dict:
+        """ES index template: auto-applies its mapping preset /
+        ingest pipeline when an import CREATES an index whose name
+        matches a pattern (existing indexes keep their manifest
+        settings — ES applies templates at creation only). Unknown
+        mapping/pipeline names fail the PUT, not the later import."""
+        from excelastic_ray.ingest import resolve_mapping, resolve_pipelines
+
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid template name {name!r}")
+        if not index_patterns:
+            raise ValueError("index_patterns must be non-empty")
+        resolve_pipelines(pipeline)
+        resolve_mapping(mapping, self.config)
+        with self._templates_guard:
+            tpls = self._load_templates()
+            tpls[name] = {
+                "index_patterns": list(index_patterns),
+                "mapping": mapping,
+                "pipeline": pipeline,
+                "priority": int(priority),
+            }
+            tmp = self._templates_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(tpls, f, indent=1)
+            os.replace(tmp, self._templates_path())
+        return {"acknowledged": True, "name": name}
+
+    def list_templates(self) -> dict:
+        with self._templates_guard:
+            return {"templates": self._load_templates()}
+
+    def delete_template(self, name: str) -> dict:
+        with self._templates_guard:
+            tpls = self._load_templates()
+            found = tpls.pop(name, None) is not None
+            if found:
+                tmp = self._templates_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(tpls, f, indent=1)
+                os.replace(tmp, self._templates_path())
+        return {"acknowledged": found}
+
+    def _match_template(self, index: str) -> dict | None:
+        """Highest-priority template whose pattern matches (ties break
+        by name, the ES rule)."""
+        import fnmatch
+
+        with self._templates_guard:
+            tpls = self._load_templates()
+        best = None
+        for name in sorted(tpls):
+            t = tpls[name]
+            if any(fnmatch.fnmatchcase(index, p)
+                   for p in t["index_patterns"]):
+                key = (-t.get("priority", 0), name)
+                if best is None or key < best[0]:
+                    best = (key, t)
+        return best[1] if best else None
 
     def update_aliases(self, actions: list[dict]) -> dict:
         """ES ``POST /_aliases`` analog — atomic add/remove batch."""

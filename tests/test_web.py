@@ -712,3 +712,95 @@ def test_scroll_api(ray_session, tmp_path):
             assert json.loads(r.read())["released"] is False
     finally:
         srv.stop()
+
+
+def test_index_templates_apply_on_creation(ray_session, tmp_path):
+    """ES index templates: PUT a template (english mapping for
+    logs-*), an upload CREATING a matching index inherits the mapping,
+    an explicit param overrides it, an existing index keeps its
+    manifest settings, and list/delete round-trip."""
+    from excelastic_ray.web import ImportServer
+
+    srv = ImportServer(str(tmp_path / "tpl")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def put_template(name, body):
+        req = urllib.request.Request(
+            base + f"/api/template?name={name}",
+            data=json.dumps(body).encode(),
+            method="PUT",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def wait(imp_id):
+        for _ in range(300):
+            _, out = _get(base + f"/api/status?id={imp_id}")
+            rec = json.loads(out)
+            if rec["status"] in ("complete", "error"):
+                return rec
+            time.sleep(0.2)
+        raise TimeoutError
+
+    def upload(index, extra=None):
+        payload = open(
+            "/root/reference/src/test/resources/test.csv", "rb"
+        ).read()
+        fields = {"index": index.encode(), "options": b"add",
+                  "offset": b"1"}
+        fields.update(extra or {})
+        _, resp = _post_multipart(
+            base + "/api/upload", fields, ("file", "test.csv", payload)
+        )
+        rec = wait(resp["id"])
+        assert rec["status"] == "complete", rec
+
+    def analyzer_of(index):
+        _, body = _get(base + f"/api/analyze?q=running+tests&index={index}")
+        return json.loads(body)["analyzer"]
+
+    try:
+        # unknown mapping name fails the PUT itself
+        req = urllib.request.Request(
+            base + "/api/template?name=bad",
+            data=json.dumps({"index_patterns": ["x-*"],
+                             "mapping": "nope"}).encode(),
+            method="PUT",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        assert put_template(
+            "logs", {"index_patterns": ["logs-*"], "mapping": "english"}
+        ) == {"acknowledged": True, "name": "logs"}
+
+        upload("logs-1")
+        assert analyzer_of("logs-1") == "english"
+
+        # explicit param beats the template
+        upload("logs-2", {"mapping": b"fielded"})
+        assert analyzer_of("logs-2") == "standard"
+
+        # existing index: the template does NOT re-apply on append
+        upload("other")
+        assert analyzer_of("other") == "standard"
+        assert put_template(
+            "all", {"index_patterns": ["*"], "mapping": "english"}
+        )["acknowledged"]
+        upload("other")  # append into the existing standard index
+        assert analyzer_of("other") == "standard"
+
+        _, body = _get(base + "/api/templates")
+        assert set(json.loads(body)["templates"]) == {"logs", "all"}
+        req = urllib.request.Request(
+            base + "/api/template?name=all", method="DELETE"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["acknowledged"] is True
+        _, body = _get(base + "/api/templates")
+        assert set(json.loads(body)["templates"]) == {"logs"}
+    finally:
+        srv.stop()
