@@ -329,6 +329,8 @@ class ImportServer:
                         self._json(200, server.status(q.get("id", "")))
                     elif u.path == "/api/templates":
                         self._json(200, server.list_templates())
+                    elif u.path == "/api/field_caps":
+                        self._json(200, server.field_caps(q["index"]))
                     elif u.path == "/api/scroll":
                         # ES GET _search/scroll analog: next page
                         self._json(200, server.scroll_next(q["scroll_id"]))
@@ -402,6 +404,16 @@ class ImportServer:
             def do_POST(self):
                 u = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/api/msearch":
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = self.rfile.read(length).decode(
+                            "utf-8", "replace"
+                        )
+                        self._json(200, server.msearch(body))
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/aliases":
                     try:
                         length = int(self.headers.get("Content-Length", "0"))
@@ -1068,6 +1080,63 @@ class ImportServer:
                 eng = MultiIndexEngine(dirs)
             self._engines[name] = (targets, eng)
             return eng
+
+    def field_caps(self, index: str) -> dict:
+        """ES ``_field_caps`` analog (the endpoint Kibana calls to
+        build its field list): per-field type/searchable/aggregatable
+        from the index manifest(s); an alias unions its targets and
+        marks type conflicts like ES does."""
+        from excelastic_ray.config import IndexConfig
+        from excelastic_ray.index.segments import load_global_manifest
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        fields: dict[str, dict] = {}
+
+        def add(name: str, ftype: str, searchable: bool,
+                aggregatable: bool, **extra) -> None:
+            cur = fields.get(name)
+            if cur is None:
+                fields[name] = {"type": ftype, "searchable": searchable,
+                                "aggregatable": aggregatable, **extra}
+            elif cur["type"] != ftype:
+                cur["conflict"] = True
+
+        for t in targets:
+            m = load_global_manifest(self.index_dir(t))
+            cfg = IndexConfig.from_dict(m["config"])
+            for f in cfg.index_fields:
+                add(f, "text", True, False, analyzer=cfg.analyzer)
+            for f in cfg.field_index_fields:
+                add(f, "keyword", True, True)
+            for f in cfg.attr_fields:
+                if f == "ts":
+                    add("ts", "date", True, True)
+                elif f not in cfg.field_index_fields:
+                    add(f, "keyword", True, True)
+            add("conv_id", "keyword", True, True)
+            add("turn_idx", "integer", True, True)
+        return {"indices": targets, "fields": fields}
+
+    def msearch(self, ndjson: str) -> dict:
+        """ES ``_msearch`` analog: NDJSON header/body line pairs
+        ({"index": ...} then {"q": ..., "k": ...}), item-scoped errors
+        (one failing search never fails the batch — the _bulk rule)."""
+        lines = [ln for ln in ndjson.splitlines() if ln.strip()]
+        if len(lines) % 2:
+            raise ValueError("msearch body must be header/body line pairs")
+        out: list[dict] = []
+        for i in range(0, len(lines), 2):
+            try:
+                head = json.loads(lines[i])
+                body = json.loads(lines[i + 1])
+                out.append(
+                    self.search(head["index"], body["q"],
+                                int(body.get("k", 10)))
+                )
+            except Exception as e:  # item-scoped, never batch-fatal
+                out.append({"error": f"{type(e).__name__}: {e}"})
+        return {"responses": out}
 
     def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
         """ES scroll analog (relevance order): first page + scroll_id.

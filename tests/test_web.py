@@ -804,3 +804,59 @@ def test_index_templates_apply_on_creation(ray_session, tmp_path):
         assert set(json.loads(body)["templates"]) == {"logs"}
     finally:
         srv.stop()
+
+
+def test_field_caps_and_msearch(ray_session, tmp_path):
+    """ES _field_caps (per-field type/searchable/aggregatable, alias
+    union) and _msearch (NDJSON pairs, item-scoped errors)."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "caps")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=6, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=1,
+                    field_index_fields=("role",)),
+        clear=True,
+    )
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=4, seed=3)),
+        f"{root}/b",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=1,
+                    analyzer="english"),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        _, body = _get(base + "/api/field_caps?index=a")
+        caps = json.loads(body)
+        assert caps["indices"] == ["a"]
+        f = caps["fields"]
+        assert f["text"] == {"type": "text", "searchable": True,
+                             "aggregatable": False, "analyzer": "standard"}
+        assert f["role"]["type"] == "keyword" and f["role"]["searchable"]
+        assert f["ts"]["type"] == "date"
+        assert f["turn_idx"]["type"] == "integer"
+
+        nd = "\n".join([
+            json.dumps({"index": "a"}), json.dumps({"q": "the", "k": 3}),
+            json.dumps({"index": "nope"}), json.dumps({"q": "x"}),
+            json.dumps({"index": "a"}), json.dumps({"q": "the", "k": 2}),
+        ])
+        req = urllib.request.Request(
+            base + "/api/msearch", data=nd.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())["responses"]
+        assert len(resp) == 3
+        assert len(resp[0]["hits"]) == 3
+        assert "error" in resp[1]
+        assert len(resp[2]["hits"]) == 2
+    finally:
+        srv.stop()
