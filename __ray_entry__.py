@@ -1126,6 +1126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_exists_topk(sf_dir):
+        # ES exists query in filter context: results restricted to
+        # docs whose tool attr is present (stats untouched)
+        return _bm25_table(sf_dir, filters={"tool": {"exists": True}})
+
     def q_span_first(sf_dir):
         # ES span_first: positional boundary on the match, term-query
         # scoring (stats untouched by the bound)
@@ -2111,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "rank_eval": q_rank_eval,
         "span_first": q_span_first,
+        "bm25_exists_topk": q_bm25_exists_topk,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -2317,6 +2323,7 @@ def _bm25_sql(conjunctive: bool = False,
               ts_range: tuple[str, str] | None = None,
               decay: tuple[str, int, float] | None = None,
               exclude_role: str | None = None,
+              extra_join_pred: str | None = None,
               rn: str = "<= 10") -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
@@ -2345,6 +2352,12 @@ def _bm25_sql(conjunctive: bool = False,
         ts_clause = f"""JOIN transcripts tt
      ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx
     AND tt.role <> '{exclude_role}'"""
+    # generic ES filter-context predicate (e.g. the exists query):
+    # joins AFTER scoring, never touching BM25 stats
+    if extra_join_pred:
+        ts_clause = f"""JOIN transcripts tt
+     ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx
+    AND {extra_join_pred}"""
     # ES function_score gauss decay (multiply boost_mode): rank and
     # score by raw * decay^((|ts-origin|/scale)^2) — the identical
     # float64 expression as ShardSearcher.decay_topk
@@ -3907,6 +3920,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "rank_eval": _rank_eval_sql(),
         "span_first": _span_first_sql(),
+        "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
         # ExactSubstr spans: duplicated L-token grams by STRING equality

@@ -160,6 +160,27 @@ class ShardSearcher:
             else np.ones(len(self.docids), dtype=bool)
         )
         for name, want in filters.items():
+            if isinstance(want, dict) and set(want) == {"exists"}:
+                # ES exists query in filter context: a doc "has" a
+                # string attr when it is neither null nor empty (both
+                # conventions appear in the corpora: the generator
+                # stores absent tools as None, the SQL-lockstep corpus
+                # as ''). pd.notna is the C-level null scan over the
+                # object column.
+                import pandas as pd
+
+                col = self.attrs.get(name)
+                if col is None:
+                    raise KeyError(
+                        f"attribute {name!r} not stored in this index "
+                        f"(have {sorted(self.attrs)})"
+                    )
+                s = pd.Series(col)
+                present = (
+                    pd.notna(s) & (s.fillna("").astype(str) != "")
+                ).to_numpy()
+                mask &= present if want["exists"] else ~present
+                continue
             if isinstance(want, dict):
                 col = self.time_attrs.get(name)
                 if col is None:

@@ -968,3 +968,45 @@ def test_rank_eval_hand_metrics(tiny_index, tiny_table):
         assert row["ndcg"] == (
             float(trunc6(dcg / idcg)) if idcg > 0 else 0.0
         )
+
+
+def test_exists_filter(tiny_index, tiny_table):
+    """{"exists": bool} filter context: matches docs with a non-empty
+    attr / its complement; scores identical to the unfiltered query."""
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    tools = {
+        (c, i): t or ""
+        for c, i, t in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["tool"].to_pylist(),
+        )
+    }
+    assert any(v == "" for v in tools.values())
+    assert any(v != "" for v in tools.values())
+    q = "the"
+    full = eng.search(q, k=100000)
+    full_scores = dict(zip(
+        zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()),
+        full["score"].to_pylist(),
+    ))
+    with_tool = eng.search(q, k=100000,
+                           filters={"tool": {"exists": True}})
+    keys_with = set(zip(with_tool["conv_id"].to_pylist(),
+                        with_tool["turn_idx"].to_pylist()))
+    without = eng.search(q, k=100000,
+                         filters={"tool": {"exists": False}})
+    keys_without = set(zip(without["conv_id"].to_pylist(),
+                           without["turn_idx"].to_pylist()))
+    assert keys_with == {kk for kk in full_scores if tools[kk] != ""}
+    assert keys_without == {kk for kk in full_scores if tools[kk] == ""}
+    assert keys_with.isdisjoint(keys_without)
+    for ck, sc in zip(
+        zip(with_tool["conv_id"].to_pylist(),
+            with_tool["turn_idx"].to_pylist()),
+        with_tool["score"].to_pylist(),
+    ):
+        assert full_scores[ck] == sc
