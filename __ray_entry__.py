@@ -92,6 +92,24 @@ SPAN_FIRST_QUERIES = [
     ("s4", "zzz_absent_term", 4),
 ]
 
+#: nested query-DSL probe: only expressible with nesting (the inner
+#: bool's minimum_should_match=2 requires BOTH its should clauses to
+#: match — a flat bool cannot state "(window|value) AND (sort|merge)").
+DSL_QUERY = {
+    "bool": {
+        "must": [
+            {"match": "table"},
+            {"bool": {
+                "should": [{"match": "window value"},
+                           {"match": "sort merge"}],
+                "minimum_should_match": 2,
+            }},
+        ],
+        "must_not": [{"match": "spark"}],
+        "should": [{"match": "key hash"}],
+    }
+}
+
 #: query-time synonym table (ES synonym_graph analog). Mixes synonyms
 #: that exist in the corpus (merge/join, scan/filter) with absent ones
 #: (quick/rapid, read) so the df = max(member df) rule is exercised
@@ -1126,6 +1144,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_dsl_topk(sf_dir):
+        # ES nested-bool query DSL (recursive executor)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_dsl(DSL_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2117,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": q_rank_eval,
         "span_first": q_span_first,
         "bm25_exists_topk": q_bm25_exists_topk,
+        "bm25_dsl_topk": q_bm25_dsl_topk,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -3921,6 +3958,54 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": _rank_eval_sql(),
         "span_first": _span_first_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
+        # Nested-bool DSL twin: per-term contribution CTE, one grouped
+        # sum per match clause, inner msm=2 as two required joins,
+        # must_not as NOT EXISTS, optional should via LEFT JOIN
+        "bm25_dsl_topk": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term IN ('table', 'window', 'value', 'sort', 'merge',
+                      'spark', 'key', 'hash')
+),
+c_table AS (SELECT conv_id, turn_idx, c AS s FROM per WHERE term = 'table'),
+c_wv AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+         WHERE term IN ('value', 'window') GROUP BY 1, 2),
+c_sm AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+         WHERE term IN ('merge', 'sort') GROUP BY 1, 2),
+c_kh AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+         WHERE term IN ('hash', 'key') GROUP BY 1, 2),
+spark AS (SELECT DISTINCT conv_id, turn_idx FROM per WHERE term = 'spark'),
+m AS (
+    SELECT t.conv_id, t.turn_idx,
+           t.s + c_wv.s + c_sm.s + coalesce(c_kh.s, 0) AS raw
+    FROM c_table t
+    JOIN c_wv ON c_wv.conv_id = t.conv_id AND c_wv.turn_idx = t.turn_idx
+    JOIN c_sm ON c_sm.conv_id = t.conv_id AND c_sm.turn_idx = t.turn_idx
+    LEFT JOIN c_kh ON c_kh.conv_id = t.conv_id
+        AND c_kh.turn_idx = t.turn_idx
+    WHERE NOT EXISTS (SELECT 1 FROM spark x
+                      WHERE x.conv_id = t.conv_id
+                        AND x.turn_idx = t.turn_idx)
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
         "bm25_stem_topk": _bm25_stem_sql(),
         "doc_crud": _doc_crud_sql(),
         # ExactSubstr spans: duplicated L-token grams by STRING equality

@@ -857,6 +857,74 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def _dsl_eval(self, node: dict, avgdl: float):
+        """Recursive dense evaluation of a compiled query-DSL tree →
+        (score float64, match bool) arrays over this shard's ordinal
+        space. Leaves are ``match`` nodes carrying (term, idf) pairs
+        sorted by term (the fixed summation order); ``bool`` nodes
+        combine children with ES semantics — must: AND + scoring,
+        must_not: NOT + non-scoring, should: scoring with
+        minimum_should_match, filter: non-scoring attr mask scoped to
+        the node. Each bool zeroes score outside its own match set, so
+        a parent's ``score += child_score`` adds exactly the matching
+        clauses (the ES rule that a should clause contributes iff IT
+        matched, inside a query that matched)."""
+        cfg = self.cfg
+        n = len(self.docids)
+        if node["op"] == "none":
+            return np.zeros(n), np.zeros(n, dtype=bool)
+        if node["op"] == "match":
+            acc = np.zeros(n)
+            match = np.zeros(n, dtype=bool)
+            for t, t_idf in node["terms"]:
+                i = self.lookup(t)
+                if i < 0:
+                    continue
+                ids, tfs = self.decoded(i)
+                acc[ids] += contribution(
+                    t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                    cfg.k1, cfg.b,
+                )
+                match[ids] = True
+            return acc, match
+        score = np.zeros(n)
+        match = np.ones(n, dtype=bool)
+        for c in node["must"]:
+            s, m = self._dsl_eval(c, avgdl)
+            match &= m
+            score += s
+        if node.get("filter"):
+            fm = self.filter_mask(node["filter"])
+            if fm is not None:
+                match &= fm
+        for c in node["must_not"]:
+            _, m = self._dsl_eval(c, avgdl)
+            match &= ~m
+        if node["should"]:
+            cnt = np.zeros(n, dtype=np.int32)
+            for c in node["should"]:
+                s, m = self._dsl_eval(c, avgdl)
+                cnt += m
+                score += s
+            if node["msm"]:
+                match &= cnt >= node["msm"]
+        score[~match] = 0.0
+        return score, match
+
+    def dsl_topk(self, tree: dict, avgdl: float, k: int,
+                 filters: dict | None = None):
+        """Shard top-k for a compiled DSL tree (score DESC, docid ASC)."""
+        score, match = self._dsl_eval(tree, avgdl)
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            match &= mask
+        score[~match] = 0.0
+        nz = np.flatnonzero(match)
+        scores = score[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def topk_fields(self, entries, avgdls: dict, k: int,
                     filters: dict | None = None, combine: str = "sum",
                     tie_breaker: float = 0.0):
@@ -2454,6 +2522,134 @@ class QueryEngine:
                 "score": pa.array([], type=pa.float64()),
             }
         )
+
+    def search_dsl(self, query: dict, k: int = 10,
+                   filters: dict | None = None):
+        """ES query-DSL executor: arbitrarily NESTED ``bool`` over
+        ``match`` leaves — the composable generalization of
+        :meth:`search_bool` (which covers the flat one-level shape).
+
+        Grammar (each node a single-key dict):
+
+            {"match": "free text"}   — OR of the analyzed terms,
+                score = Σ matched-term BM25 contributions
+            {"bool": {"must": [...], "should": [...], "must_not":
+                [...], "filter": {attr filters},
+                "minimum_should_match": int}}
+
+        ES semantics throughout: must clauses are required and score;
+        should clauses score when they match, with
+        ``minimum_should_match`` required (default 1 when the bool has
+        no must and no filter, else 0); must_not and filter are
+        non-scoring. Scores sum clause-by-clause in declaration order,
+        terms inside a leaf in sorted order (the engine-wide summation
+        convention). Dead terms (df = 0) drop from leaves; a must leaf
+        going fully dead empties the result; dead should clauses count
+        against minimum_should_match exactly like Lucene's
+        unmatchable optional clauses. Deviation from ES (the
+        search_bool rule): a bool whose only matching predicate would
+        be "everything" (no must, msm = 0) raises instead of ranking
+        the whole corpus."""
+        r = self.reader
+        terms: set[str] = set()
+
+        def collect(node) -> None:
+            if not isinstance(node, dict) or len(node) != 1:
+                raise ValueError(
+                    f"DSL node must be a single-key dict: {node!r}"
+                )
+            op, body = next(iter(node.items()))
+            if op == "match":
+                if not isinstance(body, str):
+                    raise ValueError("match takes a query string")
+                terms.update(self._qt(body))
+            elif op == "bool":
+                unknown = set(body) - {
+                    "must", "should", "must_not", "filter",
+                    "minimum_should_match",
+                }
+                if unknown:
+                    raise ValueError(
+                        f"unknown bool keys {sorted(unknown)}"
+                    )
+                if body.get("minimum_should_match") and not body.get(
+                    "should"
+                ):
+                    raise ValueError(
+                        "minimum_should_match without should clauses"
+                    )
+                for key in ("must", "should", "must_not"):
+                    for c in body.get(key, []):
+                        collect(c)
+            else:
+                raise ValueError(f"unknown DSL op {op!r}")
+
+        collect(query)
+        empty = self._result_table(
+            np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        )
+        if not r.n_docs:
+            return empty
+        tl = sorted(terms)
+        dfs = dict(zip(tl, self._global_dfs(tl).tolist())) if tl else {}
+        idf_map = {t: idf(r.n_docs, d) for t, d in dfs.items() if d > 0}
+
+        def build(node) -> dict:
+            op, body = next(iter(node.items()))
+            if op == "match":
+                live = sorted(
+                    {t for t in self._qt(body) if t in idf_map}
+                )
+                if not live:
+                    return {"op": "none"}
+                return {"op": "match",
+                        "terms": [(t, idf_map[t]) for t in live]}
+            b = body
+            if not b.get("must") and not b.get("should"):
+                raise ValueError(
+                    "bool node needs at least one must or should clause"
+                )
+            must = [build(c) for c in b.get("must", [])]
+            should = [build(c) for c in b.get("should", [])]
+            must_not = [c for c in (build(c) for c in
+                                    b.get("must_not", []))
+                        if c["op"] != "none"]
+            filt = b.get("filter")
+            msm = b.get("minimum_should_match")
+            if msm is None:
+                msm = 1 if (b.get("should") and not b.get("must")
+                            and not filt) else 0
+            if not b.get("must") and msm == 0:
+                raise ValueError(
+                    "bool with only optional should clauses would rank "
+                    "the whole corpus; set minimum_should_match >= 1 "
+                    "or add a must clause"
+                )
+            if any(c["op"] == "none" for c in must):
+                return {"op": "none"}
+            live_should = [c for c in should if c["op"] != "none"]
+            if b.get("should") and msm > len(live_should):
+                return {"op": "none"}  # required shoulds can't be met
+            return {"op": "bool", "must": must, "should": live_should,
+                    "must_not": must_not, "msm": msm, "filter": filt}
+
+        tree = build(query)
+        if tree["op"] == "none":
+            return empty
+        if self._actors is not None:
+            import ray
+
+            parts = ray.get(
+                [a.dsl_topk.remote(tree, r.avgdl, k, filters)
+                 for a in self._actors]
+            )
+        else:
+            parts = [
+                r.searcher(s).dsl_topk(tree, r.avgdl, k, filters)
+                for s in range(r.num_shards)
+            ]
+        docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
 
     def search_bool(self, must: str = "", should: str = "",
                     must_not: str = "", k: int = 10,
@@ -4053,6 +4249,12 @@ class ShardActor:
         parts = [
             s.span_first_topk(term, end, t_idf, avgdl, k, filters)
             for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def dsl_topk(self, tree, avgdl, k, filters=None):
+        parts = [
+            s.dsl_topk(tree, avgdl, k, filters) for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
 

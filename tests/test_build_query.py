@@ -1010,3 +1010,144 @@ def test_exists_filter(tiny_index, tiny_table):
         with_tool["score"].to_pylist(),
     ):
         assert full_scores[ck] == sc
+
+
+def test_search_dsl_flat_equals_search_bool(tiny_index, tiny_table):
+    """A one-level DSL tree must reproduce search_bool exactly."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    h = [t for t, _ in counts.most_common(4)]  # hot terms co-occur
+    cases = [
+        dict(must=f"{h[0]} {h[1]}", should=f"{h[2]} {h[3]}",
+             must_not="never_in_corpus", minimum_should_match=None),
+        dict(must="", should=f"{h[0]} {h[1]}", must_not="",
+             minimum_should_match=2),
+        dict(must=h[0], should="", must_not=h[3],
+             minimum_should_match=None),
+    ]
+    for c in cases:
+        want = eng.search_bool(
+            must=c["must"], should=c["should"], must_not=c["must_not"],
+            k=25, minimum_should_match=c["minimum_should_match"],
+        )
+        node = {"bool": {}}
+        if c["must"]:
+            node["bool"]["must"] = [
+                {"match": t} for t in c["must"].split()
+            ]
+        if c["should"]:
+            # one clause per term: search_bool's msm counts TERMS, the
+            # DSL's counts CLAUSES — per-term clauses align the two
+            node["bool"]["should"] = [
+                {"match": t} for t in c["should"].split()
+            ]
+        if c["must_not"]:
+            node["bool"]["must_not"] = [{"match": c["must_not"]}]
+        if c["minimum_should_match"] is not None:
+            node["bool"]["minimum_should_match"] = (
+                c["minimum_should_match"]
+            )
+        got = eng.search_dsl(node, k=25)
+        assert want.num_rows > 0, c  # non-vacuous case
+        assert got.equals(want), c
+
+
+def test_search_dsl_nested_brute_force(tiny_index, tiny_table):
+    """Nested bool with inner minimum_should_match=2 (inexpressible
+    flat) against a brute-force evaluation over tokenized docs, with
+    per-term scores taken from single-term searches."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(4)]
+    mids = [t for t, c in counts.items() if 5 <= c <= 60][:4]
+    a, b, c2, d2 = mids if len(mids) >= 4 else (mids + hot)[:4]
+    q = {
+        "bool": {
+            "must": [{"match": hot[0]}],
+            "should": [{"match": f"{a} {b}"}],
+            "must_not": [{"match": hot[3]}],
+        }
+    }
+    inner = {"bool": {"should": [{"match": f"{a} {b}"},
+                                 {"match": f"{c2} {d2}"}],
+                      "minimum_should_match": 2}}
+    q["bool"]["must"].append(inner)
+
+    per_term = {}
+    for t in {hot[0], hot[3], a, b, c2, d2}:
+        res = eng.search(t, k=10**6)
+        per_term[t] = dict(zip(
+            zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()),
+            res["score"].to_pylist(),
+        ))
+    docs = {
+        (c, i): set(tokenize(txt))
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    exp = {}
+    for kk, toks in docs.items():
+        if hot[0] not in toks or hot[3] in toks:
+            continue
+        if not ({a, b} & toks) or not ({c2, d2} & toks):
+            continue
+        s = per_term[hot[0]][kk]
+        for t in sorted({a, b, c2, d2}):
+            s += per_term[t].get(kk, 0.0)
+        # outer should (same clause as a+b) adds again when matched
+        for t in sorted({a, b}):
+            s += per_term[t].get(kk, 0.0)
+        exp[kk] = s
+    got = eng.search_dsl(q, k=10**6)
+    got_map = dict(zip(
+        zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+        got["score"].to_pylist(),
+    ))
+    assert set(got_map) == set(exp)
+    for kk in exp:
+        assert abs(got_map[kk] - exp[kk]) < 1e-9, kk
+
+    actor_eng = QueryEngine(d, use_actors=True)
+    assert actor_eng.search_dsl(q, k=50).equals(eng.search_dsl(q, k=50))
+
+
+def test_search_dsl_validation(tiny_index):
+    import pytest as _pytest
+
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    with _pytest.raises(ValueError, match="unknown DSL op"):
+        eng.search_dsl({"matchh": "x"})
+    with _pytest.raises(ValueError, match="minimum_should_match without"):
+        eng.search_dsl({"bool": {"must": [{"match": "the"}],
+                                 "minimum_should_match": 1}})
+    with _pytest.raises(ValueError, match="rank the whole corpus"):
+        eng.search_dsl({"bool": {"should": [{"match": "the"}],
+                                 "minimum_should_match": 0}})
+    with _pytest.raises(ValueError, match="at least one must or should"):
+        eng.search_dsl({"bool": {"must_not": [{"match": "the"}]}})
+    # dead must term -> empty, not error
+    assert eng.search_dsl(
+        {"bool": {"must": [{"match": "zzz_nope"}]}}
+    ).num_rows == 0
