@@ -404,6 +404,22 @@ class ImportServer:
             def do_POST(self):
                 u = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/api/search":
+                    # ES POST _search with a JSON query-DSL body:
+                    # {"query": {nested bool/match tree}, "k": n}
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.search_dsl(
+                                q["index"], body["query"],
+                                int(body.get("k", 10)),
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/msearch":
                     try:
                         length = int(self.headers.get("Content-Length", "0"))
@@ -1137,6 +1153,20 @@ class ImportServer:
             except Exception as e:  # item-scoped, never batch-fatal
                 out.append({"error": f"{type(e).__name__}: {e}"})
         return {"responses": out}
+
+    def search_dsl(self, index: str, query: dict, k: int = 10) -> dict:
+        """ES POST _search analog: nested query-DSL body (single
+        concrete index, like the other advanced modes)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError(
+                f"alias {index!r} spans {len(targets)} indices; DSL "
+                f"search is single-index"
+            )
+        eng = self._acquire_engine(index, targets)
+        return {"hits": eng.search_dsl(query, k).to_pylist()}
 
     def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
         """ES scroll analog (relevance order): first page + scroll_id.

@@ -860,3 +860,40 @@ def test_field_caps_and_msearch(ray_session, tmp_path):
         assert len(resp[2]["hits"]) == 2
     finally:
         srv.stop()
+
+
+def test_search_dsl_over_http(ray_session, tmp_path):
+    """POST /api/search with a JSON query-DSL body == engine direct."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "dsl")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=7)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    q = {"bool": {"must": [{"match": "the"}],
+                  "should": [{"match": "for with"}],
+                  "must_not": [{"match": "zz_nope"}]}}
+    srv = ImportServer(root).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/search?index=a",
+            data=json.dumps({"query": q, "k": 7}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            hits = json.loads(r.read())["hits"]
+        want = eng.search_dsl(q, 7).to_pylist()
+        assert hits == want and len(hits) > 0
+    finally:
+        srv.stop()
