@@ -94,3 +94,70 @@ def test_msm_zero_clamped_to_one():
     got = _pairs(out)
     # doc 0 has alpha+beta+gamma but NOT zeta: must not match query 1
     assert (0, 1) not in got and (0, 0) in got
+
+
+def test_csr_kernel_equals_dense():
+    """The CSR (term->queries posting) kernel returns exactly the
+    dense reduceat kernel's rows — fixed set + randomized sets, both
+    msm variants."""
+    import numpy as np
+
+    from excelastic_ray.pipelines.percolate import (
+        compile_queries_csr,
+        percolate_batch_csr,
+    )
+
+    def csr(docs, queries, msm=None):
+        uq, indptr, qids, req = compile_queries_csr(queries, msm)
+        return _pairs(
+            percolate_batch_csr(docs, uq, indptr, qids, req,
+                                len(queries), ("doc_id",), "text")
+        )
+
+    def dense(docs, queries, msm=None):
+        uq, m, req = compile_queries(queries, msm)
+        return _pairs(
+            percolate_batch(docs, uq, m, req, ("doc_id",), "text")
+        )
+
+    assert csr(DOCS, QUERIES) == dense(DOCS, QUERIES)
+    assert csr(DOCS, QUERIES, 1) == dense(DOCS, QUERIES, 1)
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        docs = pa.table(
+            {
+                "doc_id": list(range(40)),
+                "text": [
+                    " ".join(rng.choice(vocab,
+                                        size=rng.randint(0, 12)))
+                    for _ in range(40)
+                ],
+            }
+        )
+        queries = [
+            " ".join(rng.choice(vocab, size=rng.randint(1, 4)))
+            for _ in range(25)
+        ] + ["", "w0 w0 w1"]  # empty + duplicate-term queries
+        for msm in (None, 1, 2):
+            assert csr(docs, queries, msm) == dense(docs, queries, msm)
+
+
+def test_percolate_layout_param(ray_session):
+    """percolate(layout=...) forces the kernel; auto == dense at small
+    K; both layouts agree end-to-end through Ray."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.percolate import percolate as perc
+
+    ds = rd.from_arrow(DOCS)
+
+    def run(layout):
+        df = perc(ds, QUERIES, layout=layout).to_pandas()
+        return set(zip(df["doc_id"], df["query_id"]))
+
+    assert run("dense") == run("csr") == run("auto")
+    assert len(run("dense")) > 0
+    with pytest.raises(ValueError):
+        perc(ds, QUERIES, layout="nope")
