@@ -2018,6 +2018,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value", "hour",
         )
 
+    def q_boxplot(sf_dir):
+        # ES boxplot agg (exact quartiles via one radix-selection run)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["value"])
+        return events.boxplot(ev)
+
+    def q_weighted_avg(sf_dir):
+        # ES weighted_avg: value weighted by event_type length (a
+        # deterministic per-row weight both engines derive)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"])
+
+        def add_w(b: pa.Table) -> pa.Table:
+            w = pc.utf8_length(b["event_type"]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            return pa.table({"value": b["value"], "w": pa.array(w)})
+
+        return events.weighted_avg(
+            ev.map_batches(add_w, batch_format="pyarrow"), "value", "w"
+        )
+
+    def q_top_metrics(sf_dir):
+        # ES top_metrics: latest value per event_type
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "event_id", "value"],
+        )
+        return events.top_metrics(ev)
+
     def q_string_stats(sf_dir):
         # ES string_stats: length stats + corpus character entropy
         import excelastic_ray.pipelines.textstats as ts
@@ -2259,6 +2299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms": q_multi_terms,
         "matrix_stats": q_matrix_stats,
         "string_stats": q_string_stats,
+        "boxplot": q_boxplot,
+        "weighted_avg": q_weighted_avg,
+        "top_metrics": q_top_metrics,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "kmv_users": q_kmv_users,
@@ -5350,6 +5393,38 @@ SELECT CAST(n AS BIGINT) AS count, CAST(mn AS BIGINT) AS min_length,
        floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS avg_length,
        floor(e * 1e6 + 0.5) / 1e6 AS entropy
 FROM lens, ent
+""",
+        # ES boxplot — engine is exact (radix selection, discrete
+        # quantiles = quantile_disc), so the doubles match unrounded
+        "boxplot": """
+SELECT min(value) AS min_v,
+       quantile_disc(value, 0.25) AS q1,
+       quantile_disc(value, 0.5)  AS median,
+       quantile_disc(value, 0.75) AS q3,
+       max(value) AS max_v
+FROM events
+""",
+        # ES weighted_avg (weight = event_type length): sums trunc6'd
+        # before the divide, mirroring events.weighted_avg
+        "weighted_avg": """
+WITH m AS (
+    SELECT floor(sum(value * length(event_type)) * 1e6 + 0.5) / 1e6 AS vw,
+           floor(sum(CAST(length(event_type) AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS w
+    FROM events
+)
+SELECT vw AS wsum, w AS weight,
+       floor(vw / w * 1e6 + 0.5) / 1e6 AS wavg
+FROM m
+""",
+        # ES top_metrics: value on the row with max (ts, event_id) per
+        # event_type — a total order, so both engines pick the same row
+        "top_metrics": """
+SELECT event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY event_type
 """,
         # ES cardinality aggregation, exact twin (the HLL estimate
         # variant is the no-oracle hll_users entry)

@@ -1173,3 +1173,101 @@ def matrix_stats(ds, x_col: str, y_col: str):
             "corr": [float(trunc6(corr))],
         }
     )
+
+
+def boxplot(ds, col: str = "value"):
+    """ES ``boxplot`` aggregation analog — EXACT (ES approximates with
+    t-digest): min, q1, median, q3, max. The three quartiles are three
+    targets of ONE distributed radix-selection run (discrete quantiles,
+    = DuckDB ``quantile_disc``); min/max ride a tiny moment partial.
+    Exact data values — no rounding needed for SQL parity.
+
+    → pandas.DataFrame (min_v, q1, median, q3, max_v), one row."""
+    q = value_percentiles(ds, qs=(0.25, 0.5, 0.75), col=col)
+    vals = dict(zip(q["quantile"], q["value"]))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pd.DataFrame({"mn": [np.inf], "mx": [-np.inf]})
+        return pd.DataFrame({"mn": [float(np.min(v))],
+                             "mx": [float(np.max(v))]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    return pd.DataFrame(
+        {
+            "min_v": [float(p["mn"].min())],
+            "q1": [vals[0.25]],
+            "median": [vals[0.5]],
+            "q3": [vals[0.75]],
+            "max_v": [float(p["mx"].max())],
+        }
+    )
+
+
+def weighted_avg(ds, value_col: str, weight_col: str):
+    """ES ``weighted_avg`` aggregation analog: Σ(v·w) / Σ(w) from one
+    pass of tiny moment partials; both sums trunc6'd BEFORE the divide
+    (the ``extended_stats`` rule) so the SQL twin divides identical
+    operands. → pandas.DataFrame (wsum, weight, wavg), one row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ok = ~(np.isnan(v) | np.isnan(w))
+        return pd.DataFrame(
+            {"vw": [float(np.sum(v[ok] * w[ok]))],
+             "w": [float(np.sum(w[ok]))]}
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    vw = float(trunc6(p["vw"].sum()))
+    w = float(trunc6(p["w"].sum()))
+    return pd.DataFrame(
+        {
+            "wsum": [vw],
+            "weight": [w],
+            "wavg": [float(trunc6(vw / w)) if w else np.nan],
+        }
+    )
+
+
+def top_metrics(ds, bucket_col: str = "event_type",
+                metric_col: str = "value", sort_col: str = "ts",
+                tie_col: str = "event_id"):
+    """ES ``top_metrics`` aggregation analog: per bucket, the metric
+    value on the row with the LARGEST (sort, tie) key — "latest value
+    per type". Per-batch argmax partial (one row per live bucket per
+    batch), driver combine re-applies the same argmax over the
+    bucket-count-sized partial frame; (sort, tie) is a total order, so
+    the result is deterministic at any partitioning.
+
+    → pandas.DataFrame (bucket_col, sort_col, metric_col), sorted by
+    bucket."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([bucket_col, sort_col, tie_col,
+                           metric_col]).to_pandas()
+        idx = (
+            df.sort_values([sort_col, tie_col])
+            .groupby(bucket_col, sort=False)
+            .tail(1)
+        )
+        return idx
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    out = (
+        p.sort_values([sort_col, tie_col])
+        .groupby(bucket_col, sort=False)
+        .tail(1)
+        .sort_values(bucket_col)
+        .reset_index(drop=True)
+    )
+    return out[[bucket_col, sort_col, metric_col]]

@@ -569,3 +569,64 @@ def test_string_stats_hand_computed(ray_session):
     p = np.array([2, 3]) / 5
     ent = float(-np.sum(p * np.log2(p)))
     assert abs(out["entropy"] - ent) < 1e-6
+
+
+def test_boxplot_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import boxplot
+
+    rng = np.random.RandomState(9)
+    v = rng.normal(0, 5, 401)
+    out = boxplot(rd.from_arrow(pa.table({"value": pa.array(v)}))).iloc[0]
+    s = np.sort(v)
+    assert out["min_v"] == s[0] and out["max_v"] == s[-1]
+    # discrete quantile: smallest value with cum count >= ceil(q*n)
+    for q, col in ((0.25, "q1"), (0.5, "median"), (0.75, "q3")):
+        assert out[col] == s[int(np.ceil(q * len(s))) - 1]
+
+
+def test_weighted_avg_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import weighted_avg
+
+    t = pa.table({"v": [1.0, 2.0, 10.0], "w": [1.0, 1.0, 3.0]})
+    out = weighted_avg(rd.from_arrow(t), "v", "w").iloc[0]
+    assert out["wsum"] == 33.0 and out["weight"] == 5.0
+    assert out["wavg"] == 6.6
+
+
+def test_top_metrics_latest_per_bucket(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import top_metrics
+
+    ts = np.array([3, 1, 2, 2, 5], dtype="datetime64[us]")
+    t = pa.table(
+        {
+            "event_type": ["a", "a", "b", "b", "b"],
+            "ts": pa.array(ts),
+            "event_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = top_metrics(rd.from_arrow(t))
+    assert list(out["event_type"]) == ["a", "b"]
+    assert list(out["value"]) == [1.0, 5.0]
+    # tie on ts broken by event_id: duplicate max ts within b
+    t2 = pa.table(
+        {
+            "event_type": ["b", "b"],
+            "ts": pa.array(np.array([5, 5], dtype="datetime64[us]")),
+            "event_id": pa.array([20, 19], type=pa.int64()),
+            "value": [7.0, 8.0],
+        }
+    )
+    out2 = top_metrics(rd.from_arrow(t2))
+    assert list(out2["value"]) == [7.0]
