@@ -2058,6 +2058,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return events.top_metrics(ev)
 
+    def q_t_test(sf_dir):
+        # ES t_test agg (Welch): click vs error values
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"])
+        return events.t_test(ev, group_a="click", group_b="error")
+
+    def q_cumulative_cardinality(sf_dir):
+        # ES cumulative_cardinality pipeline agg — exact via the
+        # first-seen-bucket reduction (ES stacks HLL sketches)
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts"])
+        return events.cumulative_cardinality(ev)
+
     def q_string_stats(sf_dir):
         # ES string_stats: length stats + corpus character entropy
         import excelastic_ray.pipelines.textstats as ts
@@ -2300,6 +2317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": q_matrix_stats,
         "string_stats": q_string_stats,
         "boxplot": q_boxplot,
+        "t_test": q_t_test,
+        "cumulative_cardinality": q_cumulative_cardinality,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
         "distinct_users": q_distinct_users,
@@ -5425,6 +5444,53 @@ FROM events
 QUALIFY row_number() OVER (
     PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY event_type
+""",
+        # ES t_test (Welch): sums trunc6'd first, n-1 moment-form
+        # variance spelled out (DuckDB var_samp uses Welford whose
+        # last bits differ)
+        "t_test": """
+WITH m AS (
+    SELECT
+        count(*) FILTER (event_type = 'click') AS na,
+        floor(sum(value) FILTER (event_type = 'click') * 1e6 + 0.5)
+            / 1e6 AS sa,
+        floor(sum(value * value) FILTER (event_type = 'click') * 1e6
+              + 0.5) / 1e6 AS ssa,
+        count(*) FILTER (event_type = 'error') AS nb,
+        floor(sum(value) FILTER (event_type = 'error') * 1e6 + 0.5)
+            / 1e6 AS sb,
+        floor(sum(value * value) FILTER (event_type = 'error') * 1e6
+              + 0.5) / 1e6 AS ssb
+    FROM events
+),
+d AS (
+    SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+           (ssa - sa * sa / na) / (na - 1) AS va,
+           (ssb - sb * sb / nb) / (nb - 1) AS vb
+    FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       floor(ma * 1e6 + 0.5) / 1e6 AS mean_a,
+       floor(mb * 1e6 + 0.5) / 1e6 AS mean_b,
+       floor((ma - mb) / sqrt(va / na + vb / nb) * 1e6 + 0.5) / 1e6 AS t,
+       floor(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+             * 1e6 + 0.5) / 1e6 AS dof
+FROM d
+""",
+        # ES cumulative_cardinality — exact first-seen reduction; the
+        # engine's day key is floor(us/86400e6), = date_trunc for
+        # non-negative timestamps
+        "cumulative_cardinality": """
+WITH f AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS day FROM events
+    GROUP BY 1
+),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM c
+ORDER BY day
 """,
         # ES cardinality aggregation, exact twin (the HLL estimate
         # variant is the no-oracle hll_users entry)

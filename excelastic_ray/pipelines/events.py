@@ -1271,3 +1271,118 @@ def top_metrics(ds, bucket_col: str = "event_type",
         .reset_index(drop=True)
     )
     return out[[bucket_col, sort_col, metric_col]]
+
+
+def t_test(ds, col: str = "value", group_col: str = "event_type",
+           group_a: str = "click", group_b: str = "error"):
+    """ES ``t_test`` aggregation analog (heteroscedastic / Welch,
+    ES's default type): t statistic + Welch–Satterthwaite dof between
+    two groups' values, from one pass of per-group moment partials.
+    Raw sums are trunc6'd before any derived value (the
+    ``extended_stats`` rule); sample variance uses the n−1 moment form
+    the SQL twin spells out. ES reports the p-value, which needs the
+    Student CDF — t and dof are the deterministic core both engines
+    can compute exactly; the CDF is monotone in |t| for fixed dof, so
+    assertions on t order carry to p.
+
+    → pandas.DataFrame (n_a, n_b, mean_a, mean_b, t, dof), one row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows = []
+        for label, name in ((group_a, "a"), (group_b, "b")):
+            m = (g == label) & ~np.isnan(v)
+            rows.append(
+                {"grp": name, "n": int(m.sum()),
+                 "s": float(np.sum(v[m])), "ss": float(np.sum(v[m] ** 2))}
+            )
+        return pd.DataFrame(rows)
+
+    p = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("grp")
+        .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+    )
+    stats = {}
+    for name in ("a", "b"):
+        n = int(p.loc[name, "n"])
+        s = float(trunc6(p.loc[name, "s"]))
+        ss = float(trunc6(p.loc[name, "ss"]))
+        mean = s / n if n else np.nan
+        var = (ss - s * s / n) / (n - 1) if n > 1 else np.nan
+        stats[name] = (n, mean, var)
+    na, ma, va = stats["a"]
+    nb, mb, vb = stats["b"]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    return pd.DataFrame(
+        {
+            "n_a": [na], "n_b": [nb],
+            "mean_a": [float(trunc6(ma))], "mean_b": [float(trunc6(mb))],
+            "t": [float(trunc6(t))], "dof": [float(trunc6(dof))],
+        }
+    )
+
+
+def cumulative_cardinality(ds, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           n_buckets: int | None = None):
+    """ES ``cumulative_cardinality`` pipeline agg — EXACT (ES stacks
+    HLL sketches): distinct users seen up to each day. The classic
+    first-seen reduction: a user contributes exactly to the bucket of
+    their FIRST event, so cumulative cardinality = running sum of
+    new-user counts. One pass of (user, min day) batch partials → a
+    user-hash bucketed min-combine (the only exchange; user-sized,
+    narrow) → per-day new-user count partials → tiny day-level sum
+    combine → O(days) driver cumsum. Nothing user-sized reaches the
+    driver.
+
+    Days where no user is first seen are ABSENT (their cumulative
+    value is the previous row's — the caller forward-fills if a dense
+    histogram is wanted; the SQL twin shares the sparse convention).
+
+    → pandas.DataFrame (day, n_new, cum_users) sorted by day."""
+    day_us = np.int64(86_400_000_000)
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=16)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        u = batch[user_col].to_numpy().astype(np.int64)
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        day = (ts // day_us) * day_us
+        df = pd.DataFrame({"u": u, "d": day})
+        out = df.groupby("u", sort=False)["d"].min().reset_index()
+        with np.errstate(over="ignore"):
+            out["bucket"] = (
+                (out["u"].to_numpy().view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            ).astype(np.int64) % n_buckets
+        return out
+
+    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("u", sort=False)["d"].min()
+        cnt = f.value_counts().sort_index()
+        return pd.DataFrame(
+            {"d": cnt.index.to_numpy(), "n_new": cnt.to_numpy()}
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(first_seen, batch_format="pandas")
+    )
+    days = _bucketed_sum_combine(per_day, ["d"]).to_pandas()
+    days = days.sort_values("d").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "day": days["d"].to_numpy().astype("datetime64[us]"),
+            "n_new": days["n_new"].astype(np.int64),
+            "cum_users": days["n_new"].cumsum().astype(np.int64),
+        }
+    )

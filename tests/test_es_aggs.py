@@ -630,3 +630,65 @@ def test_top_metrics_latest_per_bucket(ray_session):
     )
     out2 = top_metrics(rd.from_arrow(t2))
     assert list(out2["value"]) == [7.0]
+
+
+def test_t_test_welch_hand(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import t_test
+
+    rng = np.random.RandomState(2)
+    a = rng.normal(10, 2, 150)
+    b = rng.normal(9.5, 3, 90)
+    t = pa.table(
+        {
+            "event_type": ["click"] * 150 + ["error"] * 90 + ["view"] * 5,
+            "value": np.concatenate([a, b, np.ones(5)]),
+        }
+    )
+    out = t_test(rd.from_arrow(t)).iloc[0]
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    tt = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["t"] - tt) < 1e-4
+    assert abs(out["dof"] - dof) < 1e-2
+
+
+def test_cumulative_cardinality_first_seen(ray_session):
+    """Users re-appearing on later days must not re-count; running sum
+    equals brute-force distinct-to-date."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import cumulative_cardinality
+
+    rng = np.random.RandomState(6)
+    n = 3000
+    users = rng.randint(0, 300, n)
+    days = rng.randint(0, 12, n)
+    ts = (
+        np.datetime64("2024-03-01", "us")
+        + days.astype("timedelta64[D]").astype("timedelta64[us]")
+        + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]")
+    )
+    t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                  "ts": pa.array(ts)})
+    out = cumulative_cardinality(rd.from_arrow(t))
+    df = pd.DataFrame({"u": users, "day": ts.astype("datetime64[D]")})
+    expect = []
+    seen: set = set()
+    for day in sorted(df["day"].unique()):
+        new = set(df[df["day"] == day]["u"]) - seen
+        seen |= new
+        if new:  # days with no first-seen user are absent (engine+SQL)
+            expect.append((np.datetime64(day, "us"), len(new), len(seen)))
+    got = list(zip(out["day"].to_numpy(), out["n_new"], out["cum_users"]))
+    assert got == expect
+    assert out["cum_users"].iloc[-1] == len(set(users))
