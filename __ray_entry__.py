@@ -1682,6 +1682,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.2)
         return dedup.cc_labels_distributed(pairs)
 
+    def q_near_dedup_keep(sf_dir):
+        # end-to-end near-dup removal: exact pair graph -> distributed
+        # CC -> keep each component's min-id rep + unpaired docs
+        docs = _docs(sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+        kept = dedup.near_dedup_keep(docs, pairs)
+        return kept.select_columns(["doc_id"]).sort("doc_id")
+
     def q_minhash_pairs(sf_dir):
         # LSH candidates + two-sided partitioned-join verify — no
         # corpus-sized broadcast or driver collect anywhere in the path
@@ -2283,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "near_dedup_keep": q_near_dedup_keep,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -5040,6 +5049,41 @@ SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS rep
 FROM reach
 GROUP BY node
 ORDER BY doc_id
+""",
+        # near-dup removal: the dup_clusters recursive-CC CTE, keeping
+        # docs that are their component's min id (or unpaired)
+        "near_dedup_keep": f"""
+WITH RECURSIVE base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT b.doc_id,
+           b.toks[i.i] || ' ' || b.toks[i.i + 1] || ' ' || b.toks[i.i + 2] AS s
+    FROM base b, LATERAL unnest(range(1, greatest(len(b.toks) - 1, 1))) AS i(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ix
+    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.2
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+dropset AS (
+    SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM dropset)
+ORDER BY d.doc_id
 """,
         "embedding_dup_pairs": """
 WITH n AS (

@@ -66,6 +66,7 @@ __all__ = [
     "collect_shingle_sets",
     "connected_components",
     "cc_labels_distributed",
+    "near_dedup_keep",
     "simhash_batch",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -1822,3 +1823,50 @@ def semdedup(
         .groupby("cluster")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+
+def near_dedup_keep(ds, pairs, id_col: str = "doc_id",
+                    drop_budget: int = 50_000_000):
+    """End-to-end near-dup REMOVAL: distributed connected components
+    over the duplicate-pair graph, keep each component's min-id
+    representative plus every unpaired doc → the deduplicated corpus
+    (all columns of ``ds``).
+
+    The drop set (component members that are not the representative)
+    is DUPLICATE-sized, not corpus-sized; it broadcasts once
+    (``ray.put``) and every batch filters with one ``searchsorted`` —
+    the ``line_dedup`` hot-set shape, gated at ``drop_budget`` ids
+    (a dup-heavier corpus should lower the LSH threshold or fall back
+    to the hash-bucketed anti-join, the ``verify_jaccard`` shape)."""
+    import ray
+    import pyarrow.compute as pc
+
+    labels = cc_labels_distributed(pairs, a_col="a", b_col="b")
+
+    def dupes(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["rep"])
+        return b.filter(keep).select(["doc_id"])
+
+    drop_ds = labels.map_batches(dupes, batch_format="pyarrow",
+                                 batch_size=65536)
+    n_drop = drop_ds.count()
+    if n_drop > drop_budget:
+        raise ValueError(
+            f"drop set ({n_drop}) exceeds drop_budget ({drop_budget}); "
+            f"raise the threshold or use the bucketed anti-join"
+        )
+    drop = np.sort(
+        drop_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+    )
+    drop_ref = ray.put(drop)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if not len(d):
+            return b
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return b.filter(pa.array(d[pos] != ids))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow",
+                          batch_size=65536)

@@ -2067,3 +2067,37 @@ def test_repetition_signals_hand_computed(ray_session):
     assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
     assert r2["dup_line_char_frac"] == 0.0
     assert r2["top2_frac"] == 0.0 and r2["top3_frac"] == 0.0
+
+
+def test_near_dedup_keep_semantics(ray_session):
+    """Survivors = component min-id reps + unpaired docs; all columns
+    pass through."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.dedup import near_dedup_keep
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 9], type=pa.int64()),
+            "text": ["a", "b", "c", "d", "e", "f"],
+            "extra": [10, 20, 30, 40, 50, 90],
+        }
+    )
+    # components: {1,2,3} (chain) and {4,5}; 9 unpaired
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 4], type=pa.int64()),
+            "b": pa.array([2, 3, 5], type=pa.int64()),
+        }
+    )
+    out = (
+        near_dedup_keep(rd.from_arrow(docs), rd.from_arrow(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [1, 4, 9]
+    assert list(out["extra"]) == [10, 40, 90]
+
+    with pytest.raises(ValueError, match="drop_budget"):
+        near_dedup_keep(rd.from_arrow(docs), rd.from_arrow(pairs),
+                        drop_budget=1)
