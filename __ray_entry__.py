@@ -1450,6 +1450,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the (word, cnt, seq) segmentation table
         return ts.bpe_train(_docs(sf_dir), n_merges=30)
 
+    def q_missing_tool(sf_dir):
+        # ES missing agg under a terms bucket: per role, turns whose
+        # tool attr is absent (null-or-empty, the exists convention)
+        return events.missing_agg(
+            transcripts_from_documents(sf_dir), "tool", "role"
+        )
+
     def q_conv_stats(sf_dir):
         # per-conversation rollup over the derived transcript corpus
         from excelastic_ray.pipelines.convs import conv_stats
@@ -2328,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boxplot": q_boxplot,
         "t_test": q_t_test,
         "cumulative_cardinality": q_cumulative_cardinality,
+        "missing_tool": q_missing_tool,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
         "distinct_users": q_distinct_users,
@@ -5488,6 +5496,17 @@ FROM events
 QUALIFY row_number() OVER (
     PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY event_type
+""",
+        # ES missing agg (terms bucket over role): null-or-empty = the
+        # exists-query absent convention
+        "missing_tool": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT role,
+       CAST(count(*) FILTER (tool IS NULL OR tool = '') AS BIGINT)
+           AS n_missing
+FROM transcripts
+GROUP BY role
+ORDER BY role
 """,
         # ES t_test (Welch): sums trunc6'd first, n-1 moment-form
         # variance spelled out (DuckDB var_samp uses Welford whose

@@ -298,6 +298,18 @@ def run_bench() -> dict:
             "agg_tree",
             "bpe_train",
             "exact_substr",
+            # round-4 session-3 additions
+            "rank_eval",
+            "span_first",
+            "bm25_dsl_topk",
+            "boxplot",
+            "cumulative_cardinality",
+            "t_test",
+            "string_stats",
+            "repetition_signals",
+            "multi_terms",
+            "extended_stats",
+            "mad_value",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -1386,3 +1386,31 @@ def cumulative_cardinality(ds, user_col: str = "user_id",
             "cum_users": days["n_new"].cumsum().astype(np.int64),
         }
     )
+
+
+def missing_agg(ds, attr_col: str, group_col: str):
+    """ES ``missing`` aggregation (under a terms bucket): per group
+    value, how many rows MISS ``attr_col`` (null or empty — the same
+    absent-value convention as the exists query). Tiny per-batch
+    indicator-sum partials → the coarse-bucket combine; groups with
+    zero missing rows are present (count 0), matching the SQL twin's
+    FILTER count. → Dataset (group_col, n_missing) sorted by group."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_col, attr_col]).to_pandas()
+        s = df[attr_col]
+        missing = (s.isna() | (s.fillna("").astype(str) == "")).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({group_col: df[group_col], "n_missing": missing})
+            .groupby(group_col, sort=False)
+            .agg(n_missing=("n_missing", "sum"))
+            .reset_index()
+        )
+
+    out = _bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        [group_col],
+    )
+    return out.sort(group_col)

@@ -692,3 +692,22 @@ def test_cumulative_cardinality_first_seen(ray_session):
     got = list(zip(out["day"].to_numpy(), out["n_new"], out["cum_users"]))
     assert got == expect
     assert out["cum_users"].iloc[-1] == len(set(users))
+
+
+def test_missing_agg_null_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.events import missing_agg
+
+    t = pa.table(
+        {
+            "role": ["u", "u", "a", "a", "a", "t"],
+            "tool": [None, "", "x", None, "y", "z"],
+        }
+    )
+    out = missing_agg(rd.from_arrow(t), "tool", "role").to_pandas()
+    assert dict(zip(out["role"], out["n_missing"])) == {
+        "u": 2, "a": 1, "t": 0,
+    }
+    assert list(out["role"]) == ["a", "t", "u"]  # sorted
