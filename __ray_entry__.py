@@ -92,6 +92,15 @@ SPAN_FIRST_QUERIES = [
     ("s4", "zzz_absent_term", 4),
 ]
 
+#: span_near probes: (query_id, "term term", slop) — unordered
+#: two-term proximity; min |pos_a - pos_b| <= slop + 1 matches.
+SPAN_NEAR_QUERIES = [
+    ("n1", "merge sort", 2),
+    ("n2", "window value", 0),
+    ("n3", "table key", 5),
+    ("n4", "table zzz_absent_term", 3),
+]
+
 #: nested query-DSL probe: only expressible with nesting (the inner
 #: bool's minimum_should_match=2 requires BOTH its should clauses to
 #: match — a flat bool cannot state "(window|value) AND (sort|merge)").
@@ -1139,6 +1148,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "conv_id": t["conv_id"],
                         "turn_idx": t["turn_idx"],
                         "ts": t["ts"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_span_near(sf_dir):
+        # ES span_near (two terms, unordered, slop window)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q, slop in SPAN_NEAR_QUERIES:
+            t = eng.search_span_near(q, slop=slop, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
                     }
                 )
             )
@@ -2226,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": q_span_first,
         "bm25_exists_topk": q_bm25_exists_topk,
         "bm25_dsl_topk": q_bm25_dsl_topk,
+        "span_near": q_span_near,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -2654,6 +2691,67 @@ scored AS (
     JOIN base bb ON bb.conv_id = tf.conv_id AND bb.turn_idx = tf.turn_idx
     CROSS JOIN stats s
     WHERE list_position(bb.toks, q.term) <= q.endpos
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _span_near_sql(k: int = 10) -> str:
+    """span_near twin: positional min-gap filter (min |pa − pb| <=
+    slop + 1) over exploded (doc, position, term) rows pruned to the
+    probe terms; matched docs score as the two-term BM25 sum."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{sorted(q.split())[0]}', '{sorted(q.split())[1]}', "
+        f"{slop})"
+        for qid, q, slop in SPAN_NEAR_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, ta, tb, slop) AS (VALUES
+        {vals}),
+pos AS (
+    SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
+    FROM base b, LATERAL unnest(range(1, len(b.toks) + 1)) AS i(i)
+    WHERE b.toks[i.i] IN (SELECT ta FROM q UNION SELECT tb FROM q)
+),
+matched AS (
+    SELECT q.query_id, x.conv_id, x.turn_idx, q.ta, q.tb
+    FROM q
+    JOIN pos x ON x.term = q.ta
+    JOIN pos y ON y.term = q.tb
+        AND y.conv_id = x.conv_id AND y.turn_idx = x.turn_idx
+    GROUP BY q.query_id, q.slop, x.conv_id, x.turn_idx, q.ta, q.tb
+    HAVING min(abs(x.p - y.p)) <= q.slop + 1
+),
+scored AS (
+    SELECT m.query_id, m.conv_id, m.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS raw
+    FROM matched m
+    JOIN tf ON tf.conv_id = m.conv_id AND tf.turn_idx = m.turn_idx
+        AND tf.term IN (m.ta, m.tb)
+    JOIN df ON df.term = tf.term
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s
+    GROUP BY m.query_id, m.conv_id, m.turn_idx
 )
 SELECT query_id, conv_id, turn_idx,
        floor(raw * 1000000 + 0.5) / 1000000 AS score
@@ -4036,6 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "rank_eval": _rank_eval_sql(),
         "span_first": _span_first_sql(),
+        "span_near": _span_near_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         # Nested-bool DSL twin: per-term contribution CTE, one grouped
         # sum per match clause, inner msm=2 as two required joins,

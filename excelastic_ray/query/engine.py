@@ -526,6 +526,48 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
+    def span_near_topk(self, ta: str, tb: str, slop: int, idfa: float,
+                       idfb: float, avgdl: float, k: int,
+                       filters: dict | None = None):
+        """ES ``span_near`` with two single-term clauses, UNORDERED
+        (in_order=false): a doc matches when some occurrence pair sits
+        within ``slop`` (min |pos_a − pos_b| ≤ slop + 1 — positions are
+        distinct, so the gap between adjacent terms is 1). Implemented
+        as the union of the two in-order sloppy phrases "a b" and
+        "b a" over the SAME tested anchor machinery. Scoring: the
+        positional constraint only FILTERS matches; matched docs score
+        as the bool-must sum of both terms' BM25 contributions
+        (deviation from Lucene's SpanWeight sloppy-frequency scoring,
+        chosen because it is deterministic and SQL-twinnable — the
+        constraint-filters-scoring-stays split the engine's decay and
+        exists filters already use)."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        if self.lookup(ta) < 0 or self.lookup(tb) < 0:
+            return empty
+        d1, _, _ = self.phrase_matches([ta, tb], slop)
+        d2, _, _ = self.phrase_matches([tb, ta], slop)
+        matched = np.union1d(d1, d2)
+        if not len(matched):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        for t, t_idf in sorted(((ta, idfa), (tb, idfb))):
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+        ords = np.searchsorted(self.docids, matched)
+        if not np.array_equal(self.docids[ords], matched):
+            raise RuntimeError("span_near: shard docids not sorted")
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            keep = mask[ords]
+            matched, ords = matched[keep], ords[keep]
+        scores = acc[ords]
+        order = np.lexsort((matched, -scores))[:k]
+        return matched[order], scores[order]
+
     def phrase_matches(self, terms: list[str], slop: int = 0,
                        field: str | None = None) -> tuple[np.ndarray, ...]:
         """Docs matching the phrase → (docids, ptf, dl) where ptf =
@@ -3428,6 +3470,50 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_span_near(self, query: str, slop: int = 1, k: int = 10,
+                         filters: dict | None = None):
+        """ES ``span_near`` (two span_term clauses, in_order=false):
+        docs where the two analyzed terms occur within ``slop`` of each
+        other in either order, scored as the bool-must term sum (the
+        positional constraint filters matches only; see
+        ShardSearcher.span_near_topk). → the standard result table,
+        ties (score DESC, docid ASC)."""
+        r = self.reader
+        terms = self._qt(query)
+        if len(terms) != 2:
+            raise ValueError(
+                "span_near takes exactly two distinct analyzed terms"
+            )
+        ta, tb = terms
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            dfs = self._global_dfs([ta, tb])
+            if int(dfs[0]) > 0 and int(dfs[1]) > 0:
+                idfa = idf(r.n_docs, int(dfs[0]))
+                idfb = idf(r.n_docs, int(dfs[1]))
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.span_near_topk.remote(
+                                ta, tb, slop, idfa, idfb, r.avgdl, k,
+                                filters,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).span_near_topk(
+                            ta, tb, slop, idfa, idfb, r.avgdl, k, filters
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
@@ -4255,6 +4341,14 @@ class ShardActor:
     def dsl_topk(self, tree, avgdl, k, filters=None):
         parts = [
             s.dsl_topk(tree, avgdl, k, filters) for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def span_near_topk(self, ta, tb, slop, idfa, idfb, avgdl, k,
+                       filters=None):
+        parts = [
+            s.span_near_topk(ta, tb, slop, idfa, idfb, avgdl, k, filters)
+            for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
 

@@ -247,3 +247,57 @@ def test_span_first_brute_force(ray_session, tiny_index, tiny_table):
             assert full_scores[ck] == sc
         via_actor = actor_eng.search_span_first(term, end, k=1000)
         assert via_actor.equals(got)
+
+
+def test_span_near_brute_force(ray_session, tiny_index, tiny_table):
+    """span_near == docs where min |pos_a - pos_b| <= slop + 1 (either
+    order), scored as the two-term sum; actor==local."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(2)]
+    docs = {
+        (c, i): tokenize(txt)
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    actor_eng = QueryEngine(d, use_actors=True)
+    for slop in (0, 1, 3):
+        got = eng.search_span_near(f"{hot[0]} {hot[1]}", slop=slop,
+                                   k=10**6)
+        keys = set(zip(got["conv_id"].to_pylist(),
+                       got["turn_idx"].to_pylist()))
+        want = set()
+        for kk, toks in docs.items():
+            pa_ = [i for i, t in enumerate(toks) if t == hot[0]]
+            pb_ = [i for i, t in enumerate(toks) if t == hot[1]]
+            if pa_ and pb_ and min(
+                abs(a - b) for a in pa_ for b in pb_
+            ) <= slop + 1:
+                want.add(kk)
+        assert keys == want, slop
+        # scores equal the bool-must two-term sum
+        full = eng.search_bool(must=f"{hot[0]} {hot[1]}", k=10**6)
+        full_map = dict(zip(
+            zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()),
+            full["score"].to_pylist(),
+        ))
+        for ck, sc in zip(
+            zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+            got["score"].to_pylist(),
+        ):
+            assert full_map[ck] == sc
+        via_actor = actor_eng.search_span_near(
+            f"{hot[0]} {hot[1]}", slop=slop, k=10**6
+        )
+        assert via_actor.equals(got)
