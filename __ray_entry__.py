@@ -101,6 +101,14 @@ SPAN_NEAR_QUERIES = [
     ("n4", "table zzz_absent_term", 3),
 ]
 
+#: span_not probes: (query_id, include, exclude, dist) — include-term
+#: occurrences survive unless an exclude term sits within dist.
+SPAN_NOT_QUERIES = [
+    ("x1", "table", "scan", 1),
+    ("x2", "value", "window", 2),
+    ("x3", "merge", "zzz_absent_term", 3),
+]
+
 #: nested query-DSL probe: only expressible with nesting (the inner
 #: bool's minimum_should_match=2 requires BOTH its should clauses to
 #: match — a flat bool cannot state "(window|value) AND (sort|merge)").
@@ -1164,6 +1172,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = []
         for qid, q, slop in SPAN_NEAR_QUERIES:
             t = eng.search_span_near(q, slop=slop, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_span_not(sf_dir):
+        # ES span_not: include-span survives unless exclude is near
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, inc, exc, dist in SPAN_NOT_QUERIES:
+            t = eng.search_span_not(inc, exc, dist=dist, k=10)
             parts.append(
                 pa.table(
                     {
@@ -2263,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_exists_topk": q_bm25_exists_topk,
         "bm25_dsl_topk": q_bm25_dsl_topk,
         "span_near": q_span_near,
+        "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -2752,6 +2788,68 @@ scored AS (
     JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
     CROSS JOIN stats s
     GROUP BY m.query_id, m.conv_id, m.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _span_not_sql(k: int = 10) -> str:
+    """span_not twin: an include-position survives when the LEFT JOIN
+    to same-doc exclude-positions within dist finds nothing; a doc
+    matches when some position survives. Scoring = the include term's
+    BM25 (the span_first rule)."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{inc}', '{exc}', {dist})"
+        for qid, inc, exc, dist in SPAN_NOT_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, inc, exc, dist) AS (VALUES
+        {vals}),
+pos AS (
+    SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
+    FROM base b, LATERAL unnest(range(1, len(b.toks) + 1)) AS i(i)
+    WHERE b.toks[i.i] IN (SELECT inc FROM q UNION SELECT exc FROM q)
+),
+surviving AS (
+    SELECT q.query_id, a.conv_id, a.turn_idx
+    FROM q
+    JOIN pos a ON a.term = q.inc
+    LEFT JOIN pos b ON b.term = q.exc
+        AND b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+        AND abs(a.p - b.p) <= q.dist
+    GROUP BY q.query_id, a.conv_id, a.turn_idx, a.p
+    HAVING count(b.p) = 0
+),
+matched AS (SELECT DISTINCT query_id, conv_id, turn_idx FROM surviving),
+scored AS (
+    SELECT m.query_id, m.conv_id, m.turn_idx,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS raw
+    FROM matched m
+    JOIN q ON q.query_id = m.query_id
+    JOIN tf ON tf.conv_id = m.conv_id AND tf.turn_idx = m.turn_idx
+        AND tf.term = q.inc
+    JOIN df ON df.term = q.inc
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s
 )
 SELECT query_id, conv_id, turn_idx,
        floor(raw * 1000000 + 0.5) / 1000000 AS score
@@ -4135,6 +4233,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": _rank_eval_sql(),
         "span_first": _span_first_sql(),
         "span_near": _span_near_sql(),
+        "span_not": _span_not_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         # Nested-bool DSL twin: per-term contribution CTE, one grouped
         # sum per match clause, inner msm=2 as two required joins,

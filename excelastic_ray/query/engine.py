@@ -568,6 +568,79 @@ class ShardSearcher:
         order = np.lexsort((matched, -scores))[:k]
         return matched[order], scores[order]
 
+    def span_not_topk(self, ta: str, tb: str, dist: int, t_idf: float,
+                      avgdl: float, k: int,
+                      filters: dict | None = None):
+        """ES ``span_not`` (include = span_term ``ta``, exclude =
+        span_term ``tb`` within ``dist`` positions, pre = post =
+        dist): a doc matches when AT LEAST ONE occurrence of ``ta``
+        has no ``tb`` within ``dist`` positions (docs without ``tb``
+        match wherever ``ta`` does). Scored exactly like the plain
+        ``ta`` term query — the exclusion filters matches, never stats
+        (the span_first rule).
+
+        Kernel is fully vectorized across docs: positions become
+        global keys (ordinal << 32 | pos), one ``searchsorted`` of
+        every a-key into the sorted b-keys finds each a-occurrence's
+        flanking b-occurrences, and a doc survives when some a-key's
+        nearest same-doc b is farther than ``dist``."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        ia = self.lookup(ta)
+        if ia < 0:
+            return empty
+        ids_a, tfs_a = self.decoded(ia)
+        pos_a = self.positions_of(ia, tfs_a)
+        a_keys = (
+            np.repeat(ids_a.astype(np.int64), tfs_a.astype(np.int64))
+            << np.int64(32)
+        ) | pos_a
+        ib = self.lookup(tb)
+        if ib < 0:
+            good = np.ones(len(a_keys), dtype=bool)
+        else:
+            ids_b, tfs_b = self.decoded(ib)
+            pos_b = self.positions_of(ib, tfs_b)
+            b_keys = (
+                np.repeat(ids_b.astype(np.int64), tfs_b.astype(np.int64))
+                << np.int64(32)
+            ) | pos_b
+            # positions are doc-internal and sorted per doc, so the
+            # global keys are globally sorted
+            lo = np.searchsorted(b_keys, a_keys)
+            d = np.int64(dist)
+            near = np.zeros(len(a_keys), dtype=bool)
+            has_next = lo < len(b_keys)
+            if has_next.any():
+                nxt = b_keys[np.minimum(lo, len(b_keys) - 1)]
+                near |= has_next & (nxt - a_keys >= 0) & (
+                    nxt - a_keys <= d
+                ) & ((nxt >> np.int64(32)) == (a_keys >> np.int64(32)))
+            has_prev = lo > 0
+            if has_prev.any():
+                prv = b_keys[np.maximum(lo - 1, 0)]
+                near |= has_prev & (a_keys - prv >= 0) & (
+                    a_keys - prv <= d
+                ) & ((prv >> np.int64(32)) == (a_keys >> np.int64(32)))
+            good = ~near
+        if not good.any():
+            return empty
+        surv_ord = np.unique(a_keys[good] >> np.int64(32))
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            surv_ord = surv_ord[mask[surv_ord]]
+        if not len(surv_ord):
+            return empty
+        # score = the plain term query's contribution for these docs
+        pos_map = np.searchsorted(ids_a, surv_ord)
+        tfs = tfs_a[pos_map].astype(np.float64)
+        sc = contribution(
+            t_idf, tfs, self.dls[surv_ord], avgdl, cfg.k1, cfg.b
+        )
+        docids = self.docids[surv_ord]
+        order = np.lexsort((docids, -sc))[:k]
+        return docids[order], sc[order]
+
     def phrase_matches(self, terms: list[str], slop: int = 0,
                        field: str | None = None) -> tuple[np.ndarray, ...]:
         """Docs matching the phrase → (docids, ptf, dl) where ptf =
@@ -3514,6 +3587,46 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_span_not(self, include: str, exclude: str, dist: int = 0,
+                        k: int = 10, filters: dict | None = None):
+        """ES ``span_not``: docs where some occurrence of ``include``
+        has no ``exclude`` within ``dist`` positions (pre = post);
+        scored exactly like the plain ``include`` term query (the
+        exclusion filters matches, never stats)."""
+        r = self.reader
+        ta = self._qt(include)
+        tb = self._qt(exclude)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("span_not takes one include and one "
+                             "exclude term")
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            df = int(self._global_dfs([ta[0]])[0])
+            if df > 0:
+                t_idf = idf(r.n_docs, df)
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.span_not_topk.remote(
+                                ta[0], tb[0], dist, t_idf, r.avgdl, k,
+                                filters,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).span_not_topk(
+                            ta[0], tb[0], dist, t_idf, r.avgdl, k, filters
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
@@ -4348,6 +4461,13 @@ class ShardActor:
                        filters=None):
         parts = [
             s.span_near_topk(ta, tb, slop, idfa, idfb, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def span_not_topk(self, ta, tb, dist, t_idf, avgdl, k, filters=None):
+        parts = [
+            s.span_not_topk(ta, tb, dist, t_idf, avgdl, k, filters)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

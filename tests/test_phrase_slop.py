@@ -301,3 +301,55 @@ def test_span_near_brute_force(ray_session, tiny_index, tiny_table):
             f"{hot[0]} {hot[1]}", slop=slop, k=10**6
         )
         assert via_actor.equals(got)
+
+
+def test_span_not_brute_force(ray_session, tiny_index, tiny_table):
+    """span_not == docs with an include occurrence having no exclude
+    within dist; absent exclude matches wherever include does; scores
+    equal the plain term query; actor==local."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(2)]
+    docs = {
+        (c, i): tokenize(txt)
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    full = eng.search(hot[0], k=10**6)
+    full_map = dict(zip(
+        zip(full["conv_id"].to_pylist(), full["turn_idx"].to_pylist()),
+        full["score"].to_pylist(),
+    ))
+    actor_eng = QueryEngine(d, use_actors=True)
+    for exc, dist in ((hot[1], 0), (hot[1], 2), ("zz_nope", 1)):
+        got = eng.search_span_not(hot[0], exc, dist=dist, k=10**6)
+        keys = set(zip(got["conv_id"].to_pylist(),
+                       got["turn_idx"].to_pylist()))
+        want = set()
+        for kk, toks in docs.items():
+            pa_ = [i for i, t in enumerate(toks) if t == hot[0]]
+            pb_ = [i for i, t in enumerate(toks) if t == exc]
+            if any(
+                all(abs(a - b) > dist for b in pb_) for a in pa_
+            ):
+                want.add(kk)
+        assert keys == want, (exc, dist)
+        for ck, sc in zip(
+            zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+            got["score"].to_pylist(),
+        ):
+            assert full_map[ck] == sc
+        via_actor = actor_eng.search_span_not(hot[0], exc, dist=dist,
+                                              k=10**6)
+        assert via_actor.equals(got)
