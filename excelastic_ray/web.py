@@ -371,6 +371,13 @@ class ImportServer:
                                 explain=q.get("explain") or None,
                                 phrase_prefix=q.get(
                                     "phrase_prefix") == "1",
+                                span_first=(int(q["span_first"])
+                                            if q.get("span_first")
+                                            else None),
+                                span_near=(int(q["span_near"])
+                                           if q.get("span_near")
+                                           else None),
+                                span_not=q.get("span_not") or None,
                             ),
                         )
                     else:
@@ -1252,7 +1259,10 @@ class ImportServer:
                fuzzy: str | None = None,
                syn: str | None = None, highlight: bool = False,
                explain: str | None = None,
-               phrase_prefix: bool = False) -> dict:
+               phrase_prefix: bool = False,
+               span_first: int | None = None,
+               span_near: int | None = None,
+               span_not: str | None = None) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -1266,7 +1276,9 @@ class ImportServer:
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
                     or fields or sort_ts or fuzzy or syn or highlight
-                    or explain or phrase_prefix):
+                    or explain or phrase_prefix
+                    or span_first is not None or span_near is not None
+                    or span_not):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
@@ -1316,6 +1328,16 @@ class ImportServer:
                 term, _, alts = spec.partition("=")
                 table[term.lower()] = alts.split("|")
             t = eng.search_synonyms(query, table, k)
+        elif span_first is not None:
+            # ES span_first: q= is the term, span_first= the boundary
+            t = eng.search_span_first(query, span_first, k)
+        elif span_near is not None:
+            # ES span_near: q= two terms, span_near= the slop
+            t = eng.search_span_near(query, slop=span_near, k=k)
+        elif span_not:
+            # ES span_not: q= include term, span_not="exclude:dist"
+            exc, _, dist = span_not.rpartition(":")
+            t = eng.search_span_not(query, exc, dist=int(dist), k=k)
         elif phrase_prefix:
             # ES match_phrase_prefix (search-as-you-type)
             t = eng.search_phrase_prefix(query, k, slop=slop)

@@ -897,3 +897,43 @@ def test_search_dsl_over_http(ray_session, tmp_path):
         assert hits == want and len(hits) > 0
     finally:
         srv.stop()
+
+
+def test_span_queries_over_http(ray_session, tmp_path):
+    """span_first / span_near / span_not GET params match the engine."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "span")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=3)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def hits(params):
+            _, body = _get(base + f"/api/search?index=a&{params}")
+            return json.loads(body)["hits"]
+
+        assert hits("q=the&span_first=2") == eng.search_span_first(
+            "the", 2, 10
+        ).to_pylist()
+        assert hits("q=the+and&span_near=1") == eng.search_span_near(
+            "the and", slop=1, k=10
+        ).to_pylist()
+        assert hits("q=the&span_not=and:1") == eng.search_span_not(
+            "the", "and", dist=1, k=10
+        ).to_pylist()
+    finally:
+        srv.stop()
