@@ -448,6 +448,21 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/rollover":
+                    try:
+                        self._json(
+                            200,
+                            server.rollover(
+                                q["alias"],
+                                (int(q["max_docs"])
+                                 if q.get("max_docs") else None),
+                            ),
+                        )
+                    except KeyError as e:
+                        self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/snapshot":
                     try:
                         names = [s for s in
@@ -646,14 +661,22 @@ class ImportServer:
         mapping = params.get("mapping") or None
         # index templates apply at CREATION only (ES rule): an import
         # into a fresh index inherits the matching template's settings
-        # unless the upload overrides them explicitly
-        if (mapping is None or pipeline is None) and not os.path.exists(
-            os.path.join(self.index_dir(index), "manifest.json")
-        ):
-            tpl = self._match_template(index)
-            if tpl is not None:
-                mapping = mapping or tpl.get("mapping")
-                pipeline = pipeline or tpl.get("pipeline")
+        # unless the upload overrides them explicitly. "Fresh" = no
+        # COMPLETE manifest — a rollover-placeholder or crashed-build
+        # manifest still counts as creation.
+        if mapping is None or pipeline is None:
+            created = False
+            try:
+                with open(os.path.join(self.index_dir(index),
+                                       "manifest.json")) as f:
+                    created = json.load(f).get("status") == "complete"
+            except (FileNotFoundError, ValueError):
+                created = False
+            if not created:
+                tpl = self._match_template(index)
+                if tpl is not None:
+                    mapping = mapping or tpl.get("mapping")
+                    pipeline = pipeline or tpl.get("pipeline")
         imp_id = uuid.uuid4().hex[:12]
         ext = os.path.splitext(filename)[1] or ".bin"
         fd, tmp = tempfile.mkstemp(suffix=ext)
@@ -716,6 +739,17 @@ class ImportServer:
         # entries whose resolution spans this index go too — their
         # MultiIndexEngine holds a reader over the same files.
         self._evict_engines_for(index)
+        # a rollover placeholder ("empty" status) holds no data: its
+        # first import IS index creation, whatever options= says —
+        # appending into it would trip the config-match rule against
+        # the placeholder's default config
+        try:
+            with open(os.path.join(self.index_dir(index),
+                                   "manifest.json")) as f:
+                if json.load(f).get("status") == "empty":
+                    clear = True
+        except (FileNotFoundError, ValueError):
+            pass
         build_index(ds, self.index_dir(index), cfg, clear=clear,
                     transforms=transforms)
         self._evict_engines_for(index)  # and after: force fresh readers
@@ -1103,6 +1137,77 @@ class ImportServer:
                 eng = MultiIndexEngine(dirs)
             self._engines[name] = (targets, eng)
             return eng
+
+    def rollover(self, alias: str, max_docs: int | None = None) -> dict:
+        """ES ``_rollover`` analog: when the alias's single write index
+        has reached ``max_docs`` (always, when no condition is given),
+        atomically point the alias at a FRESH ``<base>-NNNNNN`` index
+        (created on its first import — index templates apply then,
+        exactly ES + template interplay). The old index stays on disk
+        and searchable by its concrete name; readers of the alias see
+        the swap atomically (the update_aliases os.replace). Between
+        the rollover and the new index's first import, searching the
+        alias raises "not complete" — the placeholder manifest keeps
+        the alias machinery valid but is not a queryable index
+        (documented divergence from ES, whose rollover creates a real
+        empty index)."""
+        import json as _json
+
+        from excelastic_ray.index.segments import load_global_manifest
+        from excelastic_ray.index.snapshot import (
+            load_aliases,
+            resolve_alias,
+        )
+
+        aliases = load_aliases(self.index_root)
+        if alias not in aliases:
+            raise KeyError(f"no alias {alias!r}")
+        targets = resolve_alias(self.index_root, alias)
+        if len(targets) != 1:
+            raise ValueError(
+                f"rollover needs a single write index; alias {alias!r} "
+                f"spans {len(targets)}"
+            )
+        old = targets[0]
+        n_docs = load_global_manifest(
+            os.path.join(self.index_root, old)
+        )["n_docs"]
+        if max_docs is not None and n_docs < max_docs:
+            return {"rolled_over": False, "old_index": old,
+                    "doc_count": n_docs}
+        m = re.fullmatch(r"(.*)-(\d{6})", old)
+        base, seq = (m.group(1), int(m.group(2))) if m else (old, 0)
+        new = f"{base}-{seq + 1:06d}"
+        if os.path.isdir(self.index_dir(new)):
+            raise ValueError(f"rollover target {new!r} already exists")
+        # the new index is CREATED by its first import; the alias swap
+        # itself is the atomic step (matching update_aliases' add rule
+        # needs a manifest, so write a rollover-shaped empty one)
+        os.makedirs(self.index_dir(new), exist_ok=True)
+        with open(os.path.join(self.index_dir(new), "manifest.json"),
+                  "w") as f:
+            # a VALID manifest shape (config + zero counters) so status
+            # and listing endpoints read it; status "empty" keeps the
+            # reader refusing to serve it until the first import
+            _json.dump(
+                {
+                    "status": "empty",
+                    "n_docs": 0,
+                    "n_convs": 0,
+                    "n_chunks": 0,
+                    "config": self.config.to_dict(),
+                    "rolled_from": old,
+                },
+                f,
+            )
+        self.update_aliases(
+            [
+                {"remove": {"alias": alias, "index": old}},
+                {"add": {"alias": alias, "index": new}},
+            ]
+        )
+        return {"rolled_over": True, "old_index": old, "new_index": new,
+                "doc_count": n_docs}
 
     def field_caps(self, index: str) -> dict:
         """ES ``_field_caps`` analog (the endpoint Kibana calls to

@@ -937,3 +937,83 @@ def test_span_queries_over_http(ray_session, tmp_path):
         ).to_pylist()
     finally:
         srv.stop()
+
+
+def test_rollover_api(ray_session, tmp_path):
+    """ES _rollover: condition check, atomic alias swap, sequence
+    naming, template application on the rolled index's first import."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "roll")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=8, seed=5)),
+        f"{root}/logs-000001",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=1),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        req = urllib.request.Request(
+            base + "/api/aliases",
+            data=json.dumps({"actions": [
+                {"add": {"alias": "logs", "index": "logs-000001"}}
+            ]}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req).read()
+
+        def post(url):
+            req = urllib.request.Request(url, data=b"", method="POST")
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        # condition not met -> no rollover
+        body = post(base + "/api/rollover?alias=logs&max_docs=100000")
+        r = json.loads(body)
+        assert r == {"rolled_over": False, "old_index": "logs-000001",
+                     "doc_count": r["doc_count"]}
+
+        # unconditional rollover swaps the alias to logs-000002
+        body = post(base + "/api/rollover?alias=logs")
+        r = json.loads(body)
+        assert r["rolled_over"] and r["new_index"] == "logs-000002"
+        _, body = _get(base + "/api/aliases")
+        assert json.loads(body)["aliases"]["logs"] == ["logs-000002"]
+
+        # a template matching logs-* applies on the rolled index's
+        # first import (placeholder manifest is not "created")
+        req = urllib.request.Request(
+            base + "/api/template?name=logs",
+            data=json.dumps({"index_patterns": ["logs-*"],
+                             "mapping": "english"}).encode(),
+            method="PUT",
+        )
+        urllib.request.urlopen(req).read()
+        payload = open(
+            "/root/reference/src/test/resources/test.csv", "rb"
+        ).read()
+        _, resp = _post_multipart(
+            base + "/api/upload",
+            {"index": b"logs", "options": b"add", "offset": b"1"},
+            ("file", "test.csv", payload),
+        )
+        for _ in range(300):
+            _, out = _get(base + f"/api/status?id={resp['id']}")
+            rec = json.loads(out)
+            if rec["status"] in ("complete", "error"):
+                break
+            time.sleep(0.2)
+        assert rec["status"] == "complete", rec
+        _, body = _get(base + "/api/analyze?q=running+tests&index=logs-000002")
+        assert json.loads(body)["analyzer"] == "english"
+        # old index still searchable by concrete name
+        _, body = _get(base + "/api/search?index=logs-000001&q=the&k=3")
+        assert len(json.loads(body)["hits"]) > 0
+    finally:
+        srv.stop()
