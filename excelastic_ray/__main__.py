@@ -113,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="pagination offset (ES from)")
     s.add_argument("--highlight", action="store_true")
 
+    s.add_argument("--span-first", dest="span_first", type=int,
+                   default=None, metavar="END",
+                   help="span_first: term must start inside the first "
+                        "END positions")
+    s.add_argument("--span-near", dest="span_near", type=int,
+                   default=None, metavar="SLOP",
+                   help="span_near: two terms within SLOP, any order")
+    s.add_argument("--span-not", dest="span_not", default=None,
+                   metavar="EXCLUDE:DIST",
+                   help="span_not: exclude term within DIST kills the "
+                        "include occurrence")
     s.add_argument("--syn", action="append", default=[],
                    metavar="TERM=ALT|ALT2",
                    help="query-time synonym expansion (repeatable; "
@@ -361,6 +372,18 @@ def main(argv: list[str] | None = None) -> int:
                     term, _, alts = spec.partition("=")
                     table[term.lower()] = alts.split("|")
                 t = eng.search_synonyms(args.query, table, args.k,
+                                        filters=filters or None)
+            elif args.span_first is not None:
+                t = eng.search_span_first(args.query, args.span_first,
+                                          args.k, filters=filters or None)
+            elif args.span_near is not None:
+                t = eng.search_span_near(args.query, slop=args.span_near,
+                                         k=args.k,
+                                         filters=filters or None)
+            elif args.span_not:
+                exc, _, dist = args.span_not.rpartition(":")
+                t = eng.search_span_not(args.query, exc, dist=int(dist),
+                                        k=args.k,
                                         filters=filters or None)
             elif args.phrase:
                 t = eng.search_phrase(args.query, args.k, slop=args.slop)

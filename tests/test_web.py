@@ -156,6 +156,12 @@ def test_cli_search_flags(ray_session, tmp_path):
                      "--mlt", "conv-000003:1"]) == 0
         assert main(["search", idx, "call the", "-k", "3",
                      "--must", "w00001", "--must-not", "w00002"]) == 0
+        assert main(["search", idx, "the", "-k", "3",
+                     "--span-first", "2"]) == 0
+        assert main(["search", idx, "the and", "-k", "3",
+                     "--span-near", "1"]) == 0
+        assert main(["search", idx, "the", "-k", "3",
+                     "--span-not", "and:1"]) == 0
         assert main(["status", idx]) == 0
     text = out.getvalue()
     assert "<em>" in text and "docid" in text and '"percent": 100.0' in text
