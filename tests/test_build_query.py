@@ -1151,3 +1151,117 @@ def test_search_dsl_validation(tiny_index):
     assert eng.search_dsl(
         {"bool": {"must": [{"match": "zzz_nope"}]}}
     ).num_rows == 0
+
+
+def test_search_dsl_randomized_trees(tiny_index, tiny_table):
+    """Property test: 30 random DSL trees (depth <= 3) against a pure-
+    Python reference evaluator over tokenized docs with per-term score
+    maps from single-term searches."""
+    from collections import Counter
+
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    vocab = [t for t, c in counts.items() if c >= 3][:12]
+    assert len(vocab) >= 6
+    per_term = {}
+    for t in vocab:
+        res = eng.search(t, k=10**6)
+        per_term[t] = dict(zip(
+            zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()),
+            res["score"].to_pylist(),
+        ))
+    docs = {
+        (c, i): set(tokenize(txt))
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    rng = np.random.RandomState(17)
+
+    def rand_match():
+        n = int(rng.randint(1, 3))
+        terms = [vocab[int(rng.randint(0, len(vocab)))]
+                 for _ in range(n)]
+        return {"match": " ".join(terms)}
+
+    def rand_tree(depth):
+        if depth == 0 or rng.rand() < 0.4:
+            return rand_match()
+        must = [rand_tree(depth - 1) for _ in range(int(rng.randint(1, 3)))]
+        should = [rand_tree(depth - 1)
+                  for _ in range(int(rng.randint(0, 3)))]
+        must_not = ([rand_match()] if rng.rand() < 0.5 else [])
+        node = {"bool": {"must": must}}
+        if should:
+            node["bool"]["should"] = should
+            if rng.rand() < 0.5:
+                node["bool"]["minimum_should_match"] = int(
+                    rng.randint(1, len(should) + 1)
+                )
+        if must_not:
+            node["bool"]["must_not"] = must_not
+        return node
+
+    def ref_score(node, kk, toks):
+        """→ (matches, score) with ES clause semantics: a child's
+        score is already 0 when it does not match (leaves sum matched
+        terms only; bools zero themselves), so parents just add."""
+        op, body = next(iter(node.items()))
+        if op == "match":
+            terms = sorted(set(body.lower().split()))
+            m = any(t in toks for t in terms)
+            s = sum(per_term.get(t, {}).get(kk, 0.0) for t in terms
+                    if t in toks)
+            return m, s
+        b = body
+        m_all, score = True, 0.0
+        for c in b.get("must", []):
+            cm, cs = ref_score(c, kk, toks)
+            m_all &= cm
+            score += cs
+        cnt = 0
+        for c in b.get("should", []):
+            cm, cs = ref_score(c, kk, toks)
+            cnt += cm
+            score += cs if cm else 0.0
+        msm = b.get("minimum_should_match")
+        if msm is None:
+            msm = 1 if (b.get("should") and not b.get("must")) else 0
+        if b.get("should") and cnt < msm:
+            m_all = False
+        for c in b.get("must_not", []):
+            cm, _ = ref_score(c, kk, toks)
+            m_all &= not cm
+        return m_all, (score if m_all else 0.0)
+
+    n_nonempty = 0
+    for _ in range(30):
+        tree = rand_tree(2)
+        try:
+            got = eng.search_dsl(tree, k=10**6)
+        except ValueError:
+            continue  # match-all guard trees are allowed to raise
+        got_map = dict(zip(
+            zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+            got["score"].to_pylist(),
+        ))
+        exp = {}
+        for kk, toks in docs.items():
+            m, s = ref_score(tree, kk, toks)
+            if m:
+                exp[kk] = s
+        assert set(got_map) == set(exp), tree
+        for kk, s in exp.items():
+            assert abs(got_map[kk] - s) < 1e-9, (tree, kk)
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 10  # the property exercised real matches
