@@ -109,6 +109,16 @@ SPAN_NOT_QUERIES = [
     ("x3", "merge", "zzz_absent_term", 3),
 ]
 
+#: DSL probe with a PHRASE leaf: phrase pseudo-term + optional match
+#: clause + exclusion, composed in one bool.
+DSL_PHRASE_QUERY = {
+    "bool": {
+        "must": [{"phrase": "table hash"}],
+        "should": [{"match": "window value"}],
+        "must_not": [{"match": "spark"}],
+    }
+}
+
 #: nested query-DSL probe: only expressible with nesting (the inner
 #: bool's minimum_should_match=2 requires BOTH its should clauses to
 #: match — a flat bool cannot state "(window|value) AND (sort|merge)").
@@ -1233,6 +1243,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_dsl_phrase(sf_dir):
+        # DSL with a phrase leaf (pseudo-term idf from the global
+        # phrase df) composed with match + must_not clauses
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_dsl(DSL_PHRASE_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2297,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": q_span_first,
         "bm25_exists_topk": q_bm25_exists_topk,
         "bm25_dsl_topk": q_bm25_dsl_topk,
+        "bm25_dsl_phrase": q_bm25_dsl_phrase,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4235,6 +4265,62 @@ def oracle_sql() -> dict[str, str]:
         "span_near": _span_near_sql(),
         "span_not": _span_not_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
+        # DSL phrase-leaf twin: the _phrase_sql anchor CTE provides the
+        # pseudo-term (ptf, phrase df), the per-term CTE the should /
+        # must_not clauses
+        "bm25_dsl_phrase": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+mph AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= 2
+                    THEN len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'table'
+                                  AND toks[i + 1] = 'hash'))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+),
+pdf AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM mph),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term IN ('window', 'value', 'spark')
+),
+spark AS (SELECT DISTINCT conv_id, turn_idx FROM per WHERE term = 'spark'),
+sh AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+       WHERE term IN ('value', 'window') GROUP BY 1, 2),
+m AS (
+    SELECT mph.conv_id, mph.turn_idx,
+           ln(1 + (s.n - pdf.d + 0.5) / (pdf.d + 0.5)) * mph.ptf * 2.2
+               / (mph.ptf + 1.2 * (1 - 0.75 + 0.75 * mph.dl / s.avgdl))
+           + coalesce(sh.s, 0) AS raw
+    FROM mph
+    CROSS JOIN stats s
+    CROSS JOIN pdf
+    LEFT JOIN sh ON sh.conv_id = mph.conv_id
+        AND sh.turn_idx = mph.turn_idx
+    WHERE NOT EXISTS (SELECT 1 FROM spark x
+                      WHERE x.conv_id = mph.conv_id
+                        AND x.turn_idx = mph.turn_idx)
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
         # Nested-bool DSL twin: per-term contribution CTE, one grouped
         # sum per match clause, inner msm=2 as two required joins,
         # must_not as NOT EXISTS, optional should via LEFT JOIN

@@ -1002,6 +1002,31 @@ class ShardSearcher:
                 )
                 match[ids] = True
             return acc, match
+        if node["op"] == "phrase":
+            # one pseudo-term whose tf is the anchor count and whose
+            # idf was computed globally at compile (the search_phrase
+            # two-phase shape); the phrase_count cache avoids a
+            # re-match when compile just counted this shard
+            acc = np.zeros(n)
+            match = np.zeros(n, dtype=bool)
+            key = (tuple(node["terms"]), node["slop"], None)
+            cached = getattr(self, "_phrase_cache", None)
+            if cached is not None and cached[0] == key:
+                docids, ptfs, dls = cached[1]
+            else:
+                docids, ptfs, dls = self.phrase_matches(
+                    node["terms"], node["slop"]
+                )
+            if len(docids):
+                ords = np.searchsorted(self.docids, docids)
+                if not np.array_equal(self.docids[ords], docids):
+                    raise RuntimeError("dsl phrase: docids not sorted")
+                acc[ords] = contribution(
+                    node["idf"], ptfs.astype(np.float64), dls, avgdl,
+                    cfg.k1, cfg.b,
+                )
+                match[ords] = True
+            return acc, match
         score = np.zeros(n)
         match = np.ones(n, dtype=bool)
         for c in node["must"]:
@@ -2648,6 +2673,11 @@ class QueryEngine:
 
             {"match": "free text"}   — OR of the analyzed terms,
                 score = Σ matched-term BM25 contributions
+            {"phrase": "exact words"} or {"phrase": {"query": ...,
+                "slop": n}} — match_phrase as ONE pseudo-term (tf =
+                anchor count, idf from the global phrase df computed
+                at compile via per-shard counts, the search_phrase
+                two-phase shape)
             {"bool": {"must": [...], "should": [...], "must_not":
                 [...], "filter": {attr filters},
                 "minimum_should_match": int}}
@@ -2667,6 +2697,19 @@ class QueryEngine:
         the whole corpus."""
         r = self.reader
         terms: set[str] = set()
+        phrases: set[tuple[tuple[str, ...], int]] = set()
+
+        def phrase_spec(body) -> tuple[tuple[str, ...], int]:
+            if isinstance(body, str):
+                q, slop = body, 0
+            elif isinstance(body, dict) and set(body) <= {"query",
+                                                          "slop"}:
+                q, slop = body["query"], int(body.get("slop", 0))
+            else:
+                raise ValueError(
+                    "phrase takes a string or {'query', 'slop'}"
+                )
+            return tuple(self._tok_ordered(q)), slop
 
         def collect(node) -> None:
             if not isinstance(node, dict) or len(node) != 1:
@@ -2678,6 +2721,8 @@ class QueryEngine:
                 if not isinstance(body, str):
                     raise ValueError("match takes a query string")
                 terms.update(self._qt(body))
+            elif op == "phrase":
+                phrases.add(phrase_spec(body))
             elif op == "bool":
                 unknown = set(body) - {
                     "must", "should", "must_not", "filter",
@@ -2708,6 +2753,28 @@ class QueryEngine:
         tl = sorted(terms)
         dfs = dict(zip(tl, self._global_dfs(tl).tolist())) if tl else {}
         idf_map = {t: idf(r.n_docs, d) for t, d in dfs.items() if d > 0}
+        # phrase idfs need the phrase df (docs with >= 1 anchor), a
+        # query-dependent global stat: phase-1 counts per shard, the
+        # search_phrase shape (shards cache their matches for eval)
+        phrase_idf: dict = {}
+        for pterms, pslop in sorted(phrases):
+            if not pterms:
+                continue
+            if self._actors is not None:
+                import ray
+
+                counts = ray.get(
+                    [a.phrase_count.remote(list(pterms), pslop, None)
+                     for a in self._actors]
+                )
+            else:
+                counts = [
+                    r.searcher(s).phrase_count(list(pterms), pslop, None)
+                    for s in range(r.num_shards)
+                ]
+            dfp = int(sum(counts))
+            if dfp:
+                phrase_idf[(pterms, pslop)] = idf(r.n_docs, dfp)
 
         def build(node) -> dict:
             op, body = next(iter(node.items()))
@@ -2719,6 +2786,13 @@ class QueryEngine:
                     return {"op": "none"}
                 return {"op": "match",
                         "terms": [(t, idf_map[t]) for t in live]}
+            if op == "phrase":
+                pterms, pslop = phrase_spec(body)
+                p_idf = phrase_idf.get((pterms, pslop))
+                if p_idf is None:
+                    return {"op": "none"}
+                return {"op": "phrase", "terms": list(pterms),
+                        "slop": pslop, "idf": p_idf}
             b = body
             if not b.get("must") and not b.get("should"):
                 raise ValueError(

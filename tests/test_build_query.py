@@ -1265,3 +1265,64 @@ def test_search_dsl_randomized_trees(tiny_index, tiny_table):
             assert abs(got_map[kk] - s) < 1e-9, (tree, kk)
         n_nonempty += bool(exp)
     assert n_nonempty >= 10  # the property exercised real matches
+
+
+def test_search_dsl_phrase_leaf(tiny_index, tiny_table):
+    """A phrase leaf inside a bool: scores equal search_phrase for the
+    same docs; composition with must_not restricts the match set; dead
+    phrases collapse to empty; slop rides through."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    # find a 2-gram that actually occurs
+    big = Counter()
+    for t in tiny_table["text"].to_pylist():
+        toks = tokenize(t)
+        big.update(zip(toks, toks[1:]))
+    (w1, w2), n_occ = big.most_common(1)[0]
+    assert n_occ >= 2
+    phrase = f"{w1} {w2}"
+
+    direct = eng.search_phrase(phrase, k=10**6)
+    via_dsl = eng.search_dsl({"phrase": phrase}, k=10**6)
+    assert via_dsl.equals(direct)
+
+    slop_direct = eng.search_phrase(phrase, k=10**6, slop=2)
+    slop_dsl = eng.search_dsl(
+        {"phrase": {"query": phrase, "slop": 2}}, k=10**6
+    )
+    assert slop_dsl.equals(slop_direct)
+
+    # composed: phrase must + must_not shrinks to a subset with
+    # identical scores (phrase contribution + nothing else)
+    hot = [t for t, _ in Counter(
+        tok for txt in tiny_table["text"].to_pylist()
+        for tok in set(tokenize(txt))
+    ).most_common(3)]
+    excl = next(t for t in hot if t not in (w1, w2))
+    comp = eng.search_dsl(
+        {"bool": {"must": [{"phrase": phrase}],
+                  "must_not": [{"match": excl}]}},
+        k=10**6,
+    )
+    direct_map = dict(zip(
+        zip(direct["conv_id"].to_pylist(), direct["turn_idx"].to_pylist()),
+        direct["score"].to_pylist(),
+    ))
+    comp_keys = set(zip(comp["conv_id"].to_pylist(),
+                        comp["turn_idx"].to_pylist()))
+    assert comp_keys < set(direct_map)
+    for ck, sc in zip(
+        zip(comp["conv_id"].to_pylist(), comp["turn_idx"].to_pylist()),
+        comp["score"].to_pylist(),
+    ):
+        assert direct_map[ck] == sc
+
+    # dead phrase -> empty
+    assert eng.search_dsl(
+        {"phrase": f"{w1} zz_nope"}, k=10
+    ).num_rows == 0
