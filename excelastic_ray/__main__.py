@@ -381,7 +381,12 @@ def main(argv: list[str] | None = None) -> int:
                                          k=args.k,
                                          filters=filters or None)
             elif args.span_not:
-                exc, _, dist = args.span_not.rpartition(":")
+                exc, sep, dist = args.span_not.rpartition(":")
+                if not sep or not exc or not dist.isdigit():
+                    raise SystemExit(
+                        f"--span-not expects EXCLUDE:DIST, got "
+                        f"{args.span_not!r}"
+                    )
                 t = eng.search_span_not(args.query, exc, dist=int(dist),
                                         k=args.k,
                                         filters=filters or None)

@@ -940,18 +940,20 @@ def cc_labels_distributed(pairs_ds, a_col: str = "a", b_col: str = "b",
         )
 
     def a2_group(g: pd.DataFrame) -> pd.DataFrame:
-        old = g[g["kind"] == 1]  # exactly one row per node (invariant)
-        cands = g[g["kind"] == 0]
-        nodes = old["k"].to_numpy().astype(np.int64)
+        # min over {old label, candidates} stays PURE int64 end to end
+        # (a float64 detour would corrupt node ids above 2**53 — this
+        # is the generic scale path, ids may be 64-bit hashes): every
+        # node has exactly one old row, so a groupby-min over the
+        # concatenated rows is total, and sorting both sides by the
+        # node key aligns old/new without a NaN-introducing reindex
+        old = g[g["kind"] == 1].sort_values("k")
+        both = pd.concat(
+            [old[["k", "v"]], g[g["kind"] == 0][["k", "v"]]]
+        )
+        m = both.groupby("k")["v"].min()  # sort=True: index sorted
+        nodes = m.index.to_numpy().astype(np.int64)
+        newv = m.to_numpy().astype(np.int64)
         oldv = old["v"].to_numpy().astype(np.int64)
-        if len(cands):
-            cmin = cands.groupby("k")["v"].min()
-            cand = cmin.reindex(nodes).to_numpy(dtype=np.float64)
-        else:
-            cand = np.full(len(nodes), np.nan)
-        newv = np.where(
-            np.isnan(cand), oldv, np.minimum(oldv, cand)
-        ).astype(np.int64)
         return pd.DataFrame(
             {"k": nodes, "v": newv, "w": (newv < oldv).astype(np.int64)}
         )

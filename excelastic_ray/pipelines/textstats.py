@@ -1244,7 +1244,10 @@ def string_stats(ds, text_col: str = "text"):
 
     from excelastic_ray.pipelines.events import _bucketed_sum_combine
 
-    pruned = ds.select_columns([text_col])
+    # both passes read this one pruned column; materializing it means
+    # the second pass re-reads object-store blocks instead of
+    # re-scanning + re-decoding the source (the dominant cost at scale)
+    pruned = ds.select_columns([text_col]).materialize()
 
     def len_partial(batch: pa.Table) -> pd.DataFrame:
         ln = pc.utf8_length(

@@ -73,6 +73,9 @@ class ShardSearcher:
         self._pos_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self._pos_budget = 8_000_000  # position entries
         self._pos_size = 0
+        # exists-filter presence bitmaps (pure function of the
+        # immutable attr columns; one bool array per attr)
+        self._exists_cache: dict[str, np.ndarray] = {}
         docs = pq.read_table(os.path.join(shard_path, "docs.parquet"))
         # Ordinal → global docid / doc length (postings store ordinals).
         self.docids = docs["docid"].to_numpy()
@@ -165,20 +168,25 @@ class ShardSearcher:
                 # string attr when it is neither null nor empty (both
                 # conventions appear in the corpora: the generator
                 # stores absent tools as None, the SQL-lockstep corpus
-                # as ''). pd.notna is the C-level null scan over the
-                # object column.
-                import pandas as pd
+                # as ''). The presence bitmap is a pure function of the
+                # immutable attr column, so it is computed once per
+                # searcher and cached (pd.notna is the C-level null
+                # scan over the object column).
+                present = self._exists_cache.get(name)
+                if present is None:
+                    import pandas as pd
 
-                col = self.attrs.get(name)
-                if col is None:
-                    raise KeyError(
-                        f"attribute {name!r} not stored in this index "
-                        f"(have {sorted(self.attrs)})"
-                    )
-                s = pd.Series(col)
-                present = (
-                    pd.notna(s) & (s.fillna("").astype(str) != "")
-                ).to_numpy()
+                    col = self.attrs.get(name)
+                    if col is None:
+                        raise KeyError(
+                            f"attribute {name!r} not stored in this "
+                            f"index (have {sorted(self.attrs)})"
+                        )
+                    s = pd.Series(col)
+                    present = (
+                        pd.notna(s) & (s.fillna("").astype(str) != "")
+                    ).to_numpy()
+                    self._exists_cache[name] = present
                 mask &= present if want["exists"] else ~present
                 continue
             if isinstance(want, dict):
@@ -2808,11 +2816,14 @@ class QueryEngine:
             if msm is None:
                 msm = 1 if (b.get("should") and not b.get("must")
                             and not filt) else 0
-            if not b.get("must") and msm == 0:
+            if not b.get("must") and msm == 0 and not filt:
+                # a filter clause bounds the match set, so this guard
+                # (the search_bool never-rank-the-whole-corpus rule)
+                # only applies to truly unbounded bools
                 raise ValueError(
                     "bool with only optional should clauses would rank "
-                    "the whole corpus; set minimum_should_match >= 1 "
-                    "or add a must clause"
+                    "the whole corpus; set minimum_should_match >= 1, "
+                    "add a must clause, or bound it with a filter"
                 )
             if any(c["op"] == "none" for c in must):
                 return {"op": "none"}

@@ -145,6 +145,7 @@ class ImportServer:
         self._scrolls: dict[str, dict] = {}
         self._scrolls_guard = threading.Lock()
         self._templates_guard = threading.Lock()
+        self._rollover_guard = threading.Lock()
         self._scroll_seq = 0
         self._scroll_cap = 128
         os.makedirs(index_root, exist_ok=True)
@@ -637,6 +638,18 @@ class ImportServer:
             raise ValueError(f"invalid index name {name!r}")
         return os.path.join(self.index_root, name)
 
+    def _manifest_status(self, index: str) -> str | None:
+        """The index's manifest status, or None when there is no
+        readable manifest (the one convention for "does this index
+        exist yet" checks — creation detection and the rollover
+        placeholder rule both read it)."""
+        try:
+            with open(os.path.join(self.index_dir(index),
+                                   "manifest.json")) as f:
+                return json.load(f).get("status")
+        except (FileNotFoundError, ValueError):
+            return None
+
     def start_import(self, filename: str, payload: bytes,
                      params: dict) -> dict:
         """Save the upload to a temp file, parse + index on a worker
@@ -664,19 +677,13 @@ class ImportServer:
         # unless the upload overrides them explicitly. "Fresh" = no
         # COMPLETE manifest — a rollover-placeholder or crashed-build
         # manifest still counts as creation.
-        if mapping is None or pipeline is None:
-            created = False
-            try:
-                with open(os.path.join(self.index_dir(index),
-                                       "manifest.json")) as f:
-                    created = json.load(f).get("status") == "complete"
-            except (FileNotFoundError, ValueError):
-                created = False
-            if not created:
-                tpl = self._match_template(index)
-                if tpl is not None:
-                    mapping = mapping or tpl.get("mapping")
-                    pipeline = pipeline or tpl.get("pipeline")
+        if (mapping is None or pipeline is None) and (
+            self._manifest_status(index) != "complete"
+        ):
+            tpl = self._match_template(index)
+            if tpl is not None:
+                mapping = mapping or tpl.get("mapping")
+                pipeline = pipeline or tpl.get("pipeline")
         imp_id = uuid.uuid4().hex[:12]
         ext = os.path.splitext(filename)[1] or ".bin"
         fd, tmp = tempfile.mkstemp(suffix=ext)
@@ -743,13 +750,8 @@ class ImportServer:
         # first import IS index creation, whatever options= says —
         # appending into it would trip the config-match rule against
         # the placeholder's default config
-        try:
-            with open(os.path.join(self.index_dir(index),
-                                   "manifest.json")) as f:
-                if json.load(f).get("status") == "empty":
-                    clear = True
-        except (FileNotFoundError, ValueError):
-            pass
+        if self._manifest_status(index) == "empty":
+            clear = True
         build_index(ds, self.index_dir(index), cfg, clear=clear,
                     transforms=transforms)
         self._evict_engines_for(index)  # and after: force fresh readers
@@ -1178,34 +1180,53 @@ class ImportServer:
         m = re.fullmatch(r"(.*)-(\d{6})", old)
         base, seq = (m.group(1), int(m.group(2))) if m else (old, 0)
         new = f"{base}-{seq + 1:06d}"
-        if os.path.isdir(self.index_dir(new)):
-            raise ValueError(f"rollover target {new!r} already exists")
-        # the new index is CREATED by its first import; the alias swap
-        # itself is the atomic step (matching update_aliases' add rule
-        # needs a manifest, so write a rollover-shaped empty one)
-        os.makedirs(self.index_dir(new), exist_ok=True)
-        with open(os.path.join(self.index_dir(new), "manifest.json"),
-                  "w") as f:
-            # a VALID manifest shape (config + zero counters) so status
-            # and listing endpoints read it; status "empty" keeps the
-            # reader refusing to serve it until the first import
-            _json.dump(
-                {
-                    "status": "empty",
-                    "n_docs": 0,
-                    "n_convs": 0,
-                    "n_chunks": 0,
-                    "config": self.config.to_dict(),
-                    "rolled_from": old,
-                },
-                f,
-            )
-        self.update_aliases(
-            [
-                {"remove": {"alias": alias, "index": old}},
-                {"add": {"alias": alias, "index": new}},
-            ]
-        )
+        # serialize racing rollovers (both would otherwise pass the
+        # isdir check); a leftover placeholder from a crashed previous
+        # attempt is reusable, not a hard error
+        with self._rollover_guard:
+            new_dir = self.index_dir(new)
+            if os.path.isdir(new_dir) and self._manifest_status(
+                new
+            ) != "empty":
+                raise ValueError(
+                    f"rollover target {new!r} already exists"
+                )
+            # the new index is CREATED by its first import; the alias
+            # swap is the atomic step (update_aliases' add rule needs a
+            # manifest, so write a rollover-shaped empty one). Any
+            # failure past this point removes the placeholder so a
+            # retry is clean.
+            os.makedirs(new_dir, exist_ok=True)
+            manifest_p = os.path.join(new_dir, "manifest.json")
+            with open(manifest_p, "w") as f:
+                # a VALID manifest shape (config + zero counters) so
+                # status/listing endpoints read it; status "empty"
+                # keeps the reader refusing it until the first import
+                _json.dump(
+                    {
+                        "status": "empty",
+                        "n_docs": 0,
+                        "n_convs": 0,
+                        "n_chunks": 0,
+                        "config": self.config.to_dict(),
+                        "rolled_from": old,
+                    },
+                    f,
+                )
+            try:
+                self.update_aliases(
+                    [
+                        {"remove": {"alias": alias, "index": old}},
+                        {"add": {"alias": alias, "index": new}},
+                    ]
+                )
+            except Exception:
+                try:
+                    os.unlink(manifest_p)
+                    os.rmdir(new_dir)
+                except OSError:
+                    pass
+                raise
         return {"rolled_over": True, "old_index": old, "new_index": new,
                 "doc_count": n_docs}
 
@@ -1441,7 +1462,11 @@ class ImportServer:
             t = eng.search_span_near(query, slop=span_near, k=k)
         elif span_not:
             # ES span_not: q= include term, span_not="exclude:dist"
-            exc, _, dist = span_not.rpartition(":")
+            exc, sep, dist = span_not.rpartition(":")
+            if not sep or not exc or not dist.isdigit():
+                raise ValueError(
+                    f"span_not expects 'exclude:dist', got {span_not!r}"
+                )
             t = eng.search_span_not(query, exc, dist=int(dist), k=k)
         elif phrase_prefix:
             # ES match_phrase_prefix (search-as-you-type)

@@ -1326,3 +1326,49 @@ def test_search_dsl_phrase_leaf(tiny_index, tiny_table):
     assert eng.search_dsl(
         {"phrase": f"{w1} zz_nope"}, k=10
     ).num_rows == 0
+
+
+def test_search_dsl_filter_bounded_should(tiny_index, tiny_table):
+    """A no-must bool with should + filter is legal (the filter bounds
+    the match set): every filter-passing doc matches, scored by its
+    matched should clauses (ES msm default 0 in the presence of
+    filter); without the filter the same tree raises."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    hot = Counter(
+        t for txt in tiny_table["text"].to_pylist()
+        for t in set(tokenize(txt))
+    ).most_common(1)[0][0]
+    tree = {"bool": {"should": [{"match": hot}],
+                     "filter": {"role": "user"}}}
+    got = eng.search_dsl(tree, k=10**6)
+    roles = {
+        (c, i): r
+        for c, i, r in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["role"].to_pylist(),
+        )
+    }
+    keys = set(zip(got["conv_id"].to_pylist(),
+                   got["turn_idx"].to_pylist()))
+    assert keys == {kk for kk, r in roles.items() if r == "user"}
+    # docs whose should matched carry the term score; others score 0
+    term = eng.search(hot, k=10**6)
+    term_map = dict(zip(
+        zip(term["conv_id"].to_pylist(), term["turn_idx"].to_pylist()),
+        term["score"].to_pylist(),
+    ))
+    for ck, sc in zip(
+        zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+        got["score"].to_pylist(),
+    ):
+        assert sc == term_map.get(ck, 0.0)
+    with pytest.raises(ValueError, match="rank the whole corpus"):
+        eng.search_dsl({"bool": {"should": [{"match": hot}],
+                                 "minimum_should_match": 0}})
