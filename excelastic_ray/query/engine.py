@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from excelastic_ray.analysis import TOKEN_RE, query_terms
-from excelastic_ray.codecs import PostingList
+from excelastic_ray.codecs import BLOCKMAX_DTYPE, PostingList
 from excelastic_ray.config import IndexConfig
 from excelastic_ray.index import segments as seg
 from excelastic_ray.query.bm25 import contribution, idf, tf_norm
@@ -67,6 +67,9 @@ class ShardSearcher:
         self._decode_cache: "OrderedDict[int, tuple]" = OrderedDict()
         self._cache_budget = 4_000_000  # postings
         self._cache_size = 0
+        # slot → (avgdl, idf-free MaxScore upper bound); static per
+        # searcher for a fixed avgdl (block-max metadata never changes)
+        self._ub_norm_cache: dict[int, tuple[float, float]] = {}
         # Decoded-positions LRU (slot → flat position array): a stopword
         # inside a phrase otherwise re-decodes a shard-sized positional
         # stream per query (phrase p50 was ~2x term p50).
@@ -914,6 +917,17 @@ class ShardSearcher:
                 ldfs = [int(self.df[self.lookup(t)]) for t, _ in present]
                 if min(ldfs) <= 65536 and min(ldfs) * 64 <= max(ldfs):
                     algo = "and_skip"
+            # disjunctive + skewed dfs → vectorized MaxScore: the hot
+            # term is probed only at rare-term candidate positions IF
+            # its upper bound falls below the rare term's k-th best
+            # score (checked inside; TAAT fallback otherwise). The
+            # rare side must carry ≥ k postings for the θ0 bound to
+            # exist at all.
+            elif n_required == 0 and after is None and len(present) > 1:
+                ldfs = [int(self.df[self.lookup(t)]) for t, _ in present]
+                if (k <= min(ldfs) <= 65536
+                        and min(ldfs) * 64 <= max(ldfs)):
+                    algo = "or_skip"
         if algo == "taat":
             return self._topk_taat(present, avgdl, k, mask, n_required,
                                    after)
@@ -924,6 +938,13 @@ class ShardSearcher:
                 raise ValueError("and_skip is a conjunctive scorer "
                                  "(operator=and only)")
             return self._topk_and_skip(present, avgdl, k, mask)
+        if algo == "or_skip":
+            if after is not None:
+                raise ValueError("search_after requires the taat scorer")
+            if n_required:
+                raise ValueError("or_skip is a disjunctive scorer "
+                                 "(operator=or only)")
+            return self._topk_or_skip(present, avgdl, k, mask)
         if algo == "bmw":
             if after is not None:
                 raise ValueError("search_after requires the taat scorer")
@@ -1551,29 +1572,7 @@ class ShardSearcher:
                 continue
             if not alive.any():
                 break
-            slot = slots[j][2]
-            tf_full = np.zeros(n_cand, dtype=np.float64)
-            if slot in self._decode_cache:
-                ids_t, tfs_t = self.decoded(slot)  # LRU hit: no block loop
-                p = np.searchsorted(ids_t, cand)
-                ok = alive & (p < len(ids_t)) & (
-                    ids_t[np.minimum(p, len(ids_t) - 1)] == cand
-                )
-                tf_full[ok] = tfs_t[p[ok]]
-            else:
-                pl = self.posting_list(slot)
-                last = pl.bm["last_id"].astype(np.int64)
-                bi = np.searchsorted(last, cand, side="left")
-                valid = alive & (bi < pl.n_blocks)
-                for b in np.unique(bi[valid]):
-                    sel = np.flatnonzero(valid & (bi == b))
-                    bids, btfs = pl.decode_block(int(b))
-                    p = np.searchsorted(bids, cand[sel])
-                    ok = (p < len(bids)) & (
-                        bids[np.minimum(p, len(bids) - 1)] == cand[sel]
-                    )
-                    hit = sel[ok]
-                    tf_full[hit] = btfs[p[ok]]
+            tf_full = self._probe_tfs(slots[j][2], cand, alive)
             alive &= tf_full > 0
             tf_vecs[j] = tf_full
         if not alive.any():
@@ -1591,6 +1590,137 @@ class ShardSearcher:
         docids = self.docids[ids]
         order = np.lexsort((docids, -acc))[:k]
         return docids[order], acc[order]
+
+    def _probe_tfs(self, slot: int, cand: np.ndarray,
+                   alive: np.ndarray | None = None) -> np.ndarray:
+        """tf vector (float64, 0 where the term misses) aligned to the
+        SORTED candidate ordinals ``cand``, decoding ONLY the
+        skip-blocks a candidate lands in — the vectorized realization
+        of a WAND cursor's next_geq probes (one searchsorted over the
+        block-max ``last_id`` table routes every candidate to its
+        block; each needed block decodes once). ``alive`` optionally
+        restricts which candidates are worth probing. A term already
+        in the decoded-postings LRU short-cuts to a direct
+        searchsorted membership probe (no block loop)."""
+        n_cand = len(cand)
+        tf_full = np.zeros(n_cand, dtype=np.float64)
+        if alive is None:
+            alive = np.ones(n_cand, dtype=bool)
+        if slot in self._decode_cache:
+            ids_t, tfs_t = self.decoded(slot)  # LRU hit: no block loop
+            p = np.searchsorted(ids_t, cand)
+            ok = alive & (p < len(ids_t)) & (
+                ids_t[np.minimum(p, len(ids_t) - 1)] == cand
+            )
+            tf_full[ok] = tfs_t[p[ok]]
+            return tf_full
+        pl = self.posting_list(slot)
+        last = pl.bm["last_id"].astype(np.int64)
+        bi = np.searchsorted(last, cand, side="left")
+        valid = alive & (bi < pl.n_blocks)
+        for b in np.unique(bi[valid]):
+            sel = np.flatnonzero(valid & (bi == b))
+            bids, btfs = pl.decode_block(int(b))
+            p = np.searchsorted(bids, cand[sel])
+            ok = (p < len(bids)) & (
+                bids[np.minimum(p, len(bids) - 1)] == cand[sel]
+            )
+            hit = sel[ok]
+            tf_full[hit] = btfs[p[ok]]
+        return tf_full
+
+    def _term_ub_norm(self, slot: int, avgdl: float) -> float:
+        """idf-free MaxScore upper bound for term slot ``slot``: max
+        over skip blocks of tf_norm(max_tf, min_dl) — computed from
+        the block-max METADATA alone (no posting decode, the blockmax
+        byte string is one 16-byte row per block), cached per searcher.
+        The 1e-12 inflation keeps float summation-order noise from
+        ever pruning a true candidate (same guard as the WAND
+        cursors)."""
+        c = self._ub_norm_cache.get(slot)
+        if c is not None and c[0] == avgdl:
+            return c[1]
+        bm = np.frombuffer(self.blockmax[slot].as_py(),
+                           dtype=BLOCKMAX_DTYPE)
+        v = float(tf_norm(
+            bm["max_tf"].astype(np.float64),
+            bm["min_dl"].astype(np.float64),
+            avgdl, self.cfg.k1, self.cfg.b,
+        ).max()) * (1.0 + 1e-12)
+        self._ub_norm_cache[slot] = (avgdl, v)
+        return v
+
+    def _topk_or_skip(self, present, avgdl, k, mask=None):
+        """Disjunctive exact top-k via VECTORIZED MaxScore (Turtle &
+        Flood, IP&M 1995, with block-max bounds per Ding & Suel, SIGIR
+        2011) — the numpy realization of WAND's pruning for the
+        rare-term-OR-hot-term shape, without per-posting Python:
+
+        1. per-term upper bounds UB_t = idf_t × max-block
+           tf_norm(max_tf, min_dl), from block-max metadata only;
+        2. phase A fully decodes the single highest-UB term; θ0 = its
+           k-th best (filter-masked) single-term score — a lower bound
+           on the final k-th best score, because contributions are
+           non-negative and every phase-A doc is a candidate;
+        3. the largest UB-ascending prefix of terms whose cumulative
+           UB is STRICTLY below θ0 becomes non-essential: a doc
+           matching ONLY those terms scores ≤ Σ UB < θ0 ≤ final θ, so
+           it cannot enter the top-k even on ties ((score DESC, docid
+           ASC) needs strict score inequality to exclude — which this
+           is). Non-essential (hot) terms never fully decode — they
+           are block-probed at candidate positions only;
+        4. candidates = union of the essential terms' postings; every
+           term's contribution accumulates over candidates in
+           sorted-term order (a zero tf adds exactly +0.0), so scores
+           are bit-identical to TAAT/oracle.
+
+        Falls back to TAAT when nothing is prunable; the decoded
+        phase-A list stays in the LRU, so the fallback reuses it."""
+        cfg = self.cfg
+        slots = [(t, t_idf, self.lookup(t)) for t, t_idf in present]
+        ubs = np.asarray([
+            t_idf * self._term_ub_norm(s, avgdl) for _, t_idf, s in slots
+        ])
+        order = np.argsort(ubs, kind="stable")
+        top_j = int(order[-1])
+        ids0, tfs0 = self.decoded(slots[top_j][2])
+        c0 = contribution(slots[top_j][1], tfs0.astype(np.float64),
+                          self.dls[ids0], avgdl, cfg.k1, cfg.b)
+        if mask is not None:
+            c0 = c0[mask[ids0]]
+        if len(c0) < k:
+            return self._topk_taat(present, avgdl, k, mask)
+        theta0 = float(np.partition(c0, len(c0) - k)[len(c0) - k])
+        csum = np.cumsum(ubs[order])
+        n_skip = int(np.searchsorted(csum, theta0, side="left"))
+        if n_skip == 0:
+            return self._topk_taat(present, avgdl, k, mask)
+        skip = np.zeros(len(slots), dtype=bool)
+        skip[order[:n_skip]] = True
+        cand = np.unique(np.concatenate([
+            self.decoded(slots[j][2])[0]
+            for j in range(len(slots)) if not skip[j]
+        ]))
+        dlv = self.dls[cand]
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for j, (_, t_idf, slot) in enumerate(slots):
+            if skip[j]:
+                tfv = self._probe_tfs(slot, cand)
+            else:
+                ids_t, tfs_t = self.decoded(slot)
+                p = np.searchsorted(ids_t, cand)
+                ok = (p < len(ids_t)) & (
+                    ids_t[np.minimum(p, len(ids_t) - 1)] == cand
+                )
+                tfv = np.zeros(len(cand), dtype=np.float64)
+                tfv[ok] = tfs_t[p[ok]]
+            acc += contribution(t_idf, tfv, dlv, avgdl, cfg.k1, cfg.b)
+        if mask is not None:
+            keep = mask[cand]
+            cand, acc = cand[keep], acc[keep]
+        docids = self.docids[cand]
+        srt = np.lexsort((docids, -acc))[:k]
+        return docids[srt], acc[srt]
 
     def _topk_bmw(self, present, avgdl, k, mask=None, n_required=0):
         cfg = self.cfg

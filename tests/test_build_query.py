@@ -122,6 +122,54 @@ def test_and_skip_equals_taat_randomized(engines, tiny_table, tiny_oracle):
                     got["score"].to_pylist())) == exp
 
 
+def test_or_skip_equals_taat_randomized(engines, tiny_table, tiny_oracle):
+    """The vectorized MaxScore disjunction scorer must be bit-identical
+    to TAAT (and the oracle) on random OR queries mixing frequency
+    classes — rare+hot (the pruning shape), all-hot / all-rare (the
+    TAAT-fallback shape), single-term (degenerate fallback), with and
+    without filters, at k small enough for θ0 to exist and large
+    enough to force the fallback."""
+    from collections import Counter
+
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+
+    eng_skip = QueryEngine(engines["taat"].reader, algo="or_skip")
+    eng_taat = engines["taat"]
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    ranked = [t for t, _ in counts.most_common()]
+    hot, rare = ranked[:20], ranked[-40:]
+    rng = np.random.default_rng(23)
+    for _ in range(40):
+        n_h = int(rng.integers(0, 3))
+        n_r = int(rng.integers(1, 3))
+        picks = (
+            [hot[int(rng.integers(0, len(hot)))] for _ in range(n_h)]
+            + [rare[int(rng.integers(0, len(rare)))] for _ in range(n_r)]
+        )
+        q = " ".join(picks)
+        for k in (1, 5, 25, 500):
+            a = eng_skip.search(q, k, mode="or")
+            b = eng_taat.search(q, k, mode="or")
+            assert a.equals(b), (q, k)
+    # explicit or_skip refuses conjunctive queries
+    with pytest.raises(Exception, match="disjunctive"):
+        eng_skip.search(f"{hot[0]} {rare[0]}", 10, mode="and")
+    # filters compose identically (θ0 must come from masked docs only)
+    q = f"{hot[0]} {rare[0]}"
+    fa = eng_skip.search(q, 10, mode="or", filters={"role": "user"})
+    fb = eng_taat.search(q, 10, mode="or", filters={"role": "user"})
+    assert fa.equals(fb)
+    # oracle anchor on the pruning shape
+    got = eng_skip.search(q, 10, mode="or")
+    exp = tiny_oracle.search(q, 10, mode="or")
+    assert list(zip(got["docid"].to_pylist(),
+                    got["score"].to_pylist())) == exp
+
+
 def test_auto_gates_and_skip_on_skew(tiny_index, tiny_table):
     """auto picks and_skip exactly when the query is conjunctive AND
     the shard-local dfs are skewed; results stay identical either way."""
