@@ -119,6 +119,24 @@ DSL_PHRASE_QUERY = {
     }
 }
 
+#: mixed-leaf query-DSL probe: term / prefix / wildcard / regexp
+#: leaves composed inside one bool (each leaf = scoring_boolean
+#: rewrite over its deterministic global expansion; prefix cap 3
+#: exercises max_expansions — the corpus has > 3 s-terms).
+DSL_MIXED_QUERY = {
+    "bool": {
+        "must": [
+            {"match": "table"},
+            {"wildcard": "wind*"},
+        ],
+        "should": [
+            {"prefix": {"value": "s", "max_expansions": 3}},
+            {"term": "merge"},
+        ],
+        "must_not": [{"regexp": "spa.k"}],
+    }
+}
+
 #: nested query-DSL probe: only expressible with nesting (the inner
 #: bool's minimum_should_match=2 requires BOTH its should clauses to
 #: match — a flat bool cannot state "(window|value) AND (sort|merge)").
@@ -1262,6 +1280,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_dsl_mixed(sf_dir):
+        # DSL with term/prefix/wildcard/regexp leaves composed in one
+        # bool: each multi-term leaf expands once against the global
+        # dictionary (lexicographically first max_expansions) and
+        # scores as a bool-of-terms OR (scoring_boolean)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_dsl(DSL_MIXED_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2327,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_exists_topk": q_bm25_exists_topk,
         "bm25_dsl_topk": q_bm25_dsl_topk,
         "bm25_dsl_phrase": q_bm25_dsl_phrase,
+        "bm25_dsl_mixed": q_bm25_dsl_mixed,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4316,6 +4356,70 @@ m AS (
     WHERE NOT EXISTS (SELECT 1 FROM spark x
                       WHERE x.conv_id = mph.conv_id
                         AND x.turn_idx = mph.turn_idx)
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # Mixed-leaf DSL twin: term/prefix/wildcard/regexp leaves. Each
+        # multi-term leaf = the lexicographically-first-cap dictionary
+        # expansion (GLOB / regexp_full_match — the engine's
+        # deterministic global expansion), scored as a bool-of-terms OR
+        # (scoring_boolean). must = required joins, should = LEFT JOIN,
+        # must_not = NOT EXISTS over the expansion's doc set.
+        "bm25_dsl_mixed": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+exp_w AS (SELECT DISTINCT term
+          FROM (SELECT unnest(toks) AS term FROM base)
+          WHERE term GLOB 'wind*' ORDER BY term LIMIT 50),
+exp_p AS (SELECT DISTINCT term
+          FROM (SELECT unnest(toks) AS term FROM base)
+          WHERE term GLOB 's*' ORDER BY term LIMIT 3),
+exp_n AS (SELECT DISTINCT term
+          FROM (SELECT unnest(toks) AS term FROM base)
+          WHERE regexp_full_match(term, 'spa.k')
+          ORDER BY term LIMIT 50),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term IN ('table', 'merge')
+       OR tf.term IN (SELECT term FROM exp_w)
+       OR tf.term IN (SELECT term FROM exp_p)
+),
+m_table AS (SELECT conv_id, turn_idx, c AS s FROM per
+            WHERE term = 'table'),
+m_w AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+        WHERE term IN (SELECT term FROM exp_w) GROUP BY 1, 2),
+s_p AS (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+        WHERE term IN (SELECT term FROM exp_p) GROUP BY 1, 2),
+s_m AS (SELECT conv_id, turn_idx, c AS s FROM per
+        WHERE term = 'merge'),
+neg AS (SELECT DISTINCT tf.conv_id, tf.turn_idx FROM tf
+        WHERE tf.term IN (SELECT term FROM exp_n)),
+m AS (
+    SELECT t.conv_id, t.turn_idx,
+           t.s + w.s + coalesce(p.s, 0) + coalesce(mg.s, 0) AS raw
+    FROM m_table t
+    JOIN m_w w ON w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx
+    LEFT JOIN s_p p ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+    LEFT JOIN s_m mg ON mg.conv_id = t.conv_id
+        AND mg.turn_idx = t.turn_idx
+    WHERE NOT EXISTS (SELECT 1 FROM neg x
+                      WHERE x.conv_id = t.conv_id
+                        AND x.turn_idx = t.turn_idx)
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m

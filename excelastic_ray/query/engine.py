@@ -2816,6 +2816,19 @@ class QueryEngine:
                 anchor count, idf from the global phrase df computed
                 at compile via per-shard counts, the search_phrase
                 two-phase shape)
+            {"term": "token"}        — exactly one analyzer token
+                (the ES term query; normalized with the index
+                analyzer so it can ever match)
+            {"prefix": "pre"} / {"wildcard": "pa?t*"} /
+                {"regexp": "pat+ern"} — multi-term leaves expanded
+                once against the GLOBAL term dictionary at compile
+                (deterministic: lexicographically first
+                ``max_expansions`` matches, default 50 — pass
+                {"value": ..., "max_expansions": n} to change), then
+                scored as a bool-of-terms OR — Lucene's
+                ``rewrite=scoring_boolean``, the same fully-specified
+                shape as search_prefix/search_wildcard/search_regexp,
+                so SQL GLOB / regexp expansions twin them exactly
             {"bool": {"must": [...], "should": [...], "must_not":
                 [...], "filter": {attr filters},
                 "minimum_should_match": int}}
@@ -2836,6 +2849,27 @@ class QueryEngine:
         r = self.reader
         terms: set[str] = set()
         phrases: set[tuple[tuple[str, ...], int]] = set()
+        expansions: dict[tuple, list[str]] = {}
+
+        def expand_spec(op, body) -> tuple[str, int]:
+            if isinstance(body, str):
+                return body, 50
+            if (isinstance(body, dict) and "value" in body
+                    and set(body) <= {"value", "max_expansions"}):
+                return body["value"], int(body.get("max_expansions", 50))
+            raise ValueError(
+                f"{op} takes a string or {{'value', 'max_expansions'}}"
+            )
+
+        def term_token(body) -> str:
+            if not isinstance(body, str):
+                raise ValueError("term takes a single token string")
+            toks = self._qt(body)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"term takes exactly one analyzer token, got {toks!r}"
+                )
+            return toks[0]
 
         def phrase_spec(body) -> tuple[tuple[str, ...], int]:
             if isinstance(body, str):
@@ -2861,6 +2895,25 @@ class QueryEngine:
                 terms.update(self._qt(body))
             elif op == "phrase":
                 phrases.add(phrase_spec(body))
+            elif op == "term":
+                terms.add(term_token(body))
+            elif op in ("prefix", "wildcard", "regexp"):
+                val, maxexp = expand_spec(op, body)
+                key = (op, val, maxexp)
+                if key not in expansions:
+                    if op == "prefix":
+                        norm = "".join(TOKEN_RE.findall(val.lower()))
+                        expansions[key] = self.expand_prefix(norm, maxexp)
+                    elif op == "wildcard":
+                        norm = "".join(
+                            _WILDCARD_TOKEN_RE.findall(val.lower())
+                        )
+                        expansions[key] = self.expand_wildcard(
+                            norm, maxexp
+                        )
+                    else:
+                        expansions[key] = self.expand_regexp(val, maxexp)
+                terms.update(expansions[key])
             elif op == "bool":
                 unknown = set(body) - {
                     "must", "should", "must_not", "filter",
@@ -2931,6 +2984,21 @@ class QueryEngine:
                     return {"op": "none"}
                 return {"op": "phrase", "terms": list(pterms),
                         "slop": pslop, "idf": p_idf}
+            if op == "term":
+                t = term_token(body)
+                if t not in idf_map:
+                    return {"op": "none"}
+                return {"op": "match", "terms": [(t, idf_map[t])]}
+            if op in ("prefix", "wildcard", "regexp"):
+                val, maxexp = expand_spec(op, body)
+                live = sorted(
+                    t for t in expansions[(op, val, maxexp)]
+                    if t in idf_map
+                )
+                if not live:
+                    return {"op": "none"}
+                return {"op": "match",
+                        "terms": [(t, idf_map[t]) for t in live]}
             b = body
             if not b.get("must") and not b.get("should"):
                 raise ValueError(

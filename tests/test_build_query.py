@@ -1201,6 +1201,69 @@ def test_search_dsl_validation(tiny_index):
     ).num_rows == 0
 
 
+def test_search_dsl_term_level_leaves(tiny_index, tiny_table):
+    """term / prefix / wildcard / regexp DSL leaves: each standalone
+    leaf must equal its dedicated query API (same scoring_boolean
+    rewrite), and leaves must compose inside nested bools exactly like
+    a match over the expansion."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    hot = [t for t, _ in counts.most_common(6)]
+    tok = hot[0]
+    pre = tok[:2]
+
+    def pairs(t):
+        return list(zip(t["conv_id"].to_pylist(),
+                        t["turn_idx"].to_pylist(),
+                        t["score"].to_pylist()))
+
+    # standalone leaves == their dedicated APIs
+    assert pairs(eng.search_dsl({"term": tok}, k=25)) == pairs(
+        eng.search(tok, k=25))
+    assert pairs(eng.search_dsl({"prefix": pre}, k=25)) == pairs(
+        eng.search_prefix(pre, k=25))
+    assert pairs(eng.search_dsl({"wildcard": f"{pre}*"}, k=25)) == pairs(
+        eng.search_wildcard(f"{pre}*", k=25))
+    assert pairs(eng.search_dsl({"regexp": f"{pre}.*"}, k=25)) == pairs(
+        eng.search_regexp(f"{pre}.*", k=25))
+    # max_expansions is honored (cap to 1 = single-term match)
+    exp = eng.expand_wildcard(f"{pre}*", 1)
+    assert len(exp) == 1
+    assert pairs(eng.search_dsl(
+        {"wildcard": {"value": f"{pre}*", "max_expansions": 1}}, k=25
+    )) == pairs(eng.search(exp[0], k=25))
+    # a leaf composes inside a nested bool exactly like a match over
+    # its (deterministic, global) expansion
+    expansion = eng.expand_wildcard(f"{pre}*", 50)
+    tree_leaf = {"bool": {"must": [{"match": hot[1]}],
+                          "should": [{"wildcard": f"{pre}*"}],
+                          "must_not": [{"term": hot[2]}]}}
+    tree_match = {"bool": {"must": [{"match": hot[1]}],
+                           "should": [{"match": " ".join(expansion)}],
+                           "must_not": [{"match": hot[2]}]}}
+    a, b = eng.search_dsl(tree_leaf, k=50), eng.search_dsl(tree_match, k=50)
+    assert a.num_rows > 0 and a.equals(b)
+    # dead leaves drop cleanly
+    assert eng.search_dsl(
+        {"bool": {"must": [{"match": hot[1]}],
+                  "must_not": [{"wildcard": "zz_nope*"}]}}, k=10
+    ).num_rows > 0
+    assert eng.search_dsl({"term": "zz_nope"}, k=10).num_rows == 0
+    # validation
+    with pytest.raises(ValueError, match="exactly one analyzer token"):
+        eng.search_dsl({"term": f"{hot[0]} {hot[1]}"})
+    with pytest.raises(ValueError, match="'value', 'max_expansions'"):
+        eng.search_dsl({"wildcard": {"pattern": "x*"}})
+
+
 def test_search_dsl_randomized_trees(tiny_index, tiny_table):
     """Property test: 30 random DSL trees (depth <= 3) against a pure-
     Python reference evaluator over tokenized docs with per-term score
