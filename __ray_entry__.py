@@ -119,6 +119,13 @@ DSL_PHRASE_QUERY = {
     }
 }
 
+#: query_string probe: phrase + parenthesized boolean group + NOT,
+#: parsed by excelastic_ray.query.qs onto the DSL executor. The OR is
+#: minimum_should_match=1: score = phrase contribution (when the
+#: phrase matches) + the inner bool's sum (when window AND value match
+#: and spark does not).
+QSTRING_QUERY = '"table hash" OR (window AND value AND NOT spark)'
+
 #: mixed-leaf query-DSL probe: term / prefix / wildcard / regexp
 #: leaves composed inside one bool (each leaf = scoring_boolean
 #: rewrite over its deterministic global expansion; prefix cap 3
@@ -1301,6 +1308,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_qstring(sf_dir):
+        # ES query_string: Lucene search-bar syntax (quotes, parens,
+        # AND/OR/NOT) compiled onto the DSL executor
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_string(QSTRING_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2367,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dsl_topk": q_bm25_dsl_topk,
         "bm25_dsl_phrase": q_bm25_dsl_phrase,
         "bm25_dsl_mixed": q_bm25_dsl_mixed,
+        "bm25_qstring": q_bm25_qstring,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4356,6 +4383,72 @@ m AS (
     WHERE NOT EXISTS (SELECT 1 FROM spark x
                       WHERE x.conv_id = mph.conv_id
                         AND x.turn_idx = mph.turn_idx)
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # query_string twin: '"table hash" OR (window AND value AND
+        # NOT spark)' — OR with msm=1 as a FULL OUTER JOIN of the two
+        # children's doc sets: child A = the exact-phrase pseudo-term
+        # (anchor-count tf, global phrase df), child B = window AND
+        # value AND NOT spark (sum of both contributions). Scores add
+        # per matched child, exactly like the DSL executor.
+        "bm25_qstring": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+mph AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= 2
+                    THEN len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'table'
+                                  AND toks[i + 1] = 'hash'))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+),
+pdf AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM mph),
+a AS (
+    SELECT mph.conv_id, mph.turn_idx,
+           ln(1 + (s.n - pdf.d + 0.5) / (pdf.d + 0.5)) * mph.ptf * 2.2
+               / (mph.ptf + 1.2 * (1 - 0.75 + 0.75 * mph.dl / s.avgdl))
+           AS s
+    FROM mph CROSS JOIN stats s CROSS JOIN pdf
+),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term IN ('window', 'value', 'spark')
+),
+spark AS (SELECT DISTINCT conv_id, turn_idx FROM per WHERE term = 'spark'),
+b AS (
+    SELECT w.conv_id, w.turn_idx, w.c + v.c AS s
+    FROM (SELECT conv_id, turn_idx, c FROM per WHERE term = 'window') w
+    JOIN (SELECT conv_id, turn_idx, c FROM per WHERE term = 'value') v
+        ON v.conv_id = w.conv_id AND v.turn_idx = w.turn_idx
+    WHERE NOT EXISTS (SELECT 1 FROM spark x
+                      WHERE x.conv_id = w.conv_id
+                        AND x.turn_idx = w.turn_idx)
+),
+m AS (
+    SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+           coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+           coalesce(a.s, 0) + coalesce(b.s, 0) AS raw
+    FROM a FULL OUTER JOIN b
+        ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m

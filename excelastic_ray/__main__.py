@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(per-field BM25; most_fields)")
     s.add_argument("--qs", action="store_true",
                    help="query_string mode: field:term clauses allowed")
+    s.add_argument("--qstring", action="store_true",
+                   help="full Lucene query_string syntax: quotes, "
+                        "parens, AND/OR/NOT, field:term, wildcards")
     s.add_argument("--fuzzy", default=None, metavar="EDITS",
                    help="fuzzy match: AUTO or max edit distance")
     s.add_argument("--wildcard", action="store_true",
@@ -426,6 +429,9 @@ def main(argv: list[str] | None = None) -> int:
                                       args.fields.split(","), args.k,
                                       filters=filters or None,
                                       offset=args.offset)
+            elif args.qstring:
+                t = eng.search_string(args.query, args.k,
+                                      filters=filters or None)
             elif args.qs:
                 t = eng.search_qs(args.query, k=args.k,
                                   filters=filters or None,

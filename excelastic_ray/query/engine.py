@@ -1031,6 +1031,34 @@ class ShardSearcher:
                 )
                 match[ids] = True
             return acc, match
+        if node["op"] == "match_field":
+            # field-scoped match: terms are dictionary keys of the
+            # field's own posting stream, normalized by the field's
+            # per-doc lengths and global avgdl (the topk_fields
+            # convention) — `role:user` scores differently from
+            # `text:user`
+            acc = np.zeros(n)
+            match = np.zeros(n, dtype=bool)
+            dls = (
+                self.dls if node["field"] is None
+                else self.field_dls.get(node["field"])
+            )
+            if dls is None:
+                raise KeyError(
+                    f"field {node['field']!r} has no per-field stream "
+                    f"in this index (have {sorted(self.field_dls)})"
+                )
+            for key_, t_idf in node["terms"]:
+                i = self.lookup(key_)
+                if i < 0:
+                    continue
+                ids, tfs = self.decoded(i)
+                acc[ids] += contribution(
+                    t_idf, tfs.astype(np.float64), dls[ids],
+                    node["avgdl"], cfg.k1, cfg.b,
+                )
+                match[ids] = True
+            return acc, match
         if node["op"] == "phrase":
             # one pseudo-term whose tf is the anchor count and whose
             # idf was computed globally at compile (the search_phrase
@@ -2635,6 +2663,22 @@ class QueryEngine:
                 pairs.append((field, term))
         return self._search_field_pairs(pairs, k, filters, offset)
 
+    def search_string(self, query: str, k: int = 10,
+                      default_operator: str = "or",
+                      filters: dict | None = None):
+        """ES query_string search: full Lucene-style syntax — AND/OR/
+        NOT (also &&/||/!/leading -), parentheses, "quoted phrases"
+        with ~slop, field:token clauses scored in that field's own
+        posting stream, and * / ? wildcard terms — compiled onto the
+        DSL executor (one tree, one scoring pass). See
+        :mod:`excelastic_ray.query.qs` for the grammar and the
+        documented precedence deviation from Lucene's classic parser
+        (NOT > AND > OR, left-associative)."""
+        from excelastic_ray.query.qs import parse_query_string_dsl
+
+        tree = parse_query_string_dsl(query, default_operator)
+        return self.search_dsl(tree, k, filters=filters)
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50,
                       field: str | None = None) -> list[str]:
         """Global prefix expansion: union of per-shard dictionary ranges,
@@ -2811,6 +2855,11 @@ class QueryEngine:
 
             {"match": "free text"}   — OR of the analyzed terms,
                 score = Σ matched-term BM25 contributions
+            {"match": {"field": f, "query": "..."}} — field-scoped
+                match: whitespace tokens scored in field f's own
+                posting stream with f's doc lengths and avgdl (the
+                multi_match per-field stats; `role:user` ≠
+                `text:user`)
             {"phrase": "exact words"} or {"phrase": {"query": ...,
                 "slop": n}} — match_phrase as ONE pseudo-term (tf =
                 anchor count, idf from the global phrase df computed
@@ -2890,9 +2939,19 @@ class QueryEngine:
                 )
             op, body = next(iter(node.items()))
             if op == "match":
-                if not isinstance(body, str):
+                if isinstance(body, dict):
+                    if set(body) != {"field", "query"}:
+                        raise ValueError(
+                            "match takes a string or {'field', 'query'}"
+                        )
+                    for tok in str(body["query"]).split():
+                        key, _ = self._field_key_of(body["field"], tok)
+                        if key is not None:
+                            terms.add(key)
+                elif isinstance(body, str):
+                    terms.update(self._qt(body))
+                else:
                     raise ValueError("match takes a query string")
-                terms.update(self._qt(body))
             elif op == "phrase":
                 phrases.add(phrase_spec(body))
             elif op == "term":
@@ -2970,6 +3029,21 @@ class QueryEngine:
         def build(node) -> dict:
             op, body = next(iter(node.items()))
             if op == "match":
+                if isinstance(body, dict):
+                    f = body["field"]
+                    fnorm = None
+                    pairs: dict[str, float] = {}
+                    for tok in str(body["query"]).split():
+                        key, fn = self._field_key_of(f, tok)
+                        if key is not None and key in idf_map:
+                            pairs[key] = idf_map[key]
+                            fnorm = fn
+                    if not pairs:
+                        return {"op": "none"}
+                    return {"op": "match_field",
+                            "terms": sorted(pairs.items()),
+                            "field": fnorm,
+                            "avgdl": self._field_avgdls()[fnorm]}
                 live = sorted(
                     {t for t in self._qt(body) if t in idf_map}
                 )

@@ -352,6 +352,7 @@ class ImportServer:
                                 offset=int(q.get("from", "0")),
                                 slop=int(q.get("slop", "0")),
                                 qs=q.get("qs") == "1",
+                                qstring=q.get("qstring") == "1",
                                 wildcard=q.get("wildcard") == "1",
                                 regexp=q.get("regexp") == "1",
                                 suggest=q.get("suggest") == "1",
@@ -1372,7 +1373,8 @@ class ImportServer:
 
     def search(self, index: str, query: str, k: int = 10,
                phrase: bool = False, offset: int = 0, slop: int = 0,
-               qs: bool = False, wildcard: bool = False,
+               qs: bool = False, qstring: bool = False,
+               wildcard: bool = False,
                regexp: bool = False,
                suggest: bool = False, collapse: str | None = None,
                mlt: str | None = None, must: str | None = None,
@@ -1398,7 +1400,8 @@ class ImportServer:
             # corpus stats (dfs_query_then_fetch); only the plain
             # relevance search mode is exposed through it, like the
             # reference's Kibana index-pattern default view
-            if (phrase or qs or wildcard or regexp or suggest or collapse
+            if (phrase or qs or qstring or wildcard or regexp
+                    or suggest or collapse
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
                     or fields or sort_ts or fuzzy or syn or highlight
@@ -1473,6 +1476,10 @@ class ImportServer:
             t = eng.search_phrase_prefix(query, k, slop=slop)
         elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
+        elif qstring:
+            # full Lucene query_string syntax (quotes, parens,
+            # AND/OR/NOT, field:term, wildcards) on the DSL executor
+            t = eng.search_string(query, k=k)
         elif qs:  # Kibana-style field:term query strings
             t = eng.search_qs(query, k=k, offset=offset)
         elif search_after:
