@@ -126,6 +126,11 @@ DSL_PHRASE_QUERY = {
 #: and spark does not).
 QSTRING_QUERY = '"table hash" OR (window AND value AND NOT spark)'
 
+#: match_bool_prefix probe: "merge wind" — 'merge' as a term clause,
+#: 'wind' as a prefix clause (capped dictionary expansion), OR with
+#: minimum_should_match=1 (the ES default operator).
+BOOL_PREFIX_QUERY = "merge wind"
+
 #: mixed-leaf query-DSL probe: term / prefix / wildcard / regexp
 #: leaves composed inside one bool (each leaf = scoring_boolean
 #: rewrite over its deterministic global expansion; prefix cap 3
@@ -1327,6 +1332,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_bool_prefix(sf_dir):
+        # ES match_bool_prefix: last analyzed token as a prefix
+        # clause, the rest as term clauses, OR-composed
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_bool_prefix(BOOL_PREFIX_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2394,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dsl_phrase": q_bm25_dsl_phrase,
         "bm25_dsl_mixed": q_bm25_dsl_mixed,
         "bm25_qstring": q_bm25_qstring,
+        "bm25_bool_prefix": q_bm25_bool_prefix,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4383,6 +4408,39 @@ m AS (
     WHERE NOT EXISTS (SELECT 1 FROM spark x
                       WHERE x.conv_id = mph.conv_id
                         AND x.turn_idx = mph.turn_idx)
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # match_bool_prefix twin: 'merge' term clause + 'wind*' prefix
+        # expansion clause (lexicographically-first-50 dictionary
+        # terms), OR with msm=1 — score = sum of matched clauses
+        "bm25_bool_prefix": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+exp_p AS (SELECT DISTINCT term
+          FROM (SELECT unnest(toks) AS term FROM base)
+          WHERE term GLOB 'wind*' ORDER BY term LIMIT 50),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term = 'merge' OR tf.term IN (SELECT term FROM exp_p)
+),
+m AS (
+    SELECT conv_id, turn_idx, sum(c) AS raw FROM per GROUP BY 1, 2
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m

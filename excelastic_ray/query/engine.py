@@ -4057,6 +4057,37 @@ class QueryEngine:
             }
         )
 
+    def search_bool_prefix(self, query: str, k: int = 10,
+                           operator: str = "or",
+                           max_expansions: int = 50,
+                           filters: dict | None = None):
+        """ES ``match_bool_prefix`` (the non-positional
+        search-as-you-type sibling of match_phrase_prefix): every
+        analyzed token except the last matches as a term clause, the
+        LAST token as a prefix clause (dictionary expansion, capped
+        deterministically at ``max_expansions`` like search_prefix) —
+        all composed in one bool. ``operator="or"`` (ES default):
+        should clauses with minimum_should_match=1;
+        ``"and"``: every clause required. Compiled onto the DSL
+        executor, so scoring (BM25 sum of matched clauses,
+        scoring_boolean prefix rewrite) and tie-break are identical to
+        the equivalent hand-written DSL tree."""
+        if operator not in ("or", "and"):
+            raise ValueError("operator must be 'or' or 'and'")
+        toks = self._tok_ordered(query)
+        if not toks:
+            raise ValueError("match_bool_prefix needs at least one "
+                             "analyzer token")
+        clauses: list[dict] = [{"term": t} for t in toks[:-1]]
+        clauses.append({"prefix": {"value": toks[-1],
+                                   "max_expansions": max_expansions}})
+        tree = (
+            {"bool": {"must": clauses}} if operator == "and"
+            else {"bool": {"should": clauses,
+                           "minimum_should_match": 1}}
+        )
+        return self.search_dsl(tree, k, filters=filters)
+
     def search_phrase_prefix(self, query: str, k: int = 10,
                              slop: int = 0, field: str | None = None,
                              max_expansions: int | None = None):

@@ -185,6 +185,53 @@ def test_search_string_field_clause(qs_field_index):
     assert pc.all(pc.equal(docs["role"], "user")).as_py()
 
 
+def test_search_bool_prefix(tiny_index, tiny_table):
+    """match_bool_prefix == the equivalent DSL tree; single token ==
+    plain prefix query; operator=and requires every clause."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    h = [t for t, _ in counts.most_common(4)]
+    pre = h[1][:2]
+
+    got = eng.search_bool_prefix(f"{h[0]} {pre}", k=25)
+    want = eng.search_dsl({"bool": {"should": [
+        {"term": h[0]},
+        {"prefix": {"value": pre, "max_expansions": 50}},
+    ], "minimum_should_match": 1}}, k=25)
+    assert got.num_rows > 0 and got.equals(want)
+
+    got_and = eng.search_bool_prefix(f"{h[0]} {pre}", k=25,
+                                     operator="and")
+    want_and = eng.search_dsl({"bool": {"must": [
+        {"term": h[0]},
+        {"prefix": {"value": pre, "max_expansions": 50}},
+    ]}}, k=25)
+    assert got_and.equals(want_and)
+
+    # single token == a plain prefix query (scoring_boolean)
+    a = eng.search_bool_prefix(pre, k=25)
+    b = eng.search_prefix(pre, k=25)
+    assert [r for r in zip(a["conv_id"].to_pylist(),
+                           a["turn_idx"].to_pylist(),
+                           a["score"].to_pylist())] == \
+        [r for r in zip(b["conv_id"].to_pylist(),
+                        b["turn_idx"].to_pylist(),
+                        b["score"].to_pylist())]
+
+    with pytest.raises(ValueError, match="operator"):
+        eng.search_bool_prefix("x", operator="xor")
+    with pytest.raises(ValueError, match="at least one"):
+        eng.search_bool_prefix("")
+
+
 def test_dsl_field_match_leaf_equals_search_fields(qs_field_index):
     """A standalone field-scoped match leaf must equal multi_match
     most_fields over that single field (same stats, same scoring)."""
