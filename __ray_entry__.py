@@ -126,6 +126,11 @@ DSL_PHRASE_QUERY = {
 #: and spark does not).
 QSTRING_QUERY = '"table hash" OR (window AND value AND NOT spark)'
 
+#: combined_fields (BM25F) probe: "user merge" over text+role — per
+#: term, tf and dl sum across the two streams, df is the union doc
+#: count, avgdl is the sum of the per-field averages.
+COMBINED_QUERY = "user merge"
+
 #: match_bool_prefix probe: "merge wind" — 'merge' as a term clause,
 #: 'wind' as a prefix clause (capped dictionary expansion), OR with
 #: minimum_should_match=1 (the ES default operator).
@@ -1351,6 +1356,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_combined(sf_dir):
+        # ES combined_fields (BM25F): term-centric scoring over
+        # text+role as one combined field
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_combined(COMBINED_QUERY, [None, "role"], 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2419,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dsl_mixed": q_bm25_dsl_mixed,
         "bm25_qstring": q_bm25_qstring,
         "bm25_bool_prefix": q_bm25_bool_prefix,
+        "bm25_combined": q_bm25_combined,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4411,6 +4436,51 @@ m AS (
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # combined_fields (BM25F) twin: per term, tf = text tf + role
+        # tf and the doc length is the SUM of both streams' lengths;
+        # df counts docs where EITHER stream has the term (union);
+        # avgdl = avg(text dl) + avg(role dl) — each the engine's own
+        # per-field mean, added (the engine's Σ_f avgdl_f definition)
+        "bm25_combined": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9_]+') AS ttoks,
+                regexp_extract_all(lower(role), '[a-z0-9_]+') AS rtoks
+         FROM transcripts),
+dl AS (SELECT conv_id, turn_idx,
+              CAST(len(ttoks) + len(rtoks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(len(ttoks)) AS DOUBLE) / count(*)
+                 + CAST(sum(len(rtoks)) AS DOUBLE) / count(*) AS avgdl
+          FROM base),
+q(term) AS (VALUES ('merge'), ('user')),
+live AS (
+    SELECT * FROM (
+        SELECT b.conv_id, b.turn_idx, q.term,
+               CAST(len(list_filter(b.ttoks, x -> x = q.term))
+                    + len(list_filter(b.rtoks, x -> x = q.term))
+                    AS DOUBLE) AS tf
+        FROM base b CROSS JOIN q
+    ) WHERE tf > 0
+),
+dfu AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM live GROUP BY term),
+scored AS (
+    SELECT l.conv_id, l.turn_idx,
+           sum( ln(1 + (s.n - dfu.df + 0.5) / (dfu.df + 0.5))
+                * l.tf * 2.2
+                / (l.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS raw
+    FROM live l
+    JOIN dfu USING (term)
+    JOIN dl ON dl.conv_id = l.conv_id AND dl.turn_idx = l.turn_idx
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
 QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """,
         # match_bool_prefix twin: 'merge' term clause + 'wind*' prefix

@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(per-field BM25; most_fields)")
     s.add_argument("--qs", action="store_true",
                    help="query_string mode: field:term clauses allowed")
+    s.add_argument("--combined", default=None,
+                   help="comma-separated fields for combined_fields "
+                        "(BM25F: one combined stream, union df)")
     s.add_argument("--qstring", action="store_true",
                    help="full Lucene query_string syntax: quotes, "
                         "parens, AND/OR/NOT, field:term, wildcards")
@@ -429,6 +432,10 @@ def main(argv: list[str] | None = None) -> int:
                                       args.fields.split(","), args.k,
                                       filters=filters or None,
                                       offset=args.offset)
+            elif args.combined:
+                t = eng.search_combined(args.query,
+                                        args.combined.split(","),
+                                        args.k, filters=filters or None)
             elif args.qstring:
                 t = eng.search_string(args.query, args.k,
                                       filters=filters or None)

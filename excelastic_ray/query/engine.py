@@ -1178,6 +1178,69 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def df_union(self, groups: list[list[str]]) -> np.ndarray:
+        """Per group of dictionary keys, the number of docs in this
+        shard matching ANY key — the combined_fields (BM25F) union df.
+        A doc lives in exactly one shard, so the global union df is the
+        exact sum of these across shards."""
+        out = np.zeros(len(groups), dtype=np.int64)
+        for g, keys in enumerate(groups):
+            ids_list = [
+                self.decoded(i)[0]
+                for i in (self.lookup(key_) for key_ in keys)
+                if i >= 0
+            ]
+            if len(ids_list) == 1:
+                out[g] = len(ids_list[0])
+            elif ids_list:
+                out[g] = len(np.unique(np.concatenate(ids_list)))
+        return out
+
+    def topk_combined(self, groups, idfs, field_weights, avgdl, k,
+                      filters=None):
+        """combined_fields (BM25F — Robertson/Zaragoza's simple BM25F,
+        the ES combined_fields model) shard top-k: per TERM group, the
+        combined tf = Σ_f weight_f × tf_f and the combined per-doc
+        length dl = Σ_f weight_f × dl_f feed ONE BM25 contribution
+        using the group's union-df idf — a term saturates across
+        fields instead of scoring once per field (most_fields).
+        ``groups`` = [[(dictionary key, weight)]] aligned with
+        ``idfs``, in sorted-term order (the fixed summation order);
+        ``field_weights`` = [(field | None, weight)] builds the length
+        accumulator; ``avgdl`` is the combined global average."""
+        cfg = self.cfg
+        n = len(self.docids)
+        cdl = np.zeros(n, dtype=np.float64)
+        for f, w in field_weights:
+            dls = self.dls if f is None else self.field_dls.get(f)
+            if dls is None:
+                raise KeyError(
+                    f"field {f!r} has no per-field stream in this "
+                    f"index (have {sorted(self.field_dls)})"
+                )
+            cdl += w * dls.astype(np.float64)
+        acc = np.zeros(n, dtype=np.float64)
+        for keys_ws, g_idf in zip(groups, idfs):
+            tfv = np.zeros(n, dtype=np.float64)
+            for key_, w in keys_ws:
+                i = self.lookup(key_)
+                if i < 0:
+                    continue
+                ids, tfs = self.decoded(i)
+                tfv[ids] += w * tfs
+            nz = np.flatnonzero(tfv)
+            acc[nz] += contribution(
+                g_idf, tfv[nz], cdl[nz], avgdl, cfg.k1, cfg.b
+            )
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def matching_mask(self, terms: list[str], n_required: int = 0,
                       filters: dict | None = None) -> np.ndarray:
         """Ordinal-space bool mask of docs matching the query (OR, or
@@ -2662,6 +2725,94 @@ class QueryEngine:
             else:
                 pairs.append((field, term))
         return self._search_field_pairs(pairs, k, filters, offset)
+
+    def search_combined(self, query: str, fields: list[str | None],
+                        k: int = 10, weights: dict | None = None,
+                        filters: dict | None = None):
+        """ES ``combined_fields`` query (the BM25F member of the
+        multi_match family, beside best_fields and most_fields):
+        term-centric scoring that treats the listed fields as ONE
+        combined field — per term, tf = Σ_f weight_f × tf_f, df = the
+        UNION of the term's per-field doc sets (summed exactly across
+        shards), per-doc length dl = Σ_f weight_f × dl_f and
+        avgdl = Σ_f weight_f × avgdl_f. One BM25 contribution per
+        TERM: a term repeated across fields saturates instead of
+        scoring once per field. ``fields`` name per-field streams (or
+        None / the single index_field for the catch-all text stream);
+        ``weights`` maps field → per-field weight (default 1.0).
+        Deviation from ES (documented): the query analyzes once with
+        the index analyzer and the analyzed token is looked up raw in
+        each field's stream (ES requires same-analyzer fields, which
+        this realizes by construction)."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import field_key
+
+        r = self.reader
+        weights = weights or {}
+        fnorm_w: list[tuple[str | None, float]] = []
+        for f in fields:
+            w = float(weights.get(f, 1.0))
+            if f is None or (
+                len(r.cfg.index_fields) == 1 and f == r.cfg.index_fields[0]
+            ):
+                fnorm_w.append((None, w))
+            elif f in r.cfg.field_index_fields:
+                fnorm_w.append((f, w))
+            else:
+                raise KeyError(
+                    f"field {f!r} is not indexed per-field "
+                    f"(have {sorted(r.cfg.field_index_fields)})"
+                )
+        if not fnorm_w:
+            raise ValueError("combined_fields needs at least one field")
+        toks = self._qt(query)
+        groups = [
+            [(t if f is None else field_key(f, t), w) for f, w in fnorm_w]
+            for t in toks
+        ]
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if groups and r.n_docs:
+            key_groups = [[kk for kk, _ in g] for g in groups]
+            if self._actors is not None:
+                import ray
+
+                per_shard = ray.get(
+                    [a.df_union.remote(key_groups) for a in self._actors]
+                )
+            else:
+                per_shard = [
+                    r.searcher(s).df_union(key_groups)
+                    for s in range(r.num_shards)
+                ]
+            dfs = np.asarray(per_shard, dtype=np.int64).sum(axis=0)
+            live = [
+                (g, idf(r.n_docs, int(d)))
+                for g, d in zip(groups, dfs) if d > 0
+            ]
+            if live:
+                avgdls = self._field_avgdls()
+                avgdl_comb = sum(w * avgdls[f] for f, w in fnorm_w)
+                lg = [g for g, _ in live]
+                li = [i_ for _, i_ in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [a.topk_combined.remote(lg, li, fnorm_w,
+                                                avgdl_comb, k, filters)
+                         for a in self._actors]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).topk_combined(lg, li, fnorm_w,
+                                                    avgdl_comb, k,
+                                                    filters)
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
 
     def search_string(self, query: str, k: int = 10,
                       default_operator: str = "or",
@@ -4818,6 +4969,20 @@ class ShardActor:
                     combine="sum", tie_breaker=0.0):
         parts = [
             s.topk_fields(entries, avgdls, k, filters, combine, tie_breaker)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def df_union(self, groups):
+        out = self.searchers[0].df_union(groups)
+        for s in self.searchers[1:]:
+            out = out + s.df_union(groups)
+        return out
+
+    def topk_combined(self, groups, idfs, field_weights, avgdl, k,
+                      filters=None):
+        parts = [
+            s.topk_combined(groups, idfs, field_weights, avgdl, k, filters)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

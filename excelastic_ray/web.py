@@ -353,6 +353,7 @@ class ImportServer:
                                 slop=int(q.get("slop", "0")),
                                 qs=q.get("qs") == "1",
                                 qstring=q.get("qstring") == "1",
+                                combined=q.get("combined") or None,
                                 wildcard=q.get("wildcard") == "1",
                                 regexp=q.get("regexp") == "1",
                                 suggest=q.get("suggest") == "1",
@@ -1383,7 +1384,8 @@ class ImportServer:
                decay_origin: str | None = None,
                decay_scale: str = "24h",
                search_after: str | None = None,
-               fields: str | None = None, sort_ts: bool = False,
+               fields: str | None = None,
+               combined: str | None = None, sort_ts: bool = False,
                fuzzy: str | None = None,
                syn: str | None = None, highlight: bool = False,
                explain: str | None = None,
@@ -1404,7 +1406,8 @@ class ImportServer:
                     or suggest or collapse
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
-                    or fields or sort_ts or fuzzy or syn or highlight
+                    or fields or combined or sort_ts or fuzzy
+                    or syn or highlight
                     or explain or phrase_prefix
                     or span_first is not None or span_near is not None
                     or span_not):
@@ -1476,6 +1479,10 @@ class ImportServer:
             t = eng.search_phrase_prefix(query, k, slop=slop)
         elif phrase:
             t = eng.search_phrase(query, k, slop=slop)
+        elif combined:
+            # ES combined_fields (BM25F): one combined stream across
+            # the listed fields (union df, summed tf/dl)
+            t = eng.search_combined(query, combined.split(","), k=k)
         elif qstring:
             # full Lucene query_string syntax (quotes, parens,
             # AND/OR/NOT, field:term, wildcards) on the DSL executor

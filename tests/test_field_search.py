@@ -353,3 +353,96 @@ def test_field_phrase_with_slop(multi_tok_field_index):
     )
     assert sorted(int(c[1:]) for c in sloppy["conv_id"].to_pylist()) == exp_sloppy
     assert set(exact["conv_id"].to_pylist()) <= set(sloppy["conv_id"].to_pylist())
+
+
+def _combined_oracle(table, eng, query, fields, weights, k):
+    """Brute-force BM25F: per term, tf = Σ_f w_f·tf_f over the raw
+    table, dl = Σ_f w_f·dl_f, df = union doc count; avgdl taken from
+    the engine's own per-field averages (one shared definition) and
+    contributions from the engine's float kernel so equality is
+    exact."""
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.bm25 import contribution, idf
+
+    import numpy as np
+
+    conv = table["conv_id"].to_pylist()
+    turn = table["turn_idx"].to_pylist()
+    cols = {}
+    for f in fields:
+        name = "text" if f is None else f
+        vals = table[name].to_pylist()
+        cols[f] = [tokenize(v) if v else [] for v in vals]
+    N = len(conv)
+    avgdls = eng._field_avgdls()
+    w = {f: float(weights.get(f, 1.0)) for f in fields}
+    avgdl = sum(w[f] * avgdls[f] for f in fields)
+    dlv = [sum(w[f] * len(cols[f][i]) for f in fields) for i in range(N)]
+    terms = sorted(set(tokenize(query)))
+    acc = {}
+    for t in terms:
+        tfs = [
+            sum(w[f] * cols[f][i].count(t) for f in fields)
+            for i in range(N)
+        ]
+        df = sum(1 for v in tfs if v > 0)
+        if not df:
+            continue
+        t_idf = idf(N, df)
+        for i, tf in enumerate(tfs):
+            if tf > 0:
+                c = float(contribution(
+                    t_idf, np.float64(tf), np.float64(dlv[i]), avgdl))
+                acc[i] = acc.get(i, 0.0) + c
+    scored = sorted(
+        ((conv[i], int(turn[i]), s) for i, s in acc.items()),
+        key=lambda kv: (-kv[2], kv[0], kv[1]),
+    )
+    return scored[:k]
+
+
+def test_combined_fields_matches_bruteforce(field_index):
+    """combined_fields (BM25F): union df, summed tf/dl — exact vs the
+    brute-force oracle, with and without per-field weights; term-
+    saturation differs from most_fields by construction."""
+    idx, table = field_index
+    eng = QueryEngine(idx)
+    for query, weights in (
+        ("user table", {}),
+        ("user", {"role": 2.0}),
+        ("tool code window", {None: 1.0, "tool": 3.0}),
+    ):
+        got = eng.search_combined(query, [None, "role", "tool"], k=12,
+                                  weights=weights)
+        exp = _combined_oracle(table, eng, query,
+                               [None, "role", "tool"], weights, 12)
+        assert got.num_rows > 0
+        assert [
+            (c, t, s) for c, t, s in zip(got["conv_id"].to_pylist(),
+                                         got["turn_idx"].to_pylist(),
+                                         got["score"].to_pylist())
+        ] == exp, (query, weights)
+
+
+def test_combined_fields_actor_parity_and_errors(field_index):
+    idx, _ = field_index
+    eng = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        a = actors.search_combined("user table", [None, "role"], k=10)
+        b = eng.search_combined("user table", [None, "role"], k=10)
+        assert a.equals(b)
+    finally:
+        actors.close()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not indexed per-field"):
+        eng.search_combined("x", ["nope"])
+    with _pytest.raises(ValueError, match="at least one field"):
+        eng.search_combined("x", [])
+    # saturation: a term in BOTH text and role scores ONCE (union df),
+    # so combined != most_fields sum on a doc where both fields match
+    comb = eng.search_combined("user", [None, "role"], k=1000)
+    most = eng.search_fields("user", ["text", "role"], k=1000,
+                             match_type="most_fields")
+    assert comb.num_rows == most.num_rows  # same match set (union)
