@@ -1725,6 +1725,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs(sf_dir), seq_len=512)
 
+    def q_chunk_docs(sf_dir):
+        # sliding token-window chunking (RAG splitter): 64-token
+        # windows, 16-token overlap — a pure per-batch map
+        from excelastic_ray.pipelines.pack import chunk_documents
+
+        return chunk_documents(_docs(sf_dir), chunk_tokens=64,
+                               overlap=16)
+
     def q_pack_stats(sf_dir):
         from excelastic_ray.pipelines.pack import pack_stats
 
@@ -2504,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "vocab_coverage": q_vocab_coverage,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
         "pack_stats": q_pack_stats,
         "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
@@ -5202,6 +5211,28 @@ FROM base b LEFT JOIN cnt c USING (doc_id)
 """,
         # concat-and-chunk packing manifest: exclusive prefix-sum of
         # (analyzer token count + 1 eod) in doc_id order, cut at 512
+        # sliding token-window chunker: same fully-specified window
+        # rule (cnt=0 → none; cnt ≤ 64 → one; else ceil((cnt-64)/48)+1,
+        # only the final window short); DuckDB 1-based inclusive list
+        # slice toks[s+1 : e] == Python toks[s:e]
+        "chunk_docs": """
+WITH base AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS cnt FROM base),
+e AS (SELECT doc_id, toks, cnt,
+             unnest(range(0, CASE WHEN cnt = 0 THEN 0
+                                  WHEN cnt <= 64 THEN 1
+                                  ELSE (cnt - 64 + 47) // 48 + 1 END))
+                 AS i
+      FROM n)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(least(i * 48 + 64, cnt) - i * 48 AS BIGINT) AS n_tokens,
+       array_to_string(toks[i * 48 + 1 : least(i * 48 + 64, cnt)], ' ')
+           AS chunk_text
+FROM e
+""",
         "pack_sequences": """
 WITH base AS (
   SELECT doc_id,

@@ -190,3 +190,66 @@ def pack_stats(ds, seq_len: int = 2048, eod: int = 1,
                                    type=pa.int64()),
         }
     )
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding token-window document chunking — the RAG / long-context
+    preprocessing splitter: each document's analyzer-token stream is
+    cut into windows of ``chunk_tokens`` tokens advancing by
+    ``stride = chunk_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens. Emits one row per chunk:
+    (id, chunk_idx, start_tok, n_tokens, chunk_text) with chunk_text
+    the space-joined analyzer tokens (the retrieval unit an embedder
+    consumes).
+
+    Fully-specified window rule (shared by the SQL twin): a doc with
+    cnt tokens emits 0 chunks when cnt = 0, 1 when cnt ≤ chunk_tokens,
+    else ceil((cnt - chunk_tokens) / stride) + 1 — the final window is
+    the only one allowed to be short, and every token is covered.
+
+    Scale shape: a PURE per-batch map (no shuffle, no state) — chunking
+    10^12 tokens is embarrassingly parallel; output is ~(1 +
+    overlap/stride)× the input tokens, streamed straight to the
+    consumer or sink. Window offsets are deterministic per doc, so
+    re-running a failed block reproduces identical chunks (resumable
+    partitioned export composes)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from excelastic_ray.analysis import TOKEN_RE
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col]
+        findall = TOKEN_RE.findall
+        toks = [findall(t.lower()) if t else [] for t in texts]
+        cnt = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                          count=len(toks))
+        n_chunks = np.where(
+            cnt == 0, 0,
+            np.where(cnt <= chunk_tokens, 1,
+                     (cnt - chunk_tokens + stride - 1) // stride + 1),
+        )
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), n_chunks)
+        # chunk_idx = position within each doc's run
+        offs = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_idx = np.arange(len(doc_of), dtype=np.int64) - offs[doc_of]
+        start = chunk_idx * stride
+        end = np.minimum(start + chunk_tokens, cnt[doc_of])
+        text_out = [
+            " ".join(toks[d][s:e])
+            for d, s, e in zip(doc_of.tolist(), start.tolist(),
+                               end.tolist())
+        ]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of)),
+                "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+                "start_tok": pa.array(start, type=pa.int64()),
+                "n_tokens": pa.array(end - start, type=pa.int64()),
+                "chunk_text": pa.array(text_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

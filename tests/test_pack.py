@@ -101,3 +101,48 @@ def test_stats_consistency(ray_session):
     assert s["straddlers"] == int(
         (man["seq_last"] > man["seq_first"]).sum()
     )
+
+
+def test_chunk_documents_windows(ray_session):
+    """Window rule: every token covered, consecutive chunks overlap by
+    exactly `overlap` (except the short final window), offsets
+    deterministic; empty docs emit nothing; param validation."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.analysis import TOKEN_RE
+    from excelastic_ray.pipelines.pack import chunk_documents
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{int(rng.integers(0, 50))}"
+                 for _ in range(int(rng.integers(0, 40))))
+        for _ in range(60)
+    ] + ["", "one", " ".join(["x"] * 7)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    chunk, ov = 6, 2
+    stride = chunk - ov
+    out = chunk_documents(rd.from_arrow(t), chunk, ov).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    for did, text in enumerate(texts):
+        toks = TOKEN_RE.findall(text.lower())
+        rows = out[out["doc_id"] == did]
+        cnt = len(toks)
+        if cnt == 0:
+            assert len(rows) == 0
+            continue
+        want_n = 1 if cnt <= chunk else -(-(cnt - chunk) // stride) + 1
+        assert len(rows) == want_n
+        assert list(rows["chunk_idx"]) == list(range(want_n))
+        covered = set()
+        for _, r in rows.iterrows():
+            s, n = int(r["start_tok"]), int(r["n_tokens"])
+            assert s == int(r["chunk_idx"]) * stride
+            assert r["chunk_text"] == " ".join(toks[s:s + n])
+            assert n > 0
+            covered.update(range(s, s + n))
+        assert covered == set(range(cnt))  # full coverage
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_arrow(t), 4, 4)
