@@ -131,6 +131,19 @@ QSTRING_QUERY = '"table hash" OR (window AND value AND NOT spark)'
 #: count, avgdl is the sum of the per-field averages.
 COMBINED_QUERY = "user merge"
 
+#: intervals probes: the ES positional interval algebra. Ordered —
+#: all_of combinator over two term rules, gaps between the child
+#: intervals ≤ 2 (greedy-minimal semantics, scored as one pseudo-term
+#: with tf = interval count). Unordered — a two-term match leaf whose
+#: window may order either way, window slack ≤ 3.
+INTERVALS_ORDERED_RULE = {
+    "all_of": {"ordered": True, "max_gaps": 2,
+               "intervals": [{"match": "table"}, {"match": "hash"}]}
+}
+INTERVALS_UNORDERED_RULE = {
+    "match": {"query": "window value", "ordered": False, "max_gaps": 3}
+}
+
 #: match_bool_prefix probe: "merge wind" — 'merge' as a term clause,
 #: 'wind' as a prefix clause (capped dictionary expansion), OR with
 #: minimum_should_match=1 (the ES default operator).
@@ -1375,6 +1388,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _intervals_table(sf_dir, rule):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_intervals(rule, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
+    def q_intervals_ordered(sf_dir):
+        # ES intervals: ordered all_of with max_gaps (greedy-minimal)
+        return _intervals_table(sf_dir, INTERVALS_ORDERED_RULE)
+
+    def q_intervals_unordered(sf_dir):
+        # ES intervals: unordered two-term leaf with window slack
+        return _intervals_table(sf_dir, INTERVALS_UNORDERED_RULE)
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2452,6 +2490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_qstring": q_bm25_qstring,
         "bm25_bool_prefix": q_bm25_bool_prefix,
         "bm25_combined": q_bm25_combined,
+        "intervals_ordered": q_intervals_ordered,
+        "intervals_unordered": q_intervals_unordered,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4445,6 +4485,103 @@ m AS (
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # intervals ordered twin: greedy chains — each 'table' position
+        # s pairs with the EARLIEST 'hash' position e > s; gap filter
+        # (e - s - 1 <= 2) BEFORE minimality (per distinct e keep the
+        # max s — greedy ends are monotone so that IS the minimal set);
+        # tf = minimal-interval count, df = matching docs, one
+        # pseudo-term BM25 contribution (the engine's phrase convention)
+        "intervals_ordered": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+pos AS (SELECT conv_id, turn_idx,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'table')
+                   AS p1,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'hash')
+                   AS p2
+        FROM base
+        WHERE len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'table')) > 0
+          AND len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'hash')) > 0),
+anch AS (SELECT conv_id, turn_idx, unnest(p1) AS s, p2 FROM pos),
+chain AS (SELECT conv_id, turn_idx, s,
+                 list_min(list_filter(p2, j -> j > s)) AS e
+          FROM anch),
+ok AS (SELECT * FROM chain WHERE e IS NOT NULL AND e - s - 1 <= 2),
+minimal AS (SELECT conv_id, turn_idx, e, max(s) AS s
+            FROM ok GROUP BY 1, 2, 3),
+m AS (SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS tf
+      FROM minimal GROUP BY 1, 2),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM m),
+scored AS (
+    SELECT m.conv_id, m.turn_idx,
+           ln(1 + (s.n - dfv.d + 0.5) / (dfv.d + 0.5)) * m.tf * 2.2
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM m
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s CROSS JOIN dfv
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # intervals unordered twin: both greedy directions (nearest
+        # 'value' strictly right of each 'window', nearest strictly
+        # left), window slack (width - 2 <= 3), then FULL minimality
+        # (NOT EXISTS a distinct contained window) — iv.minimal_filter
+        "intervals_unordered": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+pos AS (SELECT conv_id, turn_idx,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'window')
+                   AS p1,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'value')
+                   AS p2
+        FROM base
+        WHERE len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'window')) > 0
+          AND len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'value')) > 0),
+anch AS (SELECT conv_id, turn_idx, unnest(p1) AS a, p2 FROM pos),
+wins AS (
+    SELECT DISTINCT conv_id, turn_idx,
+           least(a, e) AS s, greatest(a, e) AS e
+    FROM (
+        SELECT conv_id, turn_idx, a,
+               unnest([list_min(list_filter(p2, j -> j > a)),
+                       list_max(list_filter(p2, j -> j < a))]) AS e
+        FROM anch
+    )
+    WHERE e IS NOT NULL AND greatest(a, e) - least(a, e) - 1 <= 3
+),
+minimal AS (
+    SELECT * FROM wins w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM wins w2
+        WHERE w2.conv_id = w.conv_id AND w2.turn_idx = w.turn_idx
+          AND w2.s >= w.s AND w2.e <= w.e
+          AND (w2.s != w.s OR w2.e != w.e))
+),
+m AS (SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS tf
+      FROM minimal GROUP BY 1, 2),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM m),
+scored AS (
+    SELECT m.conv_id, m.turn_idx,
+           ln(1 + (s.n - dfv.d + 0.5) / (dfv.d + 0.5)) * m.tf * 2.2
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM m
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s CROSS JOIN dfv
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
 QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """,
         # combined_fields (BM25F) twin: per term, tf = text tf + role

@@ -501,6 +501,112 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
+    def intervals_matches(self, node: dict):
+        """ES ``intervals`` rule evaluation → (docids, itf, dls) for
+        docs with ≥ 1 matching interval; itf = the minimal-interval
+        count (the pseudo-term tf, the phrase-scoring convention).
+        ``node`` is a VALIDATED rule tree (query.intervals) whose leaf
+        terms are analyzer tokens. Candidate docs are bounded by the
+        rule's structure (intersection under match/all_of, union under
+        any_of), so per-doc interval algebra runs only on docs that
+        could match; cached per searcher keyed by the canonical rule
+        (the count and topk phases share one evaluation)."""
+        import json
+
+        from excelastic_ray.query import intervals as iv
+
+        key = json.dumps(node, sort_keys=True)
+        cached = getattr(self, "_intervals_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.float64))
+        data: dict = {}
+        for t in sorted(iv.leaf_terms(node)):
+            i = self.lookup(t)
+            if i < 0:
+                data[t] = None
+                continue
+            ids, tfs = self.decoded(i)
+            pos = self.positions_of(i, tfs)
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            data[t] = (ids, offs, pos)
+
+        none = np.zeros(0, dtype=np.int64)
+
+        def cand(n) -> np.ndarray:
+            if n["op"] == "match":
+                cur = None
+                for t in n["terms"]:
+                    d = data[t]
+                    if d is None:
+                        return none
+                    cur = d[0] if cur is None else np.intersect1d(
+                        cur, d[0], assume_unique=True
+                    )
+                    if not len(cur):
+                        return none
+                return cur
+            parts = [cand(c) for c in n["children"]]
+            if n["op"] == "any_of":
+                return np.unique(np.concatenate(parts))
+            cur = parts[0]
+            for p in parts[1:]:
+                cur = np.intersect1d(cur, p, assume_unique=True)
+                if not len(cur):
+                    return none
+            return cur
+
+        docs = cand(node)
+        if not len(docs):
+            self._intervals_cache = (key, empty)
+            return empty
+        out_ord, out_tf = [], []
+        for d in docs.tolist():
+            def pos_of(t, _d=d):
+                rec = data[t]
+                if rec is None:
+                    return np.zeros(0, dtype=np.int64)
+                ids, offs, pos = rec
+                j = int(np.searchsorted(ids, _d))
+                if j >= len(ids) or ids[j] != _d:
+                    return np.zeros(0, dtype=np.int64)
+                return pos[offs[j]:offs[j + 1]]
+
+            s, _e = iv.eval_node(node, pos_of)
+            if len(s):
+                out_ord.append(d)
+                out_tf.append(len(s))
+        if not out_ord:
+            self._intervals_cache = (key, empty)
+            return empty
+        ords = np.asarray(out_ord, dtype=np.int64)
+        result = (
+            self.docids[ords],
+            np.asarray(out_tf, dtype=np.int64),
+            self.dls[ords].astype(np.float64),
+        )
+        self._intervals_cache = (key, result)
+        return result
+
+    def intervals_count(self, node: dict) -> int:
+        """Phase 1 of intervals scoring (the phrase_count shape)."""
+        return len(self.intervals_matches(node)[0])
+
+    def intervals_topk(self, node: dict, p_idf: float, avgdl: float,
+                       k: int):
+        """Phase 2: score the cached interval matches as ONE
+        pseudo-term with the global rule idf; shard top-k."""
+        docids, itfs, dls = self.intervals_matches(node)
+        if not len(docids):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sc = contribution(
+            p_idf, itfs.astype(np.float64), dls, avgdl,
+            self.cfg.k1, self.cfg.b,
+        )
+        order = np.lexsort((docids, -sc))[:k]
+        return docids[order], sc[order]
+
     def span_first_topk(self, term: str, end: int, t_idf: float,
                         avgdl: float, k: int, filters: dict | None = None):
         """ES ``span_first`` (a ``span_term`` bounded by ``end``):
@@ -4135,6 +4241,53 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_intervals(self, rule: dict, k: int = 10):
+        """ES ``intervals`` query: positional interval algebra —
+        ``match`` leaves (ordered / unordered with ``max_gaps``)
+        composed by ``all_of`` / ``any_of`` — evaluated per doc with
+        greedy-minimal semantics (see query.intervals for the grammar
+        and documented deviations). The whole rule scores as ONE
+        pseudo-term: tf = the doc's minimal-interval count, df = the
+        global matching-doc count — the engine's phrase convention, so
+        an ordered max_gaps=0 match rule is scored identically to the
+        exact phrase. Two-phase like search_phrase: shards count (and
+        cache) matches, then score with the global idf and return
+        k-sized heaps."""
+        import pyarrow as pa
+
+        from excelastic_ray.query.intervals import validate_rule
+
+        r = self.reader
+        node = validate_rule(rule, self._tok_ordered)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            if self._actors is not None:
+                import ray
+
+                counts = ray.get(
+                    [a.intervals_count.remote(node) for a in self._actors]
+                )
+                df_iv = int(sum(counts))
+                if df_iv:
+                    p_idf = idf(r.n_docs, df_iv)
+                    parts = ray.get(
+                        [a.intervals_topk.remote(node, p_idf, r.avgdl, k)
+                         for a in self._actors]
+                    )
+                    docids, scores = _merge_shard_topk(parts, k)
+            else:
+                searchers = [r.searcher(s) for s in range(r.num_shards)]
+                df_iv = sum(s.intervals_count(node) for s in searchers)
+                if df_iv:
+                    p_idf = idf(r.n_docs, df_iv)
+                    parts = [
+                        s.intervals_topk(node, p_idf, r.avgdl, k)
+                        for s in searchers
+                    ]
+                    docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       field: str | None = None):
         """match_phrase: docs where the query terms appear consecutively
@@ -5161,6 +5314,14 @@ class ShardActor:
     def phrase_topk(self, terms, p_idf, avgdl, k, slop: int = 0,
                     field: str | None = None):
         parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
+                 for s in self.searchers]
+        return _merge_shard_topk(parts, k)
+
+    def intervals_count(self, node: dict) -> int:
+        return sum(s.intervals_count(node) for s in self.searchers)
+
+    def intervals_topk(self, node: dict, p_idf, avgdl, k):
+        parts = [s.intervals_topk(node, p_idf, avgdl, k)
                  for s in self.searchers]
         return _merge_shard_topk(parts, k)
 

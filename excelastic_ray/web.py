@@ -1301,6 +1301,10 @@ class ImportServer:
                 f"search is single-index"
             )
         eng = self._acquire_engine(index, targets)
+        if isinstance(query, dict) and set(query) == {"intervals"}:
+            # ES intervals query body: {"query": {"intervals": rule}}
+            return {"hits": eng.search_intervals(query["intervals"],
+                                                 k).to_pylist()}
         return {"hits": eng.search_dsl(query, k).to_pylist()}
 
     def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
