@@ -143,6 +143,12 @@ INTERVALS_ORDERED_RULE = {
 INTERVALS_UNORDERED_RULE = {
     "match": {"query": "window value", "ordered": False, "max_gaps": 3}
 }
+#: the unordered rule plus an ES intervals filter: windows that do NOT
+#: contain a 'spark' occurrence (filter applies AFTER minimality).
+INTERVALS_FILTERED_RULE = {
+    "match": {"query": "window value", "ordered": False, "max_gaps": 3,
+              "filter": {"not_containing": {"match": "spark"}}}
+}
 
 #: match_bool_prefix probe: "merge wind" — 'merge' as a term clause,
 #: 'wind' as a prefix clause (capped dictionary expansion), OR with
@@ -1413,6 +1419,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES intervals: unordered two-term leaf with window slack
         return _intervals_table(sf_dir, INTERVALS_UNORDERED_RULE)
 
+    def q_intervals_filtered(sf_dir):
+        # ES intervals filter: not_containing drops windows holding
+        # the filtered term (applied after minimality)
+        return _intervals_table(sf_dir, INTERVALS_FILTERED_RULE)
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2492,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined": q_bm25_combined,
         "intervals_ordered": q_intervals_ordered,
         "intervals_unordered": q_intervals_unordered,
+        "intervals_filtered": q_intervals_filtered,
         "span_near": q_span_near,
         "span_not": q_span_not,
         "bm25_top_hits": q_bm25_top_hits,
@@ -4570,6 +4582,65 @@ minimal AS (
 ),
 m AS (SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS tf
       FROM minimal GROUP BY 1, 2),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM m),
+scored AS (
+    SELECT m.conv_id, m.turn_idx,
+           ln(1 + (s.n - dfv.d + 0.5) / (dfv.d + 0.5)) * m.tf * 2.2
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM m
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s CROSS JOIN dfv
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # intervals filter twin: the unordered windows minus those
+        # containing a 'spark' position (not_containing, applied after
+        # minimality — the engine's order)
+        "intervals_filtered": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+pos AS (SELECT conv_id, turn_idx,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'window')
+                   AS p1,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'value')
+                   AS p2,
+               list_filter(range(len(toks)), i -> toks[i+1] = 'spark')
+                   AS sp
+        FROM base
+        WHERE len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'window')) > 0
+          AND len(list_filter(range(len(toks)),
+                              i -> toks[i+1] = 'value')) > 0),
+anch AS (SELECT conv_id, turn_idx, unnest(p1) AS a, p2, sp FROM pos),
+wins AS (
+    SELECT DISTINCT conv_id, turn_idx, sp,
+           least(a, e) AS s, greatest(a, e) AS e
+    FROM (
+        SELECT conv_id, turn_idx, a, sp,
+               unnest([list_min(list_filter(p2, j -> j > a)),
+                       list_max(list_filter(p2, j -> j < a))]) AS e
+        FROM anch
+    )
+    WHERE e IS NOT NULL AND greatest(a, e) - least(a, e) - 1 <= 3
+),
+minimal AS (
+    SELECT * FROM wins w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM wins w2
+        WHERE w2.conv_id = w.conv_id AND w2.turn_idx = w.turn_idx
+          AND w2.s >= w.s AND w2.e <= w.e
+          AND (w2.s != w.s OR w2.e != w.e))
+),
+filt AS (
+    SELECT * FROM minimal m
+    WHERE len(list_filter(m.sp, p -> p >= m.s AND p <= m.e)) = 0
+),
+m AS (SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS tf
+      FROM filt GROUP BY 1, 2),
 dfv AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM m),
 scored AS (
     SELECT m.conv_id, m.turn_idx,

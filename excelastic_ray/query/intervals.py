@@ -18,6 +18,12 @@ count. Supported rule grammar (each node a single-key dict):
     {"any_of": {"intervals": [rule...]}}
         — the union of the children's intervals
 
+Every rule body may carry ``"filter": {kind: sub-rule}`` with kind one
+of containing / not_containing / contained_by / not_contained_by /
+overlapping / not_overlapping — the produced intervals are kept or
+dropped by their relation to the sub-rule's interval set (the ES
+intervals filter).
+
 Documented, fully-specified deviations from Lucene (whose minimal-
 interval iterators have subtle lazy semantics): interval generation is
 GREEDY — an ordered chain extends each start with the earliest
@@ -171,6 +177,51 @@ def any_of(children: list):
     )
 
 
+_FILTER_KINDS = (
+    "containing", "not_containing", "contained_by", "not_contained_by",
+    "overlapping", "not_overlapping",
+)
+
+
+def filter_intervals(base, flt, kind: str):
+    """ES intervals filter: keep base intervals by their relation to
+    the FILTER rule's interval set. ``base``/``flt`` are minimal
+    (starts, ends) pairs (starts ascending ⇒ ends ascending, which the
+    probes below exploit):
+
+    - containing:      keep a iff some f lies inside a
+    - contained_by:    keep a iff a lies inside some f
+    - overlapping:     keep a iff some f overlaps a
+    - not_*:           the complements
+    """
+    if kind not in _FILTER_KINDS:
+        raise ValueError(f"unknown intervals filter kind {kind!r}")
+    s, e = base
+    if not len(s):
+        return base
+    fs, fe = (np.asarray(x, dtype=np.int64) for x in flt)
+    rel = kind[4:] if kind.startswith("not_") else kind
+    if not len(fs):
+        hit = np.zeros(len(s), dtype=bool)
+    elif rel == "containing":
+        # some f inside a: among f with fs >= a.s the SMALLEST end is
+        # the first one (minimal sets have ascending ends) — exists
+        # iff that end fits under a.e
+        idx = np.searchsorted(fs, s)
+        hit = (idx < len(fs)) & (fe[np.minimum(idx, len(fs) - 1)] <= e)
+    elif rel == "contained_by":
+        # a inside some f: among f with fs <= a.s the LARGEST end is
+        # the last one — exists iff it reaches a.e
+        idx = np.searchsorted(fs, s, side="right") - 1
+        hit = (idx >= 0) & (fe[np.maximum(idx, 0)] >= e)
+    else:  # overlapping
+        # some f with fs <= a.e whose end reaches back to a.s
+        idx = np.searchsorted(fs, e, side="right") - 1
+        hit = (idx >= 0) & (fe[np.maximum(idx, 0)] >= s)
+    keep = ~hit if kind.startswith("not_") else hit
+    return s[keep], e[keep]
+
+
 def validate_rule(rule, tokenize) -> dict:
     """Normalize + validate a rule tree. ``tokenize`` maps a query
     string to its ordered analyzer tokens. Returns nodes of shape
@@ -184,10 +235,11 @@ def validate_rule(rule, tokenize) -> dict:
         if isinstance(body, str):
             body = {"query": body}
         if not isinstance(body, dict) or "query" not in body or (
-            set(body) - {"query", "ordered", "max_gaps"}
+            set(body) - {"query", "ordered", "max_gaps", "filter"}
         ):
             raise ValueError(
-                "intervals match takes {'query', 'ordered', 'max_gaps'}"
+                "intervals match takes {'query', 'ordered', 'max_gaps'"
+                ", 'filter'}"
             )
         terms = tokenize(body["query"])
         if not terms:
@@ -198,14 +250,15 @@ def validate_rule(rule, tokenize) -> dict:
             raise ValueError(
                 "unordered intervals support exactly two operands"
             )
-        return {"op": "match", "terms": terms, "ordered": ordered,
+        node = {"op": "match", "terms": terms, "ordered": ordered,
                 "max_gaps": max_gaps}
+        return _with_filter(node, body, tokenize)
     if op in ("all_of", "any_of"):
         if not isinstance(body, dict) or "intervals" not in body:
             raise ValueError(f"{op} takes {{'intervals': [...]}}")
         extra = set(body) - (
-            {"intervals", "ordered", "max_gaps"} if op == "all_of"
-            else {"intervals"}
+            {"intervals", "ordered", "max_gaps", "filter"}
+            if op == "all_of" else {"intervals", "filter"}
         )
         if extra:
             raise ValueError(f"unknown {op} keys {sorted(extra)}")
@@ -220,16 +273,32 @@ def validate_rule(rule, tokenize) -> dict:
                 raise ValueError(
                     "unordered intervals support exactly two operands"
                 )
-        return node
+        return _with_filter(node, body, tokenize)
     raise ValueError(f"unknown intervals op {op!r}")
 
 
+def _with_filter(node: dict, body: dict, tokenize) -> dict:
+    """Attach an ES intervals filter ({kind: sub-rule}) to a node."""
+    flt = body.get("filter")
+    if flt is None:
+        return node
+    if not isinstance(flt, dict) or len(flt) != 1:
+        raise ValueError(
+            f"intervals filter takes one of {_FILTER_KINDS}"
+        )
+    kind, sub = next(iter(flt.items()))
+    if kind not in _FILTER_KINDS:
+        raise ValueError(f"unknown intervals filter kind {kind!r}")
+    node["filter"] = (kind, validate_rule(sub, tokenize))
+    return node
+
+
 def leaf_terms(node: dict) -> set:
-    if node["op"] == "match":
-        return set(node["terms"])
-    out: set = set()
-    for c in node["children"]:
+    out: set = set(node["terms"]) if node["op"] == "match" else set()
+    for c in node.get("children", []):
         out |= leaf_terms(c)
+    if "filter" in node:
+        out |= leaf_terms(node["filter"][1])
     return out
 
 
@@ -244,19 +313,31 @@ def eval_node(node: dict, pos_of):
             return empty
         if len(seqs) == 1:
             p = np.asarray(seqs[0], dtype=np.int64)
-            return p, p.copy()
-        if node["ordered"]:
-            return ordered_chain(seqs, node["max_gaps"], unit_width=True)
-        return unordered_pair(seqs[0], seqs[1], node["max_gaps"],
-                              unit_width=True)
+            out = (p, p.copy())
+        elif node["ordered"]:
+            out = ordered_chain(seqs, node["max_gaps"], unit_width=True)
+        else:
+            out = unordered_pair(seqs[0], seqs[1], node["max_gaps"],
+                                 unit_width=True)
+        return _apply_filter(node, out, pos_of)
     kids = [eval_node(c, pos_of) for c in node["children"]]
     if node["op"] == "any_of":
-        return any_of(kids)
+        return _apply_filter(node, any_of(kids), pos_of)
     if any(len(k[0]) == 0 for k in kids):
         return empty
     if len(kids) == 1:
-        return kids[0]
-    if node["ordered"]:
-        return ordered_chain(kids, node["max_gaps"], unit_width=False)
-    return unordered_pair(kids[0], kids[1], node["max_gaps"],
-                          unit_width=False)
+        out = kids[0]
+    elif node["ordered"]:
+        out = ordered_chain(kids, node["max_gaps"], unit_width=False)
+    else:
+        out = unordered_pair(kids[0], kids[1], node["max_gaps"],
+                             unit_width=False)
+    return _apply_filter(node, out, pos_of)
+
+
+def _apply_filter(node: dict, base, pos_of):
+    f = node.get("filter")
+    if f is None or not len(base[0]):
+        return base
+    kind, sub = f
+    return filter_intervals(base, eval_node(sub, pos_of), kind)

@@ -197,3 +197,70 @@ def test_search_intervals_end_to_end(tiny_index, tiny_table):
         assert a.equals(b)
     finally:
         actors.close()
+
+
+def test_interval_filters_bruteforce():
+    """Filter relations vs explicit per-pair checks, randomized."""
+    rng = np.random.default_rng(29)
+    for _ in range(200):
+        def mkset():
+            n = int(rng.integers(1, 6))
+            s = np.sort(rng.choice(40, size=n, replace=False))
+            e = s + rng.integers(0, 6, size=n)
+            return iv.minimal_filter(s, e)
+
+        base, flt = mkset(), mkset()
+        bp = list(zip(base[0].tolist(), base[1].tolist()))
+        fp = list(zip(flt[0].tolist(), flt[1].tolist()))
+        rels = {
+            "containing": lambda a: any(
+                f[0] >= a[0] and f[1] <= a[1] for f in fp),
+            "contained_by": lambda a: any(
+                a[0] >= f[0] and a[1] <= f[1] for f in fp),
+            "overlapping": lambda a: any(
+                f[0] <= a[1] and f[1] >= a[0] for f in fp),
+        }
+        for rel, pred in rels.items():
+            got = iv.filter_intervals(base, flt, rel)
+            want = [a for a in bp if pred(a)]
+            assert list(zip(got[0].tolist(), got[1].tolist())) == want, \
+                (rel, bp, fp)
+            got_n = iv.filter_intervals(base, flt, f"not_{rel}")
+            want_n = [a for a in bp if not pred(a)]
+            assert list(zip(got_n[0].tolist(),
+                            got_n[1].tolist())) == want_n
+    with pytest.raises(ValueError, match="unknown intervals filter"):
+        iv.filter_intervals(base, flt, "inside")
+
+
+def test_interval_filter_end_to_end(tiny_index, tiny_table):
+    """not_containing removes exactly the windows holding the filtered
+    term; containing keeps exactly those (partition property)."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    big = Counter()
+    for t in tiny_table["text"].to_pylist():
+        toks = tokenize(t)
+        big.update(zip(toks, toks[1:], toks[2:]))
+    (w1, w2, w3), _n = big.most_common(1)[0]
+    base = {"query": f"{w1} {w3}", "ordered": True, "max_gaps": 4}
+    plain = eng.search_intervals({"match": dict(base)}, k=10**6)
+    keep = eng.search_intervals(
+        {"match": {**base, "filter": {"containing": {"match": w2}}}},
+        k=10**6)
+    drop = eng.search_intervals(
+        {"match": {**base,
+                   "filter": {"not_containing": {"match": w2}}}},
+        k=10**6)
+    assert plain.num_rows > 0 and keep.num_rows > 0
+    docs = lambda t: set(zip(t["conv_id"].to_pylist(),  # noqa: E731
+                             t["turn_idx"].to_pylist()))
+    # every filtered match set is a subset; union covers the base
+    assert docs(keep) <= docs(plain)
+    assert docs(drop) <= docs(plain)
+    assert docs(keep) | docs(drop) == docs(plain)
