@@ -800,17 +800,46 @@ class ShardSearcher:
         L = len(terms)
         max_dl = int(dls.max()) if len(dls) else 0
         M = np.int64(max_dl + L + slop + 2)
+        # Candidate pruning: an anchor needs EVERY term in the doc, so
+        # intersect the (already decoded) doc sets first and build keys
+        # only for candidate docs — a rare+hot phrase then expands the
+        # hot term's (slop+1)-way key fan only inside the rare term's
+        # doc set instead of over its whole posting list. Results are
+        # identical (non-candidates can never survive the key
+        # intersection); the restriction is one searchsorted + flat
+        # gather per term.
+        cand = None
+        for i in idxs:
+            ids, _ = self.decoded(i)
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True
+            )
+            if not len(cand):
+                return empty
         inter = None
         for j, i in enumerate(idxs):
             ids, tfs = self.decoded(i)  # LRU-cached, read-only
             pos = self.positions_of(i, tfs)
-            base = np.repeat(ids, tfs) * M
+            if len(cand) < len(ids):
+                p = np.searchsorted(ids, cand)
+                tfs_r = tfs[p].astype(np.int64)
+                offs = np.concatenate(
+                    ([0], np.cumsum(tfs, dtype=np.int64))
+                )
+                cum_r = np.concatenate(([0], np.cumsum(tfs_r)))
+                flat = np.repeat(offs[p] - cum_r[:-1], tfs_r) + \
+                    np.arange(int(cum_r[-1]), dtype=np.int64)
+                pos_j = pos[flat]
+                base = np.repeat(cand, tfs_r) * M
+            else:
+                pos_j = pos
+                base = np.repeat(ids, tfs) * M
             if j == 0 or slop == 0:
-                keys = base + (pos - j + L + slop)
+                keys = base + (pos_j - j + L + slop)
             else:
                 keys = np.unique(
                     np.concatenate(
-                        [base + (pos - j - d + L + slop)
+                        [base + (pos_j - j - d + L + slop)
                          for d in range(slop + 1)]
                     )
                 )
