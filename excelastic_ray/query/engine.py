@@ -917,12 +917,39 @@ class ShardSearcher:
         max_dl = int(dls.max()) if len(dls) else 0
         M = np.int64(max_dl + L + slop + 2)
         j_last = L - 1
+        # candidate pruning (the phrase_matches rule): an anchor needs
+        # every HEAD term in the doc, so expansions and head terms
+        # build keys only inside the head-term doc intersection
+        cand = None
+        for i in idxs:
+            ids, _ = self.decoded(i)
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True
+            )
+            if not len(cand):
+                return empty
+
+        def slot_arrays(slot):
+            ids, tfs = self.decoded(slot)
+            pos = self.positions_of(slot, tfs)
+            if cand is None or len(cand) >= len(ids):
+                return np.repeat(ids, tfs) * M, pos
+            p = np.searchsorted(ids, cand)
+            ok = (p < len(ids)) & (
+                ids[np.minimum(p, len(ids) - 1)] == cand
+            )
+            pk = p[ok]
+            tfs_r = tfs[pk].astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+            cum_r = np.concatenate(([0], np.cumsum(tfs_r)))
+            flat = np.repeat(offs[pk] - cum_r[:-1], tfs_r) + \
+                np.arange(int(cum_r[-1]), dtype=np.int64)
+            return np.repeat(cand[ok], tfs_r) * M, pos[flat]
+
         # the last slot's key set is the UNION over all expansions
         parts = []
         for slot in range(lo, hi):
-            ids, tfs = self.decoded(slot)
-            pos = self.positions_of(slot, tfs)
-            base = np.repeat(ids, tfs) * M
+            base, pos = slot_arrays(slot)
             if j_last == 0 or slop == 0:
                 parts.append(base + (pos - j_last + L + slop))
             else:
@@ -932,9 +959,7 @@ class ShardSearcher:
                 )
         inter = np.unique(np.concatenate(parts))
         for j, i in enumerate(idxs):
-            ids, tfs = self.decoded(i)
-            pos = self.positions_of(i, tfs)
-            base = np.repeat(ids, tfs) * M
+            base, pos = slot_arrays(i)
             if j == 0 or slop == 0:
                 keys = base + (pos - j + L + slop)
             else:
