@@ -718,6 +718,23 @@ class ShardSearcher:
         else:
             ids_b, tfs_b = self.decoded(ib)
             pos_b = self.positions_of(ib, tfs_b)
+            if len(ids_a) < len(ids_b):
+                # the exclusion term only matters inside a's docs —
+                # prune b's key set to them (candidate-pruning rule)
+                p = np.searchsorted(ids_b, ids_a)
+                ok = (p < len(ids_b)) & (
+                    ids_b[np.minimum(p, len(ids_b) - 1)] == ids_a
+                )
+                pk = p[ok]
+                tfs_r = tfs_b[pk].astype(np.int64)
+                offs = np.concatenate(
+                    ([0], np.cumsum(tfs_b, dtype=np.int64))
+                )
+                cum_r = np.concatenate(([0], np.cumsum(tfs_r)))
+                flat = np.repeat(offs[pk] - cum_r[:-1], tfs_r) + \
+                    np.arange(int(cum_r[-1]), dtype=np.int64)
+                ids_b, tfs_b = ids_a[ok], tfs_r
+                pos_b = pos_b[flat]
             b_keys = (
                 np.repeat(ids_b.astype(np.int64), tfs_b.astype(np.int64))
                 << np.int64(32)
