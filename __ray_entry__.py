@@ -1731,6 +1731,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return role_transitions(transcripts_from_documents(sf_dir))
 
+    def q_tool_funnel(sf_dir):
+        # tool-invocation funnels: successive tool-bearing turns per
+        # conversation (non-tool turns skipped) → bigram counts
+        from excelastic_ray.pipelines.convs import tool_funnel
+
+        return tool_funnel(transcripts_from_documents(sf_dir))
+
     def q_context_windows(sf_dir):
         # (context, target) training-example assembly: previous-3-turn
         # row window per conversation
@@ -2558,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_tree": q_agg_tree,
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
+        "tool_funnel": q_tool_funnel,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
@@ -5530,6 +5538,22 @@ SELECT a.role AS from_role, b.role AS to_role,
 FROM transcripts a
 JOIN transcripts b
   ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY 1, 2
+""",
+        # tool funnel: LEAD over the tool-bearing rows only (non-tool
+        # turns skipped), partitioned per conversation
+        "tool_funnel": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+t AS (SELECT conv_id, turn_idx, tool FROM transcripts
+      WHERE tool IS NOT NULL AND tool != ''),
+pairs AS (
+    SELECT conv_id, tool AS from_tool,
+           lead(tool) OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS to_tool
+    FROM t
+)
+SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE to_tool IS NOT NULL
 GROUP BY 1, 2
 """,
         "context_windows": f"""

@@ -183,6 +183,53 @@ def role_transitions(ds, n_buckets: int | None = None):
                                  n_buckets=8)
 
 
+def tool_funnel(ds, n_buckets: int | None = None):
+    """Tool-invocation funnels: within each conversation the
+    tool-bearing turns (non-null, non-empty ``tool`` — the engine's
+    exists convention), ordered by ``turn_idx`` with non-tool turns
+    SKIPPED, form (from_tool, to_tool) bigrams; global counts expose
+    the corpus's tool-chain structure (search→code→code loops) — the
+    transcript-native funnel a tool-use analyst asks for.
+
+    Same conv-hash bucket shape as :func:`role_transitions` (whole
+    conversations co-locate so a funnel edge never splits across
+    batches), but the input first prunes to the three narrow columns —
+    the wide ``text`` never enters the shuffle. The final combine's
+    key space is tools², a constant."""
+    ds = ds.select_columns(["conv_id", "turn_idx", "tool"])
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=40)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"].notna() & (g["tool"].astype(str) != "")]
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(g)
+        cid = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = cid[1:] == cid[:-1]
+        m = same[1:]
+        pair = pd.DataFrame(
+            {"from_tool": pd.array(tool[:-1][m], dtype="string"),
+             "to_tool": pd.array(tool[1:][m], dtype="string")}
+        )
+        return (
+            pair.groupby(["from_tool", "to_tool"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    partials = (
+        ds.map_batches(lambda b: _conv_bucket(b, n_buckets),
+                       batch_format="pyarrow", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return _bucketed_sum_combine(partials, ["from_tool", "to_tool"],
+                                 n_buckets=8)
+
+
 def context_windows(ds, window: int = 3, n_buckets: int | None = None):
     """Training-example assembly: for every turn, the concatenation of
     its previous ``window`` turns in the same conversation (newline-

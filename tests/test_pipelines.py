@@ -2101,3 +2101,34 @@ def test_near_dedup_keep_semantics(ray_session):
     with pytest.raises(ValueError, match="drop_budget"):
         near_dedup_keep(rd.from_arrow(docs), rd.from_arrow(pairs),
                         drop_budget=1)
+
+
+def test_tool_funnel_skips_non_tool_turns(ray_session):
+    """Funnel edges pair SUCCESSIVE tool-bearing turns (intervening
+    non-tool turns skipped), never cross conversations, and both
+    null and empty-string tools count as absent."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import tool_funnel
+
+    t = pa.table(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 3,
+            "turn_idx": [0, 1, 2, 3, 4, 0, 1, 2],
+            "tool": ["search", None, "code", "", "code",
+                     "code", None, "search"],
+            "text": ["x"] * 8,
+        }
+    )
+    out = tool_funnel(rd.from_arrow(t)).to_pandas()
+    got = {
+        (r["from_tool"], r["to_tool"]): int(r["n"])
+        for _, r in out.iterrows()
+    }
+    # conv a: search→code→code (null/'' skipped); conv b: code→search
+    assert got == {("search", "code"): 1, ("code", "code"): 1,
+                   ("code", "search"): 1}
+    # single-tool conversations emit nothing
+    t2 = pa.table({"conv_id": ["c"], "turn_idx": [0],
+                   "tool": ["search"], "text": ["y"]})
+    assert len(tool_funnel(rd.from_arrow(t2)).to_pandas()) == 0
