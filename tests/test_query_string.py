@@ -252,3 +252,40 @@ def test_dsl_field_match_leaf_equals_search_fields(qs_field_index):
     # unknown field surfaces the indexing contract
     with pytest.raises(KeyError, match="not indexed per-field"):
         eng.search_dsl({"match": {"field": "nope", "query": "x"}})
+
+
+def test_parse_roundtrip_randomized():
+    """Property: render a random DSL-able boolean tree to query_string
+    syntax (explicit parens + operators) and parse it back — the
+    compiled tree must match the original exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in range(8)]
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            w = words[int(rng.integers(0, len(words)))]
+            return {"match": w}, w
+        op = "AND" if r < 0.75 else "OR"
+        n = int(rng.integers(2, 4))
+        kids = [gen(depth + 1) for _ in range(n)]
+        text = f" {op} ".join(f"({t})" for _, t in kids)
+        if op == "AND":
+            node = {"bool": {"must": [k for k, _ in kids]}}
+            # maybe bolt on a NOT clause
+            if rng.random() < 0.4:
+                w = words[int(rng.integers(0, len(words)))]
+                node["bool"]["must_not"] = [{"match": w}]
+                text += f" AND NOT ({w})"
+            return node, text
+        return (
+            {"bool": {"should": [k for k, _ in kids],
+                      "minimum_should_match": 1}},
+            text,
+        )
+
+    for _ in range(60):
+        node, text = gen(0)
+        assert parse_query_string_dsl(text) == node, text
