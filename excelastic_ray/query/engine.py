@@ -7,18 +7,28 @@ using *global* collection stats (N, avgdl, df summed across shards at
 query time) and the driver merges k-sized per-shard heaps — no posting
 list ever leaves a shard at query time.
 
-Two scoring algorithms, required to be result-identical (tests assert):
+Four scoring algorithms, required to be result-identical (tests assert):
 
 - ``taat`` — vectorized term-at-a-time over fully decoded postings
-  (numpy); the fastest at small shard sizes, also the reference scorer
-  for exactness checks.
-- ``bmw`` — document-at-a-time WAND (Broder et al., CIKM 2003) with
-  block-max refinement (Ding & Suel, SIGIR 2011) over the compressed
-  postings: term upper bounds prune candidate pivots, block
-  max_tf/min_dl bounds skip whole skip-blocks without decoding them.
-  Exact top-k — pruning only, never approximation. Tie-break is
-  (score DESC, docid ASC), and docid order == (conv_id, turn_idx) order
-  by construction.
+  (numpy); the reference scorer for exactness checks and the fallback
+  everywhere pruning cannot help.
+- ``and_skip`` — vectorized block-skip intersection for conjunctive
+  queries with skewed dfs (the rarest term bounds the candidate set;
+  hot terms decode only candidate-bearing skip blocks). In ``auto``.
+- ``or_skip`` — vectorized MaxScore (Turtle & Flood 1995) with
+  block-max term bounds for disjunctive queries with skewed dfs: terms
+  whose cumulative upper bound falls below the rarest term's k-th best
+  score never fully decode. In ``auto``; provably exact with a TAAT
+  fallback.
+- ``bmw`` — per-cursor document-at-a-time WAND (Broder et al., CIKM
+  2003) with block-max refinement (Ding & Suel, SIGIR 2011). Exact and
+  test-pinned, but out of ``auto``: its per-posting Python overhead
+  loses to the vectorized scorers at every measured shape —
+  and_skip/or_skip ARE its skip ideas, vectorized.
+
+All exact top-k — pruning only, never approximation. Tie-break is
+(score DESC, docid ASC), and docid order == (conv_id, turn_idx) order
+by construction.
 """
 
 from __future__ import annotations
