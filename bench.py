@@ -310,6 +310,16 @@ def run_bench() -> dict:
             "multi_terms",
             "extended_stats",
             "mad_value",
+            # round-4 session-4 additions
+            "bm25_dsl_mixed",
+            "bm25_qstring",
+            "bm25_bool_prefix",
+            "bm25_combined",
+            "intervals_ordered",
+            "intervals_unordered",
+            "intervals_filtered",
+            "chunk_docs",
+            "tool_funnel",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
