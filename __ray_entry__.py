@@ -1375,6 +1375,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_cross(sf_dir):
+        # ES multi_match cross_fields: blended max-df idf, best-field
+        # contribution per term
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_cross(COMBINED_QUERY, [None, "role"], 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_combined(sf_dir):
         # ES combined_fields (BM25F): term-centric scoring over
         # text+role as one combined field
@@ -2508,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_qstring": q_bm25_qstring,
         "bm25_bool_prefix": q_bm25_bool_prefix,
         "bm25_combined": q_bm25_combined,
+        "bm25_cross": q_bm25_cross,
         "intervals_ordered": q_intervals_ordered,
         "intervals_unordered": q_intervals_unordered,
         "intervals_filtered": q_intervals_filtered,
@@ -4661,6 +4681,55 @@ scored AS (
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM scored
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # cross_fields twin: per (field, term) contribution with the
+        # term's BLENDED idf (greatest per-field df — the Lucene
+        # BlendedTermQuery rule), per (doc, term) keep the best field,
+        # sum over terms
+        "bm25_cross": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+ft AS (
+    SELECT conv_id, turn_idx, 'text' AS field,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+    FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role',
+           regexp_extract_all(lower(role), '[a-z0-9_]+')
+    FROM transcripts
+),
+dl AS (SELECT conv_id, turn_idx, field, len(toks) AS dl FROM ft),
+stats AS (SELECT field, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl GROUP BY field),
+n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM transcripts),
+tf AS (
+    SELECT conv_id, turn_idx, field, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, field, unnest(toks) AS term FROM ft)
+    WHERE term IN ('merge', 'user')
+    GROUP BY 1, 2, 3, 4
+),
+dfb AS (SELECT term, CAST(max(d) AS DOUBLE) AS df
+        FROM (SELECT field, term, count(*) AS d FROM tf
+              GROUP BY field, term)
+        GROUP BY term),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           max( ln(1 + (nd.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS best
+    FROM tf
+    JOIN dfb USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+           AND dl.field = tf.field
+    JOIN stats s ON s.field = tf.field
+    CROSS JOIN n_docs nd
+    GROUP BY 1, 2, 3
+),
+m AS (SELECT conv_id, turn_idx, sum(best) AS raw FROM per GROUP BY 1, 2)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
 QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """,
         # combined_fields (BM25F) twin: per term, tf = text tf + role

@@ -1428,6 +1428,48 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def topk_cross(self, groups, idfs, avgdls: dict, k,
+                   filters=None):
+        """multi_match ``cross_fields`` shard top-k (Lucene
+        BlendedTermQuery, fully specified): per TERM group, each field
+        clause scores with its OWN tf / dl / avgdl but the group's
+        BLENDED idf (from the max per-field df), and the doc takes the
+        MAX field contribution for that term — "the term lives in
+        whichever field matches best". Scores sum over groups in
+        sorted-term order. ``groups`` = [[(dictionary key, field)]]
+        aligned with the blended ``idfs``."""
+        cfg = self.cfg
+        n = len(self.docids)
+        acc = np.zeros(n, dtype=np.float64)
+        for keys_fs, g_idf in zip(groups, idfs):
+            best = np.zeros(n, dtype=np.float64)
+            for key_, field in keys_fs:
+                i = self.lookup(key_)
+                if i < 0:
+                    continue
+                dls = (self.dls if field is None
+                       else self.field_dls.get(field))
+                if dls is None:
+                    raise KeyError(
+                        f"field {field!r} has no per-field stream in "
+                        f"this index (have {sorted(self.field_dls)})"
+                    )
+                ids, tfs = self.decoded(i)
+                c = contribution(
+                    g_idf, tfs.astype(np.float64), dls[ids],
+                    avgdls[field], cfg.k1, cfg.b,
+                )
+                np.maximum.at(best, ids, c)
+            acc += best
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def matching_mask(self, terms: list[str], n_required: int = 0,
                       filters: dict | None = None) -> np.ndarray:
         """Ordinal-space bool mask of docs matching the query (OR, or
@@ -2996,6 +3038,74 @@ class QueryEngine:
                         r.searcher(s).topk_combined(lg, li, fnorm_w,
                                                     avgdl_comb, k,
                                                     filters)
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
+    def search_cross(self, query: str, fields: list[str | None],
+                     k: int = 10, filters: dict | None = None):
+        """ES multi_match ``cross_fields``: term-centric scoring where
+        each analyzed term may match in ANY of the listed fields — per
+        term the df is BLENDED (the max of the per-field dfs, Lucene's
+        BlendedTermQuery rule) and the doc takes the best single
+        field's contribution for that term (per-field tf/dl/avgdl,
+        shared blended idf), summed over terms. Completes the
+        multi_match family: best_fields / most_fields (search_fields),
+        phrase / phrase_prefix (field-scoped), bool_prefix
+        (search_bool_prefix), combined_fields (search_combined) and
+        cross_fields. Same analyze-once convention as
+        search_combined."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import field_key
+
+        r = self.reader
+        fnorm: list[str | None] = []
+        for f in fields:
+            if f is None or (
+                len(r.cfg.index_fields) == 1 and f == r.cfg.index_fields[0]
+            ):
+                fnorm.append(None)
+            elif f in r.cfg.field_index_fields:
+                fnorm.append(f)
+            else:
+                raise KeyError(
+                    f"field {f!r} is not indexed per-field "
+                    f"(have {sorted(r.cfg.field_index_fields)})"
+                )
+        if not fnorm:
+            raise ValueError("cross_fields needs at least one field")
+        toks = self._qt(query)
+        groups = [
+            [(t if f is None else field_key(f, t), f) for f in fnorm]
+            for t in toks
+        ]
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if groups and r.n_docs:
+            flat = sorted({kk for g in groups for kk, _ in g})
+            dfs = dict(zip(flat, self._global_dfs(flat).tolist()))
+            live, idfs = [], []
+            for g in groups:
+                d = max(dfs[kk] for kk, _ in g)
+                if d > 0:
+                    live.append(g)
+                    idfs.append(idf(r.n_docs, int(d)))
+            if live:
+                avgdls = self._field_avgdls()
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [a.topk_cross.remote(live, idfs, avgdls, k,
+                                             filters)
+                         for a in self._actors]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).topk_cross(live, idfs, avgdls, k,
+                                                 filters)
                         for s in range(r.num_shards)
                     ]
                 docids, scores = _merge_shard_topk(parts, k)
@@ -5212,6 +5322,13 @@ class ShardActor:
         for s in self.searchers[1:]:
             out = out + s.df_union(groups)
         return out
+
+    def topk_cross(self, groups, idfs, avgdls, k, filters=None):
+        parts = [
+            s.topk_cross(groups, idfs, avgdls, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def topk_combined(self, groups, idfs, field_weights, avgdl, k,
                       filters=None):

@@ -446,3 +446,63 @@ def test_combined_fields_actor_parity_and_errors(field_index):
     most = eng.search_fields("user", ["text", "role"], k=1000,
                              match_type="most_fields")
     assert comb.num_rows == most.num_rows  # same match set (union)
+
+
+def test_cross_fields_matches_bruteforce(field_index):
+    """cross_fields (BlendedTermQuery rule): blended max-df idf,
+    per-term best-field contribution, summed over terms — exact vs a
+    brute-force oracle sharing the engine's float kernel."""
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.bm25 import contribution, idf
+
+    idx, table = field_index
+    eng = QueryEngine(idx)
+    fields = [None, "role", "tool"]
+    conv = table["conv_id"].to_pylist()
+    turn = table["turn_idx"].to_pylist()
+    cols = {
+        f: [tokenize(v) if v else []
+            for v in table["text" if f is None else f].to_pylist()]
+        for f in fields
+    }
+    N = len(conv)
+    avgdls = eng._field_avgdls()
+    for query in ("user table", "tool code", "merge user window"):
+        acc = {}
+        for t in sorted(set(tokenize(query))):
+            dfb = max(sum(1 for tk in cols[f] if t in tk)
+                      for f in fields)
+            if not dfb:
+                continue
+            t_idf = idf(N, dfb)
+            for i in range(N):
+                best = 0.0
+                for f in fields:
+                    tf = cols[f][i].count(t)
+                    if tf:
+                        c = float(contribution(
+                            t_idf, np.float64(tf),
+                            np.float64(len(cols[f][i])), avgdls[f]))
+                        best = max(best, c)
+                if best:
+                    acc[i] = acc.get(i, 0.0) + best
+        exp = sorted(
+            ((conv[i], int(turn[i]), s) for i, s in acc.items()),
+            key=lambda kv: (-kv[2], kv[0], kv[1]),
+        )[:12]
+        got = eng.search_cross(query, fields, k=12)
+        assert got.num_rows > 0
+        assert [
+            (c, t, s) for c, t, s in zip(got["conv_id"].to_pylist(),
+                                         got["turn_idx"].to_pylist(),
+                                         got["score"].to_pylist())
+        ] == exp, query
+    # actor parity
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        assert actors.search_cross("user table", [None, "role"], k=10) \
+            .equals(eng.search_cross("user table", [None, "role"], k=10))
+    finally:
+        actors.close()
