@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--combined", default=None,
                    help="comma-separated fields for combined_fields "
                         "(BM25F: one combined stream, union df)")
+    s.add_argument("--cross", default=None,
+                   help="comma-separated fields for cross_fields "
+                        "(blended max-df idf, best-field per term)")
     s.add_argument("--qstring", action="store_true",
                    help="full Lucene query_string syntax: quotes, "
                         "parens, AND/OR/NOT, field:term, wildcards")
@@ -432,6 +435,9 @@ def main(argv: list[str] | None = None) -> int:
                                       args.fields.split(","), args.k,
                                       filters=filters or None,
                                       offset=args.offset)
+            elif args.cross:
+                t = eng.search_cross(args.query, args.cross.split(","),
+                                     args.k, filters=filters or None)
             elif args.combined:
                 t = eng.search_combined(args.query,
                                         args.combined.split(","),

@@ -354,6 +354,7 @@ class ImportServer:
                                 qs=q.get("qs") == "1",
                                 qstring=q.get("qstring") == "1",
                                 combined=q.get("combined") or None,
+                                cross=q.get("cross") or None,
                                 wildcard=q.get("wildcard") == "1",
                                 regexp=q.get("regexp") == "1",
                                 suggest=q.get("suggest") == "1",
@@ -1389,7 +1390,8 @@ class ImportServer:
                decay_scale: str = "24h",
                search_after: str | None = None,
                fields: str | None = None,
-               combined: str | None = None, sort_ts: bool = False,
+               combined: str | None = None,
+               cross: str | None = None, sort_ts: bool = False,
                fuzzy: str | None = None,
                syn: str | None = None, highlight: bool = False,
                explain: str | None = None,
@@ -1410,7 +1412,7 @@ class ImportServer:
                     or suggest or collapse
                     or mlt or must or must_not or msm is not None
                     or decay_origin or offset or search_after
-                    or fields or combined or sort_ts or fuzzy
+                    or fields or combined or cross or sort_ts or fuzzy
                     or syn or highlight
                     or explain or phrase_prefix
                     or span_first is not None or span_near is not None
@@ -1487,6 +1489,10 @@ class ImportServer:
             # ES combined_fields (BM25F): one combined stream across
             # the listed fields (union df, summed tf/dl)
             t = eng.search_combined(query, combined.split(","), k=k)
+        elif cross:
+            # ES multi_match cross_fields: blended max-df idf,
+            # best-field contribution per term
+            t = eng.search_cross(query, cross.split(","), k=k)
         elif qstring:
             # full Lucene query_string syntax (quotes, parens,
             # AND/OR/NOT, field:term, wildcards) on the DSL executor
