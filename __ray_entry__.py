@@ -1750,6 +1750,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return role_transitions(transcripts_from_documents(sf_dir))
 
+    def q_nb_langid(sf_dir):
+        # trained multinomial NB language classifier: one counting
+        # pass -> broadcast model -> batch inference; output is the
+        # full per-(doc, label) log-likelihood table (tie-proof)
+        from excelastic_ray.pipelines.classify import nb_langid
+
+        return nb_langid(_docs(sf_dir))
+
     def q_tool_funnel(sf_dir):
         # tool-invocation funnels: successive tool-bearing turns per
         # conversation (non-tool turns skipped) → bigram counts
@@ -2586,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
         "tool_funnel": q_tool_funnel,
+        "nb_langid": q_nb_langid,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
@@ -5608,6 +5617,44 @@ FROM transcripts a
 JOIN transcripts b
   ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
 GROUP BY 1, 2
+""",
+        # trained NB language classifier twin: exact Laplace-smoothed
+        # multinomial log-likelihoods — per (doc, label): ln(docs_l/N)
+        # + Σ tf·ln((c(term,l)+1)/(tokens_l + V)), V = distinct terms
+        "nb_langid": """
+WITH base AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+')
+                         AS toks
+              FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM base),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok),
+ctl AS (SELECT term, lang, CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2),
+tokl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS toks
+         FROM tok GROUP BY 1),
+docs AS (SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM base
+         GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY 1, 2),
+pairs AS (SELECT b.doc_id, l.lang
+          FROM (SELECT DISTINCT doc_id FROM base) b
+          CROSS JOIN (SELECT DISTINCT lang FROM base) l),
+ll AS (
+    SELECT p.doc_id, p.lang,
+           coalesce(sum(tf.tf * ln((coalesce(ctl.c, 0) + 1)
+                                   / (tokl.toks + v.v))), 0) AS s
+    FROM pairs p
+    LEFT JOIN tf ON tf.doc_id = p.doc_id
+    LEFT JOIN ctl ON ctl.term = tf.term AND ctl.lang = p.lang
+    JOIN tokl ON tokl.lang = p.lang
+    CROSS JOIN v
+    GROUP BY 1, 2
+)
+SELECT ll.doc_id, ll.lang,
+       floor((ll.s + ln(docs.d / nd.n)) * 1000000 + 0.5) / 1000000
+           AS lp
+FROM ll JOIN docs ON docs.lang = ll.lang CROSS JOIN nd
 """,
         # tool funnel: LEAD over the tool-bearing rows only (non-tool
         # turns skipped), partitioned per conversation

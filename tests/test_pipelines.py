@@ -2132,3 +2132,46 @@ def test_tool_funnel_skips_non_tool_turns(ray_session):
     t2 = pa.table({"conv_id": ["c"], "turn_idx": [0],
                    "tool": ["search"], "text": ["y"]})
     assert len(tool_funnel(rd.from_arrow(t2)).to_pandas()) == 0
+
+
+def test_nb_langid_hand_example_and_budget(ray_session):
+    """NB log-likelihoods on a hand-computable corpus; prediction
+    recovers the labels; the model budget refuses loudly."""
+    import math
+
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.classify import nb_langid
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["cat cat dog", "dog dog", "chat chat chien",
+                     "chien chien"],
+            "lang": ["en", "en", "fr", "fr"],
+        }
+    )
+    out = nb_langid(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 8  # 4 docs x 2 labels
+    # hand computation for doc 1 ("cat cat dog") under en:
+    # en tokens: cat(2) dog(3 -> c=3? en corpus: cat cat dog dog dog)
+    # counts: en: cat 2, dog 3 (5 tokens); fr: chat 2, chien 3
+    # V = 4 distinct terms; prior = ln(2/4)
+    v, toks = 4.0, 5.0
+    lp_en = (math.log(2 / 4)
+             + 2 * math.log((2 + 1) / (toks + v))
+             + 1 * math.log((3 + 1) / (toks + v)))
+    got = out[(out["doc_id"] == 1) & (out["lang"] == "en")]["lp"].iloc[0]
+    assert got == math.floor(lp_en * 1e6 + 0.5) / 1e6
+    # argmax recovers every label (fully separable vocabulary)
+    best = (out.sort_values(["doc_id", "lp", "lang"],
+                            ascending=[True, False, True])
+            .groupby("doc_id").first().reset_index())
+    truth = {1: "en", 2: "en", 3: "fr", 4: "fr"}
+    assert {int(r["doc_id"]): r["lang"]
+            for _, r in best.iterrows()} == truth
+    # budget gate refuses loudly, never truncates silently
+    import pytest
+
+    with pytest.raises(ValueError, match="model_budget"):
+        nb_langid(rd.from_arrow(t), model_budget=2).to_pandas()
