@@ -320,6 +320,8 @@ def run_bench() -> dict:
             "intervals_filtered",
             "chunk_docs",
             "tool_funnel",
+            "bm25_cross",
+            "nb_langid",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
