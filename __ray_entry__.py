@@ -1758,6 +1758,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nb_langid(_docs(sf_dir))
 
+    def q_nb_langid_eval(sf_dir):
+        # holdout evaluation of the trained NB classifier: train on
+        # the Knuth-hash 80% split, confusion matrix over the held-out
+        # 20% (argmax of trunc6 log-likelihood, ties -> label ASC)
+        from excelastic_ray.pipelines.classify import nb_langid_eval
+
+        return nb_langid_eval(_docs(sf_dir), test_frac=0.2)
+
     def q_tool_funnel(sf_dir):
         # tool-invocation funnels: successive tool-bearing turns per
         # conversation (non-tool turns skipped) → bigram counts
@@ -2595,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": q_role_transitions,
         "tool_funnel": q_tool_funnel,
         "nb_langid": q_nb_langid,
+        "nb_langid_eval": q_nb_langid_eval,
         "context_windows": q_context_windows,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
@@ -5655,6 +5664,64 @@ SELECT ll.doc_id, ll.lang,
        floor((ll.s + ln(docs.d / nd.n)) * 1000000 + 0.5) / 1000000
            AS lp
 FROM ll JOIN docs ON docs.lang = ll.lang CROSS JOIN nd
+""",
+        # NB holdout-eval twin: train-side counts only (Knuth-hash
+        # split >= floor(0.2 * 2^32)), held-out docs scored with the
+        # train vocabulary (absent (term,label) pairs hit the Laplace
+        # floor), argmax on the trunc6'd log-likelihood (ties ->
+        # label ASC), confusion-matrix counts
+        "nb_langid_eval": f"""
+WITH base AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+')
+                         AS toks
+              FROM documents),
+train AS (SELECT * FROM base
+          WHERE (doc_id * 2654435761) % 4294967296
+                >= {int(np.floor(0.2 * (1 << 32)))}),
+test AS (SELECT * FROM base
+         WHERE (doc_id * 2654435761) % 4294967296
+               < {int(np.floor(0.2 * (1 << 32)))}),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM train),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok),
+ctl AS (SELECT term, lang, CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2),
+tokl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS toks
+         FROM tok GROUP BY 1),
+docs AS (SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM train
+         GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM test)
+       GROUP BY 1, 2),
+pairs AS (SELECT t.doc_id, l.lang
+          FROM (SELECT DISTINCT doc_id FROM test) t
+          CROSS JOIN (SELECT DISTINCT lang FROM train) l),
+ll AS (
+    SELECT p.doc_id, p.lang,
+           coalesce(sum(tf.tf * ln((coalesce(ctl.c, 0) + 1)
+                                   / (tokl.toks + v.v))), 0) AS s
+    FROM pairs p
+    LEFT JOIN tf ON tf.doc_id = p.doc_id
+    LEFT JOIN ctl ON ctl.term = tf.term AND ctl.lang = p.lang
+    JOIN tokl ON tokl.lang = p.lang
+    CROSS JOIN v
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT ll.doc_id, ll.lang,
+           floor((ll.s + ln(docs.d / nd.n)) * 1000000 + 0.5) / 1000000
+               AS lp
+    FROM ll JOIN docs ON docs.lang = ll.lang CROSS JOIN nd
+),
+pred AS (
+    SELECT doc_id, lang AS lang_pred FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY lp DESC, lang) = 1
+)
+SELECT t.lang AS lang_true, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM test t JOIN pred p ON p.doc_id = t.doc_id
+GROUP BY 1, 2
 """,
         # tool funnel: LEAD over the tool-bearing rows only (non-tool
         # turns skipped), partitioned per conversation

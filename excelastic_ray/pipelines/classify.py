@@ -17,6 +17,12 @@ standard train-then-score pipeline shape:
    with Laplace smoothing: lp(d, l) = ln(docs_l / N) + Σ_tokens
    ln((c(term, l) + 1) / (tokens_l + V)), V = distinct trained terms.
 
+``nb_langid_eval``: the proper ML evaluation of the same model — train
+on the deterministic Knuth-hash holdout split's train side, score the
+held-out documents, and emit the confusion matrix. Prediction is the
+argmax of the TRUNC6'd log-likelihood (ties → label ASC) so the engine
+and the SQL twin argmax identical values.
+
 Reference relationship: the reference (codingchili/excelastic) has no
 classifier surface; this extends the engine like the other
 ``pipelines/`` training-data operators (SURVEY §2 beyond-the-reference
@@ -32,21 +38,18 @@ import pandas as pd
 import pyarrow as pa
 
 from excelastic_ray.pipelines.events import _bucketed_sum_combine
+from excelastic_ray.pipelines.sampling import KNUTH, MOD
 from excelastic_ray.pipelines.textstats import _tokenize_batch, trunc6
 
-__all__ = ["nb_langid"]
+__all__ = ["nb_langid", "nb_langid_eval"]
 
 
-def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
-              label_col: str = "lang", model_budget: int = 50_000_000):
-    """→ Dataset of (id, label-column value ``lang``, ``lp``) — one row
-    per (document, trained label) with the trunc6'd NB log-likelihood.
-    Downstream argmaxes per doc (ties broken by label ASC) for the
-    prediction; emitting the full score table keeps the gate
-    tie-proof. ``model_budget`` bounds the broadcast (term, label)
-    count table; exceeding it raises (pre-prune the vocabulary or
-    raise the budget — never a silent cap)."""
-    narrow = ds.select_columns([id_col, text_col, label_col])
+def _nb_model(train_ds, id_col: str, text_col: str, label_col: str,
+              model_budget: int):
+    """One distributed counting pass → (langs, terms, logp matrix,
+    OOV floor per label, log prior per label). Budget-gated: a model
+    over ``model_budget`` (term, label) rows raises instead of
+    silently truncating."""
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         texts = batch[text_col].to_pylist()
@@ -69,14 +72,14 @@ def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.concat([out, lp], ignore_index=True)
 
     counts = _bucketed_sum_combine(
-        narrow.map_batches(count_partial, batch_format="pyarrow",
-                           batch_size=4096),
+        train_ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=4096),
         ["term", "lang"],
     ).materialize()
     n_rows = counts.count()
     if n_rows > model_budget:
         raise ValueError(
-            f"nb_langid model has {n_rows} (term, label) rows — over "
+            f"NB model has {n_rows} (term, label) rows — over "
             f"model_budget={model_budget}; pre-prune the vocabulary or "
             f"raise the budget"
         )
@@ -88,7 +91,6 @@ def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
     n_docs = int(docs_l.sum())
     terms = np.asarray(sorted(tcounts["term"].unique()), dtype=object)
     vocab_v = float(len(terms))
-    # dense (term, lang) count matrix (missing pair = 0)
     cmat = np.zeros((len(terms), len(langs)), dtype=np.float64)
     trow = np.searchsorted(terms, tcounts["term"].to_numpy())
     lcol = np.searchsorted(np.asarray(langs, dtype=object),
@@ -98,34 +100,56 @@ def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
     logp = np.log((cmat + 1.0) / (toks_l + vocab_v))
     floor = np.log(1.0 / (toks_l + vocab_v))
     prior = np.log(docs_l.to_numpy().astype(np.float64) / n_docs)
+    return langs, terms, logp, floor, prior
+
+
+def _score_table(batch: pa.Table, model, langs, id_col, text_col):
+    """Per-(doc, label) raw log-likelihoods for one batch →
+    (ids repeated, lang tiled, lp matrix)."""
+    terms_b, logp_b, floor_b, prior_b = model
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    codes, uniques, row_idx = _tokenize_batch(texts)
+    upos = np.zeros(0, dtype=np.int64)
+    found = np.zeros(len(uniques), dtype=bool)
+    if len(uniques):
+        upos = np.searchsorted(terms_b, uniques)
+        upc = np.minimum(upos, len(terms_b) - 1)
+        found = (terms_b[upc] == uniques) if len(terms_b) else found
+        upos = upc
+    L = len(langs)
+    lps = np.tile(prior_b, (n, 1))
+    if len(codes):
+        occ_row = upos[codes]
+        occ_found = found[codes]
+        for j in range(L):
+            w = np.where(occ_found, logp_b[occ_row, j], floor_b[j])
+            lps[:, j] += np.bincount(row_idx, weights=w, minlength=n)
+    return lps
+
+
+def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
+              label_col: str = "lang", model_budget: int = 50_000_000):
+    """→ Dataset of (id, label-column value ``lang``, ``lp``) — one row
+    per (document, trained label) with the trunc6'd NB log-likelihood.
+    Downstream argmaxes per doc (ties broken by label ASC) for the
+    prediction; emitting the full score table keeps the gate
+    tie-proof."""
+    narrow = ds.select_columns([id_col, text_col, label_col])
+    langs, terms, logp, floor, prior = _nb_model(
+        narrow, id_col, text_col, label_col, model_budget
+    )
 
     import ray
 
     model_ref = ray.put((terms, logp, floor, prior))
 
     def score(batch: pa.Table) -> pa.Table:
-        terms_b, logp_b, floor_b, prior_b = ray.get(model_ref)
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col]
-        n = len(texts)
-        codes, uniques, row_idx = _tokenize_batch(texts)
-        upos = np.searchsorted(terms_b, uniques) if len(uniques) else \
-            np.zeros(0, dtype=np.int64)
-        found = np.zeros(len(uniques), dtype=bool)
-        if len(uniques):
-            upc = np.minimum(upos, len(terms_b) - 1)
-            found = terms_b[upc] == uniques
-            upos = upc
-        L = len(langs)
-        lps = np.tile(prior_b, (n, 1))
-        if len(codes):
-            occ_row = upos[codes]
-            occ_found = found[codes]
-            for j in range(L):
-                w = np.where(occ_found, logp_b[occ_row, j], floor_b[j])
-                lps[:, j] += np.bincount(row_idx, weights=w, minlength=n)
-        out_ids = ids.take(pa.array(np.repeat(
-            np.arange(n, dtype=np.int64), L)))
+        lps = _score_table(batch, ray.get(model_ref), langs, id_col,
+                           text_col)
+        n = len(lps)
+        out_ids = batch[id_col].take(pa.array(np.repeat(
+            np.arange(n, dtype=np.int64), len(langs))))
         return pa.table(
             {
                 id_col: out_ids,
@@ -137,4 +161,60 @@ def nb_langid(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def nb_langid_eval(ds, test_frac: float = 0.2, id_col: str = "doc_id",
+                   text_col: str = "text", label_col: str = "lang",
+                   model_budget: int = 50_000_000):
+    """Holdout evaluation: train the NB model on the Knuth-hash train
+    side (``(id * KNUTH) % 2^32 >= floor(test_frac * 2^32)`` — the
+    assign_splits rule, reproducible at any parallelism and immune to
+    corpus growth), score the held-out documents, and emit the
+    confusion matrix (lang_true, lang_pred, n). Prediction = argmax of
+    the TRUNC6'd per-label log-likelihood, ties → label ASC. Held-out
+    terms absent from the train vocabulary score the Laplace floor."""
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError("test_frac must be in (0, 1)")
+    thr = int(np.floor(test_frac * MOD))
+    narrow = ds.select_columns([id_col, text_col, label_col])
+
+    def split_mask(batch: pa.Table, want_test: bool) -> pa.Table:
+        h = (batch[id_col].to_numpy().astype(np.int64) * KNUTH) % MOD
+        keep = (h < thr) if want_test else (h >= thr)
+        return batch.filter(pa.array(keep))
+
+    train = narrow.map_batches(
+        lambda b: split_mask(b, False), batch_format="pyarrow"
+    )
+    test = narrow.map_batches(
+        lambda b: split_mask(b, True), batch_format="pyarrow"
+    )
+    langs, terms, logp, floor, prior = _nb_model(
+        train, id_col, text_col, label_col, model_budget
+    )
+
+    import ray
+
+    model_ref = ray.put((terms, logp, floor, prior))
+    langs_arr = np.asarray(langs, dtype=object)
+
+    def confuse(batch: pa.Table) -> pd.DataFrame:
+        lps = trunc6(_score_table(batch, ray.get(model_ref), langs,
+                                  id_col, text_col))
+        # argmax over trunc6'd values; ties break to the SMALLEST label
+        # index (np.argmax keeps the first maximum; langs are sorted)
+        pred = langs_arr[np.argmax(lps, axis=1)]
+        truth = np.asarray(batch[label_col].to_pylist(), dtype=object)
+        df = pd.DataFrame(
+            {"lang_true": truth, "lang_pred": pred,
+             "n": np.ones(len(truth), dtype=np.int64)}
+        )
+        return (df.groupby(["lang_true", "lang_pred"], sort=False)["n"]
+                .sum().reset_index())
+
+    return _bucketed_sum_combine(
+        test.map_batches(confuse, batch_format="pyarrow",
+                         batch_size=4096),
+        ["lang_true", "lang_pred"], n_buckets=8,
     )

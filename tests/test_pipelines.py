@@ -2175,3 +2175,31 @@ def test_nb_langid_hand_example_and_budget(ray_session):
 
     with pytest.raises(ValueError, match="model_budget"):
         nb_langid(rd.from_arrow(t), model_budget=2).to_pandas()
+
+
+def test_nb_langid_eval_split_and_confusion(ray_session):
+    """Holdout eval: the split is the assign_splits Knuth rule, train
+    docs never leak into the confusion matrix, counts sum to the test
+    side, and a separable vocabulary evaluates perfectly."""
+    import numpy as np
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.classify import nb_langid_eval
+    from excelastic_ray.pipelines.sampling import KNUTH, MOD
+
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.where(ids % 2 == 0, "en", "fr")
+    texts = np.where(ids % 2 == 0, "cat dog cat", "chat chien chat")
+    t = pa.table({"doc_id": ids, "text": texts.tolist(),
+                  "lang": langs.tolist()})
+    out = nb_langid_eval(rd.from_arrow(t), test_frac=0.25).to_pandas()
+    thr = int(np.floor(0.25 * MOD))
+    test_ids = ids[(ids * KNUTH) % MOD < thr]
+    assert out["n"].sum() == len(test_ids) > 0
+    # fully separable vocabulary -> diagonal confusion matrix
+    assert (out["lang_true"] == out["lang_pred"]).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="test_frac"):
+        nb_langid_eval(rd.from_arrow(t), test_frac=1.5)
