@@ -150,6 +150,10 @@ INTERVALS_FILTERED_RULE = {
               "filter": {"not_containing": {"match": "spark"}}}
 }
 
+#: pinned-query probe: two curated docs rank first (whether or not
+#: they match), organic 'table' ranking follows deduplicated.
+PINNED_DOCS = [("conv_000003", 1), ("conv_000011", 0)]
+
 #: match_bool_prefix probe: "merge wind" — 'merge' as a term clause,
 #: 'wind' as a prefix clause (capped dictionary expansion), OR with
 #: minimum_should_match=1 (the ES default operator).
@@ -1443,6 +1447,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the filtered term (applied after minimality)
         return _intervals_table(sf_dir, INTERVALS_FILTERED_RULE)
 
+    def q_bm25_pinned(sf_dir):
+        # ES pinned query: curated promotions first, organic after
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_pinned("table", PINNED_DOCS, 10)
+        return pa.table(
+            {
+                "rank": t["rank"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_exists_topk(sf_dir):
         # ES exists query in filter context: results restricted to
         # docs whose tool attr is present (stats untouched)
@@ -2544,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_prefix": q_bm25_bool_prefix,
         "bm25_combined": q_bm25_combined,
         "bm25_cross": q_bm25_cross,
+        "bm25_pinned": q_bm25_pinned,
         "intervals_ordered": q_intervals_ordered,
         "intervals_unordered": q_intervals_unordered,
         "intervals_filtered": q_intervals_filtered,
@@ -4794,6 +4818,49 @@ scored AS (
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM scored
 QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # pinned-query twin: two curated rows first (score = global
+        # max organic raw + descending pin ordinal), the organic
+        # 'table' ranking after with the pins excluded; trunc6 at the
+        # end like the engine
+        "bm25_pinned": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    WHERE term = 'table'
+    GROUP BY 1, 2
+),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM tf),
+organic AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           ln(1 + (s.n - dfv.d + 0.5) / (dfv.d + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM tf
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s CROSS JOIN dfv
+),
+mx AS (SELECT max(raw) AS m FROM organic),
+pins(rank, conv_id, turn_idx, ordinal) AS (VALUES
+    (1, 'conv_000003', 1, 2), (2, 'conv_000011', 0, 1)),
+org_ranked AS (
+    SELECT row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx)
+               + 2 AS rank,
+           conv_id, turn_idx, raw
+    FROM organic
+    WHERE (conv_id, turn_idx) NOT IN
+          (SELECT (conv_id, turn_idx) FROM pins)
+)
+SELECT CAST(rank AS INTEGER) AS rank, conv_id, turn_idx,
+       floor((m + ordinal) * 1000000 + 0.5) / 1000000 AS score
+FROM pins CROSS JOIN mx
+UNION ALL
+SELECT CAST(rank AS INTEGER), conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000
+FROM org_ranked WHERE rank <= 10
 """,
         # match_bool_prefix twin: 'merge' term clause + 'wind*' prefix
         # expansion clause (lexicographically-first-50 dictionary

@@ -3111,6 +3111,39 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_pinned(self, query: str, pinned: list[tuple[str, int]],
+                      k: int = 10, filters: dict | None = None):
+        """ES ``pinned`` query: the listed documents rank FIRST in the
+        given order (ES pins by id), the organic BM25 ranking follows
+        with pinned docs deduplicated out. Pinned docs appear whether
+        or not they match the query (the ES semantic — pins are
+        curated promotions); their reported score is the ES
+        convention's descending pin ordinal (1.7014124e38 magnitudes
+        in ES — here simply max(organic)+pin_rank so the result table
+        stays monotone). ``pinned`` = [(conv_id, turn_idx), ...]."""
+        import pyarrow as pa
+
+        r = self.reader
+        organic = self.search(query, k + len(pinned), filters=filters)
+        pin_ids = []
+        for conv, turn in pinned:
+            try:
+                pin_ids.append(r.docid_of(conv, int(turn)))
+            except KeyError:
+                continue  # unknown pin: ES silently skips it
+        pin_set = set(pin_ids)
+        o_doc = organic["docid"].to_pylist()
+        o_score = organic["score"].to_pylist()
+        top = max(o_score, default=0.0)
+        rows = [(d, top + len(pin_ids) - i)
+                for i, d in enumerate(pin_ids)]
+        rows += [(d, s) for d, s in zip(o_doc, o_score)
+                 if d not in pin_set]
+        rows = rows[:k]
+        docids = np.asarray([d for d, _ in rows], dtype=np.int64)
+        scores = np.asarray([s for _, s in rows], dtype=np.float64)
+        return self._result_table(docids, scores)
+
     def search_string(self, query: str, k: int = 10,
                       default_operator: str = "or",
                       filters: dict | None = None):

@@ -1483,3 +1483,43 @@ def test_search_dsl_filter_bounded_should(tiny_index, tiny_table):
     with pytest.raises(ValueError, match="rank the whole corpus"):
         eng.search_dsl({"bool": {"should": [{"match": hot}],
                                  "minimum_should_match": 0}})
+
+
+def test_search_pinned(engines, tiny_table):
+    """Pinned docs rank first in the given order (matching the query
+    or not), organic ranking follows deduplicated; unknown pins skip
+    silently (the ES semantic)."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+
+    eng = engines["taat"]
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    q = counts.most_common(1)[0][0]
+    organic = eng.search(q, k=12)
+    o = list(zip(organic["conv_id"].to_pylist(),
+                 organic["turn_idx"].to_pylist()))
+    # pin the 3rd organic hit + one non-matching doc + one unknown
+    non_match = None
+    hits = set(zip(*[eng.search(q, k=10**6)[c].to_pylist()
+                     for c in ("conv_id", "turn_idx")]))
+    for c, t_, in zip(tiny_table["conv_id"].to_pylist(),
+                      tiny_table["turn_idx"].to_pylist()):
+        if (c, t_) not in hits:
+            non_match = (c, int(t_))
+            break
+    assert non_match is not None
+    pins = [o[2], non_match, ("zz_unknown_conv", 0)]
+    res = eng.search_pinned(q, pins, k=10)
+    got = list(zip(res["conv_id"].to_pylist(),
+                   res["turn_idx"].to_pylist()))
+    assert got[0] == o[2] and got[1] == non_match
+    # organic follows with the pinned hit removed, order preserved
+    rest = [d for d in o if d != o[2]][:8]
+    assert got[2:] == rest
+    # scores are monotone non-increasing and ranks sequential
+    sc = res["score"].to_pylist()
+    assert all(a >= b for a, b in zip(sc, sc[1:]))
+    assert res["rank"].to_pylist() == list(range(1, len(got) + 1))
