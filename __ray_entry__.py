@@ -745,6 +745,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filters={"ts": {"gte": TS_RANGE[0], "lt": TS_RANGE[1]}},
         )
 
+    def q_bm25_distfeat(sf_dir):
+        # ES distance_feature (date): additive recency bonus
+        # boost * pivot / (pivot + |ts - origin|) on the BM25 ranking
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_distance_feature(
+                q, k=10, attr="ts", origin=DECAY_ORIGIN,
+                pivot=DECAY_SCALE_US, boost=2.0,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_decay_topk(sf_dir):
         import pyarrow as pa
 
@@ -2585,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_decay_topk": q_bm25_decay_topk,
+        "bm25_distfeat": q_bm25_distfeat,
         "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
@@ -2789,6 +2821,7 @@ def _bm25_terms_values() -> str:
 def _bm25_sql(conjunctive: bool = False,
               ts_range: tuple[str, str] | None = None,
               decay: tuple[str, int, float] | None = None,
+              distfeat: tuple[str, int, float] | None = None,
               exclude_role: str | None = None,
               extra_join_pred: str | None = None,
               rn: str = "<= 10") -> str:
@@ -2838,6 +2871,21 @@ def _bm25_sql(conjunctive: bool = False,
             f"- epoch_us(TIMESTAMP '{origin}')) / {float(scale_us)}, 2))"
         )
         rank_expr = score_expr = f"raw * {mult}"
+    # ES distance_feature (date variant) in a bool should: rank and
+    # score by raw + boost * pivot / (pivot + |ts - origin|) — the
+    # identical float64 expression as ShardSearcher.distfeat_topk
+    if distfeat:
+        origin, pivot_us, boost = distfeat
+        ts_clause = """JOIN transcripts tt
+     ON tt.conv_id = scored.conv_id AND tt.turn_idx = scored.turn_idx"""
+        bonus = (
+            f"{float(boost)} * ({float(pivot_us)} / ({float(pivot_us)} "
+            f"+ abs(epoch_us(tt.ts) "
+            f"- epoch_us(TIMESTAMP '{origin}'))))"
+        )
+        # parenthesized: the caller substitutes score_expr into
+        # floor(<expr> * 1e6 + 0.5), and addition must bind first
+        rank_expr = score_expr = f"(raw + {bonus})"
     return (
         _BASE
         + f""",
@@ -5378,6 +5426,9 @@ FROM tf JOIN df USING (term)
         "bm25_range_topk": _bm25_sql(ts_range=TS_RANGE),
         "bm25_decay_topk": _bm25_sql(
             decay=(DECAY_ORIGIN, DECAY_SCALE_US, 0.5)
+        ),
+        "bm25_distfeat": _bm25_sql(
+            distfeat=(DECAY_ORIGIN, DECAY_SCALE_US, 2.0)
         ),
         "bm25_delete_topk": _bm25_sql(exclude_role="tool"),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover

@@ -1584,6 +1584,50 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def distfeat_topk(self, terms, idfs, avgdl, k, attr: str,
+                      origin_us: int, pivot_us: float,
+                      boost: float = 1.0, filters=None, n_required=0):
+        """ES ``distance_feature`` (date variant) riding a bool should:
+        every query-matching doc scores bm25 + boost × pivot /
+        (pivot + |ts − origin|) — the ADDITIVE recency bonus (exactly
+        ``boost/2`` at distance ``pivot``), vs decay_topk's
+        multiplicative gauss. Boost-before-top-k keeps the global merge
+        exact (the decay_topk argument)."""
+        col = self.time_attrs.get(attr)
+        if col is None:
+            raise KeyError(
+                f"no timestamp attribute {attr!r} in this index "
+                f"(have {sorted(self.time_attrs)})"
+            )
+        cfg = self.cfg
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        dist = np.abs(col[nz] - np.int64(origin_us)).astype(np.float64)
+        scores = acc[nz] + boost * (pivot_us / (pivot_us + dist))
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def boosting_topk(self, terms, idfs, avgdl, k, neg_terms,
                       negative_boost: float, filters=None, n_required=0):
         """ES ``boosting`` query, shard phase: TAAT-score the positive
@@ -4972,6 +5016,58 @@ class QueryEngine:
             }
         )
 
+    def search_distance_feature(self, query: str, k: int = 10,
+                                attr: str = "ts", origin=None,
+                                pivot="24h", boost: float = 1.0,
+                                filters: dict | None = None,
+                                mode: str = "or"):
+        """ES ``distance_feature`` query (date variant) composed with
+        the match query in a bool should: ranked by ``bm25 + boost ×
+        pivot / (pivot + |ts − origin|)`` — the ADDITIVE recency bonus
+        that equals ``boost/2`` at distance ``pivot`` (contrast
+        search_decay's multiplicative gauss). BM25 stats untouched.
+        ``origin`` accepts ISO strings / datetime64 / µs ints;
+        ``pivot`` µs ints or "<N>h"/"<N>d" strings."""
+        if origin is None:
+            raise ValueError("origin is required (ES has no default)")
+        origin_us = ShardSearcher._as_us(origin)
+        pivot_us = float(_parse_span_us(pivot))
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.distfeat_topk.remote(
+                                lterms, idfs, r.avgdl, k, attr,
+                                origin_us, pivot_us, boost, filters,
+                                n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).distfeat_topk(
+                            lterms, idfs, r.avgdl, k, attr, origin_us,
+                            pivot_us, boost, filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_decay(self, query: str, k: int = 10, attr: str = "ts",
                      origin=None, scale="24h", decay: float = 0.5,
                      filters: dict | None = None, mode: str = "or"):
@@ -5405,6 +5501,15 @@ class ShardActor:
     def span_not_topk(self, ta, tb, dist, t_idf, avgdl, k, filters=None):
         parts = [
             s.span_not_topk(ta, tb, dist, t_idf, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def distfeat_topk(self, terms, idfs, avgdl, k, attr, origin_us,
+                      pivot_us, boost=1.0, filters=None, n_required=0):
+        parts = [
+            s.distfeat_topk(terms, idfs, avgdl, k, attr, origin_us,
+                            pivot_us, boost, filters, n_required)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -1523,3 +1523,45 @@ def test_search_pinned(engines, tiny_table):
     sc = res["score"].to_pylist()
     assert all(a >= b for a, b in zip(sc, sc[1:]))
     assert res["rank"].to_pylist() == list(range(1, len(got) + 1))
+
+
+def test_distance_feature(engines, tiny_table):
+    """distance_feature: additive recency bonus — exactly boost/2 at
+    distance pivot; ranking reorders toward the origin; actor parity."""
+    from collections import Counter
+
+    import numpy as np
+
+    from excelastic_ray.analysis import tokenize
+
+    eng = engines["taat"]
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    q = counts.most_common(1)[0][0]
+    ts = tiny_table["ts"].to_numpy().astype("datetime64[us]")
+    origin = ts.max()
+    res = eng.search_distance_feature(q, k=10**6, origin=origin,
+                                      pivot="1h", boost=5.0)
+    base = eng.search(q, k=10**6)
+    assert res.num_rows == base.num_rows > 0  # same match set
+    # verify the exact bonus on every hit
+    base_by_id = dict(zip(base["docid"].to_pylist(),
+                          base["score"].to_pylist()))
+    ts_by_key = {
+        (c, int(t)): v for c, t, v in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            ts.astype(np.int64),
+        )
+    }
+    piv = 3_600_000_000.0
+    o_us = origin.astype(np.int64)
+    for d, c, t, s in zip(res["docid"].to_pylist(),
+                          res["conv_id"].to_pylist(),
+                          res["turn_idx"].to_pylist(),
+                          res["score"].to_pylist()):
+        dist = abs(ts_by_key[(c, int(t))] - o_us)
+        assert s == base_by_id[d] + 5.0 * (piv / (piv + dist))
+    with pytest.raises(ValueError, match="origin"):
+        eng.search_distance_feature(q, k=5, origin=None)
