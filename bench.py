@@ -322,6 +322,9 @@ def run_bench() -> dict:
             "tool_funnel",
             "bm25_cross",
             "nb_langid",
+            "nb_langid_eval",
+            "bm25_pinned",
+            "bm25_distfeat",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
