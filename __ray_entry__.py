@@ -1478,6 +1478,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the filtered term (applied after minimality)
         return _intervals_table(sf_dir, INTERVALS_FILTERED_RULE)
 
+    def q_bm25_random(sf_dir):
+        # ES function_score random_score (seeded): deterministic
+        # uniform hash ranking over the match set
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_random("table", 10, seed=7)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_pinned(sf_dir):
         # ES pinned query: curated promotions first, organic after
         import pyarrow as pa
@@ -2599,6 +2618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined": q_bm25_combined,
         "bm25_cross": q_bm25_cross,
         "bm25_pinned": q_bm25_pinned,
+        "bm25_random": q_bm25_random,
         "intervals_ordered": q_intervals_ordered,
         "intervals_unordered": q_intervals_unordered,
         "intervals_filtered": q_intervals_filtered,
@@ -5479,6 +5499,33 @@ SELECT conv_id, turn_idx,
        (dense_rank() OVER (ORDER BY conv_id) - 1) * {turn_mult}
            + turn_idx AS docid
 FROM transcripts
+""",
+        # random_score twin: the engine's docid arithmetic (doc_keys)
+        # + the byte-identical FNV-1a64 integer hash of (docid + seed),
+        # scaled to [0, 1)
+        "bm25_random": _BASE + f""",
+keys AS (
+    SELECT conv_id, turn_idx,
+           (dense_rank() OVER (ORDER BY conv_id) - 1) * {turn_mult}
+               + turn_idx AS docid
+    FROM transcripts
+),
+matched AS (
+    SELECT DISTINCT conv_id, turn_idx
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    WHERE term = 'table'
+),
+scored AS (
+    SELECT k.conv_id, k.turn_idx,
+           CAST(({fnv64_int_sql('(k.docid + 7)')}) AS DOUBLE)
+               / 18446744073709551616 AS raw
+    FROM keys k
+    JOIN matched m ON m.conv_id = k.conv_id AND m.turn_idx = k.turn_idx
+)
+SELECT conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """,
         "index_stats": _BASE
         + """

@@ -1628,6 +1628,27 @@ class ShardSearcher:
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
 
+    def random_topk(self, terms, k, seed: int = 0, filters=None,
+                    n_required: int = 0):
+        """ES ``function_score`` ``random_score`` with a seed, shard
+        phase: the match set is the query's, the ranking is a
+        deterministic uniform hash — score = FNV-1a64(docid + seed)
+        / 2^64 ∈ [0, 1). Depends only on (docid, seed): reproducible
+        at any parallelism (unlike ES's per-segment interpolation) and
+        twin-able by the identical DuckDB integer-hash expression."""
+        from excelastic_ray.hashing import fnv1a_int64
+
+        m = self.matching_mask(terms, n_required, filters)
+        ords = np.flatnonzero(m)
+        if not len(ords):
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        docids = self.docids[ords]
+        h = fnv1a_int64(docids + np.int64(seed))
+        scores = h.astype(np.float64) / float(1 << 64)
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def boosting_topk(self, terms, idfs, avgdl, k, neg_terms,
                       negative_boost: float, filters=None, n_required=0):
         """ES ``boosting`` query, shard phase: TAAT-score the positive
@@ -5016,6 +5037,44 @@ class QueryEngine:
             }
         )
 
+    def search_random(self, query: str, k: int = 10, seed: int = 0,
+                      filters: dict | None = None, mode: str = "or"):
+        """ES ``function_score`` with ``random_score`` (seeded): the
+        query bounds the match set, the ranking is a deterministic
+        uniform hash — score = FNV-1a64(docid + seed) / 2^64 — the
+        reproducible result-sampling tool (A/B buckets, spot-check
+        audits). A pure function of (docid, seed): parallelism- and
+        segment-layout-invariant, unlike ES's per-segment
+        interpolation (documented deviation)."""
+        if seed < 0:
+            raise ValueError("seed must be non-negative")
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [t for t, d in zip(terms, dfs) if int(d) > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [a.random_topk.remote(live, k, seed, filters,
+                                              n_required)
+                         for a in self._actors]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).random_topk(live, k, seed,
+                                                  filters, n_required)
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_distance_feature(self, query: str, k: int = 10,
                                 attr: str = "ts", origin=None,
                                 pivot="24h", boost: float = 1.0,
@@ -5510,6 +5569,13 @@ class ShardActor:
         parts = [
             s.distfeat_topk(terms, idfs, avgdl, k, attr, origin_us,
                             pivot_us, boost, filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def random_topk(self, terms, k, seed=0, filters=None, n_required=0):
+        parts = [
+            s.random_topk(terms, k, seed, filters, n_required)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -1565,3 +1565,31 @@ def test_distance_feature(engines, tiny_table):
         assert s == base_by_id[d] + 5.0 * (piv / (piv + dist))
     with pytest.raises(ValueError, match="origin"):
         eng.search_distance_feature(q, k=5, origin=None)
+
+
+def test_search_random(engines, tiny_table):
+    """random_score: same match set as the query, scores in [0,1),
+    deterministic per (doc, seed), different seeds reorder; validation."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+
+    eng = engines["taat"]
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    q = counts.most_common(1)[0][0]
+    base = eng.search(q, k=10**6)
+    a = eng.search_random(q, k=10**6, seed=7)
+    b = eng.search_random(q, k=10**6, seed=7)
+    c = eng.search_random(q, k=10**6, seed=8)
+    assert a.equals(b)  # deterministic
+    docs = lambda t: set(zip(t["conv_id"].to_pylist(),  # noqa: E731
+                             t["turn_idx"].to_pylist()))
+    assert docs(a) == docs(base) == docs(c)  # same match set
+    assert a["conv_id"].to_pylist() != c["conv_id"].to_pylist()  # reorder
+    sc = a["score"].to_pylist()
+    assert all(0.0 <= s < 1.0 for s in sc)
+    assert sc == sorted(sc, reverse=True)
+    with pytest.raises(ValueError, match="seed"):
+        eng.search_random(q, seed=-1)
