@@ -325,6 +325,7 @@ def run_bench() -> dict:
             "nb_langid_eval",
             "bm25_pinned",
             "bm25_distfeat",
+            "bm25_random",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
