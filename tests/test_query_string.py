@@ -289,3 +289,22 @@ def test_parse_roundtrip_randomized():
     for _ in range(60):
         node, text = gen(0)
         assert parse_query_string_dsl(text) == node, text
+
+
+def test_parser_fuzz_never_crashes():
+    """Random byte soup either parses to a dict tree or raises
+    ValueError — never any other exception (the web surface feeds
+    user-typed strings straight in)."""
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+    alphabet = list("abc ()\"~*?:-!&|AND OR NOT 0123456789_")
+    for _ in range(500):
+        n = int(rng.integers(1, 24))
+        s = "".join(alphabet[int(rng.integers(0, len(alphabet)))]
+                    for _ in range(n))
+        try:
+            out = parse_query_string_dsl(s)
+            assert isinstance(out, dict)
+        except ValueError:
+            pass
