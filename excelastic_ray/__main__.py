@@ -444,7 +444,8 @@ def main(argv: list[str] | None = None) -> int:
                                         args.k, filters=filters or None)
             elif args.qstring:
                 t = eng.search_string(args.query, args.k,
-                                      filters=filters or None)
+                                      filters=filters or None,
+                                      highlight=args.highlight)
             elif args.qs:
                 t = eng.search_qs(args.query, k=args.k,
                                   filters=filters or None,

@@ -3211,7 +3211,8 @@ class QueryEngine:
 
     def search_string(self, query: str, k: int = 10,
                       default_operator: str = "or",
-                      filters: dict | None = None):
+                      filters: dict | None = None,
+                      highlight: bool = False):
         """ES query_string search: full Lucene-style syntax — AND/OR/
         NOT (also &&/||/!/leading -), parentheses, "quoted phrases"
         with ~slop, field:token clauses scored in that field's own
@@ -3219,11 +3220,32 @@ class QueryEngine:
         DSL executor (one tree, one scoring pass). See
         :mod:`excelastic_ray.query.qs` for the grammar and the
         documented precedence deviation from Lucene's classic parser
-        (NOT > AND > OR, left-associative)."""
-        from excelastic_ray.query.qs import parse_query_string_dsl
+        (NOT > AND > OR, left-associative). ``highlight=True`` adds a
+        snippet column marking the POSITIVE text leaves' tokens
+        (must_not branches never highlight; wildcard expansions are
+        skipped — they live engine-side)."""
+        import pyarrow as pa
+
+        from excelastic_ray.query.qs import (parse_query_string_dsl,
+                                             positive_terms)
 
         tree = parse_query_string_dsl(query, default_operator)
-        return self.search_dsl(tree, k, filters=filters)
+        out = self.search_dsl(tree, k, filters=filters)
+        if highlight:
+            r = self.reader
+            terms = sorted(positive_terms(tree, self._qt))
+            docids = out["docid"].to_numpy()
+            if len(docids):
+                texts = r.fetch_docs(docids,
+                                     columns=["text"])["text"].to_pylist()
+                snips = [highlight_text(t, terms, r.cfg.analyzer)
+                         for t in texts]
+            else:
+                snips = []
+            out = out.append_column(
+                "highlight", pa.array(snips, type=pa.string())
+            )
+        return out
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50,
                       field: str | None = None) -> list[str]:

@@ -243,3 +243,30 @@ def parse_query_string_dsl(qs: str, default_operator: str = "or") -> dict:
             "(pure-negative queries would rank the whole corpus)"
         )
     return node
+
+
+def positive_terms(node: dict, analyze) -> set:
+    """Analyzer tokens of the tree's POSITIVE text leaves (match /
+    term / phrase) — what a highlighter should mark. must_not branches
+    are excluded; wildcard/prefix/regexp leaves are skipped (their
+    dictionary expansions live engine-side)."""
+    out: set = set()
+    if "match" in node:
+        body = node["match"]
+        if isinstance(body, str):
+            out.update(analyze(body))
+        return out
+    if "term" in node:
+        out.update(analyze(node["term"]))
+        return out
+    if "phrase" in node:
+        body = node["phrase"]
+        q = body["query"] if isinstance(body, dict) else body
+        out.update(analyze(q))
+        return out
+    if "bool" in node:
+        b = node["bool"]
+        for key in ("must", "should"):
+            for c in b.get(key, []):
+                out |= positive_terms(c, analyze)
+    return out

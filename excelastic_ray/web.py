@@ -1496,7 +1496,7 @@ class ImportServer:
         elif qstring:
             # full Lucene query_string syntax (quotes, parens,
             # AND/OR/NOT, field:term, wildcards) on the DSL executor
-            t = eng.search_string(query, k=k)
+            t = eng.search_string(query, k=k, highlight=highlight)
         elif qs:  # Kibana-style field:term query strings
             t = eng.search_qs(query, k=k, offset=offset)
         elif search_after:

@@ -308,3 +308,25 @@ def test_parser_fuzz_never_crashes():
             assert isinstance(out, dict)
         except ValueError:
             pass
+
+
+def test_search_string_highlight(tiny_index, tiny_table):
+    """highlight marks positive-leaf tokens and never must_not ones."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    h = [t for t, _ in counts.most_common(3)]
+    res = eng.search_string(f"{h[0]} AND NOT {h[2]}", k=10,
+                            highlight=True)
+    assert res.num_rows > 0 and "highlight" in res.column_names
+    for snip in res["highlight"].to_pylist():
+        assert f"<em>{h[0]}</em>" in snip.lower() or h[0] not in \
+            tokenize(snip.replace("<em>", " ").replace("</em>", " "))
+        assert f"<em>{h[2]}</em>" not in snip.lower()
