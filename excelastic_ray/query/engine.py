@@ -3446,6 +3446,11 @@ class QueryEngine:
                 ``rewrite=scoring_boolean``, the same fully-specified
                 shape as search_prefix/search_wildcard/search_regexp,
                 so SQL GLOB / regexp expansions twin them exactly
+            {"fuzzy": "token"} or {"fuzzy": {"value": ..., "fuzziness":
+                int|"AUTO", "prefix_length": n, "max_expansions": m}} —
+                one token expanded to its closest dictionary terms
+                (distance ASC, term ASC cap — the search_fuzzy
+                expansion), scored as a bool-of-terms OR
             {"bool": {"must": [...], "should": [...], "must_not":
                 [...], "filter": {attr filters},
                 "minimum_should_match": int}}
@@ -3477,6 +3482,29 @@ class QueryEngine:
             raise ValueError(
                 f"{op} takes a string or {{'value', 'max_expansions'}}"
             )
+
+        def fuzzy_spec(body) -> tuple:
+            if isinstance(body, str):
+                body = {"value": body}
+            if not (isinstance(body, dict) and "value" in body
+                    and set(body) <= {"value", "fuzziness",
+                                      "prefix_length",
+                                      "max_expansions"}):
+                raise ValueError(
+                    "fuzzy takes a string or {'value', 'fuzziness', "
+                    "'prefix_length', 'max_expansions'}"
+                )
+            toks = self._qt(str(body["value"]))
+            if len(toks) != 1:
+                raise ValueError(
+                    f"fuzzy takes exactly one analyzer token, "
+                    f"got {toks!r}"
+                )
+            fz = body.get("fuzziness", "AUTO")
+            return ("fuzzy", toks[0],
+                    fz if fz == "AUTO" else int(fz),
+                    int(body.get("prefix_length", 0)),
+                    int(body.get("max_expansions", 50)))
 
         def term_token(body) -> str:
             if not isinstance(body, str):
@@ -3540,6 +3568,16 @@ class QueryEngine:
                         )
                     else:
                         expansions[key] = self.expand_regexp(val, maxexp)
+                terms.update(expansions[key])
+            elif op == "fuzzy":
+                key = fuzzy_spec(body)
+                if key not in expansions:
+                    _, t, d, plen, maxexp = key
+                    dd = self.auto_fuzziness(t) if d == "AUTO" else int(d)
+                    expansions[key] = (
+                        [t] if dd == 0
+                        else self.expand_fuzzy(t, dd, plen, maxexp)
+                    )
                 terms.update(expansions[key])
             elif op == "bool":
                 unknown = set(body) - {
@@ -3635,6 +3673,15 @@ class QueryEngine:
                 val, maxexp = expand_spec(op, body)
                 live = sorted(
                     t for t in expansions[(op, val, maxexp)]
+                    if t in idf_map
+                )
+                if not live:
+                    return {"op": "none"}
+                return {"op": "match",
+                        "terms": [(t, idf_map[t]) for t in live]}
+            if op == "fuzzy":
+                live = sorted(
+                    t for t in expansions[fuzzy_spec(body)]
                     if t in idf_map
                 )
                 if not live:

@@ -330,3 +330,42 @@ def test_search_string_highlight(tiny_index, tiny_table):
         assert f"<em>{h[0]}</em>" in snip.lower() or h[0] not in \
             tokenize(snip.replace("<em>", " ").replace("</em>", " "))
         assert f"<em>{h[2]}</em>" not in snip.lower()
+
+
+def test_dsl_fuzzy_leaf(tiny_index, tiny_table):
+    """fuzzy DSL leaf == search_fuzzy on the same single token, and
+    composes inside bools; validation."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    tok = counts.most_common(1)[0][0]
+    typo = tok[:-1] + ("x" if tok[-1] != "x" else "y")
+    a = eng.search_dsl({"fuzzy": {"value": typo, "fuzziness": 1}}, k=25)
+    b = eng.search_fuzzy(typo, k=25, fuzziness=1)
+    assert a.num_rows > 0
+    assert [r for r in zip(a["conv_id"].to_pylist(),
+                           a["turn_idx"].to_pylist(),
+                           a["score"].to_pylist())] == \
+        [r for r in zip(b["conv_id"].to_pylist(),
+                        b["turn_idx"].to_pylist(),
+                        b["score"].to_pylist())]
+    # composes: must fuzzy + must_not term runs and bounds the set
+    a_full = eng.search_dsl({"fuzzy": {"value": typo, "fuzziness": 1}},
+                            k=10**6)
+    c = eng.search_dsl({"bool": {"must": [{"fuzzy": typo}],
+                                 "must_not": [{"term": tok}]}},
+                       k=10**6)
+    assert c.num_rows < a_full.num_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one analyzer"):
+        eng.search_dsl({"fuzzy": "two tokens"})
+    with _pytest.raises(ValueError, match="fuzzy takes"):
+        eng.search_dsl({"fuzzy": {"term": "x"}})
