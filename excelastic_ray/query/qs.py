@@ -21,6 +21,8 @@ Supported syntax:
                       stream; role:user ≠ text:user)
 - ``*`` / ``?`` in a term → wildcard leaf (dictionary expansion,
                       scoring_boolean)
+- ``term~`` / ``term~2``  → fuzzy leaf (closest dictionary terms;
+                      bare ``~`` = AUTO edits like Lucene)
 
 Documented deviations from Lucene's classic parser (which has famously
 surprising operator handling): precedence is the conventional
@@ -49,6 +51,7 @@ _TOKEN = re.compile(
 
 _FIELD_TERM = re.compile(r"^(?P<field>[A-Za-z_][\w.]*):(?P<value>.+)$")
 _WILD = re.compile(r"[*?]")
+_FUZZY_TERM = re.compile(r"^(?P<base>.+?)~(?P<edits>\d*)$")
 
 
 def _tokenize(qs: str) -> list[tuple[str, object]]:
@@ -92,6 +95,20 @@ def _leaf(tok: tuple[str, object]) -> dict:
             raise ValueError("query_string: empty phrase")
         return {"phrase": {"query": text, "slop": slop}}
     text = str(val)
+    fz = _FUZZY_TERM.match(text)
+    if fz:
+        base, edits = fz.group("base"), fz.group("edits")
+        if _WILD.search(base):
+            raise ValueError(
+                "query_string: a term cannot combine wildcards with "
+                "the ~fuzzy suffix"
+            )
+        if _FIELD_TERM.match(base):
+            raise ValueError(
+                "query_string: fuzzy field clauses are not supported"
+            )
+        return {"fuzzy": {"value": base,
+                          "fuzziness": int(edits) if edits else "AUTO"}}
     fm = _FIELD_TERM.match(text)
     if fm and not _WILD.search(fm.group("field")):
         field, value = fm.group("field"), fm.group("value")

@@ -369,3 +369,43 @@ def test_dsl_fuzzy_leaf(tiny_index, tiny_table):
         eng.search_dsl({"fuzzy": "two tokens"})
     with _pytest.raises(ValueError, match="fuzzy takes"):
         eng.search_dsl({"fuzzy": {"term": "x"}})
+
+
+def test_parse_fuzzy_suffix():
+    p = parse_query_string_dsl
+    assert p("tiemout~1") == {"fuzzy": {"value": "tiemout",
+                                        "fuzziness": 1}}
+    assert p("tiemout~") == {"fuzzy": {"value": "tiemout",
+                                       "fuzziness": "AUTO"}}
+    assert p("a AND b~2") == {
+        "bool": {"must": [{"match": "a"},
+                          {"fuzzy": {"value": "b", "fuzziness": 2}}]}
+    }
+    with pytest.raises(ValueError, match="wildcards with"):
+        p("ti*me~1")
+    with pytest.raises(ValueError, match="fuzzy field"):
+        p("role:user~1")
+
+
+def test_search_string_fuzzy_suffix(tiny_index, tiny_table):
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(tokenize(t))
+    tok = counts.most_common(1)[0][0]
+    typo = tok[:-1] + ("x" if tok[-1] != "x" else "y")
+    a = eng.search_string(f"{typo}~1", k=25)
+    b = eng.search_fuzzy(typo, k=25, fuzziness=1)
+    assert a.num_rows > 0
+    assert [r for r in zip(a["conv_id"].to_pylist(),
+                           a["turn_idx"].to_pylist(),
+                           a["score"].to_pylist())] == \
+        [r for r in zip(b["conv_id"].to_pylist(),
+                        b["turn_idx"].to_pylist(),
+                        b["score"].to_pylist())]
