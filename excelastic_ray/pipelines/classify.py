@@ -97,8 +97,12 @@ def _nb_model(train_ds, id_col: str, text_col: str, label_col: str,
                            tcounts["lang"].to_numpy())
     cmat[trow, lcol] = tcounts["c"].to_numpy().astype(np.float64)
     toks_l = cmat.sum(axis=0)
-    logp = np.log((cmat + 1.0) / (toks_l + vocab_v))
-    floor = np.log(1.0 / (toks_l + vocab_v))
+    # empty vocabulary (token-less train split) ⇒ Laplace denominator
+    # 0; pin it to 1 so the floor is ln(1)=0 — a per-label constant
+    # that cannot change any argmax — instead of ln(1/0)=inf
+    denom = np.maximum(toks_l + vocab_v, 1.0)
+    logp = np.log((cmat + 1.0) / denom)
+    floor = np.log(1.0 / denom)
     prior = np.log(docs_l.to_numpy().astype(np.float64) / n_docs)
     return langs, terms, logp, floor, prior
 
@@ -123,7 +127,13 @@ def _score_table(batch: pa.Table, model, langs, id_col, text_col):
         occ_row = upos[codes]
         occ_found = found[codes]
         for j in range(L):
-            w = np.where(occ_found, logp_b[occ_row, j], floor_b[j])
+            if len(terms_b):
+                w = np.where(occ_found, logp_b[occ_row, j], floor_b[j])
+            else:
+                # empty trained vocabulary (e.g. the train split held
+                # only token-less docs): every occurrence scores the
+                # floor — np.where would eagerly index the (0, L) logp
+                w = np.full(len(codes), floor_b[j])
             lps[:, j] += np.bincount(row_idx, weights=w, minlength=n)
     return lps
 

@@ -147,8 +147,13 @@ def unordered_pair(a, b, max_gaps: int, unit_width: bool):
         outs.append(s)
         oute.append(e)
         outg.append((e - s + 1) - (la[ok] + lb[kc][ok]))
-    # b at-or-left of a's start: latest such b
-    k2 = np.searchsorted(sb, sa, side="left") - 1
+    # b at-or-left of a's start: latest such b. For interval operands
+    # (all_of children) EQUAL starts are a legal pairing — two distinct
+    # child rules may begin at the same token (e.g. 'a' and 'a b') and
+    # unordered combination allows overlap. Only the unit-width case
+    # keeps the strict probe: there equal positions would pair a term
+    # occurrence with itself when both operands are the same term.
+    k2 = np.searchsorted(sb, sa, side="left" if unit_width else "right") - 1
     ok2 = k2 >= 0
     if ok2.any():
         kc2 = np.maximum(k2, 0)

@@ -19,6 +19,11 @@ Supported syntax:
 - "quoted phrase"   → phrase leaf; optional ``~n`` slop suffix
 - field:token       → field-scoped match leaf (the per-field posting
                       stream; role:user ≠ text:user)
+- field:(a OR b)    → Lucene field grouping: the field distributes
+                      over every bare term in the group; groups may
+                      nest bools/NOT, but phrases/wildcards/fuzzy
+                      inside a field group are rejected like their
+                      field:value forms
 - ``*`` / ``?`` in a term → wildcard leaf (dictionary expansion,
                       scoring_boolean)
 - ``term~`` / ``term~2``  → fuzzy leaf (closest dictionary terms;
@@ -50,6 +55,7 @@ _TOKEN = re.compile(
 )
 
 _FIELD_TERM = re.compile(r"^(?P<field>[A-Za-z_][\w.]*):(?P<value>.+)$")
+_FIELD_NAME = re.compile(r"^[A-Za-z_][\w.]*$")
 _WILD = re.compile(r"[*?]")
 _FUZZY_TERM = re.compile(r"^(?P<base>.+?)~(?P<edits>\d*)$")
 
@@ -76,10 +82,21 @@ def _tokenize(qs: str) -> list[tuple[str, object]]:
                                    int(m.group("slop") or 0))))
         else:
             t = m.group("term")
-            if t.endswith(":") and pos < len(qs) and qs[pos] == '"':
+            if t.endswith(":"):
+                # a term the regex stopped at ':' means the value was
+                # NOT a plain token — a quoted phrase or a '(' group
+                # follows (or nothing at all)
+                if pos < len(qs) and qs[pos] == '"':
+                    raise ValueError(
+                        "query_string: field:\"phrase\" is not supported "
+                        "(per-field positions are not indexed)"
+                    )
+                if (pos < len(qs) and qs[pos] == "("
+                        and _FIELD_NAME.match(t[:-1])):
+                    out.append(("fieldopen", t[:-1]))
+                    continue
                 raise ValueError(
-                    "query_string: field:\"phrase\" is not supported "
-                    "(per-field positions are not indexed)"
+                    f"query_string: dangling field prefix {t!r}"
                 )
             out.append(("term", t))
     if qs[pos:].strip():
@@ -128,6 +145,32 @@ def _leaf(tok: tuple[str, object]) -> dict:
     return {"match": text}
 
 
+def _scope_field(node: dict, field: str) -> dict:
+    """Distribute a Lucene field group's field over the group's match
+    leaves: ``role:(user OR assistant)`` scopes every bare term inside
+    the parens. Non-term leaves keep their field:value restrictions."""
+    if "match" in node:
+        body = node["match"]
+        if isinstance(body, str):
+            return {"match": {"field": field, "query": body}}
+        raise ValueError(
+            "query_string: nested field clauses inside a field group "
+            "are not supported"
+        )
+    if "bool" in node:
+        scoped = {
+            k: ([_scope_field(c, field) for c in v]
+                if isinstance(v, list) else v)
+            for k, v in node["bool"].items()
+        }
+        return {"bool": scoped}
+    kind = next(iter(node))
+    raise ValueError(
+        f"query_string: {kind} clauses inside a field group are not "
+        "supported (same restriction as their field:value forms)"
+    )
+
+
 class _Parser:
     """Recursive descent: or_expr := and_expr ((OR|juxt-or) and_expr)*;
     and_expr := unary ((AND|juxt-and) unary)*; unary := NOT unary |
@@ -143,7 +186,8 @@ class _Parser:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
 
     def _starts_clause(self) -> bool:
-        return self.peek() in ("lparen", "not", "term", "phrase")
+        return self.peek() in ("lparen", "not", "term", "phrase",
+                               "fieldopen")
 
     def parse(self) -> dict:
         node = self.or_expr()
@@ -220,6 +264,11 @@ class _Parser:
 
     def primary(self) -> dict:
         kind = self.peek()
+        if kind == "fieldopen":
+            field = str(self.toks[self.i][1])
+            self.i += 1
+            group = self.primary()  # the tokenizer guarantees a lparen
+            return _scope_field(group, field)
         if kind == "lparen":
             self.i += 1
             node = self.or_expr()

@@ -264,3 +264,69 @@ def test_interval_filter_end_to_end(tiny_index, tiny_table):
     assert docs(keep) <= docs(plain)
     assert docs(drop) <= docs(plain)
     assert docs(keep) | docs(drop) == docs(plain)
+
+
+def _brute_unordered_iv(a, b, max_gaps):
+    """All-pairs unordered combination of two INTERVAL operands
+    (equal starts allowed — distinct child rules may begin at the
+    same token) → gap filter → minimality."""
+    wins = []
+    for sa, ea in zip(*[x.tolist() for x in a]):
+        for sb, eb in zip(*[x.tolist() for x in b]):
+            s, e = min(sa, sb), max(ea, eb)
+            gap = (e - s + 1) - ((ea - sa + 1) + (eb - sb + 1))
+            if gap <= max_gaps:
+                wins.append((s, e))
+    return _brute_minimal(wins)
+
+
+def test_unordered_pair_equal_start_intervals():
+    """Regression: two all_of children sharing a start position must
+    still combine — 'a' at (0,0) and 'a b' at (0,1) on doc 'a b'."""
+    a = (np.array([0]), np.array([0]))
+    b = (np.array([0]), np.array([1]))
+    s, e = iv.unordered_pair(a, b, 0, unit_width=False)
+    assert list(zip(s.tolist(), e.tolist())) == [(0, 1)]
+    # and end-to-end through validate_rule/eval_node
+    pos = {"a": np.array([0]), "b": np.array([1])}
+    node = iv.validate_rule(
+        {"all_of": {"ordered": False, "max_gaps": 0, "intervals": [
+            {"match": "a"},
+            {"match": {"query": "a b", "max_gaps": 0}},
+        ]}},
+        lambda q: q.split(),
+    )
+    s, e = iv.eval_node(
+        node, lambda t: pos.get(t, np.zeros(0, dtype=np.int64)))
+    assert list(zip(s.tolist(), e.tolist())) == [(0, 1)]
+    # unit-width self-pair stays strict: 'a a' unordered needs two
+    # distinct occurrences
+    p = np.array([3])
+    s, e = iv.unordered_pair(p, p, 5, unit_width=True)
+    assert len(s) == 0
+
+
+def test_unordered_pair_interval_operands_subset_of_bruteforce():
+    """Greedy interval-operand pairs are a documented deviation from
+    all-pairs, but every emitted window must be a legal pairing and
+    the nearest-on-either-side picks must survive: the greedy set is
+    a subset of the brute-force minimal set, non-empty whenever the
+    brute set pairs the nearest starts."""
+    rng = np.random.default_rng(41)
+    for _ in range(200):
+        def mkset():
+            n = int(rng.integers(1, 5))
+            s = np.sort(rng.choice(30, size=n, replace=False))
+            e = s + rng.integers(0, 4, size=n)
+            return iv.minimal_filter(s, e)
+
+        a, b = mkset(), mkset()
+        g = int(rng.integers(0, 8))
+        s, e = iv.unordered_pair(a, b, g, unit_width=False)
+        got = set(zip(s.tolist(), e.tolist()))
+        brute = set(_brute_unordered_iv(a, b, g))
+        assert got <= brute, (a, b, g)
+        if brute and not got:
+            # the greedy probes must find SOMETHING whenever any
+            # pairing fits the budget for some a with its nearest b
+            raise AssertionError((a, b, g, brute))

@@ -2203,3 +2203,42 @@ def test_nb_langid_eval_split_and_confusion(ray_session):
 
     with pytest.raises(ValueError, match="test_frac"):
         nb_langid_eval(rd.from_arrow(t), test_frac=1.5)
+
+
+def test_nb_langid_empty_vocab_scores_floor(ray_session):
+    """Regression: scoring a tokenful document under an EMPTY trained
+    vocabulary (train split held only token-less docs) must score the
+    Laplace floor per token, not IndexError into the (0, L) logp."""
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.classify import (
+        _score_table, nb_langid_eval)
+    from excelastic_ray.pipelines.sampling import KNUTH, MOD
+
+    # direct kernel check: empty vocab, two labels, doc with 3 tokens
+    empty_terms = np.asarray([], dtype=object)
+    logp = np.zeros((0, 2), dtype=np.float64)
+    floor = np.log(np.array([1 / 3.0, 1 / 4.0]))
+    prior = np.log(np.array([0.5, 0.5]))
+    batch = pa.table({"doc_id": [1], "text": ["cat cat dog"]})
+    lps = _score_table(batch, (empty_terms, logp, floor, prior),
+                       ["en", "fr"], "doc_id", "text")
+    assert lps.shape == (1, 2)
+    assert np.allclose(lps[0], prior + 3 * floor)
+
+    # end-to-end: craft ids so every TRAIN doc is token-less while a
+    # tokenful doc lands on the test side of the Knuth split
+    test_frac = 0.2
+    thr = int(np.floor(test_frac * MOD))
+    ids = list(range(1, 200))
+    test_ids = [i for i in ids if (i * KNUTH) % MOD < thr]
+    train_ids = [i for i in ids if (i * KNUTH) % MOD >= thr][:3]
+    assert test_ids and len(train_ids) == 3
+    rows = [{"doc_id": i, "text": "!!! ...", "lang": "en"}
+            for i in train_ids]
+    rows += [{"doc_id": test_ids[0], "text": "cat dog", "lang": "en"}]
+    out = nb_langid_eval(
+        rd.from_arrow(pa.Table.from_pylist(rows)), test_frac=test_frac
+    ).to_pandas()
+    assert out["n"].sum() == 1
+    assert set(out["lang_true"]) == {"en"}

@@ -409,3 +409,61 @@ def test_search_string_fuzzy_suffix(tiny_index, tiny_table):
         [r for r in zip(b["conv_id"].to_pylist(),
                         b["turn_idx"].to_pylist(),
                         b["score"].to_pylist())]
+
+
+def test_parse_field_grouping():
+    """Lucene field grouping role:(a OR b) distributes the field over
+    the group's bare terms (regression: this used to silently parse
+    as the literal term 'role:' OR an unscoped group)."""
+    p = parse_query_string_dsl
+    assert p("role:(user OR assistant)") == {
+        "bool": {"should": [
+            {"match": {"field": "role", "query": "user"}},
+            {"match": {"field": "role", "query": "assistant"}},
+        ], "minimum_should_match": 1}
+    }
+    assert p("role:(user assistant)", default_operator="and") == {
+        "bool": {"must": [
+            {"match": {"field": "role", "query": "user"}},
+            {"match": {"field": "role", "query": "assistant"}},
+        ]}
+    }
+    assert p("error AND role:(user OR NOT assistant)") == {
+        "bool": {"must": [
+            {"match": "error"},
+            {"bool": {
+                "should": [{"match": {"field": "role",
+                                      "query": "user"}}],
+                "minimum_should_match": 1,
+                "must_not": [{"match": {"field": "role",
+                                        "query": "assistant"}}],
+            }},
+        ]}
+    }
+    # non-term leaves keep their field:value restrictions; dangling
+    # field prefixes now raise instead of matching the literal token
+    for bad in ('role:("a b")', "role:(us*r)", "role:(usr~1)",
+                "role:(tool:search)", "role:", "role: user",
+                "role:()", "3role:(a)"):
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+def test_search_string_field_grouping(qs_field_index):
+    """role:(user OR assistant) == the hand-built DSL bool of the two
+    field-scoped leaves, bit-identical; conjoined grouping restricts
+    matches exactly like the single field clause union."""
+    from excelastic_ray.query.engine import QueryEngine
+
+    idx, _ = qs_field_index
+    eng = QueryEngine(idx)
+    got = eng.search_string("role:(user OR assistant)", k=50)
+    want = eng.search_dsl(
+        {"bool": {"should": [
+            {"match": {"field": "role", "query": "user"}},
+            {"match": {"field": "role", "query": "assistant"}},
+        ], "minimum_should_match": 1}}, k=50)
+    assert got.num_rows > 0
+    assert got.equals(want)
+    docs = eng.reader.fetch_docs(got["docid"].to_numpy(), ["role"])
+    assert set(docs["role"].to_pylist()) <= {"user", "assistant"}
