@@ -1711,6 +1711,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_clean(f"{sf_dir}/events.parquet"), spec
         )
 
+    def q_agg_tree_fanout(sf_dir):
+        # the FULL ES request-body shape the path executor refuses:
+        # sibling sub-aggs (date_histogram + range under one terms
+        # level), a metric at the interior terms level, and a
+        # top-level metric — flattened GROUPING-SETS output, one row
+        # per bucket per tree node
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        spec = {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "v_sum_t": {"sum": {"field": "value"}},
+                    "per_2d": {
+                        "date_histogram": {"field": "ts",
+                                           "interval_hours": 48},
+                        "aggs": {"v_avg_d": {"avg": {"field": "value"}}},
+                    },
+                    "by_band": {
+                        "range": {
+                            "field": "value",
+                            "ranges": [[None, 50], [50, None]],
+                        },
+                        "aggs": {"v_max_b": {"max": {"field": "value"}}},
+                    },
+                },
+            },
+            "total_cnt": {"value_count": {"field": "value"}},
+        }
+        return agg_tree_fanout(
+            read_parquet_clean(f"{sf_dir}/events.parquet"), spec
+        )
+
     def q_doc_crud(sf_dir):
         # single-document CRUD over a scratch COPY of the cached index:
         # index a new conversation, append a turn to an existing one,
@@ -2675,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stem_topk": q_bm25_stem_topk,
         "doc_crud": q_doc_crud,
         "agg_tree": q_agg_tree,
+        "agg_tree_fanout": q_agg_tree_fanout,
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
         "tool_funnel": q_tool_funnel,
@@ -5204,6 +5239,55 @@ SELECT by_type_key, by_band_key, per_2d_key,
 FROM rows_
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+""",
+        # full agg TREE (grouping-sets form): one SELECT per tree node
+        # UNION ALL'd — _root (top-level value_count), by_type terms(3)
+        # with an interior sum, and the SIBLING per_2d / by_band sets.
+        # trunc6 conventions follow the engine (avg from the truncated
+        # sum over the non-null value count).
+        "agg_tree_fanout": """
+WITH kept AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 3
+)
+SELECT '_root' AS agg,
+       CAST(NULL AS VARCHAR) AS by_type_key,
+       CAST(NULL AS TIMESTAMP) AS per_2d_key,
+       CAST(NULL AS VARCHAR) AS by_band_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(value) AS BIGINT) AS total_cnt,
+       CAST(NULL AS DOUBLE) AS v_sum_t,
+       CAST(NULL AS DOUBLE) AS v_avg_d,
+       CAST(NULL AS DOUBLE) AS v_max_b
+FROM events
+UNION ALL
+SELECT 'by_type', e.event_type, NULL, NULL,
+       CAST(count(*) AS BIGINT), NULL,
+       floor(sum(e.value) * 1000000 + 0.5) / 1000000, NULL, NULL
+FROM events e JOIN kept USING (event_type)
+GROUP BY e.event_type
+UNION ALL
+SELECT 'per_2d', e.event_type,
+       to_timestamp((epoch_us(e.ts) // 172800000000) * 172800
+         )::TIMESTAMP, NULL,
+       CAST(count(*) AS BIGINT), NULL, NULL,
+       floor((floor(sum(e.value) * 1000000 + 0.5) / 1000000)
+             / count(e.value) * 1000000 + 0.5) / 1000000, NULL
+FROM events e JOIN kept USING (event_type)
+WHERE e.ts IS NOT NULL
+GROUP BY 2, 3
+UNION ALL
+SELECT 'by_band', e.event_type, NULL, b.key,
+       CAST(count(*) AS BIGINT), NULL, NULL, NULL,
+       floor(max(e.value) * 1000000 + 0.5) / 1000000
+FROM events e JOIN kept USING (event_type)
+CROSS JOIN (VALUES ('*-50.0', CAST(NULL AS DOUBLE), 50.0),
+                   ('50.0-*', 50.0, CAST(NULL AS DOUBLE))) b(key, lo, hi)
+WHERE e.value IS NOT NULL
+  AND (b.lo IS NULL OR e.value >= b.lo)
+  AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY e.event_type, b.key
 """,
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),

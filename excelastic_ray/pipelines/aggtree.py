@@ -59,6 +59,8 @@ import pyarrow as pa
 from excelastic_ray.hashing import resolve_buckets
 from excelastic_ray.pipelines.textstats import trunc6
 
+__all__ = ["agg_tree", "agg_tree_fanout"]
+
 BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
 METRIC_KINDS = ("value_count", "sum", "avg", "min", "max")
 
@@ -357,4 +359,340 @@ def agg_tree(ds, spec: dict, n_buckets: int | None = None) -> pa.Table:
             out[mname] = pa.array(
                 trunc6(fine[f"{mname}__max"].to_numpy()), type=pa.float64()
             )
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Generalized tree executor (fan-out): sibling bucket aggs under any
+# level, metric aggs at ANY level — the full ES request-body shape
+# (Kibana dashboards nest several sub-aggs per bucket routinely).
+# ---------------------------------------------------------------------------
+
+
+def _parse_fanout(spec: dict) -> list[dict]:
+    """ES aggs request body → pre-order node list. Each node:
+    {"name", "kind" (None for the synthetic metrics-only root),
+     "params", "path" (ancestor bucket names, root→self, EXCLUDING
+     the synthetic root), "metrics": [(mname, op, field)]}.
+    Agg and metric names must be globally unique — the flattened
+    grouping-set output keys columns by name."""
+    nodes: list[dict] = []
+    seen: set[str] = set()
+
+    def claim(name: str) -> None:
+        if name in seen:
+            raise ValueError(
+                f"agg/metric name {name!r} appears twice — the "
+                "flattened output needs globally unique names"
+            )
+        seen.add(name)
+
+    def walk(body_aggs: dict, path: list[str], owner: dict) -> None:
+        for name, body in body_aggs.items():
+            kind = next((k for k in BUCKET_KINDS if k in body), None)
+            if kind is None:
+                op = next((k for k in METRIC_KINDS if k in body), None)
+                if op is None:
+                    raise ValueError(
+                        f"agg {name!r} is neither a bucket kind "
+                        f"{BUCKET_KINDS} nor a metric kind "
+                        f"{METRIC_KINDS}"
+                    )
+                claim(name)
+                owner["metrics"].append((name, op, body[op]["field"]))
+                continue
+            claim(name)
+            node = {"name": name, "kind": kind, "params": body[kind],
+                    "path": path + [name], "metrics": []}
+            nodes.append(node)
+            walk(body.get("aggs", {}), node["path"], node)
+
+    root = {"name": "_root", "kind": None, "params": {}, "path": [],
+            "metrics": []}
+    walk(spec, [], root)
+    if root["metrics"]:
+        nodes.insert(0, root)
+    if not nodes:
+        raise ValueError("empty aggregation spec")
+    return nodes
+
+
+def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
+                    ) -> pa.Table:
+    """Execute a full ES aggregation TREE (sibling sub-aggs, metrics
+    at interior levels) in one corpus pass. Output is the flattened
+    GROUPING-SETS form — one row per bucket per tree NODE:
+
+    - ``agg``: the node's name (``_root`` for top-level metrics)
+    - one ``<name>_key`` column per bucket node (pre-order); NULL on
+      rows whose node doesn't have that level on its path
+    - ``doc_count``: the node bucket's own exact count
+    - one column per metric name; NULL on rows of other nodes
+
+    Semantics sharpen ``agg_tree``'s path executor: every node gets
+    its OWN grouping set (keys = its ancestor chain), so doc_count,
+    terms ranking, and metrics are exact at every level — including
+    below overlapping ``range`` levels (each (range bucket, descendant
+    bucket) pair is its own group; the path executor's ``__once``
+    corner disappears). Docs null at any level on a node's path are
+    excluded from that node's buckets but still count at ancestors —
+    automatically, since ancestors group separately.
+
+    Shuffle shape: ONE ``map_batches`` pass computes every level's
+    bucket key vectorized, then per node a per-batch groupby over its
+    path keys (nodes are few; each groupby is over an already-keyed
+    16 k frame) → union frame tagged by ``agg`` → coarse hash-bucket
+    exchange on (agg, key tuple) → additive combine. The combined
+    frame is Σ per-node bucket-space sizes (the ES ``size``/interval
+    boundedness assumption); ``terms`` pruning runs on the driver over
+    exact per-node counts, root→leaf, pruning every descendant set.
+    """
+    nodes = _parse_fanout(spec)
+    by_name = {n["name"]: n for n in nodes}
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=8)
+    key_cols = [f"{n['name']}_key" for n in nodes if n["kind"]]
+    kind_of = {f"{n['name']}_key": n["kind"] for n in nodes if n["kind"]}
+    all_metrics = [m for n in nodes for m in n["metrics"]]
+
+    def _metric_partial_cols(metrics) -> list[str]:
+        cols = []
+        for mname, op, _f in metrics:
+            if op in ("sum", "avg"):
+                cols.append(f"{mname}__sum")
+            if op == "avg":
+                cols.append(f"{mname}__n")
+            elif op == "min":
+                cols.append(f"{mname}__min")
+            elif op == "max":
+                cols.append(f"{mname}__max")
+            elif op == "value_count":
+                cols.append(f"{mname}__cnt")
+        return cols
+
+    union_metric_cols = _metric_partial_cols(all_metrics)
+    union_cols = (["agg"] + key_cols + ["doc_count"] + union_metric_cols)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        n_rows = batch.num_rows
+        # every non-range level's key array, computed once per batch
+        keys: dict[str, np.ndarray] = {}
+        for node in nodes:
+            if node["kind"] in ("terms", "date_histogram", "histogram"):
+                keys[node["name"]] = _level_keys(
+                    batch, node["kind"], node["params"])
+        parts: list[pd.DataFrame] = []
+        for node in nodes:
+            path_nodes = [by_name[p] for p in node["path"]]
+            pcols = [f"{p['name']}_key" for p in path_nodes]
+            df = pd.DataFrame(index=np.arange(n_rows))
+            valid = np.ones(n_rows, dtype=bool)
+            range_levels: list[tuple[str, list]] = []
+            for p in path_nodes:
+                kc = f"{p['name']}_key"
+                if p["kind"] == "range":
+                    df[f"{kc}__v"] = batch[
+                        p["params"]["field"]
+                    ].to_numpy(zero_copy_only=False).astype(np.float64)
+                    range_levels.append((kc, p["params"]["ranges"]))
+                    df[kc] = None
+                else:
+                    kv = keys[p["name"]]
+                    df[kc] = kv
+                    valid &= ~pd.isna(kv)
+            for mname, op, field in node["metrics"]:
+                col = batch[field].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                if op in ("sum", "avg"):
+                    df[f"{mname}__sum"] = col
+                if op == "avg":
+                    df[f"{mname}__n"] = (~np.isnan(col)).astype(np.int64)
+                elif op == "min":
+                    df[f"{mname}__min"] = col
+                elif op == "max":
+                    df[f"{mname}__max"] = col
+                elif op == "value_count":
+                    df[f"{mname}__cnt"] = (~np.isnan(col)).astype(
+                        np.int64)
+            df = df[valid]
+            # range expansion on THIS node's path: one copy per
+            # matching range (overlaps legal); rows matching no range
+            # drop out of this node's grouping set entirely
+            for kc, ranges in range_levels:
+                v = df[f"{kc}__v"].to_numpy()
+                subs = []
+                for lo, hi in ranges:
+                    lo_f = -np.inf if lo is None else float(lo)
+                    hi_f = np.inf if hi is None else float(hi)
+                    m = (v >= lo_f) & (v < hi_f)
+                    if not m.any():
+                        continue
+                    sub = df[m].copy()
+                    sub[kc] = _range_key(lo, hi)
+                    subs.append(sub)
+                df = (pd.concat(subs, ignore_index=True)
+                      if subs else df[:0])
+                df = df.drop(columns=f"{kc}__v")
+            df["doc_count"] = np.ones(len(df), dtype=np.int64)
+            aggs = {"doc_count": ("doc_count", "sum")}
+            for c in _metric_partial_cols(node["metrics"]):
+                aggs[c] = (c, "min" if c.endswith("__min")
+                           else "max" if c.endswith("__max") else "sum")
+            if pcols:
+                g = (df.groupby(pcols, sort=False)
+                     .agg(**aggs).reset_index())
+            else:  # the synthetic root: one grand-total partial row
+                g = pd.DataFrame(
+                    {k: [getattr(df[c], how)()]
+                     for k, (c, how) in aggs.items()}
+                )
+            g["agg"] = node["name"]
+            for c in union_cols:
+                if c not in g.columns:
+                    g[c] = (None if kind_of.get(c) in ("terms", "range")
+                            or c == "agg" else np.nan)
+            parts.append(g[union_cols])
+        return pd.concat(parts, ignore_index=True)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[["agg"] + key_cols], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        aggs = {"doc_count": ("doc_count", "sum")}
+        for c in union_metric_cols:
+            aggs[c] = (c, "min" if c.endswith("__min")
+                       else "max" if c.endswith("__max") else "sum")
+        return (
+            g.drop(columns="__bucket")
+            .groupby(["agg"] + key_cols, sort=False, dropna=False)
+            .agg(**aggs)
+            .reset_index()
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def _typed_empty() -> pa.Table:
+        cols: dict = {"agg": pa.array([], type=pa.string())}
+        for kc in key_cols:
+            kind = kind_of[kc]
+            if kind == "date_histogram":
+                cols[kc] = pa.array([], type=pa.timestamp("us"))
+            elif kind == "histogram":
+                cols[kc] = pa.array([], type=pa.float64())
+            else:
+                cols[kc] = pa.array([], type=pa.string())
+        cols["doc_count"] = pa.array([], type=pa.int64())
+        for mname, op, _f in all_metrics:
+            cols[mname] = pa.array(
+                [], type=pa.int64() if op == "value_count"
+                else pa.float64())
+        return pa.table(cols)
+
+    if not len(fine):
+        return _typed_empty()
+
+    # normalize object-key missing markers (groupby round-trips can
+    # surface NaN where partials wrote None)
+    for kc in key_cols:
+        if kind_of[kc] in ("terms", "range"):
+            fine[kc] = fine[kc].where(pd.notna(fine[kc]), None)
+
+    # terms pruning, root→leaf: rank a terms node's buckets from its
+    # OWN grouping set (exact counts), keep size per parent bucket,
+    # filter the node's set AND every descendant set
+    pre_order = [n["name"] for n in nodes]
+    subtree = {
+        n["name"]: [m["name"] for m in nodes
+                    if m["path"][:len(n["path"])] == n["path"]]
+        for n in nodes
+    }
+    for node in nodes:
+        if node["kind"] != "terms":
+            continue
+        size = int(node["params"].get("size", 10))
+        kc = f"{node['name']}_key"
+        parent = [f"{p}_key" for p in node["path"][:-1]]
+        own = fine[fine["agg"] == node["name"]]
+        roll = own[parent + [kc, "doc_count"]]
+        if parent:
+            roll = roll.sort_values(
+                parent + ["doc_count", kc],
+                ascending=[True] * len(parent) + [False, True],
+            )
+            rank = roll.groupby(parent, sort=False).cumcount()
+        else:
+            roll = roll.sort_values(["doc_count", kc],
+                                    ascending=[False, True])
+            rank = pd.Series(np.arange(len(roll)), index=roll.index)
+        keep = roll[rank < size][parent + [kc]]
+        in_set = fine["agg"].isin(subtree[node["name"]])
+        kept_rows = fine[in_set].merge(keep, on=parent + [kc])
+        fine = pd.concat([fine[~in_set], kept_rows], ignore_index=True)
+
+    if not len(fine):
+        return _typed_empty()
+
+    fine["__ord"] = fine["agg"].map(
+        {name: i for i, name in enumerate(pre_order)})
+    sort_cols = ["__ord"] + key_cols
+    fine = fine.sort_values(
+        sort_cols, kind="mergesort", na_position="first"
+    ).reset_index(drop=True)
+
+    out: dict = {"agg": pa.array(fine["agg"].astype(str),
+                                 type=pa.string())}
+    for kc in key_cols:
+        kind = kind_of[kc]
+        if kind == "date_histogram":
+            v = fine[kc].to_numpy(dtype=np.float64)
+            out[kc] = pa.array(
+                [None if x != x else
+                 np.int64(x).astype("datetime64[us]") for x in v],
+                type=pa.timestamp("us"))
+        elif kind == "histogram":
+            v = fine[kc].to_numpy(dtype=np.float64)
+            out[kc] = pa.array(
+                [None if x != x else float(x) for x in v],
+                type=pa.float64())
+        else:
+            out[kc] = pa.array(
+                [None if x is None else str(x) for x in fine[kc]],
+                type=pa.string())
+    out["doc_count"] = pa.array(
+        fine["doc_count"].to_numpy().astype(np.int64))
+    owner_of = {m[0]: n["name"] for n in nodes for m in n["metrics"]}
+    for mname, op, _f in all_metrics:
+        mine = (fine["agg"] == owner_of[mname]).to_numpy()
+        if op == "value_count":
+            v = fine[f"{mname}__cnt"].to_numpy(dtype=np.float64)
+            out[mname] = pa.array(
+                [int(x) if keep_ and x == x else None
+                 for x, keep_ in zip(v, mine)], type=pa.int64())
+        elif op == "sum":
+            v = trunc6(fine[f"{mname}__sum"].to_numpy(dtype=np.float64))
+            out[mname] = pa.array(
+                [float(x) if keep_ and x == x else None
+                 for x, keep_ in zip(v, mine)], type=pa.float64())
+        elif op == "avg":
+            s = trunc6(fine[f"{mname}__sum"].to_numpy(dtype=np.float64))
+            n = fine[f"{mname}__n"].to_numpy(dtype=np.float64)
+            vals = trunc6(np.where(n > 0, s / np.where(n > 0, n, 1),
+                                   np.nan))
+            out[mname] = pa.array(
+                [float(x) if keep_ and x == x else None
+                 for x, keep_ in zip(vals, mine)], type=pa.float64())
+        else:  # min / max
+            v = trunc6(fine[f"{mname}__{op}"].to_numpy(dtype=np.float64))
+            out[mname] = pa.array(
+                [float(x) if keep_ and x == x else None
+                 for x, keep_ in zip(v, mine)], type=pa.float64())
     return pa.table(out)

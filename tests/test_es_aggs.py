@@ -711,3 +711,212 @@ def test_missing_agg_null_and_empty(ray_session):
         "u": 2, "a": 1, "t": 0,
     }
     assert list(out["role"]) == ["a", "t", "u"]  # sorted
+
+
+def test_agg_tree_fanout_hand_computed(ray_session):
+    """Tree with SIBLING sub-aggs, a metric at an interior level, and
+    a top-level metric — the full ES request-body shape the path
+    executor refuses."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree, agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "a", "b", "b", "c"],
+            "v": pa.array([1.0, 2.0, 11.0, 5.0, 15.0, 99.0]),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 2},
+            "aggs": {
+                "s_k": {"sum": {"field": "v"}},  # interior metric
+                "by_bin": {
+                    "histogram": {"field": "v", "interval": 10.0},
+                    "aggs": {"s_b": {"sum": {"field": "v"}}},
+                },
+                "by_band": {  # SIBLING of by_bin
+                    "range": {"field": "v",
+                              "ranges": [[None, 10], [10, None]]},
+                    "aggs": {"c_r": {"value_count": {"field": "v"}}},
+                },
+            },
+        },
+        "total": {"value_count": {"field": "v"}},  # top-level metric
+    }
+    # the path executor refuses this shape
+    with pytest.raises(ValueError, match="sibling|deepest|a path"):
+        agg_tree(rd.from_arrow(t), spec)
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pydict()
+    # pre-order: _root, by_kind(a,b), by_bin(a0,a10,b0,b10), by_band
+    assert out["agg"] == ["_root", "by_kind", "by_kind",
+                          "by_bin", "by_bin", "by_bin", "by_bin",
+                          "by_band", "by_band", "by_band", "by_band"]
+    assert out["doc_count"] == [6, 3, 2, 2, 1, 1, 1, 2, 1, 1, 1]
+    assert out["total"] == [6] + [None] * 10
+    assert out["s_k"] == [None, 14.0, 20.0] + [None] * 8
+    assert out["s_b"] == [None] * 3 + [3.0, 11.0, 5.0, 15.0] + [None] * 4
+    assert out["c_r"] == [None] * 7 + [2, 1, 1, 1]
+    assert out["by_kind_key"] == [None, "a", "b", "a", "a", "b", "b",
+                                  "a", "a", "b", "b"]
+    assert out["by_band_key"] == [None] * 7 + ["*-10.0", "10.0-*",
+                                               "*-10.0", "10.0-*"]
+
+
+def test_agg_tree_fanout_matches_bruteforce_randomized(ray_session):
+    """Every node's grouping set vs an independent pandas oracle with
+    top-down terms pruning, on a randomized table with nulls and
+    overlapping ranges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    rng = np.random.default_rng(97)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "kind": rng.choice(["a", "b", "c", "d", None], size=n),
+            "grp": rng.choice(["x", "y", "z"], size=n),
+            "v": np.where(rng.random(n) < 0.1, np.nan,
+                          rng.random(n) * 100),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 2},
+            "aggs": {
+                "v_avg": {"avg": {"field": "v"}},
+                "by_band": {
+                    "range": {"field": "v",
+                              "ranges": [[None, 60], [40, None]]},
+                    "aggs": {
+                        "by_grp": {"terms": {"field": "grp",
+                                             "size": 2},
+                                   "aggs": {"v_min": {"min":
+                                                      {"field": "v"}}}},
+                    },
+                },
+            },
+        }
+    }
+    got = agg_tree_fanout(
+        rd.from_arrow(pa.Table.from_pandas(df)), spec
+    ).to_pandas()
+
+    # --- independent oracle -------------------------------------------
+    base = df[df["kind"].notna()]
+    top = (base.groupby("kind").size().reset_index(name="n")
+           .sort_values(["n", "kind"], ascending=[False, True]))
+    kept = set(top["kind"].head(2))
+    lvl1 = base[base["kind"].isin(kept)]
+    # node by_kind
+    g1 = got[got["agg"] == "by_kind"]
+    for k in kept:
+        rows = lvl1[lvl1["kind"] == k]
+        mine = g1[g1["by_kind_key"] == k]
+        assert int(mine["doc_count"].iloc[0]) == len(rows)
+        s = trunc6(np.array([rows["v"].sum()]))[0]
+        want = trunc6(np.array([s / rows["v"].notna().sum()]))[0]
+        assert mine["v_avg"].iloc[0] == want
+    # node by_band: overlapping ranges — each doc in every matching band
+    g2 = got[got["agg"] == "by_band"]
+    bands = {"*-60.0": lambda v: v < 60, "60.0-*": None,
+             "40.0-*": lambda v: v >= 40}
+    exp_rows = []
+    for k in kept:
+        sub = lvl1[lvl1["kind"] == k]
+        for bk, pred in (("*-60.0", lambda v: v < 60),
+                         ("40.0-*", lambda v: v >= 40)):
+            m = sub[pred(sub["v"]) & sub["v"].notna()]
+            exp_rows.append((k, bk, len(m)))
+    for k, bk, cnt in exp_rows:
+        mine = g2[(g2["by_kind_key"] == k) & (g2["by_band_key"] == bk)]
+        assert int(mine["doc_count"].iloc[0]) == cnt, (k, bk)
+    assert len(g2) == len(exp_rows)
+    # node by_grp: terms size=2 PER (kind, band) parent bucket, ranked
+    # on the per-path doc_count (post range expansion)
+    g3 = got[got["agg"] == "by_grp"]
+    for k, bk, _ in exp_rows:
+        sub = lvl1[(lvl1["kind"] == k) & lvl1["v"].notna()]
+        sub = sub[sub["v"] < 60] if bk == "*-60.0" else sub[sub["v"] >= 40]
+        r = (sub.groupby("grp").size().reset_index(name="n")
+             .sort_values(["n", "grp"], ascending=[False, True]).head(2))
+        mine = g3[(g3["by_kind_key"] == k) & (g3["by_band_key"] == bk)]
+        assert sorted(mine["by_grp_key"]) == sorted(r["grp"]), (k, bk)
+        for _, row in r.iterrows():
+            got_n = mine[mine["by_grp_key"] == row["grp"]]
+            assert int(got_n["doc_count"].iloc[0]) == row["n"]
+            want_min = trunc6(np.array(
+                [sub[sub["grp"] == row["grp"]]["v"].min()]))[0]
+            assert got_n["v_min"].iloc[0] == want_min
+
+
+def test_agg_tree_fanout_path_spec_matches_agg_tree(ray_session):
+    """On a pure-path spec the fanout executor's deepest grouping set
+    equals the path executor's output (same keys, counts, metrics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree, agg_tree_fanout
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.Table.from_pandas(pd.DataFrame(
+        {
+            "kind": rng.choice(["a", "b", "c", "d"], size=n),
+            "v": rng.random(n) * 100,
+        }
+    ))
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 3},
+            "aggs": {
+                "by_bin": {
+                    "histogram": {"field": "v", "interval": 25.0},
+                    "aggs": {"s": {"sum": {"field": "v"}},
+                             "a": {"avg": {"field": "v"}},
+                             "m": {"min": {"field": "v"}},
+                             "x": {"max": {"field": "v"}},
+                             "c": {"value_count": {"field": "v"}}},
+                }
+            },
+        }
+    }
+    path = agg_tree(rd.from_arrow(t), spec).to_pandas()
+    fan = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    leaf = (fan[fan["agg"] == "by_bin"]
+            .drop(columns=["agg"])
+            .sort_values(["by_kind_key", "by_bin_key"])
+            .reset_index(drop=True))
+    path = path.sort_values(["by_kind_key", "by_bin_key"]).reset_index(
+        drop=True)
+    assert list(leaf.columns) == list(path.columns)
+    for col in path.columns:
+        assert leaf[col].tolist() == path[col].tolist(), col
+
+
+def test_agg_tree_fanout_validates(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table({"k": ["a"], "v": [1.0]})
+    with pytest.raises(ValueError, match="unique"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "x": {"terms": {"field": "k"},
+                  "aggs": {"x": {"sum": {"field": "v"}}}}})
+    with pytest.raises(ValueError, match="neither"):
+        agg_tree_fanout(rd.from_arrow(t), {"x": {"median": {"field": "v"}}})
+    with pytest.raises(ValueError, match="empty"):
+        agg_tree_fanout(rd.from_arrow(t), {})
