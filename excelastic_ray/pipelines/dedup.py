@@ -785,18 +785,27 @@ def collect_shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
-def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
+def connected_components(pairs: pd.DataFrame, all_ids=None,
+                          pair_budget: int = 100_000_000) -> pd.DataFrame:
     """Union-find over verified duplicate pairs → (doc_id, rep) with rep
     = min id of the component.
 
     DRIVER BUDGET: runs on the driver over the VERIFIED pair frame —
     fine up to ~10⁸ pairs (a few GB). Verified pairs are usually far
     smaller than candidates (precision-1 after verify_jaccard), but a
-    dup-heavy crawl can exceed the budget; the distributed fallback is
-    iterative hash-partitioned min-label propagation (repeat: key by
-    node, take min rep of neighbors, until fixpoint — O(log n) bucket
-    joins of the same shape verify_jaccard already uses). Not built
-    because every in-repo caller consumes verified pairs."""
+    dup-heavy crawl can exceed the budget, so the gate below REFUSES
+    loudly (the repo-standard count-then-refuse pattern — keywords
+    ``df_budget``, bpe_train/dsir vocab gates) instead of silently
+    materializing: the scale path is ``cc_labels_distributed``
+    (min-label propagation + pointer jumping over the pair Dataset,
+    same output schema)."""
+    if len(pairs) > pair_budget:
+        raise ValueError(
+            f"connected_components: {len(pairs)} pairs exceed the "
+            f"driver pair_budget ({pair_budget}); use "
+            "cc_labels_distributed on the pair Dataset (same "
+            "(doc_id, rep) output) instead of a driver union-find"
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -2242,3 +2242,17 @@ def test_nb_langid_empty_vocab_scores_floor(ray_session):
     ).to_pandas()
     assert out["n"].sum() == 1
     assert set(out["lang_true"]) == {"en"}
+
+
+def test_connected_components_pair_budget_refuses():
+    """Driver union-find refuses loudly over the pair budget and
+    points at the distributed path (count-then-refuse pattern)."""
+    import pytest
+
+    from excelastic_ray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+    with pytest.raises(ValueError, match="cc_labels_distributed"):
+        connected_components(pairs, pair_budget=2)
+    out = connected_components(pairs, pair_budget=3)
+    assert out["rep"].tolist() == [1, 1, 1, 1]
