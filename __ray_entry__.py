@@ -312,6 +312,16 @@ PHRASE_QUERIES = [
     ("p5", "value"),
 ]
 
+# reordered/transposed variants exercise the move-budget rule's
+# ES-visible difference (reordered terms match within the width budget)
+LUCENE_PHRASE_QUERIES = [
+    ("lp1", "hash table"),
+    ("lp2", "batch hash slow"),
+    ("lp3", "scan filter part"),
+    ("lp4", "table hash"),
+    ("lp5", "value"),
+]
+
 #: match_phrase_prefix set (search-as-you-type): the LAST token is a
 #: prefix — a multi-expansion one (sc → scan), a unique one, a pure
 #: prefix-only query, and an absent prefix.
@@ -934,6 +944,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "turn_idx": t["turn_idx"],
                         "score": pa.array(
                             trunc6(t["score"].to_numpy()), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_slop_lucene(sf_dir):
+        # opt-in Lucene move-budget sloppy phrase (slop_mode="lucene"):
+        # transposed terms match within the width budget, unlike the
+        # windowed in-order default
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in LUCENE_PHRASE_QUERIES:
+            t = eng.search_phrase(q, 10, slop=2, slop_mode="lucene")
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64()
                         ),
                     }
                 )
@@ -2674,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
+        "bm25_slop_lucene": q_bm25_slop_lucene,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25_synonym_topk": q_bm25_synonym_topk,
         "bm25_search_after": q_bm25_search_after,
@@ -3879,6 +3919,67 @@ def _phrase_sql(slop: int = 0) -> str:
                     THEN len(list_filter({rng},
                                          i -> {cond}))
                     ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+)"""
+        )
+        selects.append(
+            f"""SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM (
+    SELECT '{qid}' AS query_id, m.conv_id, m.turn_idx,
+           ln(1 + (s.n - CAST(d.d AS DOUBLE) + 0.5)
+                  / (CAST(d.d AS DOUBLE) + 0.5))
+           * m.ptf * 2.2
+           / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) AS raw
+    FROM m_{qid} m
+    CROSS JOIN stats s
+    CROSS JOIN (SELECT count(*) AS d FROM m_{qid}) d
+)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, conv_id, turn_idx) <= 10"""
+        )
+    return (
+        _BASE
+        + ",\ndl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),\n"
+        + "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n"
+        + "                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _phrase_lucene_sql(slop: int) -> str:
+    """bm25_slop_lucene twin: the move-budget (Lucene SloppyPhrase)
+    rule. An anchor i (a first-term position) is valid when some
+    window start m ∈ [i−slop, i] has every term j's occurrence set
+    hitting token positions [m+j, m+j+slop] — the positions-CTE
+    encoding of width = max(p_j − j) − min(p_j − j) ≤ slop (term 0's
+    own check is implied by m ≤ i ≤ m+slop). ptf = valid-anchor
+    count; scoring = the single-pseudo-term BM25 of _phrase_sql.
+    Queries avoid repeated terms (the engine's documented
+    repeated-term deviation is pytest-pinned, not gate-exercised)."""
+    ctes, selects = [], []
+    for qid, q in LUCENE_PHRASE_QUERIES:
+        terms = q.lower().split()
+        inner = " AND ".join(
+            f"len(list_filter(range(0, {slop + 1}), "
+            f"w -> m + {j} + w >= 1 AND m + {j} + w <= len(toks) "
+            f"AND toks[m + {j} + w] = '{t}')) > 0"
+            for j, t in enumerate(terms[1:], start=1)
+        ) or "TRUE"
+        cond = (
+            f"toks[i] = '{terms[0]}' AND "
+            f"len(list_filter(range(i - {slop}, i + 1), "
+            f"m -> {inner})) > 0"
+        )
+        ctes.append(
+            f"""m_{qid} AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               len(list_filter(range(1, len(toks) + 1),
+                               i -> {cond})) AS ptf
         FROM base
     ) WHERE ptf > 0
 )"""
@@ -5436,6 +5537,7 @@ GROUP BY 1, 2
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),
+        "bm25_slop_lucene": _phrase_lucene_sql(slop=2),
         "bm25_field_topk": _field_sql(),
         "bm25_best_fields": _best_fields_sql(0.3),
         "bm25_fuzzy_topk": _fuzzy_sql(),

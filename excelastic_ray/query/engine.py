@@ -481,27 +481,31 @@ class ShardSearcher:
         return out
 
     def phrase_count(self, terms: list[str], slop: int = 0,
-                     field: str | None = None) -> int:
+                     field: str | None = None,
+                     slop_mode: str = "windowed") -> int:
         """Phase 1 of phrase scoring: compute + cache this shard's
         phrase matches, return only their count (the phrase-df partial).
         The match set stays shard-local so the driver never receives
         more than counts + k-sized results."""
-        key = (tuple(terms), slop, field)
-        m = self.phrase_matches(terms, slop, field)
+        key = (tuple(terms), slop, field, slop_mode)
+        m = self.phrase_matches(terms, slop, field, slop_mode)
         self._phrase_cache = (key, m)
         return len(m[0])
 
     def phrase_topk(self, terms: list[str], p_idf: float, avgdl: float,
                     k: int, slop: int = 0,
-                    field: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+                    field: str | None = None,
+                    slop_mode: str = "windowed"
+                    ) -> tuple[np.ndarray, np.ndarray]:
         """Phase 2: score the cached matches with the now-known global
         phrase idf, return this shard's top-k only."""
-        key = (tuple(terms), slop, field)
+        key = (tuple(terms), slop, field, slop_mode)
         cached = getattr(self, "_phrase_cache", None)
         if cached is not None and cached[0] == key:
             docids, ptfs, dls = cached[1]
         else:
-            docids, ptfs, dls = self.phrase_matches(terms, slop, field)
+            docids, ptfs, dls = self.phrase_matches(terms, slop, field,
+                                                    slop_mode)
         if not len(docids):
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         sc = contribution(
@@ -786,23 +790,43 @@ class ShardSearcher:
         return docids[order], sc[order]
 
     def phrase_matches(self, terms: list[str], slop: int = 0,
-                       field: str | None = None) -> tuple[np.ndarray, ...]:
+                       field: str | None = None,
+                       slop_mode: str = "windowed"
+                       ) -> tuple[np.ndarray, ...]:
         """Docs matching the phrase → (docids, ptf, dl) where ptf =
         number of distinct match anchors. ``slop=0`` is exact adjacency
-        (match_phrase); ``slop=s`` is the windowed in-order relaxation:
-        an anchor a (a position of the FIRST term) matches when every
-        later term j occurs somewhere in [a+j, a+j+s] — each term may
-        trail its exact slot by at most s positions. (Documented
-        deviation from Lucene's SloppyPhraseScorer, whose slop is a
-        move-budget shared across terms with transpositions; this
-        windowed form is deterministic and SQL-twinnable.)
+        (match_phrase); ``slop=s`` relaxes it per ``slop_mode``:
+
+        - ``"windowed"`` (default): the in-order relaxation — an
+          anchor a (a position of the FIRST term) matches when every
+          later term j occurs somewhere in [a+j, a+j+s] — each term
+          may trail its exact slot by at most s positions. (Documented
+          deviation from Lucene's SloppyPhraseScorer; deterministic
+          and SQL-twinnable.)
+        - ``"lucene"``: the Lucene move-budget rule — pick one
+          occurrence p_j per term; the match width is
+          max_j(p_j − j) − min_j(p_j − j) and the doc matches when
+          some assignment has width ≤ s. Equivalent form used here:
+          ∃ window start m with every term's ADJUSTED position set
+          {p − j} intersecting [m, m+s]. Reordered terms match
+          ("b a"~2 matches "a b", as in ES); an anchor (a first-term
+          occurrence) counts toward ptf when some valid window
+          contains its adjusted position. Documented deviation for
+          REPEATED query terms: doc-level multiplicity is enforced
+          (a doc needs tf ≥ the term's query multiplicity) but
+          assignment-level occurrence-distinctness inside one window
+          is not (Lucene would reject a window whose repeated terms
+          reuse one occurrence); pinned in pytest.
 
         Encoding trick, generalized: term j's occurrence at position p
         emits candidate-anchor keys ord*M + (p - j - d + L + s) for
-        d in 0..s (the first term emits its own position only); a match
-        anchor survives the intersection of all terms' key sets (M
-        bounds the shifted positions so keys can't collide across
-        docs)."""
+        d in 0..s (in windowed mode the first term emits its own
+        position only; in lucene mode EVERY term fans — keys are then
+        window STARTS m); a match anchor/window survives the
+        intersection of all terms' key sets (M bounds the shifted
+        positions so keys can't collide across docs)."""
+        if slop_mode not in ("windowed", "lucene"):
+            raise ValueError("slop_mode must be 'windowed' or 'lucene'")
         empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                  np.zeros(0, np.float64))
         if field is None:
@@ -835,15 +859,24 @@ class ShardSearcher:
         # identical (non-candidates can never survive the key
         # intersection); the restriction is one searchsorted + flat
         # gather per term.
+        mult: dict[int, int] = {}
+        if slop_mode == "lucene":
+            for i in idxs:
+                mult[i] = mult.get(i, 0) + 1
         cand = None
         for i in idxs:
-            ids, _ = self.decoded(i)
+            ids, tfs_c = self.decoded(i)
+            if mult.get(i, 1) > 1:
+                # repeated query term: the doc needs at least that
+                # many occurrences (doc-level multiplicity)
+                ids = ids[tfs_c >= mult[i]]
             cand = ids if cand is None else np.intersect1d(
                 cand, ids, assume_unique=True
             )
             if not len(cand):
                 return empty
         inter = None
+        anchor_base = anchor_adj = None
         for j, i in enumerate(idxs):
             ids, tfs = self.decoded(i)  # LRU-cached, read-only
             pos = self.positions_of(i, tfs)
@@ -861,7 +894,10 @@ class ShardSearcher:
             else:
                 pos_j = pos
                 base = np.repeat(ids, tfs) * M
-            if j == 0 or slop == 0:
+            if slop_mode == "lucene" and j == 0:
+                anchor_base, anchor_adj = base, pos_j
+            fan = (j != 0 if slop_mode == "windowed" else True)
+            if slop == 0 or not fan:
                 keys = base + (pos_j - j + L + slop)
             else:
                 keys = np.unique(
@@ -875,8 +911,20 @@ class ShardSearcher:
             )
             if not len(inter):
                 return empty
-        ords = (inter // M).astype(np.int64)
-        uniq, counts = np.unique(ords, return_counts=True)
+        if slop_mode == "lucene" and slop > 0:
+            # ptf = first-term occurrences whose adjusted position
+            # lies inside SOME valid window [m, m+slop]: any window
+            # start in [a−slop, a] — a key range scan per anchor over
+            # the sorted intersection
+            lo = anchor_base + (anchor_adj + L)          # m = a − slop
+            hi = anchor_base + (anchor_adj + L + slop)   # m = a
+            has = (np.searchsorted(inter, lo, side="left")
+                   < np.searchsorted(inter, hi, side="right"))
+            ords_a = (anchor_base[has] // M).astype(np.int64)
+            uniq, counts = np.unique(ords_a, return_counts=True)
+        else:
+            ords = (inter // M).astype(np.int64)
+            uniq, counts = np.unique(ords, return_counts=True)
         return (
             self.docids[uniq],
             counts.astype(np.int64),
@@ -1253,13 +1301,14 @@ class ShardSearcher:
             # re-match when compile just counted this shard
             acc = np.zeros(n)
             match = np.zeros(n, dtype=bool)
-            key = (tuple(node["terms"]), node["slop"], None)
+            pmode = node.get("slop_mode", "windowed")
+            key = (tuple(node["terms"]), node["slop"], None, pmode)
             cached = getattr(self, "_phrase_cache", None)
             if cached is not None and cached[0] == key:
                 docids, ptfs, dls = cached[1]
             else:
                 docids, ptfs, dls = self.phrase_matches(
-                    node["terms"], node["slop"]
+                    node["terms"], node["slop"], None, pmode
                 )
             if len(docids):
                 ords = np.searchsorted(self.docids, docids)
@@ -3470,7 +3519,7 @@ class QueryEngine:
         the whole corpus."""
         r = self.reader
         terms: set[str] = set()
-        phrases: set[tuple[tuple[str, ...], int]] = set()
+        phrases: set[tuple[tuple[str, ...], int, str]] = set()
         expansions: dict[tuple, list[str]] = {}
 
         def expand_spec(op, body) -> tuple[str, int]:
@@ -3516,17 +3565,24 @@ class QueryEngine:
                 )
             return toks[0]
 
-        def phrase_spec(body) -> tuple[tuple[str, ...], int]:
+        def phrase_spec(body) -> tuple[tuple[str, ...], int, str]:
             if isinstance(body, str):
-                q, slop = body, 0
+                q, slop, mode = body, 0, "windowed"
             elif isinstance(body, dict) and set(body) <= {"query",
-                                                          "slop"}:
+                                                          "slop",
+                                                          "slop_mode"}:
                 q, slop = body["query"], int(body.get("slop", 0))
+                mode = body.get("slop_mode", "windowed")
+                if mode not in ("windowed", "lucene"):
+                    raise ValueError(
+                        "slop_mode must be 'windowed' or 'lucene'"
+                    )
             else:
                 raise ValueError(
-                    "phrase takes a string or {'query', 'slop'}"
+                    "phrase takes a string or {'query', 'slop', "
+                    "'slop_mode'}"
                 )
-            return tuple(self._tok_ordered(q)), slop
+            return tuple(self._tok_ordered(q)), slop, mode
 
         def collect(node) -> None:
             if not isinstance(node, dict) or len(node) != 1:
@@ -3613,24 +3669,26 @@ class QueryEngine:
         # query-dependent global stat: phase-1 counts per shard, the
         # search_phrase shape (shards cache their matches for eval)
         phrase_idf: dict = {}
-        for pterms, pslop in sorted(phrases):
+        for pterms, pslop, pmode in sorted(phrases):
             if not pterms:
                 continue
             if self._actors is not None:
                 import ray
 
                 counts = ray.get(
-                    [a.phrase_count.remote(list(pterms), pslop, None)
+                    [a.phrase_count.remote(list(pterms), pslop, None,
+                                           pmode)
                      for a in self._actors]
                 )
             else:
                 counts = [
-                    r.searcher(s).phrase_count(list(pterms), pslop, None)
+                    r.searcher(s).phrase_count(list(pterms), pslop,
+                                               None, pmode)
                     for s in range(r.num_shards)
                 ]
             dfp = int(sum(counts))
             if dfp:
-                phrase_idf[(pterms, pslop)] = idf(r.n_docs, dfp)
+                phrase_idf[(pterms, pslop, pmode)] = idf(r.n_docs, dfp)
 
         def build(node) -> dict:
             op, body = next(iter(node.items()))
@@ -3658,12 +3716,13 @@ class QueryEngine:
                 return {"op": "match",
                         "terms": [(t, idf_map[t]) for t in live]}
             if op == "phrase":
-                pterms, pslop = phrase_spec(body)
-                p_idf = phrase_idf.get((pterms, pslop))
+                pterms, pslop, pmode = phrase_spec(body)
+                p_idf = phrase_idf.get((pterms, pslop, pmode))
                 if p_idf is None:
                     return {"op": "none"}
                 return {"op": "phrase", "terms": list(pterms),
-                        "slop": pslop, "idf": p_idf}
+                        "slop": pslop, "slop_mode": pmode,
+                        "idf": p_idf}
             if op == "term":
                 t = term_token(body)
                 if t not in idf_map:
@@ -4647,10 +4706,13 @@ class QueryEngine:
         return self._result_table(docids, scores)
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
-                      field: str | None = None):
+                      field: str | None = None,
+                      slop_mode: str = "windowed"):
         """match_phrase: docs where the query terms appear consecutively
         (``slop`` relaxes each later term's slot by up to ``slop``
-        positions — the windowed in-order sloppy-phrase semantics, see
+        positions — the windowed in-order sloppy-phrase semantics by
+        default; ``slop_mode="lucene"`` opts into Lucene's move-budget
+        rule where reordered terms match, e.g. "b a"~2 — see
         ShardSearcher.phrase_matches). ``field`` scopes the phrase to a
         per-field stream (Kibana ``field:"exact phrase"``) with that
         field's own positions, dl and avgdl; None = the catch-all
@@ -4682,7 +4744,7 @@ class QueryEngine:
                 import ray
 
                 counts = ray.get(
-                    [a.phrase_count.remote(terms, slop, field)
+                    [a.phrase_count.remote(terms, slop, field, slop_mode)
                      for a in self._actors]
                 )
                 df_phrase = int(sum(counts))
@@ -4691,7 +4753,7 @@ class QueryEngine:
                     parts = ray.get(
                         [
                             a.phrase_topk.remote(terms, p_idf, avgdl, k,
-                                                 slop, field)
+                                                 slop, field, slop_mode)
                             for a in self._actors
                         ]
                     )
@@ -4699,12 +4761,14 @@ class QueryEngine:
             else:
                 searchers = [r.searcher(s) for s in range(r.num_shards)]
                 df_phrase = sum(
-                    s.phrase_count(terms, slop, field) for s in searchers
+                    s.phrase_count(terms, slop, field, slop_mode)
+                    for s in searchers
                 )
                 if df_phrase:
                     p_idf = idf(r.n_docs, df_phrase)
                     parts = [
-                        s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
+                        s.phrase_topk(terms, p_idf, avgdl, k, slop,
+                                      field, slop_mode)
                         for s in searchers
                     ]
                     docids, scores = _merge_shard_topk(parts, k)
@@ -5778,13 +5842,16 @@ class ShardActor:
         )
 
     def phrase_count(self, terms: list[str], slop: int = 0,
-                     field: str | None = None) -> int:
-        return sum(s.phrase_count(terms, slop, field)
+                     field: str | None = None,
+                     slop_mode: str = "windowed") -> int:
+        return sum(s.phrase_count(terms, slop, field, slop_mode)
                    for s in self.searchers)
 
     def phrase_topk(self, terms, p_idf, avgdl, k, slop: int = 0,
-                    field: str | None = None):
-        parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop, field)
+                    field: str | None = None,
+                    slop_mode: str = "windowed"):
+        parts = [s.phrase_topk(terms, p_idf, avgdl, k, slop, field,
+                               slop_mode)
                  for s in self.searchers]
         return _merge_shard_topk(parts, k)
 

@@ -353,3 +353,177 @@ def test_span_not_brute_force(ray_session, tiny_index, tiny_table):
         via_actor = actor_eng.search_span_not(hot[0], exc, dist=dist,
                                               k=10**6)
         assert via_actor.equals(got)
+
+
+def _lucene_anchors(toks: list[str], terms: list[str], slop: int) -> int:
+    """Reference move-budget anchor count: a first-term occurrence at
+    position a counts when some window start m in [a-slop, a] has
+    every term j's ADJUSTED position set {p - j} intersecting
+    [m, m + slop] (the engine's documented equivalent of Lucene's
+    width = max(p_j - j) - min(p_j - j) <= slop rule, with doc-level
+    multiplicity for repeated terms)."""
+    from collections import Counter
+
+    mult = Counter(terms)
+    cnt = Counter(toks)
+    if any(cnt[t] < m for t, m in mult.items()):
+        return 0
+    adj = [
+        [p - j for p, t in enumerate(toks) if t == tj]
+        for j, tj in enumerate(terms)
+    ]
+    if any(not a for a in adj):
+        return 0
+    n = 0
+    for a in adj[0]:
+        ok = any(
+            all(any(m <= x <= m + slop for x in adj_j) for adj_j in adj)
+            for m in range(a - slop, a + 1)
+        )
+        if ok:
+            n += 1
+    return n
+
+
+def _oracle_scores_lucene(table, terms, slop):
+    rows = []
+    toks_all = [tokenize(t) for t in table["text"].to_pylist()]
+    N = len(toks_all)
+    dls = [len(t) for t in toks_all]
+    avgdl = sum(dls) / N
+    matches = []
+    for key, toks, dl in zip(
+        zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist()),
+        toks_all, dls,
+    ):
+        ptf = _lucene_anchors(toks, terms, slop)
+        if ptf:
+            matches.append((key, ptf, dl))
+    df = len(matches)
+    if not df:
+        return []
+    p_idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    for key, ptf, dl in matches:
+        s = p_idf * (ptf * 2.2) / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        rows.append(((key[0], int(key[1])), s))
+    rows.sort(key=lambda kv: (-kv[1], kv[0]))
+    return rows
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("the the", 1), ("call run", 2), ("run call", 2), ("the a of", 2),
+    ("ok the", 3), ("a the", 1),
+])
+def test_lucene_slop_matches_bruteforce(sl, phrase, slop):
+    eng, table = sl
+    terms = phrase.split()
+    exp = _oracle_scores_lucene(table, terms, slop)
+    got = eng.search_phrase(phrase, k=len(exp) + 5, slop=slop,
+                            slop_mode="lucene")
+    assert got.num_rows == len(exp), phrase
+    assert (
+        list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+        == [k for k, _ in exp]
+    )
+    for g, (_, e) in zip(got["score"].to_pylist(), exp):
+        assert g == pytest.approx(e, abs=1e-12)
+
+
+def test_lucene_slop_divergence_pinned(ray_session, tmp_path):
+    """The ES-visible divergence: '"b a"~2' matches a doc containing
+    'a b' under Lucene's move-budget rule (width 2) but NOT under the
+    windowed in-order default; '"b a"~1' matches under neither."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": ["user", "user"],
+            "text": ["alpha beta gamma", "zeta eta theta"],
+            "tool": ["", ""],
+            "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t), idx, CFG, clear=True)
+    eng = QueryEngine(idx)
+    # transposed phrase, slop 2: lucene matches, windowed does not
+    assert eng.search_phrase("beta alpha", slop=2).num_rows == 0
+    lc = eng.search_phrase("beta alpha", slop=2, slop_mode="lucene")
+    assert lc["conv_id"].to_pylist() == ["c0"]
+    # slop 1 is below the transposition's width of 2: neither matches
+    assert eng.search_phrase("beta alpha", slop=1).num_rows == 0
+    assert eng.search_phrase("beta alpha", slop=1,
+                             slop_mode="lucene").num_rows == 0
+    # in-order phrases agree bit-for-bit at slop=0 in both modes
+    a = eng.search_phrase("alpha beta", slop=0)
+    b = eng.search_phrase("alpha beta", slop=0, slop_mode="lucene")
+    assert a.equals(b) and a.num_rows == 1
+    with pytest.raises(ValueError, match="slop_mode"):
+        eng.search_phrase("alpha beta", slop=1, slop_mode="exactish")
+
+
+def test_lucene_slop_repeated_terms_deviation(ray_session, tmp_path):
+    """Doc-level multiplicity is enforced (a single 'x' can never
+    match 'x x'); the documented deviation — one occurrence serving
+    two repeated terms inside a window when the doc holds the
+    multiplicity elsewhere — is pinned so a future fix shows up."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": ["user", "user"],
+            # c0: one 'dup' only; c1: two far-apart 'dup's
+            "text": ["dup alone here", "dup one two three four dup"],
+            "tool": ["", ""],
+            "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t), idx, CFG, clear=True)
+    eng = QueryEngine(idx)
+    got = eng.search_phrase("dup dup", slop=1, slop_mode="lucene")
+    # c0 excluded by the multiplicity gate; c1 matches HERE although
+    # Lucene proper would reject it (its two dups are 5 apart — the
+    # window reuses one occurrence for both terms): the pinned corner
+    assert got["conv_id"].to_pylist() == ["c1"]
+
+
+def test_lucene_slop_actor_parity(sl, ray_session):
+    eng, _ = sl
+    actors = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actors.search_phrase("run call", k=12, slop=2,
+                                 slop_mode="lucene")
+        b = eng.search_phrase("run call", k=12, slop=2,
+                              slop_mode="lucene")
+        assert a.equals(b)
+    finally:
+        actors.close()
+
+
+def test_lucene_slop_dsl_leaf(sl):
+    """{'phrase': {'query', 'slop', 'slop_mode'}} composes in the DSL
+    and equals the dedicated API bit-for-bit (same idf convention)."""
+    eng, _ = sl
+    api = eng.search_phrase("run call", k=15, slop=2,
+                            slop_mode="lucene")
+    dsl = eng.search_dsl({"phrase": {"query": "run call", "slop": 2,
+                                     "slop_mode": "lucene"}}, k=15)
+    assert api.num_rows == dsl.num_rows > 0
+    assert api["docid"].to_pylist() == dsl["docid"].to_pylist()
+    assert api["score"].to_pylist() == dsl["score"].to_pylist()
+    # default mode untouched: omitting slop_mode == windowed
+    w_api = eng.search_phrase("call run", k=15, slop=2)
+    w_dsl = eng.search_dsl({"phrase": {"query": "call run",
+                                       "slop": 2}}, k=15)
+    assert w_api["docid"].to_pylist() == w_dsl["docid"].to_pylist()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="slop_mode"):
+        eng.search_dsl({"phrase": {"query": "a", "slop_mode": "x"}}, k=5)
