@@ -279,6 +279,16 @@ SUGGEST_TEXT = "tabel windo scann zzzzzzzz valu"
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
 
+# phrase suggester ("did you mean" over the whole phrase): misspelled
+# multi-term inputs whose corrections are real corpus bigrams
+PHRASE_SUGGEST_QUERIES = [
+    ("ps1", "tabel hash"),
+    ("ps2", "slow hashh batch"),
+    ("ps3", "valu scann"),
+]
+PHRASE_SUGGEST_CANDS = 3
+PHRASE_SUGGEST_TOPK = 5
+
 #: more_like_this sources: (query_id, conv_id, turn_idx) of stored docs
 #: (doc_ids 1, 42, 137 under the documents-derived corpus — all present
 #: from sf0.001 up), with the top-10 characteristic terms per source.
@@ -1173,6 +1183,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SUGGEST_TEXT, max_edits=SUGGEST_MAX_EDITS,
             max_suggestions=SUGGEST_N,
         )
+
+    def q_suggest_phrase(sf_dir):
+        # ES phrase suggester: term-suggester candidates per slot,
+        # re-ranked by the add-one bigram corpus LM read off the index
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in PHRASE_SUGGEST_QUERIES:
+            t = eng.suggest_phrase(
+                q, max_edits=SUGGEST_MAX_EDITS,
+                max_term_candidates=PHRASE_SUGGEST_CANDS,
+                max_suggestions=PHRASE_SUGGEST_TOPK,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "rank": t["rank"],
+                        "suggestion": t["suggestion"],
+                        "score": t["score"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def q_more_like_this(sf_dir):
         import pyarrow as pa
@@ -2726,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": q_bm25_explain,
         "bm25_highlight": q_bm25_highlight,
         "suggest_terms": q_suggest_terms,
+        "suggest_phrase": q_suggest_phrase,
         "more_like_this": q_more_like_this,
         "bm25_collapse": q_bm25_collapse,
         "bm25_best_fields": q_bm25_best_fields,
@@ -4468,6 +4507,91 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
     )
 
 
+def _suggest_phrase_sql() -> str:
+    """Phrase-suggester twin: per input phrase, slot candidates = the
+    original token (when indexed) + its PHRASE_SUGGEST_CANDS closest
+    dictionary terms (distance ASC, df DESC, term ASC — the term
+    suggester's ordering); the slot cross product scores by the
+    add-one bigram LM over the SAME analyzed token stream —
+    ln((ctf(w1)+1)/(T+1)) + Σ ln((adj+1)/(ctf+1)) — summed in slot
+    order so the doubles equal the engine's bit-for-bit. Identity
+    suggestion excluded; rank on the trunc6'd score, ties suggestion
+    ASC."""
+    ctes = [
+        """tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS t FROM base)""",
+        """ctf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term
+)""",
+        """df AS (
+    SELECT term, count(*) AS df FROM (
+        SELECT conv_id, turn_idx, term, count(*) AS tf
+        FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+        GROUP BY conv_id, turn_idx, term
+    ) GROUP BY term
+)""",
+        """adj AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(toks[1:len(toks) - 1]) AS a,
+               unnest(toks[2:len(toks)]) AS b
+        FROM base WHERE len(toks) >= 2
+    ) GROUP BY a, b
+)""",
+    ]
+    selects = []
+    for qid, q in PHRASE_SUGGEST_QUERIES:
+        toks = q.lower().split()
+        for i, t in enumerate(toks):
+            ctes.append(
+                f"""cand_{qid}_{i} AS (
+    SELECT '{t}' AS cand
+    WHERE EXISTS (SELECT 1 FROM df WHERE term = '{t}')
+    UNION ALL
+    SELECT cand FROM (
+        SELECT df.term AS cand, levenshtein(df.term, '{t}') AS d,
+               CAST(df.df AS BIGINT) AS df
+        FROM df
+    )
+    WHERE d BETWEEN 1 AND {SUGGEST_MAX_EDITS}
+    QUALIFY row_number() OVER (ORDER BY d, df DESC, cand)
+        <= {PHRASE_SUGGEST_CANDS}
+)"""
+            )
+        froms = " CROSS JOIN ".join(
+            f"cand_{qid}_{i} c{i}" for i in range(len(toks))
+        )
+        ctf_of = (
+            lambda i: f"(COALESCE((SELECT c FROM ctf WHERE "
+            f"term = c{i}.cand), 0) + 1.0)"
+        )
+        score_terms = [f"ln({ctf_of(0)} / (tot.t + 1.0))"]
+        for i in range(len(toks) - 1):
+            score_terms.append(
+                f"ln((COALESCE((SELECT c FROM adj WHERE a = c{i}.cand "
+                f"AND b = c{i + 1}.cand), 0) + 1.0) / {ctf_of(i)})"
+            )
+        raw = "\n             + ".join(score_terms)
+        sugg = " || ' ' || ".join(f"c{i}.cand" for i in range(len(toks)))
+        selects.append(
+            f"""SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (
+           ORDER BY score DESC, suggestion) AS INTEGER) AS rank,
+       suggestion, score
+FROM (
+    SELECT {sugg} AS suggestion,
+           floor(({raw}) * 1000000 + 0.5) / 1000000 AS score
+    FROM {froms} CROSS JOIN tot
+)
+WHERE suggestion <> '{" ".join(toks)}'
+QUALIFY row_number() OVER (ORDER BY score DESC, suggestion)
+    <= {PHRASE_SUGGEST_TOPK}"""
+        )
+    return (
+        _BASE + ",\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def _mlt_sql() -> str:
     """more_like_this twin: per source doc, tokenize it, select its
     ``MLT_MAX_TERMS`` most characteristic terms by the engine's
@@ -5626,6 +5750,7 @@ FROM tf JOIN df USING (term)
         "bm25_explain": _explain_sql(),
         "bm25_highlight": _highlight_sql(),
         "suggest_terms": _suggest_sql(),
+        "suggest_phrase": _suggest_phrase_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_collapse": _collapse_sql(),
         "bm25_prefix_topk": _prefix_sql(),

@@ -255,6 +255,25 @@ class ShardSearcher:
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(self.df[i]) if (i := self.lookup(t)) >= 0 else 0 for t in terms]
 
+    def ctfs(self, terms: list[str]) -> list[int]:
+        """Collection term frequency (total occurrence count) per term
+        in this shard — the unigram counts of the phrase suggester's
+        corpus LM."""
+        out = []
+        for t in terms:
+            i = self.lookup(t)
+            out.append(int(self.decoded(i)[1].sum()) if i >= 0 else 0)
+        return out
+
+    def adj_counts(self, pairs: list[tuple[str, str]]) -> list[int]:
+        """Total adjacent-occurrence count per (a, b) bigram in this
+        shard (the sum of exact-phrase anchors over docs) — the bigram
+        counts of the phrase suggester's corpus LM."""
+        return [
+            int(self.phrase_matches([a, b], 0)[1].sum())
+            for a, b in pairs
+        ]
+
     def prefix_dfs(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
         """(terms, dfs) of the whole prefix range as ARRAY SLICES —
         zero per-term lookups (the completion suggester's hot path:
@@ -3975,6 +3994,144 @@ class QueryEngine:
             }
         )
 
+    def _global_ctfs(self, terms: list[str]) -> np.ndarray:
+        """Global collection term frequency per term (immutable-index
+        cached, like _global_dfs)."""
+        cache = getattr(self, "_ctf_cache", None)
+        if cache is None:
+            cache = self._ctf_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            r = self.reader
+            if self._actors is not None:
+                import ray
+
+                per = ray.get([a.ctfs.remote(missing)
+                               for a in self._actors])
+            else:
+                per = [r.searcher(s).ctfs(missing)
+                       for s in range(r.num_shards)]
+            totals = np.asarray(per, dtype=np.int64).sum(axis=0)
+            cache.update(zip(missing, totals.tolist()))
+        return np.asarray([cache[t] for t in terms], dtype=np.int64)
+
+    def _global_adj(self, pairs: list[tuple[str, str]]) -> np.ndarray:
+        """Global adjacent-bigram occurrence count per (a, b) pair."""
+        if not pairs:
+            return np.zeros(0, dtype=np.int64)
+        r = self.reader
+        if self._actors is not None:
+            import ray
+
+            per = ray.get([a.adj_counts.remote(pairs)
+                           for a in self._actors])
+        else:
+            per = [r.searcher(s).adj_counts(pairs)
+                   for s in range(r.num_shards)]
+        return np.asarray(per, dtype=np.int64).sum(axis=0)
+
+    def suggest_phrase(self, text: str, max_edits: int = 2,
+                       max_term_candidates: int = 3,
+                       max_suggestions: int = 5,
+                       prefix_length: int = 0,
+                       combo_budget: int = 20_000):
+        """ES ``phrase`` suggester ("did you mean" over the WHOLE
+        phrase): per analyzer token, candidates = the original term
+        (when indexed) plus its ``max_term_candidates`` closest
+        dictionary terms (the term suggester's deterministic ranking:
+        distance ASC, df DESC, term ASC); every slot combination is
+        re-ranked by an add-one bigram corpus LM read straight off the
+        index —
+
+            score = ln((ctf(w1)+1)/(T+1))
+                  + Σ_i ln((adj(w_i, w_{i+1})+1)/(ctf(w_i)+1))
+
+        with ctf = collection term frequency, adj = adjacent-occurrence
+        count (exact-phrase anchors), T = total indexed tokens. The
+        identity suggestion (== the analyzed input) is excluded like
+        the term suggester excludes self; ties break suggestion ASC on
+        the trunc6'd score. (Deviation from ES, documented: ES
+        re-ranks by a Stupid-Backoff LM with ``real_word_error_
+        likelihood`` discounting and optional collate queries; the
+        add-one bigram form is deterministic and SQL-twinnable.)
+
+        Scale shape: candidate stats are gathered in THREE batched
+        engine calls (dfs / ctfs / adj_counts over the distinct
+        candidate vocabulary and slot-adjacent pairs — never one RPC
+        per pair); the combo product is budget-gated with a loud
+        refusal. → pyarrow.Table (rank, suggestion, score)."""
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+
+        toks = self._tok_ordered(text)
+        if not toks:
+            raise ValueError("suggest_phrase needs at least one "
+                             "analyzer token")
+        slots: list[list[str]] = []
+        for t in toks:
+            best = self._fuzzy_union(t, max_edits, prefix_length)
+            cands = sorted(c for c, d in best.items() if d > 0)
+            ranked = []
+            if cands:
+                dfs_ = self._global_dfs(cands)
+                ranked = [
+                    c for c, _d, _f in sorted(
+                        zip(cands, (best[c] for c in cands),
+                            dfs_.tolist()),
+                        key=lambda x: (x[1], -x[2], x[0]),
+                    )[:max_term_candidates]
+                ]
+            orig = [t] if int(self._global_dfs([t])[0]) > 0 else []
+            slot = orig + ranked
+            slots.append(slot if slot else [t])
+        n_combos = int(np.prod([len(s) for s in slots]))
+        if n_combos > combo_budget:
+            raise ValueError(
+                f"suggest_phrase: {n_combos} candidate combinations "
+                f"exceed combo_budget={combo_budget}; lower "
+                "max_term_candidates or raise the budget"
+            )
+        vocab = sorted({c for s in slots for c in s})
+        ctf = dict(zip(vocab, self._global_ctfs(vocab).tolist()))
+        pairs = sorted({
+            (a, b)
+            for i in range(len(slots) - 1)
+            for a in slots[i] for b in slots[i + 1]
+        })
+        adj = dict(zip(pairs, self._global_adj(pairs).tolist()))
+        T = float(self.reader.manifest["total_dl"])
+
+        grids = np.indices([len(s) for s in slots]).reshape(
+            len(slots), -1)
+        uni0 = np.array([
+            np.log((ctf[c] + 1.0) / (T + 1.0)) for c in slots[0]
+        ])
+        score = uni0[grids[0]]
+        for i in range(len(slots) - 1):
+            bi = np.array([
+                [np.log((adj[(a, b)] + 1.0) / (ctf[a] + 1.0))
+                 for b in slots[i + 1]]
+                for a in slots[i]
+            ])
+            score = score + bi[grids[i], grids[i + 1]]
+        sugg = np.array([
+            " ".join(slots[i][g] for i, g in enumerate(combo))
+            for combo in grids.T
+        ], dtype=object)
+        keep = sugg != " ".join(toks)
+        sugg, score = sugg[keep], trunc6(score[keep])
+        order = np.lexsort((sugg, -score))[:max_suggestions]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int32)),
+                "suggestion": pa.array(sugg[order].astype(str),
+                                       type=pa.string()),
+                "score": pa.array(score[order], type=pa.float64()),
+            }
+        )
+
     def search_fuzzy(self, query: str, k: int = 10,
                      fuzziness: int | str = "AUTO",
                      prefix_length: int = 0, max_expansions: int = 50,
@@ -5620,6 +5777,18 @@ class ShardActor:
         totals = np.zeros(len(terms), dtype=np.int64)
         for s in self.searchers:
             totals += np.asarray(s.dfs(terms), dtype=np.int64)
+        return totals.tolist()
+
+    def ctfs(self, terms: list[str]) -> list[int]:
+        totals = np.zeros(len(terms), dtype=np.int64)
+        for s in self.searchers:
+            totals += np.asarray(s.ctfs(terms), dtype=np.int64)
+        return totals.tolist()
+
+    def adj_counts(self, pairs: list[tuple[str, str]]) -> list[int]:
+        totals = np.zeros(len(pairs), dtype=np.int64)
+        for s in self.searchers:
+            totals += np.asarray(s.adj_counts(pairs), dtype=np.int64)
         return totals.tolist()
 
     def topk(self, terms, idfs, avgdl, k, algo, filters=None, n_required=0,

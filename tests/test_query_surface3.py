@@ -642,3 +642,97 @@ def test_complete_prefix_ranked_by_df(qs):
         == want
     assert eng.complete("zzznope").num_rows == 0
     assert eng.complete("two words").num_rows == 0  # one token only
+
+
+# -- phrase suggester -------------------------------------------------------
+
+
+def _phrase_lm_bruteforce(df, slots, T):
+    """Independent add-one bigram LM scorer over the analyzed stream."""
+    import itertools
+    import math
+
+    ctf: dict = {}
+    adj: dict = {}
+    for toks in df["toks"]:
+        for t in toks:
+            ctf[t] = ctf.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            adj[(a, b)] = adj.get((a, b), 0) + 1
+    out = []
+    for combo in itertools.product(*slots):
+        s = math.log((ctf.get(combo[0], 0) + 1.0) / (T + 1.0))
+        for a, b in zip(combo, combo[1:]):
+            s += math.log((adj.get((a, b), 0) + 1.0)
+                          / (ctf.get(a, 0) + 1.0))
+        out.append((" ".join(combo), s))
+    return out
+
+
+def test_suggest_phrase_matches_bruteforce(qs):
+    """Engine suggestions == the independent LM over the exact slot
+    candidate sets (orig-if-indexed + term-suggester top-3)."""
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    eng, df, vocab, dfreq = qs
+    text = "cal the"
+    toks = ["cal", "the"]
+    T = float(sum(len(t) for t in df["toks"]))
+    slots = []
+    for t in toks:
+        ranked = sorted(
+            ((c, _lev(t, c), dfreq[c]) for c in vocab
+             if 1 <= _lev(t, c) <= 2),
+            key=lambda x: (x[1], -x[2], x[0]),
+        )[:3]
+        orig = [t] if dfreq.get(t, 0) > 0 else []
+        slots.append(orig + [c for c, _, _ in ranked])
+    scored = _phrase_lm_bruteforce(df, slots, T)
+    scored = [(s, trunc6(np.array([v]))[0]) for s, v in scored
+              if s != " ".join(toks)]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = eng.suggest_phrase(text, max_edits=2, max_term_candidates=3,
+                             max_suggestions=5)
+    assert got["suggestion"].to_pylist() == [s for s, _ in scored[:5]]
+    assert got["score"].to_pylist() == [v for _, v in scored[:5]]
+    assert got["rank"].to_pylist() == list(range(1, got.num_rows + 1))
+
+
+def test_suggest_phrase_recovers_misspelling(qs):
+    """A one-edit corruption of the corpus's hottest bigram ranks the
+    true bigram first."""
+    from collections import Counter
+
+    eng, df, _, _ = qs
+    big = Counter()
+    for toks in df["toks"]:
+        big.update(zip(toks, toks[1:]))
+    (w1, w2), _ = big.most_common(1)[0]
+    mis = w1[:-1] + ("x" if w1[-1] != "x" else "q")
+    got = eng.suggest_phrase(f"{mis} {w2}")
+    assert got.num_rows > 0
+    assert got["suggestion"].to_pylist()[0] == f"{w1} {w2}"
+
+
+def test_suggest_phrase_identity_excluded_and_gates(qs):
+    eng, df, _, dfreq = qs
+    # a clean in-corpus phrase never suggests itself
+    toks = df["toks"].iloc[0][:2]
+    if len(toks) == 2:
+        got = eng.suggest_phrase(" ".join(toks))
+        assert " ".join(toks) not in got["suggestion"].to_pylist()
+    with pytest.raises(ValueError, match="combo_budget"):
+        eng.suggest_phrase("cal the run", combo_budget=2)
+    with pytest.raises(ValueError, match="analyzer token"):
+        eng.suggest_phrase("   ")
+
+
+def test_suggest_phrase_actor_parity(qs, ray_session):
+    eng, _, _, _ = qs
+    actors = QueryEngine(eng.reader, use_actors=True)
+    try:
+        a = actors.suggest_phrase("cal the")
+        b = eng.suggest_phrase("cal the")
+        assert a.equals(b)
+    finally:
+        actors.close()
