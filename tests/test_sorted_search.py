@@ -225,3 +225,62 @@ def test_search_after_matches_offset(ts_index):
     assert via_cursor["score"].to_pylist() == via_offset["score"].to_pylist()
     with pytest.raises(ValueError, match="exclusive"):
         eng.search("the", k=5, offset=5, search_after=cursor)
+
+
+def test_search_after_deep_paging_bounded_work(tmp_path_factory,
+                                               ray_session):
+    """The ES deep-paging trap, pinned: paging tens of thousands of
+    rows deep via search_after keeps EVERY shard's per-page return at
+    <= k rows (offset paging would ship offset+k), and the
+    concatenated pages equal one global sort bit-for-bit."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine, ShardSearcher
+
+    table = generate_transcripts(n_convs=2000, seed=31)
+    cfg = IndexConfig(turn_bits=8, convs_per_chunk_bits=4, num_shards=4)
+    idx = str(tmp_path_factory.mktemp("deeppage") / "idx")
+    build_index(rd.from_arrow(table), idx, cfg, clear=True)
+    eng = QueryEngine(idx)
+
+    # a term matching (nearly) every turn so the walk is genuinely deep
+    total = eng.search_sorted("the", k=10**6, order="asc")
+    depth = total.num_rows
+    assert depth > 5_000
+
+    per_page_sizes: list[int] = []
+    orig = ShardSearcher.sorted_matches
+
+    def spy(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        per_page_sizes.append(len(out[0]))
+        return out
+
+    ShardSearcher.sorted_matches = spy
+    try:
+        k = 1000
+        pages = []
+        cursor = None
+        while True:
+            page = eng.search_sorted("the", k=k, order="asc",
+                                     search_after=cursor)
+            if page.num_rows == 0:
+                break
+            pages.append(page)
+            cursor = (page["ts"][-1].as_py(),
+                      page["docid"][-1].as_py())
+        import pyarrow as pa
+
+        walked = pa.concat_tables(pages)
+        assert walked.num_rows == depth
+        # bit-identical to slicing the one-shot global ordering
+        for col in ("docid", "ts"):
+            assert walked[col].to_pylist() == total[col].to_pylist()
+        # the bounded-work invariant: no shard ever returned more than
+        # k rows for any page, however deep the cursor
+        assert per_page_sizes and max(per_page_sizes) <= k
+    finally:
+        ShardSearcher.sorted_matches = orig
