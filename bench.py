@@ -344,9 +344,29 @@ def run_bench() -> dict:
         "turns_per_sec": round(turns_per_sec, 1),
         "query_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
         "query_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 3),
+        "memcpy_gbps": memcpy_probe_gbps(),
     }
     ray.shutdown()
     return result
+
+
+def memcpy_probe_gbps() -> float:
+    """Host memory-bandwidth self-label: best-of-3 single-thread copy
+    of a 128 MB numpy buffer, in GB/s. Healthy hosts here measure
+    ~8-12; the documented degradation incidents measure < 1. Every
+    bench line carries this so a degraded-host sample adjudicates
+    itself (BASELINE.md, round-4 verdict 'bench hygiene')."""
+    import numpy as np
+
+    src = np.ones(128 * 1024 * 1024 // 8, dtype=np.float64)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        dst = src.copy()
+        dt = time.monotonic() - t0
+        best = max(best, src.nbytes / dt / 1e9)
+        del dst
+    return round(best, 2)
 
 
 def run_scaling() -> dict:
@@ -392,6 +412,7 @@ def run_scaling() -> dict:
     tps = {n: r["turns_per_sec"] for n, r in results.items()}
     eff_2_8 = (tps[8] / tps[2]) / 4
     eff_8_32 = (tps[32] / tps[8]) / 4
+    probe = memcpy_probe_gbps()
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_2_8, 3),
@@ -405,6 +426,7 @@ def run_scaling() -> dict:
         "sf": SF_DIR,
         "num_cpus": 32,
         "n_turns": results[8]["n_turns"],
+        "memcpy_gbps": probe,
     }
 
 
