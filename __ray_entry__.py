@@ -82,6 +82,14 @@ BM25_QUERIES = [
     ("q6", "scan scan scan"),
 ]
 
+#: dis_max probes: (query_id, [subquery, ...]) — mixed df classes, an
+#: absent-term subquery, and overlapping term sets across subqueries.
+DISMAX_QUERIES = [
+    ("d1", ["spark sort merge", "window value"]),
+    ("d2", ["table", "zzz_absent_term"]),
+    ("d3", ["key value part hash", "scan scan scan"]),
+]
+
 #: span_first probes: (query_id, term, end) — end = max allowed span
 #: end position (0-based positions; a term at p spans (p, p+1)), so
 #: end=1 means "the very first token". Mixed df classes + bound depths.
@@ -779,6 +787,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = eng.search_distance_feature(
                 q, k=10, attr="ts", origin=DECAY_ORIGIN,
                 pivot=DECAY_SCALE_US, boost=2.0,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_has_child(sf_dir):
+        # ES has_child join: rank parent CONVERSATIONS by sum of their
+        # matching turns' BM25 scores, parents needing >= 2 matching
+        # children (min_children)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_has_child(
+                q, k=10, score_mode="sum", min_children=2
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "n_children": t["n_children"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_has_parent(sf_dir):
+        # ES has_parent join: child turns (turn_idx >= 1) inherit the
+        # score of their matching parent opener (turn_idx == 0)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_has_parent(q, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_dismax(sf_dir):
+        # ES dis_max: best subquery score + 0.3 x the others
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, qs in DISMAX_QUERIES:
+            t = eng.search_dismax(qs, k=10, tie_breaker=0.3)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_rank_feature(sf_dir):
+        # ES bool(match + rank_feature saturation over doc length):
+        # BM25 + 2.0 x dl / (dl + 30)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_rank_feature(
+                q, k=10, function="saturation", pivot=30.0, boost=2.0
             )
             parts.append(
                 pa.table(
@@ -2748,6 +2872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_range_topk": q_bm25_range_topk,
         "bm25_decay_topk": q_bm25_decay_topk,
         "bm25_distfeat": q_bm25_distfeat,
+        "bm25_has_child": q_bm25_has_child,
+        "bm25_has_parent": q_bm25_has_parent,
+        "bm25_dismax": q_bm25_dismax,
+        "bm25_rank_feature": q_bm25_rank_feature,
         "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
@@ -2950,6 +3078,47 @@ def _bm25_terms_values() -> str:
         for qid, q in BM25_QUERIES
         for t in sorted(set(q.lower().split()))
     )
+
+
+def _dismax_values() -> str:
+    """(query_id, grp, term) VALUES literal for the dis_max twin — the
+    SAME per-subquery analyzed term sets search_dismax builds."""
+    return ",\n        ".join(
+        f"('{qid}', {gi}, '{t}')"
+        for qid, qs in DISMAX_QUERIES
+        for gi, q in enumerate(qs)
+        for t in sorted(set(q.lower().split()))
+    )
+
+
+def _scored_cte() -> str:
+    """The standard per-(query, doc) BM25 ``scored`` CTE chain over the
+    BM25_QUERIES term sets — shared by the join-family twins
+    (has_child / has_parent / rank_feature). Appends to _BASE."""
+    return f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {_bm25_terms_values()}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)"""
 
 
 def _bm25_sql(conjunctive: bool = False,
@@ -5761,6 +5930,87 @@ FROM tf JOIN df USING (term)
         "bm25_distfeat": _bm25_sql(
             distfeat=(DECAY_ORIGIN, DECAY_SCALE_US, 2.0)
         ),
+        # has_child twin: group the scored child turns by parent
+        # conversation, score = sum of matching children, parents with
+        # >= 2 matching children, top-10 per query by (score DESC,
+        # conv_id)
+        "bm25_has_child": _BASE + _scored_cte() + """
+SELECT query_id, conv_id,
+       count(*) AS n_children,
+       floor(sum(raw) * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+GROUP BY query_id, conv_id
+HAVING count(*) >= 2
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY sum(raw) DESC, conv_id) <= 10
+""",
+        # has_parent twin: parents are the conversation openers
+        # (turn_idx = 0) matching the query; every child turn
+        # (turn_idx >= 1) of a matching conversation inherits its
+        # parent's score; children rank (parent score DESC, conv_id,
+        # turn_idx), top-10 per query
+        "bm25_has_parent": _BASE + _scored_cte() + """,
+par AS (SELECT query_id, conv_id, raw FROM scored WHERE turn_idx = 0),
+kids AS (SELECT conv_id, turn_idx FROM transcripts WHERE turn_idx >= 1)
+SELECT p.query_id, k.conv_id, k.turn_idx,
+       floor(p.raw * 1000000 + 0.5) / 1000000 AS score
+FROM par p
+JOIN kids k ON k.conv_id = p.conv_id
+QUALIFY row_number() OVER (
+    PARTITION BY p.query_id
+    ORDER BY p.raw DESC, k.conv_id, k.turn_idx) <= 10
+""",
+        # dis_max twin: per-subquery (grp) BM25 sums, doc score = best
+        # subquery + 0.3 x the rest
+        "bm25_dismax": _BASE + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, grp, term) AS (VALUES
+        {_dismax_values()}),
+scored_g AS (
+    SELECT q.query_id, q.grp, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, q.grp, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor((max(s) + 0.3 * (sum(s) - max(s))) * 1000000 + 0.5) / 1000000
+           AS score
+FROM scored_g
+GROUP BY query_id, conv_id, turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY max(s) + 0.3 * (sum(s) - max(s)) DESC,
+             conv_id, turn_idx) <= 10
+""",
+        # rank_feature twin: BM25 + boost x saturation(dl) with
+        # pivot 30, boost 2 — dl is the analyzer token count, the
+        # same doc length BM25 normalizes by
+        "bm25_rank_feature": _BASE + _scored_cte() + """
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor((raw + 2.0 * (dl.dl / (dl.dl + 30.0))) * 1000000 + 0.5)
+           / 1000000 AS score
+FROM scored
+JOIN dl ON dl.conv_id = scored.conv_id AND dl.turn_idx = scored.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw + 2.0 * (dl.dl / (dl.dl + 30.0)) DESC,
+             scored.conv_id, scored.turn_idx) <= 10
+""",
         "bm25_delete_topk": _bm25_sql(exclude_role="tool"),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover
         # default), newest first, (conv_id, turn_idx) == docid tie-break

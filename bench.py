@@ -326,6 +326,14 @@ def run_bench() -> dict:
             "bm25_pinned",
             "bm25_distfeat",
             "bm25_random",
+            # round-5 additions
+            "agg_tree_fanout",
+            "suggest_phrase",
+            "bm25_slop_lucene",
+            "bm25_has_child",
+            "bm25_has_parent",
+            "bm25_dismax",
+            "bm25_rank_feature",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

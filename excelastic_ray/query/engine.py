@@ -1920,6 +1920,212 @@ class ShardSearcher:
             per_k=per_k,
         )
 
+    def _taat_all(self, present, avgdl, filters=None, n_required=0):
+        """TAAT-score EVERY matching doc (no top-k cut) → (nz ordinals,
+        scores at nz). The shared shard phase of the group-shaped
+        queries (collapse / top_hits / the parent-child joins): per-doc
+        contributions sum in sorted-term order, n_required zeroes docs
+        missing a globally-required term, filters apply after scoring
+        (ES filter context — BM25 stats untouched)."""
+        cfg = self.cfg
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = (
+            np.zeros(len(self.docids), dtype=np.int32) if n_required else None
+        )
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            if hits is not None:
+                hits[ids] += 1
+        if hits is not None:
+            acc[hits < n_required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        return nz, acc[nz]
+
+    def has_child_topk(self, terms, idfs, avgdl, k, score_mode="max",
+                       min_children=1, max_children=None, filters=None,
+                       n_required=0):
+        """ES ``has_child`` join query, shard phase: TAAT-score every
+        matching CHILD turn, aggregate per parent conversation —
+        ``score_mode`` max / sum / avg / min over the matching
+        children's BM25 scores, or ``none`` (constant 1.0) — filter
+        parents on their matching-children count
+        (``min_children`` / ``max_children``, ES semantics: the count
+        of children matching the query), and return the shard's
+        top-``k`` parents → (conv ranks int64, scores float64,
+        match counts int64), ordered (score DESC, conv rank ASC).
+
+        A conversation never spans shards (all its turns share a chunk
+        and chunk → shard is modular — the docid layout in
+        index/build.py), so each parent is finalized entirely here and
+        the driver's merge is exact by concatenation."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64),
+                 np.zeros(0, np.int64))
+        if score_mode not in ("max", "sum", "avg", "min", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        convs = docids >> self.cfg.turn_bits
+        # docids ascend, so conv ranks arrive grouped and nondecreasing:
+        # one reduceat per aggregate, no sort
+        bounds = np.flatnonzero(np.r_[True, convs[1:] != convs[:-1]])
+        keys = convs[bounds]
+        counts = np.diff(np.r_[bounds, len(convs)]).astype(np.int64)
+        if score_mode == "sum":
+            agg = np.add.reduceat(scores, bounds)
+        elif score_mode == "avg":
+            agg = np.add.reduceat(scores, bounds) / counts
+        elif score_mode == "max":
+            agg = np.maximum.reduceat(scores, bounds)
+        elif score_mode == "min":
+            agg = np.minimum.reduceat(scores, bounds)
+        else:  # none
+            agg = np.ones(len(keys), dtype=np.float64)
+        keep = counts >= min_children
+        if max_children is not None:
+            keep &= counts <= max_children
+        keys, agg, counts = keys[keep], agg[keep], counts[keep]
+        sel = np.lexsort((keys, -agg))[:k]
+        return keys[sel], agg[sel], counts[sel]
+
+    def has_parent_topk(self, terms, idfs, avgdl, k, filters=None,
+                        n_required=0, score=True):
+        """ES ``has_parent`` join query, shard phase over the PARENT
+        side: score the parent docs matching the parent query — the
+        conversation opener, turn_idx == 0, the repo's parent-doc
+        convention (see QueryEngine.search_has_parent) — and return
+        the shard's top-``k`` parents → (conv ranks, parent scores).
+
+        Parent BM25 stats are the GLOBAL index stats (df / N / avgdl
+        over ALL turns): the ES shared-field-name semantics, where
+        parent and child types live in one Lucene index and a field
+        both types use accumulates both types' statistics.
+
+        ``score=False`` (ES score mode ``none``): matching parents
+        rank by conv rank ascending with constant score 1.0."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        is_parent = (docids & (self.cfg.max_turns - 1)) == 0
+        keys = docids[is_parent] >> self.cfg.turn_bits
+        ps = scores[is_parent]
+        if not score:
+            # keys are already unique ascending (one turn-0 per conv)
+            keys = keys[:k]
+            return keys, np.ones(len(keys), dtype=np.float64)
+        sel = np.lexsort((keys, -ps))[:k]
+        return keys[sel], ps[sel]
+
+    def children_of(self, conv_keys) -> np.ndarray:
+        """docids of the CHILD turns (turn_idx >= 1) of the given parent
+        conversations that live in this shard, ascending. Pure bisect
+        per conversation over the sorted docid column — no scan; a
+        shard that doesn't own a conversation contributes nothing.
+        Deleted docs (delete_by_query tombstones) drop out, matching
+        every other result path."""
+        tb = self.cfg.turn_bits
+        out = []
+        for key in np.asarray(conv_keys, dtype=np.int64):
+            lo = int(np.searchsorted(self.docids, (int(key) << tb) | 1))
+            hi = int(np.searchsorted(self.docids, (int(key) + 1) << tb))
+            if hi > lo:
+                kids = self.docids[lo:hi]
+                if self.live_mask is not None:
+                    kids = kids[self.live_mask[lo:hi]]
+                out.append(kids)
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(out)
+
+    def dismax_topk(self, groups, avgdl, k, tie_breaker=0.0, filters=None):
+        """ES ``dis_max``, shard phase: each group of (term, global-idf)
+        pairs TAAT-scores as an independent subquery into its own
+        accumulator; a doc's score is its best subquery score plus
+        ``tie_breaker`` × the sum of the other subqueries' scores.
+        Matched = matched by ANY subquery (pure disjunction across
+        groups). Accumulator memory is n_groups × shard docs × 8 B —
+        bounded by the (small, query-shaped) group count."""
+        cfg = self.cfg
+        n = len(self.docids)
+        accs = np.zeros((max(len(groups), 1), n), dtype=np.float64)
+        for gi, grp in enumerate(groups):
+            for t, t_idf in grp:
+                i = self.lookup(t)
+                if i < 0:
+                    continue
+                ids, tfs = self.decoded(i)
+                accs[gi, ids] += contribution(
+                    t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                    cfg.k1, cfg.b,
+                )
+        best = accs.max(axis=0)
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            best[~mask] = 0.0
+        nz = np.flatnonzero(best)
+        if not len(nz):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sub = accs[:, nz]
+        bs = sub.max(axis=0)
+        scores = (
+            bs + tie_breaker * (sub.sum(axis=0) - bs) if tie_breaker else bs
+        )
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
+    def rank_feature_topk(self, terms, idfs, avgdl, k,
+                          function="saturation", pivot=None, boost=1.0,
+                          scale=1.0, exponent=1.0, filters=None,
+                          n_required=0):
+        """ES bool(match should rank_feature) over the stored BM25 doc
+        length as the rank feature, shard phase: docs matching the text
+        query score BM25 + boost × f(dl), with f one of the three ES
+        ``rank_feature`` functions — ``saturation`` dl/(dl+pivot),
+        ``log`` ln(scale·dl + 1), ``sigmoid`` dl^e/(dl^e + pivot^e).
+        The feature reads the resident doc-length column — no extra
+        storage, no decode."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        if function in ("saturation", "sigmoid") and pivot is None:
+            raise ValueError(f"{function} needs an explicit pivot")
+        if function not in ("saturation", "log", "sigmoid"):
+            raise ValueError(f"unknown rank_feature function {function!r}")
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        dl = self.dls[nz]
+        if function == "saturation":
+            feat = dl / (dl + float(pivot))
+        elif function == "log":
+            feat = np.log(float(scale) * dl + 1.0)
+        else:
+            feat = dl ** float(exponent) / (
+                dl ** float(exponent) + float(pivot) ** float(exponent)
+            )
+        scores = scores + float(boost) * feat
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0,
                    after=None):
         """Dense term-at-a-time: accumulate into a float64 array over the
@@ -2654,6 +2860,20 @@ def highlight_text(text: str | None, terms, analyzer: str = "standard") -> str:
             last = m.end()
     out.append(text[last:])
     return "".join(out)
+
+
+def _merge_has_child(parts, k):
+    """Merge per-shard has_child results (conv ranks, scores, counts):
+    conversations never span shards, so the merge is a concatenate +
+    global (score DESC, conv rank ASC) top-k — no per-group combine."""
+    if not parts:
+        return (np.zeros(0, np.int64), np.zeros(0, np.float64),
+                np.zeros(0, np.int64))
+    keys = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    counts = np.concatenate([p[2] for p in parts])
+    sel = np.lexsort((keys, -scores))[:k]
+    return keys[sel], scores[sel], counts[sel]
 
 
 def _merge_collapse(parts, k):
@@ -4500,6 +4720,279 @@ class QueryEngine:
             }
         )
 
+    def search_has_child(self, query: str, k: int = 10,
+                         score_mode: str = "max", min_children: int = 1,
+                         max_children: int | None = None,
+                         mode: str = "or", filters: dict | None = None):
+        """ES ``has_child`` join query: rank parent CONVERSATIONS by
+        their child turns matching ``query`` — ``score_mode``
+        max / sum / avg / min aggregates the matching children's BM25
+        scores (``none`` → constant 1.0, parents in conv order), and
+        ``min_children`` / ``max_children`` bound the count of MATCHING
+        children (ES semantics). → (rank, conv_id, n_children, score).
+
+        The document model is the transcript hierarchy itself: the
+        conversation is the parent, its turns are the children (the ES
+        ``join`` field relation). Distribution shape: one TAAT pass per
+        shard + per-conv reduceat (conversations never span shards, so
+        no cross-shard combine), driver merges pool-size × k parent
+        rows."""
+        import pyarrow as pa
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = self._qt(query)
+        keys = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        counts = np.zeros(0, dtype=np.int64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.has_child_topk.remote(
+                                lterms, idfs, r.avgdl, k, score_mode,
+                                min_children, max_children, filters,
+                                n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).has_child_topk(
+                            lterms, idfs, r.avgdl, k, score_mode,
+                            min_children, max_children, filters,
+                            n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                keys, scores, counts = _merge_has_child(parts, k)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(keys) + 1, dtype=np.int32)
+                ),
+                "conv_id": pa.array(r.conv_ids[keys], type=pa.string()),
+                "n_children": pa.array(counts, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    def search_has_parent(self, query: str, k: int = 10,
+                          score: bool = True, mode: str = "or",
+                          filters: dict | None = None):
+        """ES ``has_parent`` join query: return CHILD turns whose parent
+        conversation matches the parent ``query``, each child inheriting
+        its parent's score (``score=True``; ``score=False`` = ES score
+        mode ``none`` — constant 1.0, children in docid order).
+
+        Parent-doc convention: the conversation opener (turn_idx == 0)
+        carries the conversation's own searchable text — the parent
+        query matches against openers only; turns 1+ are the children.
+        Parent BM25 stats are the global index stats (ES
+        shared-field-name semantics; see ShardSearcher.has_parent_topk).
+
+        Exactness under pagination: children rank by (parent score DESC,
+        docid ASC), so the global top-``k`` children are children of a
+        PREFIX of the (score DESC, conv ASC)-ranked parents. The driver
+        fetches parent candidates at depth d (= k, doubling while the
+        prefix's children run short and a shard still had more parents),
+        then pulls only those conversations' children — never the full
+        match set."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = self._qt(query)
+        empty_ids = np.zeros(0, dtype=np.int64)
+        empty_sc = np.zeros(0, dtype=np.float64)
+        if not terms or not r.n_docs:
+            return self._result_table(empty_ids, empty_sc)
+        dfs = self._global_dfs(terms)
+        live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+        dead = len(live) < len(terms)
+        if not live or (mode == "and" and dead):
+            return self._result_table(empty_ids, empty_sc)
+        n_required = len(live) if mode == "and" else 0
+        lterms = [t for t, _ in live]
+        idfs = [idf(r.n_docs, d) for _, d in live]
+
+        def _parents(depth):
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [
+                        a.has_parent_topk.remote(
+                            lterms, idfs, r.avgdl, depth, filters,
+                            n_required, score,
+                        )
+                        for a in self._actors
+                    ]
+                )
+            else:
+                parts = [
+                    r.searcher(s).has_parent_topk(
+                        lterms, idfs, r.avgdl, depth, filters,
+                        n_required, score,
+                    )
+                    for s in range(r.num_shards)
+                ]
+            merged = _merge_shard_topk(parts, depth)
+            exhausted = all(len(p[0]) < depth for p in parts)
+            return merged, exhausted
+
+        def _children(keys):
+            if self._actors is not None:
+                import ray
+
+                kids = ray.get(
+                    [a.children_of.remote(keys) for a in self._actors]
+                )
+            else:
+                kids = [
+                    r.searcher(s).children_of(keys)
+                    for s in range(r.num_shards)
+                ]
+            return np.concatenate(kids) if kids else empty_ids
+
+        depth = k
+        while True:
+            (pkeys, pscores), exhausted = _parents(depth)
+            kids = _children(pkeys)
+            if not len(kids):
+                if exhausted:
+                    return self._result_table(empty_ids, empty_sc)
+                depth *= 2
+                continue
+            kid_conv = kids >> r.cfg.turn_bits
+            # walk parents in ranked order, children docid-ASC within
+            out_d, out_s, n = [], [], 0
+            for key, ps in zip(pkeys, pscores):
+                mine = np.sort(kids[kid_conv == key])
+                if not len(mine):
+                    continue
+                out_d.append(mine)
+                out_s.append(np.full(len(mine), ps, dtype=np.float64))
+                n += len(mine)
+                if n >= k:
+                    break
+            if n >= k or exhausted:
+                docids = (
+                    np.concatenate(out_d)[:k] if out_d else empty_ids
+                )
+                scores_ = (
+                    np.concatenate(out_s)[:k] if out_s else empty_sc
+                )
+                return self._result_table(docids, scores_)
+            depth *= 2
+
+    def search_dismax(self, queries: list[str], k: int = 10,
+                      tie_breaker: float = 0.0,
+                      filters: dict | None = None):
+        """ES ``dis_max``: each entry of ``queries`` is an independent
+        match subquery; a doc scores its BEST subquery plus
+        ``tie_breaker`` × the sum of its other matching subqueries —
+        Lucene's DisjunctionMaxQuery. A doc matches if any subquery
+        matches. Exact top-k across shards (one accumulator per
+        subquery per shard, single decode pass per term)."""
+        r = self.reader
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        groups: list[list[tuple[str, float]]] = []
+        if r.n_docs:
+            all_terms = sorted(
+                {t for q in queries for t in self._qt(q)}
+            )
+            dfs = dict(zip(all_terms, self._global_dfs(all_terms)))
+            for q in queries:
+                grp = [
+                    (t, idf(r.n_docs, int(dfs[t])))
+                    for t in self._qt(q)
+                    if int(dfs[t]) > 0
+                ]
+                if grp:
+                    groups.append(grp)
+        if groups:
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [
+                        a.dismax_topk.remote(groups, r.avgdl, k,
+                                             tie_breaker, filters)
+                        for a in self._actors
+                    ]
+                )
+            else:
+                parts = [
+                    r.searcher(s).dismax_topk(groups, r.avgdl, k,
+                                              tie_breaker, filters)
+                    for s in range(r.num_shards)
+                ]
+            docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
+    def search_rank_feature(self, query: str, k: int = 10,
+                            function: str = "saturation",
+                            pivot: float | None = None,
+                            boost: float = 1.0, scale: float = 1.0,
+                            exponent: float = 1.0, mode: str = "or",
+                            filters: dict | None = None):
+        """ES ``bool`` of a match query (``must``) plus a
+        ``rank_feature`` clause (``should``) over the indexed BM25 doc
+        length as the rank feature: docs matching ``query`` score
+        BM25 + boost × f(dl) with f = ``saturation`` dl/(dl+pivot),
+        ``log`` ln(scale·dl + 1) or ``sigmoid``
+        dl^e/(dl^e + pivot^e) — the three ES rank_feature functions.
+        The feature is served from the resident doc-length column."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.rank_feature_topk.remote(
+                                lterms, idfs, r.avgdl, k, function,
+                                pivot, boost, scale, exponent, filters,
+                                n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).rank_feature_topk(
+                            lterms, idfs, r.avgdl, k, function, pivot,
+                            boost, scale, exponent, filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_boosting(self, positive: str, negative: str,
                         negative_boost: float = 0.5, k: int = 10,
                         filters: dict | None = None, mode: str = "or"):
@@ -5934,6 +6427,51 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_collapse(parts, k)
+
+    def has_child_topk(self, terms, idfs, avgdl, k, score_mode="max",
+                       min_children=1, max_children=None, filters=None,
+                       n_required=0):
+        parts = [
+            s.has_child_topk(terms, idfs, avgdl, k, score_mode,
+                             min_children, max_children, filters,
+                             n_required)
+            for s in self.searchers
+        ]
+        return _merge_has_child(parts, k)
+
+    def has_parent_topk(self, terms, idfs, avgdl, k, filters=None,
+                        n_required=0, score=True):
+        parts = [
+            s.has_parent_topk(terms, idfs, avgdl, k, filters, n_required,
+                              score)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def children_of(self, conv_keys):
+        kids = [s.children_of(conv_keys) for s in self.searchers]
+        return np.sort(np.concatenate(kids)) if kids else np.zeros(
+            0, dtype=np.int64
+        )
+
+    def dismax_topk(self, groups, avgdl, k, tie_breaker=0.0, filters=None):
+        parts = [
+            s.dismax_topk(groups, avgdl, k, tie_breaker, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def rank_feature_topk(self, terms, idfs, avgdl, k,
+                          function="saturation", pivot=None, boost=1.0,
+                          scale=1.0, exponent=1.0, filters=None,
+                          n_required=0):
+        parts = [
+            s.rank_feature_topk(terms, idfs, avgdl, k, function, pivot,
+                                boost, scale, exponent, filters,
+                                n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def adjacency_counts(self, specs, filters=None):
         mats = [s.adjacency_counts(specs, filters) for s in self.searchers]
