@@ -90,6 +90,20 @@ DISMAX_QUERIES = [
     ("d3", ["key value part hash", "scan scan scan"]),
 ]
 
+#: terms_set probes: (query_id, query) — wide hot-term sets so the
+#: per-doc minimum_should_match threshold (max(turn_idx, 1)) bites at
+#: several depths.
+TERMS_SET_QUERIES = [
+    ("t1", "the to a and of call"),
+    ("t2", "spark sort merge table scan window"),
+    ("t3", "key value"),
+]
+
+#: script_score expression — exercises _score, the dl doc value, the
+#: turn_idx doc value, a param (w) and a call, in one tree. The SQL
+#: twin mirrors it symbol for symbol.
+SCRIPT_SCORE = "_score * 0.5 + ln(1 + dl) - 0.1 * turn_idx + w"
+
 #: span_first probes: (query_id, term, end) — end = max allowed span
 #: end position (0-based positions; a term at p spans (p, p+1)), so
 #: end=1 means "the very first token". Mixed df classes + bound depths.
@@ -903,6 +917,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for qid, q in BM25_QUERIES:
             t = eng.search_rank_feature(
                 q, k=10, function="saturation", pivot=30.0, boost=2.0
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_terms_set(sf_dir):
+        # ES terms_set: per-doc minimum_should_match threshold
+        # (max(turn_idx, 1)) over the distinct-matched-terms count
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in TERMS_SET_QUERIES:
+            t = eng.search_terms_set(q, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_script_score(sf_dir):
+        # ES script_score: the BM25 score replaced by a safe
+        # arithmetic expression over _score / dl / turn_idx / params
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_script_score(
+                q, SCRIPT_SCORE, k=10, params={"w": 2.0}
             )
             parts.append(
                 pa.table(
@@ -2503,6 +2575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.date_histogram_pipeline(ev, hours=24, window=3)
 
+    def q_pipeline_diffs(sf_dir):
+        # ES serial_diff + moving_percentiles pipeline aggs over a
+        # daily date_histogram of the event stream
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.pipeline_diffs(ev, hours=24, lag=2, window=4,
+                                     percents=(50, 90))
+
     def q_sample(sf_dir):
         from excelastic_ray.pipelines.sampling import deterministic_sample
 
@@ -2876,6 +2957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_has_parent": q_bm25_has_parent,
         "bm25_dismax": q_bm25_dismax,
         "bm25_rank_feature": q_bm25_rank_feature,
+        "bm25_terms_set": q_bm25_terms_set,
+        "bm25_script_score": q_bm25_script_score,
         "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
@@ -2962,6 +3045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_stats": q_event_stats,
         "composite_agg": q_composite_agg,
         "date_histogram_pipeline": q_date_histogram_pipeline,
+        "pipeline_diffs": q_pipeline_diffs,
         "value_histogram": q_value_histogram,
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
@@ -3076,6 +3160,15 @@ def _bm25_terms_values() -> str:
     return ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+
+
+def _terms_set_values() -> str:
+    """(query_id, term) VALUES literal for the terms_set twin."""
+    return ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in TERMS_SET_QUERIES
         for t in sorted(set(q.lower().split()))
     )
 
@@ -6011,6 +6104,54 @@ QUALIFY row_number() OVER (
     ORDER BY raw + 2.0 * (dl.dl / (dl.dl + 30.0)) DESC,
              scored.conv_id, scored.turn_idx) <= 10
 """,
+        # terms_set twin: per-doc threshold — a doc stays when its
+        # distinct-matched-terms count reaches max(turn_idx, 1)
+        "bm25_terms_set": _BASE + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+        {_terms_set_values()}),
+scored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           count(*) AS nmatch,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+WHERE nmatch >= greatest(turn_idx, 1)
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # script_score twin: the SCRIPT_SCORE expression mirrored
+        # symbol for symbol (w = 2.0), replacing the BM25 score
+        "bm25_script_score": _BASE + _scored_cte() + """
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       floor((raw * 0.5 + ln(1 + dl.dl) - 0.1 * scored.turn_idx + 2.0)
+             * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+JOIN dl ON dl.conv_id = scored.conv_id AND dl.turn_idx = scored.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw * 0.5 + ln(1 + dl.dl) - 0.1 * scored.turn_idx + 2.0
+             DESC, scored.conv_id, scored.turn_idx) <= 10
+""",
         "bm25_delete_topk": _bm25_sql(exclude_role="tool"),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover
         # default), newest first, (conv_id, turn_idx) == docid tie-break
@@ -7117,6 +7258,26 @@ SELECT window_start, n, cum_n, deriv,
             ELSE floor(CAST(ws AS DOUBLE) / ww * 1000000 + 0.5) / 1000000
        END AS moving_avg
 FROM w
+""",
+        # serial_diff + moving_percentiles twin: lag-2 difference and
+        # trailing-exclusive linear-interpolated percentiles of the
+        # previous 4 daily bucket counts (empty leading frames → 0)
+        "pipeline_diffs": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT window_start, n,
+       CAST(COALESCE(n - LAG(n, 2) OVER (ORDER BY window_start), 0)
+            AS BIGINT) AS serial_diff,
+       floor(COALESCE(quantile_cont(n, 0.50) OVER (ORDER BY window_start
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0)
+             * 1000000 + 0.5) / 1000000 AS mp_50,
+       floor(COALESCE(quantile_cont(n, 0.90) OVER (ORDER BY window_start
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0)
+             * 1000000 + 0.5) / 1000000 AS mp_90
+FROM h
 """,
         # ES stats aggregation (count/min/max/sum/avg of a numeric
         # field per bucket); avg derives from the rounded-once sums

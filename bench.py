@@ -334,6 +334,9 @@ def run_bench() -> dict:
             "bm25_has_parent",
             "bm25_dismax",
             "bm25_rank_feature",
+            "bm25_terms_set",
+            "bm25_script_score",
+            "pipeline_diffs",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

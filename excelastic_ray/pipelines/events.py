@@ -797,6 +797,76 @@ def date_histogram_pipeline(ds, hours: int = 24, window: int = 3):
     )
 
 
+def pipeline_diffs(ds, hours: int = 24, lag: int = 2, window: int = 4,
+                   percents: tuple = (50, 90)):
+    """ES ``serial_diff`` + ``moving_percentiles`` pipeline aggs over a
+    date_histogram of the event stream: per time bucket, the event
+    count, its lag-``lag`` serial difference (ES null for the first
+    ``lag`` buckets → 0 here, both sides coalesce — the
+    date_histogram_pipeline convention), and linear-interpolated
+    percentiles of the PREVIOUS ``window`` bucket counts (current
+    excluded — the ES ``moving_fn``/``moving_percentiles`` trailing
+    window with default shift; empty leading window → 0).
+
+    Same scale shape as :func:`date_histogram_pipeline`: the histogram
+    is partial+final combined; the pipeline stage runs over the
+    O(time range / interval) BUCKET table as one ordered block.
+
+    → Dataset (window_start, n, serial_diff, mp_<p>...).
+    """
+    us = hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // us) * us
+        df = pd.DataFrame({"window_start": win, "n": 1, "sum_value": 0.0})
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["window_start"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch["window_start"].to_numpy(), kind="stable")
+        win = batch["window_start"].to_numpy()[order]
+        n = batch["n"].to_numpy()[order].astype(np.int64)
+        m = len(n)
+        sd = np.zeros(m, dtype=np.int64)
+        if m > lag:
+            sd[lag:] = n[lag:] - n[:-lag]
+        # trailing windows via a NaN-padded sliding view: row i holds
+        # buckets [i-window, i); leading pads are NaN and fall out of
+        # nanpercentile (ragged leading edge = ES partial window)
+        padded = np.concatenate([np.full(window, np.nan), n.astype(float)])
+        view = np.lib.stride_tricks.sliding_window_view(
+            padded[:-1], window
+        )  # view[i] = padded[i : i + window] == counts of [i-window, i)
+        cols = {
+            "window_start": pa.array(win.astype("datetime64[us]")),
+            "n": pa.array(n),
+            "serial_diff": pa.array(sd),
+        }
+        import warnings
+
+        with warnings.catch_warnings():
+            # the first bucket's window is all-NaN by construction
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            for p in percents:
+                vals = np.nanpercentile(view, p, axis=1)
+                cols[f"mp_{int(p)}"] = pa.array(
+                    trunc6(np.nan_to_num(vals, nan=0.0))
+                )
+        return pa.table(cols)
+
+    return buckets.repartition(1).map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    )
+
+
 def filters_agg(ds, named_filters: dict[str, dict], col: str = "value"):
     """ES ``filters`` aggregation analog: NAMED predicate buckets — a
     row may land in several buckets (or none), empty buckets are kept,

@@ -45,6 +45,7 @@ from excelastic_ray.codecs import BLOCKMAX_DTYPE, PostingList
 from excelastic_ray.config import IndexConfig
 from excelastic_ray.index import segments as seg
 from excelastic_ray.query.bm25 import contribution, idf, tf_norm
+from excelastic_ray.query.script import compile_score_script
 
 _INF = np.iinfo(np.int64).max
 
@@ -2125,6 +2126,73 @@ class ShardSearcher:
         docids = self.docids[nz]
         order = np.lexsort((docids, -scores))[:k]
         return docids[order], scores[order]
+
+    def terms_set_topk(self, terms, idfs, avgdl, k, filters=None):
+        """ES ``terms_set``, shard phase: a doc matches when the count
+        of DISTINCT query terms it contains reaches its own per-doc
+        threshold — ``minimum_should_match_field`` served from the
+        turn index (max(turn_idx, 1), the repo's numeric doc value;
+        pure docid arithmetic, no stored field needed). Matching docs
+        score as the bool-should sum of their matched terms' BM25
+        contributions (exactly the ES terms_set scoring shape)."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present:
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        hits = np.zeros(len(self.docids), dtype=np.int32)
+        for t, t_idf in present:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+            hits[ids] += 1
+        required = np.maximum(
+            self.docids & (self.cfg.max_turns - 1), 1
+        ).astype(np.int32)
+        acc[hits < required] = 0.0
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            acc[~mask] = 0.0
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return empty
+        scores = acc[nz]
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
+    def script_score_topk(self, terms, idfs, avgdl, k, script, params=None,
+                          filters=None, n_required=0):
+        """ES ``script_score``, shard phase: docs matching the query
+        have their BM25 score REPLACED by the compiled script
+        expression, evaluated vectorized over the match set. The
+        script reads ``_score`` (the BM25 sum), ``dl`` (the indexed
+        doc length), ``turn_idx`` (docid arithmetic) and any name in
+        ``params``; see ``compile_score_script`` for the (safe,
+        arithmetic-only) expression language."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        fn = compile_score_script(script)
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        env = dict(params or {})
+        env["_score"] = scores
+        env["dl"] = self.dls[nz]
+        env["turn_idx"] = (
+            docids & (self.cfg.max_turns - 1)
+        ).astype(np.float64)
+        out = np.asarray(fn(env), dtype=np.float64)
+        if out.ndim == 0:  # constant expression broadcasts
+            out = np.full(len(nz), float(out))
+        order = np.lexsort((docids, -out))[:k]
+        return docids[order], out[order]
 
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0,
                    after=None):
@@ -4993,6 +5061,105 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_terms_set(self, query: str, k: int = 10,
+                         filters: dict | None = None):
+        """ES ``terms_set``: a doc matches when it contains at least
+        its OWN per-doc threshold of the query's distinct analyzed
+        terms — ``minimum_should_match_field`` served from the turn
+        index (max(turn_idx, 1); the per-doc numeric value every ES
+        terms_set mapping stores, here free via docid arithmetic).
+        Matching docs score as the bool-should sum of their matched
+        terms' BM25 contributions. → the standard result table."""
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            if live:
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.terms_set_topk.remote(
+                                lterms, idfs, r.avgdl, k, filters
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).terms_set_topk(
+                            lterms, idfs, r.avgdl, k, filters
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
+    def search_script_score(self, query: str, script: str, k: int = 10,
+                            params: dict | None = None, mode: str = "or",
+                            filters: dict | None = None):
+        """ES ``script_score``: docs matching ``query`` are re-scored by
+        ``script``, a safe arithmetic expression over ``_score`` (the
+        BM25 sum), ``dl`` (indexed doc length), ``turn_idx`` and
+        ``params`` names — see query/script.py for the grammar
+        (validated at compile time here on the driver, so a bad script
+        fails fast, never on a shard). The script REPLACES the score,
+        exactly ES. → the standard result table."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        compile_score_script(script)  # fail fast on the driver
+        if params:
+            bad = [
+                n for n, v in params.items()
+                if not isinstance(v, (int, float))
+                or n in ("_score", "dl", "turn_idx")
+            ]
+            if bad:
+                raise ValueError(
+                    f"script_score params must be numeric and not shadow "
+                    f"doc values: {bad}"
+                )
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.script_score_topk.remote(
+                                lterms, idfs, r.avgdl, k, script, params,
+                                filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).script_score_topk(
+                            lterms, idfs, r.avgdl, k, script, params,
+                            filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_boosting(self, positive: str, negative: str,
                         negative_boost: float = 0.5, k: int = 10,
                         filters: dict | None = None, mode: str = "or"):
@@ -6469,6 +6636,22 @@ class ShardActor:
             s.rank_feature_topk(terms, idfs, avgdl, k, function, pivot,
                                 boost, scale, exponent, filters,
                                 n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def terms_set_topk(self, terms, idfs, avgdl, k, filters=None):
+        parts = [
+            s.terms_set_topk(terms, idfs, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def script_score_topk(self, terms, idfs, avgdl, k, script,
+                          params=None, filters=None, n_required=0):
+        parts = [
+            s.script_score_topk(terms, idfs, avgdl, k, script, params,
+                                filters, n_required)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

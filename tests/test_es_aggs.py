@@ -102,6 +102,31 @@ def test_pipeline_aggs_match_bruteforce(ray_session):
     assert got["moving_avg"].tolist() == list(trunc6(np.array(mov)))
 
 
+def test_pipeline_diffs_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = _events(seed=17)
+    got = (
+        events.pipeline_diffs(rd.from_arrow(t), hours=24, lag=2,
+                              window=4, percents=(50, 90))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    n = df.groupby(df["ts"].dt.floor("D")).size().sort_index().to_numpy()
+    assert got["n"].tolist() == n.tolist()
+    sd = [0 if i < 2 else int(n[i] - n[i - 2]) for i in range(len(n))]
+    assert got["serial_diff"].tolist() == sd
+    for p, col in [(50, "mp_50"), (90, "mp_90")]:
+        exp = [
+            0.0 if i == 0
+            else float(np.percentile(n[max(i - 4, 0):i], p))
+            for i in range(len(n))
+        ]
+        assert got[col].tolist() == list(trunc6(np.array(exp)))
+
+
 # -- range aggregation ------------------------------------------------------
 
 

@@ -282,6 +282,85 @@ def test_rank_feature_needs_pivot(jq):
         jq["engine"].search_rank_feature("the", function="saturation")
 
 
+@pytest.mark.parametrize("query", ["the to a and of call", "the run"])
+def test_terms_set_matches_bruteforce(jq, query):
+    sc = jq["bm25"](query)
+    # distinct-matched-terms count per doc, from the same brute force
+    nm = np.zeros(jq["n"], dtype=int)
+    for t in set(query_terms(query)):
+        one = jq["bm25"](t)
+        nm += (one > 0).astype(int)
+    req = np.maximum(np.asarray(jq["turns"]), 1)
+    ts = np.where(nm >= req, sc, 0.0)
+    exp = sorted(
+        ((ts[i], jq["convs"][i], jq["turns"][i])
+         for i in np.flatnonzero(ts > 0)),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:10]
+    t = jq["engine"].search_terms_set(query, k=10)
+    got = list(
+        zip(t["score"].to_pylist(), t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist())
+    )
+    assert [(c, ti) for _, c, ti in exp] == [(c, ti) for _, c, ti in got]
+    for (es, _, _), (gs, _, _) in zip(exp, got):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_script_score_matches_bruteforce(jq):
+    q = "the run"
+    sc = jq["bm25"](q)
+    dl = jq["corpus_dl"]
+    ti = np.asarray(jq["turns"], dtype=np.float64)
+    ss = np.where(sc > 0, sc * 0.5 + np.log(1 + dl) - 0.1 * ti + 2.0, 0.0)
+    exp = sorted(
+        ((ss[i], jq["convs"][i], jq["turns"][i])
+         for i in np.flatnonzero(sc > 0)),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:10]
+    t = jq["engine"].search_script_score(
+        q, "_score * 0.5 + ln(1 + dl) - 0.1 * turn_idx + w", k=10,
+        params={"w": 2.0},
+    )
+    got = list(
+        zip(t["score"].to_pylist(), t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist())
+    )
+    assert [(c, t_) for _, c, t_ in exp] == [(c, t_) for _, c, t_ in got]
+    for (es, _, _), (gs, _, _) in zip(exp, got):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "__import__('os').system('x')",
+        "dl[0]",
+        "dl.sum()",
+        "x if dl else 2",
+        "'a' + 'b'",
+        "lambda: 1",
+        "unknown_name + 1",
+        "min(dl)",
+        "(1,2)",
+    ],
+)
+def test_script_score_rejects_non_grammar(jq, bad):
+    with pytest.raises(ValueError):
+        jq["engine"].search_script_score("the", bad, k=5)
+
+
+def test_script_score_param_validation(jq):
+    with pytest.raises(ValueError):
+        jq["engine"].search_script_score(
+            "the", "_score + w", k=5, params={"w": "nope"}
+        )
+    with pytest.raises(ValueError):
+        jq["engine"].search_script_score(
+            "the", "_score", k=5, params={"dl": 3.0}
+        )
+
+
 @pytest.mark.parametrize(
     "call",
     [
@@ -294,6 +373,10 @@ def test_rank_feature_needs_pivot(jq):
                                   tie_breaker=0.3),
         lambda e: e.search_rank_feature("the run", k=10, pivot=20.0,
                                         boost=1.5),
+        lambda e: e.search_terms_set("the to a and of call", k=10),
+        lambda e: e.search_script_score(
+            "the run", "_score + ln(1 + dl) - 0.1 * turn_idx", k=10
+        ),
     ],
 )
 def test_actor_parity(jq, call):
