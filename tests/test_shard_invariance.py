@@ -78,6 +78,20 @@ MODES = [
     ("complete", lambda e: e.complete("tab", k=10)),
     ("mlt", lambda e: _mlt(e)),
     ("termvectors", lambda e: _tv(e)),
+    # round-5 modes: the join family's reduceat/bisect paths and the
+    # scripted scorers must be partitioning-blind too
+    ("has_child", lambda e: e.search_has_child(
+        "table hash", k=25, score_mode="sum", min_children=2)),
+    ("has_parent", lambda e: e.search_has_parent("table hash", k=25)),
+    ("dismax", lambda e: e.search_dismax(
+        ["table hash", "slow batch"], k=25, tie_breaker=0.3)),
+    ("rank_feature", lambda e: e.search_rank_feature(
+        "table hash", k=25, pivot=25.0, boost=2.0)),
+    ("terms_set", lambda e: e.search_terms_set(
+        "the to a and of call", k=25)),
+    ("script_score", lambda e: e.search_script_score(
+        "table hash", "_score * 0.5 + ln(1 + dl) - 0.1 * turn_idx",
+        k=25)),
 ]
 
 
