@@ -2584,6 +2584,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events.pipeline_diffs(ev, hours=24, lag=2, window=4,
                                      percents=(50, 90))
 
+    def q_bucket_metrics(sf_dir):
+        # ES sibling pipeline aggs (avg/min/max/sum/stats/percentiles
+        # _bucket) over the daily histogram — one summary row
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.bucket_metrics(ev, hours=24)
+
+    def q_normalize_agg(sf_dir):
+        # ES normalize pipeline agg (rescale_0_1) over the daily
+        # histogram
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+        return events.normalize_buckets(ev, hours=24,
+                                        method="rescale_0_1")
+
     def q_sample(sf_dir):
         from excelastic_ray.pipelines.sampling import deterministic_sample
 
@@ -3046,6 +3063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": q_composite_agg,
         "date_histogram_pipeline": q_date_histogram_pipeline,
         "pipeline_diffs": q_pipeline_diffs,
+        "bucket_metrics": q_bucket_metrics,
+        "normalize_agg": q_normalize_agg,
         "value_histogram": q_value_histogram,
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
@@ -7278,6 +7297,48 @@ SELECT window_start, n,
              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0)
              * 1000000 + 0.5) / 1000000 AS mp_90
 FROM h
+""",
+        # sibling pipeline-agg twin: one summary row over the daily
+        # bucket counts; min/max keys take the EARLIEST tied bucket
+        "bucket_metrics": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+rmin AS (SELECT window_start, n,
+                row_number() OVER (ORDER BY n ASC, window_start) AS r
+         FROM h),
+rmax AS (SELECT window_start, n,
+                row_number() OVER (ORDER BY n DESC, window_start) AS r
+         FROM h)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_buckets,
+       (SELECT floor(CAST(sum(n) AS DOUBLE) / count(*) * 1000000 + 0.5)
+               / 1000000 FROM h) AS avg_n,
+       (SELECT n FROM rmin WHERE r = 1) AS min_n,
+       (SELECT window_start FROM rmin WHERE r = 1) AS min_key,
+       (SELECT n FROM rmax WHERE r = 1) AS max_n,
+       (SELECT window_start FROM rmax WHERE r = 1) AS max_key,
+       (SELECT CAST(sum(n) AS BIGINT) FROM h) AS sum_n,
+       (SELECT floor(quantile_cont(n, 0.50) * 1000000 + 0.5) / 1000000
+        FROM h) AS p50_n,
+       (SELECT floor(quantile_cont(n, 0.90) * 1000000 + 0.5) / 1000000
+        FROM h) AS p90_n
+""",
+        # normalize pipeline-agg twin: rescale_0_1 per daily bucket
+        "normalize_agg": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+s AS (SELECT min(n) AS mn, max(n) AS mx FROM h)
+SELECT window_start, n,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE floor(CAST(n - mn AS DOUBLE) / (mx - mn)
+                       * 1000000 + 0.5) / 1000000
+       END AS normalized
+FROM h CROSS JOIN s
 """,
         # ES stats aggregation (count/min/max/sum/avg of a numeric
         # field per bucket); avg derives from the rounded-once sums

@@ -337,6 +337,8 @@ def run_bench() -> dict:
             "bm25_terms_set",
             "bm25_script_score",
             "pipeline_diffs",
+            "bucket_metrics",
+            "normalize_agg",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -867,6 +867,130 @@ def pipeline_diffs(ds, hours: int = 24, lag: int = 2, window: int = 4,
     )
 
 
+def bucket_metrics(ds, hours: int = 24):
+    """ES SIBLING pipeline aggregations (`avg_bucket` / `min_bucket` /
+    `max_bucket` / `sum_bucket` / `stats_bucket` /
+    `percentiles_bucket`) over a date_histogram of the event stream:
+    one row summarizing the per-bucket event counts. `max_bucket` /
+    `min_bucket` also report the owning bucket key (ES returns a keys
+    LIST on ties; this engine reports the EARLIEST tied bucket —
+    documented deviation, deterministic). Percentiles are
+    linear-interpolated (p50/p90), matching quantile_cont.
+
+    The histogram is partial+final combined; the sibling stage reduces
+    the O(time range / interval) bucket table in one block — the ES
+    coordinating-node shape.
+
+    → Dataset (1 row: n_buckets, avg_n, min_n, min_key, max_n,
+    max_key, sum_n, p50_n, p90_n).
+    """
+    us = hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // us) * us
+        df = pd.DataFrame({"window_start": win, "n": 1, "sum_value": 0.0})
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["window_start"])
+
+    def reduce_(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch["window_start"].to_numpy(), kind="stable")
+        win = (
+            batch["window_start"].to_numpy()[order].astype("datetime64[us]")
+        )
+        n = batch["n"].to_numpy()[order].astype(np.int64)
+        imin = int(np.argmin(n))  # first occurrence == earliest tie
+        imax = int(np.argmax(n))
+        return pa.table(
+            {
+                "n_buckets": pa.array([len(n)], type=pa.int64()),
+                "avg_n": pa.array(
+                    trunc6(np.array([n.sum() / len(n)]))
+                ),
+                "min_n": pa.array([int(n[imin])], type=pa.int64()),
+                "min_key": pa.array(
+                    [win[imin]], type=pa.timestamp("us")
+                ),
+                "max_n": pa.array([int(n[imax])], type=pa.int64()),
+                "max_key": pa.array(
+                    [win[imax]], type=pa.timestamp("us")
+                ),
+                "sum_n": pa.array([int(n.sum())], type=pa.int64()),
+                "p50_n": pa.array(
+                    trunc6(np.array([np.percentile(n, 50)]))
+                ),
+                "p90_n": pa.array(
+                    trunc6(np.array([np.percentile(n, 90)]))
+                ),
+            }
+        )
+
+    return buckets.repartition(1).map_batches(
+        reduce_, batch_format="pyarrow", batch_size=None
+    )
+
+
+def normalize_buckets(ds, hours: int = 24, method: str = "rescale_0_1"):
+    """ES ``normalize`` pipeline agg over a date_histogram of the event
+    stream: per time bucket the event count plus its normalized value —
+    ``rescale_0_1`` (n - min) / (max - min), ``percent_of_sum``
+    n / Σn, or ``mean`` (n - avg) / (max - min) — the three ES methods
+    users reach for in Kibana (z-score et al. are the same one-pass
+    shape). Degenerate ranges (max == min) normalize to 0, ES's
+    single-bucket behavior. Same scale shape as the other pipeline
+    stages: combined histogram, one O(buckets) block scan.
+
+    → Dataset (window_start, n, normalized).
+    """
+    if method not in ("rescale_0_1", "percent_of_sum", "mean"):
+        raise ValueError(f"unknown normalize method {method!r}")
+    us = hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // us) * us
+        df = pd.DataFrame({"window_start": win, "n": 1, "sum_value": 0.0})
+        return (
+            df.groupby("window_start", sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+    buckets = _bucketed_sum_combine(partials, ["window_start"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch["window_start"].to_numpy(), kind="stable")
+        win = batch["window_start"].to_numpy()[order]
+        n = batch["n"].to_numpy()[order].astype(np.float64)
+        rng = n.max() - n.min() if len(n) else 0.0
+        if method == "rescale_0_1":
+            norm = (n - n.min()) / rng if rng else np.zeros_like(n)
+        elif method == "percent_of_sum":
+            norm = n / n.sum() if n.sum() else np.zeros_like(n)
+        else:  # mean
+            norm = (n - n.mean()) / rng if rng else np.zeros_like(n)
+        return pa.table(
+            {
+                "window_start": pa.array(win.astype("datetime64[us]")),
+                "n": pa.array(n.astype(np.int64)),
+                "normalized": pa.array(trunc6(norm)),
+            }
+        )
+
+    return buckets.repartition(1).map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    )
+
+
 def filters_agg(ds, named_filters: dict[str, dict], col: str = "value"):
     """ES ``filters`` aggregation analog: NAMED predicate buckets — a
     row may land in several buckets (or none), empty buckets are kept,

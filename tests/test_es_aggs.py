@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from excelastic_ray.pipelines import events
 from excelastic_ray.pipelines.textstats import trunc6
@@ -125,6 +126,65 @@ def test_pipeline_diffs_match_bruteforce(ray_session):
             for i in range(len(n))
         ]
         assert got[col].tolist() == list(trunc6(np.array(exp)))
+
+
+def test_bucket_metrics_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = _events(seed=19)
+    got = events.bucket_metrics(rd.from_arrow(t), hours=24).to_pandas()
+    assert len(got) == 1
+    df = t.to_pandas()
+    n = df.groupby(df["ts"].dt.floor("D")).size().sort_index()
+    row = got.iloc[0]
+    assert row["n_buckets"] == len(n)
+    assert row["avg_n"] == trunc6(np.array([n.mean()]))[0]
+    assert row["min_n"] == n.min() and row["max_n"] == n.max()
+    # earliest tied bucket owns the extremum
+    assert row["min_key"] == n.index[np.argmin(n.to_numpy())]
+    assert row["max_key"] == n.index[np.argmax(n.to_numpy())]
+    assert row["sum_n"] == n.sum()
+    assert row["p50_n"] == trunc6(
+        np.array([np.percentile(n.to_numpy(), 50)])
+    )[0]
+    assert row["p90_n"] == trunc6(
+        np.array([np.percentile(n.to_numpy(), 90)])
+    )[0]
+
+
+@pytest.mark.parametrize("method", ["rescale_0_1", "percent_of_sum",
+                                    "mean"])
+def test_normalize_buckets_match_bruteforce(ray_session, method):
+    import ray.data as rd
+
+    t = _events(seed=23)
+    got = (
+        events.normalize_buckets(rd.from_arrow(t), hours=24,
+                                 method=method)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    n = (
+        df.groupby(df["ts"].dt.floor("D")).size().sort_index().to_numpy()
+        .astype(float)
+    )
+    if method == "rescale_0_1":
+        exp = (n - n.min()) / (n.max() - n.min())
+    elif method == "percent_of_sum":
+        exp = n / n.sum()
+    else:
+        exp = (n - n.mean()) / (n.max() - n.min())
+    assert got["n"].tolist() == n.astype(int).tolist()
+    assert got["normalized"].tolist() == list(trunc6(exp))
+
+
+def test_normalize_buckets_rejects_unknown_method(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        events.normalize_buckets(rd.from_arrow(_events()), method="zzz")
 
 
 # -- range aggregation ------------------------------------------------------
