@@ -992,6 +992,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def _sampler_table(sf_dir, max_per_conv):
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_sampler(
+                q, attr="role", shard_size=50, max_per_conv=max_per_conv
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "role": t["role"],
+                        "doc_count": t["doc_count"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_sampler(sf_dir):
+        # ES sampler agg + terms sub-agg: per shard the 50 best
+        # matches, role counts summed across shards
+        return _sampler_table(sf_dir, max_per_conv=None)
+
+    def q_bm25_diversified(sf_dir):
+        # ES diversified_sampler: same walk, at most 2 docs per
+        # conversation in each shard's sample
+        return _sampler_table(sf_dir, max_per_conv=2)
+
     def q_bm25_decay_topk(sf_dir):
         import pyarrow as pa
 
@@ -2976,6 +3009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rank_feature": q_bm25_rank_feature,
         "bm25_terms_set": q_bm25_terms_set,
         "bm25_script_score": q_bm25_script_score,
+        "bm25_sampler": q_bm25_sampler,
+        "bm25_diversified": q_bm25_diversified,
         "bm25_delete_topk": q_bm25_delete_topk,
         "bm25_date_histogram": q_bm25_date_histogram,
         "bm25_slop_topk": q_bm25_slop_topk,
@@ -3189,6 +3224,64 @@ def _terms_set_values() -> str:
         f"('{qid}', '{t}')"
         for qid, q in TERMS_SET_QUERIES
         for t in sorted(set(q.lower().split()))
+    )
+
+
+def _sampler_sql(max_per_conv: int | None) -> str:
+    """sampler / diversified_sampler twin. Shard assignment mirrors the
+    build exactly: conv_rank = dense_rank(conv_id) - 1 (docids are
+    assigned in sorted conv order), chunk = conv_rank >> 4
+    (ENTRY_CONFIG.convs_per_chunk_bits), shard = chunk % effective
+    shard count, effective = least(4, n_chunks)
+    (index/build.py: num_shards = min(config.num_shards, n_chunks))."""
+    ccb = 1 << ENTRY_CONFIG.convs_per_chunk_bits
+    ns = ENTRY_CONFIG.num_shards
+    quota = (
+        "WHERE vr <= {q}".format(q=max_per_conv)
+        if max_per_conv is not None
+        else ""
+    )
+    return (
+        _BASE
+        + _scored_cte()
+        + f""",
+keys AS (
+    SELECT conv_id, turn_idx,
+           dense_rank() OVER (ORDER BY conv_id) - 1 AS cr
+    FROM transcripts
+),
+nc AS (SELECT count(DISTINCT conv_id) AS n FROM transcripts),
+walk AS (
+    SELECT s.query_id, s.conv_id, s.turn_idx, s.raw,
+           (k.cr // {ccb}) % least(
+               {ns},
+               CAST(ceil(CAST(nc.n AS DOUBLE) / {ccb}) AS BIGINT)
+           ) AS shard,
+           row_number() OVER (
+               PARTITION BY s.query_id, s.conv_id,
+                   (k.cr // {ccb}) % least(
+                       {ns},
+                       CAST(ceil(CAST(nc.n AS DOUBLE) / {ccb}) AS BIGINT))
+               ORDER BY s.raw DESC, s.conv_id, s.turn_idx) AS vr
+    FROM scored s
+    JOIN keys k ON k.conv_id = s.conv_id AND k.turn_idx = s.turn_idx
+    CROSS JOIN nc
+),
+sample AS (
+    SELECT query_id, conv_id, turn_idx,
+           row_number() OVER (
+               PARTITION BY query_id, shard
+               ORDER BY raw DESC, conv_id, turn_idx) AS r
+    FROM walk
+    {quota}
+)
+SELECT w.query_id, t.role, CAST(count(*) AS BIGINT) AS doc_count
+FROM sample w
+JOIN transcripts t
+  ON t.conv_id = w.conv_id AND t.turn_idx = w.turn_idx
+WHERE w.r <= 50
+GROUP BY w.query_id, t.role
+"""
     )
 
 
@@ -6171,6 +6264,14 @@ QUALIFY row_number() OVER (
     ORDER BY raw * 0.5 + ln(1 + dl.dl) - 0.1 * scored.turn_idx + 2.0
              DESC, scored.conv_id, scored.turn_idx) <= 10
 """,
+        # sampler / diversified_sampler twins: per (query, shard) the
+        # 50 best matches by (raw DESC, conv, turn) — shard is the
+        # build's own arithmetic (chunk = conv_rank >> 4, shard =
+        # chunk % effective shards, effective = least(4, n_chunks)) —
+        # with the diversified variant capping each conversation's
+        # contribution at 2 docs along the walk; role counts summed
+        "bm25_sampler": _sampler_sql(max_per_conv=None),
+        "bm25_diversified": _sampler_sql(max_per_conv=2),
         "bm25_delete_topk": _bm25_sql(exclude_role="tool"),
         # ES sort-by-field: matching docs time-ordered (Kibana Discover
         # default), newest first, (conv_id, turn_idx) == docid tie-break

@@ -339,6 +339,8 @@ def run_bench() -> dict:
             "pipeline_diffs",
             "bucket_metrics",
             "normalize_agg",
+            "bm25_sampler",
+            "bm25_diversified",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)

@@ -2194,6 +2194,44 @@ class ShardSearcher:
         order = np.lexsort((docids, -out))[:k]
         return docids[order], out[order]
 
+    def sampler_agg(self, terms, idfs, avgdl, shard_size, attr,
+                    max_per_conv=None, filters=None, n_required=0):
+        """ES ``sampler`` / ``diversified_sampler`` + ``terms`` sub-agg,
+        shard phase: walk the shard's matches in (score DESC, docid
+        ASC) order, optionally skipping docs whose conversation already
+        contributed ``max_per_conv`` docs (the diversified dedup, field
+        = the conversation — pure docid arithmetic), keep the first
+        ``shard_size``, and count the sample's ``attr`` values →
+        {value: count}. Deterministic, unlike ES's best-effort
+        sampler: the walk order is total, so the sample is a pure
+        function of the corpus."""
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return {}
+        col = self.attrs.get(attr)
+        if col is None:
+            raise KeyError(f"attribute {attr!r} not stored in this index")
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return {}
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))
+        if max_per_conv is not None:
+            keys = docids[order] >> self.cfg.turn_bits
+            # occurrence rank of each conv along the walk order:
+            # stable sort by conv keeps walk order inside each group
+            o2 = np.argsort(keys, kind="stable")
+            sk = keys[o2]
+            starts = np.r_[0, np.flatnonzero(sk[1:] != sk[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(sk)])
+            occ = np.empty(len(sk), dtype=np.int64)
+            occ[o2] = np.arange(len(sk)) - np.repeat(starts, sizes)
+            order = order[occ < max_per_conv]
+        sample = nz[order[:shard_size]]
+        vals, counts = np.unique(col[sample].astype(str),
+                                 return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist()))
+
     def _topk_taat(self, present, avgdl, k, mask=None, n_required=0,
                    after=None):
         """Dense term-at-a-time: accumulate into a float64 array over the
@@ -5160,6 +5198,66 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_sampler(self, query: str, attr: str = "role",
+                       shard_size: int = 50,
+                       max_per_conv: int | None = None,
+                       mode: str = "or", filters: dict | None = None):
+        """ES ``sampler`` (``max_per_conv=None``) or
+        ``diversified_sampler`` (dedup field = the conversation, at
+        most ``max_per_conv`` docs per conversation in each shard's
+        sample) with a ``terms`` sub-aggregation over doc attribute
+        ``attr``: each shard walks its matches in (score DESC, docid
+        ASC) order, keeps its first ``shard_size`` (post-dedup), and
+        the sub-agg counts are summed across shards — exactly the ES
+        execution shape, made deterministic by the total walk order.
+        → (attr value, doc_count), doc_count DESC then value ASC."""
+        import pyarrow as pa
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        r = self.reader
+        terms = self._qt(query)
+        counts: dict = {}
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.sampler_agg.remote(
+                                lterms, idfs, r.avgdl, shard_size, attr,
+                                max_per_conv, filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).sampler_agg(
+                            lterms, idfs, r.avgdl, shard_size, attr,
+                            max_per_conv, filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                for p in parts:
+                    for v, c in p.items():
+                        counts[v] = counts.get(v, 0) + c
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                attr: pa.array([v for v, _ in rows], type=pa.string()),
+                "doc_count": pa.array([c for _, c in rows],
+                                      type=pa.int64()),
+            }
+        )
+
     def search_boosting(self, positive: str, negative: str,
                         negative_boost: float = 0.5, k: int = 10,
                         filters: dict | None = None, mode: str = "or"):
@@ -6646,6 +6744,16 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
+
+    def sampler_agg(self, terms, idfs, avgdl, shard_size, attr,
+                    max_per_conv=None, filters=None, n_required=0):
+        out: dict = {}
+        for s in self.searchers:
+            for v, c in s.sampler_agg(terms, idfs, avgdl, shard_size,
+                                      attr, max_per_conv, filters,
+                                      n_required).items():
+                out[v] = out.get(v, 0) + c
+        return out
 
     def script_score_topk(self, terms, idfs, avgdl, k, script,
                           params=None, filters=None, n_required=0):

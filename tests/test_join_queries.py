@@ -331,6 +331,42 @@ def test_script_score_matches_bruteforce(jq):
         assert gs == pytest.approx(es, abs=1e-9)
 
 
+ROLES = ["user", "assistant", "system", "tool"]
+
+
+@pytest.mark.parametrize("max_per_conv", [None, 2, 1])
+def test_sampler_matches_bruteforce(jq, max_per_conv):
+    q = "the run"
+    sc = jq["bm25"](q)
+    # shard = (conv_rank >> convs_per_chunk_bits) % num_shards; the
+    # fixture's conv ids are dense and sorted, so rank == numeric id
+    rows = []
+    for i in np.flatnonzero(sc > 0):
+        cr = int(jq["convs"][i].split("-")[1])
+        shard = (cr >> CFG.convs_per_chunk_bits) % CFG.num_shards
+        rows.append((shard, -sc[i], jq["convs"][i], jq["turns"][i]))
+    rows.sort()
+    from collections import Counter, defaultdict
+
+    exp: Counter = Counter()
+    taken = defaultdict(int)
+    per_conv = defaultdict(int)
+    for shard, negs, conv, ti in rows:
+        if max_per_conv is not None:
+            if per_conv[(shard, conv)] >= max_per_conv:
+                continue
+            per_conv[(shard, conv)] += 1
+        if taken[shard] >= 20:
+            continue
+        taken[shard] += 1
+        exp[ROLES[ti % 4]] += 1
+    t = jq["engine"].search_sampler(
+        q, attr="role", shard_size=20, max_per_conv=max_per_conv
+    )
+    got = dict(zip(t["role"].to_pylist(), t["doc_count"].to_pylist()))
+    assert got == dict(exp)
+
+
 @pytest.mark.parametrize(
     "bad",
     [
@@ -377,6 +413,8 @@ def test_script_score_param_validation(jq):
         lambda e: e.search_script_score(
             "the run", "_score + ln(1 + dl) - 0.1 * turn_idx", k=10
         ),
+        lambda e: e.search_sampler("the run", attr="role",
+                                   shard_size=20, max_per_conv=2),
     ],
 )
 def test_actor_parity(jq, call):
