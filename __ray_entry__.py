@@ -131,6 +131,24 @@ SPAN_NOT_QUERIES = [
     ("x3", "merge", "zzz_absent_term", 3),
 ]
 
+#: span_containing / span_within probes: (query_id, "big_a big_b",
+#: little, slop) — a big span_near(a, b, slop) window must contain a
+#: little occurrence; the two modes share the match set and differ in
+#: which operand's terms score the doc.
+SPAN_CONTAIN_QUERIES = [
+    ("c1", "table key", "value", 3),
+    ("c2", "merge sort", "hash", 5),
+    ("c3", "window scan", "zzz_absent_term", 4),
+]
+
+#: span_or-in-span_near probes: (query_id, "variant variant", anchor,
+#: slop) — span_near(span_or(v1, v2), anchor, slop, unordered).
+SPAN_OR_QUERIES = [
+    ("o1", "merge scan", "table", 2),
+    ("o2", "key window", "value", 1),
+    ("o3", "spark zzz_absent_term", "hash", 3),
+]
+
 #: DSL probe with a PHRASE leaf: phrase pseudo-term + optional match
 #: clause + exclusion, composed in one bool.
 DSL_PHRASE_QUERY = {
@@ -1620,6 +1638,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def _q_span_contain(sf_dir, mode):
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, big, little, slop in SPAN_CONTAIN_QUERIES:
+            t = eng.search_span_contain(big, little, slop=slop, k=10,
+                                        mode=mode)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_span_containing(sf_dir):
+        # ES span_containing: big span_near windows that contain the
+        # little term; scored with the big terms' stats
+        return _q_span_contain(sf_dir, "containing")
+
+    def q_span_within(sf_dir):
+        # ES span_within: little spans inside a big window; same match
+        # set, scored with the little term's stats
+        return _q_span_contain(sf_dir, "within")
+
+    def q_span_or(sf_dir):
+        # ES span_near(span_or(v1, v2), anchor): any variant near the
+        # anchor; anchor + matched-variant BM25 sum
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, vs, anchor, slop in SPAN_OR_QUERIES:
+            t = eng.search_span_or_near(vs, anchor, slop=slop, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_dsl_topk(sf_dir):
         # ES nested-bool query DSL (recursive executor)
         import pyarrow as pa
@@ -2990,6 +3073,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_filtered": q_intervals_filtered,
         "span_near": q_span_near,
         "span_not": q_span_not,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
+        "span_or": q_span_or,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -3683,6 +3769,161 @@ scored AS (
         AND tf.term = q.inc
     JOIN df ON df.term = q.inc
     JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _span_contain_sql(mode: str, k: int = 10) -> str:
+    """span_containing / span_within twin: a big (ta, tb) pair within
+    slop + 1 whose window [least, greatest] holds a tc position —
+    containment filters matches; 'containing' scores the big terms'
+    BM25 sum, 'within' the little term's plain BM25 (which operand's
+    spans are RETURNED, ES semantics). 1-based list positions are
+    fine: only position differences and betweenness are tested."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{big.split()[0]}', '{big.split()[1]}', '{lit}', "
+        f"{slop})"
+        for qid, big, lit, slop in SPAN_CONTAIN_QUERIES
+    )
+    if mode == "containing":
+        tf_cond = "tf.term IN (q.ta, q.tb)"
+    else:
+        tf_cond = "tf.term = q.tc"
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, ta, tb, tc, slop) AS (VALUES
+        {vals}),
+pos AS (
+    SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
+    FROM base b, LATERAL unnest(range(1, len(b.toks) + 1)) AS i(i)
+    WHERE b.toks[i.i] IN (SELECT ta FROM q UNION SELECT tb FROM q
+                          UNION SELECT tc FROM q)
+),
+matched AS (
+    SELECT DISTINCT q.query_id, x.conv_id, x.turn_idx
+    FROM q
+    JOIN pos x ON x.term = q.ta
+    JOIN pos y ON y.term = q.tb
+        AND y.conv_id = x.conv_id AND y.turn_idx = x.turn_idx
+        AND abs(x.p - y.p) <= q.slop + 1
+    JOIN pos z ON z.term = q.tc
+        AND z.conv_id = x.conv_id AND z.turn_idx = x.turn_idx
+        AND z.p BETWEEN least(x.p, y.p) AND greatest(x.p, y.p)
+),
+scored AS (
+    SELECT m.query_id, m.conv_id, m.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS raw
+    FROM matched m
+    JOIN q ON q.query_id = m.query_id
+    JOIN tf ON tf.conv_id = m.conv_id AND tf.turn_idx = m.turn_idx
+        AND {tf_cond}
+    JOIN df ON df.term = tf.term
+    JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN stats s
+    GROUP BY m.query_id, m.conv_id, m.turn_idx
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _span_or_sql(k: int = 10) -> str:
+    """span_or-in-span_near twin: each variant matches a doc when its
+    min gap to the anchor is <= slop + 1; a doc matches when ANY
+    variant does; score = anchor BM25 + the sum of the
+    positionally-matched variants' BM25 (the engine's documented
+    constraint-filters/scoring-sums convention)."""
+    vals = ",\n        ".join(
+        f"('{qid}', '{vs.split()[0]}', '{vs.split()[1]}', '{anchor}', "
+        f"{slop})"
+        for qid, vs, anchor, slop in SPAN_OR_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, va, vb, anchor, slop) AS (VALUES
+        {vals}),
+qv AS (
+    SELECT query_id, va AS v, anchor, slop FROM q
+    UNION ALL
+    SELECT query_id, vb AS v, anchor, slop FROM q
+),
+pos AS (
+    SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
+    FROM base b, LATERAL unnest(range(1, len(b.toks) + 1)) AS i(i)
+    WHERE b.toks[i.i] IN (SELECT v FROM qv UNION SELECT anchor FROM q)
+),
+vmatch AS (
+    SELECT qv.query_id, qv.v, x.conv_id, x.turn_idx
+    FROM qv
+    JOIN pos x ON x.term = qv.v
+    JOIN pos y ON y.term = qv.anchor
+        AND y.conv_id = x.conv_id AND y.turn_idx = x.turn_idx
+    GROUP BY qv.query_id, qv.v, qv.slop, x.conv_id, x.turn_idx
+    HAVING min(abs(x.p - y.p)) <= qv.slop + 1
+),
+vscore AS (
+    SELECT vm.query_id, vm.conv_id, vm.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS vraw
+    FROM vmatch vm
+    JOIN tf ON tf.conv_id = vm.conv_id AND tf.turn_idx = vm.turn_idx
+        AND tf.term = vm.v
+    JOIN df ON df.term = vm.v
+    JOIN dl ON dl.conv_id = vm.conv_id AND dl.turn_idx = vm.turn_idx
+    CROSS JOIN stats s
+    GROUP BY vm.query_id, vm.conv_id, vm.turn_idx
+),
+scored AS (
+    SELECT vs.query_id, vs.conv_id, vs.turn_idx,
+           vs.vraw
+           + ln(1 + (s.n - da.df + 0.5) / (da.df + 0.5))
+               * ta2.tf * 2.2
+               / (ta2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM vscore vs
+    JOIN q ON q.query_id = vs.query_id
+    JOIN tf ta2 ON ta2.conv_id = vs.conv_id
+        AND ta2.turn_idx = vs.turn_idx AND ta2.term = q.anchor
+    JOIN df da ON da.term = q.anchor
+    JOIN dl ON dl.conv_id = vs.conv_id AND dl.turn_idx = vs.turn_idx
     CROSS JOIN stats s
 )
 SELECT query_id, conv_id, turn_idx,
@@ -5214,6 +5455,9 @@ def oracle_sql() -> dict[str, str]:
         "span_first": _span_first_sql(),
         "span_near": _span_near_sql(),
         "span_not": _span_not_sql(),
+        "span_containing": _span_contain_sql("containing"),
+        "span_within": _span_contain_sql("within"),
+        "span_or": _span_or_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         # DSL phrase-leaf twin: the _phrase_sql anchor CTE provides the
         # pseudo-term (ptf, phrase df), the per-term CTE the should /

@@ -809,6 +809,183 @@ class ShardSearcher:
         order = np.lexsort((docids, -sc))[:k]
         return docids[order], sc[order]
 
+    def _term_keys(self, term: str):
+        """(global keys, ords, tfs) for a term's occurrences: key =
+        ordinal << 32 | position. Positions are doc-internal and
+        sorted per doc, so the keys are globally sorted."""
+        slot = self.lookup(term)
+        if slot < 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        ids, tfs = self.decoded(slot)
+        pos = self.positions_of(slot, tfs)
+        keys = (
+            np.repeat(ids.astype(np.int64), tfs.astype(np.int64))
+            << np.int64(32)
+        ) | pos
+        return keys, ids.astype(np.int64), tfs.astype(np.int64)
+
+    def _span_pair_windows(self, ta: str, tb: str, slop: int):
+        """Every same-doc occurrence pair (pa, pb) of the two terms
+        with |pa − pb| <= slop + 1 — the ES ``span_near`` (unordered,
+        two span_term clauses) match windows — as (ord, lo, hi)
+        arrays, lo/hi = the window's position bounds. Fully
+        vectorized: one searchsorted range probe per a-occurrence
+        against the sorted b-key array; the per-a fan-out is bounded
+        by b's occurrences inside a 2(slop+1)+1-position window, so
+        the pair count stays O(occurrences × density), never O(n²)."""
+        z = np.zeros(0, dtype=np.int64)
+        a_keys, _, _ = self._term_keys(ta)
+        b_keys, _, _ = self._term_keys(tb)
+        if not len(a_keys) or not len(b_keys):
+            return z, z, z
+        w = np.int64(slop + 1)
+        lo_idx = np.searchsorted(b_keys, a_keys - w)
+        hi_idx = np.searchsorted(b_keys, a_keys + w, side="right")
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        if total == 0:
+            return z, z, z
+        rep = np.repeat(np.arange(len(a_keys), dtype=np.int64), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        flat_b = (
+            np.repeat(lo_idx, counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(cum[:-1], counts)
+        )
+        ka, kb = a_keys[rep], b_keys[flat_b]
+        # the ±w key range can dip into a neighboring doc's positions
+        # when pa < slop+1 or pa is near the doc end — mask those out
+        same = (ka >> np.int64(32)) == (kb >> np.int64(32))
+        ka, kb = ka[same], kb[same]
+        if not len(ka):
+            return z, z, z
+        pa = ka & np.int64(0xFFFFFFFF)
+        pb = kb & np.int64(0xFFFFFFFF)
+        return ka >> np.int64(32), np.minimum(pa, pb), np.maximum(pa, pb)
+
+    def span_contain_topk(self, ta: str, tb: str, slop: int, tc: str,
+                          idfa: float, idfb: float, idfc: float,
+                          avgdl: float, k: int, mode: str,
+                          filters: dict | None = None):
+        """ES ``span_containing`` / ``span_within`` with big =
+        span_near(span_term ta, span_term tb, slop, in_order=false)
+        and little = span_term tc. A doc matches when some big window
+        [min(pa,pb), max(pa,pb)] contains an occurrence of ``tc`` —
+        the SAME match set for both modes (a little span inside a big
+        span exists symmetrically); what differs is which operand's
+        statistics score the doc (ES scores the RETURNED span's
+        underlying terms): ``containing`` returns big spans → bool-sum
+        of ta+tb contributions; ``within`` returns little spans → tc's
+        plain term contribution. The positional test filters matches,
+        never stats (the span_first rule)."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        ords, lo, hi = self._span_pair_windows(ta, tb, slop)
+        if not len(ords):
+            return empty
+        c_keys, _, _ = self._term_keys(tc)
+        if not len(c_keys):
+            return empty
+        lo_key = (ords << np.int64(32)) | lo
+        hi_key = (ords << np.int64(32)) | hi
+        contained = (
+            np.searchsorted(c_keys, hi_key, side="right")
+            > np.searchsorted(c_keys, lo_key, side="left")
+        )
+        if not contained.any():
+            return empty
+        matched = np.unique(ords[contained])
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            matched = matched[mask[matched]]
+        if not len(matched):
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        score_terms = (
+            sorted(((ta, idfa), (tb, idfb))) if mode == "containing"
+            else [(tc, idfc)]
+        )
+        for t, t_idf in score_terms:
+            ids, tfs = self.decoded(self.lookup(t))
+            acc[ids] += contribution(
+                t_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+                cfg.k1, cfg.b,
+            )
+        scores = acc[matched]
+        docids = self.docids[matched]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
+
+    def span_or_near_topk(self, variants: list[str], anchor: str,
+                          slop: int, v_idfs: list[float],
+                          anchor_idf: float, avgdl: float, k: int,
+                          filters: dict | None = None):
+        """ES ``span_near`` whose first clause is a ``span_or`` over
+        single-term spans: span_near(span_or(v1, v2, …), span_term
+        anchor, slop, in_order=false). A doc matches when ANY variant
+        occurs within ``slop`` of the anchor (min |pv − pc| <=
+        slop + 1, the engine's span_near rule). Scoring follows the
+        engine's constraint-filters/scoring-sums convention: anchor's
+        BM25 contribution + each variant's contribution ON THE DOCS
+        WHERE THAT VARIANT positionally matched (a variant present in
+        the doc but never near the anchor contributes nothing) —
+        deterministic and SQL-twinnable, documented deviation from
+        Lucene's SpanWeight sloppy-frequency scoring as with
+        span_near_topk."""
+        cfg = self.cfg
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        if self.lookup(anchor) < 0:
+            return empty
+        acc = np.zeros(len(self.docids), dtype=np.float64)
+        matched_any = np.zeros(0, dtype=np.int64)
+        per_variant: list[np.ndarray] = []
+        for v in variants:
+            if self.lookup(v) < 0:
+                per_variant.append(np.zeros(0, dtype=np.int64))
+                continue
+            d1, _, _ = self.phrase_matches([v, anchor], slop)
+            d2, _, _ = self.phrase_matches([anchor, v], slop)
+            dv = np.union1d(d1, d2)
+            per_variant.append(dv)
+            matched_any = np.union1d(matched_any, dv)
+        if not len(matched_any):
+            return empty
+        # phrase_matches returns global DOCIDS; score accumulation is
+        # per shard ORDINAL — map (the span_near convention)
+        ords_any = np.searchsorted(self.docids, matched_any)
+        if not np.array_equal(self.docids[ords_any], matched_any):
+            raise RuntimeError("span_or_near: shard docids not sorted")
+        # anchor scores every matched doc; each variant only its own
+        ids, tfs = self.decoded(self.lookup(anchor))
+        acc[ids] += contribution(
+            anchor_idf, tfs.astype(np.float64), self.dls[ids], avgdl,
+            cfg.k1, cfg.b,
+        )
+        for v, v_idf, dv in zip(variants, v_idfs, per_variant):
+            if not len(dv):
+                continue
+            ords_v = np.searchsorted(self.docids, dv)
+            ids, tfs = self.decoded(self.lookup(v))
+            pos = np.searchsorted(ids, ords_v)
+            ok = (pos < len(ids)) & (
+                ids[np.minimum(pos, len(ids) - 1)] == ords_v
+            )
+            sel = pos[ok]
+            acc[ords_v[ok]] += contribution(
+                v_idf, tfs[sel].astype(np.float64),
+                self.dls[ords_v[ok]], avgdl, cfg.k1, cfg.b,
+            )
+        mask = self.filter_mask(filters)
+        if mask is not None:
+            keep = mask[ords_any]
+            matched_any, ords_any = matched_any[keep], ords_any[keep]
+        if not len(matched_any):
+            return empty
+        scores = acc[ords_any]
+        order = np.lexsort((matched_any, -scores))[:k]
+        return matched_any[order], scores[order]
+
     def phrase_matches(self, terms: list[str], slop: int = 0,
                        field: str | None = None,
                        slop_mode: str = "windowed"
@@ -5573,6 +5750,110 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_span_or_near(self, variants: str, anchor: str,
+                            slop: int = 1, k: int = 10,
+                            filters: dict | None = None):
+        """ES ``span_near`` with a ``span_or`` clause:
+        span_near(span_or(variant span_terms…), span_term anchor,
+        slop, in_order=false). Matches docs where ANY variant occurs
+        within ``slop`` of the anchor; scores as anchor BM25 + each
+        positionally-matched variant's BM25 (see
+        ShardSearcher.span_or_near_topk for the documented scoring
+        convention). → the standard result table."""
+        r = self.reader
+        vts = self._qt(variants)
+        ats = self._qt(anchor)
+        if len(ats) != 1 or not vts:
+            raise ValueError("span_or_near takes >=1 variant terms and "
+                             "exactly one anchor term")
+        if ats[0] in vts:
+            raise ValueError("anchor must be distinct from the variants")
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            dfs = self._global_dfs(vts + ats)
+            if int(dfs[-1]) > 0:
+                v_idfs = [
+                    idf(r.n_docs, int(d)) if int(d) > 0 else 0.0
+                    for d in dfs[:-1]
+                ]
+                a_idf = idf(r.n_docs, int(dfs[-1]))
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.span_or_near_topk.remote(
+                                vts, ats[0], slop, v_idfs, a_idf,
+                                r.avgdl, k, filters,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).span_or_near_topk(
+                            vts, ats[0], slop, v_idfs, a_idf, r.avgdl,
+                            k, filters,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
+    def search_span_contain(self, big: str, little: str, slop: int = 1,
+                            k: int = 10, mode: str = "containing",
+                            filters: dict | None = None):
+        """ES ``span_containing`` (mode="containing") / ``span_within``
+        (mode="within"): big = span_near of the two analyzed ``big``
+        terms (unordered, ``slop``), little = the single ``little``
+        span_term. A doc matches when some big window contains a
+        little occurrence; ``containing`` scores the big terms'
+        BM25 sum, ``within`` scores the little term (ES scores the
+        RETURNED span's terms; the containment test filters matches,
+        never stats). → the standard result table."""
+        if mode not in ("containing", "within"):
+            raise ValueError("mode must be 'containing' or 'within'")
+        r = self.reader
+        bts = self._qt(big)
+        lts = self._qt(little)
+        if len(bts) != 2 or len(lts) != 1:
+            raise ValueError("span_contain takes two big terms and one "
+                             "little term")
+        if lts[0] in bts:
+            raise ValueError("little term must be distinct from the "
+                             "big terms")
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if r.n_docs:
+            dfs = self._global_dfs(bts + lts)
+            if all(int(d) > 0 for d in dfs):
+                idfa = idf(r.n_docs, int(dfs[0]))
+                idfb = idf(r.n_docs, int(dfs[1]))
+                idfc = idf(r.n_docs, int(dfs[2]))
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.span_contain_topk.remote(
+                                bts[0], bts[1], slop, lts[0], idfa,
+                                idfb, idfc, r.avgdl, k, mode, filters,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).span_contain_topk(
+                            bts[0], bts[1], slop, lts[0], idfa, idfb,
+                            idfc, r.avgdl, k, mode, filters,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_intervals(self, rule: dict, k: int = 10):
         """ES ``intervals`` query: positional interval algebra —
         ``match`` leaves (ordered / unordered with ``max_gaps``)
@@ -6620,6 +6901,24 @@ class ShardActor:
     def span_not_topk(self, ta, tb, dist, t_idf, avgdl, k, filters=None):
         parts = [
             s.span_not_topk(ta, tb, dist, t_idf, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def span_or_near_topk(self, variants, anchor, slop, v_idfs,
+                          anchor_idf, avgdl, k, filters=None):
+        parts = [
+            s.span_or_near_topk(variants, anchor, slop, v_idfs,
+                                anchor_idf, avgdl, k, filters)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
+
+    def span_contain_topk(self, ta, tb, slop, tc, idfa, idfb, idfc,
+                          avgdl, k, mode, filters=None):
+        parts = [
+            s.span_contain_topk(ta, tb, slop, tc, idfa, idfb, idfc,
+                                avgdl, k, mode, filters)
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)

@@ -527,3 +527,148 @@ def test_lucene_slop_dsl_leaf(sl):
 
     with _pt.raises(ValueError, match="slop_mode"):
         eng.search_dsl({"phrase": {"query": "a", "slop_mode": "x"}}, k=5)
+
+
+def test_span_contain_brute_force(ray_session, tiny_index, tiny_table):
+    """span_containing / span_within == docs with a big (a,b) window
+    (|pa - pb| <= slop + 1) containing a little occurrence; containing
+    scores the big terms' bool-sum, within the little term's plain
+    query; actor==local."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(3)]
+    docs = {
+        (c, i): tokenize(txt)
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    big = f"{hot[0]} {hot[1]}"
+    little = hot[2]
+    big_full = eng.search_bool(must=big, k=10**6)
+    big_map = dict(zip(
+        zip(big_full["conv_id"].to_pylist(),
+            big_full["turn_idx"].to_pylist()),
+        big_full["score"].to_pylist(),
+    ))
+    lit_full = eng.search(little, k=10**6)
+    lit_map = dict(zip(
+        zip(lit_full["conv_id"].to_pylist(),
+            lit_full["turn_idx"].to_pylist()),
+        lit_full["score"].to_pylist(),
+    ))
+    actor_eng = QueryEngine(d, use_actors=True)
+    for slop in (0, 1, 3):
+        want = set()
+        for kk, toks in docs.items():
+            pa_ = [i for i, t in enumerate(toks) if t == hot[0]]
+            pb_ = [i for i, t in enumerate(toks) if t == hot[1]]
+            pc_ = [i for i, t in enumerate(toks) if t == little]
+            if any(
+                abs(a - b) <= slop + 1
+                and any(min(a, b) <= c <= max(a, b) for c in pc_)
+                for a in pa_ for b in pb_
+            ):
+                want.add(kk)
+        for mode, smap in (("containing", big_map), ("within", lit_map)):
+            got = eng.search_span_contain(big, little, slop=slop,
+                                          k=10**6, mode=mode)
+            keys = set(zip(got["conv_id"].to_pylist(),
+                           got["turn_idx"].to_pylist()))
+            assert keys == want, (mode, slop)
+            for ck, sc in zip(
+                zip(got["conv_id"].to_pylist(),
+                    got["turn_idx"].to_pylist()),
+                got["score"].to_pylist(),
+            ):
+                assert smap[ck] == sc
+            via_actor = actor_eng.search_span_contain(
+                big, little, slop=slop, k=10**6, mode=mode
+            )
+            assert via_actor.equals(got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mode"):
+        eng.search_span_contain(big, little, mode="bogus")
+    with _pt.raises(ValueError, match="distinct"):
+        eng.search_span_contain(big, hot[0])
+
+
+def test_span_or_near_brute_force(ray_session, tiny_index, tiny_table):
+    """span_near(span_or(v1, v2), anchor) == docs where ANY variant is
+    within slop of the anchor; score = anchor BM25 + each matched
+    variant's BM25; actor==local."""
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(3)]
+    anchor, variants = hot[0], [hot[1], hot[2]]
+    docs = {
+        (c, i): tokenize(txt)
+        for c, i, txt in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    term_maps = {}
+    for t in [anchor] + variants:
+        full = eng.search(t, k=10**6)
+        term_maps[t] = dict(zip(
+            zip(full["conv_id"].to_pylist(),
+                full["turn_idx"].to_pylist()),
+            full["score"].to_pylist(),
+        ))
+    actor_eng = QueryEngine(d, use_actors=True)
+    for slop in (0, 2):
+        matched_per_v = {}
+        for v in variants:
+            mv = set()
+            for kk, toks in docs.items():
+                pv = [i for i, t in enumerate(toks) if t == v]
+                pc = [i for i, t in enumerate(toks) if t == anchor]
+                if pv and pc and min(
+                    abs(a - b) for a in pv for b in pc
+                ) <= slop + 1:
+                    mv.add(kk)
+            matched_per_v[v] = mv
+        want = set().union(*matched_per_v.values())
+        got = eng.search_span_or_near(" ".join(variants), anchor,
+                                      slop=slop, k=10**6)
+        keys = set(zip(got["conv_id"].to_pylist(),
+                       got["turn_idx"].to_pylist()))
+        assert keys == want, slop
+        for ck, sc in zip(
+            zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+            got["score"].to_pylist(),
+        ):
+            expect = term_maps[anchor][ck] + sum(
+                term_maps[v][ck]
+                for v in variants if ck in matched_per_v[v]
+            )
+            assert abs(expect - sc) < 1e-9, ck
+        via_actor = actor_eng.search_span_or_near(
+            " ".join(variants), anchor, slop=slop, k=10**6
+        )
+        assert via_actor.equals(got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="distinct"):
+        eng.search_span_or_near(f"{anchor} {hot[1]}", anchor)

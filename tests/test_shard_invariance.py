@@ -65,6 +65,12 @@ MODES = [
                                                  k=25)),
     ("span_near", lambda e: e.search_span_near("table hash", slop=2,
                                                k=25)),
+    ("span_containing", lambda e: e.search_span_contain(
+        "table key", "hash", slop=4, k=25, mode="containing")),
+    ("span_within", lambda e: e.search_span_contain(
+        "table key", "hash", slop=4, k=25, mode="within")),
+    ("span_or", lambda e: e.search_span_or_near("merge scan", "table",
+                                                slop=2, k=25)),
     ("collapse", lambda e: e.search_collapse("table hash", "conv_id",
                                              k=25)),
     ("rescore", lambda e: e.search_rescore("table hash", "slow batch",
