@@ -149,6 +149,22 @@ SPAN_OR_QUERIES = [
     ("o3", "spark zzz_absent_term", "hash", 3),
 ]
 
+#: ids-query probes: (conv_id, turn_idx) — a mix of existing docs
+#: (low conv numbers exist at every sf), an unknown conv and a
+#: never-indexed turn; ES skips missing ids silently.
+IDS_QUERIES = [
+    ("conv_000000", 1),
+    ("conv_000002", 5),
+    ("conv_000010", 3),
+    ("conv_zzz_missing", 0),
+    ("conv_000000", 63),
+]
+
+#: terms-lookup probe: the document whose analyzed text supplies the
+#: term set at query time ({"terms": {"text": {"id": ..., "path":
+#: "text"}}}).
+TERMS_LOOKUP_DOC = ("conv_000003", 2)
+
 #: DSL probe with a PHRASE leaf: phrase pseudo-term + optional match
 #: clause + exclusion, composed in one bool.
 DSL_PHRASE_QUERY = {
@@ -1703,6 +1719,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_ids(sf_dir):
+        # ES ids query: fetch-by-id as a query, constant score 1.0,
+        # missing ids skipped silently
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.search_ids(IDS_QUERIES, k=100).select(
+            ["conv_id", "turn_idx", "score"]
+        )
+
+    def q_terms_lookup(sf_dir):
+        # ES terms query with terms LOOKUP: the term set comes from
+        # another document's field at query time; constant score
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        conv, turn = TERMS_LOOKUP_DOC
+        return eng.search_terms_lookup(conv, turn, k=50).select(
+            ["conv_id", "turn_idx", "score"]
+        )
+
     def q_bm25_dsl_topk(sf_dir):
         # ES nested-bool query DSL (recursive executor)
         import pyarrow as pa
@@ -3076,6 +3113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing": q_span_containing,
         "span_within": q_span_within,
         "span_or": q_span_or,
+        "bm25_ids": q_bm25_ids,
+        "terms_lookup": q_terms_lookup,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -3777,6 +3816,49 @@ FROM scored
 QUALIFY row_number() OVER (
     PARTITION BY query_id
     ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _ids_sql() -> str:
+    """ids-query twin: probe (conv_id, turn_idx) pairs joined against
+    the transcript keys — existence filters, constant score 1.0,
+    missing ids drop out of the join (the silent-skip semantics)."""
+    vals = ",\n        ".join(
+        f"('{c}', {t})" for c, t in IDS_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+q(conv_id, turn_idx) AS (VALUES
+        {vals})
+SELECT b.conv_id, b.turn_idx, 1.0 AS score
+FROM base b
+JOIN q ON q.conv_id = b.conv_id AND q.turn_idx = b.turn_idx
+"""
+    )
+
+
+def _terms_lookup_sql(k: int = 50) -> str:
+    """terms-lookup twin: the lookup doc's DISTINCT analyzed tokens
+    become the term set; any-overlap docs match with constant score;
+    first k in (conv_id, turn_idx) order == the engine's docid ASC."""
+    conv, turn = TERMS_LOOKUP_DOC
+    return (
+        _BASE
+        + f""",
+lk AS (
+    SELECT DISTINCT unnest(toks) AS term FROM base
+    WHERE conv_id = '{conv}' AND turn_idx = {turn}
+),
+matched AS (
+    SELECT DISTINCT e.conv_id, e.turn_idx
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base) e
+    JOIN lk USING (term)
+)
+SELECT conv_id, turn_idx, 1.0 AS score
+FROM matched
+QUALIFY row_number() OVER (ORDER BY conv_id, turn_idx) <= {k}
 """
     )
 
@@ -5458,6 +5540,8 @@ def oracle_sql() -> dict[str, str]:
         "span_containing": _span_contain_sql("containing"),
         "span_within": _span_contain_sql("within"),
         "span_or": _span_or_sql(),
+        "bm25_ids": _ids_sql(),
+        "terms_lookup": _terms_lookup_sql(),
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         # DSL phrase-leaf twin: the _phrase_sql anchor CTE provides the
         # pseudo-term (ptf, phrase df), the per-term CTE the should /

@@ -986,6 +986,36 @@ class ShardSearcher:
         order = np.lexsort((matched_any, -scores))[:k]
         return matched_any[order], scores[order]
 
+    def contains_docids(self, docids) -> np.ndarray:
+        """Membership mask: which of the probe docids live in this
+        shard (one binary search over the shard's sorted docid array —
+        the ES ``ids`` query's existence check)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        if not len(self.docids):
+            return np.zeros(len(docids), dtype=bool)
+        pos = np.searchsorted(self.docids, docids)
+        return (pos < len(self.docids)) & (
+            self.docids[np.minimum(pos, len(self.docids) - 1)] == docids
+        )
+
+    def any_terms_docs(self, terms: list[str], k: int):
+        """First ``k`` docids (ascending) matching ANY of ``terms`` —
+        the ES ``terms`` query's match set (constant-score: a terms
+        query never ranks by BM25; every match scores boost = 1.0).
+        One postings decode per present term, then a k-capped sorted
+        union — no scoring pass."""
+        parts = [
+            self.decoded(s)[0]
+            for s in (self.lookup(t) for t in terms) if s >= 0
+        ]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ords = np.unique(np.concatenate(parts))[:k]
+        return (
+            self.docids[ords],
+            np.ones(len(ords), dtype=np.float64),
+        )
+
     def phrase_matches(self, terms: list[str], slop: int = 0,
                        field: str | None = None,
                        slop_mode: str = "windowed"
@@ -5854,6 +5884,82 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_ids(self, ids, k: int = 10):
+        """ES ``ids`` query: fetch-by-id as a query — every existing
+        probe id matches with constant score 1.0 (ES's ids query is
+        not ranked); unknown conv_ids and never-indexed turns are
+        silently skipped, ES semantics. ``ids`` is a list of
+        ``(conv_id, turn_idx)`` pairs or ``"conv_id#turn_idx"``
+        strings (the engine's _id convention). Existence is one
+        binary-search membership probe per shard — never a doc fetch.
+        → the standard result table, ordered docid ASC (the ES _doc
+        tie-break for uniform scores)."""
+        r = self.reader
+        cand = []
+        for item in ids:
+            if isinstance(item, str):
+                conv, _, turn = item.rpartition("#")
+                item = (conv, int(turn))
+            try:
+                cand.append(r.docid_of(item[0], int(item[1])))
+            except KeyError:
+                continue  # unknown conv_id: ES skips silently
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if cand and r.n_docs:
+            probe = np.unique(np.asarray(cand, dtype=np.int64))
+            if self._actors is not None:
+                import ray
+
+                masks = ray.get(
+                    [a.contains_docids.remote(probe)
+                     for a in self._actors]
+                )
+            else:
+                masks = [
+                    r.searcher(s).contains_docids(probe)
+                    for s in range(r.num_shards)
+                ]
+            exists = np.zeros(len(probe), dtype=bool)
+            for m in masks:
+                exists |= m
+            docids = probe[exists][:k]
+            scores = np.ones(len(docids), dtype=np.float64)
+        return self._result_table(docids, scores)
+
+    def search_terms_lookup(self, conv_id: str, turn_idx: int,
+                            k: int = 10):
+        """ES ``terms`` query with TERMS LOOKUP: the term set is read
+        from another document's field at query time ({"terms":
+        {"text": {"index": ..., "id": ..., "path": "text"}}}) — here
+        the lookup doc's analyzed text tokens. Matching docs are the
+        union of the looked-up terms' postings with constant score
+        1.0 (a terms query is never BM25-ranked, ES semantics). The
+        lookup itself is ONE chunk-pruned docstore point read; the
+        match is one postings decode per term with a k-capped union
+        per shard. → the standard result table, docid ASC."""
+        r = self.reader
+        docid = r.docid_of(conv_id, int(turn_idx))
+        t = r.fetch_docs(np.asarray([docid]), columns=["text"])
+        terms = sorted(set(self._qt(t["text"][0].as_py())))
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            if self._actors is not None:
+                import ray
+
+                parts = ray.get(
+                    [a.any_terms_docs.remote(terms, k)
+                     for a in self._actors]
+                )
+            else:
+                parts = [
+                    r.searcher(s).any_terms_docs(terms, k)
+                    for s in range(r.num_shards)
+                ]
+            docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_intervals(self, rule: dict, k: int = 10):
         """ES ``intervals`` query: positional interval algebra —
         ``match`` leaves (ordered / unordered with ``max_gaps``)
@@ -6921,6 +7027,16 @@ class ShardActor:
                                 avgdl, k, mode, filters)
             for s in self.searchers
         ]
+        return _merge_shard_topk(parts, k)
+
+    def contains_docids(self, docids):
+        mask = self.searchers[0].contains_docids(docids)
+        for s in self.searchers[1:]:
+            mask = mask | s.contains_docids(docids)
+        return mask
+
+    def any_terms_docs(self, terms, k):
+        parts = [s.any_terms_docs(terms, k) for s in self.searchers]
         return _merge_shard_topk(parts, k)
 
     def distfeat_topk(self, terms, idfs, avgdl, k, attr, origin_us,
