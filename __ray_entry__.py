@@ -2781,6 +2781,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(f"{sf_dir}/events.parquet")
         return events.stats_by_type(ev)
 
+    def q_scripted_metric(sf_dir):
+        # ES scripted_metric agg: safe-expression map script evaluated
+        # vectorized per batch, partial combine, reduce per event_type
+        from excelastic_ray.io import read_parquet_clean
+
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"])
+        return events.scripted_metric(
+            ev, "value * 2 + sqrt(abs(value)) * w", params={"w": 0.5}
+        )
+
+    def q_categorize_text(sf_dir):
+        # ES categorize_text agg (deterministic variant: first-4-token
+        # pattern with <num> placeholder, documented deviation)
+        from excelastic_ray.corpus import transcripts_from_documents
+        from excelastic_ray.pipelines.textstats import categorize_text
+
+        return categorize_text(transcripts_from_documents(sf_dir),
+                               n_tokens=4, size=10)
+
     def q_value_histogram(sf_dir):
         from excelastic_ray.io import read_parquet_clean
 
@@ -3220,6 +3240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling": q_tumbling,
         "sliding": q_sliding,
         "event_stats": q_event_stats,
+        "scripted_metric": q_scripted_metric,
+        "categorize_text": q_categorize_text,
         "composite_agg": q_composite_agg,
         "date_histogram_pipeline": q_date_histogram_pipeline,
         "pipeline_diffs": q_pipeline_diffs,
@@ -7779,6 +7801,33 @@ SELECT event_type,
        floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value,
        floor(sum(value) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
 FROM events GROUP BY 1
+""",
+        # ES scripted_metric: the SAME safe expression inlined symbol
+        # for symbol (w = 0.5), reduce = sum per event_type
+        "scripted_metric": """
+SELECT event_type,
+       floor(sum(value * 2 + sqrt(abs(value)) * 0.5) * 1000000 + 0.5)
+           / 1000000 AS value
+FROM events GROUP BY 1
+""",
+        # ES categorize_text (deterministic variant): category = first
+        # 4 analyzer tokens with digit-bearing tokens masked to <num>;
+        # top 10 by (doc_count DESC, category ASC)
+        "categorize_text": _BASE + """,
+cat AS (
+    SELECT array_to_string(
+               list_transform(toks[1:4],
+                   x -> CASE WHEN regexp_matches(x, '[0-9]')
+                        THEN '<num>' ELSE x END),
+               ' ') AS category
+    FROM base WHERE len(toks) > 0
+),
+counts AS (
+    SELECT category, CAST(count(*) AS BIGINT) AS doc_count
+    FROM cat GROUP BY category
+)
+SELECT category, doc_count FROM counts
+QUALIFY row_number() OVER (ORDER BY doc_count DESC, category) <= 10
 """,
         # ES histogram aggregation: fixed-interval numeric buckets
         # keyed by floor(value/interval)*interval — identical float64

@@ -1608,3 +1608,81 @@ def missing_agg(ds, attr_col: str, group_col: str):
         [group_col],
     )
     return out.sort(group_col)
+
+
+def scripted_metric(ds, map_script: str, group_col: str = "event_type",
+                    params: dict | None = None, reduce: str = "sum"):
+    """ES ``scripted_metric`` aggregation: a user script maps each doc
+    to a number, per-partition state combines, and a reduce folds the
+    partition states — exactly Ray Data's partial/final split, so the
+    agg IS the engine's native shape: map_script runs numpy-vectorized
+    once per batch (never per doc), each batch emits one (group,
+    partial) row, and the coarse-bucket combine is the reduce_script.
+
+    ``map_script`` is the engine's safe arithmetic expression language
+    (query.script — the ES-Painless score-shaping subset) evaluated
+    over the batch's NUMERIC columns by name plus ``params``.
+    ``reduce``: sum | min | max | avg (the combinable folds; avg is
+    sum/count computed once at the end, never averaged across
+    partials). → Dataset (group_col, value), value trunc6 for SQL
+    parity."""
+    from excelastic_ray.query.script import compile_score_script
+
+    if reduce not in ("sum", "min", "max", "avg"):
+        raise ValueError("reduce must be sum, min, max or avg")
+    fn = compile_score_script(map_script)
+    params = dict(params or {})
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.types as pt
+
+        env = dict(params)
+        for name in batch.column_names:
+            if name == group_col:
+                continue
+            f = batch.schema.field(name)
+            if pt.is_integer(f.type) or pt.is_floating(f.type):
+                env[name] = batch[name].to_numpy().astype(np.float64)
+        v = np.asarray(fn(env), dtype=np.float64)
+        if v.ndim == 0:  # constant expression broadcasts over the batch
+            v = np.full(batch.num_rows, float(v))
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "v": v})
+        g = df.groupby(group_col, sort=False)["v"]
+        out = g.agg(n="size", v_sum="sum", v_min="min", v_max="max")
+        return out.reset_index()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_col],
+                                       index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % 32).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop(columns="__bucket")
+            .groupby(group_col, sort=False)
+            .agg(n=("n", "sum"), v_sum=("v_sum", "sum"),
+                 v_min=("v_min", "min"), v_max=("v_max", "max"))
+            .reset_index()
+        )
+        if reduce == "sum":
+            val = out["v_sum"].to_numpy()
+        elif reduce == "min":
+            val = out["v_min"].to_numpy()
+        elif reduce == "max":
+            val = out["v_max"].to_numpy()
+        else:
+            val = out["v_sum"].to_numpy() / out["n"].to_numpy()
+        return pd.DataFrame({group_col: out[group_col],
+                             "value": trunc6(val)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+        .sort(group_col)
+    )

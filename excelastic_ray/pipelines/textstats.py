@@ -1413,3 +1413,77 @@ def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     return ds.map_batches(batch_fn, batch_format="pyarrow",
                           batch_size=4096)
+
+
+def categorize_text(ds, text_col: str = "text", n_tokens: int = 4,
+                    size: int = 10, n_buckets: int | None = None):
+    """ES ``categorize_text`` aggregation analog: cluster messages into
+    log-pattern categories and count docs per category.
+
+    Deterministic variant (documented deviation — ES uses an
+    order-dependent incremental token-similarity clusterer that is not
+    reproducible across shard orders): a doc's category is its first
+    ``n_tokens`` analyzer tokens with every digit-bearing token
+    replaced by the ``<num>`` placeholder (ES likewise treats numeric
+    tokens as non-identifying). Empty-token docs are skipped, ES
+    semantics. Top ``size`` categories by (doc_count DESC, category
+    ASC).
+
+    Shape: per-batch partial (one row per distinct category per
+    batch — the digit masking is one vectorized regex over the batch's
+    UNIQUE tokens, never per occurrence), coarse hash-bucket combine,
+    then a ``size``-row sort+limit — the shuffle moves O(batches ×
+    categories) tiny rows, never docs."""
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=48)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes, uniques, row_idx = _tokenize_batch(batch[text_col].to_pylist())
+        empty = pa.table({"category": pa.array([], type=pa.string()),
+                          "doc_count": pa.array([], type=pa.int64()),
+                          "__bucket": pa.array([], type=pa.int64())})
+        if not len(codes):
+            return empty
+        has_digit = (
+            pd.Series(uniques, dtype=object)
+            .str.contains(r"[0-9]", regex=True)
+            .to_numpy(dtype=bool)
+        )
+        masked = np.where(has_digit, "<num>", uniques.astype(object))
+        # position within row → keep only each doc's first n_tokens
+        starts = np.flatnonzero(np.diff(row_idx, prepend=-1))
+        pos = np.arange(len(row_idx)) - np.repeat(
+            starts, np.diff(np.append(starts, len(row_idx)))
+        )
+        keep = pos < n_tokens
+        cats = (
+            pd.DataFrame({"r": row_idx[keep], "t": masked[codes[keep]]})
+            .groupby("r", sort=False)["t"]
+            .agg(" ".join)
+        )
+        vc = cats.value_counts()
+        cat_arr = vc.index.to_numpy(dtype=object)
+        bucket = (
+            fnv1a_rows([c.encode() for c in cat_arr])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table({
+            "category": pa.array(cat_arr.astype(str)),
+            "doc_count": pa.array(vc.to_numpy().astype(np.int64)),
+            "__bucket": pa.array(bucket),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__bucket")
+            .groupby("category", sort=False)
+            .agg(doc_count=("doc_count", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+    combined = partials.groupby("__bucket").map_groups(
+        combine, batch_format="pandas"
+    )
+    return combined.sort(["doc_count", "category"],
+                         descending=[True, False]).limit(size)
