@@ -1740,6 +1740,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["conv_id", "turn_idx", "score"]
         )
 
+    def q_const_score_template(sf_dir):
+        # ES search template -> wrapper splice -> constant_score, all
+        # three compile-time DSL surfaces in one entry: the template
+        # renders params (string + number), the wrapper base64 payload
+        # splices into the tree, constant_score scores the filter's
+        # MATCH SET at the fixed boost (filter context)
+        import base64
+        import json
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        inner = {"bool": {"must": [{"term": "table"}],
+                          "must_not": [{"term": "spark"}]}}
+        b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+        tpl = ('{"constant_score": {"filter": {"wrapper": "{{w}}"}, '
+               '"boost": {{b}}}}')
+        return eng.search_template(
+            tpl, {"w": b64, "b": 2.5}, k=60
+        ).select(["conv_id", "turn_idx", "score"])
+
     def q_bm25_dsl_topk(sf_dir):
         # ES nested-bool query DSL (recursive executor)
         import pyarrow as pa
@@ -3135,6 +3156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_or": q_span_or,
         "bm25_ids": q_bm25_ids,
         "terms_lookup": q_terms_lookup,
+        "const_score_template": q_const_score_template,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -5564,6 +5586,16 @@ def oracle_sql() -> dict[str, str]:
         "span_or": _span_or_sql(),
         "bm25_ids": _ids_sql(),
         "terms_lookup": _terms_lookup_sql(),
+        # const_score_template twin: template/wrapper are compile-time
+        # identities, so SQL sees only the spliced filter — docs whose
+        # token set holds 'table' and not 'spark' at the fixed boost;
+        # constant scores tie-break (conv_id, turn_idx) == docid ASC
+        "const_score_template": _BASE + """
+SELECT conv_id, turn_idx, 2.5 AS score
+FROM base
+WHERE list_contains(toks, 'table') AND NOT list_contains(toks, 'spark')
+QUALIFY row_number() OVER (ORDER BY conv_id, turn_idx) <= 60
+""",
         "bm25_exists_topk": _bm25_sql(extra_join_pred="tt.tool <> ''"),
         # DSL phrase-leaf twin: the _phrase_sql anchor CTE provides the
         # pseudo-term (ptf, phrase df), the per-term CTE the should /

@@ -1547,6 +1547,12 @@ class ShardSearcher:
                 )
                 match[ords] = True
             return acc, match
+        if node["op"] == "const":
+            # ES constant_score: the child's MATCH SET at a fixed
+            # score — boost per matching doc, the child's BM25 scores
+            # discarded (filter context)
+            _, m = self._dsl_eval(node["child"], avgdl)
+            return np.where(m, node["boost"], 0.0), m
         score = np.zeros(n)
         match = np.ones(n, dtype=bool)
         for c in node["must"]:
@@ -3234,6 +3240,69 @@ def _parse_span_us(v) -> int:
     raise ValueError(f"cannot parse time span {v!r} (use µs or N[mhd])")
 
 
+def _unwrap_wrappers(node, depth: int = 0):
+    """ES ``wrapper`` query: a node whose body is the base64 of a JSON
+    query splices into the tree at COMPILE time (ES decodes wrappers
+    before planning too). Recursion is depth-capped — a wrapper
+    containing a wrapper is legal, an unbounded chain is not."""
+    if depth > 8:
+        raise ValueError("wrapper queries nested more than 8 deep")
+    if isinstance(node, list):
+        return [_unwrap_wrappers(c, depth) for c in node]
+    if not isinstance(node, dict):
+        return node
+    if len(node) == 1 and "wrapper" in node:
+        import base64
+        import json
+
+        body = node["wrapper"]
+        if isinstance(body, dict):  # ES request-body shape
+            body = body.get("query")
+        if not isinstance(body, str):
+            raise ValueError(
+                "wrapper takes a base64 string or {'query': base64}"
+            )
+        try:
+            inner = json.loads(base64.b64decode(body, validate=True))
+        except Exception as e:
+            raise ValueError(f"wrapper: invalid base64 JSON: {e}") from None
+        return _unwrap_wrappers(inner, depth + 1)
+    return {k_: _unwrap_wrappers(v, depth) for k_, v in node.items()}
+
+
+def render_search_template(template: str, params: dict) -> dict:
+    """ES search-template rendering (the mustache subset users write):
+    every ``{{name}}`` in the template string substitutes its param —
+    strings are JSON-escaped in place, numbers/bools render as JSON
+    literals, so a quoted "{{q}}" receives a string and an unquoted
+    {{n}} receives a number, exactly like ES's mustache + JSON parse.
+    Unknown placeholders raise (ES renders empty, which silently
+    corrupts queries — the engine's loud-refusal convention).
+    → the rendered query dict."""
+    import json
+    import re as _re
+
+    def sub(m: "_re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"search template: missing param {name!r}")
+        v = params[name]
+        if isinstance(v, str):
+            return json.dumps(v)[1:-1]  # escape, drop the added quotes
+        return json.dumps(v)
+
+    rendered = _re.sub(r"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}", sub, template)
+    try:
+        out = json.loads(rendered)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"search template: rendered JSON is invalid: {e}"
+        ) from None
+    if not isinstance(out, dict):
+        raise ValueError("search template must render to a query object")
+    return out
+
+
 def _merge_shard_topk(parts, k):
     if not parts:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -4070,6 +4139,7 @@ class QueryEngine:
         be "everything" (no must, msm = 0) raises instead of ranking
         the whole corpus."""
         r = self.reader
+        query = _unwrap_wrappers(query)
         terms: set[str] = set()
         phrases: set[tuple[tuple[str, ...], int, str]] = set()
         expansions: dict[tuple, list[str]] = {}
@@ -4187,6 +4257,13 @@ class QueryEngine:
                         else self.expand_fuzzy(t, dd, plen, maxexp)
                     )
                 terms.update(expansions[key])
+            elif op == "constant_score":
+                if not (isinstance(body, dict) and "filter" in body
+                        and set(body) <= {"filter", "boost"}):
+                    raise ValueError(
+                        "constant_score takes {'filter', 'boost'}"
+                    )
+                collect(body["filter"])
             elif op == "bool":
                 unknown = set(body) - {
                     "must", "should", "must_not", "filter",
@@ -4299,6 +4376,12 @@ class QueryEngine:
                     return {"op": "none"}
                 return {"op": "match",
                         "terms": [(t, idf_map[t]) for t in live]}
+            if op == "constant_score":
+                child = build(body["filter"])
+                if child["op"] == "none":
+                    return {"op": "none"}
+                return {"op": "const", "child": child,
+                        "boost": float(body.get("boost", 1.0))}
             b = body
             if not b.get("must") and not b.get("should"):
                 raise ValueError(
@@ -4348,6 +4431,18 @@ class QueryEngine:
             ]
         docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
+
+    def search_template(self, template: str, params: dict | None = None,
+                        k: int = 10, filters: dict | None = None):
+        """ES search template: render the mustache-subset ``template``
+        with ``params`` (see :func:`render_search_template`), then
+        execute the rendered query through the DSL executor. The
+        stored-template workflow is the caller's side (templates are
+        strings; keep them wherever requests are built)."""
+        return self.search_dsl(
+            render_search_template(template, dict(params or {})), k,
+            filters,
+        )
 
     def search_bool(self, must: str = "", should: str = "",
                     must_not: str = "", k: int = 10,

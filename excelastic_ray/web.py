@@ -431,6 +431,23 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/search/template":
+                    # ES POST _search/template: {"source": mustache
+                    # template string, "params": {...}, "k": n}
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.search_template(
+                                q["index"], body["source"],
+                                body.get("params"),
+                                int(body.get("k", 10)),
+                            ),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/msearch":
                     try:
                         length = int(self.headers.get("Content-Length", "0"))
@@ -1307,6 +1324,17 @@ class ImportServer:
             return {"hits": eng.search_intervals(query["intervals"],
                                                  k).to_pylist()}
         return {"hits": eng.search_dsl(query, k).to_pylist()}
+
+    def search_template(self, index: str, source: str,
+                        params: dict | None = None, k: int = 10) -> dict:
+        """ES POST _search/template analog: render the mustache-subset
+        ``source`` with ``params`` (loud refusal on missing params),
+        then execute it as a DSL search."""
+        from excelastic_ray.query.engine import render_search_template
+
+        return self.search_dsl(
+            index, render_search_template(source, dict(params or {})), k
+        )
 
     def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
         """ES scroll analog (relevance order): first page + scroll_id.

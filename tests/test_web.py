@@ -1023,3 +1023,62 @@ def test_rollover_api(ray_session, tmp_path):
         assert len(json.loads(body)["hits"]) > 0
     finally:
         srv.stop()
+
+
+def test_search_template_over_http(ray_session, tmp_path):
+    """POST /api/search/template: mustache render + DSL exec == engine
+    direct; missing params are a 400, not a silent empty render."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "tpl")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=11)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    tpl = '{"bool": {"must": [{"match": "{{q}}"}]}}'
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        req = urllib.request.Request(
+            base + "/api/search/template?index=a",
+            data=json.dumps(
+                {"source": tpl, "params": {"q": "the"}, "k": 6}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            hits = json.loads(r.read())["hits"]
+        want = eng.search_dsl(
+            {"bool": {"must": [{"match": "the"}]}}, 6
+        ).to_pylist()
+        assert hits == want and len(hits) > 0
+
+        req = urllib.request.Request(
+            base + "/api/search/template?index=a",
+            data=json.dumps({"source": tpl, "params": {}}).encode(),
+            method="POST",
+        )
+        status, body = _req_status(req)
+        assert status == 400 and "missing param" in body
+    finally:
+        srv.stop()
+
+
+def _req_status(req) -> tuple[int, str]:
+    import urllib.error
+
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
