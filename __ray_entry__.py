@@ -1761,6 +1761,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tpl, {"w": b64, "b": 2.5}, k=60
         ).select(["conv_id", "turn_idx", "score"])
 
+    def q_function_score_topk(sf_dir):
+        # ES function_score envelope: field_value_factor over the
+        # indexed turn_idx doc value (sqrt modifier — IEEE-exact in
+        # numpy and DuckDB alike) multiplied with a filtered weight
+        # function, combined into the BM25 score (multiply/multiply)
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_dsl(
+            {"function_score": {
+                "query": {"bool": {"must": [{"term": "table"}]}},
+                "functions": [
+                    {"field_value_factor": {"field": "turn_idx",
+                                            "factor": 0.5,
+                                            "modifier": "sqrt"}},
+                    {"filter": {"term": "merge"}, "weight": 1.5},
+                ],
+                "score_mode": "multiply", "boost_mode": "multiply",
+            }},
+            10,
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_dsl_topk(sf_dir):
         # ES nested-bool query DSL (recursive executor)
         import pyarrow as pa
@@ -3157,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ids": q_bm25_ids,
         "terms_lookup": q_terms_lookup,
         "const_score_template": q_const_score_template,
+        "function_score_topk": q_function_score_topk,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -5586,6 +5620,45 @@ def oracle_sql() -> dict[str, str]:
         "span_or": _span_or_sql(),
         "bm25_ids": _ids_sql(),
         "terms_lookup": _terms_lookup_sql(),
+        # function_score twin: BM25('table') × (sqrt(0.5·turn_idx) ×
+        # merge-filter weight) — parenthesized exactly like the engine
+        # (factor first, then query score × factor); sqrt is IEEE
+        # correctly-rounded in both numpy and DuckDB so the float64
+        # products are bit-identical before trunc6
+        "function_score_topk": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    WHERE term IN ('table', 'merge')
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+),
+q AS (SELECT conv_id, turn_idx, c AS s FROM per WHERE term = 'table'),
+mg AS (SELECT DISTINCT conv_id, turn_idx FROM per WHERE term = 'merge'),
+m AS (
+    SELECT q.conv_id, q.turn_idx,
+           q.s * (sqrt(0.5 * q.turn_idx)
+                  * CASE WHEN mg.conv_id IS NOT NULL
+                         THEN 1.5 ELSE 1.0 END) AS raw
+    FROM q
+    LEFT JOIN mg ON mg.conv_id = q.conv_id AND mg.turn_idx = q.turn_idx
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
         # const_score_template twin: template/wrapper are compile-time
         # identities, so SQL sees only the spliced filter — docs whose
         # token set holds 'table' and not 'spark' at the fixed boost;

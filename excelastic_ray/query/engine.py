@@ -1553,6 +1553,101 @@ class ShardSearcher:
             # discarded (filter context)
             _, m = self._dsl_eval(node["child"], avgdl)
             return np.where(m, node["boost"], 0.0), m
+        if node["op"] == "fscore":
+            # ES function_score: the child's match set; each function
+            # yields a per-doc value (× its weight) where its filter
+            # matches, the applied values combine per score_mode, and
+            # the combined factor joins the query score per boost_mode.
+            # Docs where NO function applies keep factor 1 (ES rule).
+            qs, qm = self._dsl_eval(node["child"], avgdl)
+            vals: list[tuple[np.ndarray, np.ndarray, float]] = []
+            for f in node["funcs"]:
+                filt = f.get("filter")
+                if filt is not None:
+                    if filt["op"] == "none":
+                        continue  # filter matches nothing anywhere
+                    _, fm = self._dsl_eval(filt, avgdl)
+                else:
+                    fm = np.ones(n, dtype=bool)
+                fvf = f.get("fvf")
+                if fvf is not None:
+                    v = (
+                        (self.docids & (self.cfg.max_turns - 1))
+                        if fvf["field"] == "turn_idx" else self.dls
+                    ).astype(np.float64) * fvf["factor"]
+                    mod = fvf["modifier"]
+                    if mod in ("log1p", "ln1p"):
+                        v = np.log1p(v)
+                    elif mod == "sqrt":
+                        v = np.sqrt(v)
+                    elif mod == "square":
+                        v = v * v
+                elif "random" in f:
+                    from excelastic_ray.hashing import fnv1a_int64
+
+                    v = fnv1a_int64(
+                        self.docids + np.int64(f["random"])
+                    ).astype(np.float64) / float(1 << 64)
+                else:
+                    v = np.ones(n)
+                vals.append((fm, v * f["weight"], f["weight"]))
+            sm = node["score_mode"]
+            if not vals:
+                factor = np.ones(n)
+            elif sm == "multiply":
+                factor = np.ones(n)
+                for fm, v, _ in vals:
+                    factor[fm] *= v[fm]
+            elif sm == "sum":
+                factor = np.zeros(n)
+                hit = np.zeros(n, dtype=bool)
+                for fm, v, _ in vals:
+                    factor[fm] += v[fm]
+                    hit |= fm
+                factor[~hit] = 1.0
+            elif sm == "avg":
+                # ES: weighted average — Σ(wᵢ·rawᵢ) / Σwᵢ over the
+                # functions that apply (v already carries the weight)
+                num = np.zeros(n)
+                den = np.zeros(n)
+                for fm, v, w in vals:
+                    num[fm] += v[fm]
+                    den[fm] += w
+                factor = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                                  1.0)
+            elif sm in ("max", "min"):
+                init = -np.inf if sm == "max" else np.inf
+                op_ = np.maximum if sm == "max" else np.minimum
+                factor = np.full(n, init)
+                hit = np.zeros(n, dtype=bool)
+                for fm, v, _ in vals:
+                    factor[fm] = op_(factor[fm], v[fm])
+                    hit |= fm
+                factor[~hit] = 1.0
+            else:  # first
+                factor = np.ones(n)
+                taken = np.zeros(n, dtype=bool)
+                for fm, v, _ in vals:
+                    use = fm & ~taken
+                    factor[use] = v[use]
+                    taken |= fm
+            if node["max_boost"] is not None:
+                factor = np.minimum(factor, node["max_boost"])
+            bm = node["boost_mode"]
+            if bm == "multiply":
+                s = qs * factor
+            elif bm == "sum":
+                s = qs + factor
+            elif bm == "replace":
+                s = factor.astype(np.float64, copy=True)
+            elif bm == "avg":
+                s = (qs + factor) / 2.0
+            elif bm == "max":
+                s = np.maximum(qs, factor)
+            else:  # min
+                s = np.minimum(qs, factor)
+            s = np.where(qm, s, 0.0)
+            return s, qm
         score = np.zeros(n)
         match = np.ones(n, dtype=bool)
         for c in node["must"]:
@@ -3270,6 +3365,63 @@ def _unwrap_wrappers(node, depth: int = 0):
     return {k_: _unwrap_wrappers(v, depth) for k_, v in node.items()}
 
 
+_FSCORE_SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+_FSCORE_BOOST_MODES = ("multiply", "sum", "replace", "avg", "max", "min")
+_FVF_MODIFIERS = ("none", "log1p", "ln1p", "sqrt", "square")
+_FVF_FIELDS = ("turn_idx", "dl")
+
+
+def _fscore_validate(body) -> None:
+    """ES ``function_score`` request validation (loud, at compile):
+    {'query', 'functions', 'score_mode', 'boost_mode', 'max_boost'};
+    each function is at most one value source (``field_value_factor``
+    over the numeric doc values turn_idx / dl, or seeded
+    ``random_score``), plus optional 'filter' and 'weight'. Modifiers
+    are the ES monotone set that stays total over non-negative doc
+    values (log/ln/reciprocal would diverge at 0 — refused rather than
+    silently clamped)."""
+    if not (isinstance(body, dict) and "query" in body
+            and set(body) <= {"query", "functions", "score_mode",
+                              "boost_mode", "max_boost"}):
+        raise ValueError(
+            "function_score takes {'query', 'functions', 'score_mode', "
+            "'boost_mode', 'max_boost'}"
+        )
+    if body.get("score_mode", "multiply") not in _FSCORE_SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_FSCORE_SCORE_MODES}")
+    if body.get("boost_mode", "multiply") not in _FSCORE_BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {_FSCORE_BOOST_MODES}")
+    fns = body.get("functions", [])
+    if not isinstance(fns, list):
+        raise ValueError("functions must be a list")
+    for fn in fns:
+        if not (isinstance(fn, dict) and set(fn) <= {
+                "filter", "weight", "field_value_factor", "random_score"}):
+            raise ValueError(
+                "function takes {'filter', 'weight', "
+                "'field_value_factor', 'random_score'}"
+            )
+        if "field_value_factor" in fn and "random_score" in fn:
+            raise ValueError("function has two value sources")
+        if "field_value_factor" in fn:
+            fvf = fn["field_value_factor"]
+            if not (isinstance(fvf, dict) and "field" in fvf
+                    and set(fvf) <= {"field", "factor", "modifier"}):
+                raise ValueError(
+                    "field_value_factor takes {'field', 'factor', "
+                    "'modifier'}"
+                )
+            if fvf["field"] not in _FVF_FIELDS:
+                raise ValueError(
+                    f"field_value_factor field must be one of "
+                    f"{_FVF_FIELDS} (the indexed numeric doc values)"
+                )
+            if fvf.get("modifier", "none") not in _FVF_MODIFIERS:
+                raise ValueError(
+                    f"modifier must be one of {_FVF_MODIFIERS}"
+                )
+
+
 def render_search_template(template: str, params: dict) -> dict:
     """ES search-template rendering (the mustache subset users write):
     every ``{{name}}`` in the template string substitutes its param —
@@ -4264,6 +4416,12 @@ class QueryEngine:
                         "constant_score takes {'filter', 'boost'}"
                     )
                 collect(body["filter"])
+            elif op == "function_score":
+                _fscore_validate(body)
+                collect(body["query"])
+                for fn in body.get("functions", []):
+                    if "filter" in fn:
+                        collect(fn["filter"])
             elif op == "bool":
                 unknown = set(body) - {
                     "must", "should", "must_not", "filter",
@@ -4382,6 +4540,32 @@ class QueryEngine:
                     return {"op": "none"}
                 return {"op": "const", "child": child,
                         "boost": float(body.get("boost", 1.0))}
+            if op == "function_score":
+                child = build(body["query"])
+                if child["op"] == "none":
+                    return {"op": "none"}
+                funcs = []
+                for fn in body.get("functions", []):
+                    f: dict = {"weight": float(fn.get("weight", 1.0))}
+                    if "filter" in fn:
+                        f["filter"] = build(fn["filter"])
+                    if "field_value_factor" in fn:
+                        fvf = fn["field_value_factor"]
+                        f["fvf"] = {
+                            "field": fvf["field"],
+                            "factor": float(fvf.get("factor", 1.0)),
+                            "modifier": fvf.get("modifier", "none"),
+                        }
+                    elif "random_score" in fn:
+                        f["random"] = int(
+                            (fn["random_score"] or {}).get("seed", 0)
+                        )
+                    funcs.append(f)
+                mb = body.get("max_boost")
+                return {"op": "fscore", "child": child, "funcs": funcs,
+                        "score_mode": body.get("score_mode", "multiply"),
+                        "boost_mode": body.get("boost_mode", "multiply"),
+                        "max_boost": None if mb is None else float(mb)}
             b = body
             if not b.get("must") and not b.get("should"):
                 raise ValueError(
