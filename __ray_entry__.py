@@ -1761,6 +1761,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tpl, {"w": b64, "b": 2.5}, k=60
         ).select(["conv_id", "turn_idx", "score"])
 
+    def q_bm25_boosted_dsl(sf_dir):
+        # per-clause DSL boost: a boosted must match + a down-boosted
+        # should term; score = 2·bm25(table) + 0.5·bm25(merge if
+        # present) — the ES any-clause score multiplier
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_dsl(
+            {"bool": {
+                "must": [{"match": {"query": "table", "boost": 2.0}}],
+                "should": [{"term": {"value": "merge", "boost": 0.5}}],
+            }},
+            10,
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_function_score_topk(sf_dir):
         # ES function_score envelope: field_value_factor over the
         # indexed turn_idx doc value (sqrt modifier — IEEE-exact in
@@ -3191,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_lookup": q_terms_lookup,
         "const_score_template": q_const_score_template,
         "function_score_topk": q_function_score_topk,
+        "bm25_boosted_dsl": q_bm25_boosted_dsl,
         "bm25_top_hits": q_bm25_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "multi_index_search": q_multi_index_search,
@@ -5620,6 +5647,41 @@ def oracle_sql() -> dict[str, str]:
         "span_or": _span_or_sql(),
         "bm25_ids": _ids_sql(),
         "terms_lookup": _terms_lookup_sql(),
+        # boosted-DSL twin: 2·bm25(table) + 0.5·bm25(merge) where
+        # merge is optional (should); engine order is (c·boost) per
+        # clause then summed, matched by the parenthesization
+        "bm25_boosted_dsl": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    WHERE term IN ('table', 'merge')
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+),
+q AS (SELECT conv_id, turn_idx, c AS s FROM per WHERE term = 'table'),
+mg AS (SELECT conv_id, turn_idx, c AS s FROM per WHERE term = 'merge'),
+m AS (
+    SELECT q.conv_id, q.turn_idx,
+           (q.s * 2.0) + coalesce(mg.s * 0.5, 0.0) AS raw
+    FROM q
+    LEFT JOIN mg ON mg.conv_id = q.conv_id AND mg.turn_idx = q.turn_idx
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
         # function_score twin: BM25('table') × (sqrt(0.5·turn_idx) ×
         # merge-filter weight) — parenthesized exactly like the engine
         # (factor first, then query score × factor); sqrt is IEEE

@@ -1464,6 +1464,17 @@ class ShardSearcher:
         return docids[order], scores[order]
 
     def _dsl_eval(self, node: dict, avgdl: float):
+        """Evaluate one compiled DSL node, then apply its per-clause
+        ``boost`` (the ES any-clause score multiplier; never changes
+        the match set). Kept as a thin wrapper so EVERY node kind —
+        leaf, bool, const, fscore — boosts through one code path."""
+        s, m = self._dsl_eval_raw(node, avgdl)
+        b = node.get("boost")
+        if b is not None and b != 1.0:
+            s = s * b
+        return s, m
+
+    def _dsl_eval_raw(self, node: dict, avgdl: float):
         """Recursive dense evaluation of a compiled query-DSL tree →
         (score float64, match bool) arrays over this shard's ordinal
         space. Leaves are ``match`` nodes carrying (term, idf) pairs
@@ -1552,7 +1563,7 @@ class ShardSearcher:
             # score — boost per matching doc, the child's BM25 scores
             # discarded (filter context)
             _, m = self._dsl_eval(node["child"], avgdl)
-            return np.where(m, node["boost"], 0.0), m
+            return np.where(m, node["score"], 0.0), m
         if node["op"] == "fscore":
             # ES function_score: the child's match set; each function
             # yields a per-doc value (× its weight) where its filter
@@ -4296,14 +4307,21 @@ class QueryEngine:
         phrases: set[tuple[tuple[str, ...], int, str]] = set()
         expansions: dict[tuple, list[str]] = {}
 
+        def leaf_boost(body) -> float | None:
+            # per-clause ES boost: any leaf/bool dict body may carry it
+            if isinstance(body, dict) and "boost" in body:
+                return float(body["boost"])
+            return None
+
         def expand_spec(op, body) -> tuple[str, int]:
             if isinstance(body, str):
                 return body, 50
             if (isinstance(body, dict) and "value" in body
-                    and set(body) <= {"value", "max_expansions"}):
+                    and set(body) <= {"value", "max_expansions", "boost"}):
                 return body["value"], int(body.get("max_expansions", 50))
             raise ValueError(
-                f"{op} takes a string or {{'value', 'max_expansions'}}"
+                f"{op} takes a string or {{'value', 'max_expansions', "
+                f"'boost'}}"
             )
 
         def fuzzy_spec(body) -> tuple:
@@ -4312,10 +4330,10 @@ class QueryEngine:
             if not (isinstance(body, dict) and "value" in body
                     and set(body) <= {"value", "fuzziness",
                                       "prefix_length",
-                                      "max_expansions"}):
+                                      "max_expansions", "boost"}):
                 raise ValueError(
                     "fuzzy takes a string or {'value', 'fuzziness', "
-                    "'prefix_length', 'max_expansions'}"
+                    "'prefix_length', 'max_expansions', 'boost'}"
                 )
             toks = self._qt(str(body["value"]))
             if len(toks) != 1:
@@ -4330,8 +4348,13 @@ class QueryEngine:
                     int(body.get("max_expansions", 50)))
 
         def term_token(body) -> str:
+            if (isinstance(body, dict) and "value" in body
+                    and set(body) <= {"value", "boost"}):
+                body = body["value"]
             if not isinstance(body, str):
-                raise ValueError("term takes a single token string")
+                raise ValueError(
+                    "term takes a token string or {'value', 'boost'}"
+                )
             toks = self._qt(body)
             if len(toks) != 1:
                 raise ValueError(
@@ -4344,7 +4367,8 @@ class QueryEngine:
                 q, slop, mode = body, 0, "windowed"
             elif isinstance(body, dict) and set(body) <= {"query",
                                                           "slop",
-                                                          "slop_mode"}:
+                                                          "slop_mode",
+                                                          "boost"}:
                 q, slop = body["query"], int(body.get("slop", 0))
                 mode = body.get("slop_mode", "windowed")
                 if mode not in ("windowed", "lucene"):
@@ -4354,7 +4378,7 @@ class QueryEngine:
             else:
                 raise ValueError(
                     "phrase takes a string or {'query', 'slop', "
-                    "'slop_mode'}"
+                    "'slop_mode', 'boost'}"
                 )
             return tuple(self._tok_ordered(q)), slop, mode
 
@@ -4366,14 +4390,19 @@ class QueryEngine:
             op, body = next(iter(node.items()))
             if op == "match":
                 if isinstance(body, dict):
-                    if set(body) != {"field", "query"}:
+                    if not ("query" in body
+                            and set(body) <= {"field", "query", "boost"}):
                         raise ValueError(
-                            "match takes a string or {'field', 'query'}"
+                            "match takes a string or {'field', 'query', "
+                            "'boost'}"
                         )
-                    for tok in str(body["query"]).split():
-                        key, _ = self._field_key_of(body["field"], tok)
-                        if key is not None:
-                            terms.add(key)
+                    if "field" in body:
+                        for tok in str(body["query"]).split():
+                            key, _ = self._field_key_of(body["field"], tok)
+                            if key is not None:
+                                terms.add(key)
+                    else:
+                        terms.update(self._qt(str(body["query"])))
                 elif isinstance(body, str):
                     terms.update(self._qt(body))
                 else:
@@ -4425,7 +4454,7 @@ class QueryEngine:
             elif op == "bool":
                 unknown = set(body) - {
                     "must", "should", "must_not", "filter",
-                    "minimum_should_match",
+                    "minimum_should_match", "boost",
                 }
                 if unknown:
                     raise ValueError(
@@ -4479,7 +4508,19 @@ class QueryEngine:
 
         def build(node) -> dict:
             op, body = next(iter(node.items()))
+            out = build_node(op, body)
+            # attach the per-clause boost (constant_score's 'boost' IS
+            # its score, already consumed by its own node)
+            if op != "constant_score" and out["op"] != "none":
+                b = leaf_boost(body)
+                if b is not None:
+                    out["boost"] = b
+            return out
+
+        def build_node(op, body) -> dict:
             if op == "match":
+                if isinstance(body, dict) and "field" not in body:
+                    body = str(body["query"])
                 if isinstance(body, dict):
                     f = body["field"]
                     fnorm = None
@@ -4539,7 +4580,7 @@ class QueryEngine:
                 if child["op"] == "none":
                     return {"op": "none"}
                 return {"op": "const", "child": child,
-                        "boost": float(body.get("boost", 1.0))}
+                        "score": float(body.get("boost", 1.0))}
             if op == "function_score":
                 child = build(body["query"])
                 if child["op"] == "none":
