@@ -149,6 +149,20 @@ SPAN_OR_QUERIES = [
     ("o3", "spark zzz_absent_term", "hash", 3),
 ]
 
+#: span_multi probes: (query_id, pattern, kind, anchor, slop) —
+#: span_near(span_multi(pattern), span_term anchor, slop, unordered);
+#: the multi-term query is rewritten to the lexicographically-first
+#: SPAN_MULTI_MAX_EXPANSIONS dictionary terms (anchor excluded after
+#: the cap), then executed as the span_or-in-span_near plan. m4 is an
+#: absent shape (empty expansion → empty result).
+SPAN_MULTI_QUERIES = [
+    ("m1", "ta", "prefix", "value", 2),
+    ("m2", "s?an", "wildcard", "table", 1),
+    ("m3", "w(in|an)dow", "regexp", "scan", 3),
+    ("m4", "zzzq", "prefix", "table", 2),
+]
+SPAN_MULTI_MAX_EXPANSIONS = 5
+
 #: ids-query probes: (conv_id, turn_idx) — a mix of existing docs
 #: (low conv numbers exist at every sf), an unknown conv and a
 #: never-indexed turn; ES skips missing ids silently.
@@ -1719,6 +1733,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_span_multi(sf_dir):
+        # ES span_multi: a prefix/wildcard/regexp query wrapped as a
+        # span clause in span_near with an anchor term; the engine
+        # rewrites it to span_or over the first
+        # SPAN_MULTI_MAX_EXPANSIONS dictionary terms
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, pat, kind, anchor, slop in SPAN_MULTI_QUERIES:
+            t = eng.search_span_multi_near(
+                pat, anchor, slop=slop, k=10, kind=kind,
+                max_expansions=SPAN_MULTI_MAX_EXPANSIONS,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_ids(sf_dir):
         # ES ids query: fetch-by-id as a query, constant score 1.0,
         # missing ids skipped silently
@@ -3213,6 +3260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing": q_span_containing,
         "span_within": q_span_within,
         "span_or": q_span_or,
+        "span_multi": q_span_multi,
         "bm25_ids": q_bm25_ids,
         "terms_lookup": q_terms_lookup,
         "const_score_template": q_const_score_template,
@@ -4069,6 +4117,108 @@ qv AS (
     SELECT query_id, va AS v, anchor, slop FROM q
     UNION ALL
     SELECT query_id, vb AS v, anchor, slop FROM q
+),
+pos AS (
+    SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
+    FROM base b, LATERAL unnest(range(1, len(b.toks) + 1)) AS i(i)
+    WHERE b.toks[i.i] IN (SELECT v FROM qv UNION SELECT anchor FROM q)
+),
+vmatch AS (
+    SELECT qv.query_id, qv.v, x.conv_id, x.turn_idx
+    FROM qv
+    JOIN pos x ON x.term = qv.v
+    JOIN pos y ON y.term = qv.anchor
+        AND y.conv_id = x.conv_id AND y.turn_idx = x.turn_idx
+    GROUP BY qv.query_id, qv.v, qv.slop, x.conv_id, x.turn_idx
+    HAVING min(abs(x.p - y.p)) <= qv.slop + 1
+),
+vscore AS (
+    SELECT vm.query_id, vm.conv_id, vm.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               AS vraw
+    FROM vmatch vm
+    JOIN tf ON tf.conv_id = vm.conv_id AND tf.turn_idx = vm.turn_idx
+        AND tf.term = vm.v
+    JOIN df ON df.term = vm.v
+    JOIN dl ON dl.conv_id = vm.conv_id AND dl.turn_idx = vm.turn_idx
+    CROSS JOIN stats s
+    GROUP BY vm.query_id, vm.conv_id, vm.turn_idx
+),
+scored AS (
+    SELECT vs.query_id, vs.conv_id, vs.turn_idx,
+           vs.vraw
+           + ln(1 + (s.n - da.df + 0.5) / (da.df + 0.5))
+               * ta2.tf * 2.2
+               / (ta2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS raw
+    FROM vscore vs
+    JOIN q ON q.query_id = vs.query_id
+    JOIN tf ta2 ON ta2.conv_id = vs.conv_id
+        AND ta2.turn_idx = vs.turn_idx AND ta2.term = q.anchor
+    JOIN df da ON da.term = q.anchor
+    JOIN dl ON dl.conv_id = vs.conv_id AND dl.turn_idx = vs.turn_idx
+    CROSS JOIN stats s
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
+"""
+    )
+
+
+def _span_multi_sql(k: int = 10) -> str:
+    """span_multi twin: per query, expand the multi-term pattern to the
+    lexicographically-first ``SPAN_MULTI_MAX_EXPANSIONS`` dictionary
+    terms (LIKE / GLOB / regexp_full_match — the same predicates the
+    prefix/wildcard/regexp twins use), drop the anchor AFTER the cap
+    (the engine removes it post-expansion), then run the identical
+    span_or-in-span_near positional plan as ``_span_or_sql``."""
+    cap = SPAN_MULTI_MAX_EXPANSIONS
+    preds = {
+        "prefix": lambda p: f"term LIKE '{p}%'",
+        "wildcard": lambda p: f"term GLOB '{p}'",
+        "regexp": lambda p: f"regexp_full_match(term, '{p}')",
+    }
+    exps = ",\n".join(
+        f"""exp_{qid} AS (
+    SELECT DISTINCT term FROM (SELECT unnest(toks) AS term FROM base)
+    WHERE {preds[kind](pat)} ORDER BY term LIMIT {cap}
+)"""
+        for qid, pat, kind, _, _ in SPAN_MULTI_QUERIES
+    )
+    q_vals = ",\n        ".join(
+        f"('{qid}', '{anchor}', {slop})"
+        for qid, _, _, anchor, slop in SPAN_MULTI_QUERIES
+    )
+    qv_union = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, term FROM exp_{qid}"
+        for qid, _, _, _, _ in SPAN_MULTI_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+{exps},
+q(query_id, anchor, slop) AS (VALUES
+        {q_vals}),
+qv AS (
+    SELECT e.query_id, e.term AS v, q.anchor, q.slop
+    FROM ({qv_union}) e
+    JOIN q ON q.query_id = e.query_id
+    WHERE e.term <> q.anchor
 ),
 pos AS (
     SELECT b.conv_id, b.turn_idx, i.i AS p, b.toks[i.i] AS term
@@ -5645,6 +5795,7 @@ def oracle_sql() -> dict[str, str]:
         "span_containing": _span_contain_sql("containing"),
         "span_within": _span_contain_sql("within"),
         "span_or": _span_or_sql(),
+        "span_multi": _span_multi_sql(),
         "bm25_ids": _ids_sql(),
         "terms_lookup": _terms_lookup_sql(),
         # boosted-DSL twin: 2·bm25(table) + 0.5·bm25(merge) where

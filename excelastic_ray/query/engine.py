@@ -6118,6 +6118,52 @@ class QueryEngine:
                              "exactly one anchor term")
         if ats[0] in vts:
             raise ValueError("anchor must be distinct from the variants")
+        return self._span_or_near_exec(vts, ats[0], slop, k, filters)
+
+    def search_span_multi_near(self, pattern: str, anchor: str,
+                               slop: int = 1, k: int = 10,
+                               kind: str = "prefix",
+                               max_expansions: int = 50,
+                               filters: dict | None = None):
+        """ES ``span_multi``: a multi-term query (prefix / wildcard /
+        regexp) wrapped as a span clause, here inside
+        span_near(span_or(expansion span_terms…), span_term anchor,
+        slop, in_order=false) — the top_terms_N rewrite ES applies to
+        span_multi under the hood, with the repo's expansion
+        convention (lexicographically-first ``max_expansions`` against
+        the global dictionary). The anchor token is excluded from the
+        expansion set (a span can't pair with itself). → the standard
+        result table."""
+        ats = self._qt(anchor)
+        if len(ats) != 1:
+            raise ValueError(
+                "span_multi takes exactly one anchor analyzer token"
+            )
+        if kind == "prefix":
+            norm = "".join(TOKEN_RE.findall(pattern.lower()))
+            vts = self.expand_prefix(norm, max_expansions)
+        elif kind == "wildcard":
+            norm = "".join(_WILDCARD_TOKEN_RE.findall(pattern.lower()))
+            vts = self.expand_wildcard(norm, max_expansions)
+        elif kind == "regexp":
+            vts = self.expand_regexp(pattern, max_expansions)
+        else:
+            raise ValueError(
+                "span_multi kind must be 'prefix', 'wildcard' or "
+                "'regexp'"
+            )
+        vts = [t for t in vts if t != ats[0]]
+        if not vts:
+            return self._result_table(
+                np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+            )
+        return self._span_or_near_exec(vts, ats[0], slop, k, filters)
+
+    def _span_or_near_exec(self, vts: list[str], anchor_tok: str,
+                           slop: int, k: int,
+                           filters: dict | None):
+        r = self.reader
+        ats = [anchor_tok]
         docids = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
         if r.n_docs:

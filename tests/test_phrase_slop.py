@@ -672,3 +672,56 @@ def test_span_or_near_brute_force(ray_session, tiny_index, tiny_table):
 
     with _pt.raises(ValueError, match="distinct"):
         eng.search_span_or_near(f"{anchor} {hot[1]}", anchor)
+
+
+def test_span_multi_near(ray_session, tiny_index, tiny_table):
+    """span_multi(prefix/wildcard/regexp) in span_near == manual
+    span_or over the capped dictionary expansion (anchor removed AFTER
+    the cap); empty expansions return the empty table; actor==local."""
+    import pytest as _pt
+    from collections import Counter
+
+    from excelastic_ray.analysis import tokenize
+    from excelastic_ray.query.engine import QueryEngine
+
+    d, _ = tiny_index
+    eng = QueryEngine(d)
+    counts = Counter()
+    for t in tiny_table["text"].to_pylist():
+        counts.update(set(tokenize(t)))
+    hot = [t for t, _ in counts.most_common(3)]
+    anchor = hot[0]
+    prefix = hot[1][:2]
+    for kind, pat, expand in (
+        ("prefix", prefix, lambda: eng.expand_prefix(prefix, 5)),
+        ("wildcard", prefix + "*",
+         lambda: eng.expand_wildcard(prefix + "*", 5)),
+        ("regexp", prefix + "[a-z0-9_]*",
+         lambda: eng.expand_regexp(pat_rx, 5)),
+    ):
+        pat_rx = pat
+        vts = [t for t in expand() if t != anchor]
+        assert vts, (kind, pat)
+        want = eng.search_span_or_near(" ".join(vts), anchor,
+                                       slop=1, k=10**6)
+        got = eng.search_span_multi_near(pat, anchor, slop=1, k=10**6,
+                                         kind=kind, max_expansions=5)
+        assert got.equals(want), kind
+    # anchor-only expansion and absent patterns → empty result
+    assert eng.search_span_multi_near("zzzq", anchor,
+                                      kind="prefix").num_rows == 0
+    assert eng.search_span_multi_near(
+        anchor, anchor, kind="prefix", max_expansions=1
+    ).num_rows == 0
+    with _pt.raises(ValueError, match="kind"):
+        eng.search_span_multi_near(prefix, anchor, kind="bogus")
+    with _pt.raises(ValueError, match="anchor"):
+        eng.search_span_multi_near(prefix, f"{hot[0]} {hot[1]}")
+    actor_eng = QueryEngine(d, use_actors=True)
+    via_actor = actor_eng.search_span_multi_near(
+        prefix, anchor, slop=1, k=10**6, kind="prefix", max_expansions=5
+    )
+    assert via_actor.equals(
+        eng.search_span_multi_near(prefix, anchor, slop=1, k=10**6,
+                                   kind="prefix", max_expansions=5)
+    )
