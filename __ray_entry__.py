@@ -196,6 +196,14 @@ DSL_PHRASE_QUERY = {
 #: and spark does not).
 QSTRING_QUERY = '"table hash" OR (window AND value AND NOT spark)'
 
+#: simple_query_string probe: the lenient end-user syntax ('+' AND,
+#: '|' OR, clause-initial '-' NOT, trailing-* prefix, quoted phrase),
+#: parsed by excelastic_ray.query.sqs onto the DSL executor. Tree:
+#: should=[value AND wind*-prefix, "table hash" phrase], msm=1, with
+#: the juxtaposed '-spark' folded into the TOP-level must_not (the ES
+#: default-operator=or rule) — so spark excludes from BOTH children.
+SIMPLE_QS_QUERY = 'value +wind* -spark | "table hash"'
+
 #: combined_fields (BM25F) probe: "user merge" over text+role — per
 #: term, tf and dl sum across the two streams, df is the union doc
 #: count, avgdl is the sum of the per-field averages.
@@ -1944,6 +1952,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bm25_simple_qs(sf_dir):
+        # ES simple_query_string: the lenient user-facing syntax
+        # ('+', '|', '-', trailing-* prefix, quoted phrase) compiled
+        # onto the same DSL executor as query_string
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        t = eng.search_simple_string(SIMPLE_QS_QUERY, 10)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": pa.array(trunc6(t["score"].to_numpy()),
+                                  type=pa.float64()),
+            }
+        )
+
     def q_bm25_bool_prefix(sf_dir):
         # ES match_bool_prefix: last analyzed token as a prefix
         # clause, the rest as term clauses, OR-composed
@@ -3247,6 +3275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dsl_phrase": q_bm25_dsl_phrase,
         "bm25_dsl_mixed": q_bm25_dsl_mixed,
         "bm25_qstring": q_bm25_qstring,
+        "bm25_simple_qs": q_bm25_simple_qs,
         "bm25_bool_prefix": q_bm25_bool_prefix,
         "bm25_combined": q_bm25_combined,
         "bm25_cross": q_bm25_cross,
@@ -6329,6 +6358,77 @@ m AS (
 )
 SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM m
+QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
+""",
+        # simple_query_string twin: 'value +wind* -spark | "table
+        # hash"'. Child A = value AND the wind*-prefix expansion (both
+        # required, scores sum); child B = the exact-phrase
+        # pseudo-term; OR with msm=1 as a FULL OUTER JOIN; the
+        # juxtaposed '-spark' is a TOP-level must_not, so it excludes
+        # docs from the whole union (the ES default_operator=or rule).
+        "bm25_simple_qs": _BASE + """,
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+exp_w AS (SELECT DISTINCT term
+          FROM (SELECT unnest(toks) AS term FROM base)
+          WHERE term GLOB 'wind*' ORDER BY term LIMIT 50),
+mph AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, len(toks) AS dl,
+               CASE WHEN len(toks) >= 2
+                    THEN len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'table'
+                                  AND toks[i + 1] = 'hash'))
+                    ELSE 0 END AS ptf
+        FROM base
+    ) WHERE ptf > 0
+),
+pdf AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM mph),
+b AS (
+    SELECT mph.conv_id, mph.turn_idx,
+           ln(1 + (s.n - pdf.d + 0.5) / (pdf.d + 0.5)) * mph.ptf * 2.2
+               / (mph.ptf + 1.2 * (1 - 0.75 + 0.75 * mph.dl / s.avgdl))
+           AS s
+    FROM mph CROSS JOIN stats s CROSS JOIN pdf
+),
+per AS (
+    SELECT tf.conv_id, tf.turn_idx, tf.term,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    WHERE tf.term = 'value' OR tf.term IN (SELECT term FROM exp_w)
+),
+a AS (
+    SELECT v.conv_id, v.turn_idx, v.c + w.s AS s
+    FROM (SELECT conv_id, turn_idx, c FROM per WHERE term = 'value') v
+    JOIN (SELECT conv_id, turn_idx, sum(c) AS s FROM per
+          WHERE term IN (SELECT term FROM exp_w) GROUP BY 1, 2) w
+        ON w.conv_id = v.conv_id AND w.turn_idx = v.turn_idx
+),
+spark AS (SELECT DISTINCT conv_id, turn_idx FROM tf
+          WHERE term = 'spark'),
+m AS (
+    SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+           coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+           coalesce(a.s, 0) + coalesce(b.s, 0) AS raw
+    FROM a FULL OUTER JOIN b
+        ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+)
+SELECT conv_id, turn_idx, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+WHERE NOT EXISTS (SELECT 1 FROM spark x
+                  WHERE x.conv_id = m.conv_id
+                    AND x.turn_idx = m.turn_idx)
 QUALIFY row_number() OVER (ORDER BY raw DESC, conv_id, turn_idx) <= 10
 """,
         # Mixed-leaf DSL twin: term/prefix/wildcard/regexp leaves. Each

@@ -4080,6 +4080,43 @@ class QueryEngine:
             )
         return out
 
+    def search_simple_string(self, query: str, k: int = 10,
+                             default_operator: str = "or",
+                             flags="ALL",
+                             filters: dict | None = None,
+                             highlight: bool = False):
+        """ES ``simple_query_string`` search: the lenient end-user
+        syntax (``+`` AND, ``|`` OR, clause-initial ``-`` NOT, quoted
+        phrases with ``~slop``, parens, trailing-``*`` prefix,
+        ``term~n`` fuzzy, ``\\`` escapes) compiled onto the DSL
+        executor. Malformed input degrades to literal text instead of
+        erroring — see :mod:`excelastic_ray.query.sqs` for the repair
+        rules; ``flags`` disables operators ES-style ("ALL",
+        "OR|AND|PREFIX", …). Scoring is identical to the equivalent
+        query_string/DSL tree (one compiler, one executor)."""
+        import pyarrow as pa
+
+        from excelastic_ray.query.qs import positive_terms
+        from excelastic_ray.query.sqs import parse_simple_query_string_dsl
+
+        tree = parse_simple_query_string_dsl(query, default_operator, flags)
+        out = self.search_dsl(tree, k, filters=filters)
+        if highlight:
+            r = self.reader
+            terms = sorted(positive_terms(tree, self._qt))
+            docids = out["docid"].to_numpy()
+            if len(docids):
+                texts = r.fetch_docs(docids,
+                                     columns=["text"])["text"].to_pylist()
+                snips = [highlight_text(t, terms, r.cfg.analyzer)
+                         for t in texts]
+            else:
+                snips = []
+            out = out.append_column(
+                "highlight", pa.array(snips, type=pa.string())
+            )
+        return out
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50,
                       field: str | None = None) -> list[str]:
         """Global prefix expansion: union of per-shard dictionary ranges,
