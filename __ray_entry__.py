@@ -905,6 +905,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_child_inner(sf_dir):
+        # ES has_child + inner_hits: the ranked parents each carry
+        # their top-3 matching children (score DESC, turn ASC) as
+        # flat (parent, child) rows — the ES nested inner_hits block
+        # flattened
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_has_child(
+                q, k=10, score_mode="sum", min_children=2, inner_hits=3
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "n_children": t["n_children"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                        "child_turn_idx": t["child_turn_idx"],
+                        "child_score": pa.array(
+                            trunc6(t["child_score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                        "child_rank": t["child_rank"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_has_parent(sf_dir):
         # ES has_parent join: child turns (turn_idx >= 1) inherit the
         # score of their matching parent opener (turn_idx == 0)
@@ -3309,6 +3347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_decay_topk": q_bm25_decay_topk,
         "bm25_distfeat": q_bm25_distfeat,
         "bm25_has_child": q_bm25_has_child,
+        "bm25_child_inner": q_bm25_child_inner,
         "bm25_has_parent": q_bm25_has_parent,
         "bm25_dismax": q_bm25_dismax,
         "bm25_rank_feature": q_bm25_rank_feature,
@@ -6917,6 +6956,41 @@ HAVING count(*) >= 2
 QUALIFY row_number() OVER (
     PARTITION BY query_id
     ORDER BY sum(raw) DESC, conv_id) <= 10
+""",
+        # has_child + inner_hits twin: the has_child parents (sum
+        # score mode, min_children 2, top-10 per query) each joined
+        # back to their matching turns, keeping the top-3 children
+        # per parent by (score DESC, turn ASC) with a 1-based
+        # child_rank — the flat analog of ES's nested inner_hits
+        "bm25_child_inner": _BASE + _scored_cte() + """,
+par AS (
+    SELECT query_id, conv_id,
+           count(*) AS n_children,
+           sum(raw) AS praw
+    FROM scored
+    GROUP BY query_id, conv_id
+    HAVING count(*) >= 2
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY sum(raw) DESC, conv_id) <= 10
+),
+kids AS (
+    SELECT p.query_id, p.conv_id, p.n_children, p.praw,
+           s.turn_idx, s.raw AS craw,
+           row_number() OVER (
+               PARTITION BY p.query_id, p.conv_id
+               ORDER BY s.raw DESC, s.turn_idx) AS child_rank
+    FROM par p
+    JOIN scored s
+        ON s.query_id = p.query_id AND s.conv_id = p.conv_id
+)
+SELECT query_id, conv_id, n_children,
+       floor(praw * 1000000 + 0.5) / 1000000 AS score,
+       turn_idx AS child_turn_idx,
+       floor(craw * 1000000 + 0.5) / 1000000 AS child_score,
+       child_rank
+FROM kids
+WHERE child_rank <= 3
 """,
         # has_parent twin: parents are the conversation openers
         # (turn_idx = 0) matching the query; every child turn

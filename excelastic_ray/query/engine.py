@@ -2373,6 +2373,46 @@ class ShardSearcher:
             return np.zeros(0, dtype=np.int64)
         return np.concatenate(out)
 
+    def child_hits_for_convs(self, terms, idfs, avgdl, conv_keys,
+                             per_parent, filters=None, n_required=0):
+        """ES ``has_child`` ``inner_hits``, shard phase: the top
+        ``per_parent`` child turns MATCHING the child query (score
+        DESC, docid ASC) for each requested parent conversation that
+        lives in this shard → (conv ranks, child docids, child
+        scores), grouped by conversation. Same TAAT pass as
+        has_child_topk (the decoded-postings LRU makes the second
+        pass cheap when it follows the parent phase), masked to the
+        requested conversations — never the full match set shipped.
+        A conversation never spans shards, so each parent's hits are
+        finalized here and the driver merge is pure concatenation."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.float64))
+        ck = np.unique(np.asarray(conv_keys, dtype=np.int64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not len(ck) or not present or (
+                n_required and n_required > len(present)):
+            return empty
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        convs = docids >> self.cfg.turn_bits
+        # membership of each hit's conversation in the parent set
+        idx = np.searchsorted(ck, convs)
+        keep = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == convs)
+        if not keep.any():
+            return empty
+        docids, scores, convs = docids[keep], scores[keep], convs[keep]
+        # docids ascend ⇒ convs nondecreasing: rank within each group
+        # by (score DESC, docid ASC) and keep the first per_parent
+        order = np.lexsort((docids, -scores, convs))
+        convs_o = convs[order]
+        bounds = np.flatnonzero(np.r_[True, convs_o[1:] != convs_o[:-1]])
+        ranks = np.arange(len(order)) - np.repeat(
+            bounds, np.diff(np.r_[bounds, len(order)]))
+        sel = order[ranks < per_parent]
+        return convs[sel], docids[sel], scores[sel]
+
     def dismax_topk(self, groups, avgdl, k, tie_breaker=0.0, filters=None):
         """ES ``dis_max``, shard phase: each group of (term, global-idf)
         pairs TAAT-scores as an independent subquery into its own
@@ -5393,13 +5433,23 @@ class QueryEngine:
     def search_has_child(self, query: str, k: int = 10,
                          score_mode: str = "max", min_children: int = 1,
                          max_children: int | None = None,
-                         mode: str = "or", filters: dict | None = None):
+                         mode: str = "or", filters: dict | None = None,
+                         inner_hits: int | None = None):
         """ES ``has_child`` join query: rank parent CONVERSATIONS by
         their child turns matching ``query`` — ``score_mode``
         max / sum / avg / min aggregates the matching children's BM25
         scores (``none`` → constant 1.0, parents in conv order), and
         ``min_children`` / ``max_children`` bound the count of MATCHING
         children (ES semantics). → (rank, conv_id, n_children, score).
+
+        ``inner_hits=N`` (ES ``inner_hits: {size: N}``) additionally
+        returns the top-N matching children per ranked parent — the
+        flat analog of ES's nested inner_hits block: one row per
+        (parent, child) with ``child_turn_idx`` / ``child_score`` /
+        ``child_rank`` (1-based, score DESC then turn ASC) beside the
+        parent columns. Only the k ranked parents' conversations are
+        re-probed (a second shard pass over the same decoded postings
+        — LRU-warm), never the full child match set.
 
         The document model is the transcript hierarchy itself: the
         conversation is the parent, its turns are the children (the ES
@@ -5411,11 +5461,16 @@ class QueryEngine:
 
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
+        if inner_hits is not None and inner_hits < 1:
+            raise ValueError("inner_hits must be >= 1")
         r = self.reader
         terms = self._qt(query)
         keys = np.zeros(0, dtype=np.int64)
         scores = np.zeros(0, dtype=np.float64)
         counts = np.zeros(0, dtype=np.int64)
+        lterms: list[str] = []
+        idfs: list[float] = []
+        n_required = 0
         if terms and r.n_docs:
             dfs = self._global_dfs(terms)
             live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
@@ -5447,7 +5502,7 @@ class QueryEngine:
                         for s in range(r.num_shards)
                     ]
                 keys, scores, counts = _merge_has_child(parts, k)
-        return pa.table(
+        parent = pa.table(
             {
                 "rank": pa.array(
                     np.arange(1, len(keys) + 1, dtype=np.int32)
@@ -5455,6 +5510,64 @@ class QueryEngine:
                 "conv_id": pa.array(r.conv_ids[keys], type=pa.string()),
                 "n_children": pa.array(counts, type=pa.int64()),
                 "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+        if inner_hits is None:
+            return parent
+        if not len(keys):
+            return parent.append_column(
+                "child_turn_idx", pa.array([], type=pa.int32())
+            ).append_column(
+                "child_score", pa.array([], type=pa.float64())
+            ).append_column(
+                "child_rank", pa.array([], type=pa.int32())
+            )
+        if self._actors is not None:
+            import ray
+
+            hparts = ray.get(
+                [
+                    a.child_hits_for_convs.remote(
+                        lterms, idfs, r.avgdl, keys, inner_hits,
+                        filters, n_required,
+                    )
+                    for a in self._actors
+                ]
+            )
+        else:
+            hparts = [
+                r.searcher(s).child_hits_for_convs(
+                    lterms, idfs, r.avgdl, keys, inner_hits,
+                    filters, n_required,
+                )
+                for s in range(r.num_shards)
+            ]
+        hconvs = np.concatenate([p[0] for p in hparts])
+        hdocs = np.concatenate([p[1] for p in hparts])
+        hscores = np.concatenate([p[2] for p in hparts])
+        # map each hit's conversation to its parent rank (keys is the
+        # rank order; sort once, invert)
+        key_order = np.argsort(keys, kind="stable")
+        pos = np.searchsorted(keys[key_order], hconvs)
+        prank = key_order[pos]  # 0-based parent rank index
+        # rows ordered (parent rank, child score DESC, docid ASC)
+        order = np.lexsort((hdocs, -hscores, prank))
+        prank, hdocs, hscores = prank[order], hdocs[order], hscores[order]
+        bounds = np.flatnonzero(np.r_[True, prank[1:] != prank[:-1]])
+        crank = (np.arange(len(prank))
+                 - np.repeat(bounds, np.diff(np.r_[bounds, len(prank)]))
+                 + 1)
+        turn = (hdocs & (r.cfg.max_turns - 1)).astype(np.int32)
+        return pa.table(
+            {
+                "rank": pa.array((prank + 1).astype(np.int32)),
+                "conv_id": pa.array(r.conv_ids[keys[prank]],
+                                    type=pa.string()),
+                "n_children": pa.array(counts[prank], type=pa.int64()),
+                "score": pa.array(scores[prank], type=pa.float64()),
+                "child_turn_idx": pa.array(turn, type=pa.int32()),
+                "child_score": pa.array(hscores, type=pa.float64()),
+                "child_rank": pa.array(crank.astype(np.int32)),
             }
         )
 
@@ -7535,6 +7648,20 @@ class ShardActor:
         kids = [s.children_of(conv_keys) for s in self.searchers]
         return np.sort(np.concatenate(kids)) if kids else np.zeros(
             0, dtype=np.int64
+        )
+
+    def child_hits_for_convs(self, terms, idfs, avgdl, conv_keys,
+                             per_parent, filters=None, n_required=0):
+        # conversations never span shards: concatenation is exact
+        parts = [
+            s.child_hits_for_convs(terms, idfs, avgdl, conv_keys,
+                                   per_parent, filters, n_required)
+            for s in self.searchers
+        ]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
         )
 
     def dismax_topk(self, groups, avgdl, k, tie_breaker=0.0, filters=None):

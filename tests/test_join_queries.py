@@ -419,3 +419,55 @@ def test_script_score_param_validation(jq):
 )
 def test_actor_parity(jq, call):
     assert call(jq["engine"]).equals(call(jq["actor_engine"]))
+
+
+@pytest.mark.parametrize("query", ["the run", "call ok"])
+def test_has_child_inner_hits_matches_bruteforce(jq, query):
+    """inner_hits=N returns each ranked parent's top-N matching
+    children (score DESC, turn ASC), parent columns replicated, local
+    == actor-served."""
+    sc = jq["bm25"](query)
+    per_conv: dict[str, list[tuple[float, int]]] = defaultdict(list)
+    for i in np.flatnonzero(sc > 0):
+        per_conv[jq["convs"][i]].append((sc[i], jq["turns"][i]))
+    parents = sorted(
+        ((sum(s for s, _ in v), c, len(v)) for c, v in per_conv.items()),
+        key=lambda r: (-r[0], r[1]),
+    )[:5]
+
+    t = jq["engine"].search_has_child(query, k=5, score_mode="sum",
+                                      inner_hits=3)
+    rows = list(zip(t["rank"].to_pylist(), t["conv_id"].to_pylist(),
+                    t["n_children"].to_pylist(), t["score"].to_pylist(),
+                    t["child_turn_idx"].to_pylist(),
+                    t["child_score"].to_pylist(),
+                    t["child_rank"].to_pylist()))
+    # expected flat rows: per parent, top-3 children by (score DESC,
+    # turn ASC), child_rank 1-based
+    exp = []
+    for rk, (ps, c, nc) in enumerate(parents, 1):
+        kids = sorted(per_conv[c], key=lambda st: (-st[0], st[1]))[:3]
+        for cr, (cs, ti) in enumerate(kids, 1):
+            exp.append((rk, c, nc, ps, ti, cs, cr))
+    assert len(rows) == len(exp)
+    for g, e in zip(rows, exp):
+        assert g[:3] == e[:3] and g[4] == e[4] and g[6] == e[6]
+        assert g[3] == pytest.approx(e[3], abs=1e-9)
+        assert g[5] == pytest.approx(e[5], abs=1e-9)
+
+    # actor pool serves the identical table
+    ta = jq["actor_engine"].search_has_child(query, k=5, score_mode="sum",
+                                             inner_hits=3)
+    assert ta.equals(t)
+
+
+def test_has_child_inner_hits_validates_and_empties(jq):
+    with pytest.raises(ValueError, match="inner_hits"):
+        jq["engine"].search_has_child("the", inner_hits=0)
+    t = jq["engine"].search_has_child("zzz_absent_only", k=5,
+                                      inner_hits=2)
+    assert t.num_rows == 0
+    assert t.column_names == [
+        "rank", "conv_id", "n_children", "score",
+        "child_turn_idx", "child_score", "child_rank",
+    ]
