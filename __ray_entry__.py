@@ -2364,6 +2364,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_clean(f"{sf_dir}/events.parquet"), spec
         )
 
+    def q_bucket_sort_agg(sf_dir):
+        # ES bucket_sort pipeline agg: the event-type buckets ordered
+        # by avg(value) DESC, window [1, 3) kept (skip the best, take
+        # the next two), the truncation cascading to the nested
+        # date_histogram grouping set
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        spec = {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "v_avg": {"avg": {"field": "value"}},
+                    "win": {"bucket_sort": {
+                        "sort": [{"v_avg": {"order": "desc"}}],
+                        "from": 1, "size": 2}},
+                    "per_4d": {
+                        "date_histogram": {"field": "ts",
+                                           "interval_hours": 96},
+                        "aggs": {"v_sum_d": {"sum": {"field": "value"}}},
+                    },
+                },
+            },
+        }
+        return agg_tree_fanout(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"]),
+            spec,
+        )
+
     def q_doc_crud(sf_dir):
         # single-document CRUD over a scratch COPY of the cached index:
         # index a new conversation, append a turn to an existing one,
@@ -3396,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_crud": q_doc_crud,
         "agg_tree": q_agg_tree,
         "agg_tree_fanout": q_agg_tree_fanout,
+        "bucket_sort_agg": q_bucket_sort_agg,
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
         "tool_funnel": q_tool_funnel,
@@ -6694,6 +6725,38 @@ WHERE e.value IS NOT NULL
   AND (b.lo IS NULL OR e.value >= b.lo)
   AND (b.hi IS NULL OR e.value < b.hi)
 GROUP BY e.event_type, b.key
+""",
+        # bucket_sort twin: rank event_type buckets by the trunc6'd
+        # avg(value) DESC (key-ASC ties — the engine's tiebreak), keep
+        # ranks 2-3 (from=1, size=2), emit the by_type grouping set
+        # and the cascaded per_4d date_histogram set
+        "bucket_sort_agg": """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         floor((floor(sum(value) * 1000000 + 0.5) / 1000000)
+               / count(value) * 1000000 + 0.5) / 1000000 AS v_avg,
+         row_number() OVER (
+             ORDER BY floor((floor(sum(value) * 1000000 + 0.5) / 1000000)
+                            / count(value) * 1000000 + 0.5) / 1000000
+                      DESC, event_type) AS rn
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+),
+kept AS (SELECT * FROM ranked WHERE rn >= 2 AND rn <= 3)
+SELECT 'by_type' AS agg, event_type AS by_type_key,
+       CAST(NULL AS TIMESTAMP) AS per_4d_key,
+       doc_count, v_avg, CAST(NULL AS DOUBLE) AS v_sum_d
+FROM kept
+UNION ALL
+SELECT 'per_4d', e.event_type,
+       to_timestamp((epoch_us(e.ts) // 345600000000) * 345600
+         )::TIMESTAMP,
+       CAST(count(*) AS BIGINT), NULL,
+       floor(sum(e.value) * 1000000 + 0.5) / 1000000
+FROM events e JOIN kept k ON k.event_type = e.event_type
+WHERE e.ts IS NOT NULL
+GROUP BY 2, 3
 """,
         "bm25_top_hits": _top_hits_sql(),
         "adjacency_matrix": _adjacency_sql(),

@@ -389,6 +389,37 @@ def _parse_fanout(spec: dict) -> list[dict]:
 
     def walk(body_aggs: dict, path: list[str], owner: dict) -> None:
         for name, body in body_aggs.items():
+            if "bucket_sort" in body:
+                # ES bucket_sort PIPELINE agg: sorts/truncates its
+                # PARENT's buckets by sibling metrics (or _count);
+                # recorded on the owner, applied on the driver after
+                # terms pruning
+                if owner["kind"] is None:
+                    raise ValueError(
+                        "bucket_sort must nest under a bucket agg"
+                    )
+                if "bucket_sort" in owner:
+                    raise ValueError(
+                        f"bucket {owner['name']!r} has two bucket_sort "
+                        "pipeline aggs"
+                    )
+                bs = body["bucket_sort"]
+                sort = []
+                for item in bs.get("sort", []):
+                    (m, spec), = item.items()
+                    order = (spec.get("order", "asc")
+                             if isinstance(spec, dict) else str(spec))
+                    if order not in ("asc", "desc"):
+                        raise ValueError(
+                            f"bucket_sort order {order!r}")
+                    sort.append((m, order))
+                owner["bucket_sort"] = {
+                    "sort": sort,
+                    "from": int(bs.get("from", 0)),
+                    "size": (None if bs.get("size") is None
+                             else int(bs["size"])),
+                }
+                continue
             kind = next((k for k in BUCKET_KINDS if k in body), None)
             if kind is None:
                 op = next((k for k in METRIC_KINDS if k in body), None)
@@ -396,7 +427,7 @@ def _parse_fanout(spec: dict) -> list[dict]:
                     raise ValueError(
                         f"agg {name!r} is neither a bucket kind "
                         f"{BUCKET_KINDS} nor a metric kind "
-                        f"{METRIC_KINDS}"
+                        f"{METRIC_KINDS} nor a bucket_sort"
                     )
                 claim(name)
                 owner["metrics"].append((name, op, body[op]["field"]))
@@ -414,6 +445,17 @@ def _parse_fanout(spec: dict) -> list[dict]:
         nodes.insert(0, root)
     if not nodes:
         raise ValueError("empty aggregation spec")
+    for n in nodes:
+        bs = n.get("bucket_sort")
+        if bs:
+            own = {m[0] for m in n["metrics"]}
+            for m, _o in bs["sort"]:
+                if m != "_count" and m not in own:
+                    raise ValueError(
+                        f"bucket_sort under {n['name']!r} sorts by "
+                        f"{m!r}, which is not a sibling metric of that "
+                        "bucket (nor _count)"
+                    )
     return nodes
 
 
@@ -446,6 +488,18 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
     frame is Σ per-node bucket-space sizes (the ES ``size``/interval
     boundedness assumption); ``terms`` pruning runs on the driver over
     exact per-node counts, root→leaf, pruning every descendant set.
+
+    ``bucket_sort`` (the ES pipeline agg) may nest under any bucket
+    node: ``{"sort": [{metric_or__count: {"order": ...}}], "from": F,
+    "size": S}`` orders that node's buckets per parent bucket by its
+    sibling metrics and keeps the [from, from+size) window, filtering
+    the node's whole subtree — exact, since it runs on the driver over
+    the combined exact metric values (trunc6'd, so the sort key equals
+    the emitted value). Ties break key-ASC; NaN metric values sort
+    last (the ES gap_policy=skip analog). Output rows stay in the
+    canonical (node, key) order — bucket_sort's observable effect here
+    is the truncation window (the flat table carries no response-order
+    channel).
     """
     nodes = _parse_fanout(spec)
     by_name = {n["name"]: n for n in nodes}
@@ -634,6 +688,52 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                                     ascending=[False, True])
             rank = pd.Series(np.arange(len(roll)), index=roll.index)
         keep = roll[rank < size][parent + [kc]]
+        in_set = fine["agg"].isin(subtree[node["name"]])
+        kept_rows = fine[in_set].merge(keep, on=parent + [kc])
+        fine = pd.concat([fine[~in_set], kept_rows], ignore_index=True)
+
+    # bucket_sort pipeline aggs, root→leaf: order the node's buckets
+    # per parent bucket by the sibling-metric sort spec (values
+    # computed from the combined partials — trunc6'd like the output,
+    # so the sort key equals what the caller sees), apply from/size,
+    # and filter the node's whole subtree to the surviving buckets.
+    # Ties and NaN metric values: key-ASC tiebreak, NaN buckets last
+    # (ES gap_policy=skip analog, documented).
+    def _metric_values(sub: pd.DataFrame, node: dict,
+                       mname: str) -> np.ndarray:
+        if mname == "_count":
+            return sub["doc_count"].to_numpy(dtype=np.float64)
+        op = next(o for n_, o, _f in node["metrics"] if n_ == mname)
+        if op == "value_count":
+            return sub[f"{mname}__cnt"].to_numpy(dtype=np.float64)
+        if op == "avg":
+            s = trunc6(sub[f"{mname}__sum"].to_numpy(dtype=np.float64))
+            n = sub[f"{mname}__n"].to_numpy(dtype=np.float64)
+            return trunc6(np.where(n > 0, s / np.where(n > 0, n, 1),
+                                   np.nan))
+        return trunc6(sub[f"{mname}__{op}"].to_numpy(dtype=np.float64))
+
+    for node in nodes:
+        bs = node.get("bucket_sort")
+        if not bs:
+            continue
+        kc = f"{node['name']}_key"
+        parent = [f"{p}_key" for p in node["path"][:-1]]
+        own = fine[fine["agg"] == node["name"]].copy()
+        for i, (m, _o) in enumerate(bs["sort"]):
+            own[f"__s{i}"] = _metric_values(own, node, m)
+        own = own.sort_values(
+            [f"__s{i}" for i in range(len(bs["sort"]))] + [kc],
+            ascending=[o == "asc" for _m, o in bs["sort"]] + [True],
+            kind="mergesort", na_position="last",
+        )
+        rank = (own.groupby(parent, sort=False).cumcount()
+                if parent else pd.Series(np.arange(len(own)),
+                                         index=own.index))
+        keep_m = rank >= bs["from"]
+        if bs["size"] is not None:
+            keep_m &= rank < bs["from"] + bs["size"]
+        keep = own[keep_m][parent + [kc]]
         in_set = fine["agg"].isin(subtree[node["name"]])
         kept_rows = fine[in_set].merge(keep, on=parent + [kc])
         fine = pd.concat([fine[~in_set], kept_rows], ignore_index=True)

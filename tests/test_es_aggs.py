@@ -1005,3 +1005,67 @@ def test_agg_tree_fanout_validates(ray_session):
         agg_tree_fanout(rd.from_arrow(t), {"x": {"median": {"field": "v"}}})
     with pytest.raises(ValueError, match="empty"):
         agg_tree_fanout(rd.from_arrow(t), {})
+
+
+def test_agg_tree_fanout_bucket_sort(ray_session):
+    """ES bucket_sort pipeline agg: orders the parent's buckets by a
+    sibling metric and keeps the [from, from+size) window, cascading
+    the truncation to the whole subtree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "b", "b", "c", "d"],
+            "v": pa.array([10.0, 20.0, 50.0, 60.0, 5.0, 30.0]),
+        }
+    )
+    # avgs: a=15, b=55, c=5, d=30 → desc rank: b, d, a, c
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 10},
+            "aggs": {
+                "v_avg": {"avg": {"field": "v"}},
+                "win": {"bucket_sort": {
+                    "sort": [{"v_avg": {"order": "desc"}}],
+                    "from": 1, "size": 2}},
+                "by_bin": {
+                    "histogram": {"field": "v", "interval": 100.0},
+                    "aggs": {"s": {"sum": {"field": "v"}}},
+                },
+            },
+        }
+    }
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    own = out[out["agg"] == "by_kind"]
+    assert sorted(own["by_kind_key"]) == ["a", "d"]  # ranks 2 and 3
+    assert set(out[out["agg"] == "by_bin"]["by_kind_key"]) == {"a", "d"}
+
+    # _count sort key, ascending, no size → pure reorder keeps all
+    spec2 = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 10},
+            "aggs": {
+                "w": {"bucket_sort": {
+                    "sort": [{"_count": {"order": "asc"}}]}},
+            },
+        }
+    }
+    out2 = agg_tree_fanout(rd.from_arrow(t), spec2).to_pandas()
+    assert sorted(out2["by_kind_key"]) == ["a", "b", "c", "d"]
+
+    # validation: unknown sort metric, bucket_sort at the root
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a sibling metric"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "by_kind": {"terms": {"field": "kind"},
+                        "aggs": {"w": {"bucket_sort": {
+                            "sort": [{"nope": {"order": "asc"}}]}}}}
+        })
+    with _pytest.raises(ValueError, match="must nest under"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "w": {"bucket_sort": {"sort": [{"_count": "asc"}]}}
+        })
