@@ -2529,6 +2529,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return tool_funnel(transcripts_from_documents(sf_dir))
 
+    def q_children_agg(sf_dir):
+        # ES children join-field agg: daily cohorts of conversation
+        # OPENERS (the parent docs) → terms over their CHILD turns'
+        # role, with a char-length avg
+        from excelastic_ray.pipelines.convs import children_agg
+
+        return children_agg(transcripts_from_documents(sf_dir),
+                            interval_hours=24, child_field="role")
+
+    def q_parent_agg(sf_dir):
+        # ES parent join-field agg: terms over CHILD turns' tool →
+        # count of DISTINCT parent conversations (a parent counts once
+        # per bucket) + their openers' char-length avg
+        from excelastic_ray.pipelines.convs import parent_agg
+
+        return parent_agg(transcripts_from_documents(sf_dir),
+                          child_field="tool")
+
     def q_context_windows(sf_dir):
         # (context, target) training-example assembly: previous-3-turn
         # row window per conversation
@@ -3430,6 +3448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
         "tool_funnel": q_tool_funnel,
+        "children_agg": q_children_agg,
+        "parent_agg": q_parent_agg,
         "nb_langid": q_nb_langid,
         "nb_langid_eval": q_nb_langid_eval,
         "context_windows": q_context_windows,
@@ -7630,6 +7650,51 @@ pairs AS (
 SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
 FROM pairs WHERE to_tool IS NOT NULL
 GROUP BY 1, 2
+""",
+        # children join-field agg twin: parent = the conversation
+        # opener (turn_idx 0), cohort = its day; children = turns 1+,
+        # terms over role; avg from the trunc6'd sum (repo convention)
+        "children_agg": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+par AS (
+  SELECT conv_id,
+         to_timestamp((epoch_us(ts) // 86400000000) * 86400
+           )::TIMESTAMP AS cohort
+  FROM transcripts WHERE turn_idx = 0 AND ts IS NOT NULL
+),
+kids AS (
+  SELECT conv_id, role AS child_key,
+         length(coalesce(text, '')) AS l
+  FROM transcripts
+  WHERE turn_idx >= 1 AND role IS NOT NULL AND role <> ''
+)
+SELECT p.cohort, k.child_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       floor((floor(sum(k.l) * 1000000 + 0.5) / 1000000)
+             / count(*) * 1000000 + 0.5) / 1000000 AS avg_len
+FROM kids k JOIN par p USING (conv_id)
+GROUP BY 1, 2
+""",
+        # parent join-field agg twin: DISTINCT (tool, conv) pairs from
+        # the child turns joined to their openers — one count per
+        # parent per bucket, ES parent-agg doc_count semantics
+        "parent_agg": f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+opener AS (
+  SELECT conv_id, length(coalesce(text, '')) AS ol
+  FROM transcripts WHERE turn_idx = 0
+),
+pairs AS (
+  SELECT DISTINCT conv_id, tool AS child_key
+  FROM transcripts
+  WHERE turn_idx >= 1 AND tool IS NOT NULL AND tool <> ''
+)
+SELECT child_key,
+       CAST(count(*) AS BIGINT) AS parent_count,
+       floor((floor(sum(ol) * 1000000 + 0.5) / 1000000)
+             / count(*) * 1000000 + 0.5) / 1000000 AS avg_opener_len
+FROM pairs JOIN opener USING (conv_id)
+GROUP BY 1
 """,
         "context_windows": f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})

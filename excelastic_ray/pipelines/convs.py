@@ -295,3 +295,255 @@ def context_windows(ds, window: int = 3, n_buckets: int | None = None):
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def children_agg(ds, interval_hours: int = 24, child_field: str = "role",
+                 n_buckets: int | None = None) -> pa.Table:
+    """ES ``children`` join-field aggregation on the transcript
+    hierarchy: bucket PARENT docs (the conversation opener,
+    turn_idx == 0 — the repo's parent-doc convention, see
+    query/engine.py search_has_parent) by their ``ts`` floored to
+    ``interval_hours`` (a date_histogram over parents), then the
+    ``children`` agg switches context to the CHILD turns
+    (turn_idx >= 1) of each cohort's conversations: a terms agg over
+    ``child_field`` with a char-length avg metric. ES request analog::
+
+        {"cohort": {"date_histogram": {"field": "ts", ...},
+          "aggs": {"to_children": {"children": {"type": "turn"},
+            "aggs": {"by_role": {"terms": {"field": "role"},
+              "aggs": {"len_avg": {"avg": ...}}}}}}}}
+
+    → (cohort timestamp, child key, doc_count, avg_len), avg trunc6'd
+    from the trunc6'd sum (the repo metric convention). Conversations
+    with no opener row are excluded (no parent, ES semantics); child
+    rows with a null/empty ``child_field`` are excluded from the terms
+    level (ES missing handling).
+
+    Shuffle shape: per-batch partials — opener (conv, cohort) pairs
+    and per-(conv, child key) child partials — exchange ONCE on the
+    conv hash (a conversation's opener and children meet in one
+    reducer), per-bucket join + rollup to (cohort, key) partials, and
+    a final key-space-sized combine on the driver. The exchange moves
+    O(convs + convs × distinct child keys) partial rows, never turns.
+    """
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=16)
+    step = np.int64(interval_hours) * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cid = batch["conv_id"].to_numpy(zero_copy_only=False)
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        lens = np.fromiter((len(t) if t else 0 for t in texts),
+                           dtype=np.int64, count=len(texts))
+        is_par = ti == 0
+        out = []
+        if is_par.any():
+            ts = batch["ts"].to_numpy().astype("datetime64[us]"
+                                               ).astype(np.int64)
+            cohort = (ts[is_par] // step) * step
+            op = pd.DataFrame(
+                {"conv_id": cid[is_par], "cohort": cohort,
+                 "ckey": None, "n": 0, "len_sum": 0}
+            )
+            # a NaT opener ts has no cohort: parent excluded
+            op = op[ts[is_par] == ts[is_par]]
+            out.append(op)
+        is_child = ~is_par
+        if is_child.any():
+            ck = batch[child_field].to_numpy(zero_copy_only=False)
+            kids = pd.DataFrame(
+                {"conv_id": cid[is_child],
+                 "ckey": pd.Series(ck[is_child], dtype=object),
+                 "n": 1, "len_sum": lens[is_child]}
+            )
+            kids = kids[kids["ckey"].notna() & (kids["ckey"] != "")]
+            kids = (kids.groupby(["conv_id", "ckey"], sort=False)
+                    .agg(n=("n", "sum"), len_sum=("len_sum", "sum"))
+                    .reset_index())
+            kids["cohort"] = np.int64(-1)  # filled by the opener join
+            out.append(kids[["conv_id", "cohort", "ckey", "n",
+                             "len_sum"]])
+        if not out:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype=object),
+                 "cohort": pd.Series(dtype=np.int64),
+                 "ckey": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "len_sum": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["conv_id"],
+                                       index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        opener = (g[g["ckey"].isna()][["conv_id", "cohort"]]
+                  .drop_duplicates("conv_id"))
+        kids = g[g["ckey"].notna()]
+        if not len(opener) or not len(kids):
+            return pd.DataFrame(
+                {"cohort": pd.Series(dtype=np.int64),
+                 "ckey": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "len_sum": pd.Series(dtype=np.int64)}
+            )
+        j = kids.drop(columns=["cohort", "__bucket"]).merge(
+            opener, on="conv_id")  # inner: parentless children drop
+        return (j.groupby(["cohort", "ckey"], sort=False)
+                .agg(n=("n", "sum"), len_sum=("len_sum", "sum"))
+                .reset_index())
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(fine):
+        return pa.table(
+            {"cohort": pa.array([], type=pa.timestamp("us")),
+             "child_key": pa.array([], type=pa.string()),
+             "doc_count": pa.array([], type=pa.int64()),
+             "avg_len": pa.array([], type=pa.float64())}
+        )
+    top = (fine.groupby(["cohort", "ckey"], sort=False)
+           .agg(n=("n", "sum"), len_sum=("len_sum", "sum"))
+           .reset_index()
+           .sort_values(["cohort", "ckey"], kind="mergesort"))
+    s = trunc6(top["len_sum"].to_numpy(dtype=np.float64))
+    n = top["n"].to_numpy(dtype=np.float64)
+    return pa.table(
+        {
+            "cohort": pa.array(
+                top["cohort"].to_numpy().astype("datetime64[us]")),
+            "child_key": pa.array(top["ckey"].astype(str),
+                                  type=pa.string()),
+            "doc_count": pa.array(top["n"].to_numpy().astype(np.int64)),
+            "avg_len": pa.array(trunc6(s / n), type=pa.float64()),
+        }
+    )
+
+
+def parent_agg(ds, child_field: str = "tool",
+               n_buckets: int | None = None) -> pa.Table:
+    """ES ``parent`` join-field aggregation (the reverse of
+    :func:`children_agg`): bucket CHILD turns (turn_idx >= 1) by
+    ``child_field`` (a terms agg over children; null/empty excluded —
+    ES missing handling), then the ``parent`` agg switches context to
+    the PARENT docs: each bucket counts its children's DISTINCT parent
+    conversations — a parent counts ONCE per bucket no matter how many
+    of its children land there (exactly ES's parent-agg doc_count) —
+    with a char-length avg over those openers' text. ES analog::
+
+        {"by_tool": {"terms": {"field": "tool"},
+          "aggs": {"to_parent": {"parent": {"type": "turn"},
+            "aggs": {"len_avg": {"avg": ...}}}}}}
+
+    → (child key, parent_count, avg_opener_len). Conversations without
+    an opener row are excluded (no parent doc to count).
+
+    Shuffle shape: per-batch partials — DEDUPED (child key, conv)
+    pairs and opener (conv, len) rows — one conv-hash exchange (a
+    conversation's pairs land in one reducer, so the distinct-parent
+    dedup is exact there), per-bucket dedup + join + rollup, final
+    key-space combine on the driver (parent sets are disjoint across
+    buckets, so counts add)."""
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=16)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cid = batch["conv_id"].to_numpy(zero_copy_only=False)
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        is_par = ti == 0
+        out = []
+        if is_par.any():
+            lens = np.fromiter(
+                (len(texts[i]) if texts[i] else 0
+                 for i in np.flatnonzero(is_par)),
+                dtype=np.int64, count=int(is_par.sum()))
+            out.append(pd.DataFrame(
+                {"conv_id": cid[is_par], "ckey": None, "olen": lens}
+            ))
+        is_child = ~is_par
+        if is_child.any():
+            ck = batch[child_field].to_numpy(zero_copy_only=False)
+            pairs = pd.DataFrame(
+                {"conv_id": cid[is_child],
+                 "ckey": pd.Series(ck[is_child], dtype=object),
+                 "olen": 0}
+            )
+            pairs = pairs[pairs["ckey"].notna() & (pairs["ckey"] != "")]
+            pairs = pairs.drop_duplicates(["conv_id", "ckey"])
+            out.append(pairs)
+        if not out:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype=object),
+                 "ckey": pd.Series(dtype=object),
+                 "olen": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["conv_id"],
+                                       index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        opener = (g[g["ckey"].isna()][["conv_id", "olen"]]
+                  .drop_duplicates("conv_id"))
+        pairs = (g[g["ckey"].notna()][["conv_id", "ckey"]]
+                 .drop_duplicates())
+        if not len(opener) or not len(pairs):
+            return pd.DataFrame(
+                {"ckey": pd.Series(dtype=object),
+                 "n_parents": pd.Series(dtype=np.int64),
+                 "len_sum": pd.Series(dtype=np.int64)}
+            )
+        j = pairs.merge(opener, on="conv_id")
+        j["n_parents"] = 1
+        return (j.groupby("ckey", sort=False)
+                .agg(n_parents=("n_parents", "sum"),
+                     len_sum=("olen", "sum"))
+                .reset_index())
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(fine):
+        return pa.table(
+            {"child_key": pa.array([], type=pa.string()),
+             "parent_count": pa.array([], type=pa.int64()),
+             "avg_opener_len": pa.array([], type=pa.float64())}
+        )
+    top = (fine.groupby("ckey", sort=False)
+           .agg(n_parents=("n_parents", "sum"),
+                len_sum=("len_sum", "sum"))
+           .reset_index()
+           .sort_values("ckey", kind="mergesort"))
+    s = trunc6(top["len_sum"].to_numpy(dtype=np.float64))
+    n = top["n_parents"].to_numpy(dtype=np.float64)
+    return pa.table(
+        {
+            "child_key": pa.array(top["ckey"].astype(str),
+                                  type=pa.string()),
+            "parent_count": pa.array(
+                top["n_parents"].to_numpy().astype(np.int64)),
+            "avg_opener_len": pa.array(trunc6(s / n),
+                                       type=pa.float64()),
+        }
+    )

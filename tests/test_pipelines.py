@@ -2256,3 +2256,47 @@ def test_connected_components_pair_budget_refuses():
         connected_components(pairs, pair_budget=2)
     out = connected_components(pairs, pair_budget=3)
     assert out["rep"].tolist() == [1, 1, 1, 1]
+
+
+def test_children_parent_join_aggs(ray_session):
+    """ES children/parent join-field aggs on a hand-checked hierarchy:
+    children_agg cohorts parents (openers) by day and terms the child
+    turns; parent_agg counts DISTINCT parents per child-term bucket."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import children_agg, parent_agg
+
+    day0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 86_400_000_000)
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3", "c3"],
+            "turn_idx": pa.array([0, 1, 2, 0, 1, 0, 1], type=pa.int32()),
+            "role": ["user", "assistant", "tool",
+                     "user", "assistant", "user", "assistant"],
+            "text": ["open1", "aa", "bbbb", "open-two", "cc", "o3", "dd"],
+            "tool": ["", "search", "search", "", "code", "", "search"],
+            "ts": pa.array(
+                [day0, day0 + 1, day0 + 2,              # c1 opens day 0
+                 day0 + 86_400_000_000, day0 + 86_400_000_001,  # c2 day 1
+                 day0 + 3, day0 + 4],                   # c3 day 0
+                type=pa.timestamp("us")),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    out = children_agg(ds, interval_hours=24,
+                       child_field="role").to_pydict()
+    # day 0 children: c1 {assistant(2), tool(4)}, c3 {assistant(2)};
+    # day 1 children: c2 {assistant(2)}
+    assert out["child_key"] == ["assistant", "tool", "assistant"]
+    assert out["doc_count"] == [2, 1, 1]
+    assert out["avg_len"] == [2.0, 4.0, 2.0]
+
+    p = parent_agg(ds, child_field="tool").to_pydict()
+    # 'search' children in c1 (twice — parent counts ONCE) and c3;
+    # 'code' in c2; empty opener tools never bucket
+    assert p["child_key"] == ["code", "search"]
+    assert p["parent_count"] == [1, 2]
+    # search: openers 'open1'(5) + 'o3'(2) → avg 3.5; code: 'open-two'(8)
+    assert p["avg_opener_len"] == [8.0, 3.5]
