@@ -581,6 +581,22 @@ def _split_indices_for(sf_dir: str) -> tuple[str, str]:
     return _SPLIT_BUILT[sf_dir]
 
 
+#: fuzzy-completion probes: misspelled + truncated stems (first two
+#: chars exact per prefix_length=2), one with no close dictionary term.
+FUZZY_COMPLETE_QUERIES = [
+    ("f1", "tabel"),
+    ("f2", "spak"),
+    ("f3", "windw"),
+    ("f4", "qqzz"),
+]
+
+#: ES min_score threshold for the bm25_min_score entry: bites mid-list
+#: on q3 (top scores 0.94/0.92 at sf0.01), zeroes q1/q6 (max ~0.46),
+#: passes q2/q5 untouched — and every doc score sits >= 0.012 from the
+#: threshold, so the float64 sum-order difference between the engine
+#: and the SQL twin can never flip a doc across it.
+MIN_SCORE = 0.9
+
 #: ts range for the range-filtered search entry (ES range in filter
 #: context); the derived corpus stamps ts = 2026-01-01 + doc_id minutes.
 TS_RANGE = ("2026-01-01 02:00:00", "2026-01-01 06:00:00")
@@ -591,7 +607,8 @@ DECAY_SCALE_US = 7_200_000_000
 
 
 def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or",
-                filters: dict | None = None):
+                filters: dict | None = None,
+                min_score: float | None = None):
     import pyarrow as pa
 
     from excelastic_ray.pipelines.textstats import trunc6
@@ -600,7 +617,8 @@ def _bm25_table(sf_dir: str, k: int = 10, mode: str = "or",
     eng = QueryEngine(_index_for(sf_dir), algo="auto")
     parts = []
     for qid, q in BM25_QUERIES:
-        t = eng.search(q, k, mode=mode, filters=filters)
+        t = eng.search(q, k, mode=mode, filters=filters,
+                       min_score=min_score)
         parts.append(
             pa.table(
                 {
@@ -636,6 +654,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_bm25_and_topk(sf_dir):
         return _bm25_table(sf_dir, mode="and")
+
+    def q_bm25_min_score(sf_dir):
+        # ES min_score: hits under the threshold drop from the ranking
+        # before pagination (exact — the merged ranking is descending)
+        return _bm25_table(sf_dir, min_score=MIN_SCORE)
 
     def q_bm25_phrase_topk(sf_dir):
         import pyarrow as pa
@@ -1328,6 +1351,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "query_id": pa.array([qid] * t.num_rows,
                                              type=pa.string()),
                         "term": t["term"],
+                        "df": t["df"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_script_fields(sf_dir):
+        # ES script_fields: standard BM25 ranking plus computed
+        # columns evaluated only over the returned hits (fetch-phase
+        # contract) — ln(dl), a position boost, and a param-scaled
+        # score, all through the safe expression language
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir), algo="auto")
+        fields = {
+            "dl_ln": "ln(dl)",
+            "pos_boost": "1.0 / (1.0 + turn_idx)",
+            "score_x": "_score * w",
+        }
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_script_fields(q, fields, k=10,
+                                         params={"w": 2.0})
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                        **{
+                            name: pa.array(
+                                trunc6(t[name].to_numpy()),
+                                type=pa.float64(),
+                            )
+                            for name in fields
+                        },
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_complete_fuzzy(sf_dir):
+        # ES completion suggester, fuzzy variant: the typed input may
+        # be misspelled AND mid-word — candidates are dictionary terms
+        # with some prefix within 1 edit, sharing the first 2 chars
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, p in FUZZY_COMPLETE_QUERIES:
+            t = eng.complete_fuzzy(p, k=5, fuzziness=1, prefix_length=2)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "term": t["term"],
+                        "dist": t["dist"],
                         "df": t["df"],
                     }
                 )
@@ -3387,6 +3478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rescore": q_bm25_rescore,
         "bm25_boosting": q_bm25_boosting,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_min_score": q_bm25_min_score,
+        "bm25_script_fields": q_bm25_script_fields,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -3412,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": q_bm25_search_after,
         "sig_text": q_sig_text,
         "complete_prefix": q_complete_prefix,
+        "complete_fuzzy": q_complete_fuzzy,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
         "bm25_regexp_topk": q_bm25_regexp_topk,
@@ -3729,7 +3823,8 @@ def _bm25_sql(conjunctive: bool = False,
               distfeat: tuple[str, int, float] | None = None,
               exclude_role: str | None = None,
               extra_join_pred: str | None = None,
-              rn: str = "<= 10") -> str:
+              rn: str = "<= 10",
+              min_score: float | None = None) -> str:
     vals = ",\n        ".join(
         f"('{qid}', '{t}')"
         for qid, q in BM25_QUERIES
@@ -3823,9 +3918,71 @@ SELECT scored.query_id, scored.conv_id, scored.turn_idx,
        floor({score_expr} * 1000000 + 0.5) / 1000000 AS score
 FROM scored {and_clause}
 {ts_clause}
+{f"WHERE {rank_expr} >= {min_score}" if min_score is not None else ""}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
+"""
+    )
+
+
+def _script_fields_sql(k: int = 10) -> str:
+    """bm25_script_fields twin: the standard scored CTE ranked top-k,
+    each script expression mirrored symbol-for-symbol over the same
+    doc values (dl = indexed token count, turn_idx, raw = the BM25
+    sum), trunc6 on every emitted float."""
+    t6 = "floor({} * 1000000 + 0.5) / 1000000"
+    return (
+        _BASE
+        + _scored_cte()
+        + f"""
+SELECT scored.query_id, scored.conv_id, scored.turn_idx,
+       {t6.format("raw")} AS score,
+       {t6.format("ln(dl.dl)")} AS dl_ln,
+       {t6.format("(1.0 / (1.0 + scored.turn_idx))")} AS pos_boost,
+       {t6.format("(raw * 2.0)")} AS score_x
+FROM scored
+JOIN dl ON dl.conv_id = scored.conv_id AND dl.turn_idx = scored.turn_idx
+QUALIFY row_number() OVER (
+    PARTITION BY scored.query_id
+    ORDER BY raw DESC, scored.conv_id, scored.turn_idx) <= {k}
+"""
+    )
+
+
+def _complete_fuzzy_sql(k: int = 5, fuzziness: int = 1,
+                        prefix_length: int = 2) -> str:
+    """complete_fuzzy twin: the min-over-prefixes Levenshtein distance
+    (term[1:j] sweeps every prefix, j=0 included) computed by DuckDB's
+    own levenshtein — the engine keeps plain Levenshtein (documented
+    deviation from Lucene's transpositions default) precisely so this
+    twin measures the identical metric."""
+    vals = ", ".join(
+        f"('{qid}', '{p}')" for qid, p in FUZZY_COMPLETE_QUERIES
+    )
+    return (
+        _BASE
+        + f""",
+tf AS (
+    SELECT conv_id, turn_idx, term
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+p(query_id, pre) AS (VALUES {vals}),
+cand AS (
+    SELECT p.query_id, df.term,
+           list_min(list_transform(range(0, len(df.term) + 1),
+               j -> levenshtein(df.term[1:j], p.pre))) AS dist,
+           df.df
+    FROM p
+    JOIN df ON starts_with(df.term, substr(p.pre, 1, {prefix_length}))
+)
+SELECT query_id, term, dist, df
+FROM cand
+WHERE dist <= {fuzziness}
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY df DESC, term) <= {k}
 """
     )
 
@@ -6922,6 +7079,8 @@ LEFT JOIN upd u
 GROUP BY 1, 2
 """,
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25_min_score": _bm25_sql(min_score=MIN_SCORE),
+        "bm25_script_fields": _script_fields_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),
@@ -6945,6 +7104,7 @@ FROM p JOIN df ON starts_with(df.term, p.pre)
 QUALIFY row_number() OVER (
     PARTITION BY p.query_id ORDER BY df.df DESC, df.term) <= 5
 """,
+        "complete_fuzzy": _complete_fuzzy_sql(),
         "bm25_synonym_topk": _BASE
         + f""",
 dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),

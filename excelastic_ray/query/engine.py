@@ -2553,6 +2553,42 @@ class ShardSearcher:
         order = np.lexsort((docids, -out))[:k]
         return docids[order], out[order]
 
+    def script_fields_topk(self, terms, idfs, avgdl, k, fields: dict,
+                           params=None, filters=None, n_required=0):
+        """ES ``script_fields``, shard phase: ranking is the standard
+        BM25 TAAT top-k (scores untouched, unlike ``script_score``);
+        each named script evaluates vectorized over ONLY the k
+        surviving docs' values (``_score``, ``dl``, ``turn_idx``,
+        params) — the ES fetch-phase contract (scripts run per
+        returned hit, never per match). → (docids, scores,
+        {name: float64 array})."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64),
+                 {name: np.zeros(0, np.float64) for name in fields})
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        fns = {name: compile_score_script(src)
+               for name, src in fields.items()}
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        order = np.lexsort((docids, -scores))[:k]
+        nz, docids, scores = nz[order], docids[order], scores[order]
+        env = dict(params or {})
+        env["_score"] = scores
+        env["dl"] = self.dls[nz]
+        env["turn_idx"] = (
+            docids & (self.cfg.max_turns - 1)
+        ).astype(np.float64)
+        out = {}
+        for name, fn in fns.items():
+            v = np.asarray(fn(env), dtype=np.float64)
+            if v.ndim == 0:  # constant expression broadcasts
+                v = np.full(len(nz), float(v))
+            out[name] = v
+        return docids, scores, out
+
     def sampler_agg(self, terms, idfs, avgdl, shard_size, attr,
                     max_per_conv=None, filters=None, n_required=0):
         """ES ``sampler`` / ``diversified_sampler`` + ``terms`` sub-agg,
@@ -3044,6 +3080,42 @@ def _levenshtein_all(query: str, cands: np.ndarray,
     return prev[np.arange(n), lens]
 
 
+def _min_prefix_lev(cands: np.ndarray, query: str,
+                    cutoff: int) -> np.ndarray:
+    """min over j of levenshtein(cand[:j], query) — the Lucene
+    FuzzyCompletionQuery matching metric (the typed input may stop
+    mid-word, so it is matched against every PREFIX of each candidate,
+    not the whole term). Same Wagner-Fischer-across-candidates kernel
+    as ``_levenshtein_all``; the final DP row IS the per-prefix
+    distance vector (prev[:, j] = lev(cand[:j], query)), so the answer
+    is one masked row-min. Only the first len(query) + cutoff
+    candidate chars participate: a longer prefix is at least its
+    length excess (> cutoff) away and can never bind."""
+    n = len(cands)
+    m = len(query)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in cands), count=n, dtype=np.int64)
+    L = int(min(lens.max(), m + max(cutoff, 0)))
+    if L == 0:
+        return np.full(n, m, dtype=np.int64)
+    arr = np.asarray(cands, dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        sub = arr != q[i - 1]
+        for j in range(1, L + 1):
+            np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + sub[:, j - 1],
+                       out=cur[:, j])
+        prev, cur = cur, prev
+    # columns past a candidate's own length are padding, not prefixes
+    dead = np.arange(L + 1)[None, :] > np.minimum(lens, L)[:, None]
+    return np.where(dead, np.iinfo(np.int64).max, prev).min(axis=1)
+
+
 class IndexReader:
     """Opens an index directory: manifest, conv-rank table, shard access."""
 
@@ -3506,6 +3578,23 @@ def render_search_template(template: str, params: dict) -> dict:
     return out
 
 
+def _merge_script_fields(parts, k):
+    """Merge per-shard (docids, scores, {name: values}) triples into
+    the global top-k, carrying the script-field columns through the
+    same (score DESC, docid ASC) order as ``_merge_shard_topk``."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return (np.zeros(0, np.int64), np.zeros(0, np.float64), {})
+    docids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    cols = {
+        n: np.concatenate([p[2][n] for p in parts]) for n in parts[0][2]
+    }
+    order = np.lexsort((docids, -scores))[:k]
+    return (docids[order], scores[order],
+            {n: c[order] for n, c in cols.items()})
+
+
 def _merge_shard_topk(parts, k):
     if not parts:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -3603,7 +3692,8 @@ class QueryEngine:
     def search(self, query: str, k: int = 10, filters: dict | None = None,
                mode: str = "or", include_source: bool = False,
                offset: int = 0, highlight: bool = False,
-               search_after: tuple[float, int] | None = None):
+               search_after: tuple[float, int] | None = None,
+               min_score: float | None = None):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
@@ -3625,7 +3715,13 @@ class QueryEngine:
         ``highlight`` column: the stored text with every query-term
         occurrence wrapped in <em></em> (the ES highlighter default),
         produced by the SAME analyzer that built the index (needs
-        store_source)."""
+        store_source). ``min_score`` is the ES parameter of the same
+        name: hits scoring below it drop from the ranking BEFORE
+        ``offset``/``k`` pagination (exact, not approximate: the
+        merged ranking is score-descending, so everything past the
+        first sub-threshold hit is sub-threshold too — filtering the
+        merged top ``offset + k`` equals filtering the full
+        ranking)."""
         import pyarrow as pa
 
         if mode not in ("or", "and"):
@@ -3669,6 +3765,9 @@ class QueryEngine:
                         for s in range(r.num_shards)
                     ]
                 docids, scores = _merge_shard_topk(parts, depth)
+                if min_score is not None:
+                    keep = scores >= min_score
+                    docids, scores = docids[keep], scores[keep]
                 docids = docids[offset:]
                 scores = scores[offset:]
         conv, turn = r.keys_of(docids)
@@ -5122,10 +5221,28 @@ class QueryEngine:
         if len(toks) != 1:
             return out_empty
         p = toks[0]
-        # per-shard (terms, dfs) arrive as contiguous array slices;
-        # the cross-shard df sum is np.unique + bincount over U-dtype
-        # arrays (a pandas groupby here cost ~3x on wide prefixes) —
-        # no per-term dictionary lookups anywhere on this path
+        terms, dfs = self._prefix_df_sum(p, max_candidates)
+        if not len(terms):
+            return out_empty
+        order = np.lexsort((terms, -dfs))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int32)
+                ),
+                "term": pa.array(terms[order], type=pa.string()),
+                "df": pa.array(dfs[order].astype(np.int64)),
+            }
+        )
+
+    def _prefix_df_sum(self, p: str, max_candidates: int | None):
+        """Per-shard dictionary slice + cross-shard df sum for prefix
+        ``p`` → (terms object array, dfs int64). The (terms, dfs) parts
+        arrive as contiguous array slices; the merge is a hash-based
+        factorize + bincount (np.unique comparison-sorts PyObjects,
+        ~12x slower on wide prefixes; a pandas groupby cost ~3x) — no
+        per-term dictionary lookups anywhere on this path."""
+        r = self.reader
         parts_t, parts_d = [], []
         for s in range(r.num_shards):
             t_arr, d_arr = r.searcher(s).prefix_dfs(p)
@@ -5136,18 +5253,71 @@ class QueryEngine:
                 parts_t.append(t_arr)
                 parts_d.append(d_arr)
         if not parts_t:
-            return out_empty
+            return (np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64))
         import pandas as pd
 
-        # hash-based factorize + bincount: the term arrays are object
-        # dtype (dictionary slices), where np.unique comparison-sorts
-        # PyObjects (~12x slower on wide prefixes)
         inv, uniq = pd.factorize(np.concatenate(parts_t), sort=False)
         # float64 weights are exact for any real df (< 2^53)
         dfs = np.bincount(
             inv, weights=np.concatenate(parts_d).astype(np.float64)
         ).astype(np.int64)
-        terms = np.asarray(uniq, dtype=object)
+        return np.asarray(uniq, dtype=object), dfs
+
+    def complete_fuzzy(self, prefix: str, k: int = 10, fuzziness: int = 1,
+                       prefix_length: int = 1,
+                       max_candidates: int | None = None):
+        """ES completion suggester with ``fuzzy`` options: dictionary
+        terms some PREFIX of which lies within ``fuzziness`` edits of
+        the typed input (Lucene FuzzyCompletionQuery semantics — the
+        user may still be mid-word, so the input is matched against
+        term prefixes, not whole terms), sharing the first
+        ``prefix_length`` characters exactly (the ES option of the same
+        name). Distance is plain Levenshtein — a documented deviation
+        from Lucene's default transpositions=true (kept plain so the
+        DuckDB ``levenshtein`` twin computes the identical metric).
+
+        Execution: candidates come from the SAME sorted-dictionary
+        range scan the exact completer uses, seeded with the exact
+        ``prefix_length``-char stem; the min-over-prefixes edit
+        distance is ONE numpy DP over the candidate char matrix
+        (O(len(input) × (len(input)+fuzziness) × candidates) vector
+        ops, no per-term Python). Term prefixes longer than
+        len(input)+fuzziness never bind (their distance is at least
+        the length excess), so the DP stops there.
+
+        Ranked like ``complete`` — (df DESC, term ASC), popularity
+        first — with the distance reported per suggestion.
+        → pyarrow.Table (rank, term, dist, df)."""
+        import pyarrow as pa
+
+        from excelastic_ray.analysis import tokenize
+
+        if fuzziness < 0:
+            raise ValueError("fuzziness must be >= 0")
+        if prefix_length < 1:
+            raise ValueError(
+                "prefix_length must be >= 1 (0 would scan the whole "
+                "dictionary per shard)"
+            )
+        toks = tokenize(prefix)
+        out_empty = pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "dist": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(toks) != 1:
+            return out_empty
+        p = toks[0]
+        stem = p[: min(prefix_length, len(p))]
+        terms, dfs = self._prefix_df_sum(stem, max_candidates)
+        if not len(terms):
+            return out_empty
+        dist = _min_prefix_lev(terms, p, fuzziness)
+        keep = dist <= fuzziness
+        terms, dfs, dist = terms[keep], dfs[keep], dist[keep]
         order = np.lexsort((terms, -dfs))[:k]
         return pa.table(
             {
@@ -5155,6 +5325,7 @@ class QueryEngine:
                     np.arange(1, len(order) + 1, dtype=np.int32)
                 ),
                 "term": pa.array(terms[order], type=pa.string()),
+                "dist": pa.array(dist[order].astype(np.int64)),
                 "df": pa.array(dfs[order].astype(np.int64)),
             }
         )
@@ -5874,6 +6045,87 @@ class QueryEngine:
                     ]
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
+
+    def search_script_fields(self, query: str, fields: dict[str, str],
+                             k: int = 10, params: dict | None = None,
+                             mode: str = "or",
+                             filters: dict | None = None):
+        """ES ``script_fields``: the standard BM25 ranking (scores
+        untouched), plus one computed column per named script — each a
+        safe arithmetic expression over ``_score`` / ``dl`` /
+        ``turn_idx`` / ``params`` (query/script.py grammar, validated
+        here on the driver). Scripts run only over RETURNED hits (the
+        ES fetch-phase contract), evaluated numpy-vectorized on the
+        owning shard where the doc values are resident. → the standard
+        result table + one float64 column per field, in ``fields``
+        order."""
+        import pyarrow as pa
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if not fields:
+            raise ValueError("script_fields needs at least one field")
+        reserved = {"rank", "docid", "conv_id", "turn_idx", "score"}
+        bad_names = [n for n in fields if n in reserved]
+        if bad_names:
+            raise ValueError(
+                f"script_fields names collide with result columns: "
+                f"{bad_names}"
+            )
+        for src in fields.values():
+            compile_score_script(src)  # fail fast on the driver
+        if params:
+            bad = [
+                n for n, v in params.items()
+                if not isinstance(v, (int, float))
+                or n in ("_score", "dl", "turn_idx")
+            ]
+            if bad:
+                raise ValueError(
+                    f"script_fields params must be numeric and not "
+                    f"shadow doc values: {bad}"
+                )
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        cols: dict = {}
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.script_fields_topk.remote(
+                                lterms, idfs, r.avgdl, k, fields, params,
+                                filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).script_fields_topk(
+                            lterms, idfs, r.avgdl, k, fields, params,
+                            filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores, cols = _merge_script_fields(parts, k)
+        out = self._result_table(docids, scores)
+        for name in fields:
+            vals = cols.get(name, np.zeros(len(docids), dtype=np.float64))
+            out = out.append_column(
+                name, pa.array(vals, type=pa.float64())
+            )
+        return out
 
     def search_sampler(self, query: str, attr: str = "role",
                        shard_size: int = 50,
@@ -7708,6 +7960,15 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_shard_topk(parts, k)
+
+    def script_fields_topk(self, terms, idfs, avgdl, k, fields,
+                           params=None, filters=None, n_required=0):
+        parts = [
+            s.script_fields_topk(terms, idfs, avgdl, k, fields, params,
+                                 filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_script_fields(parts, k)
 
     def adjacency_counts(self, specs, filters=None):
         mats = [s.adjacency_counts(specs, filters) for s in self.searchers]

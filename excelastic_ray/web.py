@@ -274,12 +274,19 @@ class ImportServer:
                     elif u.path == "/api/snapshots":
                         self._json(200, server.list_snapshots())
                     elif u.path == "/api/complete":
-                        # ES completion suggester (search-as-you-type)
+                        # ES completion suggester (search-as-you-type);
+                        # ?fuzziness= switches to the fuzzy variant
                         self._json(
                             200,
                             server.complete(
                                 q["index"], q.get("q", ""),
                                 int(q.get("k", "10")),
+                                fuzziness=(int(q["fuzziness"])
+                                           if q.get("fuzziness")
+                                           else None),
+                                prefix_length=int(
+                                    q.get("prefix_length", "1")
+                                ),
                             ),
                         )
                     elif u.path == "/api/count":
@@ -382,6 +389,9 @@ class ImportServer:
                                            if q.get("span_near")
                                            else None),
                                 span_not=q.get("span_not") or None,
+                                min_score=(float(q["min_score"])
+                                           if q.get("min_score")
+                                           else None),
                             ),
                         )
                     else:
@@ -417,17 +427,31 @@ class ImportServer:
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 if u.path == "/api/search":
                     # ES POST _search with a JSON query-DSL body:
-                    # {"query": {nested bool/match tree}, "k": n}
+                    # {"query": {nested bool/match tree}, "k": n} — or
+                    # the script_fields shape {"q": "text",
+                    # "script_fields": {name: expr | {"script":
+                    # {"source": expr}}}, "params": {...}, "k": n}
                     try:
                         length = int(self.headers.get("Content-Length", "0"))
                         body = json.loads(self.rfile.read(length) or b"{}")
-                        self._json(
-                            200,
-                            server.search_dsl(
-                                q["index"], body["query"],
-                                int(body.get("k", 10)),
-                            ),
-                        )
+                        if "script_fields" in body:
+                            self._json(
+                                200,
+                                server.search_script_fields(
+                                    q["index"], body.get("q", ""),
+                                    body["script_fields"],
+                                    int(body.get("k", 10)),
+                                    body.get("params"),
+                                ),
+                            )
+                        else:
+                            self._json(
+                                200,
+                                server.search_dsl(
+                                    q["index"], body["query"],
+                                    int(body.get("k", 10)),
+                                ),
+                            )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
@@ -1046,14 +1070,43 @@ class ImportServer:
             self._engines.pop(target, None)
         return out
 
-    def complete(self, index: str, prefix: str, k: int = 10) -> dict:
+    def complete(self, index: str, prefix: str, k: int = 10,
+                 fuzziness: int | None = None,
+                 prefix_length: int = 1) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
         if len(targets) > 1:
             raise ValueError("completion needs a concrete index")
         eng = self._acquire_engine(index, targets)
-        return {"completions": eng.complete(prefix, k).to_pylist()}
+        if fuzziness is not None:
+            t = eng.complete_fuzzy(prefix, k, fuzziness=fuzziness,
+                                   prefix_length=prefix_length)
+        else:
+            t = eng.complete(prefix, k)
+        return {"completions": t.to_pylist()}
+
+    def search_script_fields(self, index: str, query: str, fields: dict,
+                             k: int = 10,
+                             params: dict | None = None) -> dict:
+        """ES ``script_fields``: accepts both the bare-expression shape
+        ({name: expr}) and ES's nested one ({name: {"script":
+        {"source": expr}}})."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("script_fields needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        norm = {}
+        for name, spec in fields.items():
+            if isinstance(spec, dict):
+                spec = spec.get("script", spec)
+            if isinstance(spec, dict):
+                spec = spec.get("source", "")
+            norm[name] = spec
+        t = eng.search_script_fields(query, norm, k=k, params=params)
+        return {"hits": t.to_pylist()}
 
     def count(self, index: str, query: str) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
@@ -1426,7 +1479,8 @@ class ImportServer:
                phrase_prefix: bool = False,
                span_first: int | None = None,
                span_near: int | None = None,
-               span_not: str | None = None) -> dict:
+               span_not: str | None = None,
+               min_score: float | None = None) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -1444,7 +1498,7 @@ class ImportServer:
                     or syn or highlight
                     or explain or phrase_prefix
                     or span_first is not None or span_near is not None
-                    or span_not):
+                    or span_not or min_score is not None):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
@@ -1534,10 +1588,11 @@ class ImportServer:
             # exclusivity error instead of silently ignoring from=
             s, _, d = search_after.rpartition(":")
             t = eng.search(query, k, include_source=True, offset=offset,
-                           search_after=(float(s), int(d)))
+                           search_after=(float(s), int(d)),
+                           min_score=min_score)
         else:
             # highlight rides only the plain relevance mode (the ES
             # highlighter's number_of_fragments=0 shape)
             t = eng.search(query, k, include_source=True, offset=offset,
-                           highlight=highlight)
+                           highlight=highlight, min_score=min_score)
         return {"hits": t.to_pylist()}

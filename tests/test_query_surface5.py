@@ -1,0 +1,220 @@
+"""Round-5 search-surface additions: ES ``min_score``, ``script_fields``
+(computed fetch-phase columns through the safe expression language) and
+the fuzzy completion suggester.
+
+Reference behaviors: ES search ``min_score`` drops sub-threshold hits
+before pagination; ``script_fields`` scripts run per RETURNED hit only;
+Lucene FuzzyCompletionQuery matches the typed input against term
+PREFIXES within an edit budget (the user may stop mid-word)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from excelastic_ray.analysis import tokenize
+from excelastic_ray.query.engine import QueryEngine, _min_prefix_lev
+
+
+@pytest.fixture(scope="module")
+def eng(tiny_index):
+    idx, _ = tiny_index
+    return QueryEngine(idx)
+
+
+# ---------------------------------------------------------------- min_score
+
+
+def test_min_score_equals_brute_filter(eng, query_set):
+    for q in query_set:
+        full = eng.search(q, k=50)
+        scores = full["score"].to_numpy()
+        if not len(scores):
+            continue
+        thr = float(np.median(scores))
+        got = eng.search(q, k=50, min_score=thr)
+        keep = scores >= thr
+        assert got["docid"].to_pylist() == (
+            full["docid"].to_numpy()[keep].tolist()
+        )
+        assert got["score"].to_pylist() == scores[keep].tolist()
+
+
+def test_min_score_composes_with_offset(eng, query_set):
+    q = query_set[5]
+    full = eng.search(q, k=50, min_score=0.1)
+    page = eng.search(q, k=5, offset=3, min_score=0.1)
+    assert page["docid"].to_pylist() == full["docid"].to_pylist()[3:8]
+    # rank numbers continue from the offset, over the FILTERED ranking
+    assert page["rank"].to_pylist() == list(range(4, 4 + page.num_rows))
+
+
+def test_min_score_extremes(eng, query_set):
+    q = query_set[5]
+    assert eng.search(q, k=10, min_score=1e9).num_rows == 0
+    a = eng.search(q, k=10, min_score=-1.0)
+    b = eng.search(q, k=10)
+    assert a.equals(b)
+
+
+# ------------------------------------------------------------ script_fields
+
+
+def test_script_fields_ranking_untouched(eng, query_set):
+    fields = {"s2": "_score * 2.0", "ti": "turn_idx + 0.0"}
+    for q in query_set[:6]:
+        base = eng.search(q, k=10)
+        got = eng.search_script_fields(q, fields, k=10)
+        assert got["docid"].to_pylist() == base["docid"].to_pylist()
+        assert got["score"].to_pylist() == base["score"].to_pylist()
+        np.testing.assert_array_equal(
+            got["s2"].to_numpy(), 2.0 * got["score"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            got["ti"].to_numpy(),
+            got["turn_idx"].to_numpy().astype(np.float64),
+        )
+
+
+def test_script_fields_dl_matches_corpus(eng, tiny_table, query_set):
+    dl_of = {
+        (c, t): len(tokenize(x))
+        for c, t, x in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    got = eng.search_script_fields(query_set[5], {"dl_ln": "ln(dl)"}, k=20)
+    for c, t, v in zip(
+        got["conv_id"].to_pylist(),
+        got["turn_idx"].to_pylist(),
+        got["dl_ln"].to_pylist(),
+    ):
+        assert v == pytest.approx(np.log(dl_of[(c, t)]), rel=0, abs=0)
+
+
+def test_script_fields_params_and_modes(eng, query_set):
+    q = query_set[5]
+    got = eng.search_script_fields(
+        q, {"w3": "_score * w"}, k=10, params={"w": 3.0}, mode="and"
+    )
+    base = eng.search(q, k=10, mode="and")
+    assert got["docid"].to_pylist() == base["docid"].to_pylist()
+    np.testing.assert_allclose(
+        got["w3"].to_numpy(), 3.0 * got["score"].to_numpy(), rtol=0
+    )
+
+
+def test_script_fields_validation(eng):
+    with pytest.raises(ValueError):
+        eng.search_script_fields("the", {})
+    with pytest.raises(ValueError):
+        eng.search_script_fields("the", {"score": "_score"})
+    with pytest.raises(ValueError):
+        eng.search_script_fields("the", {"x": "__import__('os')"})
+    with pytest.raises(ValueError):
+        eng.search_script_fields("the", {"x": "_score"},
+                                 params={"dl": 1.0})
+    with pytest.raises(ValueError):
+        eng.search_script_fields("the", {"x": "_score"},
+                                 params={"s": "nope"})
+
+
+def test_script_fields_absent_term(eng):
+    t = eng.search_script_fields("term_not_in_corpus", {"x": "_score"})
+    assert t.num_rows == 0
+    assert "x" in t.column_names
+
+
+# ----------------------------------------------------------- complete_fuzzy
+
+
+def _vocab_df(tiny_table):
+    from collections import Counter
+
+    df = Counter()
+    for x in tiny_table["text"].to_pylist():
+        df.update(set(tokenize(x)))
+    return df
+
+
+def test_min_prefix_lev_brute(rng=np.random.default_rng(11)):
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(nd[j - 1] + 1, d[j] + 1,
+                              d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    alphabet = "abc"
+    words = ["".join(w) for n in range(0, 5)
+             for w in itertools.product(alphabet, repeat=n)]
+    for q in ["a", "ab", "abc", "cab", "bbbb"]:
+        got = _min_prefix_lev(np.array(words, dtype=object), q, 2)
+        for w, g in zip(words, got.tolist()):
+            exp = min(lev(w[:j], q) for j in range(len(w) + 1))
+            # beyond the cutoff the kernel may overestimate (documented)
+            assert g == exp or (exp > 2 and g > 2), (w, q, g, exp)
+
+
+def test_complete_fuzzy_vs_bruteforce(eng, tiny_table):
+    df = _vocab_df(tiny_table)
+    for p in ("tabl", "spak", "th"):
+        got = eng.complete_fuzzy(p, k=8, fuzziness=1, prefix_length=1)
+        cands = sorted(t for t in df if t.startswith(p[:1]))
+        exp = []
+        for t in cands:
+            d = int(
+                _min_prefix_lev(np.array([t], dtype=object), p, 1)[0]
+            )
+            if d <= 1:
+                exp.append((-df[t], t, d))
+        exp.sort()
+        assert got["term"].to_pylist() == [t for _, t, _ in exp[:8]]
+        assert got["dist"].to_pylist() == [d for _, _, d in exp[:8]]
+        assert got["df"].to_pylist() == [-n for n, _, _ in exp[:8]]
+
+
+def test_complete_fuzzy_zero_fuzz_equals_exact(eng, query_set):
+    # fuzziness=0 with the whole input as the exact stem IS the exact
+    # completion suggester
+    p = query_set[1][:2] if len(query_set[1]) >= 2 else "th"
+    a = eng.complete_fuzzy(p, k=5, fuzziness=0, prefix_length=len(p))
+    b = eng.complete(p, k=5)
+    assert a["term"].to_pylist() == b["term"].to_pylist()
+    assert a["df"].to_pylist() == b["df"].to_pylist()
+    assert set(a["dist"].to_pylist()) <= {0}
+
+
+def test_complete_fuzzy_bad_args(eng):
+    with pytest.raises(ValueError):
+        eng.complete_fuzzy("tabl", fuzziness=-1)
+    with pytest.raises(ValueError):
+        eng.complete_fuzzy("tabl", prefix_length=0)
+    assert eng.complete_fuzzy("two words").num_rows == 0
+
+
+# -------------------------------------------------------------- actor parity
+
+
+def test_round5_actor_parity(tiny_index, ray_session, query_set):
+    idx, _ = tiny_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        q = query_set[5]
+        a = actors.search(q, k=10, min_score=0.2)
+        b = local.search(q, k=10, min_score=0.2)
+        assert a.equals(b)
+        fields = {"x": "ln(dl) + _score"}
+        a = actors.search_script_fields(q, fields, k=10)
+        b = local.search_script_fields(q, fields, k=10)
+        assert a.equals(b)
+    finally:
+        actors.close()

@@ -1082,3 +1082,74 @@ def _req_status(req) -> tuple[int, str]:
             return r.status, r.read().decode()
     except urllib.error.HTTPError as e:
         return e.code, e.read().decode()
+
+
+def test_round5_search_params_over_http(ray_session, tmp_path):
+    """min_score / fuzzy completion / script_fields through the HTTP
+    surface match the engine's direct results."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "r5")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=2)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(idx)
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        # min_score: pick a threshold inside the score range
+        full = eng.search("the call", k=20)
+        thr = float(full["score"].to_numpy()[min(5, full.num_rows - 1)])
+        _, body = _get(
+            base + f"/api/search?index=a&q=the+call&k=20&min_score={thr}"
+        )
+        hits = json.loads(body)["hits"]
+        exp = eng.search("the call", k=20, min_score=thr)
+        assert [h["docid"] for h in hits] == exp["docid"].to_pylist()
+
+        # fuzzy completion
+        _, body = _get(
+            base + "/api/complete?index=a&q=w1&k=5&fuzziness=1"
+            "&prefix_length=1"
+        )
+        comps = json.loads(body)["completions"]
+        exp = eng.complete_fuzzy("w1", k=5, fuzziness=1, prefix_length=1)
+        assert [c["term"] for c in comps] == exp["term"].to_pylist()
+        assert [c["dist"] for c in comps] == exp["dist"].to_pylist()
+
+        # script_fields via the POST body (ES nested script shape)
+        req = urllib.request.Request(
+            base + "/api/search?index=a",
+            data=json.dumps(
+                {
+                    "q": "the call",
+                    "k": 5,
+                    "script_fields": {
+                        "dl_ln": {"script": {"source": "ln(dl)"}},
+                        "sw": "_score * w",
+                    },
+                    "params": {"w": 2.0},
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            hits = json.loads(r.read())["hits"]
+        exp = eng.search_script_fields(
+            "the call", {"dl_ln": "ln(dl)", "sw": "_score * w"},
+            k=5, params={"w": 2.0},
+        )
+        assert [h["dl_ln"] for h in hits] == exp["dl_ln"].to_pylist()
+        assert [h["sw"] for h in hits] == exp["sw"].to_pylist()
+    finally:
+        srv.stop()
