@@ -2707,3 +2707,108 @@ def force_merge(index_dir: str, num_shards: int = 1,
     m["build_id"] = uuid.uuid4().hex
     seg.save_global_manifest(index_dir, m)
     return m
+
+
+def shrink_index(src_dir: str, dst_dir: str, num_shards: int,
+                 cpus: int | None = None) -> dict:
+    """ES ``_shrink`` analog: a NEW index at a smaller shard fan-out
+    (the target must be a FACTOR of the source count, the ES rule),
+    built from the source's immutable level-0 chunk segments. See
+    ``_resize_index`` for the mechanics and guarantees."""
+    return _resize_index(src_dir, dst_dir, num_shards, "shrink", cpus)
+
+
+def split_index(src_dir: str, dst_dir: str, num_shards: int,
+                cpus: int | None = None) -> dict:
+    """ES ``_split`` analog: a NEW index at a larger shard fan-out
+    (the target must be a MULTIPLE of the source count, the ES rule).
+    See ``_resize_index``."""
+    return _resize_index(src_dir, dst_dir, num_shards, "split", cpus)
+
+
+def _resize_index(src_dir: str, dst_dir: str, num_shards: int,
+                  mode: str, cpus: int | None = None) -> dict:
+    """Shared ``_shrink``/``_split`` body. ES resizes by hard-linking
+    Lucene segments into a new index and re-distributing; this engine
+    does the literal analog — the chunk segments and the census/rank
+    tables hard-link into ``dst_dir`` (copy fallback across
+    filesystems; chunk segments are immutable so sharing is safe) and
+    ONLY the shard merge re-runs at the new fan-out. Because the
+    merge is a deterministic function of (chunk set, target count),
+    the resized shards are byte-identical to a fresh build at the
+    target fan-out (pinned in tests/test_resize.py), and df-at-query-
+    time makes results identical at ANY fan-out regardless.
+
+    Refuses delete/update overlays (their docid→shard placement would
+    change — same rule as ``force_merge``; ES likewise requires a
+    read-only healthy source). The target directory must not already
+    contain an index (ES: the target must not exist). Crash-safe: the
+    destination manifest stays ``resizing`` until the merge completes,
+    so readers never open a half-merged resize; re-running completes
+    idempotently (per-shard manifests skip finished work)."""
+    import ray
+
+    from excelastic_ray.index.snapshot import _link_or_copy
+
+    m = seg.load_global_manifest(src_dir)
+    if m.get("status") != "complete":
+        raise RuntimeError(
+            f"source index is not complete (status={m.get('status')!r})"
+        )
+    if m.get("deletes_rev", 0) or m.get("updates_rev", 0):
+        raise RuntimeError(
+            f"{mode} with delete/update overlays is not supported; "
+            "run reindex() to expunge them first"
+        )
+    src_n = int(m["num_shards"])
+    target = int(num_shards)
+    if target < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if mode == "shrink":
+        if target > src_n or src_n % target:
+            raise ValueError(
+                f"_shrink target {target} must be a factor of the "
+                f"source shard count {src_n}"
+            )
+    elif mode == "split":
+        if target < src_n or target % src_n:
+            raise ValueError(
+                f"_split target {target} must be a multiple of the "
+                f"source shard count {src_n}"
+            )
+    else:
+        raise ValueError(f"unknown resize mode {mode!r}")
+    chunks = sorted(seg.completed_chunks(src_dir))
+    if target > len(chunks):
+        raise ValueError(
+            f"cannot {mode} to {target} shards: the index has only "
+            f"{len(chunks)} chunk segments (shard = chunk % num_shards "
+            "would leave empty shards)"
+        )
+    if os.path.isdir(dst_dir) and os.listdir(dst_dir):
+        raise RuntimeError(f"target index dir {dst_dir!r} is not empty")
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in ("chunks.parquet", "convs.parquet"):
+        p = os.path.join(src_dir, name)
+        if os.path.exists(p):
+            _link_or_copy(p, os.path.join(dst_dir, name))
+    for c in chunks:
+        cd = seg.chunk_dir(src_dir, c)
+        dd = seg.chunk_dir(dst_dir, c)
+        for f in sorted(os.listdir(cd)):
+            _link_or_copy(os.path.join(cd, f), os.path.join(dd, f))
+    nm = dict(m)
+    nm["config"] = {**m["config"], "num_shards": target}
+    nm["num_shards"] = target
+    nm["status"] = "resizing"
+    seg.save_global_manifest(dst_dir, nm)
+    if cpus is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+    config = IndexConfig.from_dict(nm["config"])
+    shard_bytes = _merge_phase(dst_dir, config, chunks, target, cpus)
+    nm["shard_bytes"] = int(shard_bytes)
+    nm["status"] = "complete"
+    nm["build_id"] = uuid.uuid4().hex
+    seg.save_global_manifest(dst_dir, nm)
+    return nm

@@ -543,6 +543,22 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path in ("/api/shrink", "/api/split"):
+                    # ES POST /<index>/_shrink/<target> | _split
+                    try:
+                        self._json(
+                            200,
+                            server.resize(
+                                q["index"], q["target"],
+                                int(q["num_shards"]),
+                                u.path.rsplit("/", 1)[1],
+                            ),
+                        )
+                    except KeyError as e:
+                        self._json(400, {"error": f"missing param {e}"})
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/doc/update":
                     # ES POST /<index>/_update analog: overlay attr
                     # values on ONE doc (doc-values update; text keeps
@@ -1151,6 +1167,26 @@ class ImportServer:
             self._evict_engines_for(index)
         return {"index": index, "num_shards": m["num_shards"],
                 "status": m["status"]}
+
+    def resize(self, index: str, target: str, num_shards: int,
+               mode: str) -> dict:
+        """ES ``POST /<index>/_shrink/<target>`` / ``_split`` analog:
+        a NEW index at a different shard fan-out from hard-linked
+        chunk segments. Runs under the SOURCE's import lock (the ES
+        read-only requirement); the target gets its own entry in the
+        repo dir and serves immediately after."""
+        from excelastic_ray.index.build import shrink_index, split_index
+
+        self.index_dir(index)
+        self.index_dir(target)  # name validation for both
+        with self._locks_guard:
+            lock = self._index_locks.setdefault(index, threading.Lock())
+        with lock:
+            fn = shrink_index if mode == "shrink" else split_index
+            m = fn(self.index_dir(index), self.index_dir(target),
+                   num_shards)
+        return {"index": index, "target": target,
+                "num_shards": m["num_shards"], "status": m["status"]}
 
     def status(self, imp_id: str) -> dict:
         from excelastic_ray.index.build import build_status
