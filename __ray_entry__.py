@@ -1357,6 +1357,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_frequent_tools(sf_dir):
+        # ES frequent_item_sets (market-basket): closed tool sets
+        # co-occurring in >= 5% of conversations
+        from excelastic_ray.pipelines.convs import frequent_item_sets
+
+        return frequent_item_sets(
+            transcripts_from_documents(sf_dir),
+            min_support=0.05, max_set_size=3, k=10,
+        )
+
     def q_bm25_script_fields(sf_dir):
         # ES script_fields: standard BM25 ranking plus computed
         # columns evaluated only over the returned hits (fetch-phase
@@ -3480,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_min_score": q_bm25_min_score,
         "bm25_script_fields": q_bm25_script_fields,
+        "frequent_tools": q_frequent_tools,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -3924,6 +3935,55 @@ QUALIFY row_number() OVER (
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
 """
     )
+
+
+def _frequent_tools_sql(min_support: float = 0.05,
+                        max_set_size: int = 3, k: int = 10) -> str:
+    """frequent_item_sets twin: transaction = conversation, items =
+    its distinct tools; sizes enumerated by ordered self-joins
+    (item > previous, the same enumeration the Ray op's iterative
+    merge performs), support over distinct-transaction count, the ES
+    closed-set rule via a NOT EXISTS against equal-count strict
+    supersets (list_has_all), trunc6 on support."""
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+d AS (SELECT DISTINCT conv_id AS txn, tool AS item FROM transcripts
+      WHERE tool IS NOT NULL AND tool <> ''),
+nt AS (SELECT count(DISTINCT txn) AS n FROM d),
+s1 AS (SELECT item AS item_set, [item] AS items, 1 AS size,
+              count(*) AS cnt
+       FROM d GROUP BY item),
+p2 AS (SELECT a.txn, a.item AS i1, b.item AS i2
+       FROM d a JOIN d b ON b.txn = a.txn AND b.item > a.item),
+s2 AS (SELECT i1 || '|' || i2 AS item_set, [i1, i2] AS items,
+              2 AS size, count(*) AS cnt
+       FROM p2 GROUP BY i1, i2),
+p3 AS (SELECT p2.txn, p2.i1, p2.i2, c.item AS i3
+       FROM p2 JOIN d c ON c.txn = p2.txn AND c.item > p2.i2),
+s3 AS (SELECT i1 || '|' || i2 || '|' || i3 AS item_set,
+              [i1, i2, i3] AS items, 3 AS size, count(*) AS cnt
+       FROM p3 GROUP BY i1, i2, i3),
+allsets AS (
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    UNION ALL SELECT * FROM s3
+),
+freq AS (
+    SELECT a.*, CAST(a.cnt AS DOUBLE) / nt.n AS sup
+    FROM allsets a CROSS JOIN nt
+    WHERE CAST(a.cnt AS DOUBLE) / nt.n >= {min_support}
+      AND a.size <= {max_set_size}
+)
+SELECT f.item_set, CAST(f.size AS BIGINT) AS size,
+       CAST(f.cnt AS BIGINT) AS doc_count,
+       floor(f.sup * 1000000 + 0.5) / 1000000 AS support
+FROM freq f
+WHERE NOT EXISTS (
+    SELECT 1 FROM freq g
+    WHERE g.size > f.size AND g.cnt = f.cnt
+      AND list_has_all(g.items, f.items))
+QUALIFY row_number() OVER (
+    ORDER BY f.cnt DESC, f.size, f.item_set) <= {k}
+"""
 
 
 def _script_fields_sql(k: int = 10) -> str:
@@ -7081,6 +7141,7 @@ GROUP BY 1, 2
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_min_score": _bm25_sql(min_score=MIN_SCORE),
         "bm25_script_fields": _script_fields_sql(),
+        "frequent_tools": _frequent_tools_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),

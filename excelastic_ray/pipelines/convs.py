@@ -547,3 +547,151 @@ def parent_agg(ds, child_field: str = "tool",
                                        type=pa.float64()),
         }
     )
+
+
+def frequent_item_sets(ds, item_col: str = "tool",
+                       txn_col: str = "conv_id",
+                       min_support: float = 0.1, min_set_size: int = 1,
+                       max_set_size: int = 3, k: int = 10,
+                       n_buckets: int | None = None,
+                       candidate_budget: int = 5_000_000):
+    """ES ``frequent_item_sets`` aggregation (market-basket): item
+    sets appearing together in at least ``min_support`` of the
+    transactions, CLOSED sets only (a set is dropped when a strict
+    superset has the same doc_count — the ES rule; closure is judged
+    within the ``max_set_size`` enumeration cap, documented deviation
+    from ES's unbounded Eclat). Transaction = one ``txn_col`` value
+    (a conversation), items = its distinct non-null ``item_col``
+    values (the tools it invoked).
+
+    Shape: per-batch distinct (txn, item) projection → ONE txn-hash
+    bucket exchange (a transaction's items meet in one reducer; the
+    exchange moves distinct pairs, never turns) → per-bucket itemset
+    enumeration by iterative self-merge (size-k candidates = size-k-1
+    frame ⋈ items on txn with item > last, all pandas merges — no
+    per-transaction Python), each level gated by
+    ``candidate_budget`` with a loud refusal pointing at
+    ``min_support``/``max_set_size`` (the guard for unbounded
+    items-per-transaction domains; tool vocabularies are small, so
+    the merge frames stay near-linear in transactions). Per-bucket
+    counts + a per-bucket transaction tally ride one combine; the
+    driver folds ONLY itemset-space rows (aggregate-sized by the
+    budget), applies support + closure, and returns the top ``k`` by
+    (doc_count DESC, size ASC, item_set ASC).
+
+    → pyarrow.Table (item_set `|`-joined sorted, size, doc_count,
+    support trunc6'd)."""
+    from excelastic_ray.pipelines.textstats import trunc6
+
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError(f"min_support must be in (0, 1], got "
+                         f"{min_support}")
+    if min_set_size < 1 or max_set_size < min_set_size:
+        raise ValueError(
+            f"need 1 <= min_set_size <= max_set_size, got "
+            f"{min_set_size}/{max_set_size}"
+        )
+    n_buckets = resolve_buckets(ds, n_buckets, bytes_per_row=24)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        txn = batch[txn_col].to_numpy(zero_copy_only=False)
+        item = batch[item_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"txn": txn, "item": item})
+        df = df[df["item"].notna() & (df["item"] != "")]
+        df = df.drop_duplicates()
+        h = pd.util.hash_pandas_object(df["txn"],
+                                       index=False).to_numpy()
+        df["__bucket"] = (h % n_buckets).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["txn", "item"]].drop_duplicates()
+        n_txn = int(base["txn"].nunique())
+        frames = []
+        cur = base.rename(columns={"item": "i1"})
+        for size in range(1, max_set_size + 1):
+            if size > 1:
+                cur = cur.merge(base, on="txn", how="inner")
+                cur = cur[cur["item"] > cur[f"i{size - 1}"]]
+                cur = cur.rename(columns={"item": f"i{size}"})
+            if len(cur) > candidate_budget:
+                raise RuntimeError(
+                    f"frequent_item_sets: size-{size} candidate frame "
+                    f"({len(cur)} rows) exceeds candidate_budget="
+                    f"{candidate_budget}; raise min_support, lower "
+                    f"max_set_size, or raise the budget explicitly"
+                )
+            if not len(cur):
+                break
+            keys = [f"i{j}" for j in range(1, size + 1)]
+            cnt = (cur.groupby(keys, sort=False).size()
+                   .rename("cnt").reset_index())
+            items = cnt[keys[0]].astype(str)
+            for kk in keys[1:]:
+                items = items + "|" + cnt[kk].astype(str)
+            frames.append(pd.DataFrame(
+                {"item_set": items, "size": size,
+                 "cnt": cnt["cnt"].to_numpy(dtype=np.int64)}
+            ))
+        frames.append(pd.DataFrame(
+            {"item_set": [""], "size": [0], "cnt": [n_txn]}
+        ))
+        return pd.concat(frames, ignore_index=True)
+
+    fine = (
+        ds.select_columns([txn_col, item_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # aggregate-sized: itemset space × buckets
+    )
+    empty = pa.table(
+        {"item_set": pa.array([], type=pa.string()),
+         "size": pa.array([], type=pa.int64()),
+         "doc_count": pa.array([], type=pa.int64()),
+         "support": pa.array([], type=pa.float64())}
+    )
+    if not len(fine):
+        return empty
+    tot = (fine.groupby(["item_set", "size"], sort=False)["cnt"]
+           .sum().reset_index())
+    n_txn = int(tot.loc[tot["size"] == 0, "cnt"].sum())
+    tot = tot[tot["size"] > 0]
+    if not n_txn or not len(tot):
+        return empty
+    support = tot["cnt"].to_numpy(dtype=np.float64) / n_txn
+    keep = (support >= min_support) & (tot["size"] >= min_set_size)
+    tot = tot[keep].reset_index(drop=True)
+    support = support[keep.to_numpy()] if hasattr(keep, "to_numpy") \
+        else support[keep]
+    # closed-set rule: drop s when a strict superset counts the same
+    sets = [frozenset(s.split("|")) for s in tot["item_set"]]
+    cnts = tot["cnt"].to_numpy()
+    closed = np.ones(len(tot), dtype=bool)
+    by_cnt: dict[int, list[int]] = {}
+    for i, c in enumerate(cnts.tolist()):
+        by_cnt.setdefault(c, []).append(i)
+    for idxs in by_cnt.values():
+        for i in idxs:
+            for j in idxs:
+                if len(sets[j]) > len(sets[i]) and sets[i] <= sets[j]:
+                    closed[i] = False
+                    break
+    tot = tot[closed]
+    support = support[closed]
+    order = np.lexsort(
+        (tot["item_set"].to_numpy(), tot["size"].to_numpy(),
+         -tot["cnt"].to_numpy())
+    )[:k]
+    tot = tot.iloc[order]
+    return pa.table(
+        {
+            "item_set": pa.array(tot["item_set"].astype(str),
+                                 type=pa.string()),
+            "size": pa.array(tot["size"].to_numpy().astype(np.int64)),
+            "doc_count": pa.array(
+                tot["cnt"].to_numpy().astype(np.int64)),
+            "support": pa.array(trunc6(support[order]),
+                                type=pa.float64()),
+        }
+    )

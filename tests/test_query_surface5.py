@@ -218,3 +218,102 @@ def test_round5_actor_parity(tiny_index, ray_session, query_set):
         assert a.equals(b)
     finally:
         actors.close()
+
+
+# -------------------------------------------------------- frequent_item_sets
+
+
+def _fis_brute(txns: dict[str, set], min_support, min_size, max_size, k):
+    from itertools import combinations
+
+    n = len(txns)
+    counts: dict[tuple, int] = {}
+    for items in txns.values():
+        for size in range(1, max_size + 1):
+            for c in combinations(sorted(items), size):
+                counts[c] = counts.get(c, 0) + 1
+    freq = {c: v for c, v in counts.items()
+            if v / n >= min_support and len(c) >= min_size}
+    closed = {
+        c: v for c, v in freq.items()
+        if not any(
+            set(c) < set(d) and w == v for d, w in freq.items()
+        )
+    }
+    rows = sorted(
+        (("|".join(c), len(c), v) for c, v in closed.items()),
+        key=lambda r: (-r[2], r[1], r[0]),
+    )[:k]
+    return rows
+
+
+def _basket_ds(txns: dict[str, set]):
+    import pyarrow as pa
+    import ray.data as rd
+
+    conv, tool = [], []
+    for t, items in txns.items():
+        for it in sorted(items):
+            # duplicate rows on purpose: distinctness is the op's job
+            conv.extend([t, t])
+            tool.extend([it, it])
+    return rd.from_arrow(pa.table({"conv_id": conv, "tool": tool}))
+
+
+def test_frequent_item_sets_vs_bruteforce(ray_session):
+    from excelastic_ray.pipelines.convs import frequent_item_sets
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tool{i}" for i in range(8)]
+    txns = {
+        f"c{i:03d}": set(
+            rng.choice(vocab, size=rng.integers(1, 5), replace=False)
+        )
+        for i in range(60)
+    }
+    got = frequent_item_sets(
+        _basket_ds(txns), min_support=0.1, max_set_size=3, k=15,
+        n_buckets=4,
+    )
+    exp = _fis_brute(txns, 0.1, 1, 3, 15)
+    assert list(zip(
+        got["item_set"].to_pylist(), got["size"].to_pylist(),
+        got["doc_count"].to_pylist(),
+    )) == exp
+    n = len(txns)
+    for c, s in zip(got["doc_count"].to_pylist(),
+                    got["support"].to_pylist()):
+        assert s == pytest.approx(
+            np.floor(c / n * 1e6 + 0.5) / 1e6, abs=0)
+
+
+def test_frequent_item_sets_closure_and_min_size(ray_session):
+    from excelastic_ray.pipelines.convs import frequent_item_sets
+
+    # a and b always co-occur: the singletons {a} and {b} are NOT
+    # closed (superset a|b has the same count) and must not appear
+    txns = {f"c{i}": {"a", "b"} for i in range(10)}
+    txns["d0"] = {"c"}
+    got = frequent_item_sets(_basket_ds(txns), min_support=0.05, k=10)
+    assert got["item_set"].to_pylist() == ["a|b", "c"]
+
+    got = frequent_item_sets(
+        _basket_ds(txns), min_support=0.05, min_set_size=2, k=10
+    )
+    assert got["item_set"].to_pylist() == ["a|b"]
+
+
+def test_frequent_item_sets_budget_and_args(ray_session):
+    from excelastic_ray.pipelines.convs import frequent_item_sets
+
+    txns = {f"c{i}": {f"t{j}" for j in range(12)} for i in range(4)}
+    with pytest.raises(RuntimeError, match="candidate_budget"):
+        frequent_item_sets(
+            _basket_ds(txns), min_support=0.05, max_set_size=3,
+            candidate_budget=100, n_buckets=1,
+        )
+    with pytest.raises(ValueError):
+        frequent_item_sets(_basket_ds(txns), min_support=0.0)
+    with pytest.raises(ValueError):
+        frequent_item_sets(_basket_ds(txns), min_set_size=3,
+                           max_set_size=2)
