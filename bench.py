@@ -341,6 +341,28 @@ def run_bench() -> dict:
             "normalize_agg",
             "bm25_sampler",
             "bm25_diversified",
+            # round-5 session-2 batch (post-close ES surface)
+            "bm25_simple_qs",
+            "span_multi",
+            "bm25_child_inner",
+            "bucket_sort_agg",
+            "children_agg",
+            "parent_agg",
+            "function_score_topk",
+            "const_score_template",
+            "scripted_metric",
+            "categorize_text",
+            "bm25_ids",
+            "terms_lookup",
+            "bm25_boosted_dsl",
+            "span_or",
+            "span_containing",
+            "span_within",
+            # round-5 session-3 additions
+            "bm25_min_score",
+            "bm25_script_fields",
+            "complete_fuzzy",
+            "frequent_tools",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
