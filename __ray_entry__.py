@@ -351,6 +351,16 @@ REGEXP_MAX_EXPANSIONS = 3
 TERMVEC_DOCS = [("conv_000000", 0), ("conv_000000", 1),
                 ("conv_000001", 3)]
 
+#: _mtermvectors probe: the termvectors docs plus two more existing
+#: ones, an unknown conversation and a never-indexed turn (both must
+#: be skipped silently — ES found:false), and one duplicate id (docs
+#: report once, input order).
+MTERMVEC_DOCS = [
+    ("conv_000001", 0), ("conv_000000", 0), ("conv_000000", 1),
+    ("conv_999999", 0), ("conv_000001", 3), ("conv_000000", 63),
+    ("conv_000002", 1), ("conv_000000", 0),
+]
+
 #: term-suggester input ("did you mean"): misspellings of corpus terms
 #: plus an unsalvageable token; 2-edit budget, top 3 per term.
 SUGGEST_TEXT = "tabel windo scann zzzzzzzz valu"
@@ -1356,6 +1366,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
             )
         return pa.concat_tables(parts)
+
+    def q_mtermvectors(sf_dir):
+        # ES _mtermvectors: batched term vectors; unknown conv /
+        # never-indexed turn skipped silently, duplicate ids once
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        return eng.mtermvectors(MTERMVEC_DOCS)
 
     def q_frequent_tools(sf_dir):
         # ES frequent_item_sets (market-basket): closed tool sets
@@ -3491,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_min_score": q_bm25_min_score,
         "bm25_script_fields": q_bm25_script_fields,
         "frequent_tools": q_frequent_tools,
+        "mtermvectors": q_mtermvectors,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -7217,6 +7236,27 @@ sel AS (
   SELECT conv_id, turn_idx, toks FROM base
   WHERE (conv_id, turn_idx) IN (
         {", ".join(f"('{c}', {t})" for c, t in TERMVEC_DOCS)})
+),
+tf AS (
+  SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM sel)
+  GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term
+        FROM base)
+  GROUP BY term
+)
+SELECT tf.conv_id, tf.turn_idx, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+""",
+        "mtermvectors": _BASE
+        + f""",
+sel AS (
+  SELECT conv_id, turn_idx, toks FROM base
+  WHERE (conv_id, turn_idx) IN (
+        {", ".join(f"('{c}', {t})" for c, t in MTERMVEC_DOCS)})
 ),
 tf AS (
   SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf

@@ -5542,6 +5542,92 @@ class QueryEngine:
             }
         )
 
+    def mtermvectors(self, ids):
+        """ES ``_mtermvectors``: the batched ``_termvectors``. Missing
+        ids (unknown conv OR never-indexed turn) are skipped silently —
+        the flat-table analog of ES's per-doc found:false entries
+        (``mget`` is the point-existence API). The batch is WHY this
+        API exists: one membership probe sweep, ONE chunk-pruned batch
+        doc fetch, and one dictionary df pass over the UNION of the
+        docs' distinct terms (df seeks dedupe across docs instead of
+        repeating per doc). ``ids`` like ``search_ids``: (conv_id,
+        turn_idx) pairs or "conv#turn" strings. → (conv_id, turn_idx,
+        term, tf, df), docs in input order, terms sorted per doc."""
+        import pyarrow as pa
+
+        r = self.reader
+        cand = []
+        for item in ids:
+            if isinstance(item, str):
+                conv, _, turn = item.rpartition("#")
+                item = (conv, int(turn))
+            try:
+                cand.append(r.docid_of(item[0], int(item[1])))
+            except KeyError:
+                continue  # unknown conv_id: ES reports found=false
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        if not cand or not r.n_docs:
+            return empty
+        probe = np.unique(np.asarray(cand, dtype=np.int64))
+        if self._actors is not None:
+            import ray
+
+            masks = ray.get(
+                [a.contains_docids.remote(probe) for a in self._actors]
+            )
+        else:
+            masks = [
+                r.searcher(s).contains_docids(probe)
+                for s in range(r.num_shards)
+            ]
+        exists = np.zeros(len(probe), dtype=bool)
+        for m in masks:
+            exists |= m
+        alive = set(probe[exists].tolist())
+        docids = [d for d in dict.fromkeys(cand) if d in alive]
+        if not docids:
+            return empty
+        texts = r.fetch_docs(docids, columns=["text"])["text"].to_pylist()
+        per_doc = []
+        union: set[str] = set()
+        for text in texts:
+            tf: dict[str, int] = {}
+            for t in self._tok(text):
+                tf[t] = tf.get(t, 0) + 1
+            per_doc.append(tf)
+            union.update(tf)
+        uterms = sorted(union)
+        df_of = dict(zip(uterms, (
+            np.asarray(self._global_dfs(uterms), dtype=np.int64).tolist()
+            if uterms else []
+        )))
+        conv_col, turn_col, term_col, tf_col, df_col = [], [], [], [], []
+        convs, turns = r.keys_of(np.asarray(docids, dtype=np.int64))
+        for c, t, tf in zip(convs, turns, per_doc):
+            for term in sorted(tf):
+                conv_col.append(str(c))
+                turn_col.append(int(t))
+                term_col.append(term)
+                tf_col.append(tf[term])
+                df_col.append(df_of[term])
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_col, type=pa.string()),
+                "turn_idx": pa.array(turn_col, type=pa.int32()),
+                "term": pa.array(term_col, type=pa.string()),
+                "tf": pa.array(tf_col, type=pa.int64()),
+                "df": pa.array(df_col, type=pa.int64()),
+            }
+        )
+
     def search_collapse(self, query: str, attr: str, k: int = 10,
                         filters: dict | None = None, mode: str = "or"):
         """ES field collapse: the top-``k`` hits with at most one hit —

@@ -305,6 +305,17 @@ class ImportServer:
                                  if s],
                             ),
                         )
+                    elif u.path == "/api/mtermvectors":
+                        # ES _mtermvectors analog: batched term
+                        # vectors, ids=conv:turn,conv:turn
+                        self._json(
+                            200,
+                            server.mtermvectors(
+                                q["index"],
+                                [s for s in q.get("ids", "").split(",")
+                                 if s],
+                            ),
+                        )
                     elif u.path == "/api/analyze":
                         # ES _analyze analog: with ?index=, THAT
                         # index's configured analyzer (e.g. english);
@@ -1123,6 +1134,22 @@ class ImportServer:
             norm[name] = spec
         t = eng.search_script_fields(query, norm, k=k, params=params)
         return {"hits": t.to_pylist()}
+
+    def mtermvectors(self, index: str, ids: list[str]) -> dict:
+        """ES ``_mtermvectors`` analog. Each id is
+        ``conv_id:turn_idx``; missing docs are skipped (flat-table
+        found:false analog)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("mtermvectors needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        pairs = []
+        for s in ids:
+            conv, _, turn = s.rpartition(":")
+            pairs.append((conv, int(turn)))
+        return {"docs": eng.mtermvectors(pairs).to_pylist()}
 
     def count(self, index: str, query: str) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias

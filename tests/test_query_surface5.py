@@ -317,3 +317,49 @@ def test_frequent_item_sets_budget_and_args(ray_session):
     with pytest.raises(ValueError):
         frequent_item_sets(_basket_ds(txns), min_set_size=3,
                            max_set_size=2)
+
+
+# --------------------------------------------------------------- mtermvectors
+
+
+def test_mtermvectors_equals_per_doc(eng, tiny_table):
+    conv0 = tiny_table["conv_id"][0].as_py()
+    conv1 = tiny_table["conv_id"].to_pylist()[-1]
+    ids = [(conv0, 0), (conv1, 0), (conv0, 1)]
+    got = eng.mtermvectors(ids)
+    import pyarrow as pa
+
+    parts = []
+    for c, t in ids:
+        tv = eng.termvectors(c, t)
+        parts.append(pa.table({
+            "conv_id": pa.array([c] * tv.num_rows, type=pa.string()),
+            "turn_idx": pa.array([t] * tv.num_rows, type=pa.int32()),
+            "term": tv["term"], "tf": tv["tf"], "df": tv["df"],
+        }))
+    assert got.equals(pa.concat_tables(parts))
+
+
+def test_mtermvectors_skips_and_dedupes(eng, tiny_table):
+    conv0 = tiny_table["conv_id"][0].as_py()
+    got = eng.mtermvectors([
+        ("no_such_conv", 0), (conv0, 0), (conv0, 4000), (conv0, 0),
+        f"{conv0}#0",
+    ])
+    # one doc survives, reported once despite three references
+    assert set(got["conv_id"].to_pylist()) == {conv0}
+    assert set(got["turn_idx"].to_pylist()) == {0}
+    assert got.num_rows == eng.termvectors(conv0, 0).num_rows
+    assert eng.mtermvectors([("no_such_conv", 0)]).num_rows == 0
+
+
+def test_mtermvectors_actor_parity(tiny_index, ray_session, tiny_table):
+    idx, _ = tiny_index
+    conv0 = tiny_table["conv_id"][0].as_py()
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        ids = [(conv0, 0), (conv0, 1), ("nope", 2)]
+        assert actors.mtermvectors(ids).equals(local.mtermvectors(ids))
+    finally:
+        actors.close()
