@@ -2786,17 +2786,41 @@ def _resize_index(src_dir: str, dst_dir: str, num_shards: int,
             "would leave empty shards)"
         )
     if os.path.isdir(dst_dir) and os.listdir(dst_dir):
-        raise RuntimeError(f"target index dir {dst_dir!r} is not empty")
+        # the one legal non-empty target: OUR OWN crashed resize (same
+        # source geometry, still mid-merge) — resume it; per-shard
+        # manifests skip finished work. Anything else is refused (ES:
+        # the resize target must not exist).
+        try:
+            dm = seg.load_global_manifest(dst_dir)
+        except Exception:
+            dm = None
+        resumable = (
+            dm is not None
+            and dm.get("status") == "resizing"
+            and int(dm.get("num_shards", -1)) == target
+            and dm.get("config") == {**m["config"],
+                                     "num_shards": target}
+        )
+        if not resumable:
+            raise RuntimeError(
+                f"target index dir {dst_dir!r} is not empty (and is "
+                "not a resumable crashed resize of this source)"
+            )
     os.makedirs(dst_dir, exist_ok=True)
     for name in ("chunks.parquet", "convs.parquet"):
         p = os.path.join(src_dir, name)
-        if os.path.exists(p):
-            _link_or_copy(p, os.path.join(dst_dir, name))
+        q = os.path.join(dst_dir, name)
+        # resume: a file already linked by the crashed run stays as-is
+        # (chunk segments are immutable, so existence == correctness)
+        if os.path.exists(p) and not os.path.exists(q):
+            _link_or_copy(p, q)
     for c in chunks:
         cd = seg.chunk_dir(src_dir, c)
         dd = seg.chunk_dir(dst_dir, c)
         for f in sorted(os.listdir(cd)):
-            _link_or_copy(os.path.join(cd, f), os.path.join(dd, f))
+            q = os.path.join(dd, f)
+            if not os.path.exists(q):
+                _link_or_copy(os.path.join(cd, f), q)
     nm = dict(m)
     nm["config"] = {**m["config"], "num_shards": target}
     nm["num_shards"] = target

@@ -168,3 +168,25 @@ def test_resize_over_http(src_index):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_resize_resumes_after_crash(src_index):
+    import json
+
+    idx, root = src_index
+    dst = f"{root}/resume"
+    m = shrink_index(idx, dst, 2)
+    before = _results(dst)
+    # simulate a crash mid-merge: status still 'resizing', one shard's
+    # manifest gone (its merge "didn't finish")
+    m["status"] = "resizing"
+    with open(os.path.join(dst, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    os.unlink(os.path.join(dst, "shards", "shard=00001",
+                           "MANIFEST.json"))
+    m2 = shrink_index(idx, dst, 2)
+    assert m2["status"] == "complete" and m2["num_shards"] == 2
+    assert _results(dst) == before
+    # a COMPLETE target (or any foreign dir) still refuses
+    with pytest.raises(RuntimeError, match="not empty"):
+        shrink_index(idx, dst, 2)
