@@ -42,6 +42,14 @@ ENTRY_CONFIG_EN = IndexConfig(
     field_index_fields=("role", "tool"), analyzer="english",
 )
 
+#: search_as_you_type variant: the catch-all tokens additionally
+#: indexed as a "_2gram" shingle stream (ES ._2gram subfield parity);
+#: its own cached index per sf_dir.
+ENTRY_CONFIG_SAY = IndexConfig(
+    turn_bits=12, convs_per_chunk_bits=4, num_shards=4, batch_size=2048,
+    index_shingles=2,
+)
+
 #: stemmed-search query set: INFLECTED forms whose english-analyzer
 #: stems are corpus terms (the corpus holds only singular forms, so a
 #: standard-analyzer search for these returns nothing — the entry
@@ -535,6 +543,15 @@ def _index_for_en(sf_dir: str) -> str:
     return _cached_index(sf_dir, ENTRY_CONFIG_EN, _BUILT_EN, suffix="_en")
 
 
+_BUILT_SAY: dict[str, str] = {}
+
+
+def _index_for_say(sf_dir: str) -> str:
+    """search_as_you_type (shingled) index over the derived corpus."""
+    return _cached_index(sf_dir, ENTRY_CONFIG_SAY, _BUILT_SAY,
+                         suffix="_say")
+
+
 def _docs(sf_dir: str):
     from excelastic_ray.io import read_parquet_clean
 
@@ -590,6 +607,15 @@ def _split_indices_for(sf_dir: str) -> tuple[str, str]:
     _SPLIT_BUILT[sf_dir] = (dirs[0], dirs[1])
     return _SPLIT_BUILT[sf_dir]
 
+
+#: search_as_you_type probes: full corpus terms with a mid-word last
+#: token (the as-you-type shape); s3's last token is a complete term
+#: so the prefix expansion includes itself.
+SAY_QUERIES = [
+    ("s1", "spark sort mer"),
+    ("s2", "key value pa"),
+    ("s3", "window value"),
+]
 
 #: fuzzy-completion probes: misspelled + truncated stems (first two
 #: chars exact per prefix_length=2), one with no close dictionary term.
@@ -1362,6 +1388,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                              type=pa.string()),
                         "term": t["term"],
                         "df": t["df"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def q_bm25_say(sf_dir):
+        # ES search_as_you_type via multi_match bool_prefix: root term
+        # clauses + last-token prefix expansion + _2gram shingle
+        # clauses with the shingle stream's own BM25 stats, summed
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for_say(sf_dir))
+        parts = []
+        for qid, q in SAY_QUERIES:
+            t = eng.search_say(q, k=10)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
                     }
                 )
             )
@@ -3510,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_script_fields": q_bm25_script_fields,
         "frequent_tools": q_frequent_tools,
         "mtermvectors": q_mtermvectors,
+        "bm25_say": q_bm25_say,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -3952,6 +4008,104 @@ FROM scored {and_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
+"""
+    )
+
+
+def _say_sql(k: int = 10, max_expansions: int = 50) -> str:
+    """bm25_say twin (search_as_you_type): root term clauses for every
+    full token, the lexicographically-first ``max_expansions``
+    dictionary expansions of the last token (scoring_boolean — the
+    bm25_bool_prefix rule), and the query's bigrams scored in the
+    SHINGLE stream reconstructed in SQL (list_transform adjacent
+    joins) with the stream's OWN df / dl / avgdl — avgdl2 divides by
+    ALL docs exactly like the engine's field_avgdl. Clause sets dedupe
+    via UNION (the engine's `seen` convention); contributions sum
+    across both streams per doc."""
+    qt_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in SAY_QUERIES
+        for t in sorted(set(q.lower().split()[:-1]))
+    )
+    qp_vals = ", ".join(
+        f"('{qid}', '{q.lower().split()[-1]}')" for qid, q in SAY_QUERIES
+    )
+    qs_vals = ", ".join(
+        f"('{qid}', '{a} {b}')"
+        for qid, q in SAY_QUERIES
+        for a, b in sorted(set(zip(q.lower().split(),
+                                   q.lower().split()[1:])))
+    )
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+b2 AS (
+    SELECT conv_id, turn_idx,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS toks2
+    FROM base
+),
+dl2 AS (SELECT conv_id, turn_idx, len(toks2) AS dl2 FROM b2),
+stats2 AS (SELECT CAST(sum(dl2) AS DOUBLE) / count(*) AS avgdl2
+           FROM dl2),
+tf2 AS (
+    SELECT conv_id, turn_idx, sh, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks2) AS sh FROM b2)
+    GROUP BY conv_id, turn_idx, sh
+),
+df2 AS (SELECT sh, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY sh),
+qt(query_id, term) AS (VALUES {qt_vals}),
+qp(query_id, pre) AS (VALUES {qp_vals}),
+qs(query_id, sh) AS (VALUES {qs_vals}),
+expq AS (
+    SELECT qp.query_id, d.term
+    FROM qp JOIN df d ON starts_with(d.term, qp.pre)
+    QUALIFY row_number() OVER (
+        PARTITION BY qp.query_id ORDER BY d.term) <= {max_expansions}
+),
+cl AS (SELECT query_id, term FROM qt
+       UNION SELECT query_id, term FROM expq),
+per1 AS (
+    SELECT cl.query_id, tf.conv_id, tf.turn_idx,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM cl
+    JOIN tf ON tf.term = cl.term
+    JOIN df ON df.term = cl.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+),
+per2 AS (
+    SELECT qs.query_id, tf2.conv_id, tf2.turn_idx,
+           ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5)) * tf2.tf * 2.2
+               / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl2 / s2.avgdl2))
+           AS c
+    FROM qs
+    JOIN tf2 ON tf2.sh = qs.sh
+    JOIN df2 ON df2.sh = qs.sh
+    JOIN dl2 ON dl2.conv_id = tf2.conv_id AND dl2.turn_idx = tf2.turn_idx
+    CROSS JOIN stats s CROSS JOIN stats2 s2
+),
+m AS (
+    SELECT query_id, conv_id, turn_idx, sum(c) AS raw
+    FROM (SELECT * FROM per1 UNION ALL SELECT * FROM per2)
+    GROUP BY 1, 2, 3
+)
+SELECT query_id, conv_id, turn_idx,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM m
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY raw DESC, conv_id, turn_idx) <= {k}
 """
     )
 
@@ -7161,6 +7315,7 @@ GROUP BY 1, 2
         "bm25_min_score": _bm25_sql(min_score=MIN_SCORE),
         "bm25_script_fields": _script_fields_sql(),
         "frequent_tools": _frequent_tools_sql(),
+        "bm25_say": _say_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),

@@ -88,6 +88,18 @@ class IndexConfig:
     # so don't list it here — listing a column twice doubles its index.
     field_index_fields: tuple[str, ...] = ()
 
+    # ES search_as_you_type analog: when >= 2, the catch-all stream's
+    # tokens are ALSO indexed as word n-gram (shingle) streams — 2 =
+    # a "_2gram" stream of space-joined adjacent pairs, 3 = "_2gram" +
+    # "_3gram" (ES builds ._2gram/._3gram subfields the same way).
+    # Shingle streams ride the per-field machinery verbatim: their
+    # terms key field_key("_2gram", "a b") in the SAME dictionary and
+    # merge path, with their own dl@_2gram lengths and avgdl, so
+    # search-as-you-type queries score them with correct per-stream
+    # BM25 stats. Off by default (index size: one extra near-text-
+    # sized stream per n).
+    index_shingles: int = 0
+
     # Attribute columns stored per doc in the shard doc tables for
     # filtered search (the ES filter-context analog: filters restrict
     # results without changing BM25 stats). Strings filter by equality;
@@ -130,6 +142,20 @@ class IndexConfig:
             raise ValueError("turn_bits out of range")
         if not (0 <= self.convs_per_chunk_bits <= 32):
             raise ValueError("convs_per_chunk_bits out of range")
+        if self.index_shingles not in (0, 2, 3):
+            raise ValueError(
+                "index_shingles must be 0 (off), 2 (bigrams) or 3 "
+                "(bigrams + trigrams)"
+            )
+
+    @property
+    def shingle_streams(self) -> tuple[str, ...]:
+        """Names of the word-n-gram streams this config indexes."""
+        if self.index_shingles < 2:
+            return ()
+        return tuple(
+            f"_{n}gram" for n in range(2, self.index_shingles + 1)
+        )
 
     @property
     def max_turns(self) -> int:
@@ -168,6 +194,7 @@ class IndexConfig:
             "store_source": self.store_source,
             "store_positions": self.store_positions,
             "driver_conv_budget": self.driver_conv_budget,
+            "index_shingles": self.index_shingles,
         }
 
     @staticmethod
@@ -179,4 +206,5 @@ class IndexConfig:
         d.setdefault("store_positions", False)  # pre-positions indexes
         d.setdefault("driver_conv_budget", 50_000_000)
         d.setdefault("analyzer", "standard")  # pre-analyzer indexes
+        d.setdefault("index_shingles", 0)  # pre-shingle indexes
         return IndexConfig(**d)

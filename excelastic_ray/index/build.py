@@ -605,7 +605,7 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
         # per-doc length column + length total (per-field BM25 stats)
         field_dl_arrs: dict[str, np.ndarray] = {}
         field_dl_totals: dict[str, int] = {}
-        if cfg.field_index_fields:
+        if cfg.field_index_fields or cfg.index_shingles >= 2:
             from excelastic_ray.analysis import field_key
 
             parts_t = [uniq]
@@ -622,9 +622,23 @@ def make_chunk_builder(index_dir: str, config_dict: dict, store_cols: list[str])
                     return []
                 return findall(str(v).lower())
 
-            for f in cfg.field_index_fields:
-                vals = g[f].tolist() if f in g.columns else [None] * n_docs
-                ftoks = [tok_cell(v) for v in vals]
+            # extra streams: per-column keyword streams + the word
+            # n-gram (shingle) streams derived from the MAIN analyzed
+            # tokens (ES search_as_you_type ._2gram/._3gram subfields)
+            streams: list[tuple[str, list[list[str]]]] = [
+                (f, [tok_cell(v) for v in (
+                    g[f].tolist() if f in g.columns else [None] * n_docs
+                )])
+                for f in cfg.field_index_fields
+            ]
+            for n, sname in zip(range(2, cfg.index_shingles + 1),
+                                cfg.shingle_streams):
+                streams.append((sname, [
+                    [" ".join(r[i:i + n]) for i in range(len(r) - n + 1)]
+                    for r in toks
+                ]))
+
+            for f, ftoks in streams:
                 (fu, fdf, fnb, fpost, fbm, fpos, fdl, ftot,
                  fnp) = _posting_columns(ftoks, cfg)
                 parts_t.append(

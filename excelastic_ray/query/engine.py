@@ -3890,6 +3890,10 @@ class QueryEngine:
         ):
             toks = analyze_tokens([term], cfg.analyzer)
             return (toks[0] if toks else None), None
+        if field in cfg.shingle_streams:
+            # shingle streams hold pre-joined word n-grams; the term
+            # arrives already in stream form ("a b") — keyword-raw
+            return field_key(field, term), field
         if field not in cfg.field_index_fields:
             raise KeyError(
                 f"field {field!r} is not indexed per-field "
@@ -6969,6 +6973,51 @@ class QueryEngine:
                            "minimum_should_match": 1}}
         )
         return self.search_dsl(tree, k, filters=filters)
+
+    def search_say(self, query: str, k: int = 10,
+                   max_expansions: int = 50,
+                   filters: dict | None = None):
+        """ES ``search_as_you_type`` field queried with ``multi_match
+        type=bool_prefix`` — the as-you-type ranking that rewards
+        PHRASE-SHAPED matches without positions at query time: every
+        full analyzer token scores as a term clause on the root
+        stream, the LAST (possibly mid-word) token as a prefix clause
+        (scoring_boolean dictionary expansion, capped deterministically
+        at ``max_expansions``), and every word n-gram of the query
+        scores as a term clause on the index-time shingle stream(s)
+        (``_2gram``/``_3gram`` — ES's ._2gram/._3gram subfields),
+        each with its OWN df / doc-length / avgdl stats. Scores sum
+        across all clauses (the ES most_fields combine). Requires an
+        index built with ``IndexConfig(index_shingles>=2)``.
+
+        Deviation from ES, documented: ES's ._index_prefix subfield
+        materializes edge n-grams at index time; the prefix clause
+        here is the same dictionary-expansion rewrite the engine's
+        other prefix queries use (identical ranking law, no extra
+        index stream). Duplicate clauses dedupe (the engine-wide
+        convention, matching query_terms)."""
+        r = self.reader
+        cfg = r.cfg
+        if cfg.index_shingles < 2:
+            raise ValueError(
+                "search_as_you_type needs an index built with "
+                "IndexConfig(index_shingles=2 or 3)"
+            )
+        toks = self._tok_ordered(query)
+        if not toks:
+            raise ValueError(
+                "search_as_you_type needs at least one analyzer token"
+            )
+        pairs: list[tuple[str | None, str]] = [
+            (None, t) for t in toks[:-1]
+        ]
+        for e in self.expand_prefix(toks[-1], max_expansions):
+            pairs.append((None, e))
+        for n, sname in zip(range(2, cfg.index_shingles + 1),
+                            cfg.shingle_streams):
+            for i in range(len(toks) - n + 1):
+                pairs.append((sname, " ".join(toks[i:i + n])))
+        return self._search_field_pairs(pairs, k, filters, 0)
 
     def search_phrase_prefix(self, query: str, k: int = 10,
                              slop: int = 0, field: str | None = None,

@@ -403,6 +403,7 @@ class ImportServer:
                                 min_score=(float(q["min_score"])
                                            if q.get("min_score")
                                            else None),
+                                say=q.get("say") == "1",
                             ),
                         )
                     else:
@@ -1543,7 +1544,8 @@ class ImportServer:
                span_first: int | None = None,
                span_near: int | None = None,
                span_not: str | None = None,
-               min_score: float | None = None) -> dict:
+               min_score: float | None = None,
+               say: bool = False) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -1561,7 +1563,7 @@ class ImportServer:
                     or syn or highlight
                     or explain or phrase_prefix
                     or span_first is not None or span_near is not None
-                    or span_not or min_score is not None):
+                    or span_not or min_score is not None or say):
                 raise ValueError(
                     f"alias {index!r} spans {len(targets)} indices; "
                     f"only plain unpaged search is supported across "
@@ -1625,6 +1627,10 @@ class ImportServer:
                     f"span_not expects 'exclude:dist', got {span_not!r}"
                 )
             t = eng.search_span_not(query, exc, dist=int(dist), k=k)
+        elif say:
+            # ES search_as_you_type (multi_match bool_prefix over the
+            # root + shingle streams; needs index_shingles >= 2)
+            t = eng.search_say(query, k)
         elif phrase_prefix:
             # ES match_phrase_prefix (search-as-you-type)
             t = eng.search_phrase_prefix(query, k, slop=slop)
