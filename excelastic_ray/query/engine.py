@@ -3388,15 +3388,112 @@ def highlight_text(text: str | None, terms, analyzer: str = "standard") -> str:
         _norm = str
     out = []
     last = 0
-    for m in _TOKEN_RE_CI.finditer(text):
-        if _norm(m.group(0).lower()) in want:
-            out.append(text[last : m.start()])
-            out.append("<em>")
-            out.append(text[m.start() : m.end()])
-            out.append("</em>")
-            last = m.end()
+    for s, e in _match_spans(text, want, _norm):
+        out.append(text[last:s])
+        out.append("<em>")
+        out.append(text[s:e])
+        out.append("</em>")
+        last = e
     out.append(text[last:])
     return "".join(out)
+
+
+def _norm_of(analyzer: str):
+    """Per-call token normalizer for the highlighters (memoized stem
+    for non-standard analyzers, identity otherwise)."""
+    if analyzer == "standard":
+        return str
+    from excelastic_ray.analysis import analyze_tokens
+
+    memo: dict[str, str] = {}
+
+    def _norm(t: str) -> str:
+        r = memo.get(t)
+        if r is None:
+            a = analyze_tokens([t], analyzer)
+            memo[t] = r = a[0] if a else ""
+        return r
+
+    return _norm
+
+
+def _match_spans(text: str, want: set, _norm) -> list:
+    """(start, end) char spans of every analyzer-token occurrence of a
+    wanted term, in position order."""
+    return [
+        (m.start(), m.end())
+        for m in _TOKEN_RE_CI.finditer(text)
+        if _norm(m.group(0).lower()) in want
+    ]
+
+
+def highlight_fragments(text: str | None, terms,
+                        analyzer: str = "standard",
+                        fragment_size: int = 100,
+                        number_of_fragments: int = 5) -> list[str]:
+    """ES highlighter with fragments (the ES DEFAULT response shape —
+    ``fragment_size=100, number_of_fragments=5``): snippets of the doc
+    around the matches, each with the matches wrapped in <em></em>.
+
+    Fully-specified passage rule (documented deviation from Lucene's
+    sentence BreakIterator, which is locale-dependent): passages grow
+    GREEDILY — each starts at the first unconsumed match and absorbs
+    following matches while the covered span stays within
+    ``fragment_size`` chars — then pad symmetrically toward
+    ``fragment_size``, snapping outward-trimmed edges to token
+    boundaries so a fragment never splits a word. Passages score by
+    match-occurrence count; the top ``number_of_fragments`` by
+    (count DESC, position ASC) are returned in POSITION order (the ES
+    default order). No matches → [] (ES omits the field)."""
+    if not text:
+        return []
+    want = set(terms)
+    _norm = _norm_of(analyzer)
+    spans = _match_spans(text, want, _norm)
+    if not spans:
+        return []
+    # greedy passage construction over the match spans
+    passages = []  # (start_span_idx, end_span_idx_exclusive)
+    i = 0
+    while i < len(spans):
+        j = i + 1
+        while j < len(spans) and spans[j][1] - spans[i][0] <= fragment_size:
+            j += 1
+        passages.append((i, j))
+        i = j
+    scored = sorted(
+        range(len(passages)),
+        key=lambda p: (-(passages[p][1] - passages[p][0]), p),
+    )[:number_of_fragments]
+    out = []
+    for p in sorted(scored):  # ES default: position order
+        i, j = passages[p]
+        core_s, core_e = spans[i][0], spans[j - 1][1]
+        pad = max(0, fragment_size - (core_e - core_s))
+        lo = max(0, core_s - pad // 2)
+        hi = min(len(text), core_e + (pad - pad // 2))
+        # snap cut edges inward to token boundaries (never split a
+        # word): a cut splits a token iff word chars straddle it
+        while 0 < lo < core_s and _WORD_CHAR.match(text[lo - 1]) \
+                and _WORD_CHAR.match(text[lo]):
+            lo += 1
+        while core_e < hi < len(text) and _WORD_CHAR.match(text[hi - 1]) \
+                and _WORD_CHAR.match(text[hi]):
+            hi -= 1
+        frag = []
+        last = lo
+        for s, e in spans[i:j]:
+            frag.append(text[last:s])
+            frag.append("<em>")
+            frag.append(text[s:e])
+            frag.append("</em>")
+            last = e
+        frag.append(text[last:hi])
+        out.append("".join(frag))
+    return out
+
+
+_WORD_CHAR = re.compile(r"[A-Za-z0-9_]")
 
 
 def _merge_has_child(parts, k):
@@ -3693,7 +3790,9 @@ class QueryEngine:
                mode: str = "or", include_source: bool = False,
                offset: int = 0, highlight: bool = False,
                search_after: tuple[float, int] | None = None,
-               min_score: float | None = None):
+               min_score: float | None = None,
+               fragment_size: int | None = None,
+               number_of_fragments: int = 5):
         """Exact top-k → pyarrow.Table (rank, docid, conv_id, turn_idx,
         score), tie-break (score DESC, docid ASC). ``filters`` ({attr:
         value or list}, e.g. {"role": "user"}) restricts results without
@@ -3721,7 +3820,10 @@ class QueryEngine:
         merged ranking is score-descending, so everything past the
         first sub-threshold hit is sub-threshold too — filtering the
         merged top ``offset + k`` equals filtering the full
-        ranking)."""
+        ranking). With ``fragment_size`` set, the highlight column
+        holds a LIST of snippet fragments instead of the whole text
+        (the ES default response shape — see
+        :func:`highlight_fragments` for the passage rule)."""
         import pyarrow as pa
 
         if mode not in ("or", "and"):
@@ -3791,11 +3893,25 @@ class QueryEngine:
         if highlight:
             if len(docids):
                 texts = r.fetch_docs(docids, columns=["text"])["text"].to_pylist()
-                snips = [highlight_text(t, terms, r.cfg.analyzer) for t in texts]
+                if fragment_size is not None:
+                    snips = [
+                        highlight_fragments(
+                            t, terms, r.cfg.analyzer, fragment_size,
+                            number_of_fragments,
+                        )
+                        for t in texts
+                    ]
+                else:
+                    snips = [highlight_text(t, terms, r.cfg.analyzer)
+                             for t in texts]
             else:
                 snips = []
             out = out.append_column(
-                "highlight", pa.array(snips, type=pa.string())
+                "highlight",
+                pa.array(snips, type=(
+                    pa.list_(pa.string()) if fragment_size is not None
+                    else pa.string()
+                )),
             )
         return out
 

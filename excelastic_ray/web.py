@@ -404,6 +404,12 @@ class ImportServer:
                                            if q.get("min_score")
                                            else None),
                                 say=q.get("say") == "1",
+                                fragment_size=(int(q["fragment_size"])
+                                               if q.get("fragment_size")
+                                               else None),
+                                number_of_fragments=int(
+                                    q.get("number_of_fragments", "5")
+                                ),
                             ),
                         )
                     else:
@@ -1545,7 +1551,9 @@ class ImportServer:
                span_near: int | None = None,
                span_not: str | None = None,
                min_score: float | None = None,
-               say: bool = False) -> dict:
+               say: bool = False,
+               fragment_size: int | None = None,
+               number_of_fragments: int = 5) -> dict:
         from excelastic_ray.index.snapshot import resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -1660,8 +1668,11 @@ class ImportServer:
                            search_after=(float(s), int(d)),
                            min_score=min_score)
         else:
-            # highlight rides only the plain relevance mode (the ES
-            # highlighter's number_of_fragments=0 shape)
+            # highlight rides only the plain relevance mode
+            # (fragment_size unset = ES number_of_fragments=0, the
+            # whole field; set = the ES default fragment list)
             t = eng.search(query, k, include_source=True, offset=offset,
-                           highlight=highlight, min_score=min_score)
+                           highlight=highlight, min_score=min_score,
+                           fragment_size=fragment_size,
+                           number_of_fragments=number_of_fragments)
         return {"hits": t.to_pylist()}

@@ -363,3 +363,66 @@ def test_mtermvectors_actor_parity(tiny_index, ray_session, tiny_table):
         assert actors.mtermvectors(ids).equals(local.mtermvectors(ids))
     finally:
         actors.close()
+
+
+# --------------------------------------------------------- highlight fragments
+
+
+def test_highlight_fragments_properties(eng, tiny_table, query_set):
+    from excelastic_ray.query.engine import highlight_fragments
+
+    texts = {
+        (c, t): x
+        for c, t, x in zip(tiny_table["conv_id"].to_pylist(),
+                           tiny_table["turn_idx"].to_pylist(),
+                           tiny_table["text"].to_pylist())
+    }
+    q = query_set[5]
+    got = eng.search(q, k=15, highlight=True, fragment_size=60,
+                     number_of_fragments=3)
+    terms = set(tokenize(q))
+    for key, frags in zip(
+        zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()),
+        got["highlight"].to_pylist(),
+    ):
+        assert 1 <= len(frags) <= 3
+        text = texts[key]
+        for f in frags:
+            assert "<em>" in f
+            plain = f.replace("<em>", "").replace("</em>", "")
+            # every fragment is a literal substring of the source
+            assert plain in text
+            # wrapped tokens are exactly the query terms
+            import re as _re
+
+            for m in _re.finditer(r"<em>(.*?)</em>", f):
+                assert m.group(1).lower() in terms
+        # deterministic: direct call agrees
+        assert frags == highlight_fragments(text, terms, "standard",
+                                            60, 3)
+
+
+def test_highlight_fragments_rule():
+    from excelastic_ray.query.engine import highlight_fragments
+
+    text = ("alpha beta gamma delta " * 5 + "NEEDLE one two NEEDLE "
+            + "alpha beta gamma delta " * 5 + "NEEDLE")
+    frags = highlight_fragments(text, {"needle"}, fragment_size=40,
+                                number_of_fragments=1)
+    # the two-match passage outscores the single trailing match
+    assert len(frags) == 1 and frags[0].count("<em>") == 2
+    # no matches -> [] (ES omits the field)
+    assert highlight_fragments(text, {"absent"}) == []
+    assert highlight_fragments("", {"x"}) == []
+    # fragments never split words: boundaries land outside tokens
+    frags = highlight_fragments(text, {"needle"}, fragment_size=25,
+                                number_of_fragments=5)
+    for f in frags:
+        plain = f.replace("<em>", "").replace("</em>", "")
+        i = text.find(plain)
+        assert i >= 0
+        if i > 0:
+            assert not (text[i - 1].isalnum() and plain[0].isalnum())
+        j = i + len(plain)
+        if j < len(text):
+            assert not (text[j].isalnum() and plain[-1].isalnum())
