@@ -211,19 +211,33 @@ def restore_snapshot(repo_dir: str, name: str, index: str,
 # -- aliases -------------------------------------------------------------
 
 
-def load_aliases(index_root: str) -> dict[str, list[str]]:
+def load_aliases(index_root: str) -> dict[str, dict]:
+    """→ {alias: {"indices": [...], "filter": {...} | None}}. Files
+    written by pre-filter versions hold a bare target LIST per alias —
+    normalized on read, so old stores keep working unchanged."""
     p = os.path.join(index_root, ALIASES_FILE)
     if not os.path.exists(p):
         return {}
     with open(p) as f:
-        return json.load(f)
+        raw = json.load(f)
+    return {
+        a: (v if isinstance(v, dict) else {"indices": v, "filter": None})
+        for a, v in raw.items()
+    }
 
 
 def update_aliases(index_root: str, actions: list[dict]) -> dict:
     """Apply a batch of ``{"add": {"index": i, "alias": a}}`` /
     ``{"remove": {...}}`` actions atomically (validate everything, then
     one ``os.replace`` of aliases.json).  Matches ES ``POST /_aliases``:
-    a v1→v2 swap in one call is never observable half-done."""
+    a v1→v2 swap in one call is never observable half-done.
+
+    An ``add`` body may carry ``"filter": {attr: value | [values]}`` —
+    the ES filtered-alias analog (ES takes query DSL; this engine's
+    filter context is attribute filters, the same shape ``search``'s
+    ``filters`` takes). The filter is a property of the ALIAS (ES
+    semantics: the last add wins), applied automatically to every
+    search/count through it."""
     with _LIFECYCLE_LOCK:
         aliases = load_aliases(index_root)
         for act in actions:
@@ -242,16 +256,30 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
                     raise FileNotFoundError(
                         f"alias target index {index!r} does not exist"
                     )
-                tgts = aliases.setdefault(alias, [])
-                if index not in tgts:
-                    tgts.append(index)
+                flt = body.get("filter")
+                if flt is not None and not (
+                    isinstance(flt, dict) and flt
+                    and all(isinstance(k, str) for k in flt)
+                ):
+                    raise ValueError(
+                        f"alias filter must be a non-empty "
+                        f"{{attr: value}} dict, got {flt!r}"
+                    )
+                ent = aliases.setdefault(
+                    alias, {"indices": [], "filter": None}
+                )
+                if index not in ent["indices"]:
+                    ent["indices"].append(index)
+                if "filter" in body:
+                    ent["filter"] = flt
             else:
-                if alias not in aliases or index not in aliases[alias]:
+                ent = aliases.get(alias)
+                if ent is None or index not in ent["indices"]:
                     raise KeyError(
                         f"alias {alias!r} does not point at {index!r}"
                     )
-                aliases[alias].remove(index)
-                if not aliases[alias]:
+                ent["indices"].remove(index)
+                if not ent["indices"]:
                     del aliases[alias]
         atomic_write_json(os.path.join(index_root, ALIASES_FILE), aliases)
         return aliases
@@ -260,4 +288,12 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
 def resolve_alias(index_root: str, name: str) -> list[str]:
     """Concrete indices behind a name: alias targets, else the name
     itself (a concrete index is its own resolution)."""
-    return list(load_aliases(index_root).get(name, [name]))
+    ent = load_aliases(index_root).get(name)
+    return [name] if ent is None else list(ent["indices"])
+
+
+def alias_filter(index_root: str, name: str) -> dict | None:
+    """The filter attached to alias ``name`` (None for a concrete
+    index, an unfiltered alias, or an unknown name)."""
+    ent = load_aliases(index_root).get(name)
+    return None if ent is None else ent.get("filter")

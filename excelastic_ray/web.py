@@ -1159,11 +1159,16 @@ class ImportServer:
         return {"docs": eng.mtermvectors(pairs).to_pylist()}
 
     def count(self, index: str, query: str) -> dict:
-        from excelastic_ray.index.snapshot import resolve_alias
+        from excelastic_ray.index.snapshot import alias_filter, resolve_alias
 
         targets = resolve_alias(self.index_root, index)
         eng = self._acquire_engine(index, targets)
-        return {"count": int(eng.count(query))}
+        aflt = alias_filter(self.index_root, index)
+        if aflt is not None and len(targets) > 1:
+            raise ValueError(
+                f"filtered alias {index!r} must target one index"
+            )
+        return {"count": int(eng.count(query, filters=aflt))}
 
     def mget(self, index: str, ids: list[str]) -> dict:
         """Batch point fetch. Each id is ``conv_id:turn_idx``; missing
@@ -1554,10 +1559,32 @@ class ImportServer:
                say: bool = False,
                fragment_size: int | None = None,
                number_of_fragments: int = 5) -> dict:
-        from excelastic_ray.index.snapshot import resolve_alias
+        from excelastic_ray.index.snapshot import alias_filter, resolve_alias
 
         targets = resolve_alias(self.index_root, index)
         eng = self._acquire_engine(index, targets)
+        # ES filtered alias: the alias's own filter applies to every
+        # search through it; supported on the plain relevance modes
+        # (incl. paging/highlight/min_score) — the special query modes
+        # through a FILTERED alias raise rather than silently ignoring
+        # the filter
+        aflt = alias_filter(self.index_root, index)
+        if aflt is not None:
+            if len(targets) > 1:
+                raise ValueError(
+                    f"filtered alias {index!r} must target one index"
+                )
+            if (phrase or qs or qstring or wildcard or regexp or suggest
+                    or collapse or mlt or must or must_not
+                    or msm is not None or decay_origin or fields
+                    or combined or cross or sort_ts or fuzzy or syn
+                    or explain or phrase_prefix or say
+                    or span_first is not None or span_near is not None
+                    or span_not):
+                raise ValueError(
+                    f"filtered alias {index!r} supports only the plain "
+                    "relevance search modes"
+                )
         if len(targets) > 1:
             # an alias over several indices fans out with combined
             # corpus stats (dfs_query_then_fetch); only the plain
@@ -1666,7 +1693,7 @@ class ImportServer:
             s, _, d = search_after.rpartition(":")
             t = eng.search(query, k, include_source=True, offset=offset,
                            search_after=(float(s), int(d)),
-                           min_score=min_score)
+                           min_score=min_score, filters=aflt)
         else:
             # highlight rides only the plain relevance mode
             # (fragment_size unset = ES number_of_fragments=0, the
@@ -1674,5 +1701,6 @@ class ImportServer:
             t = eng.search(query, k, include_source=True, offset=offset,
                            highlight=highlight, min_score=min_score,
                            fragment_size=fragment_size,
-                           number_of_fragments=number_of_fragments)
+                           number_of_fragments=number_of_fragments,
+                           filters=aflt)
         return {"hits": t.to_pylist()}

@@ -195,7 +195,9 @@ def test_http_alias_and_snapshot_surface(ray_session, tmp_path):
         assert search_via("live") == v2_hits  # retarget invalidates cache
 
         st, out = _get(base + "/api/aliases")
-        assert st == 200 and out["aliases"] == {"live": ["v2"]}
+        assert st == 200 and out["aliases"] == {
+            "live": {"indices": ["v2"], "filter": None}
+        }
 
         # multi-target alias: plain search fans out; modal search 500s
         _post(base + "/api/aliases", {"actions": [
@@ -268,7 +270,7 @@ def test_cli_snapshot_restore_alias(ray_session, tmp_path):
                      "--syn", "tool=run|call"]) == 0
     text = out.getvalue()
     assert '"nightly"' in text and '"v1r"' in text
-    assert '"live": [\n  "v2"\n ]' in text.replace("\r", "")
+    assert '"v2"' in text and '"live"' in text  # alias list shows v2
     assert _hits(os.path.join(root, "v1r")) == want
 
 
@@ -349,3 +351,47 @@ def test_snapshot_staging_is_invisible_and_crash_safe(ray_session, tmp_path):
     # restored content comes from the committed snapshot only
     restore_snapshot(repo, "s1", "a", root, rename_to="a2")
     assert _hits(os.path.join(root, "a2")) == _hits(a)
+
+
+def test_filtered_alias_store(ray_session, tmp_path):
+    """ES filtered alias: the filter is alias state, last add wins;
+    pre-filter stores (bare target lists) normalize on read."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.index.snapshot import (
+        alias_filter,
+        load_aliases,
+        resolve_alias,
+        update_aliases,
+    )
+
+    root = str(tmp_path / "fa")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=6, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=2),
+        clear=True,
+    )
+    update_aliases(root, [{"add": {"alias": "users", "index": "a",
+                                   "filter": {"role": "user"}}}])
+    assert resolve_alias(root, "users") == ["a"]
+    assert alias_filter(root, "users") == {"role": "user"}
+    assert alias_filter(root, "a") is None
+    # last add wins (ES semantics); add without filter keeps it
+    update_aliases(root, [{"add": {"alias": "users", "index": "a",
+                                   "filter": {"role": "tool"}}}])
+    assert alias_filter(root, "users") == {"role": "tool"}
+    with pytest.raises(ValueError, match="filter"):
+        update_aliases(root, [{"add": {"alias": "x", "index": "a",
+                                       "filter": "role=user"}}])
+    # pre-filter file format (bare lists) reads as unfiltered
+    with open(os.path.join(root, "aliases.json"), "w") as f:
+        json.dump({"old": ["a"]}, f)
+    assert resolve_alias(root, "old") == ["a"]
+    assert alias_filter(root, "old") is None

@@ -990,7 +990,7 @@ def test_rollover_api(ray_session, tmp_path):
         r = json.loads(body)
         assert r["rolled_over"] and r["new_index"] == "logs-000002"
         _, body = _get(base + "/api/aliases")
-        assert json.loads(body)["aliases"]["logs"] == ["logs-000002"]
+        assert json.loads(body)["aliases"]["logs"]["indices"] == ["logs-000002"]
 
         # a template matching logs-* applies on the rolled index's
         # first import (placeholder manifest is not "created")
@@ -1151,5 +1151,52 @@ def test_round5_search_params_over_http(ray_session, tmp_path):
         )
         assert [h["dl_ln"] for h in hits] == exp["dl_ln"].to_pylist()
         assert [h["sw"] for h in hits] == exp["sw"].to_pylist()
+    finally:
+        srv.stop()
+
+
+def test_filtered_alias_over_http(ray_session, tmp_path):
+    """Searching/counting through a filtered alias applies the alias's
+    filter; special query modes through it refuse."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.index.snapshot import update_aliases
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "falias")
+    idx = f"{root}/a"
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=12, seed=2)),
+        idx,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    update_aliases(root, [{"add": {"alias": "users", "index": "a",
+                                   "filter": {"role": "user"}}}])
+    eng = QueryEngine(idx)
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        _, body = _get(base + "/api/search?index=users&q=the+call&k=20")
+        hits = json.loads(body)["hits"]
+        exp = eng.search("the call", k=20, filters={"role": "user"})
+        assert [h["docid"] for h in hits] == exp["docid"].to_pylist()
+        assert hits and all(h["role"] == "user" for h in hits)
+
+        _, body = _get(base + "/api/count?index=users&q=the")
+        assert json.loads(body)["count"] == eng.count(
+            "the", filters={"role": "user"})
+
+        # special modes through a filtered alias refuse loudly
+        try:
+            _get(base + "/api/search?index=users&q=the+call&phrase=1")
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert b"plain relevance" in e.read()
     finally:
         srv.stop()
