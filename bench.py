@@ -363,6 +363,8 @@ def run_bench() -> dict:
             "bm25_script_fields",
             "complete_fuzzy",
             "frequent_tools",
+            "mtermvectors",
+            "bm25_say",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
