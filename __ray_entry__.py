@@ -1393,6 +1393,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_collapse_inner(sf_dir):
+        # ES field collapse + inner_hits: top-3 role groups ranked by
+        # best hit, each with its global top-3 hits
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_collapse_inner(q, "role", k=3, inner_hits=3)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "rank": t["rank"],
+                        "role": t["role"],
+                        "group_score": pa.array(
+                            trunc6(t["group_score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                        "inner_rank": t["inner_rank"],
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_say(sf_dir):
         # ES search_as_you_type via multi_match bool_prefix: root term
         # clauses + last-token prefix expansion + _2gram shingle
@@ -3566,6 +3601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tools": q_frequent_tools,
         "mtermvectors": q_mtermvectors,
         "bm25_say": q_bm25_say,
+        "bm25_collapse_inner": q_bm25_collapse_inner,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -4008,6 +4044,42 @@ FROM scored {and_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
+"""
+    )
+
+
+def _collapse_inner_sql(k: int = 3, inner: int = 3) -> str:
+    """bm25_collapse_inner twin: groups (role buckets) ranked by their
+    best hit's (raw DESC, conv, turn) — the collapse rule — and each
+    winning group's global top-``inner`` hits by the same order."""
+    return (
+        _BASE
+        + _scored_cte()
+        + f""",
+rd AS (
+    SELECT s.query_id, tt.role, s.conv_id, s.turn_idx, s.raw,
+           row_number() OVER (
+               PARTITION BY s.query_id, tt.role
+               ORDER BY s.raw DESC, s.conv_id, s.turn_idx) AS ir
+    FROM scored s
+    JOIN transcripts tt
+      ON tt.conv_id = s.conv_id AND tt.turn_idx = s.turn_idx
+),
+grp AS (
+    SELECT query_id, role, raw AS gscore,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY raw DESC, conv_id, turn_idx) AS grank
+    FROM rd WHERE ir = 1
+    QUALIFY grank <= {k}
+)
+SELECT rd.query_id, CAST(g.grank AS INT) AS rank, rd.role,
+       floor(g.gscore * 1000000 + 0.5) / 1000000 AS group_score,
+       CAST(rd.ir AS INT) AS inner_rank, rd.conv_id, rd.turn_idx,
+       floor(rd.raw * 1000000 + 0.5) / 1000000 AS score
+FROM rd
+JOIN grp g ON g.query_id = rd.query_id AND g.role = rd.role
+WHERE rd.ir <= {inner}
 """
     )
 
@@ -7316,6 +7388,7 @@ GROUP BY 1, 2
         "bm25_script_fields": _script_fields_sql(),
         "frequent_tools": _frequent_tools_sql(),
         "bm25_say": _say_sql(),
+        "bm25_collapse_inner": _collapse_inner_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),

@@ -6505,6 +6505,65 @@ class QueryEngine:
                 bd, bs = _merge_shard_topk(parts, k)
         return self._result_table(bd, bs)
 
+    def search_collapse_inner(self, query: str, attr: str, k: int = 10,
+                              inner_hits: int = 3,
+                              filters: dict | None = None,
+                              mode: str = "or"):
+        """ES field collapse WITH ``inner_hits``: the top-``k`` groups
+        ranked by their best hit (exactly :meth:`search_collapse`),
+        each carrying its global top-``inner_hits`` hits. Two phases
+        like ES's own execution (ES fires an extra query per collapsed
+        group; here ONE batched per-group top-N pass serves all k —
+        the ``top_hits_topk`` exact-merge machinery — then filters to
+        the winning groups; for very-high-cardinality collapse fields
+        a value-masked probe would prune further, noted as the scale
+        refinement). → one row per (group, inner hit): (rank = group
+        rank, ``attr``, group_score, inner_rank, docid, conv_id,
+        turn_idx, score), group-major order."""
+        import pyarrow as pa
+
+        groups = self.search_collapse(query, attr, k, filters=filters,
+                                      mode=mode)
+        out_empty = pa.table(
+            {
+                "rank": pa.array([], type=pa.int32()),
+                attr: pa.array([], type=pa.string()),
+                "group_score": pa.array([], type=pa.float64()),
+                "inner_rank": pa.array([], type=pa.int32()),
+                "docid": pa.array([], type=pa.int64()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if not groups.num_rows:
+            return out_empty
+        hits = self.search_top_hits(query, attr, inner_hits,
+                                    filters=filters, mode=mode)
+        gvals = groups[attr].to_pylist()
+        grank = {v: i + 1 for i, v in enumerate(gvals)}
+        gscore = dict(zip(gvals, groups["score"].to_pylist()))
+        hvals = hits[attr].to_pylist()
+        keep = [i for i, v in enumerate(hvals) if v in grank]
+        keep.sort(key=lambda i: (grank[hvals[i]],
+                                 hits["rank"][i].as_py()))
+        ht = hits.take(pa.array(keep, type=pa.int64()))
+        hv = ht[attr].to_pylist()
+        return pa.table(
+            {
+                "rank": pa.array([grank[v] for v in hv],
+                                 type=pa.int32()),
+                attr: pa.array(hv, type=pa.string()),
+                "group_score": pa.array([gscore[v] for v in hv],
+                                        type=pa.float64()),
+                "inner_rank": ht["rank"],
+                "docid": ht["docid"],
+                "conv_id": ht["conv_id"],
+                "turn_idx": ht["turn_idx"],
+                "score": ht["score"],
+            }
+        )
+
     def search_top_hits(self, query: str, attr: str, per_k: int = 3,
                         filters: dict | None = None, mode: str = "or"):
         """ES terms aggregation with a ``top_hits`` sub-aggregation:

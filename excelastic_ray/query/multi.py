@@ -71,18 +71,29 @@ class MultiIndexEngine:
     # -- endpoints -------------------------------------------------------
 
     def search(self, query: str, k: int = 10,
-               filters: dict | None = None, mode: str = "or"):
+               filters: dict | None = None, mode: str = "or",
+               boosts: dict | None = None):
         """Exact combined top-k → (rank, index, conv_id, turn_idx,
         score). Every shard of every index scores with the combined
-        stats, so per-shard top-k merges exactly."""
+        stats, so per-shard top-k merges exactly. ``boosts`` is the ES
+        ``indices_boost`` parameter ({index name: multiplier}, default
+        1.0): a per-index constant multiplier preserves each index's
+        internal order, so the unboosted per-index top-k candidate
+        sets stay sufficient and the boosted merge is still exact."""
         import pyarrow as pa
 
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode {mode!r}")
+        if boosts:
+            unknown = sorted(set(boosts) - set(self.names))
+            if unknown:
+                raise KeyError(f"indices_boost names not in this "
+                               f"search: {unknown}")
         lterms, idfs, n_required, skip = self._shape(query, mode)
         rows = []  # (score, conv_id, turn_idx, index_name)
         if not skip:
             for name, e in zip(self.names, self.engines):
+                bmul = float((boosts or {}).get(name, 1.0))
                 r = e.reader
                 if e._actors is not None:
                     import ray
@@ -101,7 +112,8 @@ class MultiIndexEngine:
                     ]
                 for docids, scores in parts:
                     conv, turn = r.keys_of(docids)
-                    rows.extend(zip(scores, conv, turn.astype(int),
+                    rows.extend(zip(scores * bmul, conv,
+                                    turn.astype(int),
                                     [name] * len(docids)))
         rows.sort(key=lambda t: (-t[0], t[1], t[2]))
         rows = rows[:k]

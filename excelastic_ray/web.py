@@ -410,6 +410,11 @@ class ImportServer:
                                 number_of_fragments=int(
                                     q.get("number_of_fragments", "5")
                                 ),
+                                indices_boost=q.get("indices_boost")
+                                or None,
+                                inner_hits=(int(q["inner_hits"])
+                                            if q.get("inner_hits")
+                                            else None),
                             ),
                         )
                     else:
@@ -470,6 +475,22 @@ class ImportServer:
                                     int(body.get("k", 10)),
                                 ),
                             )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/validate":
+                    # ES GET /<index>/_validate/query analog: compile
+                    # the DSL body without serving hits; malformed
+                    # queries report valid=false + the compile error
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.validate_query(
+                                q["index"], body["query"]
+                            ),
+                        )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
@@ -1142,6 +1163,24 @@ class ImportServer:
         t = eng.search_script_fields(query, norm, k=k, params=params)
         return {"hits": t.to_pylist()}
 
+    def validate_query(self, index: str, query: dict) -> dict:
+        """ES ``_validate/query`` analog: run the DSL compile + a
+        k=1 probe (the executor validates the whole tree up front —
+        grammar errors raise before any scoring; ES likewise rewrites
+        the query, which walks every leaf). → {"valid": bool,
+        "error": str?} — 200 either way, like ES."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("validate needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        try:
+            eng.search_dsl(query, 1)
+            return {"valid": True}
+        except ValueError as e:
+            return {"valid": False, "error": str(e)}
+
     def mtermvectors(self, index: str, ids: list[str]) -> dict:
         """ES ``_mtermvectors`` analog. Each id is
         ``conv_id:turn_idx``; missing docs are skipped (flat-table
@@ -1558,7 +1597,9 @@ class ImportServer:
                min_score: float | None = None,
                say: bool = False,
                fragment_size: int | None = None,
-               number_of_fragments: int = 5) -> dict:
+               number_of_fragments: int = 5,
+               indices_boost: str | None = None,
+               inner_hits: int | None = None) -> dict:
         from excelastic_ray.index.snapshot import alias_filter, resolve_alias
 
         targets = resolve_alias(self.index_root, index)
@@ -1585,6 +1626,10 @@ class ImportServer:
                     f"filtered alias {index!r} supports only the plain "
                     "relevance search modes"
                 )
+        if indices_boost and len(targets) == 1:
+            raise ValueError(
+                "indices_boost applies to a multi-index alias search"
+            )
         if len(targets) > 1:
             # an alias over several indices fans out with combined
             # corpus stats (dfs_query_then_fetch); only the plain
@@ -1604,7 +1649,14 @@ class ImportServer:
                     f"only plain unpaged search is supported across "
                     f"indices"
                 )
-            return {"hits": eng.search(query, k).to_pylist()}
+            boosts = None
+            if indices_boost:
+                boosts = {}
+                for spec in indices_boost.split(","):
+                    nm, _, mul = spec.rpartition(":")
+                    boosts[nm] = float(mul)
+            return {"hits": eng.search(query, k,
+                                       boosts=boosts).to_pylist()}
         if explain:
             # ES _explain analog: per-term BM25 breakdown of one doc's
             # score for q= (explain="conv_id:turn_idx")
@@ -1626,6 +1678,10 @@ class ImportServer:
         elif mlt:  # "conv_id:turn_idx" of the source doc
             conv, _, turn = mlt.rpartition(":")
             t = eng.more_like_this(conv, int(turn), k=k)
+        elif collapse and inner_hits is not None:
+            # ES collapse + inner_hits: top-N hits per collapsed group
+            t = eng.search_collapse_inner(query, collapse, k=k,
+                                          inner_hits=inner_hits)
         elif collapse:
             t = eng.search_collapse(query, collapse, k=k)
         elif decay_origin:
