@@ -1393,6 +1393,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_bm25_script_query(sf_dir):
+        # ES script query (filter context): BM25 ranking over docs
+        # additionally satisfying a boolean doc-value expression
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir), algo="auto")
+        parts = []
+        for qid, q in BM25_QUERIES:
+            t = eng.search_script_query(
+                q, "dl >= lo and turn_idx < hi", k=10,
+                params={"lo": 15.0, "hi": 12.0},
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * t.num_rows,
+                                             type=pa.string()),
+                        "conv_id": t["conv_id"],
+                        "turn_idx": t["turn_idx"],
+                        "score": pa.array(
+                            trunc6(t["score"].to_numpy()),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_bm25_collapse_inner(sf_dir):
         # ES field collapse + inner_hits: top-3 role groups ranked by
         # best hit, each with its global top-3 hits
@@ -3602,6 +3633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mtermvectors": q_mtermvectors,
         "bm25_say": q_bm25_say,
         "bm25_collapse_inner": q_bm25_collapse_inner,
+        "bm25_script_query": q_bm25_script_query,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_field_topk": q_bm25_field_topk,
@@ -4044,6 +4076,27 @@ FROM scored {and_clause}
 QUALIFY row_number() OVER (
     PARTITION BY scored.query_id
     ORDER BY {rank_expr} DESC, scored.conv_id, scored.turn_idx) {rn}
+"""
+    )
+
+
+def _script_query_sql(k: int = 10) -> str:
+    """bm25_script_query twin: the standard scored CTE with the
+    boolean doc-value predicate applied AFTER scoring (ES filter
+    context never touches the BM25 stats) — dl >= 15 AND turn_idx <
+    12, the engine's script mirrored symbol-for-symbol."""
+    return (
+        _BASE
+        + _scored_cte()
+        + f"""
+SELECT s.query_id, s.conv_id, s.turn_idx,
+       floor(s.raw * 1000000 + 0.5) / 1000000 AS score
+FROM scored s
+JOIN dl ON dl.conv_id = s.conv_id AND dl.turn_idx = s.turn_idx
+WHERE dl.dl >= 15 AND s.turn_idx < 12
+QUALIFY row_number() OVER (
+    PARTITION BY s.query_id
+    ORDER BY s.raw DESC, s.conv_id, s.turn_idx) <= {k}
 """
     )
 
@@ -7389,6 +7442,7 @@ GROUP BY 1, 2
         "frequent_tools": _frequent_tools_sql(),
         "bm25_say": _say_sql(),
         "bm25_collapse_inner": _collapse_inner_sql(),
+        "bm25_script_query": _script_query_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_phrase_prefix": _phrase_prefix_sql(),
         "bm25_slop_topk": _phrase_sql(slop=1),

@@ -45,7 +45,10 @@ from excelastic_ray.codecs import BLOCKMAX_DTYPE, PostingList
 from excelastic_ray.config import IndexConfig
 from excelastic_ray.index import segments as seg
 from excelastic_ray.query.bm25 import contribution, idf, tf_norm
-from excelastic_ray.query.script import compile_score_script
+from excelastic_ray.query.script import (
+    compile_filter_script,
+    compile_score_script,
+)
 
 _INF = np.iinfo(np.int64).max
 
@@ -2552,6 +2555,35 @@ class ShardSearcher:
             out = np.full(len(nz), float(out))
         order = np.lexsort((docids, -out))[:k]
         return docids[order], out[order]
+
+    def script_filter_topk(self, terms, idfs, avgdl, k, script,
+                           params=None, filters=None, n_required=0):
+        """ES ``script`` query in FILTER context, shard phase: the
+        BM25 ranking is untouched; docs whose boolean script evaluates
+        false drop from the match set. No ``_score`` in the env —
+        filter context never sees scores (ES semantics); doc values
+        are ``dl`` / ``turn_idx`` plus params, evaluated vectorized
+        over the match set in one pass."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+        present = [(t, f) for t, f in zip(terms, idfs) if self.lookup(t) >= 0]
+        if not present or (n_required and n_required > len(present)):
+            return empty
+        fn = compile_filter_script(script)
+        nz, scores = self._taat_all(present, avgdl, filters, n_required)
+        if not len(nz):
+            return empty
+        docids = self.docids[nz]
+        env = dict(params or {})
+        env["dl"] = self.dls[nz]
+        env["turn_idx"] = (
+            docids & (self.cfg.max_turns - 1)
+        ).astype(np.float64)
+        keep = fn(env)
+        if keep.ndim == 0:  # constant predicate broadcasts
+            keep = np.full(len(nz), bool(keep))
+        docids, scores = docids[keep], scores[keep]
+        order = np.lexsort((docids, -scores))[:k]
+        return docids[order], scores[order]
 
     def script_fields_topk(self, terms, idfs, avgdl, k, fields: dict,
                            params=None, filters=None, n_required=0):
@@ -6252,6 +6284,72 @@ class QueryEngine:
                 docids, scores = _merge_shard_topk(parts, k)
         return self._result_table(docids, scores)
 
+    def search_script_query(self, query: str, script: str, k: int = 10,
+                            params: dict | None = None,
+                            mode: str = "or",
+                            filters: dict | None = None):
+        """ES ``script`` query composed as a bool filter: docs matching
+        ``query`` AND satisfying the boolean ``script`` (comparisons +
+        and/or/not over ``dl`` / ``turn_idx`` / params — see
+        ``compile_filter_script``), ranked by the UNTOUCHED BM25 score
+        (filter context never affects scoring, ES semantics). The
+        script compiles on the driver, so malformed or non-boolean
+        expressions fail fast. → the standard result table."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode {mode!r}")
+        fn = compile_filter_script(script)  # fail fast on the driver
+        if params:
+            bad = [
+                n for n, v in params.items()
+                if not isinstance(v, (int, float))
+                or n in ("dl", "turn_idx")
+            ]
+            if bad:
+                raise ValueError(
+                    f"script query params must be numeric and not "
+                    f"shadow doc values: {bad}"
+                )
+        unknown = fn.names - {"dl", "turn_idx"} - set(params or {})
+        if unknown:
+            raise ValueError(
+                f"script query references unknown names "
+                f"{sorted(unknown)} (doc values: dl, turn_idx)"
+            )
+        r = self.reader
+        terms = self._qt(query)
+        docids = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
+        if terms and r.n_docs:
+            dfs = self._global_dfs(terms)
+            live = [(t, int(d)) for t, d in zip(terms, dfs) if d > 0]
+            dead = len(live) < len(terms)
+            if live and not (mode == "and" and dead):
+                n_required = len(live) if mode == "and" else 0
+                lterms = [t for t, _ in live]
+                idfs = [idf(r.n_docs, d) for _, d in live]
+                if self._actors is not None:
+                    import ray
+
+                    parts = ray.get(
+                        [
+                            a.script_filter_topk.remote(
+                                lterms, idfs, r.avgdl, k, script, params,
+                                filters, n_required,
+                            )
+                            for a in self._actors
+                        ]
+                    )
+                else:
+                    parts = [
+                        r.searcher(s).script_filter_topk(
+                            lterms, idfs, r.avgdl, k, script, params,
+                            filters, n_required,
+                        )
+                        for s in range(r.num_shards)
+                    ]
+                docids, scores = _merge_shard_topk(parts, k)
+        return self._result_table(docids, scores)
+
     def search_script_fields(self, query: str, fields: dict[str, str],
                              k: int = 10, params: dict | None = None,
                              mode: str = "or",
@@ -8279,6 +8377,15 @@ class ShardActor:
             for s in self.searchers
         ]
         return _merge_script_fields(parts, k)
+
+    def script_filter_topk(self, terms, idfs, avgdl, k, script,
+                           params=None, filters=None, n_required=0):
+        parts = [
+            s.script_filter_topk(terms, idfs, avgdl, k, script, params,
+                                 filters, n_required)
+            for s in self.searchers
+        ]
+        return _merge_shard_topk(parts, k)
 
     def adjacency_counts(self, specs, filters=None):
         mats = [s.adjacency_counts(specs, filters) for s in self.searchers]

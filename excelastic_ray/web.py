@@ -467,6 +467,18 @@ class ImportServer:
                                     body.get("params"),
                                 ),
                             )
+                        elif "script" in body:
+                            # ES script query in filter context:
+                            # {"q": text, "script": bool-expr}
+                            self._json(
+                                200,
+                                server.search_script_query(
+                                    q["index"], body.get("q", ""),
+                                    body["script"],
+                                    int(body.get("k", 10)),
+                                    body.get("params"),
+                                ),
+                            )
                         else:
                             self._json(
                                 200,
@@ -1161,6 +1173,19 @@ class ImportServer:
                 spec = spec.get("source", "")
             norm[name] = spec
         t = eng.search_script_fields(query, norm, k=k, params=params)
+        return {"hits": t.to_pylist()}
+
+    def search_script_query(self, index: str, query: str, script: str,
+                            k: int = 10,
+                            params: dict | None = None) -> dict:
+        """ES ``script`` query (filter context) over the plain match."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("script query needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        t = eng.search_script_query(query, script, k=k, params=params)
         return {"hits": t.to_pylist()}
 
     def validate_query(self, index: str, query: dict) -> dict:

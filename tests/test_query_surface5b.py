@@ -222,3 +222,63 @@ def test_collapse_inner_and_boost_over_http(ray_session, tmp_path):
             exp["inner_rank"].to_pylist()
     finally:
         srv.stop()
+
+
+# ----------------------------------------------------------- script query
+
+
+def test_script_query_equals_brute_filter(eng, tiny_table, query_set):
+    from excelastic_ray.analysis import tokenize
+
+    dl_of = {
+        (c, t): len(tokenize(x))
+        for c, t, x in zip(
+            tiny_table["conv_id"].to_pylist(),
+            tiny_table["turn_idx"].to_pylist(),
+            tiny_table["text"].to_pylist(),
+        )
+    }
+    for q in query_set[:6]:
+        full = eng.search(q, k=100000)
+        got = eng.search_script_query(
+            q, "dl > 10 and not (turn_idx >= 8)", k=100000)
+        exp = [
+            (c, t, s)
+            for c, t, s in zip(full["conv_id"].to_pylist(),
+                               full["turn_idx"].to_pylist(),
+                               full["score"].to_pylist())
+            if dl_of[(c, t)] > 10 and t < 8
+        ]
+        assert list(zip(got["conv_id"].to_pylist(),
+                        got["turn_idx"].to_pylist(),
+                        got["score"].to_pylist())) == exp
+
+
+def test_script_query_grammar_and_validation(eng):
+    with pytest.raises(ValueError, match="boolean"):
+        eng.search_script_query("the", "dl + 1")
+    with pytest.raises(ValueError, match="chained"):
+        eng.search_script_query("the", "1 < dl < 9")
+    with pytest.raises(ValueError, match="unknown names"):
+        eng.search_script_query("the", "xx > 1")
+    with pytest.raises(ValueError):
+        eng.search_script_query("the", "dl > lo", params={"lo": "x"})
+    with pytest.raises(ValueError):
+        eng.search_script_query("the", "__import__('os') > 1")
+    # or / == / constant-true predicates work
+    a = eng.search_script_query("the", "dl > 0 or turn_idx == 0", k=20)
+    b = eng.search("the", k=20)
+    assert a.equals(b)
+
+
+def test_script_query_actor_parity(tiny_index, ray_session, query_set):
+    idx, _ = tiny_index
+    local = QueryEngine(idx)
+    actors = QueryEngine(idx, use_actors=True)
+    try:
+        q = query_set[5]
+        a = actors.search_script_query(q, "dl >= 12 and turn_idx < 9")
+        b = local.search_script_query(q, "dl >= 12 and turn_idx < 9")
+        assert a.equals(b)
+    finally:
+        actors.close()
