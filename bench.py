@@ -365,6 +365,8 @@ def run_bench() -> dict:
             "frequent_tools",
             "mtermvectors",
             "bm25_say",
+            "bm25_collapse_inner",
+            "bm25_script_query",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
