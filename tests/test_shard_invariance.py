@@ -25,7 +25,8 @@ def two_builds(tmp_path_factory, ray_session):
     for shards in (4, 16):
         cfg = IndexConfig(turn_bits=8, convs_per_chunk_bits=2,
                           num_shards=shards,
-                          field_index_fields=("role", "tool"))
+                          field_index_fields=("role", "tool"),
+                          index_shingles=2)
         idx = str(tmp_path_factory.mktemp(f"shards{shards}") / "idx")
         build_index(rd.from_arrow(table), idx, cfg, clear=True)
         engines.append(QueryEngine(idx))
@@ -98,6 +99,20 @@ MODES = [
     ("script_score", lambda e: e.search_script_score(
         "table hash", "_score * 0.5 + ln(1 + dl) - 0.1 * turn_idx",
         k=25)),
+    # round-5 session-3 modes
+    ("min_score", lambda e: e.search("table hash value", k=25,
+                                     min_score=0.5)),
+    ("script_fields", lambda e: e.search_script_fields(
+        "table hash", {"x": "ln(dl) + _score"}, k=25)),
+    ("script_query", lambda e: e.search_script_query(
+        "table hash", "dl >= 10 and turn_idx < 12", k=25)),
+    ("complete_fuzzy", lambda e: e.complete_fuzzy("tabel", k=10,
+                                                  fuzziness=1)),
+    ("mtermvectors", lambda e: e.mtermvectors(
+        [("conv-000002", 0), ("conv-000003", 1), ("nope", 0)])),
+    ("say", lambda e: e.search_say("table ha", k=25)),
+    ("collapse_inner", lambda e: e.search_collapse_inner(
+        "table hash", "role", k=3, inner_hits=3)),
 ]
 
 
