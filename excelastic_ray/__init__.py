@@ -29,6 +29,9 @@ __all__ = [
     "build_index",
     "append_index",
     "build_status",
+    "force_merge",
+    "shrink_index",
+    "split_index",
     "IndexReader",
     "QueryEngine",
 ]
@@ -36,7 +39,8 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):  # lazy: keep `import excelastic_ray` Ray-free
-    if name in ("build_index", "append_index", "build_status"):
+    if name in ("build_index", "append_index", "build_status",
+                "force_merge", "shrink_index", "split_index"):
         from excelastic_ray.index import build
 
         return getattr(build, name)
