@@ -137,6 +137,22 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="TERM=ALT|ALT2",
                    help="query-time synonym expansion (repeatable; "
                         "Lucene SynonymQuery scoring)")
+    s.add_argument("--min-score", dest="min_score", type=float,
+                   default=None,
+                   help="drop hits scoring below this (ES min_score)")
+    s.add_argument("--say", action="store_true",
+                   help="search_as_you_type (needs an index built "
+                        "with index_shingles >= 2)")
+    s.add_argument("--script", default=None, metavar="EXPR",
+                   help="boolean filter script over dl/turn_idx "
+                        "(ES script query)")
+    s.add_argument("--inner-hits", dest="inner_hits", type=int,
+                   default=None, metavar="N",
+                   help="with --collapse: top-N hits per group")
+    s.add_argument("--fragments", dest="fragment_size", type=int,
+                   default=None, metavar="SIZE",
+                   help="with --highlight: snippet fragments of SIZE "
+                        "chars (ES fragment_size)")
 
     st = sub.add_parser("status")
     st.add_argument("index_dir")
@@ -413,6 +429,11 @@ def main(argv: list[str] | None = None) -> int:
                 conv, _, turn = args.mlt.rpartition(":")
                 t = eng.more_like_this(conv, int(turn), k=args.k,
                                        filters=filters or None)
+            elif args.collapse and args.inner_hits is not None:
+                t = eng.search_collapse_inner(
+                    args.query, args.collapse, args.k,
+                    inner_hits=args.inner_hits,
+                    filters=filters or None)
             elif args.collapse:
                 t = eng.search_collapse(args.query, args.collapse, args.k,
                                         filters=filters or None)
@@ -450,9 +471,18 @@ def main(argv: list[str] | None = None) -> int:
                 t = eng.search_qs(args.query, k=args.k,
                                   filters=filters or None,
                                   offset=args.offset)
+            elif args.say:
+                t = eng.search_say(args.query, args.k,
+                                   filters=filters or None)
+            elif args.script:
+                t = eng.search_script_query(args.query, args.script,
+                                            args.k,
+                                            filters=filters or None)
             else:
                 t = eng.search(args.query, args.k, filters=filters or None,
-                               offset=args.offset, highlight=args.highlight)
+                               offset=args.offset, highlight=args.highlight,
+                               min_score=args.min_score,
+                               fragment_size=args.fragment_size)
             print(t.to_pandas().to_string(index=False))
             eng.close()
         elif args.cmd == "serve":

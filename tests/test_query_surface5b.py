@@ -282,3 +282,33 @@ def test_script_query_actor_parity(tiny_index, ray_session, query_set):
         assert a.equals(b)
     finally:
         actors.close()
+
+
+def test_cli_round5_flags(ray_session, tmp_path):
+    import contextlib
+    import io as _io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from excelastic_ray.__main__ import main
+    from excelastic_ray.corpus import generate_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(n_convs=30, seed=1),
+                   os.path.join(src, "p.parquet"))
+    idx = str(tmp_path / "idx")
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["build", src, idx, "--clear", "--shards", "2"]) == 0
+        assert main(["search", idx, "the call", "-k", "3",
+                     "--min-score", "0.1"]) == 0
+        assert main(["search", idx, "the call", "-k", "3",
+                     "--script", "dl > 5 and turn_idx < 20"]) == 0
+        assert main(["search", idx, "the call", "-k", "3",
+                     "--collapse", "role", "--inner-hits", "2"]) == 0
+        assert main(["search", idx, "the", "-k", "2", "--highlight",
+                     "--fragments", "60"]) == 0
+    text = out.getvalue()
+    assert "inner_rank" in text and "<em>" in text
