@@ -2821,25 +2821,34 @@ def _resize_index(src_dir: str, dst_dir: str, num_shards: int,
                 "not a resumable crashed resize of this source)"
             )
     os.makedirs(dst_dir, exist_ok=True)
-    for name in ("chunks.parquet", "convs.parquet"):
-        p = os.path.join(src_dir, name)
-        q = os.path.join(dst_dir, name)
-        # resume: a file already linked by the crashed run stays as-is
-        # (chunk segments are immutable, so existence == correctness)
-        if os.path.exists(p) and not os.path.exists(q):
-            _link_or_copy(p, q)
-    for c in chunks:
-        cd = seg.chunk_dir(src_dir, c)
-        dd = seg.chunk_dir(dst_dir, c)
-        for f in sorted(os.listdir(cd)):
-            q = os.path.join(dd, f)
-            if not os.path.exists(q):
-                _link_or_copy(os.path.join(cd, f), q)
+    # the 'resizing' manifest goes down FIRST: a crash anywhere in the
+    # link phase then leaves a resumable target (the links below are
+    # idempotent via the exists checks), never an unidentifiable
+    # non-empty dir
     nm = dict(m)
     nm["config"] = {**m["config"], "num_shards": target}
     nm["num_shards"] = target
     nm["status"] = "resizing"
     seg.save_global_manifest(dst_dir, nm)
+
+    def _link_tree(src: str, dst: str) -> None:
+        """Hard-link a file OR a directory of files (convs.parquet is
+        a DIRECTORY on distributed-census builds); resume-safe — a
+        path already linked by a crashed run stays as-is (chunk
+        segments are immutable, so existence == correctness)."""
+        if os.path.isdir(src):
+            for name in sorted(os.listdir(src)):
+                _link_tree(os.path.join(src, name),
+                           os.path.join(dst, name))
+        elif not os.path.exists(dst):
+            _link_or_copy(src, dst)
+
+    for name in ("chunks.parquet", "convs.parquet"):
+        p = os.path.join(src_dir, name)
+        if os.path.exists(p):
+            _link_tree(p, os.path.join(dst_dir, name))
+    for c in chunks:
+        _link_tree(seg.chunk_dir(src_dir, c), seg.chunk_dir(dst_dir, c))
     if cpus is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4

@@ -237,9 +237,15 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
     filter context is attribute filters, the same shape ``search``'s
     ``filters`` takes). The filter is a property of the ALIAS (ES
     semantics: the last add wins), applied automatically to every
-    search/count through it."""
+    search/count through it. Because one update_aliases call is
+    atomic, a remove-then-add retarget WITHIN one call keeps the
+    alias's filter (the alias never observably ceased to exist) —
+    an add carrying an explicit ``"filter"`` key still wins; only
+    removing the alias in ONE call and re-adding it in a LATER call
+    starts clean."""
     with _LIFECYCLE_LOCK:
         aliases = load_aliases(index_root)
+        dropped_filters: dict[str, dict | None] = {}
         for act in actions:
             if len(act) != 1 or next(iter(act)) not in ("add", "remove"):
                 raise ValueError(f"bad alias action {act!r}")
@@ -266,7 +272,9 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
                         f"{{attr: value}} dict, got {flt!r}"
                     )
                 ent = aliases.setdefault(
-                    alias, {"indices": [], "filter": None}
+                    alias,
+                    {"indices": [],
+                     "filter": dropped_filters.pop(alias, None)},
                 )
                 if index not in ent["indices"]:
                     ent["indices"].append(index)
@@ -280,6 +288,8 @@ def update_aliases(index_root: str, actions: list[dict]) -> dict:
                     )
                 ent["indices"].remove(index)
                 if not ent["indices"]:
+                    # an atomic retarget later in THIS batch restores it
+                    dropped_filters[alias] = ent.get("filter")
                     del aliases[alias]
         atomic_write_json(os.path.join(index_root, ALIASES_FILE), aliases)
         return aliases

@@ -598,6 +598,16 @@ def frequent_item_sets(ds, item_col: str = "tool",
         item = batch[item_col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"txn": txn, "item": item})
         df = df[df["item"].notna() & (df["item"] != "")]
+        # '|' is the item_set join character; an item containing it
+        # would corrupt set identity AND the closure decomposition —
+        # refuse loudly rather than emit wrong closed sets
+        bad = df["item"].astype(str).str.contains("|", regex=False)
+        if bad.any():
+            raise ValueError(
+                f"frequent_item_sets: {item_col} values may not "
+                f"contain '|' (the item_set separator); got "
+                f"{df.loc[bad, 'item'].iloc[0]!r}"
+            )
         df = df.drop_duplicates()
         h = pd.util.hash_pandas_object(df["txn"],
                                        index=False).to_numpy()

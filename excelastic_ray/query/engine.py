@@ -3404,20 +3404,7 @@ def highlight_text(text: str | None, terms, analyzer: str = "standard") -> str:
     if not text:
         return ""
     want = set(terms)
-    if analyzer != "standard":
-        from excelastic_ray.analysis import analyze_tokens
-
-        memo: dict[str, str] = {}  # one stem per DISTINCT token, not
-        # per occurrence (the tokenize_many pattern from the build path)
-
-        def _norm(t: str) -> str:
-            r = memo.get(t)
-            if r is None:
-                a = analyze_tokens([t], analyzer)
-                memo[t] = r = a[0] if a else ""
-            return r
-    else:
-        _norm = str
+    _norm = _norm_of(analyzer)
     out = []
     last = 0
     for s, e in _match_spans(text, want, _norm):
@@ -5713,8 +5700,13 @@ class QueryEngine:
             if isinstance(item, str):
                 conv, _, turn = item.rpartition("#")
                 item = (conv, int(turn))
+            turn = int(item[1])
+            # out-of-range turns must skip BEFORE docid arithmetic: a
+            # turn >= max_turns would alias into another doc's id
+            if not (0 <= turn < r.cfg.max_turns):
+                continue
             try:
-                cand.append(r.docid_of(item[0], int(item[1])))
+                cand.append(r.docid_of(item[0], turn))
             except KeyError:
                 continue  # unknown conv_id: ES reports found=false
         empty = pa.table(
@@ -6376,8 +6368,15 @@ class QueryEngine:
                 f"script_fields names collide with result columns: "
                 f"{bad_names}"
             )
-        for src in fields.values():
-            compile_score_script(src)  # fail fast on the driver
+        doc_values = {"_score", "dl", "turn_idx"}
+        for name, src in fields.items():
+            fn = compile_score_script(src)  # fail fast on the driver
+            unknown = fn.names - doc_values - set(params or {})
+            if unknown:
+                raise ValueError(
+                    f"script_fields[{name!r}] references unknown names "
+                    f"{sorted(unknown)} (doc values: {sorted(doc_values)})"
+                )
         if params:
             bad = [
                 n for n, v in params.items()
@@ -7031,8 +7030,14 @@ class QueryEngine:
             if isinstance(item, str):
                 conv, _, turn = item.rpartition("#")
                 item = (conv, int(turn))
+            turn = int(item[1])
+            # out-of-range turns skip BEFORE docid arithmetic: a turn
+            # >= max_turns would alias into another doc's id and the
+            # existence probe would then "find" the wrong doc
+            if not (0 <= turn < r.cfg.max_turns):
+                continue
             try:
-                cand.append(r.docid_of(item[0], int(item[1])))
+                cand.append(r.docid_of(item[0], turn))
             except KeyError:
                 continue  # unknown conv_id: ES skips silently
         docids = np.zeros(0, dtype=np.int64)

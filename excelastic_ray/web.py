@@ -1203,7 +1203,9 @@ class ImportServer:
         try:
             eng.search_dsl(query, 1)
             return {"valid": True}
-        except ValueError as e:
+        except (ValueError, KeyError) as e:
+            # KeyError covers unknown-field / unknown-attribute typos —
+            # the primary _validate use case
             return {"valid": False, "error": str(e)}
 
     def mtermvectors(self, index: str, ids: list[str]) -> dict:
@@ -1635,22 +1637,38 @@ class ImportServer:
         # through a FILTERED alias raise rather than silently ignoring
         # the filter
         aflt = alias_filter(self.index_root, index)
+        # every dispatch branch other than the plain relevance modes
+        # (incl. paging/highlight/search_after)
+        special_mode = bool(
+            phrase or qs or qstring or wildcard or regexp or suggest
+            or collapse or mlt or must or must_not
+            or msm is not None or decay_origin or fields
+            or combined or cross or sort_ts or fuzzy or syn
+            or explain or phrase_prefix or say
+            or span_first is not None or span_near is not None
+            or span_not
+        )
         if aflt is not None:
             if len(targets) > 1:
                 raise ValueError(
                     f"filtered alias {index!r} must target one index"
                 )
-            if (phrase or qs or qstring or wildcard or regexp or suggest
-                    or collapse or mlt or must or must_not
-                    or msm is not None or decay_origin or fields
-                    or combined or cross or sort_ts or fuzzy or syn
-                    or explain or phrase_prefix or say
-                    or span_first is not None or span_near is not None
-                    or span_not):
+            if special_mode:
                 raise ValueError(
                     f"filtered alias {index!r} supports only the plain "
                     "relevance search modes"
                 )
+        # parameters that only the plain modes honor must not be
+        # silently dropped on the others (the same rule offset follows)
+        if min_score is not None and special_mode:
+            raise ValueError(
+                "min_score rides only the plain relevance search modes"
+            )
+        if fragment_size is not None and (special_mode or not highlight):
+            raise ValueError(
+                "fragment_size requires highlight=1 on a plain "
+                "relevance search"
+            )
         if indices_boost and len(targets) == 1:
             raise ValueError(
                 "indices_boost applies to a multi-index alias search"

@@ -312,3 +312,87 @@ def test_cli_round5_flags(ray_session, tmp_path):
                      "--fragments", "60"]) == 0
     text = out.getvalue()
     assert "inner_rank" in text and "<em>" in text
+
+
+# -------------------------------------------------- review-fix regressions
+
+
+def test_mtermvectors_out_of_range_turn_skips(eng, tiny_table):
+    # turn >= max_turns would alias into ANOTHER doc's id via the bit
+    # arithmetic; it must skip, never report the aliased doc
+    conv0 = tiny_table["conv_id"][0].as_py()
+    mt = eng.reader.cfg.max_turns
+    got = eng.mtermvectors([(conv0, mt), (conv0, -1), (conv0, 0)])
+    assert set(got["turn_idx"].to_pylist()) == {0}
+    assert eng.mtermvectors([(conv0, mt)]).num_rows == 0
+    # same rule on the ids query
+    t = eng.search_ids([(conv0, mt), (conv0, 0)])
+    assert t["turn_idx"].to_pylist() == [0]
+
+
+def test_script_fields_unknown_name_fails_on_driver(eng):
+    with pytest.raises(ValueError, match="unknown names"):
+        eng.search_script_fields("the", {"x": "scor * 2"})
+    # a zero-hit query with a typo must ALSO raise (previously the
+    # shards never evaluated the script and the typo passed silently)
+    with pytest.raises(ValueError, match="unknown names"):
+        eng.search_script_fields("term_not_in_corpus", {"x": "zz + 1"})
+
+
+def test_frequent_item_sets_rejects_separator_items(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.convs import frequent_item_sets
+
+    ds = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1"], "tool": ["a|b", "c"],
+    }))
+    with pytest.raises(Exception, match="separator"):
+        frequent_item_sets(ds, n_buckets=1).to_pandas()
+
+
+def test_web_min_score_on_special_mode_raises(ray_session, tmp_path):
+    import json
+    import urllib.error
+    import urllib.request
+
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "msr")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=6, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=2),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        for bad in ("&phrase=1&min_score=1.0",
+                    "&collapse=role&min_score=1.0",
+                    "&fragment_size=50",               # no highlight
+                    "&phrase=1&highlight=1&fragment_size=50"):
+            try:
+                urllib.request.urlopen(
+                    base + "/api/search?index=a&q=the" + bad)
+                raise AssertionError(f"expected 500 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+        # validate reports unknown-field typos as valid=false, not 400
+        req = urllib.request.Request(
+            base + "/api/validate?index=a",
+            data=json.dumps({"query": {"match": {
+                "field": "nope", "query": "x"}}}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["valid"] is False and "nope" in out["error"]
+    finally:
+        srv.stop()

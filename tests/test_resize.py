@@ -190,3 +190,44 @@ def test_resize_resumes_after_crash(src_index):
     # a COMPLETE target (or any foreign dir) still refuses
     with pytest.raises(RuntimeError, match="not empty"):
         shrink_index(idx, dst, 2)
+
+
+def test_resize_distributed_census_index(ray_session, tmp_path):
+    """convs.parquet is a DIRECTORY on distributed-census builds
+    (driver_conv_budget=0); resize must link it recursively."""
+    import ray.data as rd
+
+    src = str(tmp_path / "dsrc")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=40, seed=6)),
+        src,
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=2, num_shards=4,
+                    driver_conv_budget=0),
+        clear=True,
+    )
+    assert os.path.isdir(os.path.join(src, "convs.parquet"))
+    before = _results(src)
+    m = shrink_index(src, str(tmp_path / "dshrunk"), 2)
+    assert m["num_shards"] == 2 and m["status"] == "complete"
+    assert _results(str(tmp_path / "dshrunk")) == before
+
+
+def test_resize_crash_before_any_link_resumes(src_index, tmp_path):
+    """The 'resizing' manifest lands before the link phase, so a
+    crash at ANY point leaves a resumable target."""
+    import json
+
+    idx, root = src_index
+    dst = str(tmp_path / "early")
+    # simulate the earliest possible crash: manifest written, nothing
+    # else (what the fixed ordering guarantees exists)
+    os.makedirs(dst)
+    m = dict(load_global_manifest(idx))
+    m["config"] = {**m["config"], "num_shards": 2}
+    m["num_shards"] = 2
+    m["status"] = "resizing"
+    with open(os.path.join(dst, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    m2 = shrink_index(idx, dst, 2)
+    assert m2["status"] == "complete"
+    assert _results(dst) == _results(idx)

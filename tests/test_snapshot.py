@@ -395,3 +395,43 @@ def test_filtered_alias_store(ray_session, tmp_path):
         json.dump({"old": ["a"]}, f)
     assert resolve_alias(root, "old") == ["a"]
     assert alias_filter(root, "old") is None
+
+
+def test_filtered_alias_atomic_swap_keeps_filter(ray_session, tmp_path):
+    """A remove+add retarget in ONE atomic batch (the rollover shape)
+    keeps the alias's filter; removing in one call and re-adding in a
+    LATER call starts clean; an explicit filter in the add still wins."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.index.snapshot import alias_filter, update_aliases
+
+    root = str(tmp_path / "swap")
+    for name in ("v1", "v2"):
+        build_index(
+            rd.from_arrow(generate_transcripts(n_convs=4, seed=2)),
+            f"{root}/{name}",
+            IndexConfig(turn_bits=8, convs_per_chunk_bits=2,
+                        num_shards=2),
+            clear=True,
+        )
+    update_aliases(root, [{"add": {"alias": "live", "index": "v1",
+                                   "filter": {"role": "user"}}}])
+    update_aliases(root, [
+        {"remove": {"alias": "live", "index": "v1"}},
+        {"add": {"alias": "live", "index": "v2"}},
+    ])
+    assert alias_filter(root, "live") == {"role": "user"}
+    # explicit filter in the swap's add wins
+    update_aliases(root, [
+        {"remove": {"alias": "live", "index": "v2"}},
+        {"add": {"alias": "live", "index": "v1",
+                 "filter": {"role": "tool"}}},
+    ])
+    assert alias_filter(root, "live") == {"role": "tool"}
+    # separate-call removal genuinely drops the filter
+    update_aliases(root, [{"remove": {"alias": "live", "index": "v1"}}])
+    update_aliases(root, [{"add": {"alias": "live", "index": "v2"}}])
+    assert alias_filter(root, "live") is None
