@@ -2634,6 +2634,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             spec,
         )
 
+    def q_agg_tree_metrics(sf_dir):
+        # the round-5 metric kinds in one tree: weighted_avg,
+        # extended_stats (population variance from additive partials),
+        # EXACT cardinality (distinct-pair rows through the exchange,
+        # budget-gated), and rate (bucket sum / doc_count scaled to
+        # per-unit from the owner date_histogram's width) — plus a
+        # top-level cardinality on the synthetic root
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        spec = {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 4},
+                "aggs": {
+                    "w_avg": {"weighted_avg": {
+                        "value": {"field": "value"},
+                        "weight": {"field": "user_id"}}},
+                    "v_stats": {"extended_stats": {"field": "value"}},
+                    "u_card": {"cardinality": {"field": "user_id"}},
+                    "per_4d": {
+                        "date_histogram": {"field": "ts",
+                                           "interval_hours": 96},
+                        "aggs": {
+                            "v_rate": {"rate": {"field": "value",
+                                                "unit": "day"}},
+                            "n_rate": {"rate": {"unit": "day"}},
+                        },
+                    },
+                },
+            },
+            "g_users": {"cardinality": {"field": "user_id"}},
+        }
+        return agg_tree_fanout(
+            read_parquet_clean(f"{sf_dir}/events.parquet"), spec
+        )
+
+    def q_agg_tree_date_range(sf_dir):
+        # ES date_range buckets (ISO bounds, open ends, an OVERLAPPING
+        # pair — a doc lands in every containing bucket) keyed by the
+        # bound strings, with a terms grouping set nested under the
+        # range level
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        spec = {
+            "by_when": {
+                "date_range": {
+                    "field": "ts",
+                    "ranges": [[None, "2024-01-10"],
+                               ["2024-01-10", "2024-01-20"],
+                               ["2024-01-15", "2024-01-25"],
+                               ["2024-01-25", None]],
+                },
+                "aggs": {
+                    "v_sum_w": {"sum": {"field": "value"}},
+                    "by_type_w": {
+                        "terms": {"field": "event_type", "size": 5},
+                        "aggs": {"v_avg_w": {"avg": {"field": "value"}}},
+                    },
+                },
+            },
+        }
+        return agg_tree_fanout(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"]),
+            spec,
+        )
+
     def q_doc_crud(sf_dir):
         # single-document CRUD over a scratch COPY of the cached index:
         # index a new conversation, append a turn to an existing one,
@@ -3692,6 +3760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_crud": q_doc_crud,
         "agg_tree": q_agg_tree,
         "agg_tree_fanout": q_agg_tree_fanout,
+        "agg_tree_metrics": q_agg_tree_metrics,
+        "agg_tree_date_range": q_agg_tree_date_range,
         "bucket_sort_agg": q_bucket_sort_agg,
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
@@ -7260,6 +7330,111 @@ WHERE e.value IS NOT NULL
   AND (b.lo IS NULL OR e.value >= b.lo)
   AND (b.hi IS NULL OR e.value < b.hi)
 GROUP BY e.event_type, b.key
+""",
+        # round-5 metric kinds twin: weighted_avg (trunc6 numerator /
+        # trunc6 denominator), extended_stats (population variance
+        # from the truncated additive partials, std from the truncated
+        # variance), exact cardinality = COUNT(DISTINCT), and rate
+        # (96 h bucket, unit=day → width 4.0)
+        "agg_tree_metrics": """
+WITH kept AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 4
+)
+SELECT '_root' AS agg,
+       CAST(NULL AS VARCHAR) AS by_type_key,
+       CAST(NULL AS TIMESTAMP) AS per_4d_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS g_users,
+       CAST(NULL AS DOUBLE) AS w_avg,
+       CAST(NULL AS BIGINT) AS v_stats_count,
+       CAST(NULL AS DOUBLE) AS v_stats_min,
+       CAST(NULL AS DOUBLE) AS v_stats_max,
+       CAST(NULL AS DOUBLE) AS v_stats_avg,
+       CAST(NULL AS DOUBLE) AS v_stats_sum,
+       CAST(NULL AS DOUBLE) AS v_stats_sum_of_squares,
+       CAST(NULL AS DOUBLE) AS v_stats_variance,
+       CAST(NULL AS DOUBLE) AS v_stats_std_deviation,
+       CAST(NULL AS BIGINT) AS u_card,
+       CAST(NULL AS DOUBLE) AS v_rate,
+       CAST(NULL AS DOUBLE) AS n_rate
+FROM events
+UNION ALL
+SELECT 'by_type', e.event_type, NULL,
+       CAST(count(*) AS BIGINT), NULL,
+       floor(floor(sum(e.value * e.user_id) * 1000000 + 0.5) / 1000000
+             / (floor(sum(e.user_id) * 1000000 + 0.5) / 1000000)
+             * 1000000 + 0.5) / 1000000,
+       CAST(count(e.value) AS BIGINT),
+       floor(min(e.value) * 1000000 + 0.5) / 1000000,
+       floor(max(e.value) * 1000000 + 0.5) / 1000000,
+       floor((floor(sum(e.value) * 1000000 + 0.5) / 1000000)
+             / count(e.value) * 1000000 + 0.5) / 1000000,
+       floor(sum(e.value) * 1000000 + 0.5) / 1000000,
+       floor(sum(e.value * e.value) * 1000000 + 0.5) / 1000000,
+       floor(greatest(
+         (floor(sum(e.value * e.value) * 1000000 + 0.5) / 1000000)
+           / count(e.value)
+         - pow((floor(sum(e.value) * 1000000 + 0.5) / 1000000)
+               / count(e.value), 2), 0) * 1000000 + 0.5) / 1000000,
+       floor(sqrt(
+         floor(greatest(
+           (floor(sum(e.value * e.value) * 1000000 + 0.5) / 1000000)
+             / count(e.value)
+           - pow((floor(sum(e.value) * 1000000 + 0.5) / 1000000)
+                 / count(e.value), 2), 0) * 1000000 + 0.5) / 1000000
+       ) * 1000000 + 0.5) / 1000000,
+       CAST(count(DISTINCT e.user_id) AS BIGINT),
+       NULL, NULL
+FROM events e JOIN kept USING (event_type)
+GROUP BY 2
+UNION ALL
+SELECT 'per_4d', e.event_type,
+       to_timestamp((epoch_us(e.ts) // 345600000000) * 345600
+         )::TIMESTAMP,
+       CAST(count(*) AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL,
+       floor((floor(sum(e.value) * 1000000 + 0.5) / 1000000) / 4.0
+             * 1000000 + 0.5) / 1000000,
+       floor(count(*) / 4.0 * 1000000 + 0.5) / 1000000
+FROM events e JOIN kept USING (event_type)
+GROUP BY 2, 3
+""",
+        # date_range twin: ISO-keyed buckets incl. an overlapping pair
+        # (a row joins every containing bucket) with a nested terms
+        # grouping set under the range level
+        "agg_tree_date_range": """
+WITH b(key, lo, hi) AS (
+  VALUES ('*-2024-01-10', CAST(NULL AS TIMESTAMP),
+          TIMESTAMP '2024-01-10'),
+         ('2024-01-10-2024-01-20', TIMESTAMP '2024-01-10',
+          TIMESTAMP '2024-01-20'),
+         ('2024-01-15-2024-01-25', TIMESTAMP '2024-01-15',
+          TIMESTAMP '2024-01-25'),
+         ('2024-01-25-*', TIMESTAMP '2024-01-25',
+          CAST(NULL AS TIMESTAMP))
+),
+rows_ AS (
+  SELECT b.key AS by_when_key, e.event_type, e.value
+  FROM events e CROSS JOIN b
+  WHERE e.ts IS NOT NULL
+    AND (b.lo IS NULL OR e.ts >= b.lo)
+    AND (b.hi IS NULL OR e.ts < b.hi)
+)
+SELECT 'by_when' AS agg, by_when_key,
+       CAST(NULL AS VARCHAR) AS by_type_w_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS v_sum_w,
+       CAST(NULL AS DOUBLE) AS v_avg_w
+FROM rows_ GROUP BY 2
+UNION ALL
+SELECT 'by_type_w', by_when_key, event_type,
+       CAST(count(*) AS BIGINT), NULL,
+       floor((floor(sum(value) * 1000000 + 0.5) / 1000000)
+             / count(value) * 1000000 + 0.5) / 1000000
+FROM rows_ WHERE event_type IS NOT NULL
+GROUP BY 2, 3
 """,
         # bucket_sort twin: rank event_type buckets by the trunc6'd
         # avg(value) DESC (key-ASC ties — the engine's tiebreak), keep

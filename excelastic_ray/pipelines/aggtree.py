@@ -64,6 +64,18 @@ __all__ = ["agg_tree", "agg_tree_fanout"]
 BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
 METRIC_KINDS = ("value_count", "sum", "avg", "min", "max")
 
+# the fanout executor's wider surface (the path executor keeps v1's set)
+FANOUT_BUCKET_KINDS = BUCKET_KINDS + ("date_range",)
+FANOUT_METRIC_KINDS = METRIC_KINDS + (
+    "weighted_avg", "extended_stats", "rate", "cardinality",
+)
+#: exact-cardinality distinct-pair budget: the combine's output holds one
+#: row per distinct (bucket, value) pair; past this the driver refuses and
+#: points at the KMV sketch (ES itself goes approximate via HLL here)
+CARDINALITY_BUDGET = 2_000_000
+_RATE_UNIT_S = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
+                "day": 86400.0, "week": 604800.0}
+
 
 def _parse_spec(spec: dict):
     """→ (levels, metrics): levels = [(name, kind, params)] root→leaf;
@@ -118,6 +130,28 @@ def _range_key(lo, hi) -> str:
             f"{'*' if hi is None else repr(float(hi))}")
 
 
+def _norm_ranges(kind: str, params: dict) -> list[tuple]:
+    """→ [(lo_float, hi_float, bucket_key_str)]. ``range`` bounds are
+    numeric; ``date_range`` bounds are ISO-8601 strings (or None =
+    unbounded) compared in µs-since-epoch space, keyed by the given
+    strings verbatim (`*` for an open end) — stable and
+    SQL-reproducible."""
+    out = []
+    for lo, hi in params["ranges"]:
+        if kind == "date_range":
+            lo_f = (-np.inf if lo is None
+                    else float(np.datetime64(lo, "us").astype(np.int64)))
+            hi_f = (np.inf if hi is None
+                    else float(np.datetime64(hi, "us").astype(np.int64)))
+            key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        else:
+            lo_f = -np.inf if lo is None else float(lo)
+            hi_f = np.inf if hi is None else float(hi)
+            key = _range_key(lo, hi)
+        out.append((lo_f, hi_f, key))
+    return out
+
+
 def _level_keys(batch: pa.Table, kind: str, params: dict) -> np.ndarray:
     """Vectorized bucket key per row for one non-range level. Missing
     values (null terms, NaT timestamps, NaN numerics) become the
@@ -128,7 +162,9 @@ def _level_keys(batch: pa.Table, kind: str, params: dict) -> np.ndarray:
         out = vals.astype(object)
         na = pd.isna(out)  # vectorized None/NaN detection
         if na.any():
-            out[na] = None
+            # ES `missing` parameter: docs without the field bucket
+            # under the configured stand-in key instead of dropping out
+            out[na] = params.get("missing")
         return out
     if kind == "date_histogram":
         raw = batch[params["field"]].to_numpy().astype("datetime64[us]")
@@ -420,17 +456,38 @@ def _parse_fanout(spec: dict) -> list[dict]:
                              else int(bs["size"])),
                 }
                 continue
-            kind = next((k for k in BUCKET_KINDS if k in body), None)
+            kind = next((k for k in FANOUT_BUCKET_KINDS if k in body), None)
             if kind is None:
-                op = next((k for k in METRIC_KINDS if k in body), None)
+                op = next(
+                    (k for k in FANOUT_METRIC_KINDS if k in body), None)
                 if op is None:
                     raise ValueError(
                         f"agg {name!r} is neither a bucket kind "
-                        f"{BUCKET_KINDS} nor a metric kind "
-                        f"{METRIC_KINDS} nor a bucket_sort"
+                        f"{FANOUT_BUCKET_KINDS} nor a metric kind "
+                        f"{FANOUT_METRIC_KINDS} nor a bucket_sort"
                     )
                 claim(name)
-                owner["metrics"].append((name, op, body[op]["field"]))
+                mspec = dict(body[op])
+                if op == "weighted_avg":
+                    # ES shape: {"value": {"field": v}, "weight":
+                    # {"field": w}} — both required
+                    for part in ("value", "weight"):
+                        if "field" not in mspec.get(part, {}):
+                            raise ValueError(
+                                f"weighted_avg {name!r} needs "
+                                f"{part}.field"
+                            )
+                elif op == "rate":
+                    unit = mspec.get("unit", "hour")
+                    if unit not in _RATE_UNIT_S:
+                        raise ValueError(
+                            f"rate {name!r}: unit {unit!r} not in "
+                            f"{sorted(_RATE_UNIT_S)} (calendar units "
+                            "need calendar-aware histograms)"
+                        )
+                elif "field" not in mspec:
+                    raise ValueError(f"metric {name!r} needs a field")
+                owner["metrics"].append((name, op, mspec))
                 continue
             claim(name)
             node = {"name": name, "kind": kind, "params": body[kind],
@@ -446,15 +503,28 @@ def _parse_fanout(spec: dict) -> list[dict]:
     if not nodes:
         raise ValueError("empty aggregation spec")
     for n in nodes:
+        for mname, op, _s in n["metrics"]:
+            if op == "rate" and n["kind"] != "date_histogram":
+                # ES: rate is only defined inside a date_histogram —
+                # its value is the bucket sum scaled by bucket width
+                raise ValueError(
+                    f"rate {mname!r} must nest directly under a "
+                    "date_histogram bucket"
+                )
         bs = n.get("bucket_sort")
         if bs:
-            own = {m[0] for m in n["metrics"]}
+            own = {m[0]: m[1] for m in n["metrics"]}
             for m, _o in bs["sort"]:
                 if m != "_count" and m not in own:
                     raise ValueError(
                         f"bucket_sort under {n['name']!r} sorts by "
                         f"{m!r}, which is not a sibling metric of that "
                         "bucket (nor _count)"
+                    )
+                if own.get(m) in ("extended_stats", "cardinality"):
+                    raise ValueError(
+                        f"bucket_sort cannot sort by the multi-valued/"
+                        f"driver-computed metric {m!r}"
                     )
     return nodes
 
@@ -507,10 +577,15 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
     key_cols = [f"{n['name']}_key" for n in nodes if n["kind"]]
     kind_of = {f"{n['name']}_key": n["kind"] for n in nodes if n["kind"]}
     all_metrics = [m for n in nodes for m in n["metrics"]]
+    has_card = any(op == "cardinality" for _m, op, _s in all_metrics)
+    norm_ranges = {
+        f"{n['name']}_key": _norm_ranges(n["kind"], n["params"])
+        for n in nodes if n["kind"] in ("range", "date_range")
+    }
 
     def _metric_partial_cols(metrics) -> list[str]:
         cols = []
-        for mname, op, _f in metrics:
+        for mname, op, spec_ in metrics:
             if op in ("sum", "avg"):
                 cols.append(f"{mname}__sum")
             if op == "avg":
@@ -521,10 +596,20 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                 cols.append(f"{mname}__max")
             elif op == "value_count":
                 cols.append(f"{mname}__cnt")
+            elif op == "weighted_avg":
+                cols += [f"{mname}__wsum", f"{mname}__wn"]
+            elif op == "extended_stats":
+                cols += [f"{mname}__sum", f"{mname}__sumsq",
+                         f"{mname}__n", f"{mname}__min", f"{mname}__max"]
+            elif op == "rate" and spec_.get("field"):
+                cols.append(f"{mname}__sum")
+            # cardinality: no partial column — it rides as tagged
+            # distinct-(bucket, value)-pair rows (see partial)
         return cols
 
     union_metric_cols = _metric_partial_cols(all_metrics)
-    union_cols = (["agg"] + key_cols + ["doc_count"] + union_metric_cols)
+    union_cols = (["agg"] + key_cols + ["doc_count"] + union_metric_cols
+                  + (["__cardv"] if has_card else []))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         n_rows = batch.num_rows
@@ -543,20 +628,46 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             range_levels: list[tuple[str, list]] = []
             for p in path_nodes:
                 kc = f"{p['name']}_key"
-                if p["kind"] == "range":
-                    df[f"{kc}__v"] = batch[
-                        p["params"]["field"]
-                    ].to_numpy(zero_copy_only=False).astype(np.float64)
-                    range_levels.append((kc, p["params"]["ranges"]))
+                if p["kind"] in ("range", "date_range"):
+                    f = p["params"]["field"]
+                    if p["kind"] == "date_range":
+                        raw = batch[f].to_numpy().astype("datetime64[us]")
+                        v = raw.astype(np.int64).astype(np.float64)
+                        v[np.isnat(raw)] = np.nan
+                    else:
+                        v = batch[f].to_numpy(
+                            zero_copy_only=False).astype(np.float64)
+                    df[f"{kc}__v"] = v
+                    range_levels.append((kc, norm_ranges[kc]))
                     df[kc] = None
                 else:
                     kv = keys[p["name"]]
                     df[kc] = kv
                     valid &= ~pd.isna(kv)
-            for mname, op, field in node["metrics"]:
-                col = batch[field].to_numpy(
+            card_metrics = []
+            for mname, op, spec_ in node["metrics"]:
+                if op == "cardinality":
+                    # raw values ride alongside so the distinct pairs
+                    # see the SAME range expansion as the bucket rows
+                    df[f"{mname}__cardv"] = batch[
+                        spec_["field"]
+                    ].to_numpy(zero_copy_only=False).astype(object)
+                    card_metrics.append(mname)
+                    continue
+                if op == "weighted_avg":
+                    v = batch[spec_["value"]["field"]].to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    w = batch[spec_["weight"]["field"]].to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    ok = ~np.isnan(v) & ~np.isnan(w)
+                    df[f"{mname}__wsum"] = np.where(ok, v * w, np.nan)
+                    df[f"{mname}__wn"] = np.where(ok, w, np.nan)
+                    continue
+                if op == "rate" and not spec_.get("field"):
+                    continue  # doc_count rate: no value column needed
+                col = batch[spec_["field"]].to_numpy(
                     zero_copy_only=False).astype(np.float64)
-                if op in ("sum", "avg"):
+                if op in ("sum", "avg", "rate"):
                     df[f"{mname}__sum"] = col
                 if op == "avg":
                     df[f"{mname}__n"] = (~np.isnan(col)).astype(np.int64)
@@ -567,6 +678,12 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                 elif op == "value_count":
                     df[f"{mname}__cnt"] = (~np.isnan(col)).astype(
                         np.int64)
+                elif op == "extended_stats":
+                    df[f"{mname}__sum"] = col
+                    df[f"{mname}__sumsq"] = col * col
+                    df[f"{mname}__n"] = (~np.isnan(col)).astype(np.int64)
+                    df[f"{mname}__min"] = col
+                    df[f"{mname}__max"] = col
             df = df[valid]
             # range expansion on THIS node's path: one copy per
             # matching range (overlaps legal); rows matching no range
@@ -574,14 +691,12 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             for kc, ranges in range_levels:
                 v = df[f"{kc}__v"].to_numpy()
                 subs = []
-                for lo, hi in ranges:
-                    lo_f = -np.inf if lo is None else float(lo)
-                    hi_f = np.inf if hi is None else float(hi)
+                for lo_f, hi_f, keystr in ranges:
                     m = (v >= lo_f) & (v < hi_f)
                     if not m.any():
                         continue
                     sub = df[m].copy()
-                    sub[kc] = _range_key(lo, hi)
+                    sub[kc] = keystr
                     subs.append(sub)
                 df = (pd.concat(subs, ignore_index=True)
                       if subs else df[:0])
@@ -602,14 +717,35 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             g["agg"] = node["name"]
             for c in union_cols:
                 if c not in g.columns:
-                    g[c] = (None if kind_of.get(c) in ("terms", "range")
-                            or c == "agg" else np.nan)
+                    g[c] = (None if kind_of.get(c) in
+                            ("terms", "range", "date_range")
+                            or c in ("agg", "__cardv") else np.nan)
             parts.append(g[union_cols])
+            # exact-cardinality pair rows: one per distinct
+            # (bucket-key tuple, value) in this batch, tagged by
+            # metric — the combine's groupby dedups them globally
+            for mname in card_metrics:
+                cv = df[pcols + [f"{mname}__cardv"]]
+                cv = cv[pd.notna(cv[f"{mname}__cardv"])].copy()
+                cv["__cardv"] = cv.pop(f"{mname}__cardv").astype(str)
+                cv = cv.drop_duplicates()
+                cv["agg"] = "__card__" + mname
+                cv["doc_count"] = np.ones(len(cv), dtype=np.int64)
+                for c in union_cols:
+                    if c not in cv.columns:
+                        cv[c] = (None if kind_of.get(c) in
+                                 ("terms", "range", "date_range")
+                                 else np.nan)
+                parts.append(cv[union_cols])
         return pd.concat(parts, ignore_index=True)
 
+    hash_cols = ["agg"] + key_cols + (["__cardv"] if has_card else [])
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            df[["agg"] + key_cols], index=False).to_numpy()
+        # __cardv joins the hash so one hot bucket's distinct values
+        # spread over the exchange instead of piling on one reducer
+        h = pd.util.hash_pandas_object(df[hash_cols], index=False
+                                       ).to_numpy()
         out = df.copy()
         out["__bucket"] = (h % n_buckets).astype(np.int64)
         return out
@@ -621,18 +757,33 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                        else "max" if c.endswith("__max") else "sum")
         return (
             g.drop(columns="__bucket")
-            .groupby(["agg"] + key_cols, sort=False, dropna=False)
+            .groupby(hash_cols, sort=False, dropna=False)
             .agg(**aggs)
             .reset_index()
         )
 
-    fine = (
+    pipe = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(combine, batch_format="pandas")
-        .to_pandas()
     )
+    if has_card:
+        # exact cardinality holds one combined row per distinct
+        # (bucket, value) pair; count distributed BEFORE collecting and
+        # refuse past the budget (the KMV sketch is the scale path)
+        mat = pipe.materialize()
+        n_comb = mat.count()
+        if n_comb > CARDINALITY_BUDGET:
+            raise RuntimeError(
+                f"exact cardinality would collect {n_comb} combined "
+                f"rows (> budget {CARDINALITY_BUDGET}); use "
+                "excelastic_ray.pipelines.sketch.kmv_distinct for an "
+                "approximate count at this cardinality"
+            )
+        fine = mat.to_pandas()
+    else:
+        fine = pipe.to_pandas()
 
     def _typed_empty() -> pa.Table:
         cols: dict = {"agg": pa.array([], type=pa.string())}
@@ -645,19 +796,51 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             else:
                 cols[kc] = pa.array([], type=pa.string())
         cols["doc_count"] = pa.array([], type=pa.int64())
-        for mname, op, _f in all_metrics:
-            cols[mname] = pa.array(
-                [], type=pa.int64() if op == "value_count"
-                else pa.float64())
+        for mname, op, _s in all_metrics:
+            if op == "extended_stats":
+                cols[f"{mname}_count"] = pa.array([], type=pa.int64())
+                for sub in ("min", "max", "avg", "sum",
+                            "sum_of_squares", "variance",
+                            "std_deviation"):
+                    cols[f"{mname}_{sub}"] = pa.array(
+                        [], type=pa.float64())
+            else:
+                cols[mname] = pa.array(
+                    [], type=pa.int64()
+                    if op in ("value_count", "cardinality")
+                    else pa.float64())
         return pa.table(cols)
 
     if not len(fine):
         return _typed_empty()
 
+    # split off the exact-cardinality pair rows: count distinct pairs
+    # per owner bucket → per-metric lookup frames joined in at output
+    card_counts: dict[str, tuple] = {}
+    if has_card:
+        is_card = fine["agg"].str.startswith("__card__", na=False)
+        card = fine[is_card]
+        fine = (fine[~is_card].drop(columns="__cardv")
+                .reset_index(drop=True))
+        for node in nodes:
+            for mname, op, _s in node["metrics"]:
+                if op != "cardinality":
+                    continue
+                pc = [f"{p}_key" for p in node["path"]]
+                rows = card[card["agg"] == "__card__" + mname]
+                if pc:
+                    cnt = (rows.groupby(pc, sort=False, dropna=False)
+                           .size().reset_index(name=f"__{mname}_cnt"))
+                else:
+                    cnt = pd.DataFrame({f"__{mname}_cnt": [len(rows)]})
+                card_counts[mname] = (pc, cnt)
+        if not len(fine):
+            return _typed_empty()
+
     # normalize object-key missing markers (groupby round-trips can
     # surface NaN where partials wrote None)
     for kc in key_cols:
-        if kind_of[kc] in ("terms", "range"):
+        if kind_of[kc] in ("terms", "range", "date_range"):
             fine[kc] = fine[kc].where(pd.notna(fine[kc]), None)
 
     # terms pruning, root→leaf: rank a terms node's buckets from its
@@ -703,7 +886,8 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                        mname: str) -> np.ndarray:
         if mname == "_count":
             return sub["doc_count"].to_numpy(dtype=np.float64)
-        op = next(o for n_, o, _f in node["metrics"] if n_ == mname)
+        op, spec_ = next(
+            (o, s) for n_, o, s in node["metrics"] if n_ == mname)
         if op == "value_count":
             return sub[f"{mname}__cnt"].to_numpy(dtype=np.float64)
         if op == "avg":
@@ -711,6 +895,20 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             n = sub[f"{mname}__n"].to_numpy(dtype=np.float64)
             return trunc6(np.where(n > 0, s / np.where(n > 0, n, 1),
                                    np.nan))
+        if op == "weighted_avg":
+            num = trunc6(sub[f"{mname}__wsum"].to_numpy(
+                dtype=np.float64))
+            den = trunc6(sub[f"{mname}__wn"].to_numpy(dtype=np.float64))
+            return trunc6(np.where(den != 0,
+                                   num / np.where(den != 0, den, 1),
+                                   np.nan))
+        if op == "rate":
+            width = (float(node["params"].get("interval_hours", 24))
+                     * 3600.0 / _RATE_UNIT_S[spec_.get("unit", "hour")])
+            base = (trunc6(sub[f"{mname}__sum"].to_numpy(
+                dtype=np.float64)) if spec_.get("field")
+                else sub["doc_count"].to_numpy(dtype=np.float64))
+            return trunc6(base / width)
         return trunc6(sub[f"{mname}__{op}"].to_numpy(dtype=np.float64))
 
     for node in nodes:
@@ -770,7 +968,13 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
     out["doc_count"] = pa.array(
         fine["doc_count"].to_numpy().astype(np.int64))
     owner_of = {m[0]: n["name"] for n in nodes for m in n["metrics"]}
-    for mname, op, _f in all_metrics:
+
+    def _floats(vals: np.ndarray, mine: np.ndarray) -> pa.Array:
+        return pa.array(
+            [float(x) if keep_ and x == x else None
+             for x, keep_ in zip(vals, mine)], type=pa.float64())
+
+    for mname, op, spec_ in all_metrics:
         mine = (fine["agg"] == owner_of[mname]).to_numpy()
         if op == "value_count":
             v = fine[f"{mname}__cnt"].to_numpy(dtype=np.float64)
@@ -778,21 +982,83 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                 [int(x) if keep_ and x == x else None
                  for x, keep_ in zip(v, mine)], type=pa.int64())
         elif op == "sum":
-            v = trunc6(fine[f"{mname}__sum"].to_numpy(dtype=np.float64))
-            out[mname] = pa.array(
-                [float(x) if keep_ and x == x else None
-                 for x, keep_ in zip(v, mine)], type=pa.float64())
+            out[mname] = _floats(
+                trunc6(fine[f"{mname}__sum"].to_numpy(dtype=np.float64)),
+                mine)
         elif op == "avg":
             s = trunc6(fine[f"{mname}__sum"].to_numpy(dtype=np.float64))
             n = fine[f"{mname}__n"].to_numpy(dtype=np.float64)
-            vals = trunc6(np.where(n > 0, s / np.where(n > 0, n, 1),
-                                   np.nan))
+            out[mname] = _floats(
+                trunc6(np.where(n > 0, s / np.where(n > 0, n, 1),
+                                np.nan)), mine)
+        elif op == "weighted_avg":
+            # ES weighted_avg = Σ(v·w)/Σw over rows where both are
+            # non-null; trunc6 conventions mirror avg (truncated
+            # numerator and denominator, truncated quotient)
+            num = trunc6(fine[f"{mname}__wsum"].to_numpy(
+                dtype=np.float64))
+            den = trunc6(fine[f"{mname}__wn"].to_numpy(
+                dtype=np.float64))
+            out[mname] = _floats(
+                trunc6(np.where(den != 0,
+                                num / np.where(den != 0, den, 1),
+                                np.nan)), mine)
+        elif op == "rate":
+            # ES rate: the bucket sum (or doc_count without a field)
+            # scaled to per-`unit`, from the OWNER date_histogram's
+            # fixed interval
+            width = (float(by_name[owner_of[mname]]["params"]
+                           .get("interval_hours", 24)) * 3600.0
+                     / _RATE_UNIT_S[spec_.get("unit", "hour")])
+            base = (trunc6(fine[f"{mname}__sum"].to_numpy(
+                dtype=np.float64)) if spec_.get("field")
+                else fine["doc_count"].to_numpy(dtype=np.float64))
+            out[mname] = _floats(trunc6(base / width), mine)
+        elif op == "cardinality":
+            pc, cnt = card_counts[mname]
+            if pc:
+                merged = fine[pc].merge(
+                    cnt, on=pc, how="left"
+                )[f"__{mname}_cnt"].to_numpy(dtype=np.float64)
+            else:
+                merged = np.full(
+                    len(fine), float(cnt[f"__{mname}_cnt"].iloc[0]))
             out[mname] = pa.array(
-                [float(x) if keep_ and x == x else None
-                 for x, keep_ in zip(vals, mine)], type=pa.float64())
+                [(int(x) if x == x else 0) if keep_ else None
+                 for x, keep_ in zip(merged, mine)], type=pa.int64())
+        elif op == "extended_stats":
+            # ES extended_stats: population variance from the additive
+            # (n, Σv, Σv²) partials; trunc6 conventions — avg from the
+            # truncated sum, variance from the truncated sum-of-squares
+            # and the UNtruncated mean of the truncated sum, std from
+            # the truncated variance (all SQL-reproducible)
+            n = fine[f"{mname}__n"].to_numpy(dtype=np.float64)
+            s6 = trunc6(fine[f"{mname}__sum"].to_numpy(
+                dtype=np.float64))
+            q6 = trunc6(fine[f"{mname}__sumsq"].to_numpy(
+                dtype=np.float64))
+            safe_n = np.where(n > 0, n, 1)
+            mean = np.where(n > 0, s6 / safe_n, np.nan)
+            var6 = trunc6(np.where(
+                n > 0, np.maximum(q6 / safe_n - mean * mean, 0.0),
+                np.nan))
+            out[f"{mname}_count"] = pa.array(
+                [int(x) if keep_ and x == x else None
+                 for x, keep_ in zip(n, mine)], type=pa.int64())
+            out[f"{mname}_min"] = _floats(
+                trunc6(fine[f"{mname}__min"].to_numpy(
+                    dtype=np.float64)), mine)
+            out[f"{mname}_max"] = _floats(
+                trunc6(fine[f"{mname}__max"].to_numpy(
+                    dtype=np.float64)), mine)
+            out[f"{mname}_avg"] = _floats(trunc6(mean), mine)
+            out[f"{mname}_sum"] = _floats(s6, mine)
+            out[f"{mname}_sum_of_squares"] = _floats(q6, mine)
+            out[f"{mname}_variance"] = _floats(var6, mine)
+            out[f"{mname}_std_deviation"] = _floats(
+                trunc6(np.sqrt(var6)), mine)
         else:  # min / max
-            v = trunc6(fine[f"{mname}__{op}"].to_numpy(dtype=np.float64))
-            out[mname] = pa.array(
-                [float(x) if keep_ and x == x else None
-                 for x, keep_ in zip(v, mine)], type=pa.float64())
+            out[mname] = _floats(
+                trunc6(fine[f"{mname}__{op}"].to_numpy(
+                    dtype=np.float64)), mine)
     return pa.table(out)

@@ -1069,3 +1069,177 @@ def test_agg_tree_fanout_bucket_sort(ray_session):
         agg_tree_fanout(rd.from_arrow(t), {
             "w": {"bucket_sort": {"sort": [{"_count": "asc"}]}}
         })
+
+
+def test_agg_tree_fanout_new_metrics_hand_computed(ray_session):
+    """weighted_avg / extended_stats / cardinality / rate vs a pandas
+    oracle, incl. the doc_count rate (no field) and the trunc6
+    conventions each metric documents."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "a", "b", "b", "b"],
+            "v": pa.array([1.0, 2.0, None, 4.0, 8.0, 12.0]),
+            "w": pa.array([1.0, 3.0, 5.0, 2.0, None, 2.0]),
+            "u": pa.array([7, 7, 9, 7, 8, 8], type=pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    ["2024-01-01T00", "2024-01-01T12", "2024-01-02T00",
+                     "2024-01-01T06", "2024-01-02T06", "2024-01-02T18"],
+                    dtype="datetime64[us]",
+                )
+            ),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 5},
+            "aggs": {
+                "wa": {"weighted_avg": {"value": {"field": "v"},
+                                        "weight": {"field": "w"}}},
+                "st": {"extended_stats": {"field": "v"}},
+                "cu": {"cardinality": {"field": "u"}},
+                "per_day": {
+                    "date_histogram": {"field": "ts",
+                                       "interval_hours": 24},
+                    "aggs": {
+                        "r_v": {"rate": {"field": "v", "unit": "hour"}},
+                        "r_n": {"rate": {"unit": "day"}},
+                    },
+                },
+            },
+        },
+        "gu": {"cardinality": {"field": "u"}},
+    }
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    root = out[out["agg"] == "_root"].iloc[0]
+    assert root["gu"] == 3  # {7, 8, 9}
+    bk = out[out["agg"] == "by_kind"].set_index("by_kind_key")
+    # weighted_avg: rows with BOTH v and w non-null
+    # a: (1*1 + 2*3) / (1+3) = 1.75 ; b: (4*2 + 12*2) / 4 = 8.0
+    assert bk.loc["a", "wa"] == 1.75
+    assert bk.loc["b", "wa"] == 8.0
+    # extended_stats over a: v = [1, 2] → var = 2.5 - 1.5² = 0.25
+    assert bk.loc["a", "st_count"] == 2
+    assert bk.loc["a", "st_sum"] == 3.0
+    assert bk.loc["a", "st_sum_of_squares"] == 5.0
+    assert bk.loc["a", "st_avg"] == 1.5
+    assert bk.loc["a", "st_variance"] == 0.25
+    assert bk.loc["a", "st_std_deviation"] == 0.5
+    assert bk.loc["a", "st_min"] == 1.0 and bk.loc["a", "st_max"] == 2.0
+    # b: v = [4, 8, 12] → mean 8, var = (16+64+144)/3 - 64 = 10.666666
+    assert bk.loc["b", "st_variance"] == trunc6(
+        np.array([224 / 3 - 64.0])
+    )[0]
+    assert bk.loc["b", "st_std_deviation"] == trunc6(
+        np.array([math.sqrt(trunc6(np.array([224 / 3 - 64.0]))[0])])
+    )[0]
+    # exact cardinality per bucket
+    assert bk.loc["a", "cu"] == 2  # {7, 9}
+    assert bk.loc["b", "cu"] == 2  # {7, 8}
+    # rate: per-day buckets; a/day1 v=[1,2] → 3/24 per hour
+    pd_rows = out[out["agg"] == "per_day"].set_index(
+        ["by_kind_key", "per_day_key"])
+    d1 = np.datetime64("2024-01-01", "us")
+    d2 = np.datetime64("2024-01-02", "us")
+    assert pd_rows.loc[("a", d1), "r_v"] == 0.125
+    # doc_count rate, unit=day over a 24 h bucket → the count itself
+    assert pd_rows.loc[("a", d1), "r_n"] == 2.0
+    assert pd_rows.loc[("b", d2), "r_n"] == 2.0
+    # all-null v bucket (a/day2 has only the null-v row): count 0,
+    # sum 0, min/max/avg/variance null — the ES empty-stats shape
+    assert pd_rows.loc[("a", d2), "r_v"] == 0.0
+
+
+def test_agg_tree_fanout_date_range_and_terms_missing(ray_session):
+    """date_range buckets key by the given ISO strings, nulls drop;
+    terms `missing` buckets null keys under the stand-in."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": pa.array(["a", None, "b", None, "a"]),
+            "ts": pa.array(
+                np.array(["2024-01-05", "2024-02-10", "2024-03-15",
+                          "NaT", "2024-02-20"],
+                         dtype="datetime64[us]")
+            ),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    spec = {
+        "by_kind": {"terms": {"field": "kind", "size": 5,
+                              "missing": "N/A"}},
+        "by_when": {
+            "date_range": {
+                "field": "ts",
+                "ranges": [[None, "2024-02-01"],
+                           ["2024-02-01", "2024-03-01"],
+                           ["2024-03-01", None]],
+            },
+            "aggs": {"s": {"sum": {"field": "v"}}},
+        },
+    }
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    bk = out[out["agg"] == "by_kind"].set_index("by_kind_key")
+    assert bk.loc["a", "doc_count"] == 2
+    assert bk.loc["N/A", "doc_count"] == 2  # the two null kinds
+    bw = out[out["agg"] == "by_when"].set_index("by_when_key")
+    assert bw.loc["*-2024-02-01", "doc_count"] == 1
+    assert bw.loc["*-2024-02-01", "s"] == 1.0
+    assert bw.loc["2024-02-01-2024-03-01", "doc_count"] == 2
+    assert bw.loc["2024-02-01-2024-03-01", "s"] == 7.0
+    assert bw.loc["2024-03-01-*", "s"] == 3.0
+    assert len(bw) == 3  # the NaT row is in no date_range bucket
+
+
+def test_agg_tree_fanout_cardinality_budget_and_validation(ray_session):
+    """The exact-cardinality budget refuses loudly before collecting;
+    spec validation rejects rate outside date_histogram, bucket_sort
+    on multi-valued metrics, and malformed weighted_avg."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines import aggtree
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table({"kind": ["a", "b"] * 50,
+                  "u": pa.array(np.arange(100), type=pa.int64()),
+                  "v": pa.array(np.arange(100), type=pa.float64())})
+    old = aggtree.CARDINALITY_BUDGET
+    aggtree.CARDINALITY_BUDGET = 10
+    try:
+        with pytest.raises(RuntimeError, match="kmv_distinct"):
+            agg_tree_fanout(rd.from_arrow(t), {
+                "c": {"cardinality": {"field": "u"}}})
+    finally:
+        aggtree.CARDINALITY_BUDGET = old
+
+    with pytest.raises(ValueError, match="date_histogram"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "by_kind": {"terms": {"field": "kind"},
+                        "aggs": {"r": {"rate": {"field": "v"}}}}})
+    with pytest.raises(ValueError, match="unit"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "per_day": {"date_histogram": {"field": "ts",
+                                           "interval_hours": 24},
+                        "aggs": {"r": {"rate": {"unit": "month"}}}}})
+    with pytest.raises(ValueError, match="weight.field"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "w": {"weighted_avg": {"value": {"field": "v"}}}})
+    with pytest.raises(ValueError, match="multi-valued|driver-computed"):
+        agg_tree_fanout(rd.from_arrow(t), {
+            "by_kind": {"terms": {"field": "kind"},
+                        "aggs": {"st": {"extended_stats": {"field": "v"}},
+                                 "w": {"bucket_sort": {
+                                     "sort": [{"st": "asc"}]}}}}})
