@@ -2197,12 +2197,15 @@ def delete_doc(index_dir: str, conv_id: str, turn_idx: int) -> int:
     )
     if docid in dead:
         raise KeyError(f"({conv_id!r}, {turn_idx}) is already deleted")
+    tomb = pa.table({"docid": pa.array(np.union1d(dead, [docid]),
+                                       type=pa.int64())})
+    seg.atomic_write_parquet(dpath, tomb)
+    new_drev = int(manifest.get("deletes_rev", 0)) + 1
+    manifest["deletes_rev"] = new_drev
+    # generational copy: point-in-time readers pin this exact set
     seg.atomic_write_parquet(
-        dpath,
-        pa.table({"docid": pa.array(np.union1d(dead, [docid]),
-                                    type=pa.int64())}),
+        os.path.join(sd, f"deletes_g{new_drev}.parquet"), tomb
     )
-    manifest["deletes_rev"] = int(manifest.get("deletes_rev", 0)) + 1
     seg.save_global_manifest(index_dir, manifest)
     return docid
 
@@ -2263,17 +2266,20 @@ def update_doc(index_dir: str, conv_id: str, turn_idx: int,
         new_docid = np.concatenate([o_id[~drop], new_docid])
         new_attr = np.concatenate([o_attr[~drop], new_attr])
         new_value = np.concatenate([o_val[~drop], new_value])
-    seg.atomic_write_parquet(
-        upath,
-        pa.table(
-            {
-                "docid": pa.array(new_docid, type=pa.int64()),
-                "attr": pa.array(new_attr, type=pa.string()),
-                "value": pa.array(new_value, type=pa.string()),
-            }
-        ),
+    merged = pa.table(
+        {
+            "docid": pa.array(new_docid, type=pa.int64()),
+            "attr": pa.array(new_attr, type=pa.string()),
+            "value": pa.array(new_value, type=pa.string()),
+        }
     )
-    manifest["updates_rev"] = int(manifest.get("updates_rev", 0)) + 1
+    seg.atomic_write_parquet(upath, merged)
+    new_urev = int(manifest.get("updates_rev", 0)) + 1
+    manifest["updates_rev"] = new_urev
+    # generational copy for point-in-time readers
+    seg.atomic_write_parquet(
+        os.path.join(sd, f"updates_g{new_urev}.parquet"), merged
+    )
     seg.save_global_manifest(index_dir, manifest)
     return docid
 
@@ -2456,14 +2462,17 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
         dead = pq.read_table(dpath)["docid"].to_numpy()
         if docid in dead:
             left = dead[dead != docid]
+            tomb = pa.table({"docid": pa.array(left, type=pa.int64())})
             if len(left):
-                seg.atomic_write_parquet(
-                    dpath, pa.table({"docid": pa.array(left,
-                                                       type=pa.int64())})
-                )
+                seg.atomic_write_parquet(dpath, tomb)
             else:
                 os.unlink(dpath)
-            manifest["deletes_rev"] = int(manifest.get("deletes_rev", 0)) + 1
+            new_drev = int(manifest.get("deletes_rev", 0)) + 1
+            manifest["deletes_rev"] = new_drev
+            # generational copy (possibly empty) for PIT readers
+            seg.atomic_write_parquet(
+                os.path.join(sd, f"deletes_g{new_drev}.parquet"), tomb
+            )
     upath = os.path.join(sd, "updates.parquet")
     if os.path.exists(upath):
         import pyarrow.compute as pc
@@ -2472,7 +2481,12 @@ def index_doc(index_dir: str, row: dict, *, overwrite: bool = False,
         keep = pc.not_equal(ut["docid"], docid)
         if pc.any(pc.invert(keep)).as_py():
             seg.atomic_write_parquet(upath, ut.filter(keep))
-            manifest["updates_rev"] = int(manifest.get("updates_rev", 0)) + 1
+            new_urev = int(manifest.get("updates_rev", 0)) + 1
+            manifest["updates_rev"] = new_urev
+            seg.atomic_write_parquet(
+                os.path.join(sd, f"updates_g{new_urev}.parquet"),
+                ut.filter(keep),
+            )
 
     # refresh the global stats from the chunk census
     n_docs = sum(m["n_docs"] for m in all_chunks.values())

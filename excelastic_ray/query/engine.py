@@ -55,10 +55,20 @@ _INF = np.iinfo(np.int64).max
 
 class ShardSearcher:
     """In-memory searcher over one shard's postings.parquet. Stateful:
-    term dictionary + encoded postings loaded once, queries reuse it."""
+    term dictionary + encoded postings loaded once, queries reuse it.
 
-    def __init__(self, shard_path: str, config: IndexConfig):
+    ``deletes_path`` / ``updates_path`` select which tombstone /
+    doc-values-update generation this searcher serves: ``None`` (the
+    default) reads the CURRENT ``deletes.parquet`` / ``updates.parquet``,
+    ``False`` pins the empty generation (no deletes / no updates), and a
+    string path pins a specific ``*_g{rev}.parquet`` file — the
+    point-in-time mechanism (see :meth:`QueryEngine.open_pit`)."""
+
+    def __init__(self, shard_path: str, config: IndexConfig,
+                 deletes_path=None, updates_path=None):
         self.cfg = config
+        self._deletes_path = deletes_path
+        self._updates_path = updates_path
         t = pq.read_table(os.path.join(shard_path, "postings.parquet"))
         self.terms = t["term"].to_numpy(zero_copy_only=False).astype(object)
         self.df = t["df"].to_numpy()
@@ -103,8 +113,9 @@ class ShardSearcher:
         # untouched until a merge — exactly ES's pre-merge delete
         # semantics (deletes don't immediately change scoring stats)
         self.live_mask: np.ndarray | None = None
-        dpath = os.path.join(shard_path, "deletes.parquet")
-        if os.path.exists(dpath):
+        dpath = (os.path.join(shard_path, "deletes.parquet")
+                 if deletes_path is None else deletes_path)
+        if dpath and os.path.exists(dpath):
             dead = pq.read_table(dpath)["docid"].to_numpy()
             if len(dead):
                 self.live_mask = ~np.isin(self.docids, dead)
@@ -140,8 +151,9 @@ class ShardSearcher:
         # postings — including field-qualified streams — stay as
         # indexed until a reindex, exactly Lucene's updatable-DV
         # contract.
-        upath = os.path.join(shard_path, "updates.parquet")
-        if os.path.exists(upath):
+        upath = (os.path.join(shard_path, "updates.parquet")
+                 if updates_path is None else updates_path)
+        if upath and os.path.exists(upath):
             upd = pq.read_table(upath)
             u_ids = upd["docid"].to_numpy()
             u_attr = upd["attr"].to_numpy(zero_copy_only=False)
@@ -3148,11 +3160,55 @@ def _min_prefix_lev(cands: np.ndarray, query: str,
     return np.where(dead, np.iinfo(np.int64).max, prev).min(axis=1)
 
 
-class IndexReader:
-    """Opens an index directory: manifest, conv-rank table, shard access."""
+def _pinned_state_path(shard_path: str, base: str, rev: int,
+                       current_rev: int):
+    """Resolve one shard's tombstone/updates file for GLOBAL generation
+    ``rev``. Mutations write a ``{base}_g{v}.parquet`` copy only for
+    the shards they touch, so a shard's state at generation ``rev`` is
+    its newest copy at-or-before ``rev``; with no copy: ``False`` when
+    the shard was never mutated (generation 0 at any rev), the CURRENT
+    file while the pinned generation is still live (pre-generational
+    indexes), and a loud error when the pre-generational state has
+    since been overwritten."""
+    if rev <= 0:
+        return False
+    best = 0
+    prefix = f"{base}_g"
+    for fn in os.listdir(shard_path):
+        if fn.startswith(prefix) and fn.endswith(".parquet"):
+            try:
+                v = int(fn[len(prefix):-8])
+            except ValueError:
+                continue
+            if best < v <= rev:
+                best = v
+    if best:
+        return os.path.join(shard_path, f"{base}_g{best}.parquet")
+    cur = os.path.join(shard_path, f"{base}.parquet")
+    if not os.path.exists(cur):
+        return False  # shard never mutated
+    if rev == current_rev:
+        return cur
+    raise RuntimeError(
+        f"point-in-time state {base}@g{rev} is no longer available in "
+        f"{shard_path} (current generation {current_rev}; generational "
+        "copies start with the first mutation after the PIT feature)"
+    )
 
-    def __init__(self, index_dir: str):
+
+class IndexReader:
+    """Opens an index directory: manifest, conv-rank table, shard access.
+
+    ``pinned=(deletes_rev, updates_rev)`` serves the tombstone and
+    doc-values-update state as-of those generations instead of the
+    current files — the point-in-time reader (postings, docstore and
+    collection stats are immutable between merges, so only these two
+    mutable overlays need pinning)."""
+
+    def __init__(self, index_dir: str,
+                 pinned: tuple[int, int] | None = None):
         self.index_dir = index_dir
+        self._pinned = pinned
         self.manifest = seg.load_global_manifest(index_dir)
         if self.manifest.get("status") != "complete":
             raise RuntimeError(f"index at {index_dir} is not complete")
@@ -3195,7 +3251,20 @@ class IndexReader:
 
     def searcher(self, s: int) -> ShardSearcher:
         if s not in self._searchers:
-            self._searchers[s] = ShardSearcher(self.shard_path(s), self.cfg)
+            sp = self.shard_path(s)
+            if self._pinned is None:
+                self._searchers[s] = ShardSearcher(sp, self.cfg)
+            else:
+                drev, urev = self._pinned
+                self._searchers[s] = ShardSearcher(
+                    sp, self.cfg,
+                    deletes_path=_pinned_state_path(
+                        sp, "deletes", drev,
+                        int(self.manifest.get("deletes_rev", 0))),
+                    updates_path=_pinned_state_path(
+                        sp, "updates", urev,
+                        int(self.manifest.get("updates_rev", 0))),
+                )
         return self._searchers[s]
 
     def fetch_docs(self, docids, columns: list[str] | None = None):
@@ -3739,6 +3808,13 @@ class QueryEngine:
         self.algo = algo
         self.use_actors = use_actors
         self._df_cache: dict[str, int] = {}
+        # point-in-time views: (deletes_rev, updates_rev) → pinned
+        # QueryEngine, LRU-bounded (each view holds its own shard
+        # searchers — postings reload per generation, the simple-and-
+        # correct trade; close_pit evicts eagerly)
+        from collections import OrderedDict as _OD
+
+        self._pit_cache: "_OD[tuple[int, int], QueryEngine]" = _OD()
         self._actors = None
         if use_actors:
             import ray
@@ -7872,9 +7948,16 @@ class QueryEngine:
             else:
                 dead = np.sort(dead)
             total += len(dead)
+            tomb = pa.table({"docid": pa.array(dead, type=pa.int64())})
             seg.atomic_write_parquet(
-                os.path.join(r.shard_path(s), "deletes.parquet"),
-                pa.table({"docid": pa.array(dead, type=pa.int64())}),
+                os.path.join(r.shard_path(s), "deletes.parquet"), tomb
+            )
+            # generational copy: open point-in-time readers pin this
+            # exact tombstone set even after later delete calls
+            new_drev = int(r.manifest.get("deletes_rev", 0)) + 1
+            seg.atomic_write_parquet(
+                os.path.join(r.shard_path(s),
+                             f"deletes_g{new_drev}.parquet"), tomb
             )
             sr.live_mask = (
                 ~np.isin(sr.docids, dead) if len(dead) else None
@@ -7991,18 +8074,23 @@ class QueryEngine:
                 if len(sk) else np.zeros(0, dtype=bool)
             )
             keep = order[run_end]
+            merged = pa.table(
+                {
+                    "docid": pa.array(docid[keep], type=pa.int64()),
+                    "attr": pa.array(attr[keep], type=pa.string()),
+                    "value": pa.array(value[keep], type=pa.string()),
+                }
+            )
             if len(keep):
-                seg.atomic_write_parquet(
-                    upath,
-                    pa.table(
-                        {
-                            "docid": pa.array(docid[keep], type=pa.int64()),
-                            "attr": pa.array(attr[keep], type=pa.string()),
-                            "value": pa.array(value[keep],
-                                              type=pa.string()),
-                        }
-                    ),
-                )
+                seg.atomic_write_parquet(upath, merged)
+            # generational copy (written even when empty, so PIT
+            # resolution can tell "no updates at g{rev}" from "state
+            # discarded")
+            new_urev = int(r.manifest.get("updates_rev", 0)) + 1
+            seg.atomic_write_parquet(
+                os.path.join(r.shard_path(s),
+                             f"updates_g{new_urev}.parquet"), merged
+            )
             # apply in place so this engine serves the new values
             # without a reopen
             if len(hit):
@@ -8017,6 +8105,86 @@ class QueryEngine:
         seg.save_global_manifest(r.index_dir, m)
         r.manifest = m
         return total
+
+    # -- point-in-time (ES _pit) ------------------------------------------
+
+    def open_pit(self, keep_alive_s: float = 300.0) -> str:
+        """ES open-point-in-time: returns an opaque id that pins the
+        index state a search sees — later ``delete_by_query`` /
+        ``update_by_query`` calls do not affect searches routed through
+        :meth:`pit`. Like ES, the id is STATELESS encoded state (here:
+        the tombstone and doc-values generation numbers plus an expiry
+        wall-clock), so it survives engine reopens and process
+        restarts; the generational ``deletes_g{rev}`` /
+        ``updates_g{rev}`` files written by every mutation back it.
+        Postings, docstore and collection stats are immutable between
+        merges, so those two overlays are the whole mutable surface —
+        ``_forcemerge``/``_reindex`` build a NEW index dir and
+        naturally invalidate PITs, exactly ES's segment-handle
+        semantics."""
+        import base64
+        import json
+        import time
+
+        m = self.reader.manifest
+        payload = {
+            "d": int(m.get("deletes_rev", 0)),
+            "u": int(m.get("updates_rev", 0)),
+            "exp": time.time() + float(keep_alive_s),
+        }
+        return "pit_" + base64.urlsafe_b64encode(
+            json.dumps(payload).encode()
+        ).decode()
+
+    def pit(self, pit_id: str) -> "QueryEngine":
+        """→ the QueryEngine view serving ``pit_id``'s pinned state;
+        every query mode works on it unchanged. When the pinned
+        generations ARE the live ones this returns ``self`` (no extra
+        memory); otherwise a pinned local engine is built and cached
+        per generation pair (LRU 4 — a pinned view reloads the shard
+        searchers, the correctness-over-memory trade)."""
+        import base64
+        import json
+        import time
+
+        if not pit_id.startswith("pit_"):
+            raise ValueError(f"not a point-in-time id: {pit_id!r}")
+        try:
+            p = json.loads(base64.urlsafe_b64decode(pit_id[4:].encode()))
+            key = (int(p["d"]), int(p["u"]))
+            exp = float(p["exp"])
+        except Exception as e:  # malformed id
+            raise ValueError(f"malformed point-in-time id: {e}") from e
+        if time.time() > exp:
+            raise KeyError(f"point-in-time {pit_id!r} has expired")
+        m = self.reader.manifest
+        if key == (int(m.get("deletes_rev", 0)),
+                   int(m.get("updates_rev", 0))) and self._actors is None:
+            return self
+        if key in self._pit_cache:
+            self._pit_cache.move_to_end(key)
+            return self._pit_cache[key]
+        view = QueryEngine(
+            IndexReader(self.reader.index_dir, pinned=key), algo=self.algo
+        )
+        self._pit_cache[key] = view
+        while len(self._pit_cache) > 4:
+            self._pit_cache.popitem(last=False)
+        return view
+
+    def close_pit(self, pit_id: str) -> bool:
+        """ES close-point-in-time: evict the cached pinned view (the
+        id itself is stateless — closing frees the searcher memory).
+        → True when a cached view was dropped."""
+        import base64
+        import json
+
+        try:
+            p = json.loads(base64.urlsafe_b64decode(pit_id[4:].encode()))
+            key = (int(p["d"]), int(p["u"]))
+        except Exception:
+            return False
+        return self._pit_cache.pop(key, None) is not None
 
     def search_many(self, queries: list[str], k: int = 10,
                     filters: dict | None = None, mode: str = "or"):

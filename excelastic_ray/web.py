@@ -415,6 +415,7 @@ class ImportServer:
                                 inner_hits=(int(q["inner_hits"])
                                             if q.get("inner_hits")
                                             else None),
+                                pit=q.get("pit") or None,
                             ),
                         )
                     else:
@@ -530,6 +531,19 @@ class ImportServer:
                             "utf-8", "replace"
                         )
                         self._json(200, server.msearch(body))
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/pit":
+                    # ES POST /<index>/_pit analog: open a point-in-time
+                    try:
+                        self._json(
+                            200,
+                            server.open_pit(
+                                q["index"],
+                                float(q.get("keep_alive", "300")),
+                            ),
+                        )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
@@ -714,6 +728,15 @@ class ImportServer:
                     try:
                         self._json(
                             200, server.scroll_clear(q["scroll_id"])
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/pit":
+                    # ES DELETE /_pit analog
+                    try:
+                        self._json(
+                            200, server.close_pit(q["index"], q["id"])
                         )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
@@ -1530,6 +1553,31 @@ class ImportServer:
             index, render_search_template(source, dict(params or {})), k
         )
 
+    def open_pit(self, index: str, keep_alive_s: float = 300.0) -> dict:
+        """ES POST /<index>/_pit: open a point-in-time and return its
+        stateless id (encodes the tombstone/doc-values generations +
+        expiry; backed by the generational files every mutation
+        writes). Single-index, like ES."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError(
+                f"alias {index!r} spans {len(targets)} indices; _pit "
+                "is single-index"
+            )
+        eng = self._acquire_engine(index, targets)
+        return {"id": eng.open_pit(keep_alive_s), "index": targets[0],
+                "keep_alive_s": float(keep_alive_s)}
+
+    def close_pit(self, index: str, pit_id: str) -> dict:
+        """ES DELETE /_pit: evict the cached pinned view."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        eng = self._acquire_engine(index, targets)
+        return {"closed": bool(eng.close_pit(pit_id))}
+
     def scroll_open(self, index: str, query: str, k: int = 10) -> dict:
         """ES scroll analog (relevance order): first page + scroll_id.
 
@@ -1626,11 +1674,18 @@ class ImportServer:
                fragment_size: int | None = None,
                number_of_fragments: int = 5,
                indices_boost: str | None = None,
-               inner_hits: int | None = None) -> dict:
+               inner_hits: int | None = None,
+               pit: str | None = None) -> dict:
         from excelastic_ray.index.snapshot import alias_filter, resolve_alias
 
         targets = resolve_alias(self.index_root, index)
         eng = self._acquire_engine(index, targets)
+        if pit is not None:
+            # ES point-in-time search: route through the pinned view so
+            # concurrent delete/update_by_query don't shift the results
+            if len(targets) > 1:
+                raise ValueError("pit search must target one index")
+            eng = eng.pit(pit)
         # ES filtered alias: the alias's own filter applies to every
         # search through it; supported on the plain relevance modes
         # (incl. paging/highlight/min_score) — the special query modes

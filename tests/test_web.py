@@ -1200,3 +1200,63 @@ def test_filtered_alias_over_http(ray_session, tmp_path):
             assert b"plain relevance" in e.read()
     finally:
         srv.stop()
+
+
+def test_pit_over_http(ray_session, tmp_path):
+    """ES _pit over HTTP: open a point-in-time, mutate via the doc
+    DELETE endpoint, and verify pit-routed searches keep serving the
+    pre-mutation state while plain searches see the new one."""
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "pitroot")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=12, seed=5)),
+        f"{root}/p",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        _, body = _get(base + "/api/search?index=p&q=the+tool+run&k=50")
+        before = [h["docid"] for h in json.loads(body)["hits"]]
+        assert before
+
+        _, body = _req(base + "/api/pit?index=p&keep_alive=600", "POST")
+        pit_id = body["id"]
+        assert pit_id.startswith("pit_")
+
+        # tombstone the top hit via the single-doc DELETE endpoint
+        _, hits_body = _get(base + "/api/search?index=p&q=the+tool+run")
+        top = json.loads(hits_body)["hits"][0]
+        status, _r = _req(
+            base + f"/api/doc?index=p&conv_id={top['conv_id']}"
+            f"&turn_idx={top['turn_idx']}", "DELETE")
+        assert status == 200
+
+        _, body = _get(base + "/api/search?index=p&q=the+tool+run&k=50")
+        live = [h["docid"] for h in json.loads(body)["hits"]]
+        assert top["docid"] not in live
+
+        _, body = _get(
+            base + f"/api/search?index=p&q=the+tool+run&k=50&pit={pit_id}")
+        pinned = [h["docid"] for h in json.loads(body)["hits"]]
+        assert pinned == before  # the PIT still serves the old state
+
+        status, body = _req(
+            base + f"/api/pit?index=p&id={pit_id}", "DELETE")
+        assert status == 200
+
+        # a garbage pit id surfaces as an error, not a crash
+        try:
+            _get(base + "/api/search?index=p&q=the&pit=bogus")
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.stop()
