@@ -3199,6 +3199,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_retriever_linear(sf_dir):
+        # ES 8.18 retriever tree, `linear` fusion: the BM25 leg and
+        # the knn leg minmax-normalized over their top-window scores
+        # and weighted 2:1. Leaf scores are trunc6'd BEFORE
+        # normalization on BOTH sides (engine and twin), so the fusion
+        # arithmetic runs on identical doubles.
+        import pyarrow as pa
+
+        from excelastic_ray.pipelines.textstats import trunc6
+        from excelastic_ray.query.engine import QueryEngine
+        from excelastic_ray.query.retriever import search_retriever
+
+        eng = QueryEngine(_index_for(sf_dir))
+        emb, qids, qmat = _query_vecs(sf_dir, n=3)
+        cos = similarity.cosine_topk(
+            emb, qmat, query_ids=qids, k=RRF_WINDOW, rank_trunc6=True
+        ).to_pandas()
+        parts = []
+        for qid, text_q, vid in HYBRID_QUERIES:
+
+            def standard_fn(query, window, _filt, _tq=text_q):
+                t = eng.search(_tq, k=window)
+                ids = [
+                    int(c[5:]) * 8 + ti
+                    for c, ti in zip(t["conv_id"].to_pylist(),
+                                     t["turn_idx"].to_pylist())
+                ]
+                s6 = trunc6(np.asarray(t["score"].to_pylist()))
+                return list(zip(ids, s6.tolist()))
+
+            def knn_fn(spec, window, _vid=vid):
+                sub = cos[cos.query_id == _vid].sort_values(
+                    ["cos", "vec_id"], ascending=[False, True]
+                ).head(window)
+                return list(zip(sub.vec_id.astype(int).tolist(),
+                                sub.cos.tolist()))
+
+            body = {
+                "retriever": {"linear": {
+                    "rank_window_size": RRF_WINDOW,
+                    "retrievers": [
+                        {"retriever": {"standard": {"query": text_q}},
+                         "weight": 2.0, "normalizer": "minmax"},
+                        {"retriever": {"knn": {"k": RRF_WINDOW}},
+                         "weight": 1.0, "normalizer": "minmax"},
+                    ],
+                }},
+            }
+            t = search_retriever(body, k=10, standard_fn=standard_fn,
+                                 knn_fn=knn_fn)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(t),
+                                             type=pa.string()),
+                        "doc_id": t["id"],
+                        "score": pa.array(
+                            trunc6(np.asarray(t["score"].to_pylist())),
+                            type=pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     def q_ann_cosine_topk(sf_dir):
         emb, qids, qmat = _query_vecs(sf_dir)
         return similarity.cosine_topk(emb, qmat, query_ids=qids, k=10)
@@ -3799,6 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": q_budget_select,
         "ann_cosine_topk": q_ann_cosine_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "retriever_linear": q_retriever_linear,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5437,6 +5503,116 @@ fused AS (
 )
 SELECT query_id, doc_id,
        floor(raw * 1000000 + 0.5) / 1000000 AS rrf
+FROM fused
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, doc_id) <= 10
+"""
+    )
+
+
+def _retriever_linear_sql() -> str:
+    """retriever_linear twin: BM25 and cosine top-windows with their
+    scores trunc6'd, each minmax-normalized over its own window
+    (constant window → 1.0, the engine's documented edge), weighted
+    2:1 and summed in leg order (0 for a missing leg — exact in IEEE:
+    0.0 + x == x), top-10 per query on (score DESC, doc_id ASC)."""
+    from excelastic_ray.analysis import query_terms
+
+    hv = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q, _vid in HYBRID_QUERIES
+        for t in query_terms(q)
+    )
+    hq = ", ".join(f"('{qid}', {vid})" for qid, _q, vid in HYBRID_QUERIES)
+    return (
+        _BASE
+        + f""",
+dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT conv_id, turn_idx, unnest(toks) AS term FROM base)
+    GROUP BY conv_id, turn_idx, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {hv}),
+hq(query_id, vec_id) AS (VALUES {hq}),
+bmscored AS (
+    SELECT q.query_id, tf.conv_id, tf.turn_idx,
+           sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.conv_id, tf.turn_idx
+),
+bmw AS (
+    SELECT query_id,
+           CAST(substr(conv_id, 6) AS BIGINT) * 8 + turn_idx AS doc_id,
+           floor(raw * 1000000 + 0.5) / 1000000 AS s6,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY raw DESC, conv_id, turn_idx) AS r
+    FROM bmscored
+    QUALIFY r <= {RRF_WINDOW}
+),
+bmn AS (
+    SELECT query_id, doc_id,
+           CASE WHEN max(s6) OVER (PARTITION BY query_id)
+                     > min(s6) OVER (PARTITION BY query_id)
+                THEN (s6 - min(s6) OVER (PARTITION BY query_id))
+                     / (max(s6) OVER (PARTITION BY query_id)
+                        - min(s6) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS ns
+    FROM bmw
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+cosp AS (
+    SELECT hq.query_id, e.vec_id AS doc_id,
+           floor(list_sum(list_transform(range(1, len(qv.v) + 1),
+                i -> qv.v[i] * e.v[i])) / (qv.nrm * e.nrm)
+                * 1000000 + 0.5) / 1000000 AS cos6
+    FROM hq
+    JOIN nv qv ON qv.vec_id = hq.vec_id
+    CROSS JOIN nv e
+),
+cosw AS (
+    SELECT query_id, doc_id, cos6,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cos6 DESC, doc_id) AS r
+    FROM cosp
+    QUALIFY r <= {RRF_WINDOW}
+),
+cosn AS (
+    SELECT query_id, doc_id,
+           CASE WHEN max(cos6) OVER (PARTITION BY query_id)
+                     > min(cos6) OVER (PARTITION BY query_id)
+                THEN (cos6 - min(cos6) OVER (PARTITION BY query_id))
+                     / (max(cos6) OVER (PARTITION BY query_id)
+                        - min(cos6) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS ns
+    FROM cosw
+),
+fused AS (
+    SELECT coalesce(bmn.query_id, cosn.query_id) AS query_id,
+           coalesce(bmn.doc_id, cosn.doc_id) AS doc_id,
+           coalesce(2.0 * bmn.ns, 0) + coalesce(1.0 * cosn.ns, 0) AS raw
+    FROM bmn
+    FULL JOIN cosn
+      ON bmn.query_id = cosn.query_id AND bmn.doc_id = cosn.doc_id
+)
+SELECT query_id, doc_id,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
 FROM fused
 QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY raw DESC, doc_id) <= 10
@@ -7491,6 +7667,7 @@ SELECT * FROM (
 ) WHERE avg_value >= 50.0
 """,
         "hybrid_rrf": _hybrid_sql(),
+        "retriever_linear": _retriever_linear_sql(),
         "budget_select": _DOCTOK
         + """
 , m AS (
