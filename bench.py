@@ -367,6 +367,10 @@ def run_bench() -> dict:
             "bm25_say",
             "bm25_collapse_inner",
             "bm25_script_query",
+            # round-5 session-4 additions
+            "agg_tree_metrics",
+            "agg_tree_date_range",
+            "retriever_linear",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
