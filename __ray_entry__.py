@@ -2702,6 +2702,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
             spec,
         )
 
+    def q_agg_tree_quantiles(sf_dir):
+        # the exact quantile metric kinds: percentiles (ES percents
+        # list; (bucket, value, count) histogram rows through the
+        # exchange, quantile_cont interpolation on the driver,
+        # budget-gated), median_absolute_deviation (two-pass median
+        # off the same histogram), and the stats bundle — per terms
+        # bucket plus a top-level percentiles on the synthetic root
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        spec = {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "v_pct": {"percentiles": {
+                        "field": "value",
+                        "percents": [25, 50, 75, 99]}},
+                    "v_mad": {"median_absolute_deviation": {
+                        "field": "value"}},
+                    "v_st": {"stats": {"field": "value"}},
+                },
+            },
+            "g_pct": {"percentiles": {"field": "value",
+                                      "percents": [50, 95]}},
+        }
+        return agg_tree_fanout(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"]),
+            spec,
+        )
+
+    def q_agg_tree_missing_filter(sf_dir):
+        # the ES single-bucket kinds: `missing` (docs WITHOUT the
+        # field — missingness derived deterministically, user_id % 7
+        # → null, since the synthetic tables carry no nulls) with a
+        # nested terms set, and `filter` (term-filter matches) with a
+        # stats metric and a weekly date_histogram nested under it
+        import numpy as np
+        import pyarrow as pa
+
+        from excelastic_ray.io import read_parquet_clean
+        from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+        def add_opt(b: pa.Table) -> pa.Table:
+            u = b["user_id"].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            return b.append_column(
+                "user_opt", pa.array(np.where(u % 7 == 0, np.nan, u)))
+
+        ds = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "value"],
+        ).map_batches(add_opt, batch_format="pyarrow")
+        spec = {
+            "no_user": {
+                "missing": {"field": "user_opt"},
+                "aggs": {
+                    "v_avg_m": {"avg": {"field": "value"}},
+                    "by_type_m": {"terms": {"field": "event_type",
+                                            "size": 3}},
+                },
+            },
+            "clicks": {
+                "filter": {"field": "event_type", "value": "click"},
+                "aggs": {
+                    "v_stats_f": {"stats": {"field": "value"}},
+                    "per_week_f": {"date_histogram": {
+                        "field": "ts", "interval_hours": 168}},
+                },
+            },
+        }
+        return agg_tree_fanout(ds, spec)
+
     def q_doc_crud(sf_dir):
         # single-document CRUD over a scratch COPY of the cached index:
         # index a new conversation, append a turn to an existing one,
@@ -3827,6 +3900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_tree_fanout": q_agg_tree_fanout,
         "agg_tree_metrics": q_agg_tree_metrics,
         "agg_tree_date_range": q_agg_tree_date_range,
+        "agg_tree_quantiles": q_agg_tree_quantiles,
+        "agg_tree_missing_filter": q_agg_tree_missing_filter,
         "bucket_sort_agg": q_bucket_sort_agg,
         "exact_substr": q_exact_substr,
         "role_transitions": q_role_transitions,
@@ -7611,6 +7686,110 @@ SELECT 'by_type_w', by_when_key, event_type,
              / count(value) * 1000000 + 0.5) / 1000000
 FROM rows_ WHERE event_type IS NOT NULL
 GROUP BY 2, 3
+""",
+        # exact-quantile twin: percentiles = quantile_cont at each
+        # percent, mad = the two-pass quantile_cont CTE (median of
+        # |v − group median|), stats = the count/min/max/avg/sum
+        # bundle with the engine's trunc6 conventions (avg from the
+        # truncated sum)
+        "agg_tree_quantiles": """
+WITH kept AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 3
+),
+med AS (
+  SELECT e.event_type, quantile_cont(e.value, 0.5) AS m
+  FROM events e JOIN kept USING (event_type) GROUP BY 1
+)
+SELECT '_root' AS agg, CAST(NULL AS VARCHAR) AS by_type_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000
+         AS g_pct_p50,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000
+         AS g_pct_p95,
+       CAST(NULL AS DOUBLE) AS v_pct_p25,
+       CAST(NULL AS DOUBLE) AS v_pct_p50,
+       CAST(NULL AS DOUBLE) AS v_pct_p75,
+       CAST(NULL AS DOUBLE) AS v_pct_p99,
+       CAST(NULL AS DOUBLE) AS v_mad,
+       CAST(NULL AS BIGINT) AS v_st_count,
+       CAST(NULL AS DOUBLE) AS v_st_min,
+       CAST(NULL AS DOUBLE) AS v_st_max,
+       CAST(NULL AS DOUBLE) AS v_st_avg,
+       CAST(NULL AS DOUBLE) AS v_st_sum
+FROM events
+UNION ALL
+SELECT 'by_type', e.event_type, CAST(count(*) AS BIGINT),
+       NULL, NULL,
+       floor(quantile_cont(e.value, 0.25) * 1000000 + 0.5) / 1000000,
+       floor(quantile_cont(e.value, 0.50) * 1000000 + 0.5) / 1000000,
+       floor(quantile_cont(e.value, 0.75) * 1000000 + 0.5) / 1000000,
+       floor(quantile_cont(e.value, 0.99) * 1000000 + 0.5) / 1000000,
+       floor(quantile_cont(abs(e.value - med.m), 0.5) * 1000000 + 0.5)
+         / 1000000,
+       CAST(count(e.value) AS BIGINT),
+       floor(min(e.value) * 1000000 + 0.5) / 1000000,
+       floor(max(e.value) * 1000000 + 0.5) / 1000000,
+       floor((floor(sum(e.value) * 1000000 + 0.5) / 1000000)
+             / count(e.value) * 1000000 + 0.5) / 1000000,
+       floor(sum(e.value) * 1000000 + 0.5) / 1000000
+FROM events e JOIN kept USING (event_type) JOIN med USING (event_type)
+GROUP BY 2
+""",
+        # missing/filter twin: missingness derived by the same
+        # user_id % 7 rule; 'missing'/'match' single buckets with
+        # their nested grouping sets
+        "agg_tree_missing_filter": """
+WITH opt AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END
+           AS user_opt, *
+  FROM events
+),
+ku AS (
+  SELECT event_type FROM opt
+  WHERE user_opt IS NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 3
+)
+SELECT 'no_user' AS agg, 'missing' AS no_user_key,
+       CAST(NULL AS VARCHAR) AS by_type_m_key,
+       CAST(NULL AS VARCHAR) AS clicks_key,
+       CAST(NULL AS TIMESTAMP) AS per_week_f_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       floor((floor(sum(value) * 1000000 + 0.5) / 1000000)
+             / count(value) * 1000000 + 0.5) / 1000000 AS v_avg_m,
+       CAST(NULL AS BIGINT) AS v_stats_f_count,
+       CAST(NULL AS DOUBLE) AS v_stats_f_min,
+       CAST(NULL AS DOUBLE) AS v_stats_f_max,
+       CAST(NULL AS DOUBLE) AS v_stats_f_avg,
+       CAST(NULL AS DOUBLE) AS v_stats_f_sum
+FROM opt WHERE user_opt IS NULL
+UNION ALL
+SELECT 'by_type_m', 'missing', o.event_type, NULL, NULL,
+       CAST(count(*) AS BIGINT), NULL,
+       NULL, NULL, NULL, NULL, NULL
+FROM opt o JOIN ku USING (event_type)
+WHERE o.user_opt IS NULL
+GROUP BY 3
+UNION ALL
+SELECT 'clicks', NULL, NULL, 'match', NULL,
+       CAST(count(*) AS BIGINT), NULL,
+       CAST(count(value) AS BIGINT),
+       floor(min(value) * 1000000 + 0.5) / 1000000,
+       floor(max(value) * 1000000 + 0.5) / 1000000,
+       floor((floor(sum(value) * 1000000 + 0.5) / 1000000)
+             / count(value) * 1000000 + 0.5) / 1000000,
+       floor(sum(value) * 1000000 + 0.5) / 1000000
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'per_week_f', NULL, NULL, 'match',
+       to_timestamp((epoch_us(ts) // 604800000000) * 604800
+         )::TIMESTAMP,
+       CAST(count(*) AS BIGINT), NULL,
+       NULL, NULL, NULL, NULL, NULL
+FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+GROUP BY 5
 """,
         # bucket_sort twin: rank event_type buckets by the trunc6'd
         # avg(value) DESC (key-ASC ties — the engine's tiebreak), keep

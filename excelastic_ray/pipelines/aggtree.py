@@ -65,14 +65,29 @@ BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
 METRIC_KINDS = ("value_count", "sum", "avg", "min", "max")
 
 # the fanout executor's wider surface (the path executor keeps v1's set)
-FANOUT_BUCKET_KINDS = BUCKET_KINDS + ("date_range",)
+FANOUT_BUCKET_KINDS = BUCKET_KINDS + ("date_range", "missing", "filter")
 FANOUT_METRIC_KINDS = METRIC_KINDS + (
     "weighted_avg", "extended_stats", "rate", "cardinality",
+    "stats", "percentiles", "median_absolute_deviation",
 )
-#: exact-cardinality distinct-pair budget: the combine's output holds one
-#: row per distinct (bucket, value) pair; past this the driver refuses and
-#: points at the KMV sketch (ES itself goes approximate via HLL here)
+#: exact-cardinality / exact-quantile distinct-pair budget: the combine's
+#: output holds one row per distinct (bucket, value) pair; past this the
+#: driver refuses and points at the approximate scale path (KMV for
+#: cardinality; pre-discretizing the metric field for quantiles — ES
+#: itself goes approximate here via HLL / t-digest)
 CARDINALITY_BUDGET = 2_000_000
+
+#: bucket-key kinds whose key column is a string (vs timestamp / float)
+_STR_KEY_KINDS = ("terms", "range", "date_range", "missing", "filter")
+
+#: ES percentiles default percents
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _pct_tag(p: float) -> str:
+    """25 → 'p25', 99.9 → 'p99_9' — the flat-column suffix for a
+    percentile (the ES response keys percents as strings)."""
+    return "p" + ("%g" % float(p)).replace(".", "_")
 _RATE_UNIT_S = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
                 "day": 86400.0, "week": 604800.0}
 
@@ -178,6 +193,22 @@ def _level_keys(batch: pa.Table, kind: str, params: dict) -> np.ndarray:
         )
         interval = float(params["interval"])
         return np.floor(v / interval) * interval
+    if kind == "missing":
+        # ES `missing` agg: ONE bucket holding the docs WITHOUT the
+        # field; everything else keys to None (excluded from the set)
+        vals = batch[params["field"]].to_numpy(zero_copy_only=False)
+        out = np.full(len(vals), None, dtype=object)
+        out[np.asarray(pd.isna(vals))] = "missing"
+        return out
+    if kind == "filter":
+        # ES `filter` agg (single-bucket): docs matching the term
+        # filter {field, value} — the engine's filter-context analog
+        # of the ES query-DSL filter body
+        vals = batch[params["field"]].to_numpy(zero_copy_only=False)
+        eq = pd.Series(vals).eq(params["value"]).to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        out[eq & ~np.asarray(pd.isna(vals))] = "match"
+        return out
     raise ValueError(f"unknown bucket kind {kind!r}")
 
 
@@ -487,9 +518,31 @@ def _parse_fanout(spec: dict) -> list[dict]:
                         )
                 elif "field" not in mspec:
                     raise ValueError(f"metric {name!r} needs a field")
+                if op == "percentiles":
+                    pcts = [float(p) for p in
+                            mspec.get("percents", _DEFAULT_PERCENTS)]
+                    if not pcts or any(
+                            not (0.0 <= p <= 100.0) for p in pcts):
+                        raise ValueError(
+                            f"percentiles {name!r}: percents must be "
+                            f"in [0, 100], got {pcts}"
+                        )
+                    if len({_pct_tag(p) for p in pcts}) != len(pcts):
+                        raise ValueError(
+                            f"percentiles {name!r}: duplicate percents"
+                        )
+                    mspec["percents"] = pcts
                 owner["metrics"].append((name, op, mspec))
                 continue
             claim(name)
+            if kind == "missing" and "field" not in body[kind]:
+                raise ValueError(f"missing agg {name!r} needs a field")
+            if kind == "filter" and not (
+                    "field" in body[kind] and "value" in body[kind]):
+                raise ValueError(
+                    f"filter agg {name!r} needs field and value (the "
+                    "term-filter analog of the ES filter body)"
+                )
             node = {"name": name, "kind": kind, "params": body[kind],
                     "path": path + [name], "metrics": []}
             nodes.append(node)
@@ -521,12 +574,50 @@ def _parse_fanout(spec: dict) -> list[dict]:
                         f"{m!r}, which is not a sibling metric of that "
                         "bucket (nor _count)"
                     )
-                if own.get(m) in ("extended_stats", "cardinality"):
+                if own.get(m) in ("extended_stats", "cardinality",
+                                  "stats", "percentiles",
+                                  "median_absolute_deviation"):
                     raise ValueError(
                         f"bucket_sort cannot sort by the multi-valued/"
                         f"driver-computed metric {m!r}"
                     )
     return nodes
+
+
+def _weighted_quantiles(vs: np.ndarray, cs: np.ndarray,
+                        qs: list) -> list:
+    """quantile_cont over a (value, count) histogram: order-stat
+    interpolation identical to SQL ``quantile_cont`` — pos = (n−1)·q,
+    linear between the floor/ceil order stats, found by binary search
+    over the cumulative counts (never expanding the histogram)."""
+    order = np.argsort(vs, kind="mergesort")
+    vs, cs = vs[order], cs[order]
+    n = int(cs.sum())
+    if n == 0:
+        return [np.nan] * len(qs)
+    cum = np.cumsum(cs)
+    out = []
+    for q in qs:
+        pos = (n - 1) * float(q)
+        k0, k1 = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - k0
+        i0 = int(np.searchsorted(cum, k0, side="right"))
+        i1 = int(np.searchsorted(cum, k1, side="right"))
+        out.append(float(vs[i0] + (vs[i1] - vs[i0]) * frac))
+    return out
+
+
+def _weighted_mad(vs: np.ndarray, cs: np.ndarray) -> float:
+    """median(|x − median(x)|) over the histogram — both medians via
+    quantile_cont interpolation (the two-pass SQL twin). The abs-diff
+    transform folds symmetric values, so counts re-merge by unique."""
+    med = _weighted_quantiles(vs, cs, [0.5])[0]
+    if med != med:
+        return float("nan")
+    ad = np.abs(np.asarray(vs, dtype=np.float64) - med)
+    u, inv = np.unique(ad, return_inverse=True)
+    w = np.bincount(inv, weights=np.asarray(cs, dtype=np.float64))
+    return _weighted_quantiles(u, w, [0.5])[0]
 
 
 def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
@@ -570,6 +661,20 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
     canonical (node, key) order — bucket_sort's observable effect here
     is the truncation window (the flat table carries no response-order
     channel).
+
+    Single-bucket kinds: ``missing`` (docs WITHOUT the field — the ES
+    missing agg; key = ``"missing"``) and ``filter`` (docs matching a
+    ``{field, value}`` term filter — the engine's filter-context
+    analog of the ES filter body; key = ``"match"``) nest anywhere a
+    bucket agg can. Quantile metrics: ``percentiles`` (ES percents
+    list, default 1/5/25/50/75/95/99) and ``median_absolute_deviation``
+    are EXACT — (bucket, value, count) histogram rows ride the same
+    exchange as the cardinality pairs, quantile_cont interpolation on
+    the driver, budget-gated by ``CARDINALITY_BUDGET`` (ES itself is
+    approximate here via t-digest — exactness is the documented
+    deviation; pre-discretize the field to bound the value space at
+    scale). ``stats`` is the count/min/max/avg/sum bundle from the
+    additive partials.
     """
     nodes = _parse_fanout(spec)
     by_name = {n["name"]: n for n in nodes}
@@ -578,6 +683,8 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
     kind_of = {f"{n['name']}_key": n["kind"] for n in nodes if n["kind"]}
     all_metrics = [m for n in nodes for m in n["metrics"]]
     has_card = any(op == "cardinality" for _m, op, _s in all_metrics)
+    has_vals = any(op in ("percentiles", "median_absolute_deviation")
+                   for _m, op, _s in all_metrics)
     norm_ranges = {
         f"{n['name']}_key": _norm_ranges(n["kind"], n["params"])
         for n in nodes if n["kind"] in ("range", "date_range")
@@ -601,22 +708,28 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             elif op == "extended_stats":
                 cols += [f"{mname}__sum", f"{mname}__sumsq",
                          f"{mname}__n", f"{mname}__min", f"{mname}__max"]
+            elif op == "stats":
+                cols += [f"{mname}__sum", f"{mname}__n",
+                         f"{mname}__min", f"{mname}__max"]
             elif op == "rate" and spec_.get("field"):
                 cols.append(f"{mname}__sum")
-            # cardinality: no partial column — it rides as tagged
-            # distinct-(bucket, value)-pair rows (see partial)
+            # cardinality / percentiles / median_absolute_deviation:
+            # no partial column — they ride as tagged
+            # (bucket, value)-pair rows (see partial)
         return cols
 
     union_metric_cols = _metric_partial_cols(all_metrics)
     union_cols = (["agg"] + key_cols + ["doc_count"] + union_metric_cols
-                  + (["__cardv"] if has_card else []))
+                  + (["__cardv"] if has_card else [])
+                  + (["__valv"] if has_vals else []))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         n_rows = batch.num_rows
         # every non-range level's key array, computed once per batch
         keys: dict[str, np.ndarray] = {}
         for node in nodes:
-            if node["kind"] in ("terms", "date_histogram", "histogram"):
+            if node["kind"] in ("terms", "date_histogram", "histogram",
+                                "missing", "filter"):
                 keys[node["name"]] = _level_keys(
                     batch, node["kind"], node["params"])
         parts: list[pd.DataFrame] = []
@@ -645,7 +758,18 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                     df[kc] = kv
                     valid &= ~pd.isna(kv)
             card_metrics = []
+            vals_metrics = []
             for mname, op, spec_ in node["metrics"]:
+                if op in ("percentiles", "median_absolute_deviation"):
+                    # exact quantiles: the raw values ride alongside so
+                    # the (bucket, value) pair rows see the SAME range
+                    # expansion as the bucket rows; counts merge in the
+                    # combine, quantiles interpolate on the driver
+                    df[f"{mname}__valv"] = batch[
+                        spec_["field"]
+                    ].to_numpy(zero_copy_only=False).astype(np.float64)
+                    vals_metrics.append(mname)
+                    continue
                 if op == "cardinality":
                     # raw values ride alongside so the distinct pairs
                     # see the SAME range expansion as the bucket rows
@@ -684,6 +808,11 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                     df[f"{mname}__n"] = (~np.isnan(col)).astype(np.int64)
                     df[f"{mname}__min"] = col
                     df[f"{mname}__max"] = col
+                elif op == "stats":
+                    df[f"{mname}__sum"] = col
+                    df[f"{mname}__n"] = (~np.isnan(col)).astype(np.int64)
+                    df[f"{mname}__min"] = col
+                    df[f"{mname}__max"] = col
             df = df[valid]
             # range expansion on THIS node's path: one copy per
             # matching range (overlaps legal); rows matching no range
@@ -717,8 +846,7 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             g["agg"] = node["name"]
             for c in union_cols:
                 if c not in g.columns:
-                    g[c] = (None if kind_of.get(c) in
-                            ("terms", "range", "date_range")
+                    g[c] = (None if kind_of.get(c) in _STR_KEY_KINDS
                             or c in ("agg", "__cardv") else np.nan)
             parts.append(g[union_cols])
             # exact-cardinality pair rows: one per distinct
@@ -734,16 +862,33 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                 for c in union_cols:
                     if c not in cv.columns:
                         cv[c] = (None if kind_of.get(c) in
-                                 ("terms", "range", "date_range")
-                                 else np.nan)
+                                 _STR_KEY_KINDS else np.nan)
                 parts.append(cv[union_cols])
+            # exact-quantile pair rows: one per distinct (bucket-key
+            # tuple, value) per batch with its in-batch count riding
+            # doc_count — the combine SUMS counts globally, the driver
+            # interpolates quantiles over the merged histogram
+            for mname in vals_metrics:
+                vv = df[pcols + [f"{mname}__valv"]]
+                vv = vv[pd.notna(vv[f"{mname}__valv"])].copy()
+                vv["__valv"] = vv.pop(f"{mname}__valv").astype(
+                    np.float64)
+                g2 = (vv.groupby(pcols + ["__valv"], sort=False)
+                      .size().reset_index(name="doc_count"))
+                g2["agg"] = "__vals__" + mname
+                for c in union_cols:
+                    if c not in g2.columns:
+                        g2[c] = (None if kind_of.get(c) in
+                                 _STR_KEY_KINDS else np.nan)
+                parts.append(g2[union_cols])
         return pd.concat(parts, ignore_index=True)
 
-    hash_cols = ["agg"] + key_cols + (["__cardv"] if has_card else [])
+    hash_cols = (["agg"] + key_cols + (["__cardv"] if has_card else [])
+                 + (["__valv"] if has_vals else []))
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # __cardv joins the hash so one hot bucket's distinct values
-        # spread over the exchange instead of piling on one reducer
+        # __cardv / __valv join the hash so one hot bucket's distinct
+        # values spread over the exchange instead of piling on one reducer
         h = pd.util.hash_pandas_object(df[hash_cols], index=False
                                        ).to_numpy()
         out = df.copy()
@@ -768,18 +913,21 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
         .groupby("__bucket")
         .map_groups(combine, batch_format="pandas")
     )
-    if has_card:
-        # exact cardinality holds one combined row per distinct
-        # (bucket, value) pair; count distributed BEFORE collecting and
-        # refuse past the budget (the KMV sketch is the scale path)
+    if has_card or has_vals:
+        # exact cardinality / exact quantiles hold one combined row per
+        # distinct (bucket, value) pair; count distributed BEFORE
+        # collecting and refuse past the budget (the scale paths:
+        # sketch.kmv_distinct for cardinality; pre-discretizing the
+        # metric field — a histogram level — for quantiles)
         mat = pipe.materialize()
         n_comb = mat.count()
         if n_comb > CARDINALITY_BUDGET:
             raise RuntimeError(
-                f"exact cardinality would collect {n_comb} combined "
-                f"rows (> budget {CARDINALITY_BUDGET}); use "
+                f"exact cardinality/quantiles would collect {n_comb} "
+                f"combined rows (> budget {CARDINALITY_BUDGET}); use "
                 "excelastic_ray.pipelines.sketch.kmv_distinct for an "
-                "approximate count at this cardinality"
+                "approximate distinct count, or pre-discretize the "
+                "quantile field to bound its value space"
             )
         fine = mat.to_pandas()
     else:
@@ -796,13 +944,22 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             else:
                 cols[kc] = pa.array([], type=pa.string())
         cols["doc_count"] = pa.array([], type=pa.int64())
-        for mname, op, _s in all_metrics:
+        for mname, op, spec_ in all_metrics:
             if op == "extended_stats":
                 cols[f"{mname}_count"] = pa.array([], type=pa.int64())
                 for sub in ("min", "max", "avg", "sum",
                             "sum_of_squares", "variance",
                             "std_deviation"):
                     cols[f"{mname}_{sub}"] = pa.array(
+                        [], type=pa.float64())
+            elif op == "stats":
+                cols[f"{mname}_count"] = pa.array([], type=pa.int64())
+                for sub in ("min", "max", "avg", "sum"):
+                    cols[f"{mname}_{sub}"] = pa.array(
+                        [], type=pa.float64())
+            elif op == "percentiles":
+                for p in spec_["percents"]:
+                    cols[f"{mname}_{_pct_tag(p)}"] = pa.array(
                         [], type=pa.float64())
             else:
                 cols[mname] = pa.array(
@@ -837,10 +994,53 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
         if not len(fine):
             return _typed_empty()
 
+    # split off the exact-quantile (bucket, value, count) rows:
+    # interpolate each metric's quantiles per owner bucket over the
+    # merged histogram → per-metric lookup frames joined in at output
+    vals_tables: dict[str, tuple] = {}
+    if has_vals:
+        is_vals = fine["agg"].str.startswith("__vals__", na=False)
+        vrows = fine[is_vals]
+        fine = (fine[~is_vals].drop(columns="__valv")
+                .reset_index(drop=True))
+        for node in nodes:
+            for mname, op, spec_ in node["metrics"]:
+                if op not in ("percentiles",
+                              "median_absolute_deviation"):
+                    continue
+                pc = [f"{p}_key" for p in node["path"]]
+                rows = vrows[vrows["agg"] == "__vals__" + mname]
+                qs = (spec_["percents"] if op == "percentiles"
+                      else None)
+                vcols = ([f"__{mname}_{_pct_tag(p)}" for p in qs]
+                         if qs is not None else [f"__{mname}_mad"])
+
+                def _qvals(sub: pd.DataFrame) -> list:
+                    vs = sub["__valv"].to_numpy(dtype=np.float64)
+                    cs = sub["doc_count"].to_numpy(dtype=np.float64)
+                    if qs is None:
+                        return [_weighted_mad(vs, cs)]
+                    return _weighted_quantiles(
+                        vs, cs, [p / 100.0 for p in qs])
+
+                if pc:
+                    recs = []
+                    for gk, sub in rows.groupby(pc, sort=False,
+                                                dropna=False):
+                        gk = gk if isinstance(gk, tuple) else (gk,)
+                        recs.append(tuple(gk) + tuple(_qvals(sub)))
+                    cnt = pd.DataFrame(recs, columns=pc + vcols)
+                else:
+                    cnt = pd.DataFrame([tuple(_qvals(rows))],
+                                       columns=vcols)
+                vals_tables[mname] = (pc, cnt)
+        if not len(fine):
+            return _typed_empty()
+
     # normalize object-key missing markers (groupby round-trips can
     # surface NaN where partials wrote None)
     for kc in key_cols:
-        if kind_of[kc] in ("terms", "range", "date_range"):
+        if kind_of[kc] in _STR_KEY_KINDS:
             fine[kc] = fine[kc].where(pd.notna(fine[kc]), None)
 
     # terms pruning, root→leaf: rank a terms node's buckets from its
@@ -1057,6 +1257,47 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
             out[f"{mname}_variance"] = _floats(var6, mine)
             out[f"{mname}_std_deviation"] = _floats(
                 trunc6(np.sqrt(var6)), mine)
+        elif op == "stats":
+            # ES stats: count/min/max/avg/sum — the extended_stats
+            # additive partials minus the squared terms
+            n = fine[f"{mname}__n"].to_numpy(dtype=np.float64)
+            s6 = trunc6(fine[f"{mname}__sum"].to_numpy(
+                dtype=np.float64))
+            safe_n = np.where(n > 0, n, 1)
+            out[f"{mname}_count"] = pa.array(
+                [int(x) if keep_ and x == x else None
+                 for x, keep_ in zip(n, mine)], type=pa.int64())
+            out[f"{mname}_min"] = _floats(
+                trunc6(fine[f"{mname}__min"].to_numpy(
+                    dtype=np.float64)), mine)
+            out[f"{mname}_max"] = _floats(
+                trunc6(fine[f"{mname}__max"].to_numpy(
+                    dtype=np.float64)), mine)
+            out[f"{mname}_avg"] = _floats(
+                trunc6(np.where(n > 0, s6 / safe_n, np.nan)), mine)
+            out[f"{mname}_sum"] = _floats(s6, mine)
+        elif op in ("percentiles", "median_absolute_deviation"):
+            # exact quantiles off the merged (bucket, value, count)
+            # histogram (quantile_cont interpolation — ES reports
+            # t-digest approximations here; exactness is this
+            # engine's documented deviation, budget-gated above)
+            pc, cnt = vals_tables[mname]
+            vcols = ([f"{mname}_{_pct_tag(p)}"
+                      for p in spec_["percents"]]
+                     if op == "percentiles" else [mname])
+            for outc in vcols:
+                srcc = (f"__{outc}" if op == "percentiles"
+                        else f"__{mname}_mad")
+                if not len(cnt):
+                    merged = np.full(len(fine), np.nan)
+                elif pc:
+                    merged = fine[pc].merge(
+                        cnt, on=pc, how="left"
+                    )[srcc].to_numpy(dtype=np.float64)
+                else:
+                    merged = np.full(len(fine),
+                                     float(cnt[srcc].iloc[0]))
+                out[outc] = _floats(trunc6(merged), mine)
         else:  # min / max
             out[mname] = _floats(
                 trunc6(fine[f"{mname}__{op}"].to_numpy(

@@ -1243,3 +1243,168 @@ def test_agg_tree_fanout_cardinality_budget_and_validation(ray_session):
                         "aggs": {"st": {"extended_stats": {"field": "v"}},
                                  "w": {"bucket_sort": {
                                      "sort": [{"st": "asc"}]}}}}})
+
+
+def test_agg_tree_fanout_quantile_metrics_hand_computed(ray_session):
+    """percentiles / median_absolute_deviation / stats vs hand values,
+    incl. quantile_cont interpolation between order stats, repeated
+    values merging counts, and the all-null empty-bucket shape."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": ["a"] * 5 + ["b"] * 4,
+            # a: v = [1, 2, 2, 10]  (one null)
+            # b: all null
+            "v": pa.array([1.0, 2.0, 2.0, 10.0, None,
+                           None, None, None, None]),
+        }
+    )
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 5},
+            "aggs": {
+                "pq": {"percentiles": {"field": "v",
+                                       "percents": [0, 50, 75, 100]}},
+                "md": {"median_absolute_deviation": {"field": "v"}},
+                "st": {"stats": {"field": "v"}},
+            },
+        },
+        "gq": {"percentiles": {"field": "v", "percents": [50]}},
+    }
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    bk = out[out["agg"] == "by_kind"].set_index("by_kind_key")
+    # a: sorted [1, 2, 2, 10]; p0 = 1; p50: pos 1.5 → 2; p75: pos
+    # 2.25 → 2 + 0.25·(10−2) = 4; p100 = 10
+    assert bk.loc["a", "pq_p0"] == 1.0
+    assert bk.loc["a", "pq_p50"] == 2.0
+    assert bk.loc["a", "pq_p75"] == 4.0
+    assert bk.loc["a", "pq_p100"] == 10.0
+    # mad(a): med = 2; |v−2| = [1, 0, 0, 8] sorted [0, 0, 1, 8];
+    # median at pos 1.5 → 0 + 0.5·(1−0) = 0.5
+    assert bk.loc["a", "md"] == 0.5
+    # stats(a)
+    assert bk.loc["a", "st_count"] == 4
+    assert bk.loc["a", "st_min"] == 1.0 and bk.loc["a", "st_max"] == 10.0
+    assert bk.loc["a", "st_sum"] == 15.0 and bk.loc["a", "st_avg"] == 3.75
+    # b: doc_count 4, every value metric null (ES empty-bucket shape)
+    assert bk.loc["b", "doc_count"] == 4
+    assert pd.isna(bk.loc["b", "pq_p50"]) and pd.isna(bk.loc["b", "md"])
+    assert bk.loc["b", "st_count"] == 0 and pd.isna(bk.loc["b", "st_avg"])
+    # root percentiles over every non-null v
+    root = out[out["agg"] == "_root"].iloc[0]
+    assert root["gq_p50"] == 2.0
+    assert root["doc_count"] == 9
+
+
+def test_agg_tree_fanout_quantiles_match_duckdb_randomized(ray_session):
+    """percentiles + mad match DuckDB's quantile_cont (and the two-pass
+    mad CTE) bit-for-bit after trunc6 on a randomized corpus — the same
+    protocol the driver gate runs."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "kind": rng.choice(["x", "y", "z"], n),
+            "v": np.round(rng.normal(100, 30, n), 2),
+        }
+    )
+    df.loc[rng.random(n) < 0.07, "v"] = np.nan
+    spec = {
+        "by_kind": {
+            "terms": {"field": "kind", "size": 3},
+            "aggs": {
+                "pq": {"percentiles": {"field": "v",
+                                       "percents": [1, 25, 50, 99]}},
+                "md": {"median_absolute_deviation": {"field": "v"}},
+            },
+        },
+    }
+    out = agg_tree_fanout(rd.from_pandas(df), spec).to_pandas()
+    eng = (out[out["agg"] == "by_kind"].sort_values("by_kind_key")
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    T = "floor({} * 1000000 + 0.5) / 1000000"
+    ref = con.sql(f"""
+WITH med AS (SELECT kind, quantile_cont(v, 0.5) AS m FROM t GROUP BY 1)
+SELECT t.kind,
+  {T.format('quantile_cont(t.v, 0.01)')} AS p1,
+  {T.format('quantile_cont(t.v, 0.25)')} AS p25,
+  {T.format('quantile_cont(t.v, 0.50)')} AS p50,
+  {T.format('quantile_cont(t.v, 0.99)')} AS p99,
+  {T.format('quantile_cont(abs(t.v - med.m), 0.5)')} AS mad
+FROM t JOIN med USING (kind) GROUP BY 1 ORDER BY 1
+""").df()
+    for ec, rc in [("pq_p1", "p1"), ("pq_p25", "p25"),
+                   ("pq_p50", "p50"), ("pq_p99", "p99"), ("md", "mad")]:
+        assert list(eng[ec]) == list(ref[rc]), (ec, eng[ec], ref[rc])
+
+
+def test_agg_tree_fanout_missing_filter_buckets(ray_session):
+    """The single-bucket kinds: `missing` holds exactly the docs
+    without the field, `filter` exactly the term-filter matches; both
+    nest sub-aggs; spec validation rejects malformed bodies."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "u": pa.array([None, 1.0, None, 2.0, 3.0, None]),
+            "kind": pa.array(["a", "a", "b", "b", "a", None]),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+        }
+    )
+    spec = {
+        "no_u": {
+            "missing": {"field": "u"},
+            "aggs": {
+                "v_sum": {"sum": {"field": "v"}},
+                "by_kind": {"terms": {"field": "kind", "size": 5}},
+            },
+        },
+        "just_a": {
+            "filter": {"field": "kind", "value": "a"},
+            "aggs": {"v_avg": {"avg": {"field": "v"}}},
+        },
+    }
+    out = agg_tree_fanout(rd.from_arrow(t), spec).to_pandas()
+    m = out[out["agg"] == "no_u"]
+    assert len(m) == 1 and m["no_u_key"].iloc[0] == "missing"
+    assert m["doc_count"].iloc[0] == 3 and m["v_sum"].iloc[0] == 100.0
+    # nested terms under missing: kinds of the 3 u-less docs — a, b
+    # (the null-kind doc drops from the terms set but not from no_u)
+    sub = out[out["agg"] == "by_kind"].set_index("by_kind_key")
+    assert sub.loc["a", "doc_count"] == 1
+    assert sub.loc["b", "doc_count"] == 1
+    f = out[out["agg"] == "just_a"]
+    assert len(f) == 1 and f["just_a_key"].iloc[0] == "match"
+    assert f["doc_count"].iloc[0] == 3
+    assert f["v_avg"].iloc[0] == trunc6(np.array([80.0 / 3]))[0]
+
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="needs a field"):
+        agg_tree_fanout(ds, {"m": {"missing": {}}})
+    with pytest.raises(ValueError, match="field and value"):
+        agg_tree_fanout(ds, {"f": {"filter": {"field": "kind"}}})
+    with pytest.raises(ValueError, match="percents"):
+        agg_tree_fanout(ds, {"p": {"percentiles": {
+            "field": "v", "percents": [150]}}})
+    with pytest.raises(ValueError, match="multi-valued|driver-computed"):
+        agg_tree_fanout(ds, {
+            "by_kind": {"terms": {"field": "kind"},
+                        "aggs": {"pq": {"percentiles": {"field": "v"}},
+                                 "w": {"bucket_sort": {
+                                     "sort": [{"pq": "asc"}]}}}}})
