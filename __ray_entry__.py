@@ -1371,6 +1371,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(parts)
 
+    def q_terms_enum(sf_dir):
+        # ES _terms_enum: ascending dictionary terms under a prefix
+        # straight off the sorted per-shard dictionaries (two binary
+        # searches + a pagination seek per shard), with a
+        # search_after page and a case-insensitive probe
+        import pyarrow as pa
+
+        from excelastic_ray.query.engine import QueryEngine
+
+        eng = QueryEngine(_index_for(sf_dir))
+        parts = []
+        for qid, pre, after, ci in (
+            ("t1", "s", None, False),
+            ("t2", "", "key", False),
+            ("t3", "S", None, True),
+        ):
+            t = eng.terms_enum(pre, size=10, search_after=after,
+                               case_insensitive=ci)
+            parts.append(pa.table({
+                "query_id": pa.array([qid] * t.num_rows,
+                                     type=pa.string()),
+                "term": t["term"],
+            }))
+        return pa.concat_tables(parts)
+
     def q_complete_prefix(sf_dir):
         # ES completion suggester: popularity-ranked prefix completion
         import pyarrow as pa
@@ -3865,6 +3890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": q_bm25_search_after,
         "sig_text": q_sig_text,
         "complete_prefix": q_complete_prefix,
+        "terms_enum": q_terms_enum,
         "complete_fuzzy": q_complete_fuzzy,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_wildcard_topk": q_bm25_wildcard_topk,
@@ -7998,6 +8024,23 @@ QUALIFY row_number() OVER (
     PARTITION BY p.query_id ORDER BY df.df DESC, df.term) <= 5
 """,
         "complete_fuzzy": _complete_fuzzy_sql(),
+        # _terms_enum twin: DISTINCT dictionary terms ascending under
+        # each probe's prefix, strictly after the page cursor; the
+        # case-insensitive probe folds to the lowercase dictionary
+        "terms_enum": _BASE
+        + """,
+terms AS (
+    SELECT DISTINCT unnest(toks) AS term FROM base
+),
+p(query_id, pre, aft) AS (VALUES ('t1', 's', NULL),
+                                 ('t2', '', 'key'),
+                                 ('t3', lower('S'), NULL))
+SELECT p.query_id, t.term
+FROM p JOIN terms t ON starts_with(t.term, p.pre)
+             AND (p.aft IS NULL OR t.term > p.aft)
+QUALIFY row_number() OVER (
+    PARTITION BY p.query_id ORDER BY t.term) <= 10
+""",
         "bm25_synonym_topk": _BASE
         + f""",
 dl AS (SELECT conv_id, turn_idx, len(toks) AS dl FROM base),

@@ -326,6 +326,35 @@ class ShardSearcher:
         hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
         return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
 
+    def terms_enum_scan(self, prefix: str, cap: int,
+                        after: str | None = None,
+                        field: str | None = None) -> list[str]:
+        """First ``cap`` dictionary terms with ``prefix`` strictly
+        AFTER ``after`` in term order — the per-shard half of the ES
+        ``_terms_enum`` API: the same two-binary-search TermEnum seek
+        as :meth:`terms_with_prefix` plus the pagination seek (a third
+        binary search), never a scan from the dictionary head."""
+        if field is not None:
+            from excelastic_ray.analysis import field_key
+
+            base = field_key(field, prefix)
+            lo = int(np.searchsorted(self.terms, base))
+            hi = int(np.searchsorted(self.terms, base + "\U0010ffff"))
+            if after is not None:
+                lo = max(lo, int(np.searchsorted(
+                    self.terms, field_key(field, after), side="right")))
+            strip = len(base) - len(prefix)
+            return [
+                str(t)[strip:]
+                for t in self.terms[lo : min(hi, lo + cap)]
+            ]
+        lo = int(np.searchsorted(self.terms, max(prefix, "\x02")))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        if after is not None:
+            lo = max(lo, int(np.searchsorted(self.terms, after,
+                                             side="right")))
+        return [str(t) for t in self.terms[lo : min(hi, lo + cap)]]
+
     def terms_matching(self, pattern: str, cap: int,
                        field: str | None = None) -> list[str]:
         """First ``cap`` dictionary terms matching an ES wildcard
@@ -5477,6 +5506,50 @@ class QueryEngine:
             inv, weights=np.concatenate(parts_d).astype(np.float64)
         ).astype(np.int64)
         return np.asarray(uniq, dtype=object), dfs
+
+    def terms_enum(self, string: str = "", size: int = 10,
+                   field: str | None = None,
+                   case_insensitive: bool = False,
+                   search_after: str | None = None):
+        """ES ``_terms_enum`` analog: up to ``size`` index terms
+        starting with ``string``, in ascending term order — served
+        straight from the sorted per-shard term dictionaries (two
+        binary searches per shard plus a pagination seek, no postings
+        decoded), merged by sorted-set union on the driver. Each shard
+        contributes at most ``size`` terms, so the merge is
+        O(shards × size) regardless of vocabulary size.
+
+        ``search_after`` resumes strictly after a term (the ES
+        pagination contract — chain pages by passing the last term of
+        the previous page). ``case_insensitive`` folds the probe into
+        the analyzer's lowercase dictionary space (the dictionary is
+        lowercased at build time, so an exact-case probe containing
+        uppercase matches nothing — the documented analog of ES's
+        normalizer-dependent matching). ``field`` scopes the
+        enumeration to that field's keyword stream (role/tool).
+        Results are exact and complete — the ES ``complete`` response
+        flag is always true here (no timeout cutoff path). Like ES,
+        terms that survive only in not-yet-merged tombstoned docs may
+        still appear (the dictionary is immutable between merges).
+
+        → pyarrow.Table (term,) ascending. Reference purpose: the
+        reference delegates the term dictionary to Elasticsearch
+        (``ElasticWriter.java``); this is the native form of its
+        term-browse surface."""
+        import pyarrow as pa
+
+        if case_insensitive:
+            string = string.lower()
+            if search_after is not None:
+                search_after = search_after.lower()
+        size = max(0, int(size))
+        r = self.reader
+        merged: set = set()
+        for s in range(r.num_shards):
+            merged.update(r.searcher(s).terms_enum_scan(
+                string, size, after=search_after, field=field))
+        terms = sorted(merged)[:size]
+        return pa.table({"term": pa.array(terms, type=pa.string())})
 
     def complete_fuzzy(self, prefix: str, k: int = 10, fuzziness: int = 1,
                        prefix_length: int = 1,

@@ -289,6 +289,21 @@ class ImportServer:
                                 ),
                             ),
                         )
+                    elif u.path == "/api/terms_enum":
+                        # ES _terms_enum analog: ascending dictionary
+                        # terms under a prefix, pageable
+                        self._json(
+                            200,
+                            server.terms_enum(
+                                q["index"], q.get("string", ""),
+                                int(q.get("size", "10")),
+                                field=q.get("field") or None,
+                                case_insensitive=(
+                                    q.get("case_insensitive") == "1"),
+                                search_after=q.get("search_after")
+                                or None,
+                            ),
+                        )
                     elif u.path == "/api/count":
                         # ES _count analog: matching-doc count, no hits
                         self._json(
@@ -1175,6 +1190,23 @@ class ImportServer:
         else:
             t = eng.complete(prefix, k)
         return {"completions": t.to_pylist()}
+
+    def terms_enum(self, index: str, string: str = "", size: int = 10,
+                   field: str | None = None,
+                   case_insensitive: bool = False,
+                   search_after: str | None = None) -> dict:
+        """ES ``_terms_enum``: ascending index terms under a prefix,
+        pageable via ``search_after`` (see QueryEngine.terms_enum)."""
+        from excelastic_ray.index.snapshot import resolve_alias
+
+        targets = resolve_alias(self.index_root, index)
+        if len(targets) > 1:
+            raise ValueError("terms_enum needs a concrete index")
+        eng = self._acquire_engine(index, targets)
+        t = eng.terms_enum(string, size, field=field,
+                           case_insensitive=case_insensitive,
+                           search_after=search_after)
+        return {"terms": t["term"].to_pylist(), "complete": True}
 
     def search_script_fields(self, index: str, query: str, fields: dict,
                              k: int = 10,

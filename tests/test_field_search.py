@@ -506,3 +506,50 @@ def test_cross_fields_matches_bruteforce(field_index):
             .equals(eng.search_cross("user table", [None, "role"], k=10))
     finally:
         actors.close()
+
+
+def test_terms_enum_matches_bruteforce_and_pages(field_index, ray_session):
+    """ES _terms_enum: ascending prefix enumeration equals the
+    brute-force distinct analyzed vocabulary; search_after pages chain
+    over the full range exactly once; case folding; field scoping."""
+    from excelastic_ray.analysis import tokenize
+
+    idx, table = field_index
+    eng = QueryEngine(idx)
+    vocab = sorted({t for txt in table["text"].to_pylist()
+                    for t in tokenize(txt)})
+
+    # full enumeration via pagination (size smaller than the range)
+    got, after = [], None
+    while True:
+        page = eng.terms_enum("", size=7, search_after=after)["term"]
+        if not len(page):
+            break
+        got.extend(page.to_pylist())
+        after = got[-1]
+    assert got == vocab  # every term exactly once, ascending
+
+    # prefix scoping + size cap
+    for pre in ("a", "th", "zzz"):
+        want = [t for t in vocab if t.startswith(pre)][:5]
+        assert (eng.terms_enum(pre, size=5)["term"].to_pylist()
+                == want)
+
+    # case folding: uppercase probe matches nothing exact-case,
+    # everything under case_insensitive
+    pre = vocab[0][0].upper()
+    assert eng.terms_enum(pre, size=5)["term"].to_pylist() == []
+    assert (eng.terms_enum(pre, size=5,
+                           case_insensitive=True)["term"].to_pylist()
+            == [t for t in vocab if t.startswith(pre.lower())][:5])
+
+    # field scoping: the role stream enumerates role values only
+    roles = sorted({r for r in table["role"].to_pylist() if r})
+    assert (eng.terms_enum("", size=10, field="role")["term"].to_pylist()
+            == roles[:10])
+    # pagination inside the field region
+    assert (eng.terms_enum("", size=10, field="role",
+                           search_after=roles[0])["term"].to_pylist()
+            == roles[1:10])
+
+    assert eng.terms_enum("a", size=0)["term"].to_pylist() == []

@@ -1260,3 +1260,40 @@ def test_pit_over_http(ray_session, tmp_path):
             assert e.code == 500
     finally:
         srv.stop()
+
+
+def test_terms_enum_endpoint(ray_session, tmp_path):
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.query.engine import QueryEngine
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "te")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    eng = QueryEngine(f"{root}/a")
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}/api/terms_enum?index=a"
+        _, body = _get(base + "&string=w0&size=6")
+        got = json.loads(body)
+        assert got["complete"] is True
+        assert got["terms"] == eng.terms_enum(
+            "w0", size=6)["term"].to_pylist()
+        # pagination + case-insensitive params route through
+        after = got["terms"][-1]
+        _, body2 = _get(
+            base + f"&string=W0&size=6&case_insensitive=1"
+            f"&search_after={after}"
+        )
+        assert json.loads(body2)["terms"] == eng.terms_enum(
+            "w0", size=6, search_after=after)["term"].to_pylist()
+    finally:
+        srv.stop()
