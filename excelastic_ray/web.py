@@ -144,6 +144,13 @@ class ImportServer:
         # (the ES keep-alive analog in a clock-free sandbox).
         self._scrolls: dict[str, dict] = {}
         self._scrolls_guard = threading.Lock()
+        # ES async-search contexts: id -> {is_running, response,
+        # error}. Searches run on daemon threads like imports; oldest
+        # contexts evict past the cap (the keep-alive analog in a
+        # clock-free sandbox, same rule as scroll contexts).
+        self._async: dict[str, dict] = {}
+        self._async_guard = threading.Lock()
+        self._async_cap = 128
         self._templates_guard = threading.Lock()
         self._rollover_guard = threading.Lock()
         self._scroll_seq = 0
@@ -289,6 +296,13 @@ class ImportServer:
                                 ),
                             ),
                         )
+                    elif u.path == "/api/async_search":
+                        # ES GET /_async_search/<id> analog
+                        try:
+                            self._json(
+                                200, server.async_search_get(q["id"]))
+                        except KeyError as e:
+                            self._json(404, {"error": str(e)})
                     elif u.path == "/api/terms_enum":
                         # ES _terms_enum analog: ascending dictionary
                         # terms under a prefix, pageable
@@ -549,6 +563,19 @@ class ImportServer:
                     except Exception as e:
                         self._json(400, {"error": str(e)})
                     return
+                if u.path == "/api/async_search":
+                    # ES POST /<index>/_async_search analog: submit,
+                    # returns an id to poll
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                        self._json(
+                            200,
+                            server.async_search_submit(q["index"], body),
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
                 if u.path == "/api/pit":
                     # ES POST /<index>/_pit analog: open a point-in-time
                     try:
@@ -752,6 +779,15 @@ class ImportServer:
                     try:
                         self._json(
                             200, server.close_pit(q["index"], q["id"])
+                        )
+                    except Exception as e:
+                        self._json(400, {"error": str(e)})
+                    return
+                if u.path == "/api/async_search":
+                    # ES DELETE /_async_search/<id> analog
+                    try:
+                        self._json(
+                            200, server.async_search_delete(q["id"])
                         )
                     except Exception as e:
                         self._json(400, {"error": str(e)})
@@ -1584,6 +1620,61 @@ class ImportServer:
         return self.search_dsl(
             index, render_search_template(source, dict(params or {})), k
         )
+
+    def async_search_submit(self, index: str, body: dict | None) -> dict:
+        """ES ``POST /<index>/_async_search`` analog: run the search on
+        a worker thread and return an id immediately; poll with
+        :meth:`async_search_get`. ``body`` carries ``q`` (the query
+        string) plus any keyword the synchronous ``search`` method
+        accepts — unknown keys raise up front (the offset rule: no
+        silently-dropped parameters). Documented deviation: no partial
+        per-shard results mid-flight (``response`` is null until the
+        search completes — the engine's shard merge is one step) and no
+        ``wait_for_completion_timeout`` (poll instead)."""
+        import inspect
+
+        params = dict(body or {})
+        query = params.pop("q", "")
+        allowed = set(
+            inspect.signature(self.search).parameters) - {"index", "query"}
+        bad = set(params) - allowed
+        if bad:
+            raise ValueError(
+                f"unsupported async_search params: {sorted(bad)}")
+        sid = uuid.uuid4().hex[:12]
+        rec: dict = {"id": sid, "is_running": True, "response": None,
+                     "error": None}
+        with self._async_guard:
+            self._async[sid] = rec
+            while len(self._async) > self._async_cap:
+                self._async.pop(next(iter(self._async)))
+
+        def run() -> None:
+            try:
+                rec["response"] = self.search(index, query, **params)
+            except Exception as e:
+                rec["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                rec["is_running"] = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return {"id": sid, "is_running": True}
+
+    def async_search_get(self, sid: str) -> dict:
+        """ES ``GET /_async_search/<id>``: current state — running,
+        completed (``response`` set), or failed (``error`` set)."""
+        rec = self._async.get(sid)
+        if rec is None:
+            raise KeyError(f"unknown async search id {sid!r}")
+        return {k: rec[k]
+                for k in ("id", "is_running", "response", "error")}
+
+    def async_search_delete(self, sid: str) -> dict:
+        """ES ``DELETE /_async_search/<id>``: drop the stored result
+        (a still-running search finishes but its result is discarded)."""
+        with self._async_guard:
+            return {"acknowledged": self._async.pop(sid, None)
+                    is not None}
 
     def open_pit(self, index: str, keep_alive_s: float = 300.0) -> dict:
         """ES POST /<index>/_pit: open a point-in-time and return its

@@ -1297,3 +1297,66 @@ def test_terms_enum_endpoint(ray_session, tmp_path):
             "w0", size=6, search_after=after)["term"].to_pylist()
     finally:
         srv.stop()
+
+
+def test_async_search_endpoints(ray_session, tmp_path):
+    """ES _async_search over HTTP: submit returns an id immediately,
+    polling converges to the synchronous /api/search response, unknown
+    params refuse up front, unknown ids 404, delete acknowledges."""
+    import time
+
+    import ray.data as rd
+
+    from excelastic_ray.config import IndexConfig
+    from excelastic_ray.corpus import generate_transcripts
+    from excelastic_ray.index.build import build_index
+    from excelastic_ray.web import ImportServer
+
+    root = str(tmp_path / "as")
+    build_index(
+        rd.from_arrow(generate_transcripts(n_convs=10, seed=2)),
+        f"{root}/a",
+        IndexConfig(turn_bits=8, convs_per_chunk_bits=3, num_shards=2),
+        clear=True,
+    )
+    srv = ImportServer(root).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, sub = _req(
+            base + "/api/async_search?index=a", "POST",
+            json.dumps({"q": "w1 the", "k": 5}).encode(),
+        )
+        assert code == 200 and sub["is_running"] is True and sub["id"]
+        for _ in range(200):
+            code, got = _req(
+                base + f"/api/async_search?id={sub['id']}", "GET")
+            assert code == 200
+            if not got["is_running"]:
+                break
+            time.sleep(0.05)
+        assert got["error"] is None
+        _, sync = _req(base + "/api/search?index=a&q=w1+the&k=5", "GET")
+        assert got["response"] == sync
+
+        # unknown params refuse at submit (no silent drops)
+        code, bad = _req(
+            base + "/api/async_search?index=a", "POST",
+            json.dumps({"q": "w1", "nonsense": 1}).encode(),
+        )
+        assert code == 400 and "nonsense" in bad["error"]
+
+        # unknown id 404s; delete acknowledges once
+        code, _missing = _req(
+            base + "/api/async_search?id=deadbeef", "GET")
+        assert code == 404
+        code, d1 = _req(
+            base + f"/api/async_search?id={sub['id']}", "DELETE")
+        assert code == 200 and d1["acknowledged"] is True
+        code, d2 = _req(
+            base + f"/api/async_search?id={sub['id']}", "DELETE")
+        assert d2["acknowledged"] is False
+        code, _gone = _req(
+            base + f"/api/async_search?id={sub['id']}", "GET")
+        assert code == 404
+    finally:
+        srv.stop()
