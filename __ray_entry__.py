@@ -3389,6 +3389,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, qmat, query_ids=qids, k=10, n_centroids=16, nprobe=4
         )
 
+    def q_ann_pq_topk(sf_dir):
+        # product quantization: distributed per-subspace Lloyd
+        # codebooks -> ADC table-lookup scan over m-byte codes ->
+        # exact float64 rerank of the survivors (rows-only entry like
+        # the other approximate ANN variants; ann_pq_exact below gives
+        # the machinery a full-match oracle)
+        emb, qids, qmat = _query_vecs(sf_dir)
+        return similarity.pq_topk(emb, qmat, query_ids=qids, k=10)
+
+    def q_ann_pq_exact(sf_dir):
+        # rerank >= corpus size -> the ADC candidate cut is a no-op and
+        # the PQ path (training + encode + tables + rescore) must
+        # reproduce exact brute-force cosine, giving the whole PQ
+        # machinery a full-match SQL oracle (the pruned-rerank entry
+        # above stays as the scale-shaped variant)
+        emb, qids, qmat = _query_vecs(sf_dir)
+        n = emb.count()
+        return similarity.pq_topk(emb, qmat, query_ids=qids, k=10,
+                                  rerank=int(n))
+
     def q_ann_ivf_exact(sf_dir):
         # nprobe == n_centroids probes every cell → the IVF machinery
         # (distributed k-means + cell routing + probe scoring) must
@@ -3970,6 +3990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_exact": q_ann_pq_exact,
         "heavy_hitters": q_heavy_hitters,
         "sessionize": q_sessionize,
         "tumbling": q_tumbling,
@@ -9261,6 +9283,25 @@ QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
 """,
         "ann_ivf_exact": """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) AS raw
+    FROM n q JOIN n e ON q.vec_id < 5
+)
+SELECT query_id, vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS cos
+FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 10
+""",
+        "ann_pq_exact": """
 WITH n AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -16,6 +16,11 @@
   driver combine), vectors assigned to their nearest centroid, queries
   scored only against the ``nprobe`` nearest cells. Approximate;
   recall grows with nprobe (nprobe == n_centroids → exact).
+- :func:`pq_topk` — scale path D: product quantization. Per-subspace
+  codebooks (same distributed Lloyd shape), ADC table-lookup scan over
+  m-byte codes, exact float64 rerank of the survivors. The
+  memory-traffic path: a stored codes column is m bytes per vector vs
+  8·dim for raw floats.
 
 Execution shape: every stage's only state is a broadcast ObjectRef, so
 the stages run as plain Ray TASKS (one per block — full parallelism
@@ -377,6 +382,150 @@ def sq8_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k, id_col), batch_format="pandas"
+    )
+
+
+def pq_codebooks(
+    ds,
+    m: int = 8,
+    nbits: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: the vector space
+    split into ``m`` contiguous subspaces, each trained by the same
+    distributed Lloyd passes as :func:`kmeans_centroids` (seeded
+    data-independent init; one ``map_batches`` partial-sum pass + a
+    driver combine per iteration, ALL subspaces in the one pass — the
+    exchange moves m × ksub × dsub floats per batch, never vectors).
+
+    → ndarray (m, 2**nbits, dim // m). Requires dim % m == 0."""
+    import ray
+
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first[vec_col][0])
+    if dim % m != 0:
+        raise ValueError(f"PQ needs dim % m == 0, got dim={dim} m={m}")
+    ksub, dsub = 1 << nbits, dim // m
+    rng = np.random.default_rng(seed)
+    books = rng.standard_normal((m, ksub, dsub)) * (1.0 / np.sqrt(dim))
+
+    for _ in range(n_iter):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            b_books = ray.get(ref)
+            mat = _normalize(_as_matrix(batch[vec_col]))
+            sub = mat.reshape(len(mat), m, dsub)
+            rows = {"sub": [], "code": [], "n": [], "vsum": []}
+            for s in range(m):
+                # L2 argmin per subspace: ||x−c||² order = −2x·c + ||c||²
+                d2 = (-2.0 * sub[:, s, :] @ b_books[s].T
+                      + (b_books[s] ** 2).sum(axis=1))
+                assign = d2.argmin(axis=1)
+                sums = np.zeros((ksub, dsub))
+                np.add.at(sums, assign, sub[:, s, :])
+                counts = np.bincount(assign, minlength=ksub)
+                rows["sub"] += [s] * ksub
+                rows["code"] += list(range(ksub))
+                rows["n"] += counts.tolist()
+                rows["vsum"] += [sums[i].tobytes() for i in range(ksub)]
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=4096
+        ).to_pandas()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for row in parts.itertuples(index=False):
+            sums[int(row.sub), int(row.code)] += np.frombuffer(
+                row.vsum, dtype=np.float64)
+            counts[int(row.sub), int(row.code)] += int(row.n)
+        books = books.copy()
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 8,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+):
+    """Scale path D: product quantization + ADC scan + exact rerank.
+
+    Train: :func:`pq_codebooks` (broadcast once). Scan: each batch
+    encodes its normalized vectors to m × nbits codes (L2 argmin per
+    subspace) and scores every query by ASYMMETRIC DISTANCE
+    COMPUTATION — per query ONE (m × ksub) inner-product table against
+    the codebooks, approximate cosine = sum of m table lookups (a
+    gather + row-sum over uint8 codes). At 100 TB the steady-state
+    scan reads m bytes per vector instead of 8·dim (the memory-traffic
+    reduction PQ exists for); here the encode is fused into the scan
+    because the fixture decodes raw vectors anyway — store the codes
+    column once to get the steady-state shape. The top ``rerank × k``
+    ADC candidates per batch rescore exactly in float64 (same recall
+    knob as :func:`sq8_topk`) and the final merge is the cosine_topk
+    per-query groupby.
+
+    → Dataset (query_id, vec_id, cos) — same schema/ties as
+    cosine_topk. Approximate: recall grows with rerank / nbits / m."""
+    import ray
+
+    books = pq_codebooks(ds, m=m, nbits=nbits, vec_col=vec_col, seed=seed)
+    ksub, dsub = books.shape[1], books.shape[2]
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)),
+        dtype=np.int64,
+    )
+    # per-query ADC tables: tables[j][s, c] = <q_j restricted to
+    # subspace s, codeword c> — (q × m × ksub), built once, broadcast
+    tables = np.einsum("jsd,scd->jsc", q.reshape(len(q), m, dsub), books)
+    ref = ray.put((qids, q, books, tables))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b_qids, b_q, b_books, b_tables = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        sub = mat.reshape(len(mat), m, dsub)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for s in range(m):
+            d2 = (-2.0 * sub[:, s, :] @ b_books[s].T
+                  + (b_books[s] ** 2).sum(axis=1))
+            codes[:, s] = d2.argmin(axis=1)
+        sidx = np.arange(m)[None, :]
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(b_qids):
+            approx = b_tables[j][sidx, codes].sum(axis=1)
+            kk = min(rerank * k, len(ids))
+            cand = np.argpartition(-approx, kk - 1)[:kk]
+            cos = mat[cand] @ b_q[j]  # exact rescore, survivors only
+            order = np.lexsort((ids[cand], -cos))[: min(k, kk)]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(cos[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_v),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
     return partials.groupby("query_id").map_groups(
         _final_topk_fn(k, id_col), batch_format="pandas"
     )

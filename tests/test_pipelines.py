@@ -2300,3 +2300,49 @@ def test_children_parent_join_aggs(ray_session):
     assert p["parent_count"] == [1, 2]
     # search: openers 'open1'(5) + 'o3'(2) → avg 3.5; code: 'open-two'(8)
     assert p["avg_opener_len"] == [8.0, 3.5]
+
+
+def test_pq_topk_recall_and_full_rerank_exactness(ray_session, emb_ds):
+    """Product quantization: with rerank covering the whole corpus the
+    ADC candidate cut is a no-op and PQ must equal exact cosine top-k
+    bit-for-bit; at the default rerank, recall@10 vs brute force stays
+    high on the fixture; codebooks are deterministic across calls."""
+    import numpy as np
+
+    from excelastic_ray.pipelines.dedup import collect_embedding_matrix
+    from excelastic_ray.pipelines.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    ids, mat = collect_embedding_matrix(emb_ds)
+    qmat = mat[:4]
+    qids = list(ids[:4])
+    exact = cosine_topk(emb_ds, qmat, query_ids=qids, k=10).to_pandas()
+
+    # rerank >= corpus size → every vector rescored exactly
+    full = pq_topk(emb_ds, qmat, query_ids=qids, k=10,
+                   rerank=len(ids)).to_pandas()
+    key = ["query_id", "vec_id", "cos"]
+    assert (exact.sort_values(key).reset_index(drop=True)[key]
+            .equals(full.sort_values(key).reset_index(drop=True)[key]))
+
+    # default rerank: recall@10 against brute force
+    approx = pq_topk(emb_ds, qmat, query_ids=qids, k=10).to_pandas()
+    hits = tot = 0
+    for qid in qids:
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.8, hits / tot
+
+    # deterministic training (seeded data-independent init + fixed
+    # Lloyd passes): identical books across calls and partitionings
+    b1 = pq_codebooks(emb_ds, m=8, nbits=4)
+    b2 = pq_codebooks(emb_ds.repartition(7), m=8, nbits=4)
+    assert np.array_equal(b1, b2)
+
+    with pytest.raises(ValueError, match="dim % m"):
+        pq_codebooks(emb_ds, m=7)
