@@ -371,6 +371,11 @@ def run_bench() -> dict:
             "agg_tree_metrics",
             "agg_tree_date_range",
             "retriever_linear",
+            # round-5 session-5 additions
+            "agg_tree_quantiles",
+            "agg_tree_missing_filter",
+            "terms_enum",
+            "ann_pq_topk",
         ):
             s = time.monotonic()
             out = qs[name](SF_DIR)
