@@ -102,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--suggest", action="store_true",
                    help="term suggester: closest dictionary terms per "
                         "query token ('did you mean')")
+    s.add_argument("--terms-enum", dest="terms_enum",
+                   action="store_true",
+                   help="ES _terms_enum: ascending dictionary terms "
+                        "under QUERY as a prefix (-k sizes the page)")
+    s.add_argument("--after", default=None,
+                   help="terms-enum page cursor (resume strictly "
+                        "after this term)")
     s.add_argument("--collapse", default=None, metavar="ATTR",
                    help="field collapse: at most one (best) hit per "
                         "distinct value of ATTR")
@@ -419,6 +426,9 @@ def main(argv: list[str] | None = None) -> int:
                 t = eng.search_phrase(args.query, args.k, slop=args.slop)
             elif args.suggest:
                 t = eng.suggest(args.query)
+            elif args.terms_enum:
+                t = eng.terms_enum(args.query, size=args.k,
+                                   search_after=args.after)
             elif args.wildcard:
                 t = eng.search_wildcard(args.query, args.k,
                                         filters=filters or None)

@@ -310,8 +310,13 @@ def test_cli_round5_flags(ray_session, tmp_path):
                      "--collapse", "role", "--inner-hits", "2"]) == 0
         assert main(["search", idx, "the", "-k", "2", "--highlight",
                      "--fragments", "60"]) == 0
+        assert main(["search", idx, "t", "-k", "4",
+                     "--terms-enum"]) == 0
+        assert main(["search", idx, "t", "-k", "4", "--terms-enum",
+                     "--after", "the"]) == 0
     text = out.getvalue()
     assert "inner_rank" in text and "<em>" in text
+    assert "the" in text  # the terms-enum page printed
 
 
 # -------------------------------------------------- review-fix regressions
