@@ -789,6 +789,15 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                     continue
                 if op == "rate" and not spec_.get("field"):
                     continue  # doc_count rate: no value column needed
+                if op == "value_count":
+                    # ES value_count works on ANY field type (keyword
+                    # included) — count non-null values without the
+                    # numeric cast the other metrics need
+                    raw = batch[spec_["field"]].to_numpy(
+                        zero_copy_only=False)
+                    df[f"{mname}__cnt"] = (
+                        ~np.asarray(pd.isna(raw))).astype(np.int64)
+                    continue
                 col = batch[spec_["field"]].to_numpy(
                     zero_copy_only=False).astype(np.float64)
                 if op in ("sum", "avg", "rate"):
@@ -799,9 +808,6 @@ def agg_tree_fanout(ds, spec: dict, n_buckets: int | None = None
                     df[f"{mname}__min"] = col
                 elif op == "max":
                     df[f"{mname}__max"] = col
-                elif op == "value_count":
-                    df[f"{mname}__cnt"] = (~np.isnan(col)).astype(
-                        np.int64)
                 elif op == "extended_stats":
                     df[f"{mname}__sum"] = col
                     df[f"{mname}__sumsq"] = col * col

@@ -1408,3 +1408,26 @@ def test_agg_tree_fanout_missing_filter_buckets(ray_session):
                         "aggs": {"pq": {"percentiles": {"field": "v"}},
                                  "w": {"bucket_sort": {
                                      "sort": [{"pq": "asc"}]}}}}})
+
+
+def test_agg_tree_fanout_value_count_on_keyword(ray_session):
+    """ES value_count works on any field type: counting a STRING
+    field's non-null values must not hit the numeric cast."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from excelastic_ray.pipelines.aggtree import agg_tree_fanout
+
+    t = pa.table(
+        {
+            "kind": ["a", "a", "b", "b"],
+            "tag": pa.array(["x", None, "y", "z"]),
+        }
+    )
+    out = agg_tree_fanout(rd.from_arrow(t), {
+        "by_kind": {"terms": {"field": "kind", "size": 5},
+                    "aggs": {"tags": {"value_count": {
+                        "field": "tag"}}}},
+    }).to_pandas()
+    bk = out.set_index("by_kind_key")
+    assert bk.loc["a", "tags"] == 1 and bk.loc["b", "tags"] == 2
